@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2.2–§2.8): projections,
+  * filters, equi/semi/anti joins, aggregations, window functions,
+  * top-k, set ops, scalar functions — expressed as declarative
+  * DataFrame plans so Catalyst handles pushdown/pruning/join choice.
+  *
+  * All float aggregates are rounded in BOTH the Spark plan and the
+  * DuckDB oracle so cross-engine summation order can't flip the hash.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1–A4: grouped aggregation with map-side partial agg (TPC-H Q1 shape).
+    "q1_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // F1/F3 + pushdown: selective filter to a single scalar (TPC-H Q6 shape).
+    // Filters + 4-column ReadSchema should reach the parquet scan.
+    "q2_filter_scan" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+                $"l_shipdate" <  lit("1996-01-01").cast("timestamp") &&
+                $"l_quantity" < 24)
+        .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    },
+
+    // J2 equi-join chain with broadcast dims: orders ⋈ customer ⋈ nation.
+    "q3_join_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"o_totalprice"), 2).as("total_price"),
+             count(lit(1)).as("n_orders"))
+    },
+
+    // J1: left-anti join (the reference's content-hash dedup shape, dag.py:452-474).
+    "q4_anti_join" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter($"o_totalprice" > 300000),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+    },
+
+    // J3: left-semi existence check + count (dag.py:472-474 shape).
+    "q5_semi_join" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_semi")
+        .agg(count(lit(1)).as("n_customers_with_orders"))
+    },
+
+    // O1 + limit: top-k by aggregated revenue, deterministic tie-break.
+    "q6_topk" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_partkey")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"l_partkey".asc)
+        .limit(10)
+    },
+
+    // Window: latest order per customer via row_number (the chunk-index
+    // assignment analogue, SURVEY §2.5).
+    "q7_window_rownum" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_odate"))
+    },
+
+    // Set op: parts never sold (EXCEPT = distinct difference).
+    "q8_except" -> { (s, d) =>
+      import s.implicits._
+      Tables.part(s, d).select($"p_partkey")
+        .except(Tables.lineitem(s, d)
+          .filter($"l_shipdate" < lit("1995-06-01").cast("timestamp"))
+          .select($"l_partkey".as("p_partkey")))
+    },
+
+    // Window frame: running sum per user ordered by event_id (rowsBetween).
+    "q9_window_running" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter($"user_id" < 5)
+        .select($"event_id", $"user_id", $"event_type",
+          round(sum($"value").over(w), 2).as("running_value"))
+    },
+
+    // Distinct aggregation: exact COUNT(DISTINCT) per group.
+    "q10_count_distinct" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+             countDistinct($"l_suppkey").as("n_supps"))
+    },
+
+    // Streaming-analogue processing-time bucket agg (T1): tumbling
+    // 1-hour windows over the events stream table, batch form.
+    "q11_time_bucket" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+                 $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             round(sum($"value"), 2).as("sum_value"))
+    },
+
+    // Scalar-function surface (X1 md5, X13 length, X14 upper, X16 format_string).
+    "q12_scalar_funcs" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          md5($"text").as("text_md5"),
+          upper($"lang").as("lang_up"),
+          length($"text").as("text_len"),
+          format_string("doc_%05d", $"doc_id").as("doc_tag"))
+    },
+
+    // Multi-way join through the full dim chain (region→nation→customer→orders).
+    "q13_join_chain" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_orders"),
+             round(avg($"o_totalprice"), 2).as("avg_price"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         ROUND(AVG(l_discount), 6) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q2_filter_scan" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+         COUNT(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1996-01-01'
+           AND l_quantity < 24""",
+    "q3_join_agg" ->
+      """SELECT n_name, ROUND(SUM(o_totalprice), 2) AS total_price,
+         COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q4_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+    "q5_semi_join" ->
+      """SELECT COUNT(*) AS n_customers_with_orders FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q6_topk" ->
+      """SELECT l_partkey,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem GROUP BY l_partkey
+         ORDER BY revenue DESC, l_partkey ASC LIMIT 10""",
+    "q7_window_rownum" ->
+      """SELECT o_custkey, o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS o_odate
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+               FROM orders) WHERE rn = 1""",
+    "q8_except" ->
+      """SELECT p_partkey FROM part
+         EXCEPT SELECT l_partkey AS p_partkey FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1995-06-01'""",
+    "q9_window_running" ->
+      """SELECT event_id, user_id, event_type,
+         ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+         FROM events WHERE user_id < 5""",
+    "q10_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag""",
+    "q11_time_bucket" ->
+      """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+         event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q12_scalar_funcs" ->
+      """SELECT doc_id, MD5(text) AS text_md5, UPPER(lang) AS lang_up,
+         LENGTH(text) AS text_len, PRINTF('doc_%05d', doc_id) AS doc_tag
+         FROM documents""",
+    "q13_join_chain" ->
+      """SELECT r_name, COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 2) AS avg_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""")
+}

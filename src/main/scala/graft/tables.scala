@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver-generated star schema
+  * (TESTDATA.md): region nation customer supplier part orders lineitem
+  * events documents embeddings — one parquet per table under the sf dir.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  /** events.parquet stores TIMESTAMP(NANOS); Spark reads it as a nanos
+    * LongType under `spark.sql.legacy.parquet.nanosAsLong` (set by our
+    * session builders). Normalize to a microsecond TimestampType column
+    * so downstream plans use ordinary timestamp semantics.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness check.
+
+Usage: check_oracle.py <sfDir> <outDir>
+Loads each <outDir>/<name> parquet result, runs <outDir>/oracle_sql.json's
+SQL in DuckDB over the sf parquet tables, sorts columns by name and rows
+by all values, and value-compares (floats to 9 sig digits).
+"""
+import sys, os, json, math
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow.dataset as ds
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+def canon(rows, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [names[i] for i in order], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        res_path = os.path.join(out_dir, name)
+        if not os.path.isdir(res_path):
+            print(f"FAIL {name}: no spark result dir"); n_fail += 1; continue
+        tbl = ds.dataset(res_path, format="parquet").to_table()
+        s_names = tbl.column_names
+        s_rows = [tuple(d[c] for c in s_names) for d in tbl.to_pylist()]
+        try:
+            cur = con.execute(sql)
+            d_names = [c[0] for c in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {e}"); n_fail += 1; continue
+        sc, sr = canon(s_rows, s_names)
+        dc, dr = canon(d_rows, d_names)
+        if sc != dc:
+            print(f"FAIL {name}: schema {sc} != {dc}"); n_fail += 1; continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: rows {len(sr)} != {len(dr)}"); n_fail += 1; continue
+        if sr != dr:
+            bad = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {bad}"); n_fail += 1; continue
+        print(f"PASS {name} ({len(sr)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
