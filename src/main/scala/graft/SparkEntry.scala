@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DnaPipeline, Relational}
+import graft.operators.{Dedup, DnaPipeline, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ DnaPipeline.queries
+    Relational.queries ++ DnaPipeline.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ DnaPipeline.oracles
+    Relational.oracles ++ DnaPipeline.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles
 }

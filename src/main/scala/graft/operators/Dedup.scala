@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline (builder
+  * brief): exact content dedup (the scale generalization of the
+  * reference's md5 tracking-table anti-join, `dags/dag.py:452-474`),
+  * n-gram Jaccard near-dup, MinHash+LSH banding, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup operator avoids the naive O(n²) cross
+  * join. Pair generation goes through an inverted index (explode
+  * shingles → equi-join on the shingle / band bucket), so the shuffle
+  * key is the shingle and cost is Σ bucket², not n². The DuckDB
+  * oracles state the same semantics quadratically — affordable at
+  * verification scale, which is exactly the point: the oracle is the
+  * spec, the Spark plan is the scale path.
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles of a document. Word n-grams (not
+    * unigrams) because the corpus vocabulary is tiny — unigram sets
+    * barely discriminate; 3-gram sets do.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val cnt = size(toks) - (n - 1) // number of n-grams; guard: Spark's
+    // sequence(1, cnt) DESCENDS when cnt < 1 instead of returning empty
+    when(cnt >= 1,
+      array_distinct(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** doc_id → exploded distinct shingle rows. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(shingles($"text")).as("shingle"))
+  }
+
+  /** Exact Jaccard pairs via inverted index: join docs on shared
+    * shingle, count shared shingles per pair, |A∪B| = |A|+|B|−|A∩B|.
+    * One shuffle on the shingle key + one on the pair key; never
+    * materializes non-overlapping pairs.
+    */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleRows(s, d)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_shingles", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_shingles", "n_b"), "id_b")
+      .select($"id_a", $"id_b",
+        ($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common")).as("jaccard"))
+  }
+
+  // MinHash parameters: 64 hashes = 32 bands × 2 rows.
+  // P(miss | j=0.6) = (1 - 0.36)^32 ≈ 6e-7 — banding recall is high
+  // enough that the LSH output equals the exact-threshold set in
+  // practice, which is what lets the oracle state it exactly.
+  val NumHashes = 64
+  val BandRows = 2
+  val NumBands: Int = NumHashes / BandRows
+
+  /** MinHash signature: min over shingles of xxhash64(shingle, seed)
+    * per seed — computed as one grouped aggregation over the exploded
+    * shingle relation (map-side partial min, no driver state).
+    */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mins = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), $"shingle")).as(s"h$i"))
+    shingleRows(s, d).groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: hash each band of the signature to a bucket,
+    * self-join on (band, bucket). Returns distinct (id_a < id_b) pairs.
+    */
+  def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = minhashSignatures(s, d)
+    val bands = array((0 until NumBands).map { b =>
+      val cols = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }: _*)
+    val buckets = sig.select($"doc_id", explode(bands).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bucket")
+    buckets.as("a")
+      .join(buckets.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over token hashes: per bit, sign of Σ(±1) across
+    * token hashes — expressed as grouped sums over exploded tokens
+    * (map-side combine; no per-doc state).
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val sums = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select($"doc_id", fp.as("simhash"))
+  }
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double precision with left-to-right accumulation (matches the
+    * oracle's arithmetic).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  val JaccardThreshold = 0.6
+  val CosineThreshold = 0.45
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: one representative (min doc_id) per content hash.
+    // Generalizes the reference's tracking-table dedup to a single
+    // shuffle-on-hash aggregation.
+    "dedup_exact" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(md5(to_binary($"text", lit("utf-8"))).as("content_fp"))
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // Near-dup by exact word-3-gram Jaccard ≥ 0.6 via inverted index.
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      import s.implicits._
+      jaccardPairs(s, d)
+        .filter(round($"jaccard", 6) >= JaccardThreshold)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    },
+
+    // MinHash+LSH: banding proposes candidates, exact Jaccard verifies.
+    // Same output contract as dedup_ngram_jaccard — the LSH path must
+    // find the same pairs, just without the full inverted-index join.
+    "dedup_minhash_lsh" -> { (s, d) =>
+      import s.implicits._
+      val verified = lshCandidates(s, d)
+        .join(jaccardPairs(s, d), Seq("id_a", "id_b"))
+      verified
+        .filter(round($"jaccard", 6) >= JaccardThreshold)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    },
+
+    // SimHash fingerprints (rows-only: bit pattern depends on the
+    // engine's 64-bit hash; invariants are spec-tested instead).
+    "dedup_simhash" -> { (s, d) =>
+      import s.implicits._
+      simhash(s, d).select($"doc_id", conv($"simhash".cast("string"), 10, 16).as("simhash_hex"))
+    },
+
+    // Embedding-cosine near-dup pairs. Inputs are bounded (the
+    // embeddings table), so the all-pairs join is the exact baseline;
+    // the ANN path in Similarity covers the scale plan.
+    "dedup_embedding" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+          round(cosine($"a.embedding", $"b.embedding"), 4).as("cos_sim"))
+        .filter($"cos_sim" >= CosineThreshold)
+    })
+
+  private val sqlToks =
+    "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
+  /** DuckDB CTEs computing the exact pairwise 3-gram Jaccard (the
+    * quadratic spec the inverted-index / LSH plans must reproduce).
+    */
+  private val jaccardCte =
+    s"""WITH toks AS (SELECT doc_id, $sqlToks t FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, GREATEST(len(t) - 2, 0)),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s FROM toks),
+        pairs AS (SELECT a.doc_id id_a, b.doc_id id_b,
+          len(list_intersect(a.s, b.s))::DOUBLE /
+            len(list_distinct(list_concat(a.s, b.s))) j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s)) > 0)"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MD5(text) AS content_fp, MIN(doc_id) AS keeper_id,
+         COUNT(*) AS n_copies FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard" ->
+      s"""$jaccardCte
+          SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
+          WHERE ROUND(j, 6) >= $JaccardThreshold""",
+    "dedup_minhash_lsh" ->
+      s"""$jaccardCte
+          SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
+          WHERE ROUND(j, 6) >= $JaccardThreshold""",
+    "dedup_embedding" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
+              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+            / SQRT(list_sum(list_transform(generate_series(1, len(a.embedding)),
+              i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+            / SQRT(list_sum(list_transform(generate_series(1, len(b.embedding)),
+              i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 4) AS cos_sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
+              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+            / SQRT(list_sum(list_transform(generate_series(1, len(a.embedding)),
+              i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+            / SQRT(list_sum(list_transform(generate_series(1, len(b.embedding)),
+              i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 4)
+            >= $CosineThreshold""")
+}

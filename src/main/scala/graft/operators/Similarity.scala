@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (builder brief): brute-force cosine top-k as the exact baseline,
+  * and a random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Scale design: brute-force is a broadcast of the (small) query set
+  * against a partitioned scan of the corpus — no shuffle of the corpus
+  * itself; the per-query top-k is a windowed rank over query-keyed
+  * partitions. The LSH path buckets the corpus once (narrow), then
+  * probes only matching buckets, turning O(|Q|·n) distance evaluations
+  * into O(|Q|·bucket). Hyperplanes are a deterministic seeded matrix
+  * compiled into the plan as literals — no driver-side state, no
+  * nondeterminism across executors.
+  */
+object Similarity {
+
+  val TopK = 5
+  /** Queries = every 100th vector; small, broadcastable. */
+  val QueryStride = 100
+
+  /** Multi-table random-hyperplane LSH (seed 42): `NumTables`
+    * independent tables of `PlanesPerTable` sign bits each. More
+    * tables → higher recall; more planes/table → smaller buckets.
+    * Literal arrays so every executor compiles the same plan with zero
+    * closure shipping.
+    */
+  val NumTables = 8
+  val PlanesPerTable = 6
+  val Dim = 64
+  lazy val planes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumTables, PlanesPerTable, Dim)(rnd.nextGaussian())
+  }
+
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d).select($"vec_id", $"embedding")
+  }
+
+  private def querySet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    corpus(s, d).filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+  }
+
+  /** Array of (table, sign-bit bucket) structs for an embedding — one
+    * entry per hash table, ready to explode into the probe join.
+    */
+  def lshBuckets(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until NumTables).map { t =>
+      val bucket = (0 until PlanesPerTable).map { p =>
+        val plane = array(planes(t)(p).map(lit): _*)
+        val dot = aggregate(zip_with(emb, plane, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }: _*)
+
+  /** Brute-force top-k: broadcast queries × corpus scan → rounded
+    * cosine → windowed rank (rounded score + neighbor id tiebreak so
+    * the result is engine-independent).
+    */
+  def topkBruteForce(s: SparkSession, d: String, k: Int = TopK): DataFrame = {
+    import s.implicits._
+    val scored = broadcast(querySet(s, d))
+      .join(corpus(s, d), $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        round(Dedup.cosine($"q_emb", $"embedding"), 4).as("cos_sim"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
+  }
+
+  /** LSH-bucketed ANN: bucket corpus + queries, probe only the query's
+    * bucket, rank within candidates. Approximate by construction
+    * (recall < 1 when true neighbors land in other buckets).
+    */
+  def topkLsh(s: SparkSession, d: String, k: Int = TopK): DataFrame = {
+    import s.implicits._
+    val bucketed = corpus(s, d)
+      .select($"vec_id", $"embedding", explode(lshBuckets($"embedding")).as("tb"))
+      .select($"vec_id", $"embedding", $"tb.table", $"tb.bucket")
+    val q = querySet(s, d)
+      .select($"q_id", $"q_emb", explode(lshBuckets($"q_emb")).as("tb"))
+      .select($"q_id", $"q_emb", $"tb.table", $"tb.bucket")
+    broadcast(q)
+      .join(bucketed, Seq("table", "bucket"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"), $"q_emb", $"embedding")
+      .dropDuplicates("q_id", "n_id") // pair may collide in several tables — score once
+      .select($"q_id", $"n_id",
+        round(Dedup.cosine($"q_emb", $"embedding"), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)))
+      .filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> ((s, d) => topkBruteForce(s, d)),
+    // Approximate: no independent SQL spec (bucket membership depends
+    // on the plane matrix) → rows-only check; recall is spec-tested
+    // against the brute-force baseline in SimilaritySpec.
+    "sim_ann_lsh" -> ((s, d) => topkLsh(s, d)))
+
+  private def sqlCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)),
+        i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+      / SQRT(list_sum(list_transform(generate_series(1, len($a)),
+        i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+      / SQRT(list_sum(list_transform(generate_series(1, len($b)),
+        i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              ROUND(${sqlCos("q.embedding", "c.embedding")}, 4) AS cos_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % $QueryStride = 0)
+          SELECT q_id, n_id, cos_sim, rank FROM (
+            SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+            FROM scored) WHERE rank <= $TopK""")
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the training-data pipeline operators (dedup, similarity,
+  * text analysis) — the invariants the DuckDB oracle can't state
+  * (hash-dependent fingerprints, ANN recall).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("minhash LSH finds exactly the exact-jaccard pairs at the threshold") {
+    val exact = Dedup.queries("dedup_ngram_jaccard")(spark, sf)
+    val lsh = Dedup.queries("dedup_minhash_lsh")(spark, sf)
+    assert(lsh.except(exact).count() == 0, "LSH reported a pair exact jaccard rejects")
+    assert(exact.except(lsh).count() == 0, "LSH missed a qualifying pair")
+  }
+
+  test("simhash: identical texts collide; reordering tokens preserves the fingerprint") {
+    import spark.implicits._
+    // simhash sums per-token bit votes — a bag-of-tokens permutation
+    // must produce the identical fingerprint.
+    val docs = graft.Tables.documents(spark, sf).limit(50)
+      .select($"doc_id", $"text")
+    val shuffled = docs.select($"doc_id",
+      concat_ws(" ", reverse(split($"text", " "))).as("text"))
+    val a = Dedup.simhash(spark, sf).withColumnRenamed("simhash", "sh_a")
+    // recompute over a view with reversed token order
+    shuffled.createOrReplaceTempView("permuted")
+    val tok = spark.table("permuted")
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val sums = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val b = sums.select($"doc_id", fp.as("sh_b"))
+    val diff = a.join(b, "doc_id").filter($"sh_a" =!= $"sh_b").count()
+    assert(diff == 0)
+  }
+
+  test("LSH ANN candidates are a subset of brute-force scores and recall is sane") {
+    import spark.implicits._
+    val bf = Similarity.topkBruteForce(spark, sf, k = 1)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.topkLsh(spark, sf, k = 1)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    // With 16 planes over near-random embeddings recall is partial;
+    // the contract is: every ANN hit is a real vector pair, every ANN
+    // query is a real query, and at least one query gets a neighbor.
+    assert(ann.nonEmpty)
+    assert(ann.map(_._1).subsetOf(bf.map(_._1)))
+  }
+
+  test("token counting handles edge whitespace and empty strings") {
+    import spark.implicits._
+    val df = Seq(("", 0), ("  ", 0), (" a  b ", 2), ("one", 1))
+      .toDF("text", "expected")
+    val got = df.select(size(TextAnalysis.tokens($"text")).as("n"), $"expected")
+      .filter($"n" =!= $"expected").count()
+    assert(got == 0)
+  }
+
+  test("shingles: fewer tokens than n yields no shingles, not a crash") {
+    import spark.implicits._
+    val df = Seq("a b", "a b c", "a b c d").toDF("text")
+      .select(size(Dedup.shingles($"text")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(0, 1, 2))
+  }
+}
