@@ -34,31 +34,45 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** doc_id → exploded distinct shingle rows. */
+  /** doc_id → exploded distinct shingle rows, shingle pre-hashed to
+    * 64 bits so the inverted-index join shuffles and compares longs,
+    * not strings. (Collision odds across ~10⁵ distinct shingles are
+    * ~10⁻¹⁰ — far below the float-rounding tolerance of the check.)
+    */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", explode(shingles($"text")).as("shingle"))
+      .select($"doc_id", explode(shingles($"text")).as("sh"))
+      .select($"doc_id", xxhash64($"sh").as("shingle"))
   }
 
-  /** Exact Jaccard pairs via inverted index: join docs on shared
-    * shingle, count shared shingles per pair, |A∪B| = |A|+|B|−|A∩B|.
-    * One shuffle on the shingle key + one on the pair key; never
-    * materializes non-overlapping pairs.
+  /** Emit all ordered (a<b) pairs from one inverted-index bucket. */
+  private val bucketPairs = udf { (ids: Seq[Long]) =>
+    val sorted = ids.distinct.sorted
+    for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+      yield (sorted(i), sorted(j))
+  }
+
+  /** Exact Jaccard pairs via inverted index: group docs per shingle,
+    * emit co-occurring pairs per bucket, count shared shingles per
+    * pair; |A∪B| = |A|+|B|−|A∩B| with per-doc sizes from a narrow
+    * projection. One shuffle on the shingle key + one on the pair key;
+    * non-overlapping pairs never materialize, and the shingle relation
+    * is computed once (a self-join would compute and shuffle it twice).
     */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingleRows(s, d)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+    val sizes = Tables.documents(s, d)
+      .select($"doc_id", size(shingles($"text")).as("n_shingles"))
+    val inter = shingleRows(s, d)
+      .groupBy($"shingle").agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(bucketPairs($"ids")).as("p"))
+      .groupBy($"p._1".as("id_a"), $"p._2".as("id_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("n_shingles", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("n_shingles", "n_b"), "id_b")
+      .join(sizes.select($"doc_id".as("id_a"), $"n_shingles".as("n_a")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n_shingles".as("n_b")), "id_b")
       .select($"id_a", $"id_b",
         ($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common")).as("jaccard"))
   }
@@ -102,9 +116,35 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over token hashes: per bit, sign of Σ(±1) across
-    * token hashes — expressed as grouped sums over exploded tokens
-    * (map-side combine; no per-doc state).
+  /** 64-bit SimHash as a scalar function: one pass over the token
+    * array per document (a document's tokens always fit in task
+    * memory, so there is nothing to distribute below the row).
+    * Permutation-invariant by construction: bit votes are an
+    * unordered sum.
+    */
+  val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String]) =>
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        // FNV-1a 64-bit: cheap, stable, no engine dependency
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+      fp
+    }
+
+  /** Grouped-aggregation SimHash (library form): per bit, sign of
+    * Σ(±1) across exploded token hashes with map-side combine — the
+    * shape to use if per-record token streams ever exceed task memory.
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -122,13 +162,12 @@ object Dedup {
 
   /** Cosine similarity between two float-array columns, computed in
     * double precision with left-to-right accumulation (matches the
-    * oracle's arithmetic).
+    * oracle's arithmetic). Prefer the precomputed-norm form
+    * (`VectorFunctions.cosineFrom`) inside pair joins.
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    import graft.functions.VectorFunctions._
+    cosineFrom(dot(a, b), norm(a), norm(b))
   }
 
   val JaccardThreshold = 0.6
@@ -153,36 +192,76 @@ object Dedup {
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
     },
 
-    // MinHash+LSH: banding proposes candidates, exact Jaccard verifies.
-    // Same output contract as dedup_ngram_jaccard — the LSH path must
-    // find the same pairs, just without the full inverted-index join.
+    // MinHash+LSH: banding proposes candidates, exact Jaccard verifies
+    // — but only over the candidate pairs (work ∝ Σ bucket collisions,
+    // not the full inverted index). Same output contract as
+    // dedup_ngram_jaccard: the LSH path must find the same pairs.
     "dedup_minhash_lsh" -> { (s, d) =>
       import s.implicits._
+      val docSh = Tables.documents(s, d)
+        .select($"doc_id", shingles($"text").as("sh"))
       val verified = lshCandidates(s, d)
-        .join(jaccardPairs(s, d), Seq("id_a", "id_b"))
+        .join(docSh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
+        .join(docSh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
+        .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
+        .withColumn("jaccard", $"n_common".cast("double") /
+          (size($"sh_a") + size($"sh_b") - $"n_common"))
       verified
         .filter(round($"jaccard", 6) >= JaccardThreshold)
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
     },
 
     // SimHash fingerprints (rows-only: bit pattern depends on the
-    // engine's 64-bit hash; invariants are spec-tested instead).
+    // hash function; invariants are spec-tested instead).
     "dedup_simhash" -> { (s, d) =>
       import s.implicits._
-      simhash(s, d).select($"doc_id", conv($"simhash".cast("string"), 10, 16).as("simhash_hex"))
+      Tables.documents(s, d)
+        .select($"doc_id",
+          simhashUdf(TextAnalysis.tokens($"text")).as("simhash"))
+        .select($"doc_id", conv($"simhash".cast("string"), 10, 16).as("simhash_hex"))
     },
 
     // Embedding-cosine near-dup pairs. Inputs are bounded (the
     // embeddings table), so the all-pairs join is the exact baseline;
     // the ANN path in Similarity covers the scale plan.
+    // Block-nested-loop over a broadcast of the corpus as primitive
+    // arrays: each partition streams its vectors against the broadcast
+    // matrix in a tight loop and emits only near-threshold pairs —
+    // no 4M-row pair relation ever materializes. (Broadcasting the
+    // corpus is the exact-baseline plan for a bounded embedding table;
+    // at unbounded scale the candidate pairs come from the LSH path.)
     "dedup_embedding" -> { (s, d) =>
       import s.implicits._
-      val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-      e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
-          round(cosine($"a.embedding", $"b.embedding"), 4).as("cos_sim"))
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      val mat = e.collect().sortBy(_._1)
+      val norms = mat.map { case (_, v) => math.sqrt(dotf(v, v)) }
+      val bc = s.sparkContext.broadcast((mat, norms))
+      // emit just under the rounded threshold so ROUND(...,4) >= t
+      // filters identically to the oracle at the boundary
+      val preFilter = CosineThreshold - 1e-4
+      e.mapPartitions { it =>
+        val (m, nn) = bc.value
+        it.flatMap { case (id, v) =>
+          val nv = math.sqrt(dotf(v, v))
+          m.iterator.zipWithIndex
+            .filter { case ((oid, _), _) => id < oid }
+            .map { case ((oid, ov), j) => (id, oid, dotf(v, ov) / nv / nn(j)) }
+            .filter(_._3 >= preFilter)
+        }
+      }.toDF("id_a", "id_b", "cos")
+        .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
         .filter($"cos_sim" >= CosineThreshold)
     })
+
+  /** Left-to-right double-precision dot product (same accumulation
+    * order as the oracle's `list_sum(list_transform(...))`).
+    */
+  private def dotf(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
 
   private val sqlToks =
     "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"

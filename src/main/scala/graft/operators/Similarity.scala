@@ -40,28 +40,39 @@ object Similarity {
 
   private def corpus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    Tables.embeddings(s, d).select($"vec_id", $"embedding",
+      graft.functions.VectorFunctions.norm($"embedding").as("nrm"))
   }
 
   private def querySet(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     corpus(s, d).filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
   }
 
   /** Array of (table, sign-bit bucket) structs for an embedding — one
-    * entry per hash table, ready to explode into the probe join.
+    * entry per hash table, ready to explode into the probe join. One
+    * primitive-loop UDF pass over all tables×planes (48 interpreted
+    * Catalyst HOF dots per vector was the ANN path's hot spot).
     */
-  def lshBuckets(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    array((0 until NumTables).map { t =>
-      val bucket = (0 until PlanesPerTable).map { p =>
-        val plane = array(planes(t)(p).map(lit): _*)
-        val dot = aggregate(zip_with(emb, plane, (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
-      }.reduce((a, b) => a.bitwiseOR(b))
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }: _*)
+  val lshBuckets: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (emb: Seq[Float]) =>
+      val ps = planes
+      (0 until NumTables).map { t =>
+        var bucket = 0
+        var p = 0
+        while (p < PlanesPerTable) {
+          val w = ps(t)(p)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(emb.length, w.length)
+          while (i < n) { dot += emb(i).toDouble * w(i); i += 1 }
+          if (dot >= 0) bucket |= (1 << p)
+          p += 1
+        }
+        (t, bucket)
+      }
+    }
 
   /** Brute-force top-k: broadcast queries × corpus scan → rounded
     * cosine → windowed rank (rounded score + neighbor id tiebreak so
@@ -69,10 +80,13 @@ object Similarity {
     */
   def topkBruteForce(s: SparkSession, d: String, k: Int = TopK): DataFrame = {
     import s.implicits._
+    import graft.functions.VectorFunctions
     val scored = broadcast(querySet(s, d))
       .join(corpus(s, d), $"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id".as("n_id"),
-        round(Dedup.cosine($"q_emb", $"embedding"), 4).as("cos_sim"))
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
+          4).as("cos_sim"))
     val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)
     scored.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
       .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
@@ -84,19 +98,24 @@ object Similarity {
     */
   def topkLsh(s: SparkSession, d: String, k: Int = TopK): DataFrame = {
     import s.implicits._
+    import graft.functions.VectorFunctions
     val bucketed = corpus(s, d)
-      .select($"vec_id", $"embedding", explode(lshBuckets($"embedding")).as("tb"))
-      .select($"vec_id", $"embedding", $"tb.table", $"tb.bucket")
+      .select($"vec_id", $"embedding", $"nrm", explode(lshBuckets($"embedding")).as("tb"))
+      .select($"vec_id", $"embedding", $"nrm",
+        $"tb._1".as("table"), $"tb._2".as("bucket"))
     val q = querySet(s, d)
-      .select($"q_id", $"q_emb", explode(lshBuckets($"q_emb")).as("tb"))
-      .select($"q_id", $"q_emb", $"tb.table", $"tb.bucket")
+      .select($"q_id", $"q_emb", $"q_nrm", explode(lshBuckets($"q_emb")).as("tb"))
+      .select($"q_id", $"q_emb", $"q_nrm",
+        $"tb._1".as("table"), $"tb._2".as("bucket"))
     broadcast(q)
       .join(bucketed, Seq("table", "bucket"))
       .filter($"q_id" =!= $"vec_id")
-      .select($"q_id", $"vec_id".as("n_id"), $"q_emb", $"embedding")
+      .select($"q_id", $"vec_id".as("n_id"), $"q_emb", $"embedding", $"q_nrm", $"nrm")
       .dropDuplicates("q_id", "n_id") // pair may collide in several tables — score once
       .select($"q_id", $"n_id",
-        round(Dedup.cosine($"q_emb", $"embedding"), 4).as("cos_sim"))
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
+          4).as("cos_sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)))
       .filter($"rank" <= k)

@@ -49,6 +49,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val b = sums.select($"doc_id", fp.as("sh_b"))
     val diff = a.join(b, "doc_id").filter($"sh_a" =!= $"sh_b").count()
     assert(diff == 0)
+    // and the scalar (per-document) form is permutation-invariant too
+    val u = docs
+      .select(Dedup.simhashUdf(TextAnalysis.tokens($"text")).as("x"),
+        Dedup.simhashUdf(reverse(TextAnalysis.tokens($"text"))).as("y"))
+      .filter($"x" =!= $"y").count()
+    assert(u == 0)
   }
 
   test("LSH ANN candidates are a subset of brute-force scores and recall is sane") {
