@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column operators (builder brief): treat image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, and run
+  * decode / feature-extract / frame-sample as partition-batched
+  * transformations.
+  *
+  * The container has no media codecs, so the DECODE KERNEL IS A STUB —
+  * `FakeDecoder` below is a clearly-marked deterministic stand-in (it
+  * derives "dimensions" and "pixels" from the payload bytes). Everything
+  * around it is the real engineering and is real here: the
+  * binary-plus-metadata schema, partition-batched execution via
+  * `mapPartitions` (one decoder instance per partition, the same shape
+  * a JNI/FFI codec binding needs), fixed-width feature vectors, and
+  * stride frame-sampling. Payloads come from the `documents` table
+  * (UTF-8 bytes as the opaque blob) so every stage is oracle-checkable.
+  */
+object Multimodal {
+
+  /** STUB: deterministic stand-in for an image/audio decoder. Real
+    * deployments replace exactly this object with a codec binding
+    * (libjpeg/ffmpeg via JNI); its contract — bytes in, dimensions +
+    * fixed-shape features out — is what the operators depend on.
+    */
+  object FakeDecoder {
+    val FeatureBins = 16
+
+    def width(nBytes: Long): Int = (nBytes % 640 + 1).toInt
+    def height(nBytes: Long): Int = (nBytes * 7 % 480 + 1).toInt
+
+    /** "Pixel statistics": a 16-bin byte histogram normalized to
+      * frequencies — fixed-width Array[Float], the shape a real
+      * embedding/feature extractor returns.
+      */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val hist = new Array[Int](FeatureBins)
+      var i = 0
+      while (i < bytes.length) {
+        hist((bytes(i) & 0xff) * FeatureBins / 256) += 1
+        i += 1
+      }
+      val n = math.max(bytes.length, 1).toFloat
+      hist.map(_ / n)
+    }
+  }
+
+  /** The media relation: opaque payload + typed metadata struct. At
+    * 100 TB this is a parquet table of real payloads partitioned by
+    * media type / date; metadata travels in-row so planning never
+    * touches payload bytes (column pruning drops `payload` whenever a
+    * query reads only metadata).
+    */
+  def mediaRelation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      $"doc_id".as("media_id"),
+      to_binary($"text", lit("utf-8")).as("payload"),
+      lit("fake/text-as-image").as("media_type"),
+      struct(
+        octet_length(to_binary($"text", lit("utf-8"))).cast("long").as("n_bytes"),
+        (octet_length(to_binary($"text", lit("utf-8"))) % 640 + 1).as("width"),
+        (octet_length(to_binary($"text", lit("utf-8"))).cast("long") * 7 % 480 + 1)
+          .cast("int").as("height"),
+        lit(3).as("channels")).as("meta"))
+  }
+
+  /** Partition-batched decode: one `FakeDecoder` per partition (the
+    * slot where a real binding would lazily initialize its native
+    * context once per task, not once per row).
+    */
+  def decodeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = mediaRelation(s, d)
+      .select($"media_id", $"payload").as[(Long, Array[Byte])]
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map { case (id, bytes) => (id, FakeDecoder.features(bytes)) }
+    }.toDF("media_id", "features")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata projection: must never deserialize payload bytes —
+    // column pruning reads only the meta struct at the scan.
+    "mm_meta" -> { (s, d) =>
+      import s.implicits._
+      mediaRelation(s, d).select(
+        $"media_id", $"media_type",
+        $"meta.n_bytes", $"meta.width", $"meta.height", $"meta.channels")
+    },
+
+    // Stride frame-sampling: every k-th "frame" (byte/char) of the
+    // payload — the video keyframe-sampling access pattern.
+    "mm_frame_sample" -> { (s, d) =>
+      import s.implicits._
+      val k = 16
+      Tables.documents(s, d).select(
+        $"doc_id".as("media_id"),
+        concat_ws("", transform(
+          sequence(lit(1),
+            greatest(ceil(length($"text") / lit(k.toDouble)), lit(1)).cast("int")),
+          i => substring($"text", (i - lit(1)) * k + 1, lit(1)))).as("frames"))
+    },
+
+    // Feature extraction through the partition-batched decode path.
+    // Histogram frequencies are k/n with k,n integers — exactly
+    // representable ratios compared as rounded doubles in the oracle.
+    "mm_features" -> { (s, d) =>
+      import s.implicits._
+      decodeFeatures(s, d).select(
+        $"media_id",
+        round(element_at($"features", 5).cast("double"), 6).as("bin4_freq"),
+        round(element_at($"features", 7).cast("double"), 6).as("bin6_freq"),
+        round(aggregate($"features", lit(0.0), (a, x) => a + x.cast("double")), 4)
+          .as("mass"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id AS media_id, 'fake/text-as-image' AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+         CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INT) AS height,
+         3 AS channels
+         FROM documents""",
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id,
+         array_to_string(list_transform(
+           generate_series(1, CAST(GREATEST(CEIL(LENGTH(text) / 16.0), 1) AS BIGINT)),
+           i -> text[(i-1)*16 + 1]), '') AS frames
+         FROM documents""",
+    // ASCII corpus: byte histogram == char-code histogram, so the
+    // stubbed decoder's output is independently computable in SQL.
+    "mm_features" ->
+      """WITH chars AS (
+           SELECT doc_id, octet_length(encode(text)) AS n,
+             list_transform(generate_series(1, LENGTH(text)),
+               i -> ord(text[i]) * 16 // 256) AS bins
+           FROM documents)
+         SELECT doc_id AS media_id,
+           ROUND((len(list_filter(bins, b -> b = 4))::FLOAT /
+             GREATEST(n, 1))::DOUBLE, 6) AS bin4_freq,
+           ROUND((len(list_filter(bins, b -> b = 6))::FLOAT /
+             GREATEST(n, 1))::DOUBLE, 6) AS bin6_freq,
+           ROUND(list_sum(list_transform(generate_series(0, 15),
+             b -> (len(list_filter(bins, x -> x = b))::FLOAT /
+               GREATEST(n, 1))::DOUBLE)), 4) AS mass
+         FROM chars""")
+}

@@ -1,0 +1,198 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.DnaFunctions
+
+/** The reference pipeline end-to-end (SURVEY.md §2.9/§3.1) as a
+  * Structured Streaming job: file source → content-hash dedup →
+  * fused DNA process → fan-out sinks, with the tracking table,
+  * dead-letter branch and status events.
+  *
+  * Reference mechanics re-expressed (T1–T5):
+  *  - 30-min cron rescan (`dags/dag.py:39`) → file-source stream;
+  *    `Trigger.AvailableNow` per run (or `ProcessingTime` for a
+  *    long-lived daemon). The checkpoint replaces Airflow's metadata.
+  *  - Content-hash exactly-once (`dags/dag.py:452-474`): Spark's file
+  *    source dedups by PATH only, so the md5 anti-join against the
+  *    tracking table stays — a rename can't re-process content, and the
+  *    append-only tracking write keeps `ON CONFLICT DO NOTHING`
+  *    semantics (`dags/dag.py:743`) because membership is checked
+  *    before every insert.
+  *  - Dead-letter routing (`dags/dag.py:285-318`): failed branch of the
+  *    same DataFrame → JSON error records + payload copy.
+  *  - Status events (`dags/dag.py:320-345`): append-only event table,
+  *    latest-wins view — fixes the reference's lost-UPDATE quirk
+  *    (SURVEY.md §7.4) while keeping the final-table contract.
+  */
+object FilePipeline {
+
+  /** The five reference config knobs (`dags/dag.py:661-667`) plus the
+    * engine's own failure-injection bound.
+    */
+  case class Config(
+      chunkSize: Int = 1000,
+      errorCorrectionSymbols: Int = 10,
+      maxRetries: Int = 3,
+      circuitBreakerThreshold: Int = 5,
+      maxFileBytes: Long = 16L * 1024 * 1024)
+
+  case class Dirs(
+      input: String,
+      output: String,
+      reports: String,
+      tracking: String,
+      deadLetter: String,
+      statusEvents: String,
+      checkpoint: String)
+
+  /** S1/S2/F1/F3: streaming whole-file text source with the file-record
+    * projection (path, name, content hash, size).
+    */
+  def readFiles(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*.txt")
+      .load(inputDir)
+      .select(
+        col("_metadata.file_path").as("file_path"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("filename"),
+        col("value").as("content"),
+        md5(to_binary(col("value"), lit("utf-8"))).as("file_hash"),
+        octet_length(col("value")).cast("long").as("file_size"))
+
+  /** Batch form of the same source (the reference's non-streaming DAG
+    * run over a directory).
+    */
+  def readFilesBatch(spark: SparkSession, inputDir: String): DataFrame =
+    spark.read
+      .format("text")
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*.txt")
+      .load(inputDir)
+      .select(
+        col("_metadata.file_path").as("file_path"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("filename"),
+        col("value").as("content"),
+        md5(to_binary(col("value"), lit("utf-8"))).as("file_hash"),
+        octet_length(col("value")).cast("long").as("file_size"))
+
+  /** One micro-batch: dedup → process → fan-out. Also the per-run body
+    * of the batch entry point.
+    */
+  def processBatch(spark: SparkSession, files: DataFrame, dirs: Dirs,
+      cfg: Config = Config()): Unit = {
+    import spark.implicits._
+
+    // J1/T2: anti-join on content hash against the tracking table.
+    val tracked: DataFrame =
+      if (Files.exists(Paths.get(dirs.tracking)))
+        spark.read.parquet(dirs.tracking).select("file_hash").distinct()
+      else spark.emptyDataFrame.withColumn("file_hash", lit(null).cast("string"))
+        .limit(0).select("file_hash")
+    val fresh = files
+      .dropDuplicates("file_hash") // first occurrence within the batch wins
+      .join(tracked, Seq("file_hash"), "left_anti")
+
+    // Fused per-file pipeline (no shuffle): encode→validate→reconstruct.
+    // Files over the size bound are failed without processing (the
+    // dead-letter branch needs a deterministic trigger in tests too).
+    val processed = fresh
+      .withColumn("oversize", $"file_size" > cfg.maxFileBytes)
+      .withColumn("r",
+        when(!$"oversize",
+          DnaFunctions.dnaProcess(cfg.chunkSize, cfg.errorCorrectionSymbols)($"content")))
+      .withColumn("status",
+        when($"oversize", lit("failed"))
+          .when($"r.status" === "success" &&
+            $"r.original_checksum" === $"r.reconstructed_checksum", lit("completed"))
+          .otherwise(lit("failed")))
+      .withColumn("error_message",
+        when($"oversize", concat(lit("file exceeds maxFileBytes="), lit(cfg.maxFileBytes)))
+          .when($"status" === "failed", lit("checksum mismatch after reconstruction")))
+      .persist()
+
+    try {
+      val ok = processed.filter($"status" === "completed")
+      val failed = processed.filter($"status" =!= "completed")
+
+      // S6: reconstructed text, one exact-named file per input
+      // (`processed_{filename}`, dags/dag.py:577) — executor-side
+      // writer; on a cluster this is a DFS client, locally java.nio.
+      Files.createDirectories(Paths.get(dirs.output))
+      val outDir = dirs.output
+      ok.select($"filename", $"content").as[(String, String)]
+        .foreachPartition { it: Iterator[(String, String)] =>
+          it.foreach { case (name, text) =>
+            Files.write(Paths.get(outDir, s"processed_$name"),
+              text.getBytes(StandardCharsets.UTF_8))
+          }
+        }
+
+      // S7: per-file DNA report (nested JSON)
+      ok.select($"file_path", $"filename", $"file_hash",
+        $"r.original_checksum".as("original_checksum"),
+        $"r.reconstructed_checksum".as("reconstructed_checksum"),
+        $"r.n_chunks".as("dna_chunks_count"),
+        $"r.total_dna_bases".as("total_dna_bases"),
+        lit(cfg.chunkSize).as("chunk_size"),
+        lit(cfg.errorCorrectionSymbols).as("error_correction_symbols"),
+        current_timestamp().as("processed_at"))
+        .write.mode("append").json(dirs.reports)
+
+      // S10: dead-letter sink — error metadata + original payload
+      failed.select($"file_path", $"filename", $"file_hash", $"file_size",
+        $"error_message", $"content".as("payload"),
+        current_timestamp().as("failed_at"))
+        .write.mode("append").json(dirs.deadLetter)
+
+      // S9: tracking upsert (content-addressed append; the anti-join
+      // above makes it idempotent — ON CONFLICT DO NOTHING semantics)
+      processed.select($"file_hash", $"file_path", $"file_size",
+        current_timestamp().as("processed_at"), $"status",
+        when($"status" === "completed",
+          concat(lit("processed_"), $"filename")).as("output_file"))
+        .write.mode("append").parquet(dirs.tracking)
+
+      // S11/T4: status events, append-only
+      processed.select($"file_hash", $"status",
+        current_timestamp().as("event_time"))
+        .write.mode("append").parquet(dirs.statusEvents)
+    } finally processed.unpersist()
+  }
+
+  /** T4: latest-wins status view over the append-only event table. */
+  def currentStatus(spark: SparkSession, statusEventsDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("file_hash"))
+      .orderBy(col("event_time").desc)
+    spark.read.parquet(statusEventsDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Streaming entry point (T1). `Trigger.AvailableNow` = one drain of
+    * everything new, the per-run shape; pass
+    * `Trigger.ProcessingTime("30 minutes")` for the reference's cadence
+    * as a daemon.
+    */
+  def run(spark: SparkSession, dirs: Dirs, cfg: Config = Config(),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    readFiles(spark, dirs.input).writeStream
+      .option("checkpointLocation", dirs.checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(spark, batch, dirs, cfg)
+      }
+      .start()
+
+  /** Batch entry point: same body, one pass (the reference's DAG run). */
+  def runBatch(spark: SparkSession, dirs: Dirs, cfg: Config = Config()): Unit =
+    processBatch(spark, readFilesBatch(spark, dirs.input), dirs, cfg)
+}
