@@ -31,6 +31,24 @@ import graft.functions.DnaFunctions
   */
 object FilePipeline {
 
+  /** The reference's processing-status state machine
+    * (`dags/dag.py:103-110`; lifecycle `README.md:91-98`). RETRYING and
+    * DEAD_LETTER exist in the reference's enum but are never persisted
+    * to its DB (SURVEY.md §7.4) — here every state is a legal event.
+    */
+  sealed abstract class Status(val name: String)
+  object Status {
+    case object Pending extends Status("pending")
+    case object Processing extends Status("processing")
+    case object Completed extends Status("completed")
+    case object Failed extends Status("failed")
+    case object Retrying extends Status("retrying")
+    case object DeadLetter extends Status("dead_letter")
+    val all: Seq[Status] =
+      Seq(Pending, Processing, Completed, Failed, Retrying, DeadLetter)
+    def parse(s: String): Option[Status] = all.find(_.name == s)
+  }
+
   /** The five reference config knobs (`dags/dag.py:661-667`) plus the
     * engine's own failure-injection bound.
     */
@@ -48,7 +66,27 @@ object FilePipeline {
       tracking: String,
       deadLetter: String,
       statusEvents: String,
-      checkpoint: String)
+      checkpoint: String,
+      chunks: String = "") // S8 chunk+meta sink; "" disables
+
+  /** S4 (`dags/dag.py:426-443`): if the input directory has no .txt
+    * files, synthesize a small sample so a demo run has work to do.
+    * Returns true if the bootstrap file was written.
+    */
+  def bootstrapSampleInput(inputDir: String): Boolean = {
+    Files.createDirectories(Paths.get(inputDir))
+    val hasTxt = Files.list(Paths.get(inputDir)).toArray
+      .exists(_.toString.endsWith(".txt"))
+    if (hasTxt) false
+    else {
+      val lorem =
+        "Lorem ipsum dolor sit amet, consectetur adipiscing elit, sed do " +
+          "eiusmod tempor incididunt ut labore et dolore magna aliqua."
+      Files.write(Paths.get(inputDir, "sample_input.txt"),
+        lorem.getBytes(StandardCharsets.UTF_8))
+      true
+    }
+  }
 
   /** S1/S2/F1/F3: streaming whole-file text source with the file-record
     * projection (path, name, content hash, size).
@@ -88,6 +126,10 @@ object FilePipeline {
   def processBatch(spark: SparkSession, files: DataFrame, dirs: Dirs,
       cfg: Config = Config()): Unit = {
     import spark.implicits._
+
+    // F4: empty-input gate (`dags/dag.py:816-821`) — nothing to do,
+    // touch no sink.
+    if (files.isEmpty) return
 
     // J1/T2: anti-join on content hash against the tracking table.
     val tracked: DataFrame =
@@ -145,9 +187,25 @@ object FilePipeline {
         current_timestamp().as("processed_at"))
         .write.mode("append").json(dirs.reports)
 
-      // S10: dead-letter sink — error metadata + original payload
+      // S8: per-chunk DNA + metadata sink, partitioned by file hash
+      // (`dags/dag.py:540-569`), when a chunks dir is configured.
+      if (dirs.chunks.nonEmpty)
+        ok.select($"file_hash", $"content")
+          .withColumn("chunk",
+            explode(DnaFunctions.dnaChunks(cfg.chunkSize, cfg.errorCorrectionSymbols)($"content")))
+          .select($"file_hash", $"chunk.chunk_id", $"chunk.idx",
+            $"chunk.dna_sequence", $"chunk.checksum", $"chunk.ecc_hex",
+            $"chunk.chunk_nbytes")
+          .write.mode("append").partitionBy("file_hash").json(dirs.chunks)
+
+      // S10: dead-letter sink — error metadata + original payload;
+      // dead-letter filename mirrors the reference's
+      // `failed_{timestamp}_{filename}` (X19, dags/dag.py:294-296).
       failed.select($"file_path", $"filename", $"file_hash", $"file_size",
         $"error_message", $"content".as("payload"),
+        format_string("failed_%s_%s",
+          date_format(current_timestamp(), "yyyyMMdd_HHmmss"), $"filename")
+          .as("dead_letter_file"),
         current_timestamp().as("failed_at"))
         .write.mode("append").json(dirs.deadLetter)
 

@@ -102,6 +102,35 @@ class FilePipelineSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(dirs.output, "processed_ok.txt")))
   }
 
+  test("chunk+meta sink writes per-chunk records partitioned by file hash") {
+    val dirs0 = freshDirs()
+    val dirs = dirs0.copy(chunks =
+      Paths.get(dirs0.checkpoint).getParent.resolve("chunks").toString)
+    Files.createDirectories(Paths.get(dirs.input))
+    Files.write(Paths.get(dirs.input, "a.txt"), ("z" * 200).getBytes)
+    FilePipeline.runBatch(spark, dirs, FilePipeline.Config(chunkSize = 64))
+    val chunks = spark.read.json(dirs.chunks)
+    assert(chunks.count() == 4) // ceil(200/64)
+    assert(chunks.select("file_hash").distinct().count() == 1)
+    assert(chunks.columns.toSet.contains("dna_sequence"))
+  }
+
+  test("sample-input bootstrap fires only on an empty input dir") {
+    val dirs = freshDirs()
+    assert(FilePipeline.bootstrapSampleInput(dirs.input))
+    assert(Files.exists(Paths.get(dirs.input, "sample_input.txt")))
+    assert(!FilePipeline.bootstrapSampleInput(dirs.input)) // second call: no-op
+    FilePipeline.runBatch(spark, dirs)
+    assert(Files.exists(Paths.get(dirs.output, "processed_sample_input.txt")))
+  }
+
+  test("status ADT round-trips its wire names") {
+    import FilePipeline.Status
+    assert(Status.all.size == 6)
+    Status.all.foreach(s => assert(Status.parse(s.name).contains(s)))
+    assert(Status.parse("bogus").isEmpty)
+  }
+
   test("status events resolve latest-wins") {
     val dirs = freshDirs()
     Files.createDirectories(Paths.get(dirs.input))
