@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point: registers the native codec expressions as
+  * SQL functions. Install at session build time with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`; for an already-running
+  * session use [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (name, info, builder) triples for every engine SQL function. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("dna_encode"),
+        new ExpressionInfo(classOf[DnaEncode].getName, "dna_encode"),
+        (args: Seq[Expression]) => DnaEncode(args.head)),
+      (FunctionIdentifier("dna_decode"),
+        new ExpressionInfo(classOf[DnaDecode].getName, "dna_decode"),
+        (args: Seq[Expression]) => DnaDecode(args(0), args(1))))
+
+  /** Late registration into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

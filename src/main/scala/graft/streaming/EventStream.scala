@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over the `events` schema
+  * (event_id, user_id, event_type, value, ts). The reference only has
+  * processing-time cron cadence (SURVEY.md §2.9); these are the
+  * event-time primitives the north-star surface adds: watermarked
+  * tumbling-window aggregation and custom sessionization state via
+  * `mapGroupsWithState`.
+  *
+  * Scale notes: both shapes keyed by (window,type) / user_id shuffle
+  * once onto the state store; watermark bounds state size — without it
+  * an out-of-order 100 TB stream accretes unbounded window state.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: Timestamp)
+
+  case class SessionUpdate(user_id: Long, n_events: Int, total_value: Double,
+      session_start: Timestamp, session_end: Timestamp, closed: Boolean)
+
+  case class SessionState(n: Int, total: Double, startMs: Long, lastMs: Long)
+
+  /** Tumbling 1-hour windows with a 2-hour watermark: counts and sums
+    * per (window, event_type); late data beyond the watermark is
+    * dropped instead of growing state forever.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session gap in event time that closes a user session. */
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Custom sessionization: per-user state via mapGroupsWithState with
+    * event-time timeout. Emits one update per user per micro-batch;
+    * `closed=true` when the gap timeout fired.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, s.n, s.total,
+              new Timestamp(s.startMs), new Timestamp(s.lastMs), closed = true)
+          } else {
+            val evs = it.toSeq
+            val prev = state.getOption
+            val minTs = evs.map(_.ts.getTime).min
+            val maxTs = evs.map(_.ts.getTime).max
+            val merged = prev match {
+              // events within the gap extend the session; else restart
+              case Some(p) if minTs - p.lastMs <= SessionGapMs =>
+                SessionState(p.n + evs.size, p.total + evs.map(_.value).sum,
+                  p.startMs, math.max(p.lastMs, maxTs))
+              case _ =>
+                SessionState(evs.size, evs.map(_.value).sum, minTs, maxTs)
+            }
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.lastMs + SessionGapMs)
+            SessionUpdate(userId, merged.n, merged.total,
+              new Timestamp(merged.startMs), new Timestamp(merged.lastMs),
+              closed = false)
+          }
+      }
+  }
+
+  /** Batch analogue of `hourlyCounts` (same plan minus the watermark) —
+    * lets the DuckDB oracle pin the aggregation semantics that the
+    * streaming form must reproduce per window close.
+    */
+  def hourlyCountsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+}

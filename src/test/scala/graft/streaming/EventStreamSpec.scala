@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite {
+  import EventStream._
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // base one day past the epoch: a row at exactly the initial
+  // watermark (epoch 0) would be dropped as late
+  private def ts(min: Long): Timestamp = new Timestamp((1440 + min) * 60000L)
+
+  test("watermarked hourly windows aggregate by event time across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two events in hour 0, one in hour 1, then advance past watermark
+      mem.addData(
+        Event(1, 1, "click", 1.0, ts(5)),
+        Event(2, 2, "click", 2.0, ts(50)),
+        Event(3, 1, "view", 5.0, ts(70)))
+      q.processAllAvailable()
+      // watermark = maxSeen - 2h; push max event time far enough that
+      // hour-0 and hour-1 windows close and emit in Append mode
+      mem.addData(Event(4, 3, "click", 1.0, ts(70 + 300)))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(60), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization: in-gap events extend the session, timeout closes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Event(1, 7, "click", 1.0, ts(0)), Event(2, 7, "view", 2.0, ts(10)))
+      q.processAllAvailable()
+      val open = spark.table("sessions").as[SessionUpdate].collect()
+      assert(open.exists(s => s.user_id == 7 && s.n_events == 2 &&
+        s.total_value == 3.0 && !s.closed))
+
+      // another user far in the future moves the watermark beyond
+      // user 7's gap timeout → session closes
+      mem.addData(Event(3, 9, "click", 1.0, ts(600)))
+      q.processAllAvailable()
+      mem.addData(Event(4, 9, "click", 1.0, ts(610)))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[SessionUpdate].collect()
+      assert(all.exists(s => s.user_id == 7 && s.closed && s.n_events == 2))
+    } finally q.stop()
+  }
+
+  test("batch analogue matches a hand computation") {
+    import spark.implicits._
+    val df = Seq(
+      Event(1, 1, "click", 1.5, ts(10)),
+      Event(2, 1, "click", 2.5, ts(20)),
+      Event(3, 2, "view", 1.0, ts(65))).toDF()
+    val got = hourlyCountsBatch(df)
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got == Set((ts(0), "click", 2L, 4.0), (ts(60), "view", 1L, 1.0)))
+  }
+}
