@@ -154,6 +154,34 @@ object Relational {
         .groupBy($"r_name")
         .agg(count(lit(1)).as("n_orders"),
              round(avg($"o_totalprice"), 2).as("avg_price"))
+    },
+
+    // Fact-to-dim join on the supplier axis: lineitem ⋈ supplier ⋈
+    // nation with a selective filter that prunes before the join.
+    "q14_supplier_volume" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_quantity" >= 30)
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // Grouping sets: per-(flag,status) subtotals plus per-flag rollups
+    // and a grand total in one pass over the fact table.
+    "q15_rollup" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"sum_qty", $"n_rows")
     })
 
   val oracles: Map[String, String] = Map(
@@ -222,5 +250,18 @@ object Relational {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-         GROUP BY r_name""")
+         GROUP BY r_name""",
+    "q14_supplier_volume" ->
+      """SELECT n_name,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE l_quantity >= 30
+         GROUP BY n_name""",
+    "q15_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         COALESCE(l_linestatus, 'ALL') AS linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
 }

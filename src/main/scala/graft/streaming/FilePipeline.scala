@@ -211,11 +211,13 @@ object FilePipeline {
 
       // S9: tracking upsert (content-addressed append; the anti-join
       // above makes it idempotent — ON CONFLICT DO NOTHING semantics)
+      // partitioned by status so status-scoped queries (failure sweeps,
+      // retry scans) prune partitions instead of scanning all history
       processed.select($"file_hash", $"file_path", $"file_size",
         current_timestamp().as("processed_at"), $"status",
         when($"status" === "completed",
           concat(lit("processed_"), $"filename")).as("output_file"))
-        .write.mode("append").parquet(dirs.tracking)
+        .write.mode("append").partitionBy("status").parquet(dirs.tracking)
 
       // S11/T4: status events, append-only
       processed.select($"file_hash", $"status",

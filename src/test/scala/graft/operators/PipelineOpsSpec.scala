@@ -70,6 +70,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ann.map(_._1).subsetOf(bf.map(_._1)))
   }
 
+  test("salted aggregation equals direct aggregation") {
+    import spark.implicits._
+    val df = graft.Tables.lineitem(spark, sf)
+    val direct = df.groupBy($"l_returnflag".as("key"))
+      .agg(round(sum($"l_quantity"), 2).as("s"), count(lit(1)).as("c"))
+    val salted = Skew.saltedAgg(df, $"l_returnflag", buckets = 16,
+      Seq(sum($"l_quantity").as("s"), count(lit(1)).as("c")),
+      Seq(round(sum($"s"), 2).as("s"), sum($"c").as("c")))
+    assert(direct.except(salted).count() == 0)
+    assert(salted.except(direct).count() == 0)
+  }
+
   test("token counting handles edge whitespace and empty strings") {
     import spark.implicits._
     val df = Seq(("", 0), ("  ", 0), (" a  b ", 2), ("one", 1))
