@@ -46,11 +46,16 @@ object Dedup {
       .select($"doc_id", xxhash64($"sh").as("shingle"))
   }
 
-  /** Emit all ordered (a<b) pairs from one inverted-index bucket. */
+  /** Emit all ordered (a<b) pairs from one inverted-index bucket,
+    * packed into one long (a<<32 | b) so the pair shuffle moves and
+    * compares a single 8-byte key. (Doc ids are table ordinals —
+    * far below 2³¹ at any scale factor; a 100 TB corpus with ≥2³¹
+    * documents would switch this to a struct key.)
+    */
   private val bucketPairs = udf { (ids: Seq[Long]) =>
     val sorted = ids.distinct.sorted
     for (i <- sorted.indices; j <- (i + 1) until sorted.length)
-      yield (sorted(i), sorted(j))
+      yield (sorted(i) << 32) | sorted(j)
   }
 
   /** Exact Jaccard pairs via inverted index: group docs per shingle,
@@ -68,8 +73,9 @@ object Dedup {
       .groupBy($"shingle").agg(collect_list($"doc_id").as("ids"))
       .filter(size($"ids") > 1)
       .select(explode(bucketPairs($"ids")).as("p"))
-      .groupBy($"p._1".as("id_a"), $"p._2".as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .groupBy($"p").agg(count(lit(1)).as("n_common"))
+      .select(shiftrightunsigned($"p", 32).as("id_a"),
+        $"p".bitwiseAND(lit(0xffffffffL)).as("id_b"), $"n_common")
     inter
       .join(sizes.select($"doc_id".as("id_a"), $"n_shingles".as("n_a")), "id_a")
       .join(sizes.select($"doc_id".as("id_b"), $"n_shingles".as("n_b")), "id_b")

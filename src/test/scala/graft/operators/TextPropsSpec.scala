@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based laws for the text/dedup column operators, evaluated
+  * through real Spark plans (a deterministic seeded generator drives
+  * the corpus; assertions hold for every generated row).
+  */
+class TextPropsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val wordGen = Gen.oneOf("spark", "scan", "agg", "a", "the",
+    "key", "Σω", "naïve", "x1")
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    ws <- Gen.listOfN(n, wordGen)
+    sep <- Gen.oneOf(" ", "  ", "\t", " \n ")
+  } yield ws.mkString(sep)
+
+  private def corpus(count: Int): Seq[String] = {
+    var seed = org.scalacheck.rng.Seed(7L)
+    (0 until count).flatMap { i =>
+      val r = textGen.apply(Gen.Parameters.default.withSize(1 + i % 50), seed)
+      seed = seed.next
+      r
+    }
+  }
+
+  test("token laws: no empty tokens; count bounded by text length; separator-insensitive") {
+    import spark.implicits._
+    val df = corpus(300).toDF("text")
+    val toks = df.select($"text", TextAnalysis.tokens($"text").as("t"))
+    assert(toks.filter(exists($"t", x => length(x) === 0)).count() == 0)
+    assert(toks.filter(size($"t") > length($"text")).count() == 0)
+    // re-joining with single spaces and re-tokenizing is a fixpoint
+    val rejoined = toks.select(concat_ws(" ", $"t").as("text2"), $"t")
+      .select(TextAnalysis.tokens($"text2").as("t2"), $"t")
+    assert(rejoined.filter(not($"t2" === $"t")).count() == 0)
+  }
+
+  test("shingle laws: count = max(0, n_tokens - 2) before dedup; every shingle has 3 tokens") {
+    import spark.implicits._
+    val df = corpus(300).toDF("text")
+    val r = df.select(
+      size(TextAnalysis.tokens($"text")).as("n"),
+      Dedup.shingles($"text").as("sh"))
+    // distinct shingle set is bounded by the raw count
+    assert(r.filter(size($"sh") > greatest($"n" - 2, lit(0))).count() == 0)
+    assert(r.filter(exists($"sh", s => size(split(s, " ")) =!= 3)).count() == 0)
+  }
+
+  test("jaccard laws: self-similarity 1, symmetric input gives symmetric output") {
+    import spark.implicits._
+    // duplicate every doc under two ids: every (2k, 2k+1) pair must
+    // appear with jaccard 1.0
+    val docs = corpus(40).filter(_.trim.split("\\s+").count(_.nonEmpty) >= 3)
+      .zipWithIndex.flatMap { case (t, i) => Seq((2L * i, t), (2L * i + 1, t)) }
+    val tmp = java.nio.file.Files.createTempDirectory("jacc").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.jaccardPairs(spark, tmp)
+      .filter($"id_b" === $"id_a" + 1 && $"id_a" % 2 === 0)
+    val nDocPairs = docs.size / 2
+    assert(pairs.count() == nDocPairs)
+    assert(pairs.filter($"jaccard" =!= 1.0).count() == 0)
+  }
+
+  test("minhash signature of identical shingle sets is identical") {
+    import spark.implicits._
+    val docs = corpus(30).filter(_.trim.split("\\s+").count(_.nonEmpty) >= 3)
+      .zipWithIndex.flatMap { case (t, i) => Seq((2L * i, t), (2L * i + 1, t)) }
+    val tmp = java.nio.file.Files.createTempDirectory("mh").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val sig = Dedup.minhashSignatures(spark, tmp)
+    val cols = sig.columns.filter(_.startsWith("h"))
+    val a = sig.filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" / 2).cast("long").as("k"), hash(cols.map(col): _*).as("ha"))
+    val b = sig.filter($"doc_id" % 2 === 1)
+      .select((($"doc_id" - 1) / 2).cast("long").as("k"), hash(cols.map(col): _*).as("hb"))
+    assert(a.join(b, "k").filter($"ha" =!= $"hb").count() == 0)
+  }
+}
