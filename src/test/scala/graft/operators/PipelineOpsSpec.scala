@@ -57,17 +57,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(u == 0)
   }
 
-  test("LSH ANN candidates are a subset of brute-force scores and recall is sane") {
+  test("LSH ANN top-5 recall vs brute force stays above its measured floor") {
     import spark.implicits._
-    val bf = Similarity.topkBruteForce(spark, sf, k = 1)
+    val sf01 = "/root/testdata/sf0.01"
+    val bf = Similarity.topkBruteForce(spark, sf01, k = 5)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
-    val ann = Similarity.topkLsh(spark, sf, k = 1)
+    val ann = Similarity.topkLsh(spark, sf01, k = 5)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
-    // With 16 planes over near-random embeddings recall is partial;
-    // the contract is: every ANN hit is a real vector pair, every ANN
-    // query is a real query, and at least one query gets a neighbor.
     assert(ann.nonEmpty)
     assert(ann.map(_._1).subsetOf(bf.map(_._1)))
+    // Deterministic (seeded planes, fixed data): measured 0.64 at
+    // round 1. Near-random embeddings are LSH's worst case — real
+    // embedding corpora cluster much tighter; raise NumTables for
+    // higher recall at proportional probe cost.
+    val recall = (bf & ann).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ANN recall regressed: $recall")
   }
 
   test("salted aggregation equals direct aggregation") {
