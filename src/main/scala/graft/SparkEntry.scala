@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, DnaPipeline, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, DnaPipeline, Embeddings, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ DnaPipeline.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ Embeddings.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ DnaPipeline.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ Embeddings.oracles
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding-table analytics beyond similarity search: per-label
+  * centroids (the feature-averaging shape of training-data curation)
+  * and corpus-wide n-gram frequency (the wordcount-at-scale shape).
+  *
+  * Centroids via posexplode → groupBy(label, dim) → avg: one shuffle
+  * keyed by (label, dim) with full map-side combine — at 100 TB this
+  * is the canonical way to average wide vectors without building a
+  * per-executor dense accumulator of every label.
+  */
+object Embeddings {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-label, per-dimension centroid — rounded in both engines.
+    "emb_centroids" -> { (s, d) =>
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"label", $"dim")
+        .agg(round(avg($"v".cast("double")), 6).as("centroid_v"),
+          count(lit(1)).as("n_vecs"))
+    },
+
+    // Corpus-wide top word-3-grams by document frequency, deterministic
+    // tiebreak on the gram text.
+    "txt_top_ngrams" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(Dedup.shingles($"text")).as("gram"))
+        .groupBy($"gram").agg(count(lit(1)).as("doc_freq"))
+        .orderBy($"doc_freq".desc, $"gram".asc)
+        .limit(20)
+    })
+
+  private val sqlToks =
+    "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
+
+  val oracles: Map[String, String] = Map(
+    // constant 1..64 series: DuckDB can't lateral-join generate_series
+    // on a column, and the embedding dim is fixed at 64 (TESTDATA.md)
+    "emb_centroids" ->
+      """SELECT label, CAST(g.i - 1 AS INT) AS dim,
+         ROUND(AVG(embedding[g.i]::DOUBLE), 6) AS centroid_v,
+         COUNT(*) AS n_vecs
+         FROM embeddings, generate_series(1, 64) AS g(i)
+         GROUP BY label, g.i""",
+    "txt_top_ngrams" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks t FROM documents),
+          grams AS (SELECT doc_id, UNNEST(list_distinct(list_transform(
+            generate_series(1, GREATEST(len(t) - 2, 0)),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks)
+          SELECT gram, COUNT(*) AS doc_freq FROM grams
+          GROUP BY gram ORDER BY doc_freq DESC, gram ASC LIMIT 20""")
+}

@@ -122,12 +122,70 @@ object Similarity {
       .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
   }
 
+  /** IVF (inverted-file) ANN: deterministic coarse quantizer — every
+    * `CentroidStride`-th vector is a centroid (seeded sampling stand-in
+    * for k-means; same probe structure) — assign each corpus vector to
+    * its nearest centroid (one narrow pass against the broadcast
+    * centroid matrix), then search only the `NProbe` nearest cells per
+    * query. Work per query: NProbe/|C| of the corpus instead of all of
+    * it; the cell assignment is reusable across query batches (at
+    * 100 TB it is computed once and stored as a partition column).
+    */
+  val CentroidStride = 50
+  val NProbe = 4
+
+  def ivfAssignments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = corpus(s, d).filter($"vec_id" % CentroidStride === 0)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+    import graft.functions.VectorFunctions
+    corpus(s, d)
+      .crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"nrm", $"c_id",
+        VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"embedding", $"c_emb"), $"nrm", $"c_nrm").as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"sim".desc, $"c_id".asc)))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"c_id".as("cell"))
+  }
+
+  def topkIvf(s: SparkSession, d: String, k: Int = TopK): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val assigned = ivfAssignments(s, d)
+    val cents = corpus(s, d).filter($"vec_id" % CentroidStride === 0)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+    // per query: its NProbe nearest cells
+    val qCells = broadcast(querySet(s, d))
+      .crossJoin(broadcast(cents))
+      .select($"q_id", $"q_emb", $"q_nrm", $"c_id",
+        VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"q_emb", $"c_emb"), $"q_nrm", $"c_nrm").as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)))
+      .filter($"rk" <= NProbe)
+      .select($"q_id", $"q_emb", $"q_nrm", $"c_id".as("cell"))
+    qCells
+      .join(assigned, Seq("cell"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
+          4).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)))
+      .filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topkBruteForce(s, d)),
-    // Approximate: no independent SQL spec (bucket membership depends
-    // on the plane matrix) → rows-only check; recall is spec-tested
-    // against the brute-force baseline in SimilaritySpec.
-    "sim_ann_lsh" -> ((s, d) => topkLsh(s, d)))
+    // Approximate variants: no independent SQL spec (bucket/cell
+    // membership depends on planes/centroids) → rows-only check;
+    // recall is spec-tested against the brute-force baseline.
+    "sim_ann_lsh" -> ((s, d) => topkLsh(s, d)),
+    "sim_ann_ivf" -> ((s, d) => topkIvf(s, d)))
 
   private def sqlCos(a: String, b: String): String =
     s"""(list_sum(list_transform(generate_series(1, len($a)),

@@ -86,6 +86,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(salted.except(direct).count() == 0)
   }
 
+  test("IVF ANN top-5 recall vs brute force stays above its measured floor") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    val bf = Similarity.topkBruteForce(spark, sf01, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.topkIvf(spark, sf01, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall regressed: $recall")
+  }
+
   test("token counting handles edge whitespace and empty strings") {
     import spark.implicits._
     val df = Seq(("", 0), ("  ", 0), (" a  b ", 2), ("one", 1))
