@@ -17,14 +17,18 @@ object Bench {
     // paying one-time JIT + executor-spinup cost
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic order + GC fence: map iteration order shifts as
+    // queries are added, which made per-query timings depend on which
+    // heavy query ran before them
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -23,16 +23,30 @@ object Dedup {
   /** Distinct word 3-gram shingles of a document. Word n-grams (not
     * unigrams) because the corpus vocabulary is tiny — unigram sets
     * barely discriminate; 3-gram sets do.
+    *
+    * One tight pass per document: the equivalent Catalyst
+    * transform/slice/concat_ws higher-order pipeline is evaluated
+    * interpretively per element and dominated every dedup operator's
+    * runtime (~3× on the shingle-producing stages). Semantics are
+    * identical to the oracle's regexp_split + list_transform CTE:
+    * split on \s+, drop empties, join triples with single spaces,
+    * keep first occurrence order, distinct.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val cnt = size(toks) - (n - 1) // number of n-grams; guard: Spark's
-    // sequence(1, cnt) DESCENDS when cnt < 1 instead of returning empty
-    when(cnt >= 1,
-      array_distinct(transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+  private val shinglesUdf = udf { (text: String) =>
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 3) Seq.empty[String]
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i <= toks.length - 3) {
+        out += (toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      out.toSeq
+    }
   }
+
+  def shingles(text: Column): Column = shinglesUdf(text)
 
   /** doc_id → exploded distinct shingle rows, shingle pre-hashed to
     * 64 bits so the inverted-index join shuffles and compares longs,
@@ -91,15 +105,39 @@ object Dedup {
   val BandRows = 2
   val NumBands: Int = NumHashes / BandRows
 
-  /** MinHash signature: min over shingles of xxhash64(shingle, seed)
-    * per seed — computed as one grouped aggregation over the exploded
-    * shingle relation (map-side partial min, no driver state).
+  /** One-pass MinHash signature kernel: for each of the 64 seeds, the
+    * min over the doc's shingles of a seeded 64-bit hash. A document's
+    * shingle set always fits in task memory, so this is a narrow map —
+    * no explode, no 64-column aggregation, no shuffle. (The grouped
+    * min-aggregation form would only be needed if a single record's
+    * shingle stream exceeded memory.)
+    */
+  val minhashSigUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (sh: Seq[String]) =>
+      val sig = Array.fill(NumHashes)(Long.MaxValue)
+      sh.foreach { g =>
+        // FNV-1a base hash, then a distinct avalanche per seed
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < g.length) { h ^= g.charAt(i); h *= 0x100000001b3L; i += 1 }
+        var k = 0
+        while (k < NumHashes) {
+          var x = h ^ (0x9e3779b97f4a7c15L * (k + 1))
+          x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 33)
+          if (x < sig(k)) sig(k) = x
+          k += 1
+        }
+      }
+      sig.toSeq
+    }
+
+  /** doc_id → 64-element minhash signature (empty-shingle docs keep a
+    * sentinel signature; they can only pair with other empty docs).
     */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val mins = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), $"shingle")).as(s"h$i"))
-    shingleRows(s, d).groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    Tables.documents(s, d)
+      .select($"doc_id", minhashSigUdf(shingles($"text")).as("sig"))
   }
 
   /** LSH candidate pairs: hash each band of the signature to a bucket,
@@ -109,7 +147,7 @@ object Dedup {
     import s.implicits._
     val sig = minhashSignatures(s, d)
     val bands = array((0 until NumBands).map { b =>
-      val cols = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
+      val cols = (0 until BandRows).map(r => element_at($"sig", b * BandRows + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
     }: _*)
     val buckets = sig.select($"doc_id", explode(bands).as("bb"))

@@ -134,39 +134,48 @@ object Similarity {
   val CentroidStride = 50
   val NProbe = 4
 
+  /** Nearest-`n` centroid cells for a vector, as one narrow kernel
+    * over the broadcast centroid matrix (ties → lowest centroid id).
+    */
+  private def nearestCellsUdf(cents: Array[(Long, Array[Float], Double)], n: Int) =
+    udf { (emb: Seq[Float]) =>
+      val nv = {
+        var acc = 0.0; var i = 0
+        while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
+        math.sqrt(acc)
+      }
+      cents.map { case (cid, cv, cn) =>
+        var dot = 0.0; var i = 0
+        val m = math.min(emb.length, cv.length)
+        while (i < m) { dot += emb(i).toDouble * cv(i).toDouble; i += 1 }
+        (cid, dot / nv / cn)
+      }.sortBy { case (cid, sim) => (-sim, cid) }.take(n).map(_._1).toSeq
+    }
+
+  private def centroidMatrix(s: SparkSession, d: String): Array[(Long, Array[Float], Double)] = {
+    import s.implicits._
+    corpus(s, d).filter($"vec_id" % CentroidStride === 0)
+      .select($"vec_id", $"embedding", $"nrm")
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+  }
+
   def ivfAssignments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cents = corpus(s, d).filter($"vec_id" % CentroidStride === 0)
-      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
-    import graft.functions.VectorFunctions
-    corpus(s, d)
-      .crossJoin(broadcast(cents))
-      .select($"vec_id", $"embedding", $"nrm", $"c_id",
-        VectorFunctions.cosineFrom(
-          VectorFunctions.dot($"embedding", $"c_emb"), $"nrm", $"c_nrm").as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"sim".desc, $"c_id".asc)))
-      .filter($"rk" === 1)
-      .select($"vec_id", $"embedding", $"nrm", $"c_id".as("cell"))
+    val cells = nearestCellsUdf(centroidMatrix(s, d), 1)
+    corpus(s, d).select($"vec_id", $"embedding", $"nrm",
+      element_at(cells($"embedding"), 1).as("cell"))
   }
 
   def topkIvf(s: SparkSession, d: String, k: Int = TopK): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
     val assigned = ivfAssignments(s, d)
-    val cents = corpus(s, d).filter($"vec_id" % CentroidStride === 0)
-      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
-    // per query: its NProbe nearest cells
-    val qCells = broadcast(querySet(s, d))
-      .crossJoin(broadcast(cents))
-      .select($"q_id", $"q_emb", $"q_nrm", $"c_id",
-        VectorFunctions.cosineFrom(
-          VectorFunctions.dot($"q_emb", $"c_emb"), $"q_nrm", $"c_nrm").as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id".asc)))
-      .filter($"rk" <= NProbe)
-      .select($"q_id", $"q_emb", $"q_nrm", $"c_id".as("cell"))
-    qCells
+    // per query: its NProbe nearest cells via the same kernel
+    val probe = nearestCellsUdf(centroidMatrix(s, d), NProbe)
+    val qCells = querySet(s, d)
+      .select($"q_id", $"q_emb", $"q_nrm",
+        explode(probe($"q_emb")).as("cell"))
+    broadcast(qCells)
       .join(assigned, Seq("cell"))
       .filter($"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id".as("n_id"),
