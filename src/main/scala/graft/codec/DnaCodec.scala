@@ -90,10 +90,16 @@ object DnaCodec {
     val originalChecksum = md5HexUtf8(text)
     try {
       val chunks = createDnaChunks(text, chunkSize, errorCorrectionSymbols)
-      chunks.find(!validateChunkIntegrity(_)).foreach { bad =>
-        throw new IllegalStateException(s"invalid chunk: ${bad.chunkId}")
-      }
-      val reconstructed = reconstructText(chunks)
+      // single decode pass: validate each chunk AND collect its decoded
+      // text (the reference decodes twice — validate at :440-446, then
+      // reconstruct at :449; SURVEY §3.2 marks this compute-once-reuse)
+      val reconstructed = chunks.sortBy(_.index).map { c =>
+        val bytes = chunkBytesOf(c)
+        val decoded = Utf8Chunker.decodeStrict(bytes)
+        if (decoded.isEmpty || md5Hex(bytes) != c.checksum)
+          throw new IllegalStateException(s"invalid chunk: ${c.chunkId}")
+        decoded.get
+      }.mkString
       val reconstructedChecksum = md5HexUtf8(reconstructed)
       if (reconstructedChecksum != originalChecksum)
         throw new IllegalStateException("reconstruction checksum mismatch")
