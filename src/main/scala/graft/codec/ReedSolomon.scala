@@ -73,15 +73,19 @@ object ReedSolomon {
   }
 
   /** Generator polynomial ∏ (x - α^i), i in [0, nsym) (fcr = 0). */
-  def generatorPoly(nsym: Int): Array[Int] = {
-    var g = Array(1)
-    var i = 0
-    while (i < nsym) {
-      g = polyMul(g, Array(1, gfPow(2, i)))
-      i += 1
-    }
-    g
-  }
+  private val genCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+
+  def generatorPoly(nsym: Int): Array[Int] =
+    genCache.computeIfAbsent(nsym, { n =>
+      var g = Array(1)
+      var i = 0
+      while (i < n) {
+        g = polyMul(g, Array(1, gfPow(2, i)))
+        i += 1
+      }
+      g
+    })
 
   /** Systematic encode of one block (≤ 255 - nsym data bytes):
     * returns data ++ nsym parity bytes.

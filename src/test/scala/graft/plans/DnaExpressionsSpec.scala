@@ -10,13 +10,19 @@ import graft.codec.Goldman
   */
 class DnaExpressionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .withExtensions(new GraftExtensions)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // suites share one JVM: if another suite built the session first,
+    // withExtensions was never applied — register late instead
+    GraftExtensions.register(s)
+    s
+  }
 
   test("dna_encode/dna_decode SQL roundtrip over arbitrary strings") {
     import spark.implicits._
