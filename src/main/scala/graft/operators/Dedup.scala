@@ -228,6 +228,19 @@ object Dedup {
         .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
     },
 
+    // The deduplicated corpus itself: one surviving row per content
+    // hash (lowest doc_id wins) — what downstream training reads.
+    "dedup_keeplist" -> { (s, d) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(to_binary($"text", lit("utf-8"))))
+        .orderBy($"doc_id".asc)
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"source", $"n_chars")
+    },
+
     // Near-dup by exact word-3-gram Jaccard ≥ 0.6 via inverted index.
     "dedup_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
@@ -327,6 +340,11 @@ object Dedup {
     "dedup_exact" ->
       """SELECT MD5(text) AS content_fp, MIN(doc_id) AS keeper_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",
+    "dedup_keeplist" ->
+      """SELECT doc_id, source, n_chars FROM (
+         SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (
+           PARTITION BY MD5(text) ORDER BY doc_id ASC) AS rn
+         FROM documents) WHERE rn = 1""",
     "dedup_ngram_jaccard" ->
       s"""$jaccardCte
           SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs

@@ -85,6 +85,21 @@ object TextAnalysis {
         $"lang".as("true_lang"))
     },
 
+    // The curation filter itself: documents passing the cheap quality
+    // gates (the rows a pretraining pipeline would keep).
+    "txt_quality_filter" -> { (s, d) =>
+      import s.implicits._
+      val toks = tokens($"text")
+      val n = size(toks).cast("double")
+      Tables.documents(s, d)
+        .withColumn("alpha_ratio",
+          length(regexp_replace($"text", "[^A-Za-z]", "")) /
+            greatest(length($"text"), lit(1)).cast("double"))
+        .withColumn("ttr", size(array_distinct(toks)) / greatest(n, lit(1.0)))
+        .filter(length($"text") >= 100 && $"alpha_ratio" >= 0.7 && $"ttr" >= 0.2)
+        .select($"doc_id", $"lang", length($"text").as("n_chars"))
+    },
+
     // Document fingerprinting: md5 over the sorted distinct token set —
     // a canonical content fingerprint stable under token reordering
     // (the word-level analogue of the reference's content-hash dedup
@@ -127,6 +142,13 @@ object TextAnalysis {
           THEN 'en' ELSE 'und' END AS pred_lang,
           lang AS true_lang
           FROM documents""",
+    "txt_quality_filter" ->
+      s"""SELECT doc_id, lang, LENGTH(text) AS n_chars FROM documents
+          WHERE LENGTH(text) >= 100
+            AND LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+              GREATEST(LENGTH(text), 1) >= 0.7
+            AND len(list_distinct($sqlToks))::DOUBLE /
+              GREATEST(len($sqlToks), 1) >= 0.2""",
     "txt_fingerprint" ->
       s"""SELECT doc_id,
           MD5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS token_set_fp,
