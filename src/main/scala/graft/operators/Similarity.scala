@@ -96,17 +96,34 @@ object Similarity {
     * bucket, rank within candidates. Approximate by construction
     * (recall < 1 when true neighbors land in other buckets).
     */
-  def topkLsh(s: SparkSession, d: String, k: Int = TopK): DataFrame = {
+  /** Query-side multiprobe: in each table, also probe the buckets at
+    * Hamming distance 1 from the query signature (the planes whose
+    * hyperplane the query sits closest to are the likeliest sign
+    * flips; probing all single flips is the simple, deterministic
+    * form). Corpus stays bucketed once — only the probe fan-out grows.
+    */
+  val MultiprobeFlips: Int = PlanesPerTable // all Hamming-1 neighbors
+
+  def topkLsh(s: SparkSession, d: String, k: Int = TopK,
+      multiprobe: Boolean = true): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
     val bucketed = corpus(s, d)
       .select($"vec_id", $"embedding", $"nrm", explode(lshBuckets($"embedding")).as("tb"))
       .select($"vec_id", $"embedding", $"nrm",
         $"tb._1".as("table"), $"tb._2".as("bucket"))
-    val q = querySet(s, d)
+    val qBase = querySet(s, d)
       .select($"q_id", $"q_emb", $"q_nrm", explode(lshBuckets($"q_emb")).as("tb"))
       .select($"q_id", $"q_emb", $"q_nrm",
         $"tb._1".as("table"), $"tb._2".as("bucket"))
+    val q =
+      if (!multiprobe) qBase
+      else qBase.select($"q_id", $"q_emb", $"q_nrm", $"table",
+        explode(array((lit(-1) +: (0 until MultiprobeFlips).map(lit(_))): _*)).as("flip"),
+        $"bucket")
+        .select($"q_id", $"q_emb", $"q_nrm", $"table",
+          when($"flip" === -1, $"bucket")
+            .otherwise(expr("bucket ^ shiftleft(1, flip)")).as("bucket"))
     broadcast(q)
       .join(bucketed, Seq("table", "bucket"))
       .filter($"q_id" =!= $"vec_id")

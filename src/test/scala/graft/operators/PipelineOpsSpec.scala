@@ -66,12 +66,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     assert(ann.nonEmpty)
     assert(ann.map(_._1).subsetOf(bf.map(_._1)))
-    // Deterministic (seeded planes, fixed data): measured 0.64 at
-    // round 1. Near-random embeddings are LSH's worst case — real
-    // embedding corpora cluster much tighter; raise NumTables for
-    // higher recall at proportional probe cost.
+    // Deterministic (seeded planes, fixed data): measured 0.96 at
+    // round 1 with Hamming-1 multiprobe (0.64 single-probe). Near-
+    // random embeddings are LSH's worst case — real corpora cluster
+    // tighter; NumTables / MultiprobeFlips trade probe cost for recall.
     val recall = (bf & ann).size.toDouble / bf.size
-    assert(recall >= 0.5, s"ANN recall regressed: $recall")
+    assert(recall >= 0.9, s"ANN recall regressed: $recall")
   }
 
   test("salted aggregation equals direct aggregation") {
