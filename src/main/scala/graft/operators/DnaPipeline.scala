@@ -115,7 +115,7 @@ object DnaPipeline {
     "dna_stats" -> { (s, d) =>
       import s.implicits._
       chunkRelation(s, d)
-        .join(Tables.documents(s, d), "doc_id")
+        .join(broadcast(Tables.documents(s, d).select($"doc_id", $"source")), "doc_id")
         .groupBy($"source")
         .agg(count(lit(1)).as("n_chunks"),
              sum(length($"dna_sequence")).as("total_dna_bases"),
