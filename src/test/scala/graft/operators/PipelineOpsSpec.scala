@@ -94,8 +94,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     val ivf = Similarity.topkIvf(spark, sf01, k = 5)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     assert(ivf.nonEmpty)
+    // measured 1.00 at round 1 (NProbe=4 of ~10 cells at sf0.01)
     val recall = (bf & ivf).size.toDouble / bf.size
-    assert(recall >= 0.3, s"IVF recall regressed: $recall")
+    assert(recall >= 0.9, s"IVF recall regressed: $recall")
   }
 
   test("token counting handles edge whitespace and empty strings") {
