@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+
+/** Physical-plan regression guards: the properties the 100 TB design
+  * depends on must survive refactors — filters reaching the parquet
+  * scan, column pruning, broadcast joins on dimension tables, and no
+  * accidental exchanges on scan-only queries.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(s: String, needle: String): Int =
+    s.split('\n').count(_.contains(needle))
+
+  test("q2: filters and 4-column projection reach the parquet scan") {
+    val p = plan("q2_filter_scan")
+    assert(p.contains("DataFilters: [isnotnull(l_shipdate"), p)
+    val scanLine = p.split('\n').find(_.contains("FileScan parquet")).get
+    // pruned read: shipdate/quantity/extendedprice/discount only
+    assert(!scanLine.contains("l_orderkey") && !scanLine.contains("l_comment"), scanLine)
+  }
+
+  test("dimension joins broadcast (q3: 2, q13: 3, q14: 2), none sort-merge") {
+    for ((q, n) <- Seq("q3_join_agg" -> 2, "q13_join_chain" -> 3,
+        "q14_supplier_volume" -> 2)) {
+      val p = plan(q)
+      assert(count(p, "BroadcastHashJoin") == n, s"$q:\n$p")
+      assert(count(p, "SortMergeJoin") == 0, s"$q has a sort-merge join")
+    }
+  }
+
+  test("metadata projection never exchanges (mm_meta is scan+project only)") {
+    val p = plan("mm_meta")
+    assert(count(p, "Exchange") == 0, p)
+  }
+
+  test("similarity query-set predicate pushes into the scan") {
+    val p = plan("sim_topk_bruteforce")
+    assert(p.contains("% 100) = 0)"), p)
+  }
+
+  test("scan-side pruning on the narrow text operators (doc_id+text only)") {
+    val p = plan("txt_tokens")
+    val scanLine = p.split('\n').find(_.contains("FileScan parquet")).get
+    assert(!scanLine.contains("n_chars") && !scanLine.contains("source"), scanLine)
+  }
+}
