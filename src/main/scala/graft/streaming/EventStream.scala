@@ -43,41 +43,54 @@ object EventStream {
   /** Session gap in event time that closes a user session. */
   val SessionGapMs: Long = 30 * 60 * 1000L
 
-  /** Custom sessionization: per-user state via mapGroupsWithState with
-    * event-time timeout. Emits one update per user per micro-batch;
-    * `closed=true` when the gap timeout fired.
+  /** Custom sessionization: per-user state via flatMapGroupsWithState
+    * with event-time timeout. The batch's events are folded one at a
+    * time in event-time order, so a gap > SessionGapMs WITHIN one
+    * micro-batch (replay/backfill) closes the running session and
+    * starts a new one — two far-apart events never fuse just because
+    * they arrived together. Emits every session closed by an
+    * intra-batch gap (`closed=true`), then the still-open session
+    * (`closed=false`); the gap timeout firing with no new events also
+    * emits `closed=true`.
     */
   def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](
-        GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionUpdate(userId, s.n, s.total,
-              new Timestamp(s.startMs), new Timestamp(s.lastMs), closed = true)
+            Iterator(SessionUpdate(userId, s.n, s.total,
+              new Timestamp(s.startMs), new Timestamp(s.lastMs), closed = true))
           } else {
-            val evs = it.toSeq
-            val prev = state.getOption
-            val minTs = evs.map(_.ts.getTime).min
-            val maxTs = evs.map(_.ts.getTime).max
-            val merged = prev match {
-              // events within the gap extend the session; else restart
-              case Some(p) if minTs - p.lastMs <= SessionGapMs =>
-                SessionState(p.n + evs.size, p.total + evs.map(_.value).sum,
-                  p.startMs, math.max(p.lastMs, maxTs))
-              case _ =>
-                SessionState(evs.size, evs.map(_.value).sum, minTs, maxTs)
+            val closedSessions = List.newBuilder[SessionUpdate]
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { ev =>
+              val t = ev.ts.getTime
+              cur match {
+                case Some(p) if t - p.lastMs <= SessionGapMs =>
+                  cur = Some(SessionState(p.n + 1, p.total + ev.value,
+                    p.startMs, math.max(p.lastMs, t)))
+                case Some(p) => // intra-batch gap: close and restart
+                  closedSessions += SessionUpdate(userId, p.n, p.total,
+                    new Timestamp(p.startMs), new Timestamp(p.lastMs), closed = true)
+                  cur = Some(SessionState(1, ev.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, ev.value, t, t))
+              }
             }
-            state.update(merged)
-            state.setTimeoutTimestamp(merged.lastMs + SessionGapMs)
-            SessionUpdate(userId, merged.n, merged.total,
-              new Timestamp(merged.startMs), new Timestamp(merged.lastMs),
-              closed = false)
+            cur.foreach { merged =>
+              state.update(merged)
+              state.setTimeoutTimestamp(merged.lastMs + SessionGapMs)
+            }
+            closedSessions.result().iterator ++ cur.map(m =>
+              SessionUpdate(userId, m.n, m.total,
+                new Timestamp(m.startMs), new Timestamp(m.lastMs),
+                closed = false)).iterator
           }
       }
   }

@@ -21,12 +21,18 @@ object Tables {
     * LongType under `spark.sql.legacy.parquet.nanosAsLong` (set by our
     * session builders). Normalize to a microsecond TimestampType column
     * so downstream plans use ordinary timestamp semantics.
+    *
+    * The ns→us conversion must be integer division (`div`): Column `/`
+    * promotes to double, and ns epoch values (~1.7e18) exceed double's
+    * 2^53 exact range, so a truncating cast back can be off by 1 us —
+    * enough to drop an event on a window boundary into the wrong
+    * time bucket vs an oracle that reads TIMESTAMP_NS exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = apply(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")

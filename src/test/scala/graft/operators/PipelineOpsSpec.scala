@@ -114,4 +114,89 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(size(Dedup.shingles($"text")).as("n"))
     assert(df.as[Int].collect().toSeq == Seq(0, 1, 2))
   }
+
+  test("null text is null-safe across the dedup kernels (empty, not NPE)") {
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, "a b c d")).toDF("doc_id", "text")
+    val r = df.select(
+      size(Dedup.shingles($"text")).as("n_sh"),
+      Dedup.simhashUdf(TextAnalysis.tokens($"text")).as("sh"),
+      size(Dedup.minhashSigUdf(Dedup.shingles($"text"))).as("n_sig"))
+      .collect()
+    assert(r(0).getInt(0) == 0)     // null text -> no shingles
+    assert(r(0).getLong(1) == 0L)   // null text -> zero simhash votes
+    assert(r(0).getInt(2) == Dedup.NumHashes) // sentinel sig, right arity
+    assert(r(1).getInt(0) == 2)
+  }
+
+  test("high-DF shingle guard bounds inverted-index pair emission") {
+    import spark.implicits._
+    // 60 docs that share ONE boilerplate shingle ("common boiler plate")
+    // but are otherwise unique: the hot bucket alone would emit
+    // 60*59/2 = 1770 pairs. With a DF cutoff below 60 the bucket is
+    // dropped and emission is zero — the guard that stops a 10⁵-doc
+    // boilerplate bucket emitting 5·10⁹ pairs at corpus scale.
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"common boiler plate unique$i filler$i word$i"))
+    val tmp = java.nio.file.Files.createTempDirectory("hotdf").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    assert(Dedup.jaccardPairs(spark, tmp).count() == 1770)
+    assert(Dedup.jaccardPairs(spark, tmp, maxDf = 10).count() == 0)
+    // the default cutoff is far above any test-corpus DF (max 25 at
+    // sf0.1), so declared query outputs are unchanged by the guard
+    assert(Dedup.MaxShingleDf > 25 * 4)
+  }
+
+  test("empty-shingle docs are excluded from LSH banding (no sentinel pair blowup)") {
+    import spark.implicits._
+    // 50 short docs (<3 tokens) share the sentinel signature; before the
+    // guard they collided in all 32 bands -> 1225 candidate pairs.
+    val shorts = (0 until 50).map(i => (i.toLong, s"tiny$i doc"))
+    val dups = Seq((100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon zeta"))
+    val tmp = java.nio.file.Files.createTempDirectory("sentinel").toString
+    (shorts ++ dups).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val cand = Dedup.lshCandidates(spark, tmp)
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((100L, 101L)),
+      s"sentinel docs leaked into candidates: $cand")
+  }
+
+  test("embedding LSH scale path: recall 1.0 on near-dup clusters at cos>=0.9") {
+    import spark.implicits._
+    // 40 seeded random unit vectors, each with a tiny perturbation of
+    // itself (cos >= ~0.999): the LSH candidates + exact-verify path
+    // must find exactly the 40 planted pairs (random 64-dim vectors are
+    // near-orthogonal, so nothing else reaches 0.9). Deterministic:
+    // fixed seed, fixed planes.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(40)(Array.fill(Similarity.Dim)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val nrm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      val unit = v.map(x => (x / nrm).toFloat)
+      val pert = unit.zipWithIndex.map { case (x, j) =>
+        (x + (if (j == 0) 0.01f else 0f)) }
+      Seq((2L * i, unit.toSeq), (2L * i + 1, pert.toSeq))
+    }
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val got = Dedup.embeddingLshPairs(df, 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val want = (0 until 40).map(i => (2L * i, 2L * i + 1)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("IVF centroid count is sqrt(n) capped — independent of corpus blowup") {
+    // assignment cost is O(n·k): k must not grow linearly with n
+    assert(Similarity.ivfK(500) == 23)
+    assert(Similarity.ivfK(2000) == 45)
+    assert(Similarity.ivfK(100L * 1000 * 1000 * 1000) == Similarity.IvfKCap)
+    // trained matrix matches the formula (constant-size broadcast side)
+    val cents = Similarity.trainCentroids(spark, "/root/testdata/sf0.01")
+    assert(cents.length == Similarity.ivfK(500))
+    // centroids are unit-normalized (spherical k-means invariant)
+    assert(cents.forall { case (_, _, nrm) => math.abs(nrm - 1.0) < 1e-6 })
+  }
 }

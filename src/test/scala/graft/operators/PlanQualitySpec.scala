@@ -59,4 +59,31 @@ class PlanQualitySpec extends AnyFunSuite {
     val scanLine = p.split('\n').find(_.contains("FileScan parquet")).get
     assert(!scanLine.contains("n_chars") && !scanLine.contains("source"), scanLine)
   }
+
+  test("dedup_embedding runs no driver collect: construction is fully lazy") {
+    // Round-1 regression: the query used to collect() the whole
+    // embeddings table to the driver while BUILDING the DataFrame (a
+    // 100 TB corpus kills the driver before the query even runs). The
+    // blocked self-join plan is declarative: constructing it must
+    // launch zero Spark jobs.
+    val dataJobs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
+        // `spark.read.parquet` schema inference reads one footer on
+        // every read call — a metadata job, not a data collect
+        if (!site.startsWith("parquet at tables.scala")) { dataJobs.add(site); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("dedup_embedding")(spark, sf)
+      df.queryExecution.executedPlan // force planning too, not just analysis
+      Thread.sleep(1000) // listener bus is async; collect jobs would have been posted already
+      assert(dataJobs.isEmpty,
+        s"dedup_embedding construction launched Spark job(s): $dataJobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

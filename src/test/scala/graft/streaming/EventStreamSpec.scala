@@ -72,6 +72,30 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization: an intra-batch gap closes the first session instead of fusing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_gap")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // one micro-batch (replay/backfill shape): two events 100 min
+      // apart — far beyond the 30-min gap. Must yield a CLOSED 1-event
+      // session at ts(0) and an OPEN 1-event session at ts(100), never
+      // a fused 2-event session spanning the gap.
+      mem.addData(Event(1, 11, "click", 1.0, ts(0)),
+        Event(2, 11, "view", 2.0, ts(100)))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_gap").as[SessionUpdate].collect()
+      assert(rows.exists(s => s.user_id == 11 && s.closed && s.n_events == 1 &&
+        s.session_start == ts(0) && s.session_end == ts(0)))
+      assert(rows.exists(s => s.user_id == 11 && !s.closed && s.n_events == 1 &&
+        s.session_start == ts(100)))
+      assert(!rows.exists(s => s.user_id == 11 && s.n_events == 2))
+    } finally q.stop()
+  }
+
   test("batch analogue matches a hand computation") {
     import spark.implicits._
     val df = Seq(
