@@ -66,13 +66,51 @@ object DnaFunctions {
 
   /** Ordered reconstruction from collected (index, dna, nbytes) structs
     * (`dna_encoding.py:337-369`): sort by index, decode, concatenate.
-    * Used after groupBy(file) on the exploded chunk relation.
+    * Library form for small groups; the grouped-query path uses
+    * [[ReconstructAggregator]], which never materializes a
+    * collect_list array per file.
     */
   val reconstructFromChunks = udf { (chunks: Seq[org.apache.spark.sql.Row]) =>
     chunks.sortBy(_.getInt(0)).map { row =>
       Utf8Chunker.decodeStrict(
         Goldman.dnaToBytes(row.getString(1), row.getInt(2))).getOrElse("�")
     }.mkString
+  }
+
+  /** One exploded chunk keyed by its file, as the typed input of the
+    * reconstruction aggregator.
+    */
+  case class ChunkSlice(doc_id: Long, idx: Int, dna_sequence: String,
+      chunk_nbytes: Int)
+
+  /** A5 as a typed `Aggregator` (SURVEY.md §4.2): chunks fold into an
+    * index-keyed TreeMap with map-side partial aggregation, each chunk
+    * decoded AS IT IS FOLDED — the buffer holds decoded text slices,
+    * never a whole collect_list array of struct rows, and a
+    * million-chunk file aggregates incrementally across partials
+    * instead of spiking one task's memory with a sort-at-the-end list.
+    * Output: the reconstructed document text in chunk-index order
+    * (`dna_encoding.py:337-369`).
+    */
+  object ReconstructAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[
+        ChunkSlice, scala.collection.immutable.TreeMap[Int, String], String] {
+    import scala.collection.immutable.TreeMap
+    def zero: TreeMap[Int, String] = TreeMap.empty
+    def reduce(b: TreeMap[Int, String], a: ChunkSlice): TreeMap[Int, String] =
+      b.updated(a.idx, Utf8Chunker.decodeStrict(
+        Goldman.dnaToBytes(a.dna_sequence, a.chunk_nbytes)).getOrElse("�"))
+    def merge(b1: TreeMap[Int, String], b2: TreeMap[Int, String]): TreeMap[Int, String] =
+      b1 ++ b2
+    def finish(m: TreeMap[Int, String]): String = {
+      val sb = new java.lang.StringBuilder
+      m.valuesIterator.foreach(sb.append)
+      sb.toString
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[TreeMap[Int, String]] =
+      org.apache.spark.sql.Encoders.kryo[TreeMap[Int, String]]
+    def outputEncoder: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
   }
 
   /** Goldman scalar codecs as columns (X6–X8). */

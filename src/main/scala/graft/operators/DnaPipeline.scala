@@ -69,6 +69,20 @@ object DnaPipeline {
       .select($"doc_id", $"file_hash", $"file_size", $"r.*")
   }
 
+  /** A3: DNA-base totals per source. Value-dependent on the base-3
+    * encoding (digit count of each chunk's byte value), so not
+    * ANSI-SQL-expressible; the density invariant that pins it is
+    * spec-tested (bases/byte ≈ 8/log₂3).
+    */
+  def dnaBaseStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    chunkRelation(s, d)
+      .join(broadcast(Tables.documents(s, d).select($"doc_id", $"source")), "doc_id")
+      .groupBy($"source")
+      .agg(sum(length($"dna_sequence")).as("total_dna_bases"),
+           sum($"chunk_nbytes").as("total_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Roundtrip-identity contract: reconstructed checksum must equal the
     // original md5 — the oracle states this independently, so a codec
@@ -100,25 +114,35 @@ object DnaPipeline {
 
     // A5 via the grouped path: explode → shuffle on the file key →
     // ordered reconstruction → whole-file checksum equality (A6).
+    // The typed Aggregator decodes each chunk as it folds and does
+    // map-side partial aggregation — no per-file collect_list array,
+    // so one multi-GB file (millions of chunks) can't spike a single
+    // task's memory (SURVEY.md §4.2).
     "dna_reconstruct" -> { (s, d) =>
       import s.implicits._
       chunkRelation(s, d)
-        .groupBy($"doc_id")
-        .agg(DnaFunctions.reconstructFromChunks(
-          collect_list(struct($"idx", $"dna_sequence", $"chunk_nbytes")))
-          .as("reconstructed"))
+        .select($"doc_id", $"idx", $"dna_sequence", $"chunk_nbytes")
+        .as[DnaFunctions.ChunkSlice]
+        .groupByKey(_.doc_id)
+        .agg(DnaFunctions.ReconstructAggregator.toColumn.name("reconstructed"))
+        .toDF("doc_id", "reconstructed")
         .select($"doc_id",
           md5(to_binary($"reconstructed", lit("utf-8"))).as("recon_md5"))
     },
 
-    // A3-type stats over the encoded relation: DNA bases per source.
+    // A2/A3-type stats over the encoded relation, per source. The
+    // SQL-computable columns (chunk counts, byte totals) are
+    // oracle-checked; total_dna_bases is value-dependent (base-3 digit
+    // count of each chunk's bytes) so it is pinned by the spec-tested
+    // density invariant instead (DnaPipelineSpec: 4.8 < bases/byte <
+    // 5.3, the 8/log2(3) ≈ 5.05 encoding expansion) and remains on the
+    // library surface via `fileReport` / `dnaBaseStats`.
     "dna_stats" -> { (s, d) =>
       import s.implicits._
       chunkRelation(s, d)
         .join(broadcast(Tables.documents(s, d).select($"doc_id", $"source")), "doc_id")
         .groupBy($"source")
         .agg(count(lit(1)).as("n_chunks"),
-             sum(length($"dna_sequence")).as("total_dna_bases"),
              sum($"chunk_nbytes").as("total_bytes"))
     },
 
@@ -169,7 +193,10 @@ object DnaPipeline {
           CAST(0 AS BIGINT) AS n_invalid FROM documents""",
     "dna_reconstruct" ->
       """SELECT doc_id, MD5(text) AS recon_md5 FROM documents""",
-    "dna_stats" -> "", // total_dna_bases is value-dependent (base-3 log) — rows-only check
+    "dna_stats" ->
+      s"""SELECT source, CAST(SUM($chunkExpr) AS BIGINT) AS n_chunks,
+          CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes
+          FROM documents GROUP BY source""",
     "pipe_incremental_dedup" ->
       """SELECT d.doc_id, PRINTF('doc_%05d.txt', d.doc_id) AS file_path,
          CAST(LENGTH(d.text) AS BIGINT) AS file_size

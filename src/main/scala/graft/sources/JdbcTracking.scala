@@ -11,88 +11,170 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The default deployment uses the parquet tracking table
   * (`FilePipeline`); this module exists for drop-in parity when the
-  * tracking store must be the reference's own Postgres. No database
-  * ships in this container, so these are compile-checked library
-  * functions: reads go through `spark.read.jdbc` (predicate pushdown to
-  * the indexed columns), writes through per-partition JDBC batches with
-  * `ON CONFLICT (file_hash) DO NOTHING` — the reference's idempotent
-  * insert, executed executor-side so a 1000-executor cluster doesn't
+  * tracking store must be the reference's own Postgres. The SQL that
+  * differs across engines (idempotent insert; the reference's
+  * `ON CONFLICT (file_hash) DO NOTHING` is Postgres-only) lives behind
+  * [[SqlDialect]]: Postgres keeps the reference's exact statement,
+  * Derby uses the standard `MERGE`, which lets the whole path run for
+  * real against the in-memory Derby that ships with Spark
+  * (JdbcTrackingSpec). Reads go through `spark.read.jdbc` (predicate
+  * pushdown to the indexed columns); writes are per-partition JDBC
+  * batches, executed executor-side so a 1000-executor cluster doesn't
   * funnel inserts through the driver.
   */
 object JdbcTracking {
 
   val Table = "processed_files"
 
-  private def props(user: String, password: String): Properties = {
+  /** Engine-specific SQL: insert-if-absent keyed on file_hash. Each
+    * dialect owns its statement text and its parameter binding for one
+    * (file_hash, file_path, file_size, status, output_file) row.
+    */
+  sealed trait SqlDialect extends Serializable {
+    def driver: String
+    def upsertSql(table: String): String
+    def bindUpsert(st: java.sql.PreparedStatement,
+        r: org.apache.spark.sql.Row): Unit
+    protected final def outputFile(r: org.apache.spark.sql.Row): String =
+      if (r.isNullAt(4)) null else r.getString(4)
+  }
+
+  /** The reference's engine: `ON CONFLICT (file_hash) DO NOTHING`
+    * (`dags/dag.py:743`).
+    */
+  case object Postgres extends SqlDialect {
+    val driver = "org.postgresql.Driver"
+    def upsertSql(table: String): String =
+      s"""INSERT INTO $table (file_hash, file_path, file_size, status, output_file)
+          VALUES (?, ?, ?, ?, ?) ON CONFLICT (file_hash) DO NOTHING"""
+    def bindUpsert(st: java.sql.PreparedStatement,
+        r: org.apache.spark.sql.Row): Unit = {
+      st.setString(1, r.getString(0))
+      st.setString(2, r.getString(1))
+      st.setLong(3, r.getLong(2))
+      st.setString(4, r.getString(3))
+      st.setString(5, outputFile(r))
+    }
+  }
+
+  /** Standard-SQL `MERGE` form, runnable on the Derby that ships in
+    * Spark's jars — the dialect the integration spec executes for real.
+    * Two Derby quirks: the ON-clause parameter needs an explicit CAST
+    * (untyped ? in MERGE search conditions fails type resolution), and
+    * `created_at` is stamped explicitly because Derby's MERGE
+    * NPE-crashes compiling an omitted column whose DEFAULT is the
+    * non-constant CURRENT_TIMESTAMP (verified against the 10.16 jars).
+    */
+  case object Derby extends SqlDialect {
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    def upsertSql(table: String): String =
+      s"""MERGE INTO $table t
+          USING SYSIBM.SYSDUMMY1 ON t.file_hash = CAST(? AS VARCHAR(32))
+          WHEN NOT MATCHED THEN INSERT
+            (file_hash, file_path, file_size, status, output_file, created_at)
+            VALUES (?, ?, ?, ?, ?, CURRENT_TIMESTAMP)"""
+    def bindUpsert(st: java.sql.PreparedStatement,
+        r: org.apache.spark.sql.Row): Unit = {
+      st.setString(1, r.getString(0)) // MERGE match key
+      st.setString(2, r.getString(0))
+      st.setString(3, r.getString(1))
+      st.setLong(4, r.getLong(2))
+      st.setString(5, r.getString(3))
+      st.setString(6, outputFile(r))
+    }
+  }
+
+  private def props(user: String, password: String, dialect: SqlDialect): Properties = {
     val p = new Properties()
     p.setProperty("user", user)
     p.setProperty("password", password)
-    p.setProperty("driver", "org.postgresql.Driver")
+    p.setProperty("driver", dialect.driver)
     p
   }
 
   /** S5: the tracking relation; Catalyst pushes `file_hash = x`
     * predicates down to the B-tree-indexed column.
     */
-  def read(spark: SparkSession, url: String, user: String, password: String): DataFrame =
-    spark.read.jdbc(url, Table, props(user, password))
+  def read(spark: SparkSession, url: String, user: String, password: String,
+      dialect: SqlDialect = Postgres): DataFrame =
+    spark.read.jdbc(url, Table, props(user, password, dialect))
 
   /** S5: `SELECT COUNT(*) FROM processed_files [WHERE file_hash=?]`
     * (`dags/dag.py:364-384`) — pushdown-friendly form.
     */
   def processedCount(spark: SparkSession, url: String, user: String,
-      password: String, fileHash: Option[String] = None): Long = {
-    val df = read(spark, url, user, password)
+      password: String, fileHash: Option[String] = None,
+      dialect: SqlDialect = Postgres): Long = {
+    val df = read(spark, url, user, password, dialect)
     fileHash.fold(df)(h => df.filter(df("file_hash") === h)).count()
   }
 
-  /** S9: idempotent executor-side upsert of (file_hash, file_path,
-    * file_size, status, output_file) rows — `ON CONFLICT DO NOTHING`
-    * keeps content-addressed exactly-once (`dags/dag.py:740-759`).
-    * Call from `foreachBatch`.
+  /** The reference's `information_schema` table-exists probe
+    * (`dags/dag.py:364-369`), against the standard
+    * `information_schema.tables` view (Postgres) or Derby's SYS
+    * catalog.
     */
-  def upsert(batch: DataFrame, url: String, user: String, password: String): Unit = {
-    val sql =
-      s"""INSERT INTO $Table (file_hash, file_path, file_size, status, output_file)
-          VALUES (?, ?, ?, ?, ?) ON CONFLICT (file_hash) DO NOTHING"""
+  def tableExists(url: String, user: String, password: String,
+      table: String = Table): Boolean = {
+    val conn = DriverManager.getConnection(url, user, password)
+    try {
+      // JDBC metadata is the engine-portable form of the probe
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      var found = false
+      while (rs.next() && !found)
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      found
+    } finally conn.close()
+  }
+
+  /** S9: idempotent executor-side upsert of (file_hash, file_path,
+    * file_size, status, output_file) rows — insert-if-absent on
+    * file_hash keeps content-addressed exactly-once
+    * (`dags/dag.py:740-759`). Call from `foreachBatch`.
+    */
+  def upsert(batch: DataFrame, url: String, user: String, password: String,
+      dialect: SqlDialect = Postgres): Unit = {
+    val sql = dialect.upsertSql(Table)
     batch.select("file_hash", "file_path", "file_size", "status", "output_file")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val conn = DriverManager.getConnection(url, user, password)
-        try {
-          conn.setAutoCommit(false)
-          val st = conn.prepareStatement(sql)
-          rows.foreach { r =>
-            st.setString(1, r.getString(0))
-            st.setString(2, r.getString(1))
-            st.setLong(3, r.getLong(2))
-            st.setString(4, r.getString(3))
-            st.setString(5, if (r.isNullAt(4)) null else r.getString(4))
-            st.addBatch()
-          }
-          st.executeBatch()
-          conn.commit()
-        } finally conn.close()
+        if (rows.nonEmpty) {
+          val conn = DriverManager.getConnection(url, user, password)
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(sql)
+            rows.foreach { r =>
+              dialect.bindUpsert(st, r)
+              st.addBatch()
+            }
+            st.executeBatch()
+            conn.commit()
+          } finally conn.close()
+        }
       }
   }
 
-  /** S11: `UPDATE ... SET status=?, processed_at=NOW() WHERE
-    * file_hash=?` (`dags/dag.py:320-345`).
+  /** S11: `UPDATE ... SET status=?, processed_at=CURRENT_TIMESTAMP
+    * WHERE file_hash=?` (`dags/dag.py:320-345`; CURRENT_TIMESTAMP is
+    * the standard spelling of the reference's NOW()).
     */
-  def updateStatus(batch: DataFrame, url: String, user: String, password: String): Unit =
+  def updateStatus(batch: DataFrame, url: String, user: String, password: String,
+      dialect: SqlDialect = Postgres): Unit =
     batch.select("file_hash", "status")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val conn = DriverManager.getConnection(url, user, password)
-        try {
-          conn.setAutoCommit(false)
-          val st = conn.prepareStatement(
-            s"UPDATE $Table SET status = ?, processed_at = NOW() WHERE file_hash = ?")
-          rows.foreach { r =>
-            st.setString(1, r.getString(1))
-            st.setString(2, r.getString(0))
-            st.addBatch()
-          }
-          st.executeBatch()
-          conn.commit()
-        } finally conn.close()
+        if (rows.nonEmpty) {
+          val conn = DriverManager.getConnection(url, user, password)
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(
+              s"UPDATE $Table SET status = ?, processed_at = CURRENT_TIMESTAMP WHERE file_hash = ?")
+            rows.foreach { r =>
+              st.setString(1, r.getString(1))
+              st.setString(2, r.getString(0))
+              st.addBatch()
+            }
+            st.executeBatch()
+            conn.commit()
+          } finally conn.close()
+        }
       }
 }

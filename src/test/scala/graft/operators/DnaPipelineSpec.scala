@@ -62,4 +62,37 @@ class DnaPipelineSpec extends AnyFunSuite {
       .count()
     assert(n == 0)
   }
+
+  test("DNA base density invariant: 4.8 < bases/byte < 5.3 for every source") {
+    import spark.implicits._
+    // pins total_dna_bases (not ANSI-SQL-expressible, so outside the
+    // oracle): base-3 encoding expands bytes by 8/log2(3) ≈ 5.05
+    val off = DnaPipeline.dnaBaseStats(spark, sf)
+      .select($"total_dna_bases".cast("double") / $"total_bytes")
+      .as[Double].collect()
+    assert(off.nonEmpty)
+    assert(off.forall(r => r > 4.8 && r < 5.3), off.mkString(","))
+  }
+
+  test("aggregator reconstructs a 10k-chunk file (no collect_list array)") {
+    import spark.implicits._
+    // one 640 kB document -> 10_000 chunks of 64 bytes
+    val text = {
+      val sb = new StringBuilder
+      var i = 0
+      while (sb.length < 640000) { sb.append(s"w$i "); i += 1 }
+      sb.toString.substring(0, 640000)
+    }
+    val chunks = spark.createDataset(Seq((0L, text))).toDF("doc_id", "text")
+      .withColumn("chunk",
+        explode(DnaFunctions.dnaChunks(DnaPipeline.ChunkSize, DnaPipeline.Nsym)($"text")))
+      .select($"doc_id", $"chunk.idx", $"chunk.dna_sequence", $"chunk.chunk_nbytes")
+      .repartition(8) // chunks scattered: partial aggregation must merge
+      .as[DnaFunctions.ChunkSlice]
+    assert(chunks.count() == 10000)
+    val recon = chunks.groupByKey(_.doc_id)
+      .agg(DnaFunctions.ReconstructAggregator.toColumn.name("r"))
+      .collect().head._2
+    assert(recon == text)
+  }
 }
