@@ -48,16 +48,48 @@ object Dedup {
 
   def shingles(text: Column): Column = shinglesUdf(text)
 
-  /** doc_id → exploded distinct shingle rows, shingle pre-hashed to
-    * 64 bits so the inverted-index join shuffles and compares longs,
-    * not strings. (Collision odds across ~10⁵ distinct shingles are
-    * ~10⁻¹⁰ — far below the float-rounding tolerance of the check.)
+  /** FNV-1a 64-bit of a shingle string — the single base hash shared
+    * by the inverted index, the minhash signatures, and the LSH verify
+    * join, so tokenize+hash happens once per document and no shingle
+    * STRING ever reaches a shuffle.
+    */
+  @inline private def fnv1a(g: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < g.length) { h ^= g.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Distinct word-3-gram shingles pre-hashed to 64 bits in the same
+    * tokenize pass (same semantics as [[shingles]], minus the strings).
+    * Everything downstream — inverted index, minhash, LSH verify —
+    * shuffles and intersects these 8-byte keys instead of strings.
+    * (Collision odds across ~10⁵ distinct shingles are ~10⁻¹⁰ — far
+    * below the float-rounding tolerance of the oracle check.)
+    */
+  private val shingleHashesUdf = udf { (text: String) =>
+    val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 3) Seq.empty[Long]
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[Long]
+      var i = 0
+      while (i <= toks.length - 3) {
+        out += fnv1a(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      out.toSeq
+    }
+  }
+
+  def shingleHashes(text: Column): Column = shingleHashesUdf(text)
+
+  /** doc_id → exploded distinct 64-bit shingle-hash rows (the
+    * inverted-index relation).
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", explode(shingles($"text")).as("sh"))
-      .select($"doc_id", xxhash64($"sh").as("shingle"))
+      .select($"doc_id", explode(shingleHashes($"text")).as("shingle"))
   }
 
   /** Emit all ordered (a<b) pairs from one inverted-index bucket,
@@ -101,7 +133,7 @@ object Dedup {
       maxDf: Int = MaxShingleDf): DataFrame = {
     import s.implicits._
     val sizes = Tables.documents(s, d)
-      .select($"doc_id", size(shingles($"text")).as("n_shingles"))
+      .select($"doc_id", size(shingleHashes($"text")).as("n_shingles"))
     val inter = shingleRows(s, d)
       .groupBy($"shingle").agg(collect_list($"doc_id").as("ids"))
       .filter(size($"ids") > 1 && size($"ids") <= maxDf)
