@@ -32,7 +32,12 @@ object Dedup {
     * split on \s+, drop empties, join triples with single spaces,
     * keep first occurrence order, distinct.
     */
-  private val shinglesUdf = udf { (text: String) =>
+  /** The single tokenize/3-gram/dedup pass both shingle kernels share
+    * (so tokenization can never drift between the exact-Jaccard path
+    * and the minhash/LSH paths): split on \s+, drop empties, join
+    * triples with single spaces, keep first occurrence order, distinct.
+    */
+  private def distinctShingles(text: String): Seq[String] = {
     val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
     if (toks.length < 3) Seq.empty[String]
     else {
@@ -46,12 +51,14 @@ object Dedup {
     }
   }
 
+  private val shinglesUdf = udf { (text: String) => distinctShingles(text) }
+
   def shingles(text: Column): Column = shinglesUdf(text)
 
-  /** FNV-1a 64-bit of a shingle string — the single base hash shared
-    * by the inverted index, the minhash signatures, and the LSH verify
-    * join, so tokenize+hash happens once per document and no shingle
-    * STRING ever reaches a shuffle.
+  /** FNV-1a 64-bit — the single base hash shared by the inverted
+    * index, the minhash signatures, the simhash bit votes, and the LSH
+    * verify join, so a hash-function change cannot silently diverge
+    * between paths.
     */
   @inline private def fnv1a(g: String): Long = {
     var h = 0xcbf29ce484222325L
@@ -61,25 +68,15 @@ object Dedup {
   }
 
   /** Distinct word-3-gram shingles pre-hashed to 64 bits in the same
-    * tokenize pass (same semantics as [[shingles]], minus the strings).
-    * Everything downstream — inverted index, minhash, LSH verify —
-    * shuffles and intersects these 8-byte keys instead of strings.
-    * (Collision odds across ~10⁵ distinct shingles are ~10⁻¹⁰ — far
-    * below the float-rounding tolerance of the oracle check.)
+    * tokenize pass (same dedup-on-strings semantics as [[shingles]], so
+    * `size(shingleHashes)` = `size(shingles)` even under a hash
+    * collision). Everything downstream — inverted index, minhash, LSH
+    * verify — shuffles and intersects these 8-byte keys instead of
+    * strings. (Collision odds across ~10⁵ distinct shingles are ~10⁻¹⁰
+    * — far below the float-rounding tolerance of the oracle check.)
     */
-  private val shingleHashesUdf = udf { (text: String) =>
-    val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
-    if (toks.length < 3) Seq.empty[Long]
-    else {
-      val out = new scala.collection.mutable.LinkedHashSet[Long]
-      var i = 0
-      while (i <= toks.length - 3) {
-        out += fnv1a(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-        i += 1
-      }
-      out.toSeq
-    }
-  }
+  private val shingleHashesUdf =
+    udf { (text: String) => distinctShingles(text).map(fnv1a) }
 
   def shingleHashes(text: Column): Column = shingleHashesUdf(text)
 
@@ -156,21 +153,19 @@ object Dedup {
   val BandRows = 2
   val NumBands: Int = NumHashes / BandRows
 
-  /** One-pass MinHash signature kernel: for each of the 64 seeds, the
-    * min over the doc's shingles of a seeded 64-bit hash. A document's
-    * shingle set always fits in task memory, so this is a narrow map —
-    * no explode, no 64-column aggregation, no shuffle. (The grouped
-    * min-aggregation form would only be needed if a single record's
-    * shingle stream exceeded memory.)
+  /** One-pass MinHash signature kernel over the doc's 64-bit shingle
+    * hashes ([[shingleHashes]]): for each of the 64 seeds, the min of a
+    * per-seed avalanche of the base hash — so the shingle strings are
+    * tokenized and hashed exactly once per document and never leave the
+    * map task. A document's shingle set always fits in task memory, so
+    * this is a narrow map — no explode, no 64-column aggregation, no
+    * shuffle. (The grouped min-aggregation form would only be needed if
+    * a single record's shingle stream exceeded memory.)
     */
   val minhashSigUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (sh: Seq[String]) =>
+    udf { (hs: Seq[Long]) =>
       val sig = Array.fill(NumHashes)(Long.MaxValue)
-      Option(sh).getOrElse(Seq.empty).foreach { g =>
-        // FNV-1a base hash, then a distinct avalanche per seed
-        var h = 0xcbf29ce484222325L
-        var i = 0
-        while (i < g.length) { h ^= g.charAt(i); h *= 0x100000001b3L; i += 1 }
+      Option(hs).getOrElse(Seq.empty).foreach { h =>
         var k = 0
         while (k < NumHashes) {
           var x = h ^ (0x9e3779b97f4a7c15L * (k + 1))
@@ -188,7 +183,7 @@ object Dedup {
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", minhashSigUdf(shingles($"text")).as("sig"))
+      .select($"doc_id", minhashSigUdf(shingleHashes($"text")).as("sig"))
   }
 
   /** LSH candidate pairs: hash each band of the signature to a bucket,
@@ -210,7 +205,7 @@ object Dedup {
     // shingle kernel twice per row.
     val sig = Tables.documents(s, d)
       .filter(size(TextAnalysis.tokens($"text")) >= 3)
-      .select($"doc_id", minhashSigUdf(shingles($"text")).as("sig"))
+      .select($"doc_id", minhashSigUdf(shingleHashes($"text")).as("sig"))
     val bands = array((0 until NumBands).map { b =>
       val cols = (0 until BandRows).map(r => element_at($"sig", b * BandRows + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
@@ -235,10 +230,7 @@ object Dedup {
     udf { (toks: Seq[String]) =>
       val votes = new Array[Int](64)
       Option(toks).getOrElse(Seq.empty).foreach { t =>
-        // FNV-1a 64-bit: cheap, stable, no engine dependency
-        var h = 0xcbf29ce484222325L
-        var i = 0
-        while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+        val h = fnv1a(t) // the shared base hash
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -320,8 +312,10 @@ object Dedup {
     // dedup_ngram_jaccard: the LSH path must find the same pairs.
     "dedup_minhash_lsh" -> { (s, d) =>
       import s.implicits._
+      // verify on the 8-byte hashed-shingle arrays, not the strings —
+      // the candidate verify join is the widest shuffle of this query
       val docSh = Tables.documents(s, d)
-        .select($"doc_id", shingles($"text").as("sh"))
+        .select($"doc_id", shingleHashes($"text").as("sh"))
       val verified = lshCandidates(s, d)
         .join(docSh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
         .join(docSh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
@@ -417,21 +411,26 @@ object Dedup {
     val s = emb.sparkSession
     import s.implicits._
     import graft.functions.VectorFunctions
-    val e = emb.select($"vec_id", $"embedding",
-      VectorFunctions.norm($"embedding").as("nrm"))
-    val bucketed = e
-      .select($"vec_id", $"embedding", $"nrm",
-        explode(Similarity.lshBuckets($"embedding")).as("tb"))
-      .select($"vec_id", $"embedding", $"nrm",
-        $"tb._1".as("table"), $"tb._2".as("bucket"))
-    bucketed.as("a")
+    // candidate generation and its multi-table dedup move bare 16-byte
+    // id pairs only; embeddings re-attach AFTER the dedup, so a pair
+    // colliding in several tables never ships its vectors repeatedly
+    // through the widest shuffle
+    val bucketed = emb
+      .select($"vec_id", explode(Similarity.lshBuckets($"embedding")).as("tb"))
+      .select($"vec_id", $"tb._1".as("table"), $"tb._2".as("bucket"))
+    val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         $"a.table" === $"b.table" && $"a.bucket" === $"b.bucket" &&
           $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
-        $"a.embedding".as("emb_a"), $"b.embedding".as("emb_b"),
-        $"a.nrm".as("nrm_a"), $"b.nrm".as("nrm_b"))
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
       .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
+    val e = emb.select($"vec_id", $"embedding",
+      VectorFunctions.norm($"embedding").as("nrm"))
+    cand
+      .join(e.select($"vec_id".as("id_a"), $"embedding".as("emb_a"),
+        $"nrm".as("nrm_a")), "id_a")
+      .join(e.select($"vec_id".as("id_b"), $"embedding".as("emb_b"),
+        $"nrm".as("nrm_b")), "id_b")
       .select($"id_a", $"id_b",
         round(VectorFunctions.cosineFrom(
           VectorFunctions.dot($"emb_a", $"emb_b"), $"nrm_a", $"nrm_b"), 4)

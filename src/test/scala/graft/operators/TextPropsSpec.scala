@@ -52,10 +52,13 @@ class TextPropsSpec extends AnyFunSuite {
     val df = corpus(300).toDF("text")
     val r = df.select(
       size(TextAnalysis.tokens($"text")).as("n"),
-      Dedup.shingles($"text").as("sh"))
+      Dedup.shingles($"text").as("sh"),
+      Dedup.shingleHashes($"text").as("shh"))
     // distinct shingle set is bounded by the raw count
     assert(r.filter(size($"sh") > greatest($"n" - 2, lit(0))).count() == 0)
     assert(r.filter(exists($"sh", s => size(split(s, " ")) =!= 3)).count() == 0)
+    // the hashed kernel tracks the string kernel 1:1 (collision guard)
+    assert(r.filter(size($"shh") =!= size($"sh")).count() == 0)
   }
 
   test("jaccard laws: self-similarity 1, symmetric input gives symmetric output") {
