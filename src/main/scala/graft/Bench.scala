@@ -29,7 +29,35 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query regression tripwire: compare against the committed
+    // budget lines (bench_budget.json); a query at >2x its line is a
+    // regression that must be either fixed or re-budgeted consciously
+    val violations = Bench.budgetViolations(results)
+    violations.foreach { case (name, t, b) =>
+      System.err.println(f"[bench] BUDGET EXCEEDED: $name took $t%.2f s > 2x budget $b%.2f s")
+    }
+    val vjson = violations
+      .map { case (n, t, b) => s"\"" + n + "\":{\"sec\":" + t + ",\"budget\":" + b + "}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","budget_violations":$vjson}""")
     spark.stop()
+  }
+
+  /** Budget lines from bench_budget.json (flat name→seconds map; the
+    * `_comment` key and absent file are tolerated so Bench never fails
+    * on the guard itself).
+    */
+  def budgets(): Map[String, Double] = try {
+    val src = scala.io.Source.fromFile("bench_budget.json")
+    val txt = try src.mkString finally src.close()
+    """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  def budgetViolations(results: Seq[(String, Double)]): Seq[(String, Double, Double)] = {
+    val b = budgets()
+    results.flatMap { case (name, t) =>
+      b.get(name).collect { case line if t > 2 * line => (name, t, line) }
+    }
   }
 }
