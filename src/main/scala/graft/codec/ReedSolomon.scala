@@ -152,26 +152,62 @@ object ReedSolomon {
     r
   }
 
-  /** Correct one encoded block (data+parity, ≤255 bytes);
-    * returns the corrected data part, or None if uncorrectable.
-    * Textbook decoder: syndromes → Berlekamp–Massey → Chien search →
-    * Forney with the product-form Λ' (Wikiversity "RS codes for coders"
-    * construction, the same public algorithm the reference codec uses).
+  /** Forney syndromes: fold each known-erasure root into the syndrome
+    * sequence so Berlekamp–Massey sees only the UNKNOWN errors. After
+    * folding f erasures, the first `nsym - f` entries are the modified
+    * syndromes BM may use.
     */
-  def decodeBlock(encoded: Array[Byte], nsym: Int): Option[Array[Byte]] = {
-    val block = encoded.map(_ & 0xff)
-    val synd = syndromes(block, nsym) // synd(i) = S_i, i in [0, nsym)
-    if (synd.forall(_ == 0)) return Some(encoded.dropRight(nsym))
+  private def forneySyndromes(synd: Array[Int], erasePos: Seq[Int],
+      n: Int): Array[Int] = {
+    val fsynd = synd.clone()
+    erasePos.foreach { p =>
+      val x = gfPow(2, n - 1 - p)
+      var j = 0
+      while (j < fsynd.length - 1) {
+        fsynd(j) = gfMul(fsynd(j), x) ^ fsynd(j + 1)
+        j += 1
+      }
+    }
+    fsynd
+  }
 
-    // Berlekamp–Massey (coefficients high-to-low; delta taps low-order end)
+  /** Correct one encoded block (data+parity, ≤255 bytes) given
+    * optional known-erasure positions; returns the corrected data part
+    * plus the errata positions corrected (the known erasures and the
+    * located unknown errors, block-relative, sorted) —
+    * the `(decoded, errata_pos)` surface of the reference codec's
+    * `rs_codec.decode` (`plugins/utils/dna_encoding.py:261`, reedsolo
+    * 1.7.0). Capacity: f erasures + e errors correctable while
+    * 2e + f ≤ nsym. Textbook construction throughout: syndromes →
+    * Forney syndromes → Berlekamp–Massey → Chien search → errata
+    * locator from known positions → Forney with the product-form Λ'
+    * (Wikiversity "RS codes for coders", the same public algorithm the
+    * reference codec uses).
+    */
+  def decodeBlockErrata(encoded: Array[Byte], nsym: Int,
+      erasePos: Seq[Int] = Nil): Option[(Array[Byte], Seq[Int])] = {
+    val block = encoded.map(_ & 0xff)
+    require(erasePos.forall(p => p >= 0 && p < block.length),
+      s"erasure position out of block range [0, ${block.length})")
+    if (erasePos.length > nsym) return None // beyond capacity by construction
+    val erasures = erasePos.distinct
+    erasures.foreach(block(_) = 0) // erasure convention: zero, then solve
+    val synd = syndromes(block, nsym) // synd(i) = S_i, i in [0, nsym)
+    if (synd.forall(_ == 0))
+      return Some((block.dropRight(nsym).map(_.toByte), Nil))
+
+    // Berlekamp–Massey over the Forney syndromes (erasure roots folded
+    // out), iterating only the nsym - f informative entries
+    // (coefficients high-to-low; delta taps low-order end)
+    val fsynd = forneySyndromes(synd, erasures, block.length)
     var errLoc = Array(1)
     var oldLoc = Array(1)
     var i = 0
-    while (i < nsym) {
-      var delta = synd(i)
+    while (i < nsym - erasures.length) {
+      var delta = fsynd(i)
       var j = 1
       while (j < errLoc.length) {
-        delta ^= gfMul(errLoc(errLoc.length - 1 - j), synd(i - j))
+        delta ^= gfMul(errLoc(errLoc.length - 1 - j), fsynd(i - j))
         j += 1
       }
       oldLoc = oldLoc :+ 0
@@ -190,7 +226,7 @@ object ReedSolomon {
       case a              => a
     }
     val nErrors = errLoc.length - 1
-    if (nErrors * 2 > nsym) return None
+    if (nErrors * 2 + erasures.length > nsym) return None
 
     // Chien search over message positions: the REVERSED locator has its
     // root for coefficient position c at x = α^c
@@ -204,13 +240,19 @@ object ReedSolomon {
     }
     if (errPos.length != nErrors) return None
 
-    // Forney: X_i = α^{coefPos_i}; magnitudes via product-form Λ'
-    val coefPos = errPos.map(p => block.length - 1 - p)
+    // Errata = known erasures + located errors. Build the combined
+    // locator in normalized product form ∏(1 + X_i·x) directly from
+    // the positions — Forney's magnitudes then use its roots.
+    val errataPos = (erasures ++ errPos).distinct.sorted
+    val coefPos = errataPos.map(p => block.length - 1 - p)
+    val errataLoc = coefPos
+      .map(c => Array(gfPow(2, c), 1))
+      .foldLeft(Array(1))(polyMul)
     // Ω(x) = (S(x)·x)·Λ(x) mod x^{e+1}; the extra x factor (the codec's
     // zero-pad convention) cancels the Xi multiplier in the numerator
     val syndPoly = synd.reverse :+ 0 // high-to-low: S_{nsym-1} ... S_0, 0
-    val prod = polyMul(syndPoly, errLoc)
-    val omega = prod.drop(prod.length - (errLoc.length - 1) - 1)
+    val prod = polyMul(syndPoly, errataLoc)
+    val omega = prod.drop(prod.length - (errataLoc.length - 1) - 1)
     val xs = coefPos.map(c => gfPow(2, c)).toArray
     var k = 0
     while (k < xs.length) {
@@ -224,20 +266,36 @@ object ReedSolomon {
       }
       if (lambdaPrime == 0) return None
       val y = gfMul(xi, polyEval(omega, xiInv))
-      block(errPos(k)) ^= gfDiv(y, lambdaPrime)
+      block(errataPos(k)) ^= gfDiv(y, lambdaPrime)
       k += 1
     }
     if (syndromes(block, nsym).exists(_ != 0)) None
-    else Some(block.dropRight(nsym).map(_.toByte))
+    else Some((block.dropRight(nsym).map(_.toByte), errataPos))
+  }
+
+  /** Error-only block decode (erasure-free fast surface). */
+  def decodeBlock(encoded: Array[Byte], nsym: Int): Option[Array[Byte]] =
+    decodeBlockErrata(encoded, nsym).map(_._1)
+
+  /** Chunked erasure-aware decode+correct: inverse of [[encode]], with
+    * erasure positions given in ENCODED-stream coordinates; returns
+    * the corrected data and the stream-coordinate errata positions.
+    */
+  def decodeErrata(encoded: Array[Byte], nsym: Int,
+      erasePos: Seq[Int] = Nil): Option[(Array[Byte], Seq[Int])] = {
+    if (encoded.length <= 255) decodeBlockErrata(encoded, nsym, erasePos)
+    else {
+      val byBlock = erasePos.groupBy(_ / 255)
+      val blocks = encoded.grouped(255).zipWithIndex.map { case (b, bi) =>
+        decodeBlockErrata(b, nsym, byBlock.getOrElse(bi, Nil).map(_ % 255))
+          .map { case (data, pos) => (data, pos.map(_ + bi * 255)) }
+      }.toSeq
+      if (blocks.exists(_.isEmpty)) None
+      else Some((blocks.flatMap(_.get._1).toArray, blocks.flatMap(_.get._2)))
+    }
   }
 
   /** Chunked decode+correct: inverse of [[encode]]. */
-  def decode(encoded: Array[Byte], nsym: Int): Option[Array[Byte]] = {
-    if (encoded.length <= 255) decodeBlock(encoded, nsym)
-    else {
-      val blocks = encoded.grouped(255).map(decodeBlock(_, nsym)).toSeq
-      if (blocks.exists(_.isEmpty)) None
-      else Some(blocks.flatMap(_.get).toArray)
-    }
-  }
+  def decode(encoded: Array[Byte], nsym: Int): Option[Array[Byte]] =
+    decodeErrata(encoded, nsym).map(_._1)
 }

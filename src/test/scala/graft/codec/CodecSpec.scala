@@ -144,6 +144,78 @@ class CodecSpec extends AnyFunSuite {
     assert(out.isEmpty || out.get.toSeq != data.toSeq)
   }
 
+  test("RS erasure mode corrects a full nsym of erasures at known positions") {
+    // reedsolo parity (dna_encoding.py:261): with the positions known,
+    // capacity doubles — up to nsym erasures, vs nsym/2 unknown errors
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val nsym = 10
+      val data = Array.fill[Byte](rnd.nextInt(200) + 20)(rnd.nextInt(256).toByte)
+      val enc = ReedSolomon.encode(data, nsym)
+      val corrupted = enc.clone()
+      val positions = rnd.shuffle((0 until enc.length).toList).take(nsym).sorted
+      positions.foreach { p =>
+        corrupted(p) = (corrupted(p) ^ (rnd.nextInt(255) + 1)).toByte
+      }
+      val out = ReedSolomon.decodeErrata(corrupted, nsym, positions)
+      assert(out.map(_._1.toSeq).contains(data.toSeq),
+        s"failed on $positions, len ${data.length}")
+      // every corrupted position is reported as corrected errata
+      assert(positions.toSet.subsetOf(out.get._2.toSet),
+        s"errata ${out.get._2} misses some of $positions")
+    }
+  }
+
+  test("RS mixed errata: e errors + f erasures correct while 2e + f <= nsym") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 50) {
+      val nsym = 10
+      val data = Array.fill[Byte](rnd.nextInt(180) + 20)(rnd.nextInt(256).toByte)
+      val enc = ReedSolomon.encode(data, nsym)
+      val e = rnd.nextInt(nsym / 2 + 1)          // unknown errors
+      val f = rnd.nextInt(nsym - 2 * e + 1)      // known erasures
+      val all = rnd.shuffle((0 until enc.length).toList).take(e + f)
+      val (errs, erasures) = all.splitAt(e)
+      val corrupted = enc.clone()
+      all.foreach { p =>
+        corrupted(p) = (corrupted(p) ^ (rnd.nextInt(255) + 1)).toByte
+      }
+      val out = ReedSolomon.decodeErrata(corrupted, nsym, erasures)
+      assert(out.map(_._1.toSeq).contains(data.toSeq),
+        s"failed with e=$e at $errs, f=$f at $erasures, len ${data.length}")
+      assert(all.toSet.subsetOf(out.get._2.toSet))
+    }
+  }
+
+  test("RS erasure mode refuses more than nsym erasures; multi-block positions map through") {
+    val nsym = 10
+    val data = Array.fill[Byte](60)(3)
+    val enc = ReedSolomon.encode(data, nsym)
+    assert(ReedSolomon.decodeErrata(enc, nsym, 0 to nsym).isEmpty)
+    // chunked stream: corrupt one byte in each 255-byte block of a
+    // 1000-byte message; errata come back in stream coordinates
+    val big = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val bigEnc = ReedSolomon.encode(big, nsym)
+    val corrupted = bigEnc.clone()
+    val posns = Seq(5, 255 + 17, 510 + 100)
+    posns.foreach(p => corrupted(p) = (corrupted(p) ^ 0x3c).toByte)
+    val out = ReedSolomon.decodeErrata(corrupted, nsym, posns)
+    assert(out.map(_._1.toSeq).contains(big.toSeq))
+    assert(posns.toSet.subsetOf(out.get._2.toSet))
+  }
+
+  test("RS errata positions are reported for error-only decode too") {
+    val nsym = 8
+    val data = Array.fill[Byte](100)(11)
+    val enc = ReedSolomon.encode(data, nsym)
+    val corrupted = enc.clone()
+    val posns = Seq(3, 42, 77)
+    posns.foreach(p => corrupted(p) = (corrupted(p) ^ 0x11).toByte)
+    val out = ReedSolomon.decodeErrata(corrupted, nsym)
+    assert(out.map(_._1.toSeq).contains(data.toSeq))
+    assert(out.get._2.sorted == posns)
+  }
+
   // ---- UTF-8 chunker (dna_encoding.py:282-305) ----
 
   test("chunker never splits a code point and covers all bytes") {
