@@ -103,6 +103,38 @@ class JdbcTrackingSpec extends AnyFunSuite {
       fileHash = Some("absent"), dialect = JdbcTracking.Derby) == 0)
   }
 
+  test("Postgres dialect emits the reference's exact statement and bind order") {
+    // no Postgres in the container: pin the statement TEXT and the
+    // parameter order against the reference (dags/dag.py:740-759) —
+    // the dialect seam itself is executed for real via Derby above
+    val norm = JdbcTracking.Postgres.upsertSql(JdbcTracking.Table)
+      .split("\\s+").filter(_.nonEmpty).mkString(" ")
+    assert(norm ==
+      "INSERT INTO processed_files (file_hash, file_path, file_size, status, output_file) " +
+        "VALUES (?, ?, ?, ?, ?) ON CONFLICT (file_hash) DO NOTHING")
+
+    val calls = scala.collection.mutable.Buffer.empty[(Int, Any)]
+    val ps = java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.PreparedStatement]),
+      (_, method, args) => {
+        if (method.getName.startsWith("set") && args != null && args.length >= 2)
+          calls += ((args(0).asInstanceOf[Int], args(1)))
+        null
+      }).asInstanceOf[java.sql.PreparedStatement]
+    JdbcTracking.Postgres.bindUpsert(ps,
+      org.apache.spark.sql.Row("HASH", "/in/f.txt", 123L, "completed", "processed_f.txt"))
+    // bind order = the reference's parameters list: hash, path, size,
+    // status, output_file
+    assert(calls.sortBy(_._1).map(_._2).toSeq ==
+      Seq("HASH", "/in/f.txt", 123L, "completed", "processed_f.txt"))
+    // a null output_file binds as SQL NULL, not the string "null"
+    calls.clear()
+    JdbcTracking.Postgres.bindUpsert(ps,
+      org.apache.spark.sql.Row("HASH2", "/in/g.txt", 5L, "failed", null))
+    assert(calls.sortBy(_._1).map(_._2).toSeq ==
+      Seq("HASH2", "/in/g.txt", 5L, "failed", null))
+  }
+
   test("status update stamps processed_at and changes only the targeted hash") {
     init
     JdbcTracking.upsert(batch(

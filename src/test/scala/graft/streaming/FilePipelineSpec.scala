@@ -63,6 +63,41 @@ class FilePipelineSpec extends AnyFunSuite {
     assert(reports.filter("original_checksum <> reconstructed_checksum").count() == 0)
   }
 
+  test("ProcessingTime daemon: batch 2 dedups against batch 1 hashes without restarting") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the reference's deployment shape is a 30-minute cron cadence
+    // (dags/dag.py:39-40); the daemon equivalent is one long-lived
+    // query on Trigger.ProcessingTime, where each file drop becomes
+    // its own micro-batch and dedup must hold ACROSS micro-batches
+    val dirs = freshDirs()
+    Files.createDirectories(Paths.get(dirs.input))
+    Files.write(Paths.get(dirs.input, "first.txt"),
+      "daemon batch one".getBytes(StandardCharsets.UTF_8))
+    val q = FilePipeline.run(spark, dirs,
+      FilePipeline.Config(chunkSize = 64, errorCorrectionSymbols = 4),
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable()
+      assert(Files.exists(Paths.get(dirs.output, "processed_first.txt")))
+      assert(spark.read.parquet(dirs.tracking).count() == 1)
+
+      // second drop while the daemon stays up: a renamed duplicate of
+      // batch 1's content plus a genuinely new file
+      Files.write(Paths.get(dirs.input, "dup_of_first.txt"),
+        "daemon batch one".getBytes(StandardCharsets.UTF_8))
+      Files.write(Paths.get(dirs.input, "second.txt"),
+        "daemon batch two".getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+
+      val t = spark.read.parquet(dirs.tracking)
+      assert(t.count() == 2, "duplicate content must not re-track in a later micro-batch")
+      assert(!Files.exists(Paths.get(dirs.output, "processed_dup_of_first.txt")))
+      assert(Files.exists(Paths.get(dirs.output, "processed_second.txt")))
+      // and this really was multi-batch daemon execution, not one drain
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    } finally q.stop()
+  }
+
   test("second run is a no-op; renamed duplicate content is skipped (content-hash dedup)") {
     val dirs = freshDirs()
     copyGolden(dirs.input)
