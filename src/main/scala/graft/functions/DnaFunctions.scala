@@ -42,11 +42,26 @@ object DnaFunctions {
 
   /** Fused encode→validate→reconstruct→report: the whole per-file
     * pipeline as one narrow map (no shuffle), `dna_encoding.py:416-476`.
+    * UDF form — registry-free; interchangeable with the whole-stage-
+    * codegen native form below, which the pipeline call sites use.
     */
   def dnaProcess(chunkSize: Int, nsym: Int) = udf { (text: String) =>
     val r = DnaCodec.processText(text, chunkSize, nsym)
     ReportOut(r.originalChecksum, r.reconstructedChecksum, r.dnaChunksCount,
       r.totalDnaBases, r.status)
+  }
+
+  /** Native-expression form of [[dnaProcess]] (`graft.plans.DnaProcess`):
+    * stays inside whole-stage codegen with no per-row UDF encoder
+    * boxing. Registers the graft SQL functions into the session first
+    * (idempotent).
+    */
+  def dnaProcessNative(spark: org.apache.spark.sql.SparkSession,
+      chunkSize: Int, nsym: Int)(text: Column): Column = {
+    graft.plans.GraftExtensions.register(spark)
+    org.apache.spark.sql.functions.call_function("dna_process",
+      text, org.apache.spark.sql.functions.lit(chunkSize),
+      org.apache.spark.sql.functions.lit(nsym))
   }
 
   /** DNA sequence + original byte length → decoded UTF-8 text (null on

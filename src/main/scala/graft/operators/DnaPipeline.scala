@@ -65,7 +65,7 @@ object DnaPipeline {
       chunkSize: Int = ChunkSize, nsym: Int = Nsym): DataFrame = {
     import s.implicits._
     discover(s, d)
-      .withColumn("r", DnaFunctions.dnaProcess(chunkSize, nsym)($"text"))
+      .withColumn("r", DnaFunctions.dnaProcessNative(s, chunkSize, nsym)($"text"))
       .select($"doc_id", $"file_hash", $"file_size", $"r.*")
   }
 

@@ -25,7 +25,17 @@ object GraftExtensions {
         (args: Seq[Expression]) => DnaEncode(args.head)),
       (FunctionIdentifier("dna_decode"),
         new ExpressionInfo(classOf[DnaDecode].getName, "dna_decode"),
-        (args: Seq[Expression]) => DnaDecode(args(0), args(1))))
+        (args: Seq[Expression]) => DnaDecode(args(0), args(1))),
+      (FunctionIdentifier("dna_process"),
+        new ExpressionInfo(classOf[DnaProcess].getName, "dna_process"),
+        (args: Seq[Expression]) => {
+          def intLit(e: Expression, name: String): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"dna_process: $name must be an integer literal, got $other")
+          }
+          DnaProcess(args(0), intLit(args(1), "chunk_size"), intLit(args(2), "nsym"))
+        }))
 
   /** Late registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -148,7 +148,8 @@ object FilePipeline {
       .withColumn("oversize", $"file_size" > cfg.maxFileBytes)
       .withColumn("r",
         when(!$"oversize",
-          DnaFunctions.dnaProcess(cfg.chunkSize, cfg.errorCorrectionSymbols)($"content")))
+          DnaFunctions.dnaProcessNative(spark, cfg.chunkSize,
+            cfg.errorCorrectionSymbols)($"content")))
       .withColumn("status",
         when($"oversize", lit("failed"))
           .when($"r.status" === "success" &&

@@ -66,4 +66,36 @@ class DnaExpressionsSpec extends AnyFunSuite {
       .filter("x IS NOT NULL").count()
     assert(n == 0)
   }
+
+  test("dna_process native expression equals the UDF kernel field-for-field") {
+    import spark.implicits._
+    val texts = Seq("short", "é mixed — utf8 " * 20, "z" * 500, "")
+    val df = texts.toDF("text")
+    val native = df.select(
+      graft.functions.DnaFunctions.dnaProcessNative(spark, 64, 4)($"text").as("r"))
+      .select($"r.*")
+    val viaUdf = df.select(
+      graft.functions.DnaFunctions.dnaProcess(64, 4)($"text").as("r"))
+      .select($"r.*")
+    assert(native.columns.toSeq == viaUdf.columns.toSeq)
+    assert(native.except(viaUdf).count() == 0)
+    assert(viaUdf.except(native).count() == 0)
+    // null text -> null report struct, no NPE
+    val n = Seq[String](null).toDF("text")
+      .select(graft.functions.DnaFunctions.dnaProcessNative(spark, 64, 4)($"text").as("r"))
+      .filter($"r".isNotNull).count()
+    assert(n == 0)
+  }
+
+  test("dna_process stays inside whole-stage codegen and rejects non-literal params") {
+    val plan = spark.range(4)
+      .selectExpr("dna_process(CONCAT('doc ', id, ' body text here'), 64, 4) AS r")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected WholeStageCodegen in:\n$plan")
+    val err = intercept[Exception] {
+      spark.range(4)
+        .selectExpr("dna_process('x', CAST(id AS INT), 4)").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
 }
