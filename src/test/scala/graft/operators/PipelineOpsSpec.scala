@@ -266,5 +266,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cents.length == Similarity.ivfK(500))
     // centroids are unit-normalized (spherical k-means invariant)
     assert(cents.forall { case (_, _, nrm) => math.abs(nrm - 1.0) < 1e-6 })
+    // the built index covers the corpus exactly once at the default
+    // single assignment (the ivf_build query's row contract)
+    val built = Similarity.ivfIndex(spark, "/root/testdata/sf0.01")
+    assert(built.assigned.count() == 500)
   }
 }

@@ -60,6 +60,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!scanLine.contains("n_chars") && !scanLine.contains("source"), scanLine)
   }
 
+  test("IVF default probe plan has no candidate-dedup exchange (single assignment)") {
+    // round-4 win: with assign=1 a vector reaches a query through at
+    // most one probed cell, so the probe plan needs no dropDuplicates —
+    // the only shuffle is the top-k window's q_id partition
+    val p = plan("sim_ann_ivf")
+    val dedupAgg = p.split('\n').filter(l =>
+      l.contains("HashAggregate") && l.contains("q_id") && l.contains("n_id"))
+    assert(dedupAgg.isEmpty, s"unexpected candidate dedup:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("embedding LSH candidate dedup ships no vectors through its exchange") {
+    // round-4 win: multi-table collisions dedup on bare id pairs;
+    // embeddings re-attach after — the dedup HashAggregate must not
+    // carry embedding or norm columns
+    val emb = graft.Tables.embeddings(spark, sf)
+    val p = Dedup.embeddingLshPairs(emb, 0.9)
+      .queryExecution.executedPlan.toString
+    val dedupLines = p.split('\n').filter(l =>
+      l.contains("HashAggregate") && l.contains("id_a"))
+    assert(dedupLines.nonEmpty, s"expected an id-pair dedup aggregate in:\n$p")
+    assert(dedupLines.forall(l => !l.contains("emb_") && !l.contains("nrm_")),
+      s"vectors crossed the dedup exchange:\n$p")
+  }
+
   test("dedup_embedding runs no driver collect: construction is fully lazy") {
     // Round-1 regression: the query used to collect() the whole
     // embeddings table to the driver while BUILDING the DataFrame (a
