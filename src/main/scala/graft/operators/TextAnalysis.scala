@@ -111,7 +111,28 @@ object TextAnalysis {
         md5(to_binary(concat_ws(" ", array_sort(array_distinct(tokens($"text")))),
           lit("utf-8"))).as("token_set_fp"),
         md5(to_binary($"text", lit("utf-8"))).as("content_fp"))
+    },
+
+    // Deterministic hash sampling — the staple curation subsample at
+    // corpus scale: keep a document iff the leading hex byte of
+    // md5(doc_id) sorts below the rate threshold ('1a' ≈ 26/256 ≈ 10%).
+    // A pure pushdown-able filter: no shuffle, no RNG state, the SAME
+    // subset on every engine, every rerun, and every partitioning —
+    // the reproducibility property rand()-based sampling lacks, and
+    // what makes train/eval splits auditable.
+    "txt_sample_det" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(substring(
+          md5(to_binary($"doc_id".cast("string"), lit("utf-8"))), 1, 2)
+          < SampleThreshold)
+        .select($"doc_id", $"source", $"lang", length($"text").as("n_chars"))
     })
+
+  /** Hex prefix bound for [[queries txt_sample_det]]: '1a' keeps hash
+    * prefixes 00..19 = 26 of 256 ≈ 10.2% of documents.
+    */
+  val SampleThreshold = "1a"
 
   private val sqlToks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
   private val sqlStop = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -153,5 +174,8 @@ object TextAnalysis {
       s"""SELECT doc_id,
           MD5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS token_set_fp,
           MD5(text) AS content_fp
-          FROM documents""")
+          FROM documents""",
+    "txt_sample_det" ->
+      s"""SELECT doc_id, source, lang, LENGTH(text) AS n_chars FROM documents
+          WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '$SampleThreshold'""")
 }
