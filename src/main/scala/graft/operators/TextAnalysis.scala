@@ -113,6 +113,25 @@ object TextAnalysis {
         md5(to_binary($"text", lit("utf-8"))).as("content_fp"))
     },
 
+    // Sequence packing for pretraining: assign each document to the
+    // fixed-token-budget pack its cumulative offset starts in, packing
+    // WITHIN each source shard (the partition key is what makes the
+    // running sum scale — a global ordering would funnel the corpus
+    // through one window partition; per-shard packing is how the real
+    // job runs, sharded by source/date/path prefix). Deterministic:
+    // doc_id order within shard.
+    "txt_pack" -> { (s, d) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", size(tokens($"text")).as("n_tokens"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"source", $"n_tokens",
+          floor(($"cum" - $"n_tokens") / lit(PackTokens.toDouble)).cast("long")
+            .as("pack_id"))
+    },
+
     // Deterministic hash sampling — the staple curation subsample at
     // corpus scale: keep a document iff the leading hex byte of
     // md5(doc_id) sorts below the rate threshold ('1a' ≈ 26/256 ≈ 10%).
@@ -133,6 +152,9 @@ object TextAnalysis {
     * prefixes 00..19 = 26 of 256 ≈ 10.2% of documents.
     */
   val SampleThreshold = "1a"
+
+  /** Token budget per training pack (txt_pack). */
+  val PackTokens = 2048
 
   private val sqlToks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
   private val sqlStop = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -177,5 +199,12 @@ object TextAnalysis {
           FROM documents""",
     "txt_sample_det" ->
       s"""SELECT doc_id, source, lang, LENGTH(text) AS n_chars FROM documents
-          WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '$SampleThreshold'""")
+          WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '$SampleThreshold'""",
+    "txt_pack" ->
+      s"""SELECT doc_id, source, n_tokens,
+          CAST(FLOOR((cum - n_tokens) / $PackTokens.0) AS BIGINT) AS pack_id
+          FROM (SELECT doc_id, source, len($sqlToks) AS n_tokens,
+            SUM(len($sqlToks)) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM documents)""")
 }
