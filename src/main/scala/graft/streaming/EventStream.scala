@@ -104,4 +104,22 @@ object EventStream {
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
+
+  /** Streaming exact dedup with BOUNDED state: the streaming analogue
+    * of `dedup_exact` / the file pipeline's content-hash anti-join.
+    * `dropDuplicatesWithinWatermark` keeps a key in the state store
+    * only until the watermark passes its event time, so a forever
+    * stream holds O(events-per-watermark-window) state — plain
+    * `dropDuplicates` on a stream accretes one entry per distinct key
+    * seen EVER, which no 100 TB/day stream survives. The contract is
+    * correspondingly windowed: a duplicate arriving within the
+    * watermark of its original is dropped; one arriving later than the
+    * watermark horizon may re-emit (the at-least-once trade every
+    * bounded-state dedup makes).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 }

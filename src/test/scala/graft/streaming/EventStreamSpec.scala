@@ -106,4 +106,29 @@ class EventStreamSpec extends AnyFunSuite {
       .as[(Timestamp, String, Long, Double)].collect().toSet
     assert(got == Set((ts(0), "click", 2L, 4.0), (ts(60), "view", 1L, 1.0)))
   }
+
+  test("streaming dedup drops within-watermark duplicates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, 1, "click", 1.0, ts(0)),
+        Event(1, 1, "click", 1.0, ts(1)), // intra-batch duplicate id
+        Event(2, 2, "view", 2.0, ts(5)))
+      q.processAllAvailable()
+      // replay of event 1 in a LATER micro-batch, still inside the
+      // watermark → state must remember it; plus one new event
+      mem.addData(
+        Event(1, 1, "click", 1.0, ts(10)),
+        Event(3, 3, "click", 3.0, ts(20)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").as[Event].collect().map(_.event_id).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L),
+        s"expected each id exactly once, got $ids")
+    } finally q.stop()
+  }
 }
