@@ -28,7 +28,11 @@ object Similarity {
     * independent tables of `PlanesPerTable` sign bits each. More
     * tables → higher recall; more planes/table → smaller buckets.
     * Literal arrays so every executor compiles the same plan with zero
-    * closure shipping.
+    * closure shipping. 6 bits = 64 buckets/table is sized for the test
+    * corpora (≈40 rows/bucket at sf0.1); at corpus scale hold the
+    * per-bucket row target by growing planes ≈ log₂(n / targetBucket)
+    * — ~25 bits at 10⁹ vectors — and recover recall with more tables
+    * or wider multiprobe, the standard hyperplane-LSH trade.
     */
   val NumTables = 8
   val PlanesPerTable = 6

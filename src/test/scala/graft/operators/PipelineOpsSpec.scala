@@ -72,6 +72,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     // tighter; NumTables / MultiprobeFlips trade probe cost for recall.
     val recall = (bf & ann).size.toDouble / bf.size
     assert(recall >= 0.9, s"ANN recall regressed: $recall")
+    // the built index's row contract: one bucket entry per (vector, table)
+    assert(Similarity.lshIndex(spark, sf01).count() ==
+      500L * Similarity.NumTables)
   }
 
   test("salted aggregation equals direct aggregation") {
