@@ -35,6 +35,25 @@ object Embeddings {
         .groupBy($"gram").agg(count(lit(1)).as("doc_freq"))
         .orderBy($"doc_freq".desc, $"gram".asc)
         .limit(20)
+    },
+
+    // kNN label vote: each query vector takes the majority label of
+    // its 5 nearest neighbors (ties → lowest label) — the classic
+    // embedding-space classifier used for quality/topic propagation
+    // over an unlabeled corpus. Composes the brute-force top-k with a
+    // label join + vote; swap in the IVF/LSH probe for the same vote
+    // at corpus scale.
+    "emb_knn_label" -> { (s, d) =>
+      import s.implicits._
+      val nn = Similarity.topkBruteForce(s, d)
+      val lab = Tables.embeddings(s, d).select($"vec_id".as("n_id"), $"label")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"votes".desc, $"label".asc)
+      nn.join(lab, "n_id")
+        .groupBy($"q_id", $"label").agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"q_id", $"label".as("knn_label"), $"votes")
     })
 
   private val sqlToks =
@@ -55,5 +74,30 @@ object Embeddings {
             generate_series(1, GREATEST(len(t) - 2, 0)),
             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks)
           SELECT gram, COUNT(*) AS doc_freq FROM grams
-          GROUP BY gram ORDER BY doc_freq DESC, gram ASC LIMIT 20""")
+          GROUP BY gram ORDER BY doc_freq DESC, gram ASC LIMIT 20""",
+    "emb_knn_label" -> {
+      def cos(a: String, b: String) =
+        s"""(list_sum(list_transform(generate_series(1, len($a)),
+            i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+          / SQRT(list_sum(list_transform(generate_series(1, len($a)),
+            i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+          / SQRT(list_sum(list_transform(generate_series(1, len($b)),
+            i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
+      s"""WITH scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label,
+              ROUND(${cos("q.embedding", "c.embedding")}, 4) AS cos_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % ${Similarity.QueryStride} = 0),
+          ranked AS (
+            SELECT q_id, label, ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank
+            FROM scored),
+          votes AS (
+            SELECT q_id, label, COUNT(*) AS votes FROM ranked
+            WHERE rank <= ${Similarity.TopK} GROUP BY q_id, label)
+          SELECT q_id, label AS knn_label, votes FROM (
+            SELECT q_id, label, votes, ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY votes DESC, label ASC) AS rk
+            FROM votes) WHERE rk = 1"""
+    })
 }

@@ -182,6 +182,22 @@ object Relational {
           coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
           coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
           $"sum_qty", $"n_rows")
+    },
+
+    // Semi-structured JSON column: extract a typed field from the
+    // event props and aggregate on it — the staple ETL shape for
+    // payloads whose schema lives inside a string column. The
+    // extraction is a pure projection (codegen'd JSON path, no UDF)
+    // and the aggregate shuffles only (event_type, k-stats).
+    "q16_json_extract" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("int").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"k").as("sum_k"),
+          round(avg($"k"), 6).as("avg_k"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -263,5 +279,10 @@ object Relational {
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
          COALESCE(l_linestatus, 'ALL') AS linestatus,
          ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
-         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q16_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+         SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+         ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k
+         FROM events GROUP BY event_type""")
 }
