@@ -115,17 +115,20 @@ object TextAnalysis {
 
     // Sequence packing for pretraining: assign each document to the
     // fixed-token-budget pack its cumulative offset starts in, packing
-    // WITHIN each source shard (the partition key is what makes the
-    // running sum scale — a global ordering would funnel the corpus
-    // through one window partition; per-shard packing is how the real
-    // job runs, sharded by source/date/path prefix). Deterministic:
-    // doc_id order within shard.
+    // WITHIN each (source, doc-range) shard. The shard key is what
+    // makes the running sum scale: source alone has a handful of
+    // values, which would funnel a 100 TB corpus through a few window
+    // partitions — the ShardDocs doc-id range bounds every partition
+    // regardless of corpus size (one shard covers all test-scale docs,
+    // so outputs are unchanged there). Deterministic: doc_id order
+    // within shard.
     "txt_pack" -> { (s, d) =>
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"doc_id")
+        .partitionBy($"source", $"shard").orderBy($"doc_id")
       Tables.documents(s, d)
-        .select($"doc_id", $"source", size(tokens($"text")).as("n_tokens"))
+        .select($"doc_id", $"source", size(tokens($"text")).as("n_tokens"),
+          floor($"doc_id" / lit(ShardDocs.toDouble)).cast("long").as("shard"))
         .withColumn("cum", sum($"n_tokens").over(w))
         .select($"doc_id", $"source", $"n_tokens",
           floor(($"cum" - $"n_tokens") / lit(PackTokens.toDouble)).cast("long")
@@ -155,6 +158,11 @@ object TextAnalysis {
 
   /** Token budget per training pack (txt_pack). */
   val PackTokens = 2048
+
+  /** Documents per packing shard (txt_pack): bounds every window
+    * partition to ShardDocs rows however large the corpus grows.
+    */
+  val ShardDocs = 100000L
 
   private val sqlToks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
   private val sqlStop = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -204,7 +212,9 @@ object TextAnalysis {
       s"""SELECT doc_id, source, n_tokens,
           CAST(FLOOR((cum - n_tokens) / $PackTokens.0) AS BIGINT) AS pack_id
           FROM (SELECT doc_id, source, len($sqlToks) AS n_tokens,
-            SUM(len($sqlToks)) OVER (PARTITION BY source ORDER BY doc_id
+            SUM(len($sqlToks)) OVER (
+              PARTITION BY source, CAST(FLOOR(doc_id / $ShardDocs.0) AS BIGINT)
+              ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM documents)""")
 }
