@@ -170,6 +170,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic sample is invariant under repartitioning and rerun") {
+    import spark.implicits._
+    val ids = { () =>
+      TextAnalysis.queries("txt_sample_det")(spark, sf)
+        .select($"doc_id").as[Long].collect().toSet
+    }
+    val first = ids()
+    assert(first.nonEmpty)
+    assert(ids() == first) // rerun-stable (no RNG state)
+    // the same predicate over a differently-partitioned relation
+    // selects the same documents — the property rand() sampling lacks
+    val repart = graft.Tables.documents(spark, sf).repartition(7)
+      .filter(substring(
+        md5(to_binary($"doc_id".cast("string"), lit("utf-8"))), 1, 2)
+        < TextAnalysis.SampleThreshold)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(repart == first)
+  }
+
   test("token counting handles edge whitespace and empty strings") {
     import spark.implicits._
     val df = Seq(("", 0), ("  ", 0), (" a  b ", 2), ("one", 1))

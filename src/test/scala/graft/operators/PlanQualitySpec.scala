@@ -60,6 +60,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!scanLine.contains("n_chars") && !scanLine.contains("source"), scanLine)
   }
 
+  test("q16 JSON extraction scan reads only (event_type, props)") {
+    val p = plan("q16_json_extract")
+    val scanLine = p.split('\n').find(_.contains("FileScan parquet")).get
+    assert(scanLine.contains("event_type") && scanLine.contains("props"), scanLine)
+    assert(!scanLine.contains("user_id") && !scanLine.contains("value"), scanLine)
+  }
+
   test("IVF default probe plan has no candidate-dedup exchange (single assignment)") {
     // round-4 win: with assign=1 a vector reaches a query through at
     // most one probed cell, so the probe plan needs no dropDuplicates —
