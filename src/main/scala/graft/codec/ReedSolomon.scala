@@ -194,7 +194,9 @@ object ReedSolomon {
     erasures.foreach(block(_) = 0) // erasure convention: zero, then solve
     val synd = syndromes(block, nsym) // synd(i) = S_i, i in [0, nsym)
     if (synd.forall(_ == 0))
-      return Some((block.dropRight(nsym).map(_.toByte), Nil))
+      // Clean after zeroing the erasures (the erased bytes WERE zero).
+      // reedsolo still reports erase_pos in errata_pos, so do the same.
+      return Some((block.dropRight(nsym).map(_.toByte), erasures.sorted))
 
     // Berlekamp–Massey over the Forney syndromes (erasure roots folded
     // out), iterating only the nsym - f informative entries

@@ -282,7 +282,7 @@ object Relational {
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q16_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
-         SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
          ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k
          FROM events GROUP BY event_type""")
 }

@@ -114,12 +114,13 @@ object Similarity {
     * models the stored index; `lsh_build` benchmarks the build on its
     * own line and `sim_ann_lsh` reports the steady-state probe cost.
     */
-  private val lshIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val lshIndexCache = new SessionCache[DataFrame](df =>
+    // session already stopped when a sweep evicts → unpersist best-effort
+    scala.util.Try(df.unpersist(blocking = false)))
 
   def lshIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    lshIndexCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d", _ =>
+    lshIndexCache.getOrBuild(s, d)(
       corpus(s, d)
         .select($"vec_id", $"embedding", $"nrm",
           explode(lshBuckets($"embedding")).as("tb"))
@@ -432,18 +433,16 @@ object Similarity {
   final case class IvfIndex(cents: Array[(Long, Array[Float], Double)],
       assigned: DataFrame)
 
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+  private val indexCache = new SessionCache[IvfIndex](idx =>
+    scala.util.Try(idx.assigned.unpersist(blocking = false)))
 
-  def ivfIndex(s: SparkSession, d: String, assign: Int = IvfAssign): IvfIndex = {
-    val key = s"${System.identityHashCode(s)}#$assign#$d"
-    indexCache.computeIfAbsent(key, _ => {
+  def ivfIndex(s: SparkSession, d: String, assign: Int = IvfAssign): IvfIndex =
+    indexCache.getOrBuild(s, s"$assign#$d") {
       val cents = trainCentroids(s, d)
       val assigned = ivfAssignments(s, d, cents, assign)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       IvfIndex(cents, assigned)
-    })
-  }
+    }
 
   def topkIvf(s: SparkSession, d: String, k: Int = TopK,
       nprobe: Int = -1, assign: Int = IvfAssign): DataFrame = {

@@ -121,7 +121,10 @@ object TextAnalysis {
     // partitions — the ShardDocs doc-id range bounds every partition
     // regardless of corpus size (one shard covers all test-scale docs,
     // so outputs are unchanged there). Deterministic: doc_id order
-    // within shard.
+    // within shard. pack_id restarts per shard, so the shard column is
+    // part of the output key: a pack is (source, shard, pack_id) —
+    // without it, packs from different shards of one source would
+    // collide once the corpus exceeds ShardDocs.
     "txt_pack" -> { (s, d) =>
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
@@ -130,7 +133,7 @@ object TextAnalysis {
         .select($"doc_id", $"source", size(tokens($"text")).as("n_tokens"),
           floor($"doc_id" / lit(ShardDocs.toDouble)).cast("long").as("shard"))
         .withColumn("cum", sum($"n_tokens").over(w))
-        .select($"doc_id", $"source", $"n_tokens",
+        .select($"doc_id", $"source", $"shard", $"n_tokens",
           floor(($"cum" - $"n_tokens") / lit(PackTokens.toDouble)).cast("long")
             .as("pack_id"))
     },
@@ -209,9 +212,10 @@ object TextAnalysis {
       s"""SELECT doc_id, source, lang, LENGTH(text) AS n_chars FROM documents
           WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '$SampleThreshold'""",
     "txt_pack" ->
-      s"""SELECT doc_id, source, n_tokens,
+      s"""SELECT doc_id, source, shard, n_tokens,
           CAST(FLOOR((cum - n_tokens) / $PackTokens.0) AS BIGINT) AS pack_id
           FROM (SELECT doc_id, source, len($sqlToks) AS n_tokens,
+            CAST(FLOOR(doc_id / $ShardDocs.0) AS BIGINT) AS shard,
             SUM(len($sqlToks)) OVER (
               PARTITION BY source, CAST(FLOOR(doc_id / $ShardDocs.0) AS BIGINT)
               ORDER BY doc_id

@@ -166,6 +166,21 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("RS erasures whose true byte is zero are still reported as errata") {
+    // Zeroing the erasure positions makes the block clean (the original
+    // bytes WERE zero) → all-zero syndromes. reedsolo still returns
+    // erase_pos in errata_pos on that path; so must we.
+    val nsym = 6
+    val data = Array.fill[Byte](40)(0) // every byte zero
+    val enc = ReedSolomon.encode(data, nsym)
+    val corrupted = enc.clone()
+    val erasures = Seq(2, 9, 17) // data region: true bytes are 0
+    erasures.foreach(p => corrupted(p) = 0x7f)
+    val out = ReedSolomon.decodeErrata(corrupted, nsym, erasures)
+    assert(out.map(_._1.toSeq).contains(data.toSeq))
+    assert(out.get._2.sorted == erasures)
+  }
+
   test("RS mixed errata: e errors + f erasures correct while 2e + f <= nsym") {
     val rnd = new scala.util.Random(13)
     for (_ <- 1 to 50) {

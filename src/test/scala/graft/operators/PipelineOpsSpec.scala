@@ -107,6 +107,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall regressed: $recall")
   }
 
+  test("IVF default probe on the isotropic corpus: recall is MEASURED and reported") {
+    // Informational (no 0.9 floor): the bench's "probe beats brute
+    // force" line runs the DEFAULT probe on the ISOTROPIC sf0.1
+    // corpus, the coarse quantizer's worst case, where recall ≈ the
+    // probed fraction. This spec keeps the honest number visible next
+    // to the speed claim (measured ≈0.5 at 4/23 cells; see NOTES.md).
+    // A user wanting ≥0.9 recall on isotropic data passes nprobe ≈ k/2
+    // (the floored spec above); clustered corpora get ≥0.9 at the
+    // default (the fixture spec below).
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    val bf = Similarity.topkBruteForce(spark, sf01, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.topkIvf(spark, sf01, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(f"isotropic default-probe recall@5 = $recall%.3f " +
+      s"(${math.max(Similarity.NProbe, math.ceil(Similarity.ivfK(500) * Similarity.ProbeFraction).toInt)} " +
+      s"of ${Similarity.ivfK(500)} cells)")
+    // sanity only: the probe must return real neighbors, and recall
+    // can't fall below half the probed fraction without a bug
+    assert(ivf.nonEmpty && recall >= 0.5 * Similarity.ProbeFraction,
+      s"default-probe recall implausibly low: $recall")
+  }
+
   /** Mixture-of-Gaussians-on-the-sphere embeddings — the shape real
     * corpora have (documents cluster by topic). 20 clusters × 100
     * members, σ·√dim ≈ 0.4 of noise per member (within-cluster cos
