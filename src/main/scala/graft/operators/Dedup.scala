@@ -387,7 +387,47 @@ object Dedup {
       }.toDF("id_a", "id_b", "cos")
         .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
         .filter($"cos_sim" >= CosineThreshold)
-    })
+    },
+
+    // SemDeDup-style semantic dedup: cluster by the build-once IVF
+    // coarse quantizer (Similarity.ivfIndex — the same trained cells
+    // the ANN path amortizes), then within each cell drop every vector
+    // that has a lower-id cell-mate at cosine ≥ threshold; survivors
+    // are the semantic representatives. Rows-only check (kept set
+    // depends on the trained centroids); the cluster-collapse and
+    // no-kept-near-pair invariants are spec-pinned on the clustered
+    // fixture. Scale shape: one shuffle keyed by cell; pair work is
+    // Σ m_cell² — n^1.5 for balanced √n-cells — never the corpus n²,
+    // and each join row is a narrow (id, cos) after projection.
+    "dedup_semantic" -> ((s, d) => semanticDedup(s, d, SemanticThreshold)))
+
+  /** Cosine bound for [[semanticDedup]]'s declared query: aligned with
+    * [[CosineThreshold]] so the synthetic corpus (whose qualifying
+    * pairs live at cos 0.45–0.6) produces a non-trivial kept set.
+    * Real-corpus callers pass their own (SemDeDup reports ~0.95 for
+    * web text).
+    */
+  val SemanticThreshold: Double = CosineThreshold
+
+  /** Kept (representative) vec_ids after per-cell semantic dedup. */
+  def semanticDedup(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val asg = Similarity.ivfIndex(s, d).assigned
+      .select($"cell", $"vec_id", $"embedding", $"nrm")
+    val dropped = asg.as("a")
+      .join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        VectorFunctions.cosineFrom(
+          VectorFunctions.dot(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(round($"cos", 4) >= threshold)
+      .select($"vec_id").distinct()
+    Tables.embeddings(s, d).select($"vec_id")
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .select($"vec_id")
+  }
 
   /** Rows per block of the exact blocked embedding self-join: two
     * blocks of 64-dim float vectors ≈ 2 MB per task — far under

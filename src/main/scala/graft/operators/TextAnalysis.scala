@@ -152,7 +152,184 @@ object TextAnalysis {
           md5(to_binary($"doc_id".cast("string"), lit("utf-8"))), 1, 2)
           < SampleThreshold)
         .select($"doc_id", $"source", $"lang", length($"text").as("n_chars"))
+    },
+
+    // Benchmark decontamination: flag training documents sharing any
+    // DecontamN-token n-gram with the held-out eval split (here a
+    // deterministic md5-prefix split; in production the eval side is
+    // the benchmark suite). The scale shape is an inverted index on
+    // 8-byte gram hashes: explode → distinct → one equi-join shuffle
+    // keyed by gram hash — never a doc×doc comparison. Eval grams stay
+    // a relation (joined, not broadcast): at 100 TB the eval side can
+    // itself be large.
+    "txt_decontaminate" -> { (s, d) =>
+      import s.implicits._
+      val grams = Tables.documents(s, d)
+        .select($"doc_id", $"source", decontamGramHashes($"text").as("ghs"),
+          substring(md5($"doc_id".cast("string")), 1, 2).as("split"))
+      val evalGrams = grams.filter($"split" < EvalSplitThreshold)
+        .select(explode($"ghs").as("gh")).distinct()
+      grams.filter($"split" >= EvalSplitThreshold)
+        // kernel emits per-doc-distinct grams, so each shared gram
+        // counts once per doc with no extra dedup exchange
+        .select($"doc_id", $"source", explode($"ghs").as("gh"))
+        .join(evalGrams, Seq("gh"))
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_shared"))
+    },
+
+    // Intra-document repetition signals (the Gopher-style quality
+    // gates): duplicate-token ratio, duplicate-2-gram ratio, and the
+    // corpus's classic "stuck generator" tell — the fraction of 2-grams
+    // taken by the single most frequent one. One tight kernel pass per
+    // row (hash map over 2-grams), zero shuffle: the oracle states the
+    // same metrics relationally (unnest → group) to pin the values.
+    "txt_repetition" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", repetitionKernel(tokens($"text")).as("r"))
+        .select($"doc_id",
+          $"r.n_tok".cast("long").as("n_tokens"),
+          round(($"r.n_tok" - $"r.n_types").cast("double") /
+            greatest($"r.n_tok", lit(1)), 6).as("dup_token_ratio"),
+          round(($"r.n_2grams" - $"r.d_2grams").cast("double") /
+            greatest($"r.n_2grams", lit(1)), 6).as("dup_2gram_ratio"),
+          round($"r.max_2gram".cast("double") /
+            greatest($"r.n_2grams", lit(1)), 6).as("top_2gram_frac"))
+    },
+
+    // Stratified (per-source quota) sampling — the data-mixing staple:
+    // exactly StratQuota docs per source, chosen by deterministic
+    // md5-rank so every engine and rerun picks the same docs. Two
+    // phases so it scales: a pushdown-able hash pre-filter drops ~half
+    // the corpus before the per-source rank window ever sees it (at
+    // 100 TB tighten the prefix bound so the window input stays a
+    // small multiple of the quota; the window itself then ranks a few
+    // rows per source, not the corpus).
+    "txt_stratified_sample" -> { (s, d) =>
+      import s.implicits._
+      val h = md5($"doc_id".cast("string"))
+      Tables.documents(s, d)
+        .filter(substring(h, 1, 2) < StratPrefilter)
+        .select($"doc_id", $"source", h.as("h"))
+        .withColumn("samp_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"source").orderBy($"h", $"doc_id")))
+        .filter($"samp_rank" <= StratQuota)
+        .select($"doc_id", $"source", $"samp_rank".cast("long").as("samp_rank"))
+    },
+
+    // PII-style pattern scrub over the event property payloads: count
+    // and redact emails, IPv4s, and digit runs. Pure per-row regex
+    // column expressions — no shuffle, codegen'd, linear at any scale.
+    // (On the synthetic corpus only digit runs occur; the email/IP
+    // patterns exercise the same code path and stay engine-portable
+    // RE2-safe regexes.)
+    "txt_redact" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d).select(
+        $"event_id",
+        size(regexp_extract_all($"props", lit(EmailPattern), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all($"props", lit(Ipv4Pattern), lit(0)))
+          .cast("long").as("n_ip"),
+        size(regexp_extract_all($"props", lit(NumPattern), lit(0)))
+          .cast("long").as("n_num"),
+        regexp_replace(regexp_replace(regexp_replace($"props",
+          EmailPattern, "[EMAIL]"), Ipv4Pattern, "[IP]"), NumPattern, "#")
+          .as("redacted"))
     })
+
+  /** N-gram length for decontamination overlap (13 is the common
+    * published choice for web-scale corpora; 8 keeps the synthetic
+    * short-doc fixtures meaningful while exercising the same plan).
+    */
+  val DecontamN = 8
+
+  /** Eval-split bound for decontamination: md5 prefix < '0d' ≈ 5% of
+    * docs form the held-out side; the rest are the training side.
+    */
+  val EvalSplitThreshold = "0d"
+
+  /** Docs kept per source by txt_stratified_sample. */
+  val StratQuota = 5
+
+  /** Hash pre-filter bound for txt_stratified_sample ('80' ≈ 50%):
+    * correctness-neutral as long as ≥ quota docs per source survive
+    * (window rank finishes the exact quota); the lever that keeps the
+    * rank window's input small at corpus scale.
+    */
+  val StratPrefilter = "80"
+
+  /** Engine-portable (RE2-safe, no backtracking constructs) scrub
+    * patterns for txt_redact.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val NumPattern = "[0-9]+"
+
+  /** Distinct DecontamN-gram 64-bit hashes per document in one
+    * tokenize pass (FNV-1a, the same base hash Dedup's shingle paths
+    * use). A tight-loop kernel per NOTES perf lesson 1: the
+    * declarative form (transform over sequence + slice + concat_ws +
+    * xxhash64) is interpreted per gram element and measured 7.4 s at
+    * sf0.1 — the bench's heaviest query — vs linear kernel time. The
+    * oracle counts distinct gram STRINGS, so the hash choice is free
+    * (collisions at ~10⁵ grams are ~10⁻¹⁰).
+    */
+  val decontamGramHashes: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+      val n = DecontamN
+      if (toks.length < n) Array.empty[Long]
+      else {
+        val out = new scala.collection.mutable.LinkedHashSet[Long]
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          var h = 0xcbf29ce484222325L // FNV-1a 64
+          var k = 0
+          while (k < sb.length) { h ^= sb.charAt(k); h *= 0x100000001b3L; k += 1 }
+          out += h
+          i += 1
+        }
+        out.toArray
+      }
+    }
+
+  /** Single-pass repetition metrics per document. */
+  final case class RepStats(n_tok: Int, n_types: Int, n_2grams: Int,
+      d_2grams: Int, max_2gram: Int)
+
+  /** Repetition metrics kernel: one hash-map pass over the token
+    * stream. A tight-loop UDF per NOTES perf lesson 1 — the relational
+    * form (explode 2-grams → two groupBys) would shuffle the whole
+    * corpus twice for per-row-computable metrics.
+    */
+  val repetitionKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String]) =>
+      val nTok = toks.length
+      val types = new java.util.HashSet[String]()
+      val grams = new java.util.HashMap[String, Int]()
+      var i = 0
+      var max2 = 0
+      while (i < nTok) {
+        types.add(toks(i))
+        if (i + 1 < nTok) {
+          val c = grams.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum)
+          if (c > max2) max2 = c
+        }
+        i += 1
+      }
+      RepStats(nTok, types.size, math.max(nTok - 1, 0), grams.size, max2)
+    }
 
   /** Hex prefix bound for [[queries txt_sample_det]]: '1a' keeps hash
     * prefixes 00..19 = 26 of 256 ≈ 10.2% of documents.
@@ -220,5 +397,62 @@ object TextAnalysis {
               PARTITION BY source, CAST(FLOOR(doc_id / $ShardDocs.0) AS BIGINT)
               ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-            FROM documents)""")
+            FROM documents)""",
+    "txt_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, source, $sqlToks AS ts FROM documents),
+          g AS (SELECT doc_id, source,
+            CASE WHEN len(ts) >= $DecontamN
+              THEN list_transform(range(0, len(ts) - ${DecontamN - 1}),
+                i -> array_to_string(ts[i+1:i+$DecontamN], ' '))
+              ELSE [] END AS gs,
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS split
+            FROM tok),
+          ev AS (SELECT DISTINCT gram FROM
+            (SELECT unnest(gs) AS gram FROM g WHERE split < '$EvalSplitThreshold')),
+          tr AS (SELECT DISTINCT doc_id, source, gram FROM
+            (SELECT doc_id, source, unnest(gs) AS gram FROM g
+             WHERE split >= '$EvalSplitThreshold'))
+          SELECT doc_id, source, COUNT(*) AS n_shared
+          FROM tr JOIN ev USING (gram)
+          GROUP BY doc_id, source""",
+    "txt_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+          base AS (SELECT doc_id, len(ts) AS n_tok,
+            len(list_distinct(ts)) AS n_types,
+            CASE WHEN len(ts) >= 2
+              THEN list_transform(range(0, len(ts) - 1),
+                i -> ts[i+1] || ' ' || ts[i+2])
+              ELSE [] END AS gs
+            FROM tok),
+          gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM
+            (SELECT doc_id, unnest(gs) AS gram FROM base) GROUP BY doc_id, gram),
+          m AS (SELECT doc_id, SUM(c) AS n2, COUNT(*) AS d2, MAX(c) AS mx
+            FROM gc GROUP BY doc_id)
+          SELECT b.doc_id, b.n_tok AS n_tokens,
+            ROUND((b.n_tok - b.n_types)::DOUBLE / GREATEST(b.n_tok, 1), 6)
+              AS dup_token_ratio,
+            ROUND((COALESCE(m.n2, 0) - COALESCE(m.d2, 0))::DOUBLE /
+              GREATEST(COALESCE(m.n2, 0), 1), 6) AS dup_2gram_ratio,
+            ROUND(COALESCE(m.mx, 0)::DOUBLE /
+              GREATEST(COALESCE(m.n2, 0), 1), 6) AS top_2gram_frac
+          FROM base b LEFT JOIN m ON b.doc_id = m.doc_id""",
+    "txt_stratified_sample" ->
+      s"""SELECT doc_id, source, samp_rank FROM (
+            SELECT doc_id, source,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                AS samp_rank
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$StratPrefilter')
+          WHERE samp_rank <= $StratQuota""",
+    "txt_redact" ->
+      s"""SELECT event_id,
+          len(regexp_extract_all(props, '$EmailPattern')) AS n_email,
+          len(regexp_extract_all(props, '$Ipv4Pattern')) AS n_ip,
+          len(regexp_extract_all(props, '$NumPattern')) AS n_num,
+          regexp_replace(regexp_replace(regexp_replace(props,
+            '$EmailPattern', '[EMAIL]', 'g'),
+            '$Ipv4Pattern', '[IP]', 'g'),
+            '$NumPattern', '#', 'g') AS redacted
+          FROM events""")
 }

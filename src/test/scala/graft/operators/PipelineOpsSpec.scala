@@ -172,6 +172,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF clustered-default recall regressed: $recall")
   }
 
+  test("semantic dedup collapses a clustered corpus; keeps no same-cell pair above threshold") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // 20 tight topic clusters of 100 (member-to-member cos ≈ 0.86);
+    // at τ = 0.8 per-cell greedy dedup must collapse each cell to few
+    // representatives (#cells = ivfK(2000) = 45)
+    val tau = 0.8
+    val kept = Dedup.semanticDedup(spark, clusteredFixture, tau)
+      .as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.size <= 200,
+      s"expected strong collapse on 20-cluster corpus, kept ${kept.size} of 2000")
+    // invariant of the greedy rule: among kept vectors sharing a cell,
+    // no pair at cos >= τ can survive
+    val asg = Similarity.ivfIndex(spark, clusteredFixture).assigned
+      .select($"cell", $"vec_id", $"embedding", $"nrm")
+      .filter($"vec_id".isInCollection(kept))
+    val offenders = asg.as("a")
+      .join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("a.embedding"), col("b.embedding")),
+        col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(round($"cos", 4) >= tau)
+    assert(offenders.count() == 0, "a kept same-cell pair exceeds the threshold")
+    // deterministic: rerun reproduces the kept set (build-once index)
+    val again = Dedup.semanticDedup(spark, clusteredFixture, tau)
+      .as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("IVF Lloyd training is driver-bounded and the distributed path agrees") {
     // path selection: bench-scale corpora train on the driver; the
     // parameter caps would cost hours of one core and cross to the
