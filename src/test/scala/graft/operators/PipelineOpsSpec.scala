@@ -202,6 +202,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again == kept)
   }
 
+  test("dup clustering reaches its fixpoint: every edge internal to one component") {
+    import spark.implicits._
+    val pairs = Dedup.queries("dedup_ngram_jaccard")(spark, sf)
+    val cc = Dedup.connectedComponents(pairs).persist()
+    val rep = cc.select($"doc_id", $"rep_id")
+    // both endpoints of every pair carry the same representative
+    val split = pairs
+      .join(rep.select($"doc_id".as("id_a"), $"rep_id".as("ra")), Seq("id_a"))
+      .join(rep.select($"doc_id".as("id_b"), $"rep_id".as("rb")), Seq("id_b"))
+      .filter($"ra" =!= $"rb")
+    assert(split.count() == 0, "an edge crosses two components — not converged")
+    // representative canonicality: rep_id <= doc_id, and a component's
+    // representative maps to itself
+    assert(cc.filter($"rep_id" > $"doc_id").count() == 0)
+    val repsSelf = rep.select($"rep_id".as("doc_id")).distinct()
+      .join(rep, Seq("doc_id"))
+      .filter($"rep_id" =!= $"doc_id")
+    assert(repsSelf.count() == 0, "a representative is not its own rep")
+    cc.unpersist()
+  }
+
   test("IVF Lloyd training is driver-bounded and the distributed path agrees") {
     // path selection: bench-scale corpora train on the driver; the
     // parameter caps would cost hours of one core and cross to the

@@ -92,6 +92,40 @@ class PlanQualitySpec extends AnyFunSuite {
       s"vectors crossed the dedup exchange:\n$p")
   }
 
+  test("per-row curation operators never exchange (txt_repetition, txt_redact)") {
+    // both are single-pass row kernels / regex maps — any Exchange is a
+    // refactor accident that turns a linear scan into a shuffle
+    for (q <- Seq("txt_repetition", "txt_redact")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 0, s"$q:\n$p")
+    }
+  }
+
+  test("stratified sample pre-filters before the rank window sees rows") {
+    // the md5-prefix filter must run below the window (cutting its
+    // input), not above it — above would rank the whole corpus
+    val p = plan("txt_stratified_sample")
+    val lines = p.split('\n')
+    val winIdx = lines.indexWhere(_.contains("RunningWindowFunction")) match {
+      case -1 => lines.indexWhere(_.contains("Window"))
+      case i  => i
+    }
+    val filterIdx = lines.lastIndexWhere(l =>
+      l.contains("Filter") && l.contains("md5"))
+    assert(winIdx >= 0 && filterIdx > winIdx,
+      s"hash pre-filter is not below the window:\n$p")
+  }
+
+  test("decontamination joins gram hashes, never gram strings or token arrays") {
+    // the inverted-index join must move 8-byte hashes; a join carrying
+    // the token arrays or gram strings re-creates the 7.4 s plan
+    val p = plan("txt_decontaminate")
+    val joinLines = p.split('\n').filter(_.contains("Join"))
+    assert(joinLines.nonEmpty, p)
+    assert(joinLines.forall(l => l.contains("gh") && !l.contains("ts#") &&
+      !l.contains("text#")), s"join is not on bare gram hashes:\n$p")
+  }
+
   test("dedup_embedding runs no driver collect: construction is fully lazy") {
     // Round-1 regression: the query used to collect() the whole
     // embeddings table to the driver while BUILDING the DataFrame (a
