@@ -223,6 +223,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     cc.unpersist()
   }
 
+  test("index caches are per-session: same session hits, sibling session misses") {
+    // the round-4 cache keyed on identityHashCode could hand a new
+    // session a dead session's index after GC; sessionUUID keys cannot
+    // collide. newSession() shares the context but is a distinct
+    // session with its own UUID → must get its own index entry.
+    val a1 = Similarity.lshIndex(spark, sf)
+    val a2 = Similarity.lshIndex(spark, sf)
+    assert(a1 eq a2, "same session should reuse its cached LSH index")
+    val sibling = spark.newSession()
+    val b = Similarity.lshIndex(sibling, sf)
+    assert(!(a1 eq b), "a different session must not inherit another session's index")
+    val i1 = Similarity.ivfIndex(spark, sf)
+    val i2 = Similarity.ivfIndex(spark, sf)
+    assert(i1 eq i2)
+    assert(!(i1 eq Similarity.ivfIndex(sibling, sf)))
+  }
+
   test("IVF Lloyd training is driver-bounded and the distributed path agrees") {
     // path selection: bench-scale corpora train on the driver; the
     // parameter caps would cost hours of one core and cross to the
