@@ -219,6 +219,26 @@ object TextAnalysis {
         .select($"doc_id", $"source", $"samp_rank".cast("long").as("samp_rank"))
     },
 
+    // Data-mixing accounting: per-source document/token totals, each
+    // source's share of the corpus, and the resampling weight that
+    // would equalize token mass across sources (weight > 1 ⇒
+    // under-represented). One groupBy shuffle to a per-SOURCE relation
+    // (cardinality = number of sources, small by definition at any
+    // corpus size), then window totals over that tiny relation — the
+    // corpus itself is scanned exactly once.
+    "txt_mix_weights" -> { (s, d) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens($"text")).cast("long")).as("n_tokens"))
+        .select($"source", $"n_docs", $"n_tokens",
+          round($"n_tokens" / sum($"n_tokens").over(w), 6).as("token_share"),
+          round((sum($"n_tokens").over(w) / count(lit(1)).over(w)) / $"n_tokens", 6)
+            .as("mix_weight"))
+    },
+
     // PII-style pattern scrub over the event property payloads: count
     // and redact emails, IPv4s, and digit runs. Pure per-row regex
     // column expressions — no shuffle, codegen'd, linear at any scale.
@@ -445,6 +465,15 @@ object TextAnalysis {
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$StratPrefilter')
           WHERE samp_rank <= $StratQuota""",
+    "txt_mix_weights" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(len($sqlToks)) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source)
+          SELECT source, n_docs, n_tokens,
+            ROUND(n_tokens / (SUM(n_tokens) OVER ()), 6) AS token_share,
+            ROUND((SUM(n_tokens) OVER () / (COUNT(*) OVER ())) / n_tokens, 6)
+              AS mix_weight
+          FROM per""",
     "txt_redact" ->
       s"""SELECT event_id,
           len(regexp_extract_all(props, '$EmailPattern')) AS n_email,

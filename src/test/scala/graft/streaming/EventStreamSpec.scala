@@ -21,6 +21,9 @@ class EventStreamSpec extends AnyFunSuite {
   // watermark (epoch 0) would be dropped as late
   private def ts(min: Long): Timestamp = new Timestamp((1440 + min) * 60000L)
 
+  /** Document row for the streaming-curation composition test. */
+  case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+
   test("watermarked hourly windows aggregate by event time across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -129,6 +132,40 @@ class EventStreamSpec extends AnyFunSuite {
       val ids = spark.table("dedup").as[Event].collect().map(_.event_id).toSeq
       assert(ids.sorted == Seq(1L, 2L, 3L),
         s"expected each id exactly once, got $ids")
+    } finally q.stop()
+  }
+
+  test("curation kernels run unchanged inside a streaming dedup flow") {
+    // the batch curation operators are plain column expressions /
+    // row kernels, so the SAME code composes into readStream: content
+    // dedup with bounded state, then per-doc repetition metrics —
+    // the shape of a continuous-ingest curation pipeline
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val flow = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("text")
+      .select($"doc_id",
+        graft.operators.TextAnalysis.repetitionKernel(
+          graft.operators.TextAnalysis.tokens($"text")).as("r"))
+      .select($"doc_id", $"r.n_tok".as("n_tok"), $"r.max_2gram".as("m2"))
+    val q = flow.writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        StreamDoc(1, "a b a b a b", ts(0)),
+        StreamDoc(2, "v w x y z", ts(1)))
+      q.processAllAvailable()
+      // same CONTENT again in a later micro-batch, inside the
+      // watermark → dropped by state, never reaches the kernel
+      mem.addData(StreamDoc(3, "a b a b a b", ts(5)))
+      q.processAllAvailable()
+      val rows = spark.table("curated")
+        .as[(Long, Int, Int)].collect().toSet
+      // doc 1: 6 tokens; 2-grams (ab, ba, ab, ba, ab) → max mult 3
+      assert(rows == Set((1L, 6, 3), (2L, 5, 1)), s"got $rows")
     } finally q.stop()
   }
 }
