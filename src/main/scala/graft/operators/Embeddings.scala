@@ -54,7 +54,49 @@ object Embeddings {
         .withColumn("rk", row_number().over(w))
         .filter($"rk" === 1)
         .select($"q_id", $"label".as("knn_label"), $"votes")
+    },
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims: the cheap
+    // transform that makes downstream ANN / clustering 4× narrower at
+    // corpus scale (project once, store, search in the small space).
+    // Seeded literal planes (like Similarity.planes) so every executor
+    // and every rerun computes identical projections; a narrow pure
+    // map, no shuffle. Rows-only check (the Gaussian matrix is not
+    // SQL-expressible); structure preservation is spec-pinned.
+    "emb_project" -> { (s, d) =>
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"vec_id", projectUdf($"embedding").as("proj"))
     })
+
+  /** Projection target dimension. */
+  val ProjDim = 16
+
+  /** Seeded Gaussian projection matrix, scaled 1/√k so expected squared
+    * norms are preserved (JL). Literal data: compiled identically on
+    * every executor, zero closure shipping.
+    */
+  lazy val projPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(ProjDim, Similarity.Dim)(rnd.nextGaussian() / math.sqrt(ProjDim))
+  }
+
+  val projectUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (emb: Seq[Float]) =>
+      val ps = projPlanes
+      val out = new Array[Float](ps.length)
+      var k = 0
+      while (k < ps.length) {
+        val p = ps(k)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(emb.length, p.length)
+        while (i < n) { acc += emb(i) * p(i); i += 1 }
+        out(k) = acc.toFloat
+        k += 1
+      }
+      out.toSeq
+    }
 
   private val sqlToks =
     "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"

@@ -239,6 +239,28 @@ object TextAnalysis {
             .as("mix_weight"))
     },
 
+    // Corpus length profiling — the distribution snapshot a curation
+    // run consults before choosing filter thresholds: per-source doc
+    // counts and interpolated length/token quantiles. Spark
+    // `percentile` and DuckDB `quantile_cont` share the same
+    // index = p·(n−1) linear-interpolation definition, so the oracle
+    // pins exact values. One shuffle to per-source groups; the exact
+    // percentile buffers one group's values — at extreme group sizes
+    // switch to approx_percentile (t-digest, mergeable) and a
+    // tolerance check.
+    "txt_len_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"source", length($"text").cast("double").as("nc"),
+          size(tokens($"text")).cast("double").as("nt"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(nc, 0.5)"), 4).as("p50_chars"),
+          round(expr("percentile(nc, 0.9)"), 4).as("p90_chars"),
+          round(expr("percentile(nt, 0.5)"), 4).as("p50_tokens"),
+          round(expr("percentile(nt, 0.9)"), 4).as("p90_tokens"))
+    },
+
     // PII-style pattern scrub over the event property payloads: count
     // and redact emails, IPv4s, and digit runs. Pure per-row regex
     // column expressions — no shuffle, codegen'd, linear at any scale.
@@ -465,6 +487,13 @@ object TextAnalysis {
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$StratPrefilter')
           WHERE samp_rank <= $StratQuota""",
+    "txt_len_stats" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+          ROUND(quantile_cont(LENGTH(text)::DOUBLE, 0.5), 4) AS p50_chars,
+          ROUND(quantile_cont(LENGTH(text)::DOUBLE, 0.9), 4) AS p90_chars,
+          ROUND(quantile_cont(len($sqlToks)::DOUBLE, 0.5), 4) AS p50_tokens,
+          ROUND(quantile_cont(len($sqlToks)::DOUBLE, 0.9), 4) AS p90_tokens
+          FROM documents GROUP BY source""",
     "txt_mix_weights" ->
       s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
             CAST(SUM(len($sqlToks)) AS BIGINT) AS n_tokens

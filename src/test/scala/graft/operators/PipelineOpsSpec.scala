@@ -240,6 +240,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!(i1 eq Similarity.ivfIndex(sibling, sf)))
   }
 
+  test("JL projection preserves norms in expectation and cluster separation") {
+    import spark.implicits._
+    // deterministic: identical output on rerun
+    val a = Embeddings.queries("emb_project")(spark, sf)
+      .as[(Long, Seq[Float])].collect().toMap
+    val b = Embeddings.queries("emb_project")(spark, sf)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(a == b)
+    // E||Px||² = ||x||² (planes scaled 1/√k): corpus-mean ratio near 1
+    val src = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def sq(v: Seq[Float]): Double = v.map(x => x.toDouble * x).sum
+    val ratios = src.keys.toSeq.map(id => sq(a(id)) / sq(src(id)))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.75 && mean < 1.25, s"norm-preservation ratio drifted: $mean")
+    // cluster structure survives: on the 20-cluster fixture, projected
+    // within-cluster cosine stays far above projected cross-cluster
+    val proj = Embeddings.queries("emb_project")(spark, clusteredFixture)
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val d = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      d / math.sqrt(sq(x)) / math.sqrt(sq(y))
+    }
+    val ids = proj.keys.toSeq.sorted.take(400)
+    val (within, cross) = ids.combinations(2).toSeq
+      .map { case Seq(i, j) => (i % 20 == j % 20, cos(proj(i), proj(j))) }
+      .partition(_._1)
+    val wMean = within.map(_._2).sum / within.size
+    val cMean = cross.map(_._2).sum / cross.size
+    assert(wMean > cMean + 0.3,
+      s"projected separation collapsed: within=$wMean cross=$cMean")
+  }
+
   test("IVF Lloyd training is driver-bounded and the distributed path agrees") {
     // path selection: bench-scale corpora train on the driver; the
     // parameter caps would cost hours of one core and cross to the
