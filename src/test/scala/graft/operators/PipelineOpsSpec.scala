@@ -273,6 +273,49 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"projected separation collapsed: within=$wMean cross=$cMean")
   }
 
+  test("coarse-to-fine projected ANN: clustered floor >= 0.9; isotropic measured") {
+    import spark.implicits._
+    // clustered corpora (the realistic shape): cluster members stay
+    // co-located under JL, so a top-C that covers the cluster contains
+    // the true neighbors — floor-pinned at the C = 100 default
+    // (measured 0.99; C below cluster size degrades: 0.61 at C = 25)
+    val bfC = Similarity.topkBruteForce(spark, clusteredFixture, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val prC = Similarity.topkProjected(spark, clusteredFixture, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recallC = (bfC & prC).size.toDouble / bfC.size
+    assert(recallC >= 0.9, s"projected-ANN clustered recall regressed: $recallC")
+    // isotropic (the projection's worst case — cosine gaps ~1/√64 vs
+    // ~1/√16 projection noise): measured and reported, not floored;
+    // recall tracks the re-rank budget (0.32@25, 0.52@50, 0.76@100,
+    // 0.84@150 of 500 at round 5) — use IVF/LSH or a larger C there
+    val sf01 = "/root/testdata/sf0.01"
+    val bfI = Similarity.topkBruteForce(spark, sf01, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val prI = Similarity.topkProjected(spark, sf01, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recallI = (bfI & prI).size.toDouble / bfI.size
+    info(f"isotropic projected-ANN recall@5 = $recallI%.2f at C=${Similarity.ProjCandidates}")
+    assert(prI.nonEmpty && recallI >= 0.2, s"implausibly low: $recallI")
+  }
+
+  test("semantic dedup drops only vectors with an exact near-dup partner") {
+    import spark.implicits._
+    // every dropped vector must appear as the HIGHER id of some exact
+    // near-dup pair (same-cell pairs are a subset of all pairs), so
+    // dedup_semantic can never discard a vector the exact pair set
+    // wouldn't flag
+    val kept = Dedup.semanticDedup(spark, sf, Dedup.SemanticThreshold)
+      .as[Long].collect().toSet
+    val all = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val dropped = all -- kept
+    val pairHi = Dedup.queries("dedup_embedding")(spark, sf)
+      .select($"id_b").as[Long].collect().toSet
+    assert(dropped.subsetOf(pairHi),
+      s"dropped without an exact pair partner: ${dropped -- pairHi}")
+  }
+
   test("IVF Lloyd training is driver-bounded and the distributed path agrees") {
     // path selection: bench-scale corpora train on the driver; the
     // parameter caps would cost hours of one core and cross to the
