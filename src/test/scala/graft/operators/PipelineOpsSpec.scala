@@ -316,6 +316,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"dropped without an exact pair partner: ${dropped -- pairHi}")
   }
 
+  test("connected components converges on a deep chain within the iteration cap") {
+    import spark.implicits._
+    // a 60-node path graph: plain min-propagation needs 59 rounds —
+    // far past MaxCcIterations — so this passes only because pointer
+    // jumping halves remaining path lengths each round (O(log n))
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain)
+    val reps = cc.select($"rep_id").distinct().as[Long].collect().toSeq
+    assert(reps == Seq(0L), s"chain did not collapse to one component: $reps")
+    assert(cc.count() == 60)
+  }
+
   test("IVF Lloyd training is driver-bounded and the distributed path agrees") {
     // path selection: bench-scale corpora train on the driver; the
     // parameter caps would cost hours of one core and cross to the

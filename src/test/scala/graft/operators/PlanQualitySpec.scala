@@ -92,10 +92,10 @@ class PlanQualitySpec extends AnyFunSuite {
       s"vectors crossed the dedup exchange:\n$p")
   }
 
-  test("per-row curation operators never exchange (txt_repetition, txt_redact)") {
-    // both are single-pass row kernels / regex maps — any Exchange is a
+  test("per-row curation operators never exchange (txt_repetition, txt_redact, emb_project)") {
+    // all are single-pass row kernels / regex maps — any Exchange is a
     // refactor accident that turns a linear scan into a shuffle
-    for (q <- Seq("txt_repetition", "txt_redact")) {
+    for (q <- Seq("txt_repetition", "txt_redact", "emb_project")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 0, s"$q:\n$p")
     }
