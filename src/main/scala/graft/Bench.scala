@@ -23,12 +23,19 @@ object Bench {
     // construction is attributed to its own bench line and every
     // index-consuming query (sim_ann_*, dedup_semantic, emb_knn_label)
     // measures steady-state probe cost — the build-once contract.
+    // a failed query must be LOUD: recording a ~0s time would sail
+    // under the budget tripwire and read as a clean fast pass
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (if (name.endsWith("_build")) 0 else 1, name) }
       .map { case (name, fn) =>
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] QUERY FAILED: $name: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -44,7 +51,8 @@ object Bench {
     val vjson = violations
       .map { case (n, t, b) => s"\"" + n + "\":{\"sec\":" + t + ",\"budget\":" + b + "}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","budget_violations":$vjson}""")
+    val fjson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","budget_violations":$vjson,"failed":$fjson}""")
     spark.stop()
   }
 

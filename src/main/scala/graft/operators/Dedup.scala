@@ -37,19 +37,35 @@ object Dedup {
     * and the minhash/LSH paths): split on \s+, drop empties, join
     * triples with single spaces, keep first occurrence order, distinct.
     */
-  private def distinctShingles(text: String): Seq[String] = {
+  /** Distinct word n-grams of a document in one tokenize pass —
+    * shared by the shingle paths here (n = 3) and txt_decontaminate
+    * (n = [[TextAnalysis.DecontamN]]), so a tokenization change cannot
+    * silently diverge between them.
+    */
+  private[operators] def distinctNgrams(text: String, n: Int): Seq[String] = {
     val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
-    if (toks.length < 3) Seq.empty[String]
+    if (toks.length < n) Seq.empty[String]
     else {
       val out = new scala.collection.mutable.LinkedHashSet[String]
+      val sb = new java.lang.StringBuilder
       var i = 0
-      while (i <= toks.length - 3) {
-        out += (toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out += sb.toString
         i += 1
       }
       out.toSeq
     }
   }
+
+  private def distinctShingles(text: String): Seq[String] =
+    distinctNgrams(text, 3)
 
   private val shinglesUdf = udf { (text: String) => distinctShingles(text) }
 
@@ -60,7 +76,7 @@ object Dedup {
     * verify join, so a hash-function change cannot silently diverge
     * between paths.
     */
-  @inline private def fnv1a(g: String): Long = {
+  @inline private[operators] def fnv1a(g: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < g.length) { h ^= g.charAt(i); h *= 0x100000001b3L; i += 1 }

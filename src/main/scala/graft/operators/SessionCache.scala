@@ -10,10 +10,14 @@ import org.apache.spark.sql.SparkSession
   * identity with a caller sub-key, so a new session can never inherit
   * a dead session's entry: `sessionUUID` is unique per SparkSession
   * instance (unlike `System.identityHashCode`, which a post-GC
-  * allocation can collide with). The session is held only weakly, and
-  * every access sweeps entries whose session was stopped or collected,
-  * unpersisting what they cached — so stopped-session indexes don't
-  * pin block-manager memory for the process lifetime.
+  * allocation can collide with). Every access sweeps entries whose
+  * session's context was STOPPED, unpersisting what they cached — so
+  * stopped-session indexes don't pin block-manager memory for the
+  * process lifetime. (The session reference is weak for hygiene, but
+  * a cached DataFrame strongly references its session, so in practice
+  * eviction fires on stop, not GC; sibling sessions that are abandoned
+  * without stopping their shared context keep their entries — bounded
+  * by one entry per (session, corpus) a caller actually built.)
   */
 private[operators] final class SessionCache[V](onEvict: V => Unit = (_: V) => ()) {
 
@@ -40,11 +44,20 @@ private[operators] final class SessionCache[V](onEvict: V => Unit = (_: V) => ()
         if (entries.remove(k, e)) onEvict(e.value)
     }
 
+  /** Build OUTSIDE the map's bin lock: computeIfAbsent would hold a
+    * ConcurrentHashMap bin lock across a multi-second Spark index
+    * build (serializing unrelated keys in the same bin, and breaking
+    * on any reentrant build). The race trade: two threads may build
+    * the same index concurrently; the loser's copy is evicted
+    * (unpersisted) and the winner's returned.
+    */
   def getOrBuild(s: SparkSession, subKey: String)(build: => V): V = {
     sweep()
-    entries
-      .computeIfAbsent(s"${sessionId(s)}#$subKey",
-        _ => Entry(new WeakReference(s), build))
-      .value
+    val key = s"${sessionId(s)}#$subKey"
+    val existing = entries.get(key)
+    if (existing != null) return existing.value
+    val built = build
+    val prior = entries.putIfAbsent(key, Entry(new WeakReference(s), built))
+    if (prior != null) { onEvict(built); prior.value } else built
   }
 }

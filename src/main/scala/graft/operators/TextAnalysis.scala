@@ -7,11 +7,19 @@ import graft.Tables
 /** Text-analysis operators for a large-scale training-data pipeline
   * (builder brief; generalizes the reference's text handling,
   * `plugins/utils/dna_encoding.py:282-305` / `dags/dag.py:454-470`):
-  * token counting, quality scoring, language ID, fingerprinting.
+  * token counting, quality scoring, language ID, fingerprinting,
+  * repetition/length profiling, sampling, packing, decontamination,
+  * redaction, mixing weights.
   *
-  * All operators are pure column expressions (whole-stage codegen'd, no
-  * UDFs) so they stay narrow — one parquet scan, no shuffle, and they
-  * scale linearly with input splits at 100 TB.
+  * The per-document operators are ROW-LOCAL — built-in column
+  * expressions where the expression stays cheap, tight-loop UDF
+  * kernels where Catalyst's higher-order functions would interpret
+  * per element (NOTES perf lesson 1) — so they stay narrow: one
+  * parquet scan, no shuffle, linear with input splits at 100 TB (and
+  * streaming-composable, which rests on row-locality, not on being
+  * UDF-free). The corpus-level operators (decontamination,
+  * stratified sampling, packing, mixing weights) shuffle exactly once
+  * each, keyed as their Scaladoc states.
   */
 object TextAnalysis {
 
@@ -269,17 +277,23 @@ object TextAnalysis {
     // RE2-safe regexes.)
     "txt_redact" -> { (s, d) =>
       import s.implicits._
+      // counts reconcile with the redaction: each pattern is counted
+      // on the string AS IT IS when that pattern's replacement runs
+      // (email on raw, IP after emails are gone, digit runs after IPs
+      // are gone) — so n_x is exactly the number of [X]/# substitutions
+      // in `redacted`, with no double-counting of digits inside an
+      // email or IP
+      val afterEmail = regexp_replace($"props", EmailPattern, "[EMAIL]")
+      val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "[IP]")
       Tables.events(s, d).select(
         $"event_id",
         size(regexp_extract_all($"props", lit(EmailPattern), lit(0)))
           .cast("long").as("n_email"),
-        size(regexp_extract_all($"props", lit(Ipv4Pattern), lit(0)))
+        size(regexp_extract_all(afterEmail, lit(Ipv4Pattern), lit(0)))
           .cast("long").as("n_ip"),
-        size(regexp_extract_all($"props", lit(NumPattern), lit(0)))
+        size(regexp_extract_all(afterIp, lit(NumPattern), lit(0)))
           .cast("long").as("n_num"),
-        regexp_replace(regexp_replace(regexp_replace($"props",
-          EmailPattern, "[EMAIL]"), Ipv4Pattern, "[IP]"), NumPattern, "#")
-          .as("redacted"))
+        regexp_replace(afterIp, NumPattern, "#").as("redacted"))
     })
 
   /** N-gram length for decontamination overlap (13 is the common
@@ -310,40 +324,19 @@ object TextAnalysis {
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val NumPattern = "[0-9]+"
 
-  /** Distinct DecontamN-gram 64-bit hashes per document in one
-    * tokenize pass (FNV-1a, the same base hash Dedup's shingle paths
-    * use). A tight-loop kernel per NOTES perf lesson 1: the
-    * declarative form (transform over sequence + slice + concat_ws +
-    * xxhash64) is interpreted per gram element and measured 7.4 s at
-    * sf0.1 — the bench's heaviest query — vs linear kernel time. The
-    * oracle counts distinct gram STRINGS, so the hash choice is free
-    * (collisions at ~10⁵ grams are ~10⁻¹⁰).
+  /** Distinct DecontamN-gram 64-bit hashes per document — DELEGATES to
+    * Dedup's shared tokenize/n-gram pass and FNV-1a base hash, so the
+    * decontamination grams can never silently diverge from the shingle
+    * / minhash / LSH paths. A tight-loop kernel per NOTES perf lesson
+    * 1: the declarative form (transform over sequence + slice +
+    * concat_ws + xxhash64) is interpreted per gram element and
+    * measured 7.4 s at sf0.1 — the bench's heaviest query — vs linear
+    * kernel time. The oracle counts distinct gram STRINGS, so the
+    * hash choice is free (collisions at ~10⁵ grams are ~10⁻¹⁰).
     */
   val decontamGramHashes: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
-      val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
-      val n = DecontamN
-      if (toks.length < n) Array.empty[Long]
-      else {
-        val out = new scala.collection.mutable.LinkedHashSet[Long]
-        val sb = new java.lang.StringBuilder
-        var i = 0
-        while (i <= toks.length - n) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j))
-            j += 1
-          }
-          var h = 0xcbf29ce484222325L // FNV-1a 64
-          var k = 0
-          while (k < sb.length) { h ^= sb.charAt(k); h *= 0x100000001b3L; k += 1 }
-          out += h
-          i += 1
-        }
-        out.toArray
-      }
+      Dedup.distinctNgrams(text, DecontamN).map(Dedup.fnv1a)
     }
 
   /** Single-pass repetition metrics per document. */
@@ -504,13 +497,15 @@ object TextAnalysis {
               AS mix_weight
           FROM per""",
     "txt_redact" ->
-      s"""SELECT event_id,
+      s"""WITH staged AS (SELECT event_id, props,
+            regexp_replace(props, '$EmailPattern', '[EMAIL]', 'g') AS after_email,
+            regexp_replace(regexp_replace(props, '$EmailPattern', '[EMAIL]', 'g'),
+              '$Ipv4Pattern', '[IP]', 'g') AS after_ip
+            FROM events)
+          SELECT event_id,
           len(regexp_extract_all(props, '$EmailPattern')) AS n_email,
-          len(regexp_extract_all(props, '$Ipv4Pattern')) AS n_ip,
-          len(regexp_extract_all(props, '$NumPattern')) AS n_num,
-          regexp_replace(regexp_replace(regexp_replace(props,
-            '$EmailPattern', '[EMAIL]', 'g'),
-            '$Ipv4Pattern', '[IP]', 'g'),
-            '$NumPattern', '#', 'g') AS redacted
-          FROM events""")
+          len(regexp_extract_all(after_email, '$Ipv4Pattern')) AS n_ip,
+          len(regexp_extract_all(after_ip, '$NumPattern')) AS n_num,
+          regexp_replace(after_ip, '$NumPattern', '#', 'g') AS redacted
+          FROM staged""")
 }

@@ -316,6 +316,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"dropped without an exact pair partner: ${dropped -- pairHi}")
   }
 
+  test("connected components of an empty pair relation is empty (no iteration)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("connected components converges on a deep chain within the iteration cap") {
     import spark.implicits._
     // a 60-node path graph: plain min-propagation needs 59 rounds —
