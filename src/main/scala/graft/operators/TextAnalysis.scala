@@ -247,6 +247,31 @@ object TextAnalysis {
             .as("mix_weight"))
     },
 
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln(N/df), deterministic tiebreak on the term. The inverted
+    // shapes are all map-side-combinable aggregations (term counts,
+    // doc frequencies); N is a one-row broadcast relation, not a
+    // driver count, so the plan stays fully declarative. Ranking uses
+    // the ROUNDED score so rank ties break identically in every
+    // engine.
+    "txt_tfidf_top" -> { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(tokens($"text")).as("term"))
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfr = toks.distinct().groupBy($"term").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
+      tf.join(dfr, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .select($"doc_id", $"term",
+          round($"tf" * log($"n_docs".cast("double") / $"df"), 6).as("tfidf"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"term", $"tfidf", $"rk".cast("long").as("rk"))
+    },
+
     // Corpus length profiling — the distribution snapshot a curation
     // run consults before choosing filter thresholds: per-source doc
     // counts and interpolated length/token quantiles. Spark
@@ -480,6 +505,20 @@ object TextAnalysis {
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$StratPrefilter')
           WHERE samp_rank <= $StratQuota""",
+    "txt_tfidf_top" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            GROUP BY doc_id, term),
+          dfx AS (SELECT term AS dterm, COUNT(*) AS df FROM
+            (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          scored AS (SELECT doc_id, term,
+            ROUND(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+            FROM tf JOIN dfx ON term = dterm CROSS JOIN n)
+          SELECT doc_id, term, tfidf, rk FROM (
+            SELECT doc_id, term, tfidf, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+            FROM scored) WHERE rk <= 3""",
     "txt_len_stats" ->
       s"""SELECT source, COUNT(*) AS n_docs,
           ROUND(quantile_cont(LENGTH(text)::DOUBLE, 0.5), 4) AS p50_chars,
