@@ -466,7 +466,7 @@ object Dedup {
     // until the fixpoint — one scalar aggregate over the round's
     // already-computed labels instead of a two-shuffle diff join
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum($"rep".cast("decimal(38,0)")).as("s")).head.getDecimal(0))
+      Option(df.agg(sum($"rep".cast("decimal(38,0)")).as("s")).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false

@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   */
 private[operators] final class SessionCache[V](onEvict: V => Unit = (_: V) => ()) {
 
-  private final case class Entry(session: WeakReference[SparkSession], value: V)
+  private final class Entry(val session: WeakReference[SparkSession], val value: V)
 
   private val entries = new ConcurrentHashMap[String, Entry]()
 
@@ -57,7 +57,7 @@ private[operators] final class SessionCache[V](onEvict: V => Unit = (_: V) => ()
     val existing = entries.get(key)
     if (existing != null) return existing.value
     val built = build
-    val prior = entries.putIfAbsent(key, Entry(new WeakReference(s), built))
+    val prior = entries.putIfAbsent(key, new Entry(new WeakReference(s), built))
     if (prior != null) { onEvict(built); prior.value } else built
   }
 }
