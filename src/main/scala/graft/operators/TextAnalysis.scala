@@ -259,7 +259,10 @@ object TextAnalysis {
       val toks = Tables.documents(s, d)
         .select($"doc_id", explode(tokens($"text")).as("term"))
       val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dfr = toks.distinct().groupBy($"term").agg(count(lit(1)).as("df"))
+      // df derives FROM tf (its rows are exactly the distinct
+      // (doc_id, term) pairs): one corpus tokenization, and the
+      // (doc_id, term) exchange is shared between the join's branches
+      val dfr = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
@@ -509,8 +512,7 @@ object TextAnalysis {
       s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
           tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
             GROUP BY doc_id, term),
-          dfx AS (SELECT term AS dterm, COUNT(*) AS df FROM
-            (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+          dfx AS (SELECT term AS dterm, COUNT(*) AS df FROM tf GROUP BY term),
           n AS (SELECT COUNT(*) AS n_docs FROM documents),
           scored AS (SELECT doc_id, term,
             ROUND(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf

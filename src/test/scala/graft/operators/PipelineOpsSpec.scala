@@ -316,6 +316,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"dropped without an exact pair partner: ${dropped -- pairHi}")
   }
 
+  test("tfidf: hand-computed scores, top-3 bound, deterministic tiebreak") {
+    import spark.implicits._
+    // 3 docs over a 4-term vocab: df(a)=3, df(b)=2, df(c)=1, df(d)=1
+    val docs = Seq(
+      (0L, "a a b c"),   // tf: a=2 b=1 c=1
+      (1L, "a b b"),     // tf: a=1 b=2
+      (2L, "a d"))       // tf: a=1 d=1
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.queries("txt_tfidf_top")(spark, tmp)
+      .as[(Long, String, Double, Long)].collect().toSet
+    def s(tf: Int, df: Int) =
+      BigDecimal(tf * math.log(3.0 / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ln(3/3)=0 ⇒ 'a' scores 0 everywhere and loses to any positive
+    // score; doc 0 keeps its full 3 (c > b > a alphabetical tiebreak
+    // among... c=ln3 > b=ln1.5 > a=0), doc 1 = (b, a), doc 2 = (d, a)
+    val want = Set(
+      (0L, "c", s(1, 1), 1L), (0L, "b", s(1, 2), 2L), (0L, "a", s(2, 3), 3L),
+      (1L, "b", s(2, 2), 1L), (1L, "a", s(1, 3), 2L),
+      (2L, "d", s(1, 1), 1L), (2L, "a", s(1, 3), 2L))
+    assert(got == want, s"got $got")
+  }
+
   test("connected components of an empty pair relation is empty (no iteration)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
