@@ -198,7 +198,40 @@ object Relational {
         .agg(count(lit(1)).as("n_events"),
           sum($"k").as("sum_k"),
           round(avg($"k"), 6).as("avg_k"))
+    },
+
+    // Batch sessionization — the gaps-and-islands shape of event
+    // analytics: a >30-min silence starts a new session; sessions are
+    // numbered per user by a running sum of the break flags. All work
+    // happens inside ONE user-keyed shuffle (lag, cumsum, and the
+    // final per-session aggregate share the user_id partitioning), so
+    // at 100 TB this scales with the largest single user's history,
+    // not the corpus. Millisecond epoch arithmetic (µs-truncated in
+    // both engines) keeps the oracle exact on nanosecond input.
+    "evt_sessions" -> { (s, d) =>
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id",
+          expr("unix_micros(ts) div 1000").as("ts_ms"))
+        .withColumn("prev", lag($"ts_ms", 1).over(byUser))
+        .withColumn("brk",
+          when($"prev".isNull || $"ts_ms" - $"prev" > SessionGapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum($"brk").over(byUser.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts_ms").as("start_ms"),
+          (max($"ts_ms") - min($"ts_ms")).as("dur_ms"))
     })
+
+  /** Session gap bound for evt_sessions (the reference DAG's 30-minute
+    * cadence, `dags/dag.py:39-40`, reused as the session timeout).
+    */
+  val SessionGapMs = 1800000L
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -280,6 +313,23 @@ object Relational {
          COALESCE(l_linestatus, 'ALL') AS linestatus,
          ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "evt_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
+            FROM events),
+          b AS (SELECT user_id, event_id, ts_ms,
+            CASE WHEN lag(ts_ms) OVER w IS NULL
+              OR ts_ms - lag(ts_ms) OVER w > $SessionGapMs
+            THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+          sx AS (SELECT user_id, ts_ms,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM b)
+          SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+            COUNT(*) AS n_events, MIN(ts_ms) AS start_ms,
+            MAX(ts_ms) - MIN(ts_ms) AS dur_ms
+          FROM sx GROUP BY user_id, session_idx""",
     "q16_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
