@@ -1,34 +1,31 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /** Primitive-loop vector kernels for the similarity operators.
   *
-  * Why UDFs and not `zip_with`/`aggregate`: Catalyst evaluates
-  * higher-order functions interpretively, allocating per element; a
-  * tight `while` loop over the backing arrays is ~10× faster at the
-  * 4M-pair scale of the near-dup join and keeps identical left-to-right
-  * double accumulation (so results stay bit-equal to the DuckDB
-  * oracle's `list_sum(list_transform(...))`).
+  * Why not `zip_with`/`aggregate`: Catalyst evaluates higher-order
+  * functions interpretively, allocating per element; a tight `while`
+  * loop is ~10× faster at the 4M-pair scale of the near-dup join.
+  * `dot`/`norm` are native Catalyst expressions (SURVEY §4.2 phase-2):
+  * the generated Java walks `ArrayData` in place, with none of the
+  * Scala-UDF per-row Seq[Float] deserialization — and keeps identical
+  * left-to-right double accumulation (so results stay bit-equal to
+  * the previous UDF kernels and the DuckDB oracle's
+  * `list_sum(list_transform(...))`).
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
-  private def dotLoop(a: Seq[Float], b: Seq[Float]): Double = {
-    var acc = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  }
-
-  /** Σ aᵢ·bᵢ in double precision, left-to-right. */
-  val dot = udf { (a: Seq[Float], b: Seq[Float]) => dotLoop(a, b) }
+  /** Σ aᵢ·bᵢ in double precision, left-to-right (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    column(graft.plans.VectorDot(expression(a), expression(b)))
 
   /** √(Σ aᵢ²) — the per-vector factor of cosine similarity; compute it
-    * once per vector, not once per pair.
+    * once per vector, not once per pair (codegen'd).
     */
-  val norm = udf { (a: Seq[Float]) => math.sqrt(dotLoop(a, a)) }
+  def norm(a: Column): Column =
+    column(graft.plans.VectorNorm(expression(a)))
 
   /** Cosine from a precomputed pair dot and per-side norms; division
     * order matches the oracle's `dot / SQRT(na) / SQRT(nb)`.

@@ -26,6 +26,12 @@ object GraftExtensions {
       (FunctionIdentifier("dna_decode"),
         new ExpressionInfo(classOf[DnaDecode].getName, "dna_decode"),
         (args: Seq[Expression]) => DnaDecode(args(0), args(1))),
+      (FunctionIdentifier("vector_dot"),
+        new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+        (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+      (FunctionIdentifier("vector_norm"),
+        new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
+        (args: Seq[Expression]) => VectorNorm(args.head)),
       (FunctionIdentifier("dna_process"),
         new ExpressionInfo(classOf[DnaProcess].getName, "dna_process"),
         (args: Seq[Expression]) => {

@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Static vector kernels callable from generated Java: the loops read
+  * `ArrayData` directly (an offset walk over the unsafe buffer for
+  * parquet/UnsafeRow-backed arrays), so the hot pair-scoring path has
+  * ZERO per-row deserialization — the Scala-UDF form first copies each
+  * array into a `Seq[Float]` through the encoder. Accumulation stays
+  * left-to-right double so results are bit-equal to the UDF kernels
+  * and the DuckDB oracle's `list_sum(list_transform(...))`.
+  */
+object VectorKernels {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.numElements(), b.numElements())
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+  def norm(a: ArrayData): Double = math.sqrt(dot(a, a))
+}
+
+/** vector_dot(array<float>, array<float>) → double, whole-stage
+  * codegen via [[VectorKernels]]. SURVEY §4.2 phase-2 promotion for
+  * the similarity family's hot path.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_dot requires (ARRAY<FLOAT>, ARRAY<FLOAT>), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorKernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** vector_norm(array<float>) → double (√Σa²), codegen'd. */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vector_norm requires ARRAY<FLOAT>, got ${other.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_norm"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.norm(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.VectorKernels.norm($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNorm =
+    copy(child = newChild)
+}

@@ -54,6 +54,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("% 100) = 0)"), p)
   }
 
+  test("vector scoring runs as native codegen expressions, not Scala UDFs") {
+    // the round-5 promotion: vector_dot/vector_norm walk ArrayData in
+    // generated Java. A refactor back to a Scala UDF re-introduces
+    // per-row Seq[Float] deserialization (measured 2-2.6x on every
+    // similarity query) and shows up as ScalaUDF in the plan.
+    for (q <- Seq("sim_topk_bruteforce", "dedup_semantic")) {
+      val p = plan(q)
+      assert(p.contains("vector_dot"), s"$q lost the native kernel:\n$p")
+      assert(!p.toLowerCase.contains("scalaudf"),
+        s"$q scores through a Scala UDF again:\n$p")
+    }
+  }
+
   test("scan-side pruning on the narrow text operators (doc_id+text only)") {
     val p = plan("txt_tokens")
     val scanLine = p.split('\n').find(_.contains("FileScan parquet")).get
