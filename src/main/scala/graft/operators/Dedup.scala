@@ -42,7 +42,7 @@ object Dedup {
     * (n = [[TextAnalysis.DecontamN]]), so a tokenization change cannot
     * silently diverge between them.
     */
-  private[operators] def distinctNgrams(text: String, n: Int): Seq[String] = {
+  private[graft] def distinctNgrams(text: String, n: Int): Seq[String] = {
     val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) Seq.empty[String]
     else {
@@ -76,7 +76,7 @@ object Dedup {
     * verify join, so a hash-function change cannot silently diverge
     * between paths.
     */
-  @inline private[operators] def fnv1a(g: String): Long = {
+  @inline private[graft] def fnv1a(g: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < g.length) { h ^= g.charAt(i); h *= 0x100000001b3L; i += 1 }
@@ -90,11 +90,13 @@ object Dedup {
     * verify — shuffles and intersects these 8-byte keys instead of
     * strings. (Collision odds across ~10⁵ distinct shingles are ~10⁻¹⁰
     * — far below the float-rounding tolerance of the oracle check.)
+    * Native codegen expression: the hash array lands directly in an
+    * ArrayData instead of round-tripping through a Scala-UDF Seq.
     */
-  private val shingleHashesUdf =
-    udf { (text: String) => distinctShingles(text).map(fnv1a) }
-
-  def shingleHashes(text: Column): Column = shingleHashesUdf(text)
+  def shingleHashes(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.NgramHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), 3))
 
   /** doc_id → exploded distinct 64-bit shingle-hash rows (the
     * inverted-index relation).

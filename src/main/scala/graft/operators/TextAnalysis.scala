@@ -352,20 +352,21 @@ object TextAnalysis {
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val NumPattern = "[0-9]+"
 
-  /** Distinct DecontamN-gram 64-bit hashes per document — DELEGATES to
-    * Dedup's shared tokenize/n-gram pass and FNV-1a base hash, so the
-    * decontamination grams can never silently diverge from the shingle
-    * / minhash / LSH paths. A tight-loop kernel per NOTES perf lesson
-    * 1: the declarative form (transform over sequence + slice +
-    * concat_ws + xxhash64) is interpreted per gram element and
-    * measured 7.4 s at sf0.1 — the bench's heaviest query — vs linear
-    * kernel time. The oracle counts distinct gram STRINGS, so the
-    * hash choice is free (collisions at ~10⁵ grams are ~10⁻¹⁰).
+  /** Distinct DecontamN-gram 64-bit hashes per document — the same
+    * native [[graft.plans.NgramHashes]] expression as Dedup's shingle
+    * paths (shared tokenize pass + FNV-1a), so decontamination can
+    * never silently diverge from the shingle / minhash / LSH paths. A
+    * tight kernel per NOTES perf lesson 1: the declarative form
+    * (transform over sequence + slice + concat_ws + xxhash64) is
+    * interpreted per gram element and measured 7.4 s at sf0.1 — the
+    * bench's heaviest query — vs linear kernel time. The oracle counts
+    * distinct gram STRINGS, so the hash choice is free (collisions at
+    * ~10⁵ grams are ~10⁻¹⁰).
     */
-  val decontamGramHashes: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
-      Dedup.distinctNgrams(text, DecontamN).map(Dedup.fnv1a)
-    }
+  def decontamGramHashes(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.NgramHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), DecontamN))
 
   /** Single-pass repetition metrics per document. */
   final case class RepStats(n_tok: Int, n_types: Int, n_2grams: Int,

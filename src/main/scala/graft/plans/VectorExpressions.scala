@@ -56,6 +56,45 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ngram_hashes(text, n) → array<bigint>: distinct word n-gram FNV-1a
+  * hashes in one tokenize pass (delegates to the shared
+  * `Dedup.distinctNgrams` + `fnv1a`, so shingle/minhash/LSH and
+  * decontamination stay hash-identical). Native so the shingle-heavy
+  * dedup scans skip the Scala-UDF UTF8String→String→Seq round trip on
+  * the result side — the output lands directly in an ArrayData.
+  */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes requires STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = s"ngram_hashes_$n"
+
+  override protected def nullSafeEval(text: Any): Any =
+    NgramKernels.hashes(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NgramKernels.hashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[NgramHashes]], callable from generated Java. */
+object NgramKernels {
+  def hashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val grams = graft.operators.Dedup.distinctNgrams(
+      if (text == null) "" else text.toString, n)
+    val out = new Array[Long](grams.length)
+    var i = 0
+    grams.foreach { g => out(i) = graft.operators.Dedup.fnv1a(g); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** vector_norm(array<float>) → double (√Σa²), codegen'd. */
 case class VectorNorm(child: Expression) extends UnaryExpression {
 
