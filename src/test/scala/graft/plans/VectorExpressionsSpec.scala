@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native vector/ngram expressions: SQL surface, null semantics, and
+  * equivalence with the reference formulations.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("vector_dot/vector_norm: SQL surface, exact values, null propagation") {
+    import spark.implicits._
+    Seq(
+      (Some(Seq(1.0f, 2.0f, 3.0f)), Some(Seq(4.0f, 5.0f, 6.0f))),
+      (Some(Seq(1.5f, -2.0f)), Some(Seq(0.5f, 0.25f))),
+      (None, Some(Seq(1.0f))))
+      .toDF("a", "b")
+      .select($"a".cast("array<float>").as("a"), $"b".cast("array<float>").as("b"))
+      .createOrReplaceTempView("v")
+    val rows = spark.sql(
+      "SELECT vector_dot(a, b) AS d, vector_norm(a) AS n FROM v").collect()
+    assert(rows(0).getDouble(0) == 1.0 * 4 + 2.0 * 5 + 3.0 * 6)
+    assert(rows(0).getDouble(1) == math.sqrt(1.0 + 4.0 + 9.0))
+    assert(rows(1).getDouble(0) == 1.5 * 0.5 + (-2.0) * 0.25)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1), "null input must propagate")
+  }
+
+  test("vector_dot accumulates left-to-right like the UDF kernel it replaced") {
+    import spark.implicits._
+    // catastrophic-cancellation probe: result depends on accumulation
+    // order, so equality with the scalar left-to-right loop pins it
+    val a = Array(1e8f, 1f, -1e8f, 1f)
+    val b = Array(1f, 1f, 1f, 1f)
+    var want = 0.0
+    for (i <- a.indices) want += a(i).toDouble * b(i).toDouble
+    val got = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select($"a".cast("array<float>").as("a"), $"b".cast("array<float>").as("b"))
+      .select(graft.functions.VectorFunctions.dot($"a", $"b").as("d"))
+      .head().getDouble(0)
+    assert(got == want)
+  }
+
+  test("ngram_hashes equals the string-shingle path hashed element-for-element") {
+    import spark.implicits._
+    val docs = Seq("a b c d e", "x y", "", "a a a a a a a a a a")
+      .toDF("text")
+    val got = docs
+      .select(graft.operators.Dedup.shingleHashes($"text").as("h"))
+      .as[Seq[Long]].collect()
+    val want = docs.select($"text").as[String].collect()
+      .map(t => graft.operators.Dedup.distinctNgrams(t, 3)
+        .map(graft.operators.Dedup.fnv1a))
+    assert(got.toSeq.map(_.toSeq) == want.toSeq.map(_.toSeq))
+    // decontamination width: < n tokens → empty array, not null
+    val short = Seq("one two three").toDF("text")
+      .select(graft.operators.TextAnalysis.decontamGramHashes($"text").as("h"))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+}
