@@ -247,6 +247,26 @@ object TextAnalysis {
             .as("mix_weight"))
     },
 
+    // ADAPTIVE quality gating: instead of one global threshold, keep
+    // documents at or above their OWN source's 25th-percentile alpha
+    // ratio — web-crawl and academic-text sources have very different
+    // "normal", and a fixed cut over-prunes one and under-prunes the
+    // other. The percentile is a window aggregate over the per-source
+    // partition; both engines interpolate identically over the same
+    // 6-rounded values, so the gate is engine-exact at the boundary.
+    "txt_quality_gate" -> { (s, d) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          round(length(regexp_replace($"text", "[^A-Za-z]", "")) /
+            greatest(length($"text"), lit(1)).cast("double"), 6).as("alpha_r"))
+        .withColumn("thresh",
+          round(expr("percentile(alpha_r, 0.25)").over(w), 6))
+        .filter($"alpha_r" >= $"thresh")
+        .select($"doc_id", $"source", $"alpha_r", $"thresh")
+    },
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df), deterministic tiebreak on the term. The inverted
     // shapes are all map-side-combinable aggregations (term counts,
@@ -509,6 +529,17 @@ object TextAnalysis {
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$StratPrefilter')
           WHERE samp_rank <= $StratQuota""",
+    "txt_quality_gate" ->
+      s"""WITH q AS (SELECT doc_id, source,
+            ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+              GREATEST(LENGTH(text), 1), 6) AS alpha_r
+            FROM documents),
+          t AS (SELECT doc_id, source, alpha_r,
+            ROUND(quantile_cont(alpha_r, 0.25) OVER (PARTITION BY source), 6)
+              AS thresh
+            FROM q)
+          SELECT doc_id, source, alpha_r, thresh FROM t
+          WHERE alpha_r >= thresh""",
     "txt_tfidf_top" ->
       s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
           tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
