@@ -61,13 +61,24 @@ object Embeddings {
     // corpus scale (project once, store, search in the small space).
     // Seeded literal planes (like Similarity.planes) so every executor
     // and every rerun computes identical projections; a narrow pure
-    // map, no shuffle. Rows-only check (the Gaussian matrix is not
-    // SQL-expressible); structure preservation is spec-pinned.
+    // map, no shuffle. Declared query emits exploded scalar rows
+    // (vec_id, dim, pv) — the driver's compare requires hashable
+    // columns — and is fully oracled: the seeded matrix is embedded in
+    // the DuckDB SQL as a literal, so both engines run the identical
+    // double accumulation and float cast.
     "emb_project" -> { (s, d) =>
       import s.implicits._
-      Tables.embeddings(s, d)
-        .select($"vec_id", projectUdf($"embedding").as("proj"))
+      project(s, d)
+        .select($"vec_id", posexplode($"proj").as(Seq("dim", "pv")))
+        .select($"vec_id", $"dim", round($"pv".cast("double"), 6).as("pv"))
     })
+
+  /** Library form of the JL projection: (vec_id, proj array<float>). */
+  def project(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", projectUdf($"embedding").as("proj"))
+  }
 
   /** Projection target dimension. */
   val ProjDim = 16
@@ -80,6 +91,15 @@ object Embeddings {
     val rnd = new scala.util.Random(7)
     Array.fill(ProjDim, Similarity.Dim)(rnd.nextGaussian() / math.sqrt(ProjDim))
   }
+
+  /** The projection matrix as a DuckDB list-of-lists literal, so the
+    * oracle runs the *same* seeded matrix. Double.toString is the
+    * shortest round-trip decimal: DuckDB parses it back to the
+    * identical 64-bit value, keeping the double accumulation
+    * bit-equal on both sides.
+    */
+  lazy val projMatrixSql: String =
+    projPlanes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
   val projectUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (emb: Seq[Float]) =>
@@ -117,6 +137,15 @@ object Embeddings {
             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks)
           SELECT gram, COUNT(*) AS doc_freq FROM grams
           GROUP BY gram ORDER BY doc_freq DESC, gram ASC LIMIT 20""",
+    // Identical seeded matrix as a SQL literal; CAST..AS REAL mirrors
+    // the kernel's acc.toFloat, the outer DOUBLE cast + round mirrors
+    // the Spark query's pv.cast(double).
+    "emb_project" ->
+      s"""SELECT vec_id, CAST(g.k - 1 AS INT) AS dim,
+          ROUND(CAST(CAST(list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
+            i -> embedding[i]::DOUBLE * m.p[g.k][i])) AS REAL) AS DOUBLE), 6) AS pv
+          FROM embeddings, (SELECT $projMatrixSql AS p) m,
+            generate_series(1, $ProjDim) AS g(k)""",
     "emb_knn_label" -> {
       def cos(a: String, b: String) =
         s"""(list_sum(list_transform(generate_series(1, len($a)),
