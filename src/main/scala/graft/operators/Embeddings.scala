@@ -139,11 +139,13 @@ object Embeddings {
           GROUP BY gram ORDER BY doc_freq DESC, gram ASC LIMIT 20""",
     // Identical seeded matrix as a SQL literal; CAST..AS REAL mirrors
     // the kernel's acc.toFloat, the outer DOUBLE cast + round mirrors
-    // the Spark query's pv.cast(double).
+    // the Spark query's pv.cast(double). COALESCE pins the
+    // empty/short-embedding case to the kernel's semantics (zero terms
+    // summed → 0.0f; DuckDB list_sum over all-NULL products → NULL).
     "emb_project" ->
       s"""SELECT vec_id, CAST(g.k - 1 AS INT) AS dim,
-          ROUND(CAST(CAST(list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
-            i -> embedding[i]::DOUBLE * m.p[g.k][i])) AS REAL) AS DOUBLE), 6) AS pv
+          ROUND(CAST(CAST(COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
+            i -> embedding[i]::DOUBLE * m.p[g.k][i])), 0.0) AS REAL) AS DOUBLE), 6) AS pv
           FROM embeddings, (SELECT $projMatrixSql AS p) m,
             generate_series(1, $ProjDim) AS g(k)""",
     "emb_knn_label" -> {

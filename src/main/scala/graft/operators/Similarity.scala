@@ -42,6 +42,17 @@ object Similarity {
     Array.fill(NumTables, PlanesPerTable, Dim)(rnd.nextGaussian())
   }
 
+  /** The hyperplane tensor as a DuckDB list literal (tables × planes ×
+    * dims), the same trick as [[Embeddings.projMatrixSql]]: the oracle
+    * computes the identical sign-bit buckets from the identical seeded
+    * doubles, which is what lets `lsh_build` be hash-checked instead of
+    * rows-only. Double.toString round-trips to the same 64-bit value in
+    * DuckDB, so both engines compare the same dot product against zero.
+    */
+  lazy val planesSql: String =
+    planes.map(_.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
   private def corpus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d).select($"vec_id", $"embedding",
@@ -508,9 +519,16 @@ object Similarity {
     // from hard cell boundaries — candidates are a global projected
     // top-C. Rows-only check; recall floor spec-pinned.
     "sim_ann_proj" -> ((s, d) => topkProjected(s, d)),
+    // Declared form emits exploded scalar rows (vec_id, dim, pv) — the
+    // driver's pandas compare can't hash a raw array column (the
+    // emb_project pattern) — and is fully hash-oracled via the literal
+    // projection matrix. The build itself (projIndex persist) is what
+    // the bench line times; the explode is a narrow decoration.
     "proj_build" -> { (s, d) =>
       import s.implicits._
-      projIndex(s, d).select($"vec_id", $"pv")
+      projIndex(s, d)
+        .select($"vec_id", posexplode($"pv").as(Seq("dim", "pv")))
+        .select($"vec_id", $"dim", round($"pv".cast("double"), 6).as("pv"))
     })
 
   /** Candidate pool per query for [[topkProjected]]: the re-rank
@@ -593,5 +611,29 @@ object Similarity {
           SELECT q_id, n_id, cos_sim, rank FROM (
             SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
               PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
-            FROM scored) WHERE rank <= $TopK""")
+            FROM scored) WHERE rank <= $TopK""",
+    // Same seeded projection matrix as a SQL literal (shared with
+    // emb_project): REAL cast mirrors the kernel's acc.toFloat, the
+    // outer DOUBLE + round mirrors the declared query. COALESCE pins
+    // the empty-embedding case (kernel sums zero terms → 0.0f; DuckDB
+    // list_sum over no rows → NULL).
+    "proj_build" ->
+      s"""SELECT vec_id, CAST(g.k - 1 AS INT) AS dim,
+          ROUND(CAST(CAST(COALESCE(list_sum(list_transform(generate_series(1, $Dim),
+            i -> embedding[i]::DOUBLE * m.p[g.k][i])), 0.0) AS REAL) AS DOUBLE), 6) AS pv
+          FROM embeddings, (SELECT ${Embeddings.projMatrixSql} AS p) m,
+            generate_series(1, ${Embeddings.ProjDim}) AS g(k)""",
+    // Sign-bit bucket per (vector, table) from the literal hyperplane
+    // tensor: bit p set iff dot(embedding, plane[t][p]) >= 0 — the same
+    // double accumulation on both engines, so buckets are hash-exact.
+    // COALESCE(..., 0.0) >= 0 pins the empty-embedding case (kernel:
+    // dot stays 0.0 → every bit set).
+    "lsh_build" ->
+      s"""SELECT vec_id, CAST(g.t - 1 AS INT) AS "table",
+          CAST(COALESCE(list_sum(list_transform(generate_series(1, $PlanesPerTable),
+            p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, $Dim),
+              i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
+            THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
+          FROM embeddings, (SELECT $planesSql AS pl) m,
+            generate_series(1, $NumTables) AS g(t)""")
 }

@@ -238,14 +238,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     val i2 = Similarity.ivfIndex(spark, sf)
     assert(i1 eq i2)
     assert(!(i1 eq Similarity.ivfIndex(sibling, sf)))
+    // the exact-Jaccard pair relation is build-once the same way (it
+    // feeds both dedup_ngram_jaccard and dedup_cluster)
+    val p1 = Dedup.jaccardPairs(spark, sf)
+    val p2 = Dedup.jaccardPairs(spark, sf)
+    assert(p1 eq p2, "same session should reuse its cached pair relation")
+    assert(!(p1 eq Dedup.jaccardPairs(sibling, sf)))
   }
 
   test("JL projection preserves norms in expectation and cluster separation") {
     import spark.implicits._
-    // deterministic: identical output on rerun
-    val a = Embeddings.queries("emb_project")(spark, sf)
+    // deterministic: identical output on rerun (library form keeps the
+    // (vec_id, proj array<float>) shape; the declared query explodes it
+    // for the driver's scalar-row compare)
+    val a = Embeddings.project(spark, sf)
       .as[(Long, Seq[Float])].collect().toMap
-    val b = Embeddings.queries("emb_project")(spark, sf)
+    val b = Embeddings.project(spark, sf)
       .as[(Long, Seq[Float])].collect().toMap
     assert(a == b)
     // E||Px||² = ||x||² (planes scaled 1/√k): corpus-mean ratio near 1
@@ -257,7 +265,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mean > 0.75 && mean < 1.25, s"norm-preservation ratio drifted: $mean")
     // cluster structure survives: on the 20-cluster fixture, projected
     // within-cluster cosine stays far above projected cross-cluster
-    val proj = Embeddings.queries("emb_project")(spark, clusteredFixture)
+    val proj = Embeddings.project(spark, clusteredFixture)
       .as[(Long, Seq[Float])].collect().toMap
     def cos(x: Seq[Float], y: Seq[Float]): Double = {
       val d = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
