@@ -371,8 +371,9 @@ object Dedup {
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
     },
 
-    // SimHash fingerprints (rows-only: bit pattern depends on the
-    // hash function; invariants are spec-tested instead).
+    // SimHash fingerprints — fully oracled: FNV-1a and the bit votes
+    // are restated in DuckDB HUGEINT mod-2⁶⁴ arithmetic (see oracles),
+    // so the 64-bit fingerprints are hash-exact across engines.
     "dedup_simhash" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -639,6 +640,35 @@ object Dedup {
     "pairs_build" ->
       s"""$jaccardCte
           SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs""",
+    // SimHash restated in HUGEINT arithmetic mod 2⁶⁴: FNV-1a folds over
+    // each token's char codes (ASCII corpus; Java char = code point
+    // here) — XOR touches only the low 16 bits, so it runs on BIGINT
+    // while the wrapping multiply stays in HUGEINT. Per-bit ±1 votes,
+    // sign → bit, then Spark's conv(…,10,16) semantics: two's-
+    // complement view, uppercase hex, no leading zeros, 0 → '0'.
+    "dedup_simhash" -> {
+      val fnv = s"""list_reduce(
+          list_prepend(CAST('14695981039346656037' AS HUGEINT),
+            list_transform(generate_series(1, len(tok)), i -> CAST(ord(tok[i]) AS HUGEINT))),
+          (acc, c) -> ((acc - acc % 65536 + CAST(xor(CAST(acc % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                       * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))"""
+      s"""WITH toks AS (
+            SELECT doc_id, UNNEST($sqlToks) AS tok FROM documents),
+          h AS (SELECT doc_id, $fnv AS h FROM toks),
+          votes AS (
+            SELECT doc_id, b.b,
+              SUM(CASE WHEN (h // CAST(POWER(2, b.b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+            FROM h, generate_series(0, 63) AS b(b) GROUP BY doc_id, b.b),
+          fp AS (
+            SELECT doc_id, SUM(CASE WHEN v > 0 THEN CAST(POWER(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS fp
+            FROM votes GROUP BY doc_id)
+          SELECT d.doc_id,
+            CASE WHEN f.fp IS NULL OR f.fp = 0 THEN '0'
+              ELSE ltrim(to_hex(CAST(CASE WHEN f.fp >= CAST('9223372036854775808' AS HUGEINT)
+                THEN f.fp - CAST('18446744073709551616' AS HUGEINT) ELSE f.fp END AS BIGINT)), '0')
+            END AS simhash_hex
+          FROM documents d LEFT JOIN fp f USING (doc_id)"""
+    },
     "dedup_ngram_jaccard" ->
       s"""$jaccardCte
           SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs

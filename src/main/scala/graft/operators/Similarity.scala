@@ -492,9 +492,10 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topkBruteForce(s, d)),
-    // Approximate variants: no independent SQL spec (bucket/cell
-    // membership depends on planes/centroids) → rows-only check;
-    // recall is spec-tested against the brute-force baseline.
+    // Plane-derived variants (lsh/proj) are fully oracled via the
+    // literal plane/matrix trick; only the IVF family stays rows-only
+    // (cell membership depends on the trained centroids). Recall is
+    // additionally spec-tested against the brute-force baseline.
     "sim_ann_lsh" -> ((s, d) => topkLsh(s, d)),
     "lsh_build" -> { (s, d) =>
       import s.implicits._
@@ -517,7 +518,8 @@ object Similarity {
     // vectors are the stored search structure (project once, like the
     // LSH/IVF builds); unlike bucketed ANN there is no recall cliff
     // from hard cell boundaries — candidates are a global projected
-    // top-C. Rows-only check; recall floor spec-pinned.
+    // top-C. Fully hash-oracled (literal matrix); recall floor
+    // additionally spec-pinned.
     "sim_ann_proj" -> ((s, d) => topkProjected(s, d)),
     // Declared form emits exploded scalar rows (vec_id, dim, pv) — the
     // driver's pandas compare can't hash a raw array column (the
@@ -635,5 +637,61 @@ object Similarity {
               i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
             THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
           FROM embeddings, (SELECT $planesSql AS pl) m,
-            generate_series(1, $NumTables) AS g(t)""")
+            generate_series(1, $NumTables) AS g(t)""",
+    // Full LSH probe restated in SQL: same sign-bit buckets (above),
+    // query side fanned out over the no-flip probe (-1) plus all
+    // Hamming-1 flips, candidates deduped across tables, exact cosine
+    // re-rank — the literal planes make the whole approximate operator
+    // deterministic, hence hash-checkable.
+    "sim_ann_lsh" ->
+      s"""WITH buck AS (
+            SELECT vec_id, embedding, CAST(g.t - 1 AS INT) AS tbl,
+              CAST(COALESCE(list_sum(list_transform(generate_series(1, $PlanesPerTable),
+                p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, $Dim),
+                  i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
+                THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
+            FROM embeddings, (SELECT $planesSql AS pl) m,
+              generate_series(1, $NumTables) AS g(t)),
+          qprobe AS (
+            SELECT vec_id AS q_id, tbl,
+              CASE WHEN f.fl = -1 THEN bucket ELSE xor(bucket, 1 << f.fl) END AS bucket
+            FROM buck, generate_series(-1, ${MultiprobeFlips - 1}) AS f(fl)
+            WHERE vec_id % $QueryStride = 0),
+          cand AS (
+            SELECT DISTINCT q.q_id, b.vec_id AS n_id
+            FROM qprobe q JOIN buck b ON q.tbl = b.tbl AND q.bucket = b.bucket
+            WHERE q.q_id <> b.vec_id),
+          scored AS (
+            SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+            FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
+                       JOIN embeddings n ON n.vec_id = c.n_id)
+          SELECT q_id, n_id, cos_sim, rank FROM (
+            SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+            FROM scored) WHERE rank <= $TopK""",
+    // Coarse-to-fine projected ANN restated in SQL: identical JL
+    // projection (literal matrix, REAL cast), unrounded projected
+    // cosine picks the top-C candidates per query (bit-equal doubles →
+    // identical order), exact full-width cosine re-ranks them.
+    "sim_ann_proj" ->
+      s"""WITH pv AS (
+            SELECT vec_id, embedding,
+              list_transform(generate_series(1, ${Embeddings.ProjDim}), k ->
+                CAST(COALESCE(list_sum(list_transform(generate_series(1, $Dim),
+                  i -> embedding[i]::DOUBLE * m.p[k][i])), 0.0) AS REAL)) AS pv
+            FROM embeddings, (SELECT ${Embeddings.projMatrixSql} AS p) m),
+          coarse AS (
+            SELECT q_id, n_id FROM (
+              SELECT q.vec_id AS q_id, c.vec_id AS n_id, ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id ORDER BY ${sqlCos("q.pv", "c.pv")} DESC, c.vec_id ASC) AS crank
+              FROM pv q JOIN pv c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id % $QueryStride = 0) WHERE crank <= $ProjCandidates),
+          scored AS (
+            SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+            FROM coarse c JOIN embeddings q ON q.vec_id = c.q_id
+                         JOIN embeddings n ON n.vec_id = c.n_id)
+          SELECT q_id, n_id, cos_sim, rank FROM (
+            SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+            FROM scored) WHERE rank <= $TopK""")
 }
