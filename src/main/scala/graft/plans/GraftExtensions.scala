@@ -32,6 +32,17 @@ object GraftExtensions {
       (FunctionIdentifier("vector_norm"),
         new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
         (args: Seq[Expression]) => VectorNorm(args.head)),
+      (FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+        (args: Seq[Expression]) => MinhashSig(args.head)),
+      (FunctionIdentifier("ngram_hashes"),
+        new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+        (args: Seq[Expression]) => args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+            NgramHashes(args(0), n)
+          case other => throw new IllegalArgumentException(
+            s"ngram_hashes: n must be an integer literal, got $other")
+        }),
       (FunctionIdentifier("dna_process"),
         new ExpressionInfo(classOf[DnaProcess].getName, "dna_process"),
         (args: Seq[Expression]) => {

@@ -95,6 +95,75 @@ object NgramKernels {
   }
 }
 
+/** minhash_sig(array<bigint>) → array<bigint>: the 64-seed
+  * min-of-avalanche MinHash signature in one primitive pass over the
+  * shingle-hash array — the banding path's hot kernel, promoted from a
+  * Scala UDF so the per-document `Seq[Long]` encoder round trip
+  * disappears (the signature is computed straight off `ArrayData` and
+  * lands in one). NOT null-propagating: a null/empty hash array yields
+  * the all-Long.MaxValue sentinel signature, matching the UDF it
+  * replaces (null text → sentinel sig, which can only band-collide
+  * with other empty docs).
+  */
+case class MinhashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires ARRAY<BIGINT>, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "minhash_sig"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    MinhashKernels.signature(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val javaType =
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = c.code + code"""
+        $javaType ${ev.value} = graft.plans.MinhashKernels.signature(
+          ${c.isNull} ? null : ${c.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[MinhashSig]], callable from generated Java.
+  * Same avalanche (splitmix-style) per-seed rehash as the UDF it
+  * replaced — signatures are bit-identical.
+  */
+object MinhashKernels {
+  def signature(hs: ArrayData): ArrayData = {
+    val m = graft.operators.Dedup.NumHashes
+    val sig = Array.fill(m)(Long.MaxValue)
+    if (hs != null) {
+      val n = hs.numElements()
+      var j = 0
+      while (j < n) {
+        val h = hs.getLong(j)
+        var k = 0
+        while (k < m) {
+          var x = h ^ (0x9e3779b97f4a7c15L * (k + 1))
+          x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 33)
+          if (x < sig(k)) sig(k) = x
+          k += 1
+        }
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+}
+
 /** vector_norm(array<float>) → double (√Σa²), codegen'd. */
 case class VectorNorm(child: Expression) extends UnaryExpression {
 

@@ -431,7 +431,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val r = df.select(
       size(Dedup.shingles($"text")).as("n_sh"),
       Dedup.simhashUdf(TextAnalysis.tokens($"text")).as("sh"),
-      size(Dedup.minhashSigUdf(Dedup.shingleHashes($"text"))).as("n_sig"))
+      size(Dedup.minhashSig(Dedup.shingleHashes($"text"))).as("n_sig"))
       .collect()
     assert(r(0).getInt(0) == 0)     // null text -> no shingles
     assert(r(0).getLong(1) == 0L)   // null text -> zero simhash votes

@@ -51,6 +51,42 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("minhash_sig equals the per-seed avalanche reference; null/empty → sentinel") {
+    import spark.implicits._
+    // reference: the Scala loop the native kernel replaced
+    def refSig(hs: Seq[Long]): Seq[Long] = {
+      val sig = Array.fill(graft.operators.Dedup.NumHashes)(Long.MaxValue)
+      hs.foreach { h =>
+        var k = 0
+        while (k < sig.length) {
+          var x = h ^ (0x9e3779b97f4a7c15L * (k + 1))
+          x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 33)
+          if (x < sig(k)) sig(k) = x
+          k += 1
+        }
+      }
+      sig.toSeq
+    }
+    val docs = Seq("a b c d e f", "x y z w", "a a a a a", "").toDF("text")
+    val got = docs
+      .select(graft.operators.Dedup.minhashSig(
+        graft.operators.Dedup.shingleHashes($"text")).as("sig"))
+      .as[Seq[Long]].collect()
+    val want = docs.select($"text").as[String].collect()
+      .map(t => refSig(graft.operators.Dedup.distinctNgrams(t, 3)
+        .map(graft.operators.Dedup.fnv1a)))
+    assert(got.toSeq.map(_.toSeq) == want.toSeq.map(_.toSeq))
+    // empty shingle set (the "" doc) → sentinel, same as the old UDF
+    assert(got.last.forall(_ == Long.MaxValue))
+    // SQL surface + null input → sentinel (NOT null): the expression is
+    // non-null-propagating by contract
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(CAST(NULL AS ARRAY<BIGINT>)) AS sig")
+      .as[Seq[Long]].head()
+    assert(viaSql.size == graft.operators.Dedup.NumHashes
+      && viaSql.forall(_ == Long.MaxValue))
+  }
+
   test("ngram_hashes equals the string-shingle path hashed element-for-element") {
     import spark.implicits._
     val docs = Seq("a b c d e", "x y", "", "a a a a a a a a a a")
