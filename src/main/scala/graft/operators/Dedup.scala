@@ -128,19 +128,17 @@ object Dedup {
   /** Emit all ordered (a<b) pairs from one inverted-index bucket,
     * packed into one long (a<<32 | b) so the pair shuffle moves and
     * compares a single 8-byte key. Doc ids are table ordinals — far
-    * below 2³¹ at any scale factor; the `require` makes a schema/scale
-    * change that violates the packing fail loudly instead of silently
-    * corrupting pair keys (a ≥2³¹-document corpus would switch this to
-    * a struct key).
+    * below 2³¹ at any scale factor; the kernel's `require` makes a
+    * schema/scale change that violates the packing fail loudly instead
+    * of silently corrupting pair keys (a ≥2³¹-document corpus would
+    * switch this to a struct key). Native codegen expression
+    * ([[graft.plans.PackedPairs]]): sorts/dedups a primitive long
+    * array in place, no boxed Seq per bucket.
     */
-  private val bucketPairs = udf { (ids: Seq[Long]) =>
-    val sorted = ids.distinct.sorted
-    require(sorted.isEmpty ||
-      (sorted.head >= 0 && sorted.last < (1L << 31)),
-      s"doc_id out of packed-pair range [0, 2^31): ${sorted.head}..${sorted.last}")
-    for (i <- sorted.indices; j <- (i + 1) until sorted.length)
-      yield (sorted(i) << 32) | sorted(j)
-  }
+  private def bucketPairs(ids: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.PackedPairs(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(ids)))
 
   /** Document-frequency cutoff for candidate generation: a shingle
     * shared by more than this many documents is dropped from the

@@ -32,6 +32,9 @@ object GraftExtensions {
       (FunctionIdentifier("vector_norm"),
         new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
         (args: Seq[Expression]) => VectorNorm(args.head)),
+      (FunctionIdentifier("packed_pairs"),
+        new ExpressionInfo(classOf[PackedPairs].getName, "packed_pairs"),
+        (args: Seq[Expression]) => PackedPairs(args.head)),
       (FunctionIdentifier("minhash_sig"),
         new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
         (args: Seq[Expression]) => MinhashSig(args.head)),

@@ -137,6 +137,65 @@ case class MinhashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** packed_pairs(array<bigint>) → array<bigint>: all ordered (a<b)
+  * pairs of the distinct ids in one inverted-index bucket, packed into
+  * one long (a<<32 | b) — the pair-emission kernel of the exact-Jaccard
+  * path, promoted from a Scala UDF: the for-comprehension built boxed
+  * Seq[Long]s per bucket; this sorts/dedups a primitive array in place
+  * and writes pairs straight into the output buffer.
+  */
+case class PackedPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"packed_pairs requires ARRAY<BIGINT>, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "packed_pairs"
+
+  override protected def nullSafeEval(ids: Any): Any =
+    PairKernels.packedPairs(ids.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PairKernels.packedPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PackedPairs =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[PackedPairs]], callable from generated Java. */
+object PairKernels {
+  def packedPairs(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = ids.getLong(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    var m = 0 // distinct in place (sorted)
+    i = 0
+    while (i < n) {
+      if (m == 0 || arr(m - 1) != arr(i)) { arr(m) = arr(i); m += 1 }
+      i += 1
+    }
+    // doc ids are table ordinals, far below 2³¹ at any scale factor;
+    // fail loudly if a schema/scale change ever violates the packing
+    require(m == 0 || (arr(0) >= 0 && arr(m - 1) < (1L << 31)),
+      s"doc_id out of packed-pair range [0, 2^31): ${arr(0)}..${arr(m - 1)}")
+    val out = new Array[Long](m * (m - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) { out(k) = (arr(i) << 32) | arr(j); k += 1; j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Static kernel for [[MinhashSig]], callable from generated Java.
   * Same avalanche (splitmix-style) per-seed rehash as the UDF it
   * replaced — signatures are bit-identical.

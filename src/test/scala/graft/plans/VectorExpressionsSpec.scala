@@ -87,6 +87,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
       && viaSql.forall(_ == Long.MaxValue))
   }
 
+  test("packed_pairs: sorted-distinct pair emission, packing round-trips") {
+    import spark.implicits._
+    val got = spark.sql(
+      "SELECT packed_pairs(CAST(ARRAY(5, 2, 9, 2, 5) AS ARRAY<BIGINT>)) AS p")
+      .as[Seq[Long]].head()
+    // distinct {2,5,9} → pairs (2,5),(2,9),(5,9) in order
+    val want = Seq((2L, 5L), (2L, 9L), (5L, 9L)).map { case (a, b) => (a << 32) | b }
+    assert(got == want)
+    // unpack round-trip (the shape buildJaccardPairs relies on)
+    assert(want.map(p => (p >>> 32, p & 0xffffffffL)) == Seq((2L, 5L), (2L, 9L), (5L, 9L)))
+    // empty and singleton buckets emit nothing
+    assert(spark.sql("SELECT packed_pairs(CAST(ARRAY(7) AS ARRAY<BIGINT>)) AS p")
+      .as[Seq[Long]].head().isEmpty)
+    // out-of-range ids fail loudly instead of corrupting keys (a
+    // literal input is constant-folded on the driver, so the kernel's
+    // IllegalArgumentException arrives unwrapped; from executors it
+    // comes wrapped in a SparkException — either way the message names
+    // the violated packing range)
+    val e = intercept[Throwable] {
+      spark.sql(s"SELECT packed_pairs(CAST(ARRAY(1, ${1L << 31}) AS ARRAY<BIGINT>)) AS p")
+        .collect()
+    }
+    assert(e.getMessage.contains("packed-pair range")
+      || Option(e.getCause).exists(_.getMessage.contains("packed-pair range")))
+  }
+
   test("ngram_hashes equals the string-shingle path hashed element-for-element") {
     import spark.implicits._
     val docs = Seq("a b c d e", "x y", "", "a a a a a a a a a a")
