@@ -472,17 +472,58 @@ object Dedup {
     */
   val MaxCcIterations = 20
 
-  /** Connected components of an (id_a, id_b) pair relation by min-label
-    * propagation: each round every node takes the min label among
-    * itself and its neighbors — one equi-join + one groupBy-min per
-    * round, all shuffles keyed by node id. The driver loop only
-    * CONVERGES the relational rounds (each round's `count` is the
-    * fixpoint test); no edge or label data ever reaches the driver.
-    * Returns (doc_id, rep_id) for every node in the graph.
+  /** Edge cap for the driver union-find fast path of
+    * [[connectedComponents]]: collecting up to 2²⁰ 16-byte pairs is a
+    * bounded ≤16 MB transfer and microseconds of union-find — the same
+    * bounded-driver-work pattern as [[Similarity.DriverTrainFlopsCap]].
+    * Near-dup pair graphs are tiny relative to their corpus (pairs
+    * survive a 0.6-Jaccard threshold), so the fast path covers them
+    * far beyond bench scale; a web-scale dup graph that exceeds the
+    * cap runs the distributed propagation unchanged.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  val CcDriverEdgeCap: Long = 1L << 20
+
+  /** Connected components of an (id_a, id_b) pair relation. Small
+    * graphs (≤ `maxDriverEdges`, counted on the — usually cached —
+    * pair relation) collapse on the driver with min-root union-find:
+    * at bench scale the distributed loop's cost was per-round fixed
+    * overhead on a ~50-edge graph. Larger graphs run min-label
+    * propagation: each round every node takes the min label among
+    * itself, its neighbors, and its label's label (pointer jumping) —
+    * one equi-join + one groupBy-min per round, all shuffles keyed by
+    * node id. There the driver loop only CONVERGES the relational
+    * rounds (each round's label sum is the fixpoint test); no edge or
+    * label data ever reaches the driver. Both paths return the same
+    * (doc_id, rep_id = min id in component) for every node in the
+    * graph — the fixpoint of min propagation is exactly the union-find
+    * min root.
+    */
+  def connectedComponents(pairs: DataFrame,
+      maxDriverEdges: Long = CcDriverEdgeCap): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
+    if (maxDriverEdges > 0 && pairs.count() <= maxDriverEdges) {
+      val es = pairs.select($"id_a".cast("long"), $"id_b".cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union-by-min: the smaller root stays root, so every root is
+        // its component's min id — the propagation fixpoint's labels
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val labels = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      return s.createDataset(labels).toDF("doc_id", "rep_id")
+    }
     // localCheckpoint (not persist): a cached-but-uncheckpointed loop
     // re-ANALYZES the full upstream lineage (the whole near-dup pair
     // plan) on every round's action — cache substitution happens after

@@ -357,14 +357,34 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("connected components converges on a deep chain within the iteration cap") {
     import spark.implicits._
-    // a 60-node path graph: plain min-propagation needs 59 rounds —
+    // a 60-node path graph, forced onto the DISTRIBUTED propagation
+    // (maxDriverEdges = 0): plain min-propagation needs 59 rounds —
     // far past MaxCcIterations — so this passes only because pointer
     // jumping halves remaining path lengths each round (O(log n))
     val chain = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain)
+    val cc = Dedup.connectedComponents(chain, maxDriverEdges = 0)
     val reps = cc.select($"rep_id").distinct().as[Long].collect().toSeq
     assert(reps == Seq(0L), s"chain did not collapse to one component: $reps")
     assert(cc.count() == 60)
+  }
+
+  test("CC driver union-find and distributed propagation agree") {
+    import spark.implicits._
+    // mixed shape: a chain, a triangle with a chord, an isolated pair,
+    // and ids arriving in edge order that differs from component order
+    val edges = Seq(
+      (7L, 3L), (3L, 11L),            // chain with min inside
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 25L), // cycle + tail
+      (40L, 41L))                      // isolated pair
+      .toDF("id_a", "id_b")
+    def run(cap: Long) = Dedup.connectedComponents(edges, cap)
+      .as[(Long, Long)].collect().toSet
+    val driver = run(Dedup.CcDriverEdgeCap)
+    val dist = run(0)
+    assert(driver == dist, s"paths diverged: $driver vs $dist")
+    assert(driver == Set((3L, 3L), (7L, 3L), (11L, 3L),
+      (20L, 20L), (21L, 20L), (22L, 20L), (25L, 20L),
+      (40L, 40L), (41L, 40L)))
   }
 
   test("IVF Lloyd training is driver-bounded and the distributed path agrees") {
