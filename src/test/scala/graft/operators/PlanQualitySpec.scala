@@ -49,6 +49,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 0, p)
   }
 
+  test("build-once relations are actually reused: consumers read the cache") {
+    // the round-7 session-cached relations (shingle hashes, exact-
+    // Jaccard pairs, DNA chunks, fused file report): a refactor that
+    // silently bypasses the cache re-runs the tokenize/encode kernels
+    // per consumer — the regression this guards against. Build first,
+    // then every consumer's plan must read InMemoryTableScan and not
+    // re-plan the parquet scan of `documents`.
+    Dedup.jaccardPairs(spark, sf).count()
+    DnaPipeline.chunkRelation(spark, sf).count()
+    DnaPipeline.fileReport(spark, sf).count()
+    // (the InMemoryRelation node prints its stored BUILD plan — a
+    // FileScan inside it is expected; what matters is that the
+    // consumer's own access path is an InMemoryTableScan)
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dna_validate",
+        "dna_stats", "pipe_status_report", "dna_roundtrip")) {
+      val p = plan(q)
+      assert(count(p, "InMemoryTableScan") >= 1, s"$q bypasses the cache:\n$p")
+    }
+  }
+
   test("similarity query-set predicate pushes into the scan") {
     val p = plan("sim_topk_bruteforce")
     assert(p.contains("% 100) = 0)"), p)
