@@ -27,4 +27,14 @@ object SparkEntry {
     Relational.oracles ++ DnaPipeline.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Embeddings.oracles
+
+  /** Oracles whose SQL embeds deterministically-TRAINED state (the IVF
+    * centroids) as literals, so they must be rendered against the
+    * corpus being verified rather than compiled in. Verify merges these
+    * over [[oracleSql]]; everything downstream of training is
+    * recomputed independently by DuckDB (see Similarity's dynamic-
+    * oracle note).
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    Similarity.dynamicOracles(spark, sfDir) ++ Dedup.dynamicOracles(spark, sfDir)
 }

@@ -35,7 +35,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Trained-state oracles (IVF centroid literals) render against THIS
+    // corpus; the queries loop above already built the session's index
+    // cache, so this is literal formatting, not a second training run.
+    // Degrade to the static map (rows-only for those queries) rather
+    // than fail the whole dump if generation throws.
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -444,12 +444,13 @@ object Dedup {
     // coarse quantizer (Similarity.ivfIndex — the same trained cells
     // the ANN path amortizes), then within each cell drop every vector
     // that has a lower-id cell-mate at cosine ≥ threshold; survivors
-    // are the semantic representatives. Rows-only check (kept set
-    // depends on the trained centroids); the cluster-collapse and
-    // no-kept-near-pair invariants are spec-pinned on the clustered
-    // fixture. Scale shape: one shuffle keyed by cell; pair work is
-    // Σ m_cell² — n^1.5 for balanced √n-cells — never the corpus n²,
-    // and each join row is a narrow (id, cos) after projection.
+    // are the semantic representatives. Hash-oracled via the trained-
+    // centroid literal trick (dynamicOracles below); the cluster-
+    // collapse and no-kept-near-pair invariants are additionally
+    // spec-pinned on the clustered fixture. Scale shape: one shuffle
+    // keyed by cell; pair work is Σ m_cell² — n^1.5 for balanced
+    // √n-cells — never the corpus n², and each join row is a narrow
+    // (id, cos) after projection.
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d, SemanticThreshold)),
 
     // Near-dup CLUSTERING: pair detection alone doesn't dedup a corpus
@@ -752,4 +753,29 @@ object Dedup {
             / SQRT(list_sum(list_transform(generate_series(1, len(b.embedding)),
               i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 4)
             >= $CosineThreshold""")
+
+  /** Trained-state oracle for `dedup_semantic` (the last rows-only
+    * query of the family): the shared centroid-literal CTEs from
+    * [[Similarity.ivfOracleCtes]] reproduce the cell assignment, then
+    * plain SQL restates the per-cell lower-id-mate drop rule and the
+    * anti-join. Generated at Verify time (see Similarity's dynamic-
+    * oracle note: only the centroid VALUES come from the Spark side;
+    * assignment, pairing, cosine, and the kept set are recomputed
+    * independently by DuckDB).
+    */
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
+    val (ctes, _) = Similarity.ivfOracleCtes(s, d)
+    Map(
+      "dedup_semantic" ->
+        s"""WITH $ctes,
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id
+              WHERE ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4)
+                >= $SemanticThreshold)
+            SELECT e.vec_id FROM embeddings e
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)""")
+  }
 }

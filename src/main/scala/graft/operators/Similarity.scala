@@ -493,9 +493,10 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topkBruteForce(s, d)),
     // Plane-derived variants (lsh/proj) are fully oracled via the
-    // literal plane/matrix trick; only the IVF family stays rows-only
-    // (cell membership depends on the trained centroids). Recall is
-    // additionally spec-tested against the brute-force baseline.
+    // compiled-in literal plane/matrix trick; the IVF family is oracled
+    // the same way with the TRAINED centroids rendered at Verify time
+    // (see dynamicOracles below). Recall is additionally spec-tested
+    // against the brute-force baseline.
     "sim_ann_lsh" -> ((s, d) => topkLsh(s, d)),
     "lsh_build" -> { (s, d) =>
       import s.implicits._
@@ -595,7 +596,7 @@ object Similarity {
       .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
   }
 
-  private def sqlCos(a: String, b: String): String =
+  private[operators] def sqlCos(a: String, b: String): String =
     s"""(list_sum(list_transform(generate_series(1, len($a)),
         i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
       / SQRT(list_sum(list_transform(generate_series(1, len($a)),
@@ -694,4 +695,98 @@ object Similarity {
             SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
               PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
             FROM scored) WHERE rank <= $TopK""")
+
+  // ----- dynamic (trained-state) oracles ------------------------------
+  //
+  // The IVF family was the last rows-only group: cell membership
+  // depends on the TRAINED centroids, and Lloyd iterations are not
+  // SQL. But training is fully deterministic given the corpus
+  // (deterministic sample order, fixed init, first-wins ties), so the
+  // literal-constant trick that oracled the plane-derived family
+  // extends: Verify renders the trained quantizer as DuckDB literals
+  // and the oracle INDEPENDENTLY recomputes everything downstream of
+  // training — per-vector cell similarity, argmax assignment, the
+  // query probe, candidate generation, exact re-rank, per-cell dedup.
+  // Only the centroid VALUES are taken from the Spark side (dumped,
+  // like the seeded planes — but data-dependent, hence generated at
+  // Verify time rather than compiled in). Double.toString round-trips
+  // the exact 64-bit value through DuckDB's parser, and each float
+  // centroid component is exactly representable as a double, so both
+  // engines compare bit-identical similarities.
+
+  /** The trained quantizer for corpus `d` as DuckDB literals:
+    * (centroid matrix [k][Dim], centroid norms [k], k). Reads the
+    * session's cached [[ivfIndex]], so Verify's parquet dump and the
+    * generated oracle SQL share one training run by construction.
+    */
+  def centroidLiterals(s: SparkSession, d: String): (String, String, Int) = {
+    val cents = ivfIndex(s, d).cents
+    val cv = cents.map(_._2.map(_.toDouble.toString).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val cn = cents.map(_._3.toString).mkString("[", ", ", "]")
+    (cv, cn, cents.length)
+  }
+
+  /** Shared oracle CTE text: `m` (centroid literals), `sims` (every
+    * (vec_id, cell, sim) pair — the [[nearestCellsUdf]] kernel
+    * restated: dot over min(len, Dim) terms, divided by the vector
+    * norm then the stored centroid norm, in that order), `asg` (argmax
+    * cell, lowest-cell tiebreak — single assignment, the declared
+    * default). Returns (cteSql, k).
+    */
+  private[operators] def ivfOracleCtes(s: SparkSession, d: String): (String, Int) = {
+    val (cv, cn, k) = centroidLiterals(s, d)
+    val ctes =
+      s"""m AS (SELECT $cv AS cv, $cn AS cn),
+          sims AS (
+            SELECT e.vec_id, g.c,
+              (COALESCE(list_sum(list_transform(generate_series(1, LEAST(len(e.embedding), $Dim)),
+                 i -> e.embedding[i]::DOUBLE * m.cv[g.c][i])), 0.0)
+               / SQRT(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+               / m.cn[g.c]) AS sim
+            FROM embeddings e, m, generate_series(1, $k) AS g(c)),
+          asg AS (
+            SELECT vec_id, CAST(c - 1 AS BIGINT) AS cell FROM (
+              SELECT vec_id, c, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, c ASC) AS rn FROM sims)
+            WHERE rn = 1)"""
+    (ctes, k)
+  }
+
+  /** Oracles whose SQL embeds the trained quantizer — generated per
+    * (session, corpus) at Verify time and merged over the static map.
+    */
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
+    val (ctes, k) = ivfOracleCtes(s, d)
+    val np = math.max(NProbe, math.ceil(k * ProbeFraction).toInt)
+    Map(
+      "ivf_build" ->
+        s"""WITH $ctes
+            SELECT vec_id, cell FROM asg""",
+      // Full probe pipeline restated: top-np cells per query by the
+      // same similarity kernel, candidates from the probed cells'
+      // assignments, exact rounded-cosine re-rank (the sim_ann_lsh
+      // oracle pattern; IvfAssign=1 → no cross-cell dedup needed).
+      "sim_ann_ivf" ->
+        s"""WITH $ctes,
+            qprobe AS (
+              SELECT vec_id AS q_id, CAST(c - 1 AS BIGINT) AS cell FROM (
+                SELECT vec_id, c, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, c ASC) AS rn
+                FROM sims WHERE vec_id % $QueryStride = 0)
+              WHERE rn <= $np),
+            cand AS (
+              SELECT q.q_id, a.vec_id AS n_id
+              FROM qprobe q JOIN asg a ON q.cell = a.cell
+              WHERE q.q_id <> a.vec_id),
+            scored AS (
+              SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+              FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
+                         JOIN embeddings n ON n.vec_id = c.n_id)
+            SELECT q_id, n_id, cos_sim, rank FROM (
+              SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+              FROM scored) WHERE rank <= $TopK""")
+  }
 }

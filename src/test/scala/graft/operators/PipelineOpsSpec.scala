@@ -107,6 +107,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall regressed: $recall")
   }
 
+  test("trained-state oracles: centroid literals round-trip and cover the IVF family") {
+    // The DuckDB bit-exactness itself is the driver's gate (and
+    // tools/check_oracle.py locally); this pins the CONTRACT — the
+    // dynamic map covers exactly the trained-state queries, doesn't
+    // collide with a static oracle, and embeds the session's cached
+    // centroids verbatim (Double.toString round-trips, so the literal
+    // DuckDB parses is the same 64-bit value the kernel used).
+    val sim = Similarity.dynamicOracles(spark, sf)
+    val ded = Dedup.dynamicOracles(spark, sf)
+    assert(sim.keySet == Set("ivf_build", "sim_ann_ivf"))
+    assert(ded.keySet == Set("dedup_semantic"))
+    val static = graft.SparkEntry.oracleSql.keySet
+    assert((sim.keySet ++ ded.keySet).forall(!static.contains(_)))
+    val cents = Similarity.ivfIndex(spark, sf).cents
+    val (cv, cn, k) = Similarity.centroidLiterals(spark, sf)
+    assert(k == cents.length)
+    val c0 = cents.head._2.head
+    assert(cv.contains(c0.toDouble.toString) &&
+      c0.toDouble.toString.toDouble == c0.toDouble)
+    assert(cn.contains(cents.head._3.toString))
+    assert(sim("ivf_build").contains(cv) && sim("sim_ann_ivf").contains(cv) &&
+      ded("dedup_semantic").contains(cv))
+  }
+
   test("IVF default probe on the isotropic corpus: recall is MEASURED and reported") {
     // Informational (no 0.9 floor): the bench's "probe beats brute
     // force" line runs the DEFAULT probe on the ISOTROPIC sf0.1
