@@ -226,6 +226,28 @@ object Relational {
         .agg(count(lit(1)).as("n_events"),
           min($"ts_ms").as("start_ms"),
           (max($"ts_ms") - min($"ts_ms")).as("dur_ms"))
+    },
+
+    // Cohort retention — the other event-analytics staple: users
+    // cohorted by first active day, counted per (cohort day, day
+    // offset). The raw event stream collapses MAP-SIDE to distinct
+    // (user, day) pairs before the only wide exchange (partial-agg
+    // dedup — a day's worth of one user's events leaves each split as
+    // one row); the window-min cohort join and the final matrix
+    // aggregate then move at most |users|·|active days| rows, already
+    // orders of magnitude below the event count. Day arithmetic is
+    // epoch-ms integer division on both engines (µs-truncated, same
+    // as evt_sessions).
+    "evt_retention" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id",
+          expr("unix_micros(ts) div 1000 div 86400000").as("day"))
+        .distinct()
+        .withColumn("cohort_day", min($"day").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"user_id")))
+        .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
     })
 
   /** Session gap bound for evt_sessions (the reference DAG's 30-minute
@@ -330,6 +352,15 @@ object Relational {
             COUNT(*) AS n_events, MIN(ts_ms) AS start_ms,
             MAX(ts_ms) - MIN(ts_ms) AS dur_ms
           FROM sx GROUP BY user_id, session_idx""",
+    "evt_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+           epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) // 86400000 AS day
+           FROM events),
+         f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+         SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+           COUNT(*) AS n_users
+         FROM e JOIN f USING (user_id)
+         GROUP BY f.cohort_day, day_offset""",
     "q16_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

@@ -186,6 +186,83 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_shared"))
     },
 
+    // Bloom-prefiltered decontamination — the same EXACT semantics as
+    // txt_decontaminate, computed the way a 100 TB corpus wants it:
+    // the held-out side's distinct gram hashes fold into a Bloom
+    // filter (exact distributed sketch via df.stat.bloomFilter) that
+    // ships to every executor once; the training side's gram stream is
+    // then culled MAP-SIDE by mightContain BEFORE the join exchange,
+    // so the wide shuffle carries only probable hits (~fpp of the
+    // corpus gram stream) instead of every gram. The exact equi-join
+    // verify on the survivors removes the false positives — the Bloom
+    // is a prefilter, never a correctness dependency, which is why the
+    // output stays hash-oracled with the exact-decontamination SQL.
+    // Sized by BloomExpectedGrams: overflow only degrades fpp (more
+    // rows survive to the verify join), never the result.
+    "txt_bloom_decontaminate" -> { (s, d) =>
+      import s.implicits._
+      val grams = Tables.documents(s, d)
+        .select($"doc_id", $"source", decontamGramHashes($"text").as("ghs"),
+          substring(md5($"doc_id".cast("string")), 1, 2).as("split"))
+      val evalGrams = grams.filter($"split" < EvalSplitThreshold)
+        .select(explode($"ghs").as("gh")).distinct()
+      val bloom = evalGrams.stat.bloomFilter("gh", BloomExpectedGrams, BloomFpp)
+      val mightContain = udf((gh: Long) => bloom.mightContain(gh))
+        .withName("bloom_might_contain")
+      grams.filter($"split" >= EvalSplitThreshold)
+        .select($"doc_id", $"source", explode($"ghs").as("gh"))
+        .filter(mightContain($"gh"))
+        .join(evalGrams, Seq("gh"))
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_shared"))
+    },
+
+    // Vocabulary build — the tokenizer-construction step: global token
+    // counts, top-VocabSize by (count desc, token asc), contiguous ids
+    // in that order. One explode → partial-agg shuffle keyed by token
+    // (map-side combine collapses each split's repeats before the
+    // exchange); the global top-V is TakeOrderedAndProject (per-
+    // partition heaps, no full sort), and the id-assigning window runs
+    // over the V-row survivor set — bounded by the vocab size, never
+    // the corpus.
+    "txt_vocab" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("n_occ"))
+        .orderBy($"n_occ".desc, $"token".asc)
+        .limit(VocabSize)
+        .withColumn("token_id",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy($"n_occ".desc, $"token".asc)) - 1).cast("long"))
+        .select($"token", $"token_id", $"n_occ")
+    },
+
+    // Fixed-token training windows: each document cut into
+    // WinTokens-token windows every WinStride tokens (overlap
+    // WinTokens - WinStride) — the sample-shaping step between
+    // curation and tokenization. Output stays NARROW: (win_id,
+    // tok_start, n_toks) offsets plus an md5 fingerprint of the
+    // window's token text — at 100 TB the windows table is offsets +
+    // checksums, and slicing is a narrow map at read time. Row-local:
+    // explode of a per-row sequence, zero shuffle, linear in corpus
+    // tokens.
+    "txt_windows" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", tokens($"text").as("ts"))
+        .select($"doc_id", $"ts", explode(expr(
+          s"sequence(0, cast((greatest(size(ts) - $WinTokens, 0) + ${WinStride - 1}) div $WinStride AS INT))"))
+          .as("w"))
+        .select($"doc_id", $"w".cast("long").as("win_id"),
+          ($"w" * WinStride).cast("long").as("tok_start"),
+          least(lit(WinTokens), size($"ts") - $"w" * WinStride).cast("long")
+            .as("n_toks"),
+          md5(to_binary(concat_ws(" ", slice($"ts", $"w" * WinStride + 1,
+            least(lit(WinTokens), size($"ts") - $"w" * WinStride))),
+            lit("utf-8"))).as("win_fp"))
+    },
+
     // Intra-document repetition signals (the Gopher-style quality
     // gates): duplicate-token ratio, duplicate-2-gram ratio, and the
     // corpus's classic "stuck generator" tell — the fraction of 2-grams
@@ -358,6 +435,30 @@ object TextAnalysis {
   /** Docs kept per source by txt_stratified_sample. */
   val StratQuota = 5
 
+  /** Bloom sizing for txt_bloom_decontaminate: expected distinct
+    * held-out gram hashes and target false-positive rate. ~1 MiB of
+    * bits at these values — broadcast-trivial. An eval side larger
+    * than expected only degrades the fpp (more rows reach the exact
+    * verify join); the RESULT never depends on the sketch.
+    */
+  val BloomExpectedGrams = 1L << 20
+  val BloomFpp = 0.03
+
+  /** Vocabulary size kept by txt_vocab (count-desc, token-asc order —
+    * fully deterministic, so ids are stable across engines and runs).
+    */
+  val VocabSize = 1000
+
+  /** Training-window shape for txt_windows: WinTokens-token windows
+    * every WinStride tokens (WinTokens - WinStride tokens of overlap,
+    * the common causal-LM ~1/6 overlap). Sized to the fixture corpus
+    * (docs average ~54 tokens, max ~100) so multi-window docs AND
+    * partial tail windows are exercised; production callers pass their
+    * context length (the operator's math is size-agnostic).
+    */
+  val WinTokens = 48
+  val WinStride = 40
+
   /** Hash pre-filter bound for txt_stratified_sample ('80' ≈ 50%):
     * correctness-neutral as long as ≥ quota docs per source survive
     * (window rank finishes the exact quota); the lever that keeps the
@@ -431,6 +532,28 @@ object TextAnalysis {
   private val sqlToks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
   private val sqlStop = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Exact-decontamination oracle, shared by `txt_decontaminate` and
+    * `txt_bloom_decontaminate` — the Bloom path's whole point is that
+    * its result is indistinguishable from the exact one.
+    */
+  private val decontamOracle: String =
+    s"""WITH tok AS (SELECT doc_id, source, $sqlToks AS ts FROM documents),
+        g AS (SELECT doc_id, source,
+          CASE WHEN len(ts) >= $DecontamN
+            THEN list_transform(range(0, len(ts) - ${DecontamN - 1}),
+              i -> array_to_string(ts[i+1:i+$DecontamN], ' '))
+            ELSE [] END AS gs,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS split
+          FROM tok),
+        ev AS (SELECT DISTINCT gram FROM
+          (SELECT unnest(gs) AS gram FROM g WHERE split < '$EvalSplitThreshold')),
+        tr AS (SELECT DISTINCT doc_id, source, gram FROM
+          (SELECT doc_id, source, unnest(gs) AS gram FROM g
+           WHERE split >= '$EvalSplitThreshold'))
+        SELECT doc_id, source, COUNT(*) AS n_shared
+        FROM tr JOIN ev USING (gram)
+        GROUP BY doc_id, source"""
+
   val oracles: Map[String, String] = Map(
     "txt_tokens" ->
       s"""SELECT doc_id,
@@ -482,23 +605,31 @@ object TextAnalysis {
               ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM documents)""",
-    "txt_decontaminate" ->
-      s"""WITH tok AS (SELECT doc_id, source, $sqlToks AS ts FROM documents),
-          g AS (SELECT doc_id, source,
-            CASE WHEN len(ts) >= $DecontamN
-              THEN list_transform(range(0, len(ts) - ${DecontamN - 1}),
-                i -> array_to_string(ts[i+1:i+$DecontamN], ' '))
-              ELSE [] END AS gs,
-            substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS split
-            FROM tok),
-          ev AS (SELECT DISTINCT gram FROM
-            (SELECT unnest(gs) AS gram FROM g WHERE split < '$EvalSplitThreshold')),
-          tr AS (SELECT DISTINCT doc_id, source, gram FROM
-            (SELECT doc_id, source, unnest(gs) AS gram FROM g
-             WHERE split >= '$EvalSplitThreshold'))
-          SELECT doc_id, source, COUNT(*) AS n_shared
-          FROM tr JOIN ev USING (gram)
-          GROUP BY doc_id, source""",
+    "txt_decontaminate" -> decontamOracle,
+    // Same exact result by construction (the Bloom is a prefilter the
+    // exact verify join erases), so the same oracle pins it.
+    "txt_bloom_decontaminate" -> decontamOracle,
+    "txt_vocab" ->
+      s"""WITH toks AS (SELECT unnest($sqlToks) AS token FROM documents),
+          cnt AS (SELECT token, COUNT(*) AS n_occ FROM toks GROUP BY token),
+          top AS (SELECT token, n_occ FROM cnt
+            ORDER BY n_occ DESC, token LIMIT $VocabSize)
+          SELECT token, CAST(ROW_NUMBER() OVER (
+            ORDER BY n_occ DESC, token) - 1 AS BIGINT) AS token_id, n_occ
+          FROM top""",
+    "txt_windows" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+          x AS (SELECT doc_id, ts, UNNEST(range(0,
+            (GREATEST(len(ts) - $WinTokens, 0) + ${WinStride - 1}) // $WinStride
+              + 1)) AS w
+            FROM t)
+          SELECT doc_id, CAST(w AS BIGINT) AS win_id,
+            CAST(w * $WinStride AS BIGINT) AS tok_start,
+            CAST(LEAST($WinTokens, len(ts) - w * $WinStride) AS BIGINT) AS n_toks,
+            md5(array_to_string(ts[w * $WinStride + 1 :
+              w * $WinStride + LEAST($WinTokens, len(ts) - w * $WinStride)],
+              ' ')) AS win_fp
+          FROM x""",
     "txt_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS ts FROM documents),
           base AS (SELECT doc_id, len(ts) AS n_tok,

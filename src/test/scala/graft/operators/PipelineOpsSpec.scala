@@ -557,4 +557,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     val built = Similarity.ivfIndex(spark, "/root/testdata/sf0.01")
     assert(built.assigned.count() == 500)
   }
+
+  test("bloom decontamination equals the exact path (sketch is a prefilter, not semantics)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = TextAnalysis.queries("txt_decontaminate")(spark, sf01)
+    val bloom = TextAnalysis.queries("txt_bloom_decontaminate")(spark, sf01)
+    assert(exact.count() > 0)
+    assert(bloom.except(exact).isEmpty && exact.except(bloom).isEmpty)
+  }
+
+  test("training windows tile each document: stride spacing, full coverage, bounded length") {
+    import spark.implicits._
+    val W = TextAnalysis.WinTokens
+    val S = TextAnalysis.WinStride
+    val wins = TextAnalysis.queries("txt_windows")(spark, sf)
+      .select($"doc_id", $"win_id", $"tok_start", $"n_toks")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    val nTok = TextAnalysis.queries("txt_tokens")(spark, sf)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    assert(wins.nonEmpty && wins.keySet == nTok.keySet)
+    wins.foreach { case (doc, ws) =>
+      val n = nTok(doc)
+      val sorted = ws.sortBy(_._2)
+      // contiguous ids from 0, stride-spaced starts, ≤W tokens each
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      assert(sorted.forall { case (_, w, st, nt) => st == w * S && nt <= W })
+      // full coverage: the last window ends exactly at the doc's end,
+      // and every non-final window is full-width
+      assert(sorted.last._3 + sorted.last._4 == n)
+      assert(sorted.init.forall(_._4 == W))
+      // window count matches the declared formula
+      assert(sorted.length == 1 + (math.max(n - W, 0) + S - 1) / S)
+    }
+  }
+
+  test("vocab ids are contiguous ranks in (count desc, token asc) order") {
+    import spark.implicits._
+    val v = TextAnalysis.queries("txt_vocab")(spark, sf)
+      .select($"token", $"token_id", $"n_occ")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(v.nonEmpty && v.length <= TextAnalysis.VocabSize)
+    assert(v.map(_._2).toSeq == v.indices.map(_.toLong))
+    v.sliding(2).foreach {
+      case Array((t1, _, c1), (t2, _, c2)) =>
+        assert(c1 > c2 || (c1 == c2 && t1 < t2))
+      case _ =>
+    }
+  }
+
+  test("cohort retention: offset 0 is the cohort census and bounds every later offset") {
+    import spark.implicits._
+    val r = Relational.queries("evt_retention")(spark, sf)
+      .select($"cohort_day", $"day_offset", $"n_users")
+      .as[(Long, Long, Long)].collect()
+    assert(r.nonEmpty && r.forall(_._2 >= 0))
+    val byCohort = r.groupBy(_._1)
+    byCohort.foreach { case (_, rows) =>
+      val at0 = rows.find(_._2 == 0).map(_._3)
+      // every user's first day is offset 0, so the census row exists
+      // and no later offset can exceed it
+      assert(at0.nonEmpty)
+      assert(rows.forall(_._3 <= at0.get))
+    }
+    // offset-0 rows partition the user base: they sum to the distinct
+    // user count of the whole event stream
+    val users = graft.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == users)
+  }
 }

@@ -185,4 +185,54 @@ class PlanQualitySpec extends AnyFunSuite {
         s"dedup_embedding construction launched Spark job(s): $dataJobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("bloom prefilter culls the raw gram stream map-side, below the join") {
+    // the whole point of the sketch: mightContain must run on the
+    // train side's raw gram stream (directly over its Generate), below
+    // the join and below any exchange the grams would cross — a filter
+    // above the join means the join moved every gram and the sketch
+    // bought nothing. At fixture scale the eval side broadcasts, so
+    // the train stream crosses NO exchange at all (the strongest form:
+    // scan → gram explode → bloom cull → joined in the map stage).
+    val p = plan("txt_bloom_decontaminate")
+    val lines = p.split('\n')
+    val fi = lines.indexWhere(_.contains("bloom_might_contain"))
+    val ji = lines.indexWhere(l => l.contains("Join") && l.contains("gh"))
+    assert(fi >= 0, s"bloom filter missing from the plan:\n$p")
+    // first occurrence is the probe branch (printed first); between
+    // the join and the filter at most shuffle/sort plumbing — never an
+    // aggregate or the Generate itself (which would put the filter on
+    // the wrong side of the gram explode)
+    assert(ji >= 0 && fi > ji, s"bloom filter is not below the join:\n$p")
+    assert(!lines.slice(ji + 1, fi).exists(l =>
+      l.contains("HashAggregate") || l.contains("Generate")),
+      s"bloom filter does not sit on the raw gram stream:\n$p")
+  }
+
+  test("vocab top-V is a TakeOrdered heap over one token-keyed exchange, not a global sort") {
+    val p = plan("txt_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(count(p, "Exchange hashpartitioning(token") == 1, p)
+    // below the heap (deeper in the tree) sits only the agg + scan: a
+    // Sort there would mean the full token relation is globally sorted
+    // before the top-V — the O(n log n) plan TakeOrdered exists to
+    // avoid. (The id window's own Sort above the heap ranks V rows.)
+    val lines = p.split('\n')
+    val toi = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(toi >= 0 && !lines.drop(toi + 1).exists(_.contains("Sort ")),
+      s"global sort below the top-V heap:\n$p")
+  }
+
+  test("training windows never exchange (row-local explode)") {
+    val p = plan("txt_windows")
+    assert(count(p, "Exchange") == 0, s"txt_windows:\n$p")
+  }
+
+  test("retention collapses events map-side before its first exchange") {
+    // the (user, day) distinct must partial-aggregate on the scan side
+    // — the wide event stream crosses its only exchange pre-collapsed
+    val p = plan("evt_retention")
+    assert(count(p, "HashAggregate(keys=[user_id") >= 2,
+      s"no map-side (user, day) partial dedup:\n$p")
+  }
 }
