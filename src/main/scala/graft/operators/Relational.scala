@@ -248,6 +248,33 @@ object Relational {
           org.apache.spark.sql.expressions.Window.partitionBy($"user_id")))
         .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
         .agg(count(lit(1)).as("n_users"))
+    },
+
+    // Ordered funnel (view → click → purchase): users counted at each
+    // stage they reach IN ORDER — a click only counts if strictly
+    // after the user's first view, a purchase only strictly after that
+    // click. The sequential dependency makes this a 3-stage
+    // join-reduce; every exchange is keyed user_id and each stage's
+    // relation SHRINKS (stage-k users ⊆ stage-k-1 users), so the wide
+    // event stream is touched once per stage as a pushdown-filtered
+    // scan and everything downstream moves per-user scalars, never
+    // event rows.
+    "evt_funnel" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d).select($"user_id", $"event_type",
+        expr("unix_micros(ts) div 1000").as("ts_ms"))
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts_ms").as("v_ts"))
+      val c = e.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts_ms" > $"v_ts")
+        .groupBy($"user_id").agg(min($"ts_ms").as("c_ts"))
+      val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts_ms" > $"c_ts")
+        .groupBy($"user_id").agg(min($"ts_ms").as("p_ts"))
+      v.select(lit(1).as("stage"), $"user_id")
+        .union(c.select(lit(2).as("stage"), $"user_id"))
+        .union(p.select(lit(3).as("stage"), $"user_id"))
+        .groupBy($"stage").agg(count(lit(1)).as("n_users"))
     })
 
   /** Session gap bound for evt_sessions (the reference DAG's 30-minute
@@ -361,6 +388,21 @@ object Relational {
            COUNT(*) AS n_users
          FROM e JOIN f USING (user_id)
          GROUP BY f.cohort_day, day_offset""",
+    "evt_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+           epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
+           FROM events),
+         v AS (SELECT user_id, MIN(ts_ms) AS v_ts FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(ts_ms) AS c_ts FROM e JOIN v USING (user_id)
+           WHERE event_type = 'click' AND ts_ms > v_ts GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(ts_ms) AS p_ts FROM e JOIN c USING (user_id)
+           WHERE event_type = 'purchase' AND ts_ms > c_ts GROUP BY e.user_id)
+         SELECT stage, COUNT(*) AS n_users FROM (
+           SELECT 1 AS stage, user_id FROM v
+           UNION ALL SELECT 2, user_id FROM c
+           UNION ALL SELECT 3, user_id FROM p)
+         GROUP BY stage""",
     "q16_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

@@ -625,4 +625,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select($"user_id").distinct().count()
     assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == users)
   }
+
+  test("funnel stages are monotone and stage 1 is the viewer census") {
+    import spark.implicits._
+    val f = Relational.queries("evt_funnel")(spark, sf)
+      .select($"stage", $"n_users").as[(Int, Long)].collect().toMap
+    assert(f.keySet == Set(1, 2, 3))
+    // ordered reachability: stage-k users are a subset of stage-(k-1)
+    assert(f(1) >= f(2) && f(2) >= f(3) && f(3) > 0)
+    val viewers = graft.Tables.events(spark, sf)
+      .filter($"event_type" === "view").select($"user_id").distinct().count()
+    assert(f(1) == viewers)
+  }
 }
