@@ -149,7 +149,10 @@ object Dedup {
     * cutoff²/2 while leaving near-dup pairs — whose similarity rests on
     * many shared shingles — intact. The cutoff sits far above any
     * document frequency in the test corpora (max DF is 7 at sf0.01 and
-    * 25 at sf0.1), so outputs at verification scale are unchanged.
+    * 25 at sf0.1), so outputs at verification scale are unchanged —
+    * and the DuckDB oracle ([[jaccardCte]]) states the SAME DF-bounded
+    * semantics, so the two engines agree even on corpora where a
+    * shingle's DF crosses the cutoff.
     */
   val MaxShingleDf = 1000
 
@@ -223,11 +226,14 @@ object Dedup {
 
   /** doc_id → 64-element minhash signature (empty-shingle docs keep a
     * sentinel signature; they can only pair with other empty docs).
+    * Reads the build-once [[shingleRelation]] like every other shingle
+    * consumer — calling this directly must not re-run the tokenize+
+    * hash scan the relation exists to amortize.
     */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", minhashSig(shingleHashes($"text")).as("sig"))
+    shingleRelation(s, d)
+      .select($"doc_id", minhashSig($"sh").as("sig"))
   }
 
   /** LSH candidate pairs: hash each band of the signature to a bucket,
@@ -503,9 +509,19 @@ object Dedup {
       maxDriverEdges: Long = CcDriverEdgeCap): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    if (maxDriverEdges > 0 && pairs.count() <= maxDriverEdges) {
-      val es = pairs.select($"id_a".cast("long"), $"id_b".cast("long"))
-        .as[(Long, Long)].collect()
+    // gate and fetch in ONE action: limit(cap+1) stops scanning at the
+    // cap instead of counting the whole relation, and a below-cap graph
+    // arrives already collected — a count()-then-collect() gate would
+    // materialize an uncached pair relation twice, and above-cap graphs
+    // would pay a full extra pass just to learn they're big
+    val probe: Option[Array[(Long, Long)]] =
+      if (maxDriverEdges > 0 && maxDriverEdges < Int.MaxValue) {
+        val rows = pairs.select($"id_a".cast("long"), $"id_b".cast("long"))
+          .limit(maxDriverEdges.toInt + 1).as[(Long, Long)].collect()
+        if (rows.length <= maxDriverEdges) Some(rows) else None
+      } else None
+    if (probe.isDefined) {
+      val es = probe.get
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -662,19 +678,37 @@ object Dedup {
 
   private val sqlToks =
     "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
-  /** DuckDB CTEs computing the exact pairwise 3-gram Jaccard (the
-    * quadratic spec the inverted-index / LSH plans must reproduce).
+  /** DuckDB CTEs computing the DF-bounded pairwise 3-gram Jaccard —
+    * the operator's actual contract at every scale: shingles whose
+    * corpus document frequency exceeds [[MaxShingleDf]] contribute to
+    * NO pair (the inverted-index cutoff that bounds bucket pair
+    * emission), while per-doc sizes stay unfiltered. Stated as the
+    * same inverted index relationally (gram rows → DF filter → bucket
+    * self-join → size re-join) rather than a quadratic doc×doc
+    * list_intersect, so the oracle matches the engine at corpora where
+    * DF crosses the cutoff — at fixture scale (max DF 25) the two
+    * formulations are value-identical, and this one is also far
+    * cheaper for DuckDB at sf0.1.
     */
   private val jaccardCte =
     s"""WITH toks AS (SELECT doc_id, $sqlToks t FROM documents),
         sh AS (SELECT doc_id, list_distinct(list_transform(
           generate_series(1, GREATEST(len(t) - 2, 0)),
           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s FROM toks),
-        pairs AS (SELECT a.doc_id id_a, b.doc_id id_b,
-          len(list_intersect(a.s, b.s))::DOUBLE /
-            len(list_distinct(list_concat(a.s, b.s))) j
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.s, b.s)) > 0)"""
+        srows AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        okrows AS (SELECT doc_id, g FROM srows
+          JOIN (SELECT g, COUNT(*) AS df FROM srows GROUP BY g) USING (g)
+          WHERE df BETWEEN 2 AND $MaxShingleDf),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            COUNT(*) AS n_common
+          FROM okrows a JOIN okrows b
+            ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        pairs AS (SELECT id_a, id_b,
+            n_common::DOUBLE / (sa.n + sb.n - n_common) AS j
+          FROM inter
+          JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
+          JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b)"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->

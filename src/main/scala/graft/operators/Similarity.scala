@@ -225,6 +225,13 @@ object Similarity {
   def ivfK(n: Long): Int =
     math.min(IvfKCap.toLong, math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
+  /** Default cell probe count for a k-cell quantizer — the ONE place
+    * the probe policy lives: shared by [[topkIvf]] and the generated
+    * `sim_ann_ivf` oracle so the two cannot drift.
+    */
+  def defaultNProbe(k: Int): Int =
+    math.max(NProbe, math.ceil(k * ProbeFraction).toInt)
+
   /** Nearest-`n` centroid cells for a vector, as one narrow kernel
     * over the broadcast centroid matrix (ties → lowest centroid id).
     */
@@ -462,8 +469,7 @@ object Similarity {
     val idx = ivfIndex(s, d, assign)
     val cents = idx.cents
     val assigned = idx.assigned
-    val np = if (nprobe > 0) nprobe
-      else math.max(NProbe, math.ceil(cents.length * ProbeFraction).toInt)
+    val np = if (nprobe > 0) nprobe else defaultNProbe(cents.length)
     // per query: its np nearest cells via the same kernel
     val probe = nearestCellsUdf(cents, np)
     val qCells = querySet(s, d)
@@ -759,7 +765,7 @@ object Similarity {
     */
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
     val (ctes, k) = ivfOracleCtes(s, d)
-    val np = math.max(NProbe, math.ceil(k * ProbeFraction).toInt)
+    val np = defaultNProbe(k)
     Map(
       "ivf_build" ->
         s"""WITH $ctes

@@ -171,19 +171,8 @@ object TextAnalysis {
     // a relation (joined, not broadcast): at 100 TB the eval side can
     // itself be large.
     "txt_decontaminate" -> { (s, d) =>
-      import s.implicits._
-      val grams = Tables.documents(s, d)
-        .select($"doc_id", $"source", decontamGramHashes($"text").as("ghs"),
-          substring(md5($"doc_id".cast("string")), 1, 2).as("split"))
-      val evalGrams = grams.filter($"split" < EvalSplitThreshold)
-        .select(explode($"ghs").as("gh")).distinct()
-      grams.filter($"split" >= EvalSplitThreshold)
-        // kernel emits per-doc-distinct grams, so each shared gram
-        // counts once per doc with no extra dedup exchange
-        .select($"doc_id", $"source", explode($"ghs").as("gh"))
-        .join(evalGrams, Seq("gh"))
-        .groupBy($"doc_id", $"source")
-        .agg(count(lit(1)).as("n_shared"))
+      val (train, evalGrams) = decontamSides(s, d)
+      contaminationReport(train, evalGrams)
     },
 
     // Bloom-prefiltered decontamination — the same EXACT semantics as
@@ -201,20 +190,11 @@ object TextAnalysis {
     // rows survive to the verify join), never the result.
     "txt_bloom_decontaminate" -> { (s, d) =>
       import s.implicits._
-      val grams = Tables.documents(s, d)
-        .select($"doc_id", $"source", decontamGramHashes($"text").as("ghs"),
-          substring(md5($"doc_id".cast("string")), 1, 2).as("split"))
-      val evalGrams = grams.filter($"split" < EvalSplitThreshold)
-        .select(explode($"ghs").as("gh")).distinct()
+      val (train, evalGrams) = decontamSides(s, d)
       val bloom = evalGrams.stat.bloomFilter("gh", BloomExpectedGrams, BloomFpp)
       val mightContain = udf((gh: Long) => bloom.mightContain(gh))
         .withName("bloom_might_contain")
-      grams.filter($"split" >= EvalSplitThreshold)
-        .select($"doc_id", $"source", explode($"ghs").as("gh"))
-        .filter(mightContain($"gh"))
-        .join(evalGrams, Seq("gh"))
-        .groupBy($"doc_id", $"source")
-        .agg(count(lit(1)).as("n_shared"))
+      contaminationReport(train.filter(mightContain($"gh")), evalGrams)
     },
 
     // Vocabulary build — the tokenizer-construction step: global token
@@ -426,6 +406,37 @@ object TextAnalysis {
     * short-doc fixtures meaningful while exercising the same plan).
     */
   val DecontamN = 8
+
+  /** The two sides of decontamination, shared by the exact and Bloom
+    * paths so the gram projection and split rule cannot drift between
+    * them: (training gram rows (doc_id, source, gh), distinct held-out
+    * gram hashes (gh)). The kernel emits per-doc-distinct grams, so
+    * each shared gram counts once per doc with no extra dedup
+    * exchange.
+    */
+  private def decontamSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", $"source", decontamGramHashes($"text").as("ghs"),
+        substring(md5($"doc_id".cast("string")), 1, 2).as("split"))
+    val train = grams.filter($"split" >= EvalSplitThreshold)
+      .select($"doc_id", $"source", explode($"ghs").as("gh"))
+    val evalGrams = grams.filter($"split" < EvalSplitThreshold)
+      .select(explode($"ghs").as("gh")).distinct()
+    (train, evalGrams)
+  }
+
+  /** Exact contamination verify + per-doc tally — the tail both
+    * decontamination paths end in (the Bloom path pre-culls `train`
+    * before calling this, which is why its result is identical).
+    */
+  private def contaminationReport(train: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    train.join(evalGrams, Seq("gh"))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 
   /** Eval-split bound for decontamination: md5 prefix < '0d' ≈ 5% of
     * docs form the held-out side; the rest are the training side.

@@ -17,45 +17,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Wraps a builder with an arity check so a wrong-arg-count SQL call
+    * fails with the function's signature instead of a raw
+    * IndexOutOfBounds from `args(i)`.
+    */
+  private def arity(sig: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$sig expects $n argument(s), got ${args.length}")
+      b(args)
+    }
+
   /** (name, info, builder) triples for every engine SQL function. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("dna_encode"),
         new ExpressionInfo(classOf[DnaEncode].getName, "dna_encode"),
-        (args: Seq[Expression]) => DnaEncode(args.head)),
+        arity("dna_encode(bytes)", 1)(args => DnaEncode(args.head))),
       (FunctionIdentifier("dna_decode"),
         new ExpressionInfo(classOf[DnaDecode].getName, "dna_decode"),
-        (args: Seq[Expression]) => DnaDecode(args(0), args(1))),
+        arity("dna_decode(dna, width)", 2)(args => DnaDecode(args(0), args(1)))),
       (FunctionIdentifier("vector_dot"),
         new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-        (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+        arity("vector_dot(a, b)", 2)(args => VectorDot(args(0), args(1)))),
       (FunctionIdentifier("vector_norm"),
         new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm"),
-        (args: Seq[Expression]) => VectorNorm(args.head)),
+        arity("vector_norm(a)", 1)(args => VectorNorm(args.head))),
       (FunctionIdentifier("packed_pairs"),
         new ExpressionInfo(classOf[PackedPairs].getName, "packed_pairs"),
-        (args: Seq[Expression]) => PackedPairs(args.head)),
+        arity("packed_pairs(ids)", 1)(args => PackedPairs(args.head))),
       (FunctionIdentifier("minhash_sig"),
         new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
-        (args: Seq[Expression]) => MinhashSig(args.head)),
+        arity("minhash_sig(hashes)", 1)(args => MinhashSig(args.head))),
       (FunctionIdentifier("ngram_hashes"),
         new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
-        (args: Seq[Expression]) => args(1) match {
+        arity("ngram_hashes(text, n)", 2)(args => args(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
             NgramHashes(args(0), n)
           case other => throw new IllegalArgumentException(
             s"ngram_hashes: n must be an integer literal, got $other")
-        }),
+        })),
       (FunctionIdentifier("dna_process"),
         new ExpressionInfo(classOf[DnaProcess].getName, "dna_process"),
-        (args: Seq[Expression]) => {
+        arity("dna_process(text, chunk_size, nsym)", 3)(args => {
           def intLit(e: Expression, name: String): Int = e match {
             case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
             case other => throw new IllegalArgumentException(
               s"dna_process: $name must be an integer literal, got $other")
           }
           DnaProcess(args(0), intLit(args(1), "chunk_size"), intLit(args(2), "nsym"))
-        }))
+        })))
 
   /** Late registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -172,7 +172,12 @@ object PairKernels {
     val n = ids.numElements()
     val arr = new Array[Long](n)
     var i = 0
-    while (i < n) { arr(i) = ids.getLong(i); i += 1 }
+    while (i < n) {
+      // a NULL element would silently read as 0 via getLong, packing a
+      // phantom doc 0 into every pair — corruption, so refuse it
+      require(!ids.isNullAt(i), "packed_pairs: NULL id in bucket array")
+      arr(i) = ids.getLong(i); i += 1
+    }
     java.util.Arrays.sort(arr)
     var m = 0 // distinct in place (sorted)
     i = 0
@@ -184,6 +189,12 @@ object PairKernels {
     // fail loudly if a schema/scale change ever violates the packing
     require(m == 0 || (arr(0) >= 0 && arr(m - 1) < (1L << 31)),
       s"doc_id out of packed-pair range [0, 2^31): ${arr(0)}..${arr(m - 1)}")
+    // m(m-1)/2 must stay an Int: callers bound buckets by MaxShingleDf
+    // (1000), but this is a registered SQL function — guard the math
+    // rather than overflow into a negative allocation
+    require(m <= 65536,
+      s"packed_pairs: bucket of $m distinct ids exceeds the 65536 cap " +
+        "(pair emission is quadratic — apply a DF cutoff upstream)")
     val out = new Array[Long](m * (m - 1) / 2)
     var k = 0
     i = 0
@@ -208,6 +219,9 @@ object MinhashKernels {
       val n = hs.numElements()
       var j = 0
       while (j < n) {
+        // a NULL element would read as hash 0 and fold a phantom
+        // shingle into the signature — refuse, like packed_pairs
+        require(!hs.isNullAt(j), "minhash_sig: NULL hash in input array")
         val h = hs.getLong(j)
         var k = 0
         while (k < m) {
