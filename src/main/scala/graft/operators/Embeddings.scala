@@ -56,6 +56,31 @@ object Embeddings {
         .select($"q_id", $"label".as("knn_label"), $"votes")
     },
 
+    // Symmetric int8 quantization — the 4× storage/bandwidth lever of
+    // corpus-scale vector search: per vector, scale = max|x|/127 and
+    // q_i = clamp(round(x_i/scale), ±127). Pure row-local map, zero
+    // shuffle; at 100 TB the quantized table IS the stored index and
+    // full-precision vectors page in only for re-ranking. Declared as
+    // exploded scalar rows (the emb_project pattern); rounding is
+    // floor(x+0.5) in BOTH engines (Spark round() and DuckDB round()
+    // disagree on half-away-from-zero for negatives), and the scale
+    // column is the bit-equal double amax/127 on both sides.
+    "emb_quantize" -> { (s, d) =>
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding",
+          array_max(transform($"embedding", x => abs(x.cast("double"))))
+            .as("amax"))
+        .select($"vec_id", $"amax",
+          posexplode($"embedding").as(Seq("dim", "v")))
+        .select($"vec_id", $"dim".cast("int").as("dim"),
+          when($"amax" === 0d, lit(0L)).otherwise(
+            greatest(lit(-127L), least(lit(127L),
+              floor($"v".cast("double") / ($"amax" / 127.0d) + 0.5d))))
+            .cast("int").as("qv"),
+          ($"amax" / 127.0d).as("scale"))
+    },
+
     // Johnson–Lindenstrauss random projection 64 → 16 dims: the cheap
     // transform that makes downstream ANN / clustering 4× narrower at
     // corpus scale (project once, store, search in the small space).
@@ -124,6 +149,18 @@ object Embeddings {
   val oracles: Map[String, String] = Map(
     // constant 1..64 series: DuckDB can't lateral-join generate_series
     // on a column, and the embedding dim is fixed at 64 (TESTDATA.md)
+    "emb_quantize" ->
+      """WITH b AS (SELECT vec_id, embedding,
+           list_max(list_transform(generate_series(1, 64),
+             i -> abs(embedding[i]::DOUBLE))) AS amax
+           FROM embeddings)
+         SELECT vec_id, CAST(g.i - 1 AS INT) AS dim,
+           CAST(CASE WHEN amax = 0 THEN 0 ELSE
+             GREATEST(-127, LEAST(127,
+               FLOOR(embedding[g.i]::DOUBLE / (amax / 127.0) + 0.5)))
+           END AS INT) AS qv,
+           amax / 127.0 AS scale
+         FROM b, generate_series(1, 64) AS g(i)""",
     "emb_centroids" ->
       """SELECT label, CAST(g.i - 1 AS INT) AS dim,
          ROUND(AVG(embedding[g.i]::DOUBLE), 6) AS centroid_v,

@@ -626,6 +626,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == users)
   }
 
+  test("int8 quantization: error bounded by scale/2, range bounded by ±127, exact on zeros") {
+    import spark.implicits._
+    val q = Embeddings.queries("emb_quantize")(spark, sf)
+      .select($"vec_id", $"dim", $"qv", $"scale")
+      .as[(Long, Int, Int, Double)].collect()
+    val raw = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e }.toMap
+    assert(q.nonEmpty)
+    q.foreach { case (id, dim, qv, scale) =>
+      val x = raw(id)(dim).toDouble
+      assert(math.abs(qv) <= 127)
+      if (scale == 0) assert(qv == 0 && x == 0)
+      // round-to-nearest: dequantized value within half a step (+eps
+      // for the x = ±amax boundary where 127*scale ≈ amax in FP)
+      else assert(math.abs(x - qv * scale) <= scale / 2 + 1e-9,
+        s"vec $id dim $dim: x=$x qv=$qv scale=$scale")
+    }
+  }
+
   test("funnel stages are monotone and stage 1 is the viewer census") {
     import spark.implicits._
     val f = Relational.queries("evt_funnel")(spark, sf)
