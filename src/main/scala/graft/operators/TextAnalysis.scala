@@ -243,6 +243,20 @@ object TextAnalysis {
             lit("utf-8"))).as("win_fp"))
     },
 
+    // Unigram Shannon entropy per document — the "natural text vs
+    // degenerate/generated" quality signal (low entropy = stuck
+    // generator or keyword stuffing; ~ln(types) = natural prose).
+    // Same row-local shape as txt_repetition: one hashmap kernel pass,
+    // zero shuffle; the oracle states the identical quantity
+    // relationally (unnest → counts → ln) via the algebraic form
+    // H = ln(n) − Σ c·ln(c) / n, which both engines sum in double.
+    "txt_entropy" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          round(entropyKernel(tokens($"text")), 6).as("entropy"))
+    },
+
     // Intra-document repetition signals (the Gopher-style quality
     // gates): duplicate-token ratio, duplicate-2-gram ratio, and the
     // corpus's classic "stuck generator" tell — the fraction of 2-grams
@@ -500,6 +514,22 @@ object TextAnalysis {
       graft.plans.NgramHashes(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), DecontamN))
 
+  /** Unigram entropy kernel: H = ln(n) − Σ c·ln(c) / n over the token
+    * counts — one hashmap pass (NOTES perf lesson 1). Empty docs → 0.
+    */
+  val entropyKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String]) =>
+      val n = toks.length
+      if (n == 0) 0.0
+      else {
+        val m = new java.util.HashMap[String, Int]()
+        toks.foreach(t => m.merge(t, 1, Integer.sum))
+        var slc = 0.0
+        m.values.forEach(c => slc += c * math.log(c.toDouble))
+        math.log(n.toDouble) - slc / n
+      }
+    }
+
   /** Single-pass repetition metrics per document. */
   final case class RepStats(n_tok: Int, n_types: Int, n_2grams: Int,
       d_2grams: Int, max_2gram: Int)
@@ -628,6 +658,14 @@ object TextAnalysis {
           SELECT token, CAST(ROW_NUMBER() OVER (
             ORDER BY n_occ DESC, token) - 1 AS BIGINT) AS token_id, n_occ
           FROM top""",
+    "txt_entropy" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+          c AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+          e AS (SELECT doc_id, SUM(c * ln(c)) AS slc, SUM(c) AS n
+            FROM c GROUP BY doc_id)
+          SELECT d.doc_id,
+            ROUND(COALESCE(ln(e.n) - e.slc / e.n, 0.0), 6) AS entropy
+          FROM documents d LEFT JOIN e USING (doc_id)""",
     "txt_windows" ->
       s"""WITH t AS (SELECT doc_id, $sqlToks AS ts FROM documents),
           x AS (SELECT doc_id, ts, UNNEST(range(0,

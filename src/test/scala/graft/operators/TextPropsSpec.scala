@@ -91,4 +91,21 @@ class TextPropsSpec extends AnyFunSuite {
       .select((($"doc_id" - 1) / 2).cast("long").as("k"), $"sig".as("sb"))
     assert(a.join(b, "k").filter($"sa" =!= $"sb").count() == 0)
   }
+
+  test("entropy laws: bounded by ln(n_types), zero iff one distinct token, order-invariant") {
+    import spark.implicits._
+    val df = corpus(300).toDF("text")
+    val e = df.select(TextAnalysis.tokens($"text").as("t"))
+      .select($"t", size(array_distinct($"t")).as("types"),
+        round(TextAnalysis.entropyKernel($"t"), 6).as("h"),
+        round(TextAnalysis.entropyKernel(reverse($"t")), 6).as("hrev"))
+    assert(e.filter($"h" < 0).count() == 0)
+    // H <= ln(types) (+rounding slack); equality at uniform counts
+    assert(e.filter($"h" > round(log($"types".cast("double")), 6) + 1e-6)
+      .count() == 0)
+    assert(e.filter($"types" <= 1 && $"h" =!= 0.0).count() == 0)
+    assert(e.filter($"types" > 1 && $"h" === 0.0).count() == 0)
+    // a bag-of-tokens permutation cannot change the distribution
+    assert(e.filter($"h" =!= $"hrev").count() == 0)
+  }
 }
