@@ -392,6 +392,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cc.count() == 60)
   }
 
+  test("large-star/small-star CC agrees with both existing paths") {
+    import spark.implicits._
+    // deep chain (the star algorithm's O(log²)-round claim territory),
+    // cycle+chord+tail, isolated pair, min-inside-chain — and the real
+    // near-dup pair graph from the fixture corpus
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val mixed = Seq((7L, 3L), (3L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L), (22L, 25L), (40L, 41L)).toDF("id_a", "id_b")
+    val corpus = Dedup.jaccardPairs(spark, sf)
+      .filter(round($"jaccard", 6) >= Dedup.JaccardThreshold)
+      .select($"id_a", $"id_b")
+    for (g <- Seq(chain, mixed, corpus)) {
+      val stars = Dedup.largeStarSmallStar(g).as[(Long, Long)].collect().toSet
+      val prop = Dedup.connectedComponents(g, maxDriverEdges = 0)
+        .as[(Long, Long)].collect().toSet
+      val uf = Dedup.connectedComponents(g).as[(Long, Long)].collect().toSet
+      assert(stars == prop && stars == uf,
+        s"star-CC disagrees: extra=${stars -- prop} missing=${prop -- stars}")
+    }
+  }
+
   test("CC driver union-find and distributed propagation agree") {
     import spark.implicits._
     // mixed shape: a chain, a triangle with a chord, an isolated pair,
