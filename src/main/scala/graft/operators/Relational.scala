@@ -200,6 +200,25 @@ object Relational {
           round(avg($"k"), 6).as("avg_k"))
     },
 
+    // Correlated scalar subquery — the one Catalyst rewrite family the
+    // rest of the surface doesn't touch (RewriteCorrelatedScalarSubquery
+    // decorrelates it into an aggregate + join; the .explain shows the
+    // same brand-keyed plan a hand-written join would produce, which is
+    // exactly the point: declare the subquery, let the optimizer pick
+    // the join). Parts priced above 1.05× their own brand's average —
+    // the TPC-H Q17 shape. Threshold rounded to 2 decimals in BOTH
+    // engines so the comparison is engine-stable.
+    "q17_corr_subquery" -> { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT p.p_brand, COUNT(*) AS n_pricey,
+          ROUND(MAX(p.p_retailprice), 2) AS max_price
+        FROM part_v p
+        WHERE p.p_retailprice > (SELECT ROUND(1.05 * AVG(p2.p_retailprice), 2)
+                                 FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        GROUP BY p.p_brand""")
+    },
+
     // Batch sessionization — the gaps-and-islands shape of event
     // analytics: a >30-min silence starts a new session; sessions are
     // numbered per user by a running sum of the break flags. All work
@@ -379,6 +398,13 @@ object Relational {
             COUNT(*) AS n_events, MIN(ts_ms) AS start_ms,
             MAX(ts_ms) - MIN(ts_ms) AS dur_ms
           FROM sx GROUP BY user_id, session_idx""",
+    "q17_corr_subquery" ->
+      """SELECT p.p_brand, COUNT(*) AS n_pricey,
+         ROUND(MAX(p.p_retailprice), 2) AS max_price
+         FROM part p
+         WHERE p.p_retailprice > (SELECT ROUND(1.05 * AVG(p2.p_retailprice), 2)
+                                  FROM part p2 WHERE p2.p_brand = p.p_brand)
+         GROUP BY p.p_brand""",
     "evt_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) // 86400000 AS day
