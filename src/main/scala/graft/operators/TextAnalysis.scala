@@ -146,6 +146,53 @@ object TextAnalysis {
             .as("pack_id"))
     },
 
+    // The end-to-end curation showcase: the full pre-training data
+    // path — quality gate → exact-dup keeplist → held-out split +
+    // benchmark decontamination → token packing — composed as ONE
+    // declarative plan, so Catalyst sees the whole pipeline (filters
+    // fuse into the scan, each stage's exchange is keyed as its
+    // component operator documents, and the row count only shrinks
+    // stage to stage). This is the library's composition contract:
+    // operators are plain DataFrame transforms, so chaining them costs
+    // nothing extra at plan time — no materialization between stages.
+    "pipe_curate" -> { (s, d) =>
+      import s.implicits._
+      val toks = tokens($"text")
+      val nD = size(toks).cast("double")
+      // 1. cheap row-local quality gate (txt_quality_filter thresholds)
+      val quality = Tables.documents(s, d)
+        .filter(length($"text") >= 100 &&
+          length(regexp_replace($"text", "[^A-Za-z]", "")) /
+            greatest(length($"text"), lit(1)).cast("double") >= 0.7 &&
+          size(array_distinct(toks)) / greatest(nD, lit(1.0)) >= 0.2)
+        .select($"doc_id", $"source", $"text")
+      // 2. exact-dup keeplist: min doc_id per content hash
+      val kept = quality
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5($"text")).orderBy($"doc_id")))
+        .filter($"rn" === 1)
+      // 3. keep the training split only, minus contaminated docs
+      //    (same split rule + gram relation as txt_decontaminate)
+      val (train, evalGrams) = decontamSides(s, d)
+      val contaminated = train.join(evalGrams, Seq("gh"))
+        .select($"doc_id").distinct()
+      val curated = kept
+        .filter(substring(md5($"doc_id".cast("string")), 1, 2)
+          >= EvalSplitThreshold)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      // 4. pack the survivors (txt_pack shape over the curated set)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source", $"shard").orderBy($"doc_id")
+      curated
+        .select($"doc_id", $"source", size(tokens($"text")).as("n_tokens"),
+          floor($"doc_id" / lit(ShardDocs.toDouble)).cast("long").as("shard"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"source", $"n_tokens",
+          floor(($"cum" - $"n_tokens") / lit(PackTokens.toDouble)).cast("long")
+            .as("pack_id"))
+    },
+
     // Deterministic hash sampling — the staple curation subsample at
     // corpus scale: keep a document iff the leading hex byte of
     // md5(doc_id) sorts below the rate threshold ('1a' ≈ 26/256 ≈ 10%).
@@ -650,6 +697,47 @@ object TextAnalysis {
     // Same exact result by construction (the Bloom is a prefilter the
     // exact verify join erases), so the same oracle pins it.
     "txt_bloom_decontaminate" -> decontamOracle,
+    // The curation pipeline restated as one CTE chain: each stage is
+    // the corresponding single-operator oracle applied to the previous
+    // stage's survivors.
+    "pipe_curate" ->
+      s"""WITH q AS (
+            SELECT doc_id, source, text FROM documents
+            WHERE LENGTH(text) >= 100
+              AND LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+                GREATEST(LENGTH(text), 1) >= 0.7
+              AND len(list_distinct($sqlToks))::DOUBLE /
+                GREATEST(len($sqlToks), 1) >= 0.2),
+          k AS (
+            SELECT doc_id, source, text FROM (
+              SELECT doc_id, source, text, ROW_NUMBER() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q)
+            WHERE rn = 1),
+          tok AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+          g AS (SELECT doc_id,
+            CASE WHEN len(ts) >= $DecontamN
+              THEN list_transform(range(0, len(ts) - ${DecontamN - 1}),
+                i -> array_to_string(ts[i+1:i+$DecontamN], ' '))
+              ELSE [] END AS gs,
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS split
+            FROM tok),
+          ev AS (SELECT DISTINCT gram FROM
+            (SELECT unnest(gs) AS gram FROM g WHERE split < '$EvalSplitThreshold')),
+          contaminated AS (SELECT DISTINCT doc_id FROM
+            (SELECT doc_id, unnest(gs) AS gram FROM g
+             WHERE split >= '$EvalSplitThreshold') t JOIN ev USING (gram)),
+          c AS (
+            SELECT k.doc_id, k.source, k.text FROM k
+            WHERE substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) >= '$EvalSplitThreshold'
+              AND k.doc_id NOT IN (SELECT doc_id FROM contaminated))
+          SELECT doc_id, source, n_tokens,
+            CAST(FLOOR((cum - n_tokens) / $PackTokens.0) AS BIGINT) AS pack_id
+          FROM (SELECT doc_id, source, len($sqlToks) AS n_tokens,
+            SUM(len($sqlToks)) OVER (
+              PARTITION BY source, CAST(FLOOR(doc_id / $ShardDocs.0) AS BIGINT)
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM c)""",
     "txt_vocab" ->
       s"""WITH toks AS (SELECT unnest($sqlToks) AS token FROM documents),
           cnt AS (SELECT token, COUNT(*) AS n_occ FROM toks GROUP BY token),

@@ -667,6 +667,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation pipeline: quality-gated, dup-free, train-split-only, uncontaminated") {
+    import spark.implicits._
+    val curated = TextAnalysis.queries("pipe_curate")(spark, sf)
+    val ids = curated.select($"doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    // ⊆ the standalone quality gate's survivors
+    val quality = TextAnalysis.queries("txt_quality_filter")(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(quality))
+    // exact-dup free: one doc per content hash among the curated set
+    val docs = graft.Tables.documents(spark, sf)
+    val hashes = docs.filter($"doc_id".isInCollection(ids))
+      .select(md5($"text")).as[String].collect()
+    assert(hashes.length == hashes.distinct.length)
+    // train split only, and disjoint from the flagged contaminated set
+    val eval = docs.filter(
+      substring(md5($"doc_id".cast("string")), 1, 2) <
+        TextAnalysis.EvalSplitThreshold)
+      .select($"doc_id").as[Long].collect().toSet
+    assert((ids & eval).isEmpty)
+    val contaminated = TextAnalysis.queries("txt_decontaminate")(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert((ids & contaminated).isEmpty)
+  }
+
   test("funnel stages are monotone and stage 1 is the viewer census") {
     import spark.implicits._
     val f = Relational.queries("evt_funnel")(spark, sf)
