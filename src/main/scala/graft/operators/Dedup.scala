@@ -717,8 +717,9 @@ object Dedup {
     // colliding in several tables never ships its vectors repeatedly
     // through the widest shuffle
     val bucketed = emb
-      .select($"vec_id", explode(Similarity.lshBuckets($"embedding")).as("tb"))
-      .select($"vec_id", $"tb._1".as("table"), $"tb._2".as("bucket"))
+      .select($"vec_id", explode(Similarity.lshBucketsPacked($"embedding")).as("tp"))
+      .select($"vec_id", Similarity.unpackTable($"tp").as("table"),
+        Similarity.unpackBucket($"tp").as("bucket"))
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         $"a.table" === $"b.table" && $"a.bucket" === $"b.bucket" &&

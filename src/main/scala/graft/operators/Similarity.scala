@@ -65,29 +65,24 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
   }
 
-  /** Array of (table, sign-bit bucket) structs for an embedding — one
-    * entry per hash table, ready to explode into the probe join. One
-    * primitive-loop UDF pass over all tables×planes (48 interpreted
-    * Catalyst HOF dots per vector was the ANN path's hot spot).
+  /** Packed (table << 32 | bucket) signature longs per embedding — one
+    * entry per hash table, ready to explode into the probe join. A
+    * native codegen expression ([[graft.plans.LshBuckets]]): one
+    * primitive pass over all tables×planes straight off ArrayData (48
+    * interpreted Catalyst HOF dots per vector was the ANN path's
+    * original hot spot; the UDF that replaced them still paid a
+    * Seq[Float] → Seq[(Int,Int)] encoder round trip per row — gone
+    * here, like the minhash/ngram/vector kernels before it).
     */
-  val lshBuckets: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (emb: Seq[Float]) =>
-      val ps = planes
-      (0 until NumTables).map { t =>
-        var bucket = 0
-        var p = 0
-        while (p < PlanesPerTable) {
-          val w = ps(t)(p)
-          var dot = 0.0
-          var i = 0
-          val n = math.min(emb.length, w.length)
-          while (i < n) { dot += emb(i).toDouble * w(i); i += 1 }
-          if (dot >= 0) bucket |= (1 << p)
-          p += 1
-        }
-        (t, bucket)
-      }
-    }
+  def lshBucketsPacked(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.LshBuckets(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb)))
+
+  private[operators] def unpackTable(p: org.apache.spark.sql.Column) =
+    shiftrightunsigned(p, 32).cast("int")
+  private[operators] def unpackBucket(p: org.apache.spark.sql.Column) =
+    p.bitwiseAND(lit(0xffffffffL)).cast("int")
 
   /** Brute-force top-k: broadcast queries × corpus scan → rounded
     * cosine → windowed rank (rounded score + neighbor id tiebreak so
@@ -134,9 +129,9 @@ object Similarity {
     lshIndexCache.getOrBuild(s, d)(
       corpus(s, d)
         .select($"vec_id", $"embedding", $"nrm",
-          explode(lshBuckets($"embedding")).as("tb"))
+          explode(lshBucketsPacked($"embedding")).as("tp"))
         .select($"vec_id", $"embedding", $"nrm",
-          $"tb._1".as("table"), $"tb._2".as("bucket"))
+          unpackTable($"tp").as("table"), unpackBucket($"tp").as("bucket"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -146,9 +141,9 @@ object Similarity {
     import graft.functions.VectorFunctions
     val bucketed = lshIndex(s, d)
     val qBase = querySet(s, d)
-      .select($"q_id", $"q_emb", $"q_nrm", explode(lshBuckets($"q_emb")).as("tb"))
+      .select($"q_id", $"q_emb", $"q_nrm", explode(lshBucketsPacked($"q_emb")).as("tp"))
       .select($"q_id", $"q_emb", $"q_nrm",
-        $"tb._1".as("table"), $"tb._2".as("bucket"))
+        unpackTable($"tp").as("table"), unpackBucket($"tp").as("bucket"))
     val q =
       if (!multiprobe) qBase
       else qBase.select($"q_id", $"q_emb", $"q_nrm", $"table",

@@ -50,6 +50,9 @@ object GraftExtensions {
       (FunctionIdentifier("minhash_sig"),
         new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
         arity("minhash_sig(hashes)", 1)(args => MinhashSig(args.head))),
+      (FunctionIdentifier("lsh_buckets"),
+        new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+        arity("lsh_buckets(embedding)", 1)(args => LshBuckets(args.head))),
       (FunctionIdentifier("ngram_hashes"),
         new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
         arity("ngram_hashes(text, n)", 2)(args => args(1) match {

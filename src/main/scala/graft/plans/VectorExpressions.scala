@@ -257,3 +257,62 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): VectorNorm =
     copy(child = newChild)
 }
+
+/** lsh_buckets(array<float>) → array<bigint>: the multi-table
+  * random-hyperplane signature as packed (table << 32 | bucket) longs
+  * — one kernel pass over all NumTables × PlanesPerTable sign-bit
+  * dots straight off `ArrayData`, the last ANN kernel still paying a
+  * per-row Seq[Float] → Seq[(Int,Int)] UDF round trip. Identical
+  * double accumulation (emb[i].toDouble × plane[i], left-to-right) to
+  * the UDF it replaces, so buckets — and the lsh_build / sim_ann_lsh
+  * oracles that recompute them from the plane literals — are
+  * bit-identical. Empty input: zero dots, every bit set (dot >= 0),
+  * matching the kernel contract the oracle's COALESCE pins.
+  */
+case class LshBuckets(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets requires ARRAY<FLOAT>, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override protected def nullSafeEval(emb: Any): Any =
+    LshKernels.buckets(emb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.LshKernels.buckets($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[LshBuckets]], callable from generated Java. */
+object LshKernels {
+  def buckets(emb: ArrayData): ArrayData = {
+    val ps = graft.operators.Similarity.planes
+    val m = if (emb == null) 0 else emb.numElements()
+    val out = new Array[Long](ps.length)
+    var t = 0
+    while (t < ps.length) {
+      val tp = ps(t)
+      var bucket = 0
+      var p = 0
+      while (p < tp.length) {
+        val w = tp(p)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(m, w.length)
+        while (i < n) { dot += emb.getFloat(i).toDouble * w(i); i += 1 }
+        if (dot >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = (t.toLong << 32) | bucket.toLong
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

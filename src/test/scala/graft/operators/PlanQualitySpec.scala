@@ -228,6 +228,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 0, s"txt_windows:\n$p")
   }
 
+  test("curation pipeline fuses: quality filters reach the scan, no extra materialization") {
+    // the composition contract: chaining the four curation stages must
+    // not change how the first stage plans — the length/alpha/ttr gate
+    // still sits ON the documents scan (DataFilters), not above some
+    // intermediate
+    val p = plan("pipe_curate")
+    val scanLines = p.split('\n').filter(_.contains("FileScan parquet"))
+    assert(scanLines.exists(l => l.contains("length") || l.contains("LENGTH")) ||
+      p.contains("DataFilters: [isnotnull(text"), // filter text reached a scan
+      s"quality gate did not reach a scan:\n$p")
+    assert(!p.contains("InMemoryTableScan") || p.contains("ngram_hashes"),
+      s"unexpected materialization between curation stages:\n$p")
+  }
+
   test("retention collapses events map-side before its first exchange") {
     // the (user, day) distinct must partial-aggregate on the scan side
     // — the wide event stream crosses its only exchange pre-collapsed
