@@ -596,18 +596,20 @@ object Dedup {
     * graphs whose components are too large/deep for label
     * propagation). Per round each node attaches neighbors to the
     * minimum of its closed neighborhood — large-star the strictly
-    * larger neighbors, small-star the rest — expressed as one
-    * node-keyed window-min + projection over the CURRENT edge set.
-    * The edge set contracts toward min-rooted stars, so round cost
-    * SHRINKS as components collapse, vs [[connectedComponents]]'s
-    * propagation whose every round re-joins the full original edge
-    * set. Trade: the propagation round is one join (cheaper on the
-    * bounded near-dup graphs this library's dedup produces — measured
-    * at bench scale); the star rounds' contracting work and
-    * O(log² n)-round guarantee win on web-scale general graphs. Same
-    * contract as [[connectedComponents]]: (doc_id, rep_id = min id of
-    * the component) for every node that appears in `pairs` —
-    * agreement is spec-pinned on chain/cycle/mixed fixtures.
+    * larger neighbors, small-star the rest — a star step being three
+    * node/edge-keyed exchanges (symmetrize-distinct, window-min,
+    * output dedup) over the CURRENT edge set. The edge set contracts
+    * toward min-rooted stars, so round cost SHRINKS as components
+    * collapse, vs [[connectedComponents]]'s propagation whose every
+    * round re-joins the full original edge set. Trade: the propagation
+    * round is one join + one aggregate (cheaper on the bounded
+    * near-dup graphs this library's dedup produces — measured at bench
+    * scale); the star rounds' contracting work and O(log² n)-round
+    * guarantee win on web-scale general graphs. Same contract as
+    * [[connectedComponents]]: (doc_id, rep_id = min id of the
+    * component) for every node that appears in `pairs`, including
+    * nodes whose only rows are self-pairs — agreement is spec-pinned
+    * on chain/cycle/mixed fixtures.
     */
   def largeStarSmallStar(pairs: DataFrame,
       maxIter: Int = MaxCcIterations): DataFrame = {
@@ -625,9 +627,9 @@ object Dedup {
       val nbrs = (if (large) withMin.filter($"v" > $"u")
                   else withMin.filter($"v" <= $"u"))
         .select($"v".as("u"), $"m".as("v"))
-      val self =
+      val self = // the outer distinct dedups; no inner pass needed
         if (large) nbrs.limit(0)
-        else withMin.select($"u", $"m".as("v")).distinct()
+        else withMin.select($"u", $"m".as("v"))
       nbrs.union(self).filter($"u" =!= $"v").distinct()
     }
     // canonical fingerprint (count + order-free hash sum, summed in
@@ -639,6 +641,12 @@ object Dedup {
         sum(xxhash64($"u", $"v").cast("decimal(38,0)"))).head()
       (r.getLong(0), String.valueOf(r.getDecimal(1)))
     }
+    // every endpoint node, captured BEFORE self-pairs are dropped: a
+    // node whose only rows are (x, x) has no edges but still owns a
+    // singleton component under the connectedComponents contract
+    val nodes = pairs.select($"id_a".cast("long").as("n"))
+      .union(pairs.select($"id_b".cast("long").as("n"))).distinct()
+      .localCheckpoint()
     var edges = pairs
       .select(greatest($"id_a", $"id_b").cast("long").as("u"),
         least($"id_a", $"id_b").cast("long").as("v"))
@@ -654,11 +662,12 @@ object Dedup {
       prev = cur
       iter += 1
     }
-    // fixpoint edges are (child, root) stars; roots label themselves.
-    // groupBy-min instead of a bare union-distinct so a non-converged
-    // cap-out still yields one row per node (best-effort labels).
+    // fixpoint edges are (child, root) stars; every node (roots and
+    // edge-less self-pair nodes included) also labels itself. groupBy-
+    // min instead of a bare union-distinct so a non-converged cap-out
+    // still yields one row per node (best-effort labels).
     edges.select($"u".as("doc_id"), $"v".as("rep_id"))
-      .union(edges.select($"v".as("doc_id"), $"v".as("rep_id")))
+      .union(nodes.select($"n".as("doc_id"), $"n".as("rep_id")))
       .groupBy($"doc_id").agg(min($"rep_id").as("rep_id"))
   }
 

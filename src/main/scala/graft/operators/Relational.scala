@@ -206,16 +206,22 @@ object Relational {
     // same brand-keyed plan a hand-written join would produce, which is
     // exactly the point: declare the subquery, let the optimizer pick
     // the join). Parts priced above 1.05× their own brand's average —
-    // the TPC-H Q17 shape. Threshold rounded to 2 decimals in BOTH
-    // engines so the comparison is engine-stable.
+    // the TPC-H Q17 shape. Prices compare as integer CENTS: the
+    // FLOOR(×100 + 0.5) conversion is the same double op on both
+    // engines, integer sums are exact in ANY accumulation order (far
+    // under 2⁵³), and AVG/×1.05 of an exact sum is one deterministic
+    // double op each — no ROUND(double) in the threshold, whose
+    // half-boundary semantics Spark and DuckDB genuinely disagree on.
     "q17_corr_subquery" -> { (s, d) =>
       Tables.part(s, d).createOrReplaceTempView("part_v")
       s.sql("""
-        SELECT p.p_brand, COUNT(*) AS n_pricey,
-          ROUND(MAX(p.p_retailprice), 2) AS max_price
-        FROM part_v p
-        WHERE p.p_retailprice > (SELECT ROUND(1.05 * AVG(p2.p_retailprice), 2)
-                                 FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        WITH pc AS (SELECT p_brand,
+            CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM part_v)
+        SELECT p.p_brand, COUNT(*) AS n_pricey, MAX(p.cents) AS max_cents
+        FROM pc p
+        WHERE p.cents > (SELECT 1.05 * AVG(p2.cents)
+                         FROM pc p2 WHERE p2.p_brand = p.p_brand)
         GROUP BY p.p_brand""")
     },
 
@@ -399,11 +405,13 @@ object Relational {
             MAX(ts_ms) - MIN(ts_ms) AS dur_ms
           FROM sx GROUP BY user_id, session_idx""",
     "q17_corr_subquery" ->
-      """SELECT p.p_brand, COUNT(*) AS n_pricey,
-         ROUND(MAX(p.p_retailprice), 2) AS max_price
-         FROM part p
-         WHERE p.p_retailprice > (SELECT ROUND(1.05 * AVG(p2.p_retailprice), 2)
-                                  FROM part p2 WHERE p2.p_brand = p.p_brand)
+      """WITH pc AS (SELECT p_brand,
+           CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM part)
+         SELECT p.p_brand, COUNT(*) AS n_pricey, MAX(p.cents) AS max_cents
+         FROM pc p
+         WHERE p.cents > (SELECT 1.05 * AVG(p2.cents)
+                          FROM pc p2 WHERE p2.p_brand = p.p_brand)
          GROUP BY p.p_brand""",
     "evt_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,

@@ -97,14 +97,7 @@ object TextAnalysis {
     // gates (the rows a pretraining pipeline would keep).
     "txt_quality_filter" -> { (s, d) =>
       import s.implicits._
-      val toks = tokens($"text")
-      val n = size(toks).cast("double")
-      Tables.documents(s, d)
-        .withColumn("alpha_ratio",
-          length(regexp_replace($"text", "[^A-Za-z]", "")) /
-            greatest(length($"text"), lit(1)).cast("double"))
-        .withColumn("ttr", size(array_distinct(toks)) / greatest(n, lit(1.0)))
-        .filter(length($"text") >= 100 && $"alpha_ratio" >= 0.7 && $"ttr" >= 0.2)
+      qualityGate(Tables.documents(s, d))
         .select($"doc_id", $"lang", length($"text").as("n_chars"))
     },
 
@@ -135,15 +128,8 @@ object TextAnalysis {
     // collide once the corpus exceeds ShardDocs.
     "txt_pack" -> { (s, d) =>
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source", $"shard").orderBy($"doc_id")
-      Tables.documents(s, d)
-        .select($"doc_id", $"source", size(tokens($"text")).as("n_tokens"),
-          floor($"doc_id" / lit(ShardDocs.toDouble)).cast("long").as("shard"))
-        .withColumn("cum", sum($"n_tokens").over(w))
-        .select($"doc_id", $"source", $"shard", $"n_tokens",
-          floor(($"cum" - $"n_tokens") / lit(PackTokens.toDouble)).cast("long")
-            .as("pack_id"))
+      packStage(Tables.documents(s, d)
+        .select($"doc_id", $"source", size(tokens($"text")).as("n_tokens")))
     },
 
     // The end-to-end curation showcase: the full pre-training data
@@ -157,40 +143,31 @@ object TextAnalysis {
     // nothing extra at plan time — no materialization between stages.
     "pipe_curate" -> { (s, d) =>
       import s.implicits._
-      val toks = tokens($"text")
-      val nD = size(toks).cast("double")
-      // 1. cheap row-local quality gate (txt_quality_filter thresholds)
-      val quality = Tables.documents(s, d)
-        .filter(length($"text") >= 100 &&
-          length(regexp_replace($"text", "[^A-Za-z]", "")) /
-            greatest(length($"text"), lit(1)).cast("double") >= 0.7 &&
-          size(array_distinct(toks)) / greatest(nD, lit(1.0)) >= 0.2)
-        .select($"doc_id", $"source", $"text")
-      // 2. exact-dup keeplist: min doc_id per content hash
-      val kept = quality
+      // 1+2: the SHARED quality gate ([[qualityGate]] — one definition
+      // with txt_quality_filter), then a per-content-hash keeplist.
+      // n_tokens and the content hash are computed ONCE in the gate's
+      // projection so the wide text column never crosses an exchange
+      // (the tokenize-once lesson); everything downstream moves
+      // (doc_id, source, fp, n_tokens) only.
+      val kept = qualityGate(Tables.documents(s, d))
+        .select($"doc_id", $"source", md5($"text").as("fp"),
+          size(tokens($"text")).as("n_tokens"))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(md5($"text")).orderBy($"doc_id")))
+            .partitionBy($"fp").orderBy($"doc_id")))
         .filter($"rn" === 1)
-      // 3. keep the training split only, minus contaminated docs
-      //    (same split rule + gram relation as txt_decontaminate)
+      // 3: the SHARED split rule ([[splitPrefix]], same as
+      // decontamSides) keeps the training side; contaminated docs out
       val (train, evalGrams) = decontamSides(s, d)
       val contaminated = train.join(evalGrams, Seq("gh"))
         .select($"doc_id").distinct()
       val curated = kept
-        .filter(substring(md5($"doc_id".cast("string")), 1, 2)
-          >= EvalSplitThreshold)
+        .filter(splitPrefix($"doc_id") >= EvalSplitThreshold)
         .join(contaminated, Seq("doc_id"), "left_anti")
-      // 4. pack the survivors (txt_pack shape over the curated set)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source", $"shard").orderBy($"doc_id")
-      curated
-        .select($"doc_id", $"source", size(tokens($"text")).as("n_tokens"),
-          floor($"doc_id" / lit(ShardDocs.toDouble)).cast("long").as("shard"))
-        .withColumn("cum", sum($"n_tokens").over(w))
-        .select($"doc_id", $"source", $"n_tokens",
-          floor(($"cum" - $"n_tokens") / lit(PackTokens.toDouble)).cast("long")
-            .as("pack_id"))
+      // 4: the SHARED packing stage ([[packStage]], one definition
+      // with txt_pack) over the survivors
+      packStage(curated.select($"doc_id", $"source", $"n_tokens"))
+        .select($"doc_id", $"source", $"n_tokens", $"pack_id")
     },
 
     // Deterministic hash sampling — the staple curation subsample at
@@ -297,6 +274,11 @@ object TextAnalysis {
     // zero shuffle; the oracle states the identical quantity
     // relationally (unnest → counts → ln) via the algebraic form
     // H = ln(n) − Σ c·ln(c) / n, which both engines sum in double.
+    // Parity rests on round(6) absorbing the ≤1-ulp ln() and
+    // summation-order differences (~1e-15 on ≤100-term docs) — the
+    // same tolerance class as every ROUND(SUM(double)) oracle in the
+    // suite, NOT the bit-exact left-to-right contract of the vector
+    // kernels (entropy's ln makes that unattainable across engines).
     "txt_entropy" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -468,6 +450,46 @@ object TextAnalysis {
     */
   val DecontamN = 8
 
+  /** The md5-prefix used for the train/eval document split — ONE
+    * definition shared by decontamination and pipe_curate so the split
+    * rule cannot drift between consumers.
+    */
+  private def splitPrefix(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 2)
+
+  /** The cheap row-local quality gate (length / alpha-ratio / TTR
+    * thresholds) — one definition shared by txt_quality_filter and
+    * pipe_curate so the thresholds cannot drift. Returns the surviving
+    * rows unprojected.
+    */
+  private def qualityGate(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val toks = tokens($"text")
+    df.filter(length($"text") >= 100 &&
+      length(regexp_replace($"text", "[^A-Za-z]", "")) /
+        greatest(length($"text"), lit(1)).cast("double") >= 0.7 &&
+      size(array_distinct(toks)) /
+        greatest(size(toks).cast("double"), lit(1.0)) >= 0.2)
+  }
+
+  /** The token-packing stage over (doc_id, source, n_tokens) rows —
+    * one definition shared by txt_pack and pipe_curate: per
+    * (source, shard) running token sum → PackTokens-sized pack ids.
+    */
+  private def packStage(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source", $"shard").orderBy($"doc_id")
+    df.select($"doc_id", $"source", $"n_tokens",
+        floor($"doc_id" / lit(ShardDocs.toDouble)).cast("long").as("shard"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"source", $"shard", $"n_tokens",
+        floor(($"cum" - $"n_tokens") / lit(PackTokens.toDouble)).cast("long")
+          .as("pack_id"))
+  }
+
   /** The two sides of decontamination, shared by the exact and Bloom
     * paths so the gram projection and split rule cannot drift between
     * them: (training gram rows (doc_id, source, gh), distinct held-out
@@ -479,7 +501,7 @@ object TextAnalysis {
     import s.implicits._
     val grams = Tables.documents(s, d)
       .select($"doc_id", $"source", decontamGramHashes($"text").as("ghs"),
-        substring(md5($"doc_id".cast("string")), 1, 2).as("split"))
+        splitPrefix($"doc_id").as("split"))
     val train = grams.filter($"split" >= EvalSplitThreshold)
       .select($"doc_id", $"source", explode($"ghs").as("gh"))
     val evalGrams = grams.filter($"split" < EvalSplitThreshold)

@@ -398,8 +398,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     // cycle+chord+tail, isolated pair, min-inside-chain — and the real
     // near-dup pair graph from the fixture corpus
     val chain = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // (50, 50): a node whose ONLY row is a self-pair must still get a
+    // singleton label from every path
     val mixed = Seq((7L, 3L), (3L, 11L), (20L, 21L), (21L, 22L),
-      (20L, 22L), (22L, 25L), (40L, 41L)).toDF("id_a", "id_b")
+      (20L, 22L), (22L, 25L), (40L, 41L), (50L, 50L)).toDF("id_a", "id_b")
     val corpus = Dedup.jaccardPairs(spark, sf)
       .filter(round($"jaccard", 6) >= Dedup.JaccardThreshold)
       .select($"id_a", $"id_b")

@@ -228,17 +228,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 0, s"txt_windows:\n$p")
   }
 
-  test("curation pipeline fuses: quality filters reach the scan, no extra materialization") {
+  test("curation pipeline fuses: quality gate sits directly on a scan, no materialization") {
     // the composition contract: chaining the four curation stages must
     // not change how the first stage plans — the length/alpha/ttr gate
-    // still sits ON the documents scan (DataFilters), not above some
-    // intermediate
+    // still evaluates adjacent to the documents scan (no exchange in
+    // between), and no stage materializes an intermediate
     val p = plan("pipe_curate")
-    val scanLines = p.split('\n').filter(_.contains("FileScan parquet"))
-    assert(scanLines.exists(l => l.contains("length") || l.contains("LENGTH")) ||
-      p.contains("DataFilters: [isnotnull(text"), // filter text reached a scan
-      s"quality gate did not reach a scan:\n$p")
-    assert(!p.contains("InMemoryTableScan") || p.contains("ngram_hashes"),
+    val lines = p.split('\n')
+    val fi = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("length(text"))
+    assert(fi >= 0, s"quality-gate filter missing from the plan:\n$p")
+    val si = lines.indexWhere(_.contains("FileScan parquet"), fi)
+    assert(si > fi &&
+      !lines.slice(fi + 1, si).exists(_.contains("Exchange")),
+      s"quality gate is not scan-adjacent:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
       s"unexpected materialization between curation stages:\n$p")
   }
 

@@ -24,8 +24,12 @@ class BucketedJoinSpec extends AnyFunSuite {
 
   test("bucketed tracking anti-join: no exchange, same result as the shuffled plan") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets")
+    // shared getOrCreate session: restore the PRIOR threshold, not the
+    // Spark default (AqeSkewSpec pattern)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
     try {
       val docs = graft.Tables.documents(spark, sf)
         .select($"doc_id",
@@ -36,6 +40,7 @@ class BucketedJoinSpec extends AnyFunSuite {
       BucketedTables.writeBucketed(
         docs.filter($"doc_id" % 3 === 0).select($"content_fp").distinct(),
         "tracking_fp", "content_fp", 8, s"$dir/tracking_fp")
+
 
       val anti = spark.table("corpus_fp")
         .join(spark.table("tracking_fp"), Seq("content_fp"), "left_anti")
@@ -54,7 +59,15 @@ class BucketedJoinSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS corpus_fp")
       spark.sql("DROP TABLE IF EXISTS tracking_fp")
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      saved match {
+        case Some(v) => spark.conf.set(thresholdKey, v)
+        case None    => spark.conf.unset(thresholdKey)
+      }
+      // external-path tables: dropping the catalog entry leaves the
+      // files — delete the temp dir too
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 }
