@@ -149,8 +149,10 @@ class EventStreamSpec extends AnyFunSuite {
       .dropDuplicatesWithinWatermark("text")
       .select($"doc_id",
         graft.operators.TextAnalysis.repetitionKernel(
-          graft.operators.TextAnalysis.tokens($"text")).as("r"))
-      .select($"doc_id", $"r.n_tok".as("n_tok"), $"r.max_2gram".as("m2"))
+          graft.operators.TextAnalysis.tokens($"text")).as("r"),
+        round(graft.operators.TextAnalysis.entropyKernel(
+          graft.operators.TextAnalysis.tokens($"text")), 6).as("h"))
+      .select($"doc_id", $"r.n_tok".as("n_tok"), $"r.max_2gram".as("m2"), $"h")
     val q = flow.writeStream.format("memory").queryName("curated")
       .outputMode(OutputMode.Append()).start()
     try {
@@ -163,9 +165,13 @@ class EventStreamSpec extends AnyFunSuite {
       mem.addData(StreamDoc(3, "a b a b a b", ts(5)))
       q.processAllAvailable()
       val rows = spark.table("curated")
-        .as[(Long, Int, Int)].collect().toSet
-      // doc 1: 6 tokens; 2-grams (ab, ba, ab, ba, ab) → max mult 3
-      assert(rows == Set((1L, 6, 3), (2L, 5, 1)), s"got $rows")
+        .as[(Long, Int, Int, Double)].collect().toSet
+      // doc 1: 6 tokens; 2-grams (ab, ba, ab, ba, ab) → max mult 3;
+      // entropy: two tokens × count 3 → ln 2; doc 2: 5 distinct → ln 5
+      def h(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows == Set((1L, 6, 3, h(math.log(2))), (2L, 5, 1, h(math.log(5)))),
+        s"got $rows")
     } finally q.stop()
   }
 }
