@@ -140,6 +140,33 @@ object Dedup {
       graft.plans.PackedPairs(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(ids)))
 
+  /** One-pass text canonicalization for [[queries dedup_exact_norm]]:
+    * trim + collapse whitespace runs to one space + lowercase. The
+    * whitespace set is EXACTLY RE2's \s ([ \t\n\r\f] — no vertical
+    * tab), so the DuckDB oracle's regexp restatement sees the same
+    * class; lowercase agrees with SQL LOWER on the ASCII corpus
+    * (NOTES contract note).
+    */
+  val normalizeText: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val sb = new java.lang.StringBuilder(text.length)
+      var i = 0
+      var pendingSpace = false
+      var started = false
+      while (i < text.length) {
+        val c = text.charAt(i)
+        val ws = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+        if (ws) { if (started) pendingSpace = true }
+        else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(Character.toLowerCase(c))
+          started = true
+        }
+        i += 1
+      }
+      sb.toString
+    }
+
   /** Document-frequency cutoff for candidate generation: a shingle
     * shared by more than this many documents is dropped from the
     * inverted index. A boilerplate 3-gram shared by 10⁵ documents in a
@@ -329,6 +356,22 @@ object Dedup {
       import s.implicits._
       Tables.documents(s, d)
         .groupBy(md5(to_binary($"text", lit("utf-8"))).as("content_fp"))
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // Normalization-aware exact dedup: lowercase + collapse runs of
+    // whitespace + trim before hashing. Case and whitespace variants
+    // are the most common "exact" duplicates in scraped corpora —
+    // byte-hash dedup misses them, near-dup machinery is overkill for
+    // them. Same one-shuffle shape as dedup_exact; the normalizer is a
+    // row-local single-pass kernel (NOTES perf lesson 1: the
+    // regexp_replace form measured 3× the whole dedup_exact query at
+    // sf0.1 — a JVM regex over every byte of the corpus).
+    "dedup_exact_norm" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(md5(to_binary(normalizeText($"text"), lit("utf-8")))
+          .as("norm_fp"))
         .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
     },
 
@@ -796,6 +839,10 @@ object Dedup {
     "dedup_exact" ->
       """SELECT MD5(text) AS content_fp, MIN(doc_id) AS keeper_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",
+    "dedup_exact_norm" ->
+      """SELECT MD5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS norm_fp,
+         MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1""",
     "dedup_keeplist" ->
       """SELECT doc_id, source, n_chars FROM (
          SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (

@@ -669,6 +669,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("normalized exact dedup collapses case/whitespace variants; byte dedup does not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("norm_dedup").toString
+    Seq(
+      (1L, "The Quick  Brown Fox", "en", "a", 20L),
+      (2L, "the quick brown\tfox ", "en", "a", 20L), // variant of 1
+      (3L, "an entirely different doc", "en", "a", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val norm = Dedup.queries("dedup_exact_norm")(spark, dir)
+      .select($"keeper_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(norm == Set((1L, 2L), (3L, 1L)), s"got $norm")
+    val exact = Dedup.queries("dedup_exact")(spark, dir)
+    assert(exact.count() == 3) // byte-hash sees three distinct docs
+  }
+
   test("curation pipeline: quality-gated, dup-free, train-split-only, uncontaminated") {
     import spark.implicits._
     val curated = TextAnalysis.queries("pipe_curate")(spark, sf)
