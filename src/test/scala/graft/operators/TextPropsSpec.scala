@@ -92,6 +92,24 @@ class TextPropsSpec extends AnyFunSuite {
     assert(a.join(b, "k").filter($"sa" =!= $"sb").count() == 0)
   }
 
+  test("normalizer laws: idempotent, agrees with the regex reference, kills case/ws variance") {
+    import spark.implicits._
+    val df = corpus(300).toDF("text")
+    // reference semantics: RE2-\s runs → one space, trim, per-char lowercase
+    val ref = udf { (t: String) =>
+      t.replaceAll("[ \t\n\r\f]+", " ").trim.map(Character.toLowerCase)
+    }
+    val n = df.select(Dedup.normalizeText($"text").as("a"),
+      ref($"text").as("b"),
+      Dedup.normalizeText(Dedup.normalizeText($"text")).as("aa"),
+      Dedup.normalizeText(upper($"text")).as("au"))
+    assert(n.filter($"a" =!= $"b").count() == 0, "kernel != regex reference")
+    assert(n.filter($"a" =!= $"aa").count() == 0, "not idempotent")
+    // uppercasing the input cannot change the canonical form (ASCII
+    // round-trip; the generator's unicode words are case-stable here)
+    assert(n.filter($"a" =!= $"au").count() == 0, "case variance survived")
+  }
+
   test("entropy laws: bounded by ln(n_types), zero iff one distinct token, order-invariant") {
     import spark.implicits._
     val df = corpus(300).toDF("text")
