@@ -52,7 +52,18 @@ object Bench {
       .map { case (n, t, b) => s"\"" + n + "\":{\"sec\":" + t + ",\"budget\":" + b + "}" }
       .mkString("{", ",", "}")
     val fjson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","budget_violations":$vjson,"failed":$fjson}""")
+    // `total_sec` REPEATS the total at the very end of the line: the
+    // driver's artifact keeps the tail, so a head truncation must not
+    // be able to drop the round's total. The full line is also written
+    // to bench_last.json, committed per round as the durable record.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","budget_violations":$vjson,"failed":$fjson,"total_sec":$total}"""
+    println(json)
+    try {
+      val w = new java.io.PrintWriter("bench_last.json")
+      try w.println(json) finally w.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write bench_last.json: $e")
+    }
     spark.stop()
   }
 

@@ -140,31 +140,53 @@ object Dedup {
       graft.plans.PackedPairs(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(ids)))
 
-  /** One-pass text canonicalization for [[queries dedup_exact_norm]]:
-    * trim + collapse whitespace runs to one space + lowercase. The
-    * whitespace set is EXACTLY RE2's \s ([ \t\n\r\f] — no vertical
-    * tab), so the DuckDB oracle's regexp restatement sees the same
-    * class; lowercase agrees with SQL LOWER on the ASCII corpus
-    * (NOTES contract note).
+  /** The Unicode White_Space set (U+0009–U+000D, U+0020, U+0085,
+    * U+00A0, U+1680, U+2000–U+200A, U+2028, U+2029, U+202F, U+205F,
+    * U+3000), enumerated explicitly so the DuckDB oracle can state the
+    * IDENTICAL class as an RE2 character class — `Character
+    * .isWhitespace` would NOT match (it adds the U+001C–1F separators
+    * and drops NBSP/figure-space/narrow-NBSP).
+    */
+  @inline private[graft] def isNormWs(cp: Int): Boolean =
+    (cp >= 0x09 && cp <= 0x0d) || cp == 0x20 || cp == 0x85 || cp == 0xa0 ||
+      cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200a) || cp == 0x2028 ||
+      cp == 0x2029 || cp == 0x202f || cp == 0x205f || cp == 0x3000
+
+  /** One-pass text canonicalization for [[queries dedup_exact_norm]],
+    * Unicode-correct for real scraped corpora: NFC-normalize (composed
+    * and decomposed accent forms hash identically), then trim +
+    * collapse Unicode-whitespace runs ([[isNormWs]]) to one space +
+    * per-code-point simple lowercase — the same three decisions DuckDB
+    * makes in `nfc_normalize` / the explicit RE2 class / `LOWER`
+    * (utf8proc's simple case mapping, which is also what per-code-point
+    * `Character.toLowerCase` implements — deliberately NOT Java's
+    * full-string special casing, which maps e.g. İ to two code points
+    * where utf8proc maps to one). NULL passes through as NULL so a
+    * null document lands in the null-fingerprint group on both engines
+    * instead of NPE-ing the query.
     */
   val normalizeText: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
-      val sb = new java.lang.StringBuilder(text.length)
-      var i = 0
-      var pendingSpace = false
-      var started = false
-      while (i < text.length) {
-        val c = text.charAt(i)
-        val ws = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
-        if (ws) { if (started) pendingSpace = true }
-        else {
-          if (pendingSpace) { sb.append(' '); pendingSpace = false }
-          sb.append(Character.toLowerCase(c))
-          started = true
+      if (text == null) null
+      else {
+        val nfc = java.text.Normalizer.normalize(
+          text, java.text.Normalizer.Form.NFC)
+        val sb = new java.lang.StringBuilder(nfc.length)
+        var i = 0
+        var pendingSpace = false
+        var started = false
+        while (i < nfc.length) {
+          val cp = nfc.codePointAt(i)
+          if (isNormWs(cp)) { if (started) pendingSpace = true }
+          else {
+            if (pendingSpace) { sb.append(' '); pendingSpace = false }
+            sb.appendCodePoint(Character.toLowerCase(cp))
+            started = true
+          }
+          i += Character.charCount(cp)
         }
-        i += 1
+        sb.toString
       }
-      sb.toString
     }
 
   /** Document-frequency cutoff for candidate generation: a shingle
@@ -377,14 +399,20 @@ object Dedup {
 
     // The deduplicated corpus itself: one surviving row per content
     // hash (lowest doc_id wins) — what downstream training reads.
+    // Keeper selection is a partial-aggregable groupBy-min (skew-proof:
+    // a pathological corpus that is ONE document duplicated n times
+    // collapses map-side), then a semi-join on the unique doc_id
+    // fetches the keeper's row — never a row_number window over the
+    // content hash, which would funnel the degenerate dup-group
+    // through a single task.
     "dedup_keeplist" -> { (s, d) =>
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(to_binary($"text", lit("utf-8"))))
-        .orderBy($"doc_id".asc)
-      Tables.documents(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
+      val docs = Tables.documents(s, d)
+      val keepers = docs
+        .groupBy(md5(to_binary($"text", lit("utf-8"))).as("fp"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      docs.join(keepers, Seq("doc_id"), "left_semi")
         .select($"doc_id", $"source", $"n_chars")
     },
 
@@ -487,6 +515,21 @@ object Dedup {
       }.toDF("id_a", "id_b", "cos")
         .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
         .filter($"cos_sim" >= CosineThreshold)
+    },
+
+    // The SUBQUADRATIC embedding near-dup — the declared scale path:
+    // random-hyperplane LSH candidate generation + exact cosine verify
+    // of candidates only ([[embeddingLshPairs]]). Declared at the
+    // family threshold so its output is directly comparable with the
+    // exact query above (on this corpus the threshold angle is wide,
+    // so LSH recall < 1 BY DESIGN — the oracle therefore restates the
+    // LSH candidate generation itself from the literal plane tensor,
+    // the sim_ann_lsh pattern, making the approximate operator
+    // hash-exact); at the real near-dup thresholds it exists for
+    // (cos ≥ ~0.85, where true duplicates live) measured recall is 1.0
+    // (PipelineOpsSpec "LSH embedding near-dup").
+    "dedup_embedding_lsh" -> { (s, d) =>
+      embeddingLshPairs(Tables.embeddings(s, d), CosineThreshold)
     },
 
     // SemDeDup-style semantic dedup: cluster by the build-once IVF
@@ -699,12 +742,22 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      edges = star(star(edges, large = true), large = false).localCheckpoint()
-      val cur = fp(edges)
-      converged = cur == prev
+      val next = star(star(edges, large = true), large = false).localCheckpoint()
+      val cur = fp(next)
+      // the fingerprint is probabilistic — a hash-sum collision would
+      // silently stop early with wrong components. Confirm the final
+      // round with an exact set compare, cheap once the edge set has
+      // contracted to stars: fps match ⇒ counts match, and both sides
+      // are distinct, so a one-sided except decides set equality.
+      converged = cur == prev && next.except(edges).isEmpty
       prev = cur
+      edges = next
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"largeStarSmallStar: no fixpoint after $maxIter rounds — " +
+          "returning best-effort (valid but possibly coarser) labels")
     // fixpoint edges are (child, root) stars; every node (roots and
     // edge-less self-pair nodes included) also labels itself. groupBy-
     // min instead of a bare union-distinct so a non-converged cap-out
@@ -801,6 +854,13 @@ object Dedup {
     acc
   }
 
+  /** [[isNormWs]] as an RE2 character class (DuckDB regexp_replace):
+    * the same explicit Unicode White_Space enumeration, kept adjacent
+    * to the predicate so neither can drift without the other.
+    */
+  private val sqlNormWsClass =
+    """[\t\n\x0B\f\r \x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"""
+
   private val sqlToks =
     "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
   /** DuckDB CTEs computing the DF-bounded pairwise 3-gram Jaccard —
@@ -839,10 +899,16 @@ object Dedup {
     "dedup_exact" ->
       """SELECT MD5(text) AS content_fp, MIN(doc_id) AS keeper_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",
+    // nfc_normalize + LOWER (utf8proc simple case mapping = the
+    // kernel's per-code-point Character.toLowerCase) + the explicit
+    // Unicode White_Space RE2 class ([[isNormWs]] enumerated) —
+    // engine-identical on non-ASCII corpora, not just this fixture;
+    // MD5(NULL) is NULL on both engines, so null docs share a group.
     "dedup_exact_norm" ->
-      """SELECT MD5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS norm_fp,
+      ("""SELECT MD5(TRIM(regexp_replace(LOWER(nfc_normalize(text)), '""" +
+        sqlNormWsClass + """+', ' ', 'g'))) AS norm_fp,
          MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
-         FROM documents GROUP BY 1""",
+         FROM documents GROUP BY 1"""),
     "dedup_keeplist" ->
       """SELECT doc_id, source, n_chars FROM (
          SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (
@@ -915,6 +981,31 @@ object Dedup {
               i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
             / SQRT(list_sum(list_transform(generate_series(1, len(b.embedding)),
               i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 4)
+            >= $CosineThreshold""",
+    // LSH semantics restated from the literal hyperplane tensor (the
+    // sim_ann_lsh oracle pattern, minus the query-side multiprobe —
+    // pair candidates come from the corpus-side bucket self-join):
+    // identical sign-bit buckets, candidate pairs deduped across
+    // tables, exact rounded-cosine verify. Deterministic, hence
+    // hash-checkable even where LSH recall < 1.
+    "dedup_embedding_lsh" ->
+      s"""WITH buck AS (
+            SELECT vec_id, CAST(g.t - 1 AS INT) AS tbl,
+              CAST(COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.PlanesPerTable}),
+                p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
+                  i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
+                THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
+            FROM embeddings, (SELECT ${Similarity.planesSql} AS pl) m,
+              generate_series(1, ${Similarity.NumTables}) AS g(t)),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buck a JOIN buck b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          SELECT id_a, id_b,
+            ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4) AS cos_sim
+          FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+                    JOIN embeddings eb ON eb.vec_id = id_b
+          WHERE ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4)
             >= $CosineThreshold""")
 
   /** Trained-state oracle for `dedup_semantic` (the last rows-only

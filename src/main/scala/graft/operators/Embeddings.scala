@@ -147,12 +147,14 @@ object Embeddings {
     "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
 
   val oracles: Map[String, String] = Map(
-    // constant 1..64 series: DuckDB can't lateral-join generate_series
-    // on a column, and the embedding dim is fixed at 64 (TESTDATA.md)
+    // constant 1..64 series (DuckDB can't lateral-join generate_series
+    // on a column; 64 = the corpus dim ceiling, TESTDATA.md), BOUNDED
+    // by each vector's own length so a shorter vector emits
+    // len(embedding) rows — exactly the Spark side's posexplode —
+    // instead of padding NULL-qv rows out to 64
     "emb_quantize" ->
       """WITH b AS (SELECT vec_id, embedding,
-           list_max(list_transform(generate_series(1, 64),
-             i -> abs(embedding[i]::DOUBLE))) AS amax
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
            FROM embeddings)
          SELECT vec_id, CAST(g.i - 1 AS INT) AS dim,
            CAST(CASE WHEN amax = 0 THEN 0 ELSE
@@ -160,7 +162,8 @@ object Embeddings {
                FLOOR(embedding[g.i]::DOUBLE / (amax / 127.0) + 0.5)))
            END AS INT) AS qv,
            amax / 127.0 AS scale
-         FROM b, generate_series(1, 64) AS g(i)""",
+         FROM b, generate_series(1, 64) AS g(i)
+         WHERE g.i <= len(embedding)""",
     "emb_centroids" ->
       """SELECT label, CAST(g.i - 1 AS INT) AS dim,
          ROUND(AVG(embedding[g.i]::DOUBLE), 6) AS centroid_v,

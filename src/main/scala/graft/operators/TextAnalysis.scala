@@ -274,16 +274,19 @@ object TextAnalysis {
     // zero shuffle; the oracle states the identical quantity
     // relationally (unnest → counts → ln) via the algebraic form
     // H = ln(n) − Σ c·ln(c) / n, which both engines sum in double.
-    // Parity rests on round(6) absorbing the ≤1-ulp ln() and
+    // Parity rests on rounding absorbing the ≤1-ulp ln() and
     // summation-order differences (~1e-15 on ≤100-term docs) — the
     // same tolerance class as every ROUND(SUM(double)) oracle in the
     // suite, NOT the bit-exact left-to-right contract of the vector
     // kernels (entropy's ln makes that unattainable across engines).
+    // round(5), not 6: a doc landing within ~1 ulp of a 5e-7 rounding
+    // boundary could flip the 6th digit on one engine; two more orders
+    // of margin drown the drift on any corpus.
     "txt_entropy" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
         .select($"doc_id",
-          round(entropyKernel(tokens($"text")), 6).as("entropy"))
+          round(entropyKernel(tokens($"text")), 5).as("entropy"))
     },
 
     // Intra-document repetition signals (the Gopher-style quality
@@ -308,18 +311,27 @@ object TextAnalysis {
 
     // Stratified (per-source quota) sampling — the data-mixing staple:
     // exactly StratQuota docs per source, chosen by deterministic
-    // md5-rank so every engine and rerun picks the same docs. Two
-    // phases so it scales: a pushdown-able hash pre-filter drops ~half
-    // the corpus before the per-source rank window ever sees it (at
-    // 100 TB tighten the prefix bound so the window input stays a
-    // small multiple of the quota; the window itself then ranks a few
-    // rows per source, not the corpus).
+    // md5-rank so every engine and rerun picks the same docs. Three
+    // stages so it scales: a pushdown-able hash pre-filter culls the
+    // scan, then the classic distributed exact top-k — rank within
+    // (source, salt) and keep each salt bucket's top quota (a bucket's
+    // top-k is a superset of its members of the global top-k), then
+    // re-rank the ≤ StratSalts×StratQuota survivors per source. The
+    // final window IS keyed by bare source, but its input is a
+    // CONSTANT per source (the phase-1 cap), never corpus-scaled —
+    // the allowlisted exception PlanQualitySpec's skew guard pins.
     "txt_stratified_sample" -> { (s, d) =>
       import s.implicits._
       val h = md5($"doc_id".cast("string"))
-      Tables.documents(s, d)
+      val salted = Tables.documents(s, d)
         .filter(substring(h, 1, 2) < StratPrefilter)
-        .select($"doc_id", $"source", h.as("h"))
+        .select($"doc_id", $"source", h.as("h"),
+          pmod(xxhash64($"doc_id"), lit(StratSalts)).as("salt"))
+        .withColumn("bucket_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"source", $"salt").orderBy($"h", $"doc_id")))
+        .filter($"bucket_rank" <= StratQuota)
+      salted
         .withColumn("samp_rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy($"source").orderBy($"h", $"doc_id")))
@@ -351,18 +363,22 @@ object TextAnalysis {
     // documents at or above their OWN source's 25th-percentile alpha
     // ratio — web-crawl and academic-text sources have very different
     // "normal", and a fixed cut over-prunes one and under-prunes the
-    // other. The percentile is a window aggregate over the per-source
-    // partition; both engines interpolate identically over the same
-    // 6-rounded values, so the gate is engine-exact at the boundary.
+    // other. Thresholds are a two-phase AGGREGATE (partial map-side
+    // value-count maps over 6-rounded alpha_r, merged per source) into
+    // a sources-sized relation that is broadcast-joined back — never a
+    // window partitioned by bare `source`, which would route every
+    // document of a source through ONE task and buffer it whole. Both
+    // engines interpolate identically over the same 6-rounded values,
+    // so the gate is engine-exact at the boundary.
     "txt_quality_gate" -> { (s, d) =>
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
-      Tables.documents(s, d)
+      val scored = Tables.documents(s, d)
         .select($"doc_id", $"source",
           round(length(regexp_replace($"text", "[^A-Za-z]", "")) /
             greatest(length($"text"), lit(1)).cast("double"), 6).as("alpha_r"))
-        .withColumn("thresh",
-          round(expr("percentile(alpha_r, 0.25)").over(w), 6))
+      val thresholds = scored.groupBy($"source")
+        .agg(round(expr("percentile(alpha_r, 0.25)"), 6).as("thresh"))
+      scored.join(broadcast(thresholds), Seq("source"))
         .filter($"alpha_r" >= $"thresh")
         .select($"doc_id", $"source", $"alpha_r", $"thresh")
     },
@@ -528,6 +544,13 @@ object TextAnalysis {
 
   /** Docs kept per source by txt_stratified_sample. */
   val StratQuota = 5
+
+  /** Salt-bucket fan-out of txt_stratified_sample's phase-1 partial
+    * rank: the final per-source re-rank reads at most
+    * StratSalts×StratQuota rows per source — a constant, which is what
+    * makes the bare-source window skew-proof at any corpus size.
+    */
+  val StratSalts = 32
 
   /** Bloom sizing for txt_bloom_decontaminate: expected distinct
     * held-out gram hashes and target false-positive rate. ~1 MiB of
@@ -774,7 +797,7 @@ object TextAnalysis {
           e AS (SELECT doc_id, SUM(c * ln(c)) AS slc, SUM(c) AS n
             FROM c GROUP BY doc_id)
           SELECT d.doc_id,
-            ROUND(COALESCE(ln(e.n) - e.slc / e.n, 0.0), 6) AS entropy
+            ROUND(COALESCE(ln(e.n) - e.slc / e.n, 0.0), 5) AS entropy
           FROM documents d LEFT JOIN e USING (doc_id)""",
     "txt_windows" ->
       s"""WITH t AS (SELECT doc_id, $sqlToks AS ts FROM documents),

@@ -246,6 +246,35 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unexpected materialization between curation stages:\n$p")
   }
 
+  test("no declared query windows over bare `source` (class-wide skew guard)") {
+    // A Window whose ONLY partition key is `source` routes every
+    // document of a source through one task and buffers the partition
+    // whole — at 100 TB with a handful of sources that is an unbounded
+    // single-task sort. Per-source statistics must be two-phase
+    // aggregates (partial map-side, merged per source) joined back,
+    // the shape txt_quality_gate moved to in round 8. Guarded
+    // class-wide so no future operator re-introduces the pattern.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // the one principled exception: txt_stratified_sample's FINAL
+    // re-rank window reads at most StratSalts×StratQuota rows per
+    // source — a constant fixed by phase 1's (source, salt) partial
+    // rank, not a corpus-scaled partition. Pinned below: exactly one
+    // source-only window, and the salted phase-1 window must exist.
+    val boundedFinalRank = Set("txt_stratified_sample")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val wins = lp.collect { case w: LWindow => w }
+      val bad = wins.filter(w => w.partitionSpec.nonEmpty &&
+        w.partitionSpec.flatMap(_.references.toSeq).map(_.name).distinct == Seq("source"))
+      if (boundedFinalRank(name)) {
+        assert(bad.length == 1 && wins.exists(
+          _.partitionSpec.flatMap(_.references.toSeq).map(_.name).contains("salt")),
+          s"$name lost its bounded two-phase rank shape:\n$lp")
+      } else assert(bad.isEmpty,
+        s"$name has a Window partitioned solely by `source`:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("retention collapses events map-side before its first exchange") {
     // the (user, day) distinct must partial-aggregate on the scan side
     // — the wide event stream crosses its only exchange pre-collapsed

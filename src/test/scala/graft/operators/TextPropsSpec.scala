@@ -95,9 +95,14 @@ class TextPropsSpec extends AnyFunSuite {
   test("normalizer laws: idempotent, agrees with the regex reference, kills case/ws variance") {
     import spark.implicits._
     val df = corpus(300).toDF("text")
-    // reference semantics: RE2-\s runs → one space, trim, per-char lowercase
+    // reference semantics: NFC, Unicode-White_Space runs → one space,
+    // trim, per-char simple lowercase (corpus is BMP, so per-char =
+    // per-code-point)
     val ref = udf { (t: String) =>
-      t.replaceAll("[ \t\n\r\f]+", " ").trim.map(Character.toLowerCase)
+      java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+        .replaceAll("[\\t\\n\\x0B\\f\\r \\x{0085}\\x{00A0}\\x{1680}" +
+          "\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+", " ")
+        .trim.map(Character.toLowerCase)
     }
     val n = df.select(Dedup.normalizeText($"text").as("a"),
       ref($"text").as("b"),
@@ -108,6 +113,33 @@ class TextPropsSpec extends AnyFunSuite {
     // uppercasing the input cannot change the canonical form (ASCII
     // round-trip; the generator's unicode words are case-stable here)
     assert(n.filter($"a" =!= $"au").count() == 0, "case variance survived")
+  }
+
+  test("normalizer unicode: NFC folds accent forms, White_Space class, simple casing, null-safe") {
+    import spark.implicits._
+    val rows = Seq(
+      // NBSP / ideographic space / line+paragraph separators collapse
+      ("Hello  World", "hello world"),
+      ("　\tA B  ", "a b"),
+      // composed and decomposed accents canonicalize to the same form
+      ("Café  CRÈME", "café crème"),
+      ("Café CRÈME", "café crème"),
+      // SIMPLE case mapping (utf8proc/DuckDB-LOWER semantics): İ → i
+      // (one code point), Σ → σ even word-finally (no special casing)
+      ("İSTANBUL ΣΟΦΟΣ", "istanbul σοφοσ"),
+      // U+001C–1F are Character.isWhitespace but NOT Unicode
+      // White_Space — they must survive, or Spark and RE2 disagree
+      ("X", "x"),
+      ("", ""), ("   ", ""))
+    val got = rows.toDF("t", "want")
+      .select(Dedup.normalizeText($"t").as("got"), $"want")
+    assert(got.filter($"got" =!= $"want").count() == 0,
+      got.collect().mkString("\n"))
+    // a null document normalizes to null (one null-fingerprint group on
+    // both engines — MD5(NULL) is NULL in DuckDB too), never an NPE
+    val n = Seq((1L, null: String), (2L, "x")).toDF("doc_id", "text")
+      .select(Dedup.normalizeText($"text").as("n"))
+    assert(n.filter($"n".isNull).count() == 1)
   }
 
   test("entropy laws: bounded by ln(n_types), zero iff one distinct token, order-invariant") {
