@@ -69,6 +69,58 @@ object FilePipeline {
       checkpoint: String,
       chunks: String = "") // S8 chunk+meta sink; "" disables
 
+  /** Pluggable tracking store (S5/S9): where the content-hash
+    * exactly-once membership lives. The parquet table is the default
+    * deployment; [[JdbcTrackingStore]] is drop-in parity with the
+    * reference's Postgres `processed_files` (`init-scripts.sql:5-14`),
+    * executed for real against Derby in JdbcPipelineSpec. Both sides
+    * of the contract matter: [[knownHashes]] feeds the anti-join that
+    * makes reprocessing impossible, [[upsert]] must itself be
+    * idempotent on `file_hash` so a replayed micro-batch (foreachBatch
+    * is at-least-once on failure) cannot double-insert.
+    */
+  sealed trait TrackingStore extends Serializable {
+    /** Distinct `file_hash` of everything ever tracked. */
+    def knownHashes(spark: SparkSession): DataFrame
+    /** Idempotent append of
+      * (file_hash, file_path, file_size, status, output_file) rows.
+      */
+    def upsert(spark: SparkSession, rows: DataFrame): Unit
+  }
+
+  /** Default store: the status-partitioned parquet tracking table
+    * (status-scoped sweeps prune partitions instead of scanning all
+    * history). Idempotence comes from the caller's anti-join — the
+    * same ordering the reference relies on (`dags/dag.py:452-474`).
+    */
+  final case class ParquetTracking(dir: String) extends TrackingStore {
+    def knownHashes(spark: SparkSession): DataFrame =
+      if (Files.exists(Paths.get(dir)))
+        spark.read.parquet(dir).select("file_hash").distinct()
+      else spark.emptyDataFrame.withColumn("file_hash", lit(null).cast("string"))
+        .limit(0).select("file_hash")
+    def upsert(spark: SparkSession, rows: DataFrame): Unit =
+      rows.select(col("file_hash"), col("file_path"), col("file_size"),
+        current_timestamp().as("processed_at"), col("status"), col("output_file"))
+        .write.mode("append").partitionBy("status").parquet(dir)
+  }
+
+  /** The reference's JDBC tracking table as the store: reads go
+    * through `spark.read.jdbc`, writes through the executor-side
+    * insert-if-absent batches of [[graft.sources.JdbcTracking.upsert]]
+    * (Postgres `ON CONFLICT DO NOTHING` / Derby `MERGE`), which makes
+    * the upsert idempotent at the DATABASE, not just via the anti-join.
+    */
+  final case class JdbcTrackingStore(url: String, user: String,
+      password: String, dialect: graft.sources.JdbcTracking.SqlDialect)
+    extends TrackingStore {
+    def knownHashes(spark: SparkSession): DataFrame =
+      graft.sources.JdbcTracking.read(spark, url, user, password, dialect)
+        .select("file_hash").distinct()
+    def upsert(spark: SparkSession, rows: DataFrame): Unit =
+      graft.sources.JdbcTracking.upsert(rows, url, user, password, dialect)
+  }
+
   /** S4 (`dags/dag.py:426-443`): if the input directory has no .txt
     * files, synthesize a small sample so a demo run has work to do.
     * Returns true if the bootstrap file was written.
@@ -124,19 +176,17 @@ object FilePipeline {
     * of the batch entry point.
     */
   def processBatch(spark: SparkSession, files: DataFrame, dirs: Dirs,
-      cfg: Config = Config()): Unit = {
+      cfg: Config = Config(), store: Option[TrackingStore] = None): Unit = {
     import spark.implicits._
 
     // F4: empty-input gate (`dags/dag.py:816-821`) — nothing to do,
     // touch no sink.
     if (files.isEmpty) return
 
+    val tracking = store.getOrElse(ParquetTracking(dirs.tracking))
+
     // J1/T2: anti-join on content hash against the tracking table.
-    val tracked: DataFrame =
-      if (Files.exists(Paths.get(dirs.tracking)))
-        spark.read.parquet(dirs.tracking).select("file_hash").distinct()
-      else spark.emptyDataFrame.withColumn("file_hash", lit(null).cast("string"))
-        .limit(0).select("file_hash")
+    val tracked: DataFrame = tracking.knownHashes(spark)
     val fresh = files
       .dropDuplicates("file_hash") // first occurrence within the batch wins
       .join(tracked, Seq("file_hash"), "left_anti")
@@ -146,9 +196,14 @@ object FilePipeline {
     // dead-letter branch needs a deterministic trigger in tests too).
     val processed = fresh
       .withColumn("oversize", $"file_size" > cfg.maxFileBytes)
+      // register on the BATCH's session: inside foreachBatch the
+      // micro-batch DataFrame belongs to a cloned session whose
+      // function registry was snapshotted at query start — registering
+      // on the outer session would leave `dna_process` unresolved on
+      // the first-ever streaming batch of a fresh session
       .withColumn("r",
         when(!$"oversize",
-          DnaFunctions.dnaProcessNative(spark, cfg.chunkSize,
+          DnaFunctions.dnaProcessNative(files.sparkSession, cfg.chunkSize,
             cfg.errorCorrectionSymbols)($"content")))
       .withColumn("status",
         when($"oversize", lit("failed"))
@@ -210,15 +265,13 @@ object FilePipeline {
         current_timestamp().as("failed_at"))
         .write.mode("append").json(dirs.deadLetter)
 
-      // S9: tracking upsert (content-addressed append; the anti-join
-      // above makes it idempotent — ON CONFLICT DO NOTHING semantics)
-      // partitioned by status so status-scoped queries (failure sweeps,
-      // retry scans) prune partitions instead of scanning all history
-      processed.select($"file_hash", $"file_path", $"file_size",
-        current_timestamp().as("processed_at"), $"status",
-        when($"status" === "completed",
-          concat(lit("processed_"), $"filename")).as("output_file"))
-        .write.mode("append").partitionBy("status").parquet(dirs.tracking)
+      // S9: tracking upsert (content-addressed; the anti-join above
+      // plus the store's own insert-if-absent keep ON CONFLICT DO
+      // NOTHING semantics) through the pluggable store
+      tracking.upsert(spark,
+        processed.select($"file_hash", $"file_path", $"file_size", $"status",
+          when($"status" === "completed",
+            concat(lit("processed_"), $"filename")).as("output_file")))
 
       // S11/T4: status events, append-only
       processed.select($"file_hash", $"status",
@@ -244,12 +297,13 @@ object FilePipeline {
     * as a daemon.
     */
   def run(spark: SparkSession, dirs: Dirs, cfg: Config = Config(),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      store: Option[TrackingStore] = None): StreamingQuery =
     readFiles(spark, dirs.input).writeStream
       .option("checkpointLocation", dirs.checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(spark, batch, dirs, cfg)
+        processBatch(spark, batch, dirs, cfg, store)
       }
       .start()
 
