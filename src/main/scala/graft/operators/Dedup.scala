@@ -718,14 +718,29 @@ object Dedup {
         else withMin.select($"u", $"m".as("v"))
       nbrs.union(self).filter($"u" =!= $"v").distinct()
     }
-    // canonical fingerprint (count + order-free hash sum, summed in
-    // decimal(38,0) — full-range longs overflow an ANSI BIGINT sum)
-    // detects the fixpoint without a diff join; localCheckpoint
-    // truncates lineage per round like the propagation loop
-    def fp(e: DataFrame): (Long, String) = {
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64($"u", $"v").cast("decimal(38,0)"))).head()
-      (r.getLong(0), String.valueOf(r.getDecimal(1)))
+    // canonical fingerprint (count + order-free mod-2⁶⁴ wrapping hash
+    // sum) detects the fixpoint without a diff join — and it is
+    // PIGGYBACKED on the round's own materialization: the eager
+    // localCheckpoint is the only action over the star output, so
+    // accumulators filled in a pass-through map cost zero extra jobs
+    // (previously a separate aggregate job per round: 76 → 60 jobs per
+    // call on the 60-node deep-chain fixture; local wall time ~flat —
+    // scheduler overhead, not scan cost, dominates there — the win at
+    // scale is one fewer full edge-set scan per round). Task retries
+    // can double-add a transformation-stage accumulator — that can
+    // only make fingerprints DIFFER, and equality is decided by the
+    // exact except() confirm below, so a corrupted fp costs at most an
+    // extra round, never a wrong result.
+    def stepFp(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val cnt = s.sparkContext.longAccumulator
+      val hsum = s.sparkContext.longAccumulator
+      val out = star(star(e, large = true), large = false)
+        .select($"u", $"v", xxhash64($"u", $"v").as("h"))
+        .as[(Long, Long, Long)]
+        .map { t => cnt.add(1L); hsum.add(t._3); (t._1, t._2) }
+        .toDF("u", "v")
+        .localCheckpoint()
+      (out, (cnt.value, hsum.value))
     }
     // every endpoint node, captured BEFORE self-pairs are dropped: a
     // node whose only rows are (x, x) has no edges but still owns a
@@ -738,19 +753,21 @@ object Dedup {
         least($"id_a", $"id_b").cast("long").as("v"))
       .filter($"u" =!= $"v").distinct()
       .localCheckpoint()
-    var prev = fp(edges)
+    // no initial-fingerprint job: the first compare is round 2 vs
+    // round 1 (an input already at fixpoint just spends one extra
+    // no-op round)
+    var prevFp: Option[(Long, Long)] = None
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = star(star(edges, large = true), large = false).localCheckpoint()
-      val cur = fp(next)
+      val (next, cur) = stepFp(edges)
       // the fingerprint is probabilistic — a hash-sum collision would
       // silently stop early with wrong components. Confirm the final
       // round with an exact set compare, cheap once the edge set has
       // contracted to stars: fps match ⇒ counts match, and both sides
       // are distinct, so a one-sided except decides set equality.
-      converged = cur == prev && next.except(edges).isEmpty
-      prev = cur
+      converged = prevFp.contains(cur) && next.except(edges).isEmpty
+      prevFp = Some(cur)
       edges = next
       iter += 1
     }

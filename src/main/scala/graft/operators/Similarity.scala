@@ -208,9 +208,10 @@ object Similarity {
     * ISOTROPIC vectors are the worst case for any coarse quantizer (a
     * top-5 neighbor at cos ≈ 0.4 sits ~65° away, nearly uncorrelated
     * with the query's cell; recall tracks the probed fraction almost
-    * linearly), so on such corpora callers trade speed back for recall
-    * with an explicit nprobe — the isotropic sf0.01 spec passes
-    * nprobe ≈ k/2 and holds the same 0.9 floor.
+    * linearly). The build-time occupancy histogram detects that case
+    * and widens the default probe ×2 ([[probeBoost]]: recall@5 0.80 at
+    * 8/23 cells on the isotropic sf0.01 corpus); callers wanting ≥0.9
+    * there still pass an explicit nprobe ≈ k/2.
     */
   val ProbeFraction = 0.125
 
@@ -226,6 +227,42 @@ object Similarity {
     */
   def defaultNProbe(k: Int): Int =
     math.max(NProbe, math.ceil(k * ProbeFraction).toInt)
+
+  /** Occupancy-adaptive probe width (stored with the index): a
+    * NEAR-UNIFORM cell-occupancy histogram is the isotropic signature
+    * — no topic structure for the quantizer to exploit, neighbors
+    * spread across cells, recall ≈ probed fraction — so the default
+    * probe widens ×[[IvfUniformBoost]]. Skewed histograms (clustered
+    * corpora, the realistic case) keep the lean base default: the
+    * topic cells hold the neighbors. The statistic is the coefficient
+    * of variation over ALL k cells (empty included — a clustered
+    * corpus that leaves cells empty is maximally skewed): uniform
+    * multinomial occupancy concentrates at CV ≈ √(k/n) ≲ 0.13 at the
+    * 64·k minimum sample, far under [[IvfUniformCv]]; measured 0.200
+    * on the isotropic sf0.01 corpus (recall@5 0.60 → 0.80 at the 2×
+    * probes) vs 0.458 on the 20-topic clustered fixture (boost stays
+    * 1, recall 1.0 unchanged) — PipelineOpsSpec pins both.
+    */
+  val IvfUniformCv = 0.35
+  val IvfUniformBoost = 2
+
+  def occupancyCv(cellCounts: Array[Long]): Double = {
+    val xs = cellCounts.map(_.toDouble)
+    val mean = xs.sum / xs.length
+    if (mean == 0) 0.0
+    else math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.length) / mean
+  }
+
+  def probeBoost(cellCounts: Array[Long]): Int =
+    if (cellCounts.length > 1 && occupancyCv(cellCounts) < IvfUniformCv)
+      IvfUniformBoost
+    else 1
+
+  /** The occupancy-aware default probe: base policy × build-time
+    * boost, capped at k. Shared by [[topkIvf]] and the dynamic oracle.
+    */
+  def defaultNProbe(k: Int, cellCounts: Array[Long]): Int =
+    math.min(k, defaultNProbe(k) * probeBoost(cellCounts))
 
   /** Nearest-`n` centroid cells for a vector, as one narrow kernel
     * over the broadcast centroid matrix (ties → lowest centroid id).
@@ -444,7 +481,7 @@ object Similarity {
     * generated test corpora.
     */
   final case class IvfIndex(cents: Array[(Long, Array[Float], Double)],
-      assigned: DataFrame)
+      assigned: DataFrame, cellCounts: Array[Long])
 
   private val indexCache = new SessionCache[IvfIndex](idx =>
     scala.util.Try(idx.assigned.unpersist(blocking = false)))
@@ -454,7 +491,15 @@ object Similarity {
       val cents = trainCentroids(s, d)
       val assigned = ivfAssignments(s, d, cents, assign)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      IvfIndex(cents, assigned)
+      // the occupancy histogram is part of the stored index (k ≤ 4096
+      // counts — a bounded driver transfer, same class as the centroid
+      // matrix): it prices the build's one warm-up pass and feeds the
+      // occupancy-aware probe policy
+      import s.implicits._
+      val occ = assigned.groupBy($"cell").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val counts = Array.tabulate(cents.length)(c => occ.getOrElse(c.toLong, 0L))
+      IvfIndex(cents, assigned, counts)
     }
 
   def topkIvf(s: SparkSession, d: String, k: Int = TopK,
@@ -464,7 +509,7 @@ object Similarity {
     val idx = ivfIndex(s, d, assign)
     val cents = idx.cents
     val assigned = idx.assigned
-    val np = if (nprobe > 0) nprobe else defaultNProbe(cents.length)
+    val np = if (nprobe > 0) nprobe else defaultNProbe(cents.length, idx.cellCounts)
     // per query: its np nearest cells via the same kernel
     val probe = nearestCellsUdf(cents, np)
     val qCells = querySet(s, d)
@@ -760,7 +805,9 @@ object Similarity {
     */
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
     val (ctes, k) = ivfOracleCtes(s, d)
-    val np = defaultNProbe(k)
+    // same occupancy-aware policy as topkIvf (the shared cached index,
+    // so the boost decision is identical by construction)
+    val np = defaultNProbe(k, ivfIndex(s, d).cellCounts)
     Map(
       "ivf_build" ->
         s"""WITH $ctes
