@@ -528,9 +528,8 @@ object Dedup {
     // hash-exact); at the real near-dup thresholds it exists for
     // (cos ≥ ~0.85, where true duplicates live) measured recall is 1.0
     // (PipelineOpsSpec "LSH embedding near-dup").
-    "dedup_embedding_lsh" -> { (s, d) =>
-      embeddingLshPairs(Tables.embeddings(s, d), CosineThreshold)
-    },
+    "dedup_embedding_lsh" -> ((s, d) =>
+      embeddingLshPairsIndexed(s, d, CosineThreshold)),
 
     // SemDeDup-style semantic dedup: cluster by the build-once IVF
     // coarse quantizer (Similarity.ivfIndex — the same trained cells
@@ -834,22 +833,50 @@ object Dedup {
     val s = emb.sparkSession
     import s.implicits._
     import graft.functions.VectorFunctions
-    // candidate generation and its multi-table dedup move bare 16-byte
-    // id pairs only; embeddings re-attach AFTER the dedup, so a pair
-    // colliding in several tables never ships its vectors repeatedly
-    // through the widest shuffle
     val bucketed = emb
       .select($"vec_id", explode(Similarity.lshBucketsPacked($"embedding")).as("tp"))
       .select($"vec_id", Similarity.unpackTable($"tp").as("table"),
         Similarity.unpackBucket($"tp").as("bucket"))
+    val e = emb.select($"vec_id", $"embedding",
+      VectorFunctions.norm($"embedding").as("nrm"))
+    lshPairsVerify(bucketed, e, threshold)
+  }
+
+  /** Declared-query form of [[embeddingLshPairs]]: candidate buckets
+    * come from the build-once persisted LSH index
+    * ([[Similarity.lshIndex]] — the same relation `lsh_build` benches
+    * and `sim_ann_lsh` probes), so the steady-state pair query never
+    * re-evaluates the bucket kernel; only the verify side re-scans the
+    * narrow (vec_id, embedding) columns for norms.
+    */
+  def embeddingLshPairsIndexed(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val bucketed = Similarity.lshIndex(s, d)
+      .select($"vec_id", $"table", $"bucket")
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+      VectorFunctions.norm($"embedding").as("nrm"))
+    lshPairsVerify(bucketed, e, threshold)
+  }
+
+  /** Shared core: bucket-collision candidates → bare-id-pair dedup →
+    * exact cosine verify. Candidate generation and its multi-table
+    * dedup move bare 16-byte id pairs only; embeddings re-attach AFTER
+    * the dedup, so a pair colliding in several tables never ships its
+    * vectors repeatedly through the widest shuffle.
+    */
+  private def lshPairsVerify(bucketed: DataFrame, e: DataFrame,
+      threshold: Double): DataFrame = {
+    val s = bucketed.sparkSession
+    import s.implicits._
+    import graft.functions.VectorFunctions
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         $"a.table" === $"b.table" && $"a.bucket" === $"b.bucket" &&
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
       .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
-    val e = emb.select($"vec_id", $"embedding",
-      VectorFunctions.norm($"embedding").as("nrm"))
     cand
       .join(e.select($"vec_id".as("id_a"), $"embedding".as("emb_a"),
         $"nrm".as("nrm_a")), "id_a")
