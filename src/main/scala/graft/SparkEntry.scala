@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, DnaPipeline, Embeddings, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, DnaPipeline, Embeddings, Multimodal, Pq, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,14 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ DnaPipeline.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Embeddings.queries
+      Multimodal.queries ++ Embeddings.queries ++ Pq.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ DnaPipeline.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Embeddings.oracles
+      Multimodal.oracles ++ Embeddings.oracles ++ Pq.oracles
 
   /** Oracles whose SQL embeds deterministically-TRAINED state (the IVF
     * centroids) as literals, so they must be rendered against the
@@ -36,5 +36,6 @@ object SparkEntry {
     * oracle note).
     */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
-    Similarity.dynamicOracles(spark, sfDir) ++ Dedup.dynamicOracles(spark, sfDir)
+    Similarity.dynamicOracles(spark, sfDir) ++
+      Dedup.dynamicOracles(spark, sfDir) ++ Pq.dynamicOracles(spark, sfDir)
 }

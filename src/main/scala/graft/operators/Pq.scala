@@ -1,0 +1,308 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product quantization (Jégou, Douze, Schmid: "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011) — the compression lever
+  * of corpus-scale ANN: the 64-dim float vector (256 B) becomes
+  * [[PqSubvectors]] one-byte codewords (8 B, 32×), and search scans
+  * CODES, not vectors. At 10⁹ vectors the index scan is memory-
+  * bandwidth-bound, so the 32× smaller representation is a 32× faster
+  * coarse pass; full-precision vectors page in only for the exact
+  * re-rank of the top candidates (the sim_ann_proj coarse-to-fine
+  * shape). [[Similarity]]'s IVF/LSH bound WHICH vectors are scored;
+  * PQ bounds the BYTES each scored vector costs — at deployment scale
+  * the two compose (FAISS-style IVF-PQ: PQ codes stored per IVF cell).
+  *
+  * Everything is deterministic given the corpus — the per-subspace
+  * Lloyd training mirrors [[Similarity.trainCentroids]]'s bounded
+  * deterministic sample and first-wins ties — so the whole family is
+  * hash-oracled via the trained-codebook-literal trick (Verify-time
+  * dynamic oracles, like the IVF centroids).
+  */
+object Pq {
+
+  /** 64 dims → 8 subspaces × 8 dims; 16 codewords per subspace (4-bit
+    * codes — sized to the fixture corpus; production uses 256/8-bit).
+    * Training cost: sample × codewords × dim × iters ≈ 4·10⁷ flops,
+    * far under [[Similarity.DriverTrainFlopsCap]], so the driver path
+    * is always taken at these parameters.
+    */
+  val PqSubvectors = 8
+  val PqCodewords = 16
+  val SubDim: Int = Similarity.Dim / PqSubvectors
+
+  /** Candidate pool per query for the exact re-rank, same rationale as
+    * [[Similarity.ProjCandidates]]: the budget must cover the query's
+    * topic neighborhood, because within-neighborhood order is exactly
+    * what quantization blurs.
+    */
+  val PqCandidates = 100
+
+  /** Per-subspace EUCLIDEAN k-means on the deterministic sample
+    * (hash-ordered prefix, init = first k subvectors, first-wins
+    * assignment ties, empty cells keep their centroid — every
+    * determinism rule of the IVF trainer, but L2 on subvectors, the
+    * published PQ objective). Returns [sub][code][SubDim] floats.
+    */
+  def trainCodebooks(s: SparkSession, d: String): Array[Array[Array[Float]]] = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val sampleSize = Similarity.IvfSampleCap
+    val sample: Array[Array[Float]] = emb
+      .select($"vec_id", $"embedding")
+      .orderBy(xxhash64($"vec_id"), $"vec_id")
+      .limit(sampleSize)
+      .select($"embedding").as[Array[Float]].collect()
+    require(sample.nonEmpty, s"cannot train PQ codebooks on an empty corpus: $d")
+    Array.tabulate(PqSubvectors) { sub =>
+      val off = sub * SubDim
+      def subv(v: Array[Float]): Array[Float] =
+        Array.tabulate(SubDim)(i => if (off + i < v.length) v(off + i) else 0f)
+      val xs = sample.map(subv)
+      var cents: Array[Array[Float]] =
+        (0 until PqCodewords).map(i => xs(i % xs.length).clone()).toArray
+      var iter = 0
+      while (iter < Similarity.LloydIters) {
+        val sums = Array.fill(PqCodewords)(new Array[Double](SubDim))
+        val counts = new Array[Int](PqCodewords)
+        xs.foreach { x =>
+          val c = nearestCode(x, 0, cents)
+          var i = 0
+          while (i < SubDim) { sums(c)(i) += x(i); i += 1 }
+          counts(c) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else sums(c).map(v => (v / counts(c)).toFloat)
+        }
+        iter += 1
+      }
+      cents
+    }
+  }
+
+  /** Argmin-L2 codeword for the subvector of `v` starting at `off`
+    * (strictly-less update = lowest code on an exact tie, the same
+    * rule the oracle's `ORDER BY dist ASC, code ASC` states).
+    * Distances accumulate left-to-right in double so both engines
+    * compare bit-identical values. Out-of-range dims read as 0 (the
+    * zero-pad contract for short vectors).
+    */
+  private def nearestCode(v: Array[Float], off: Int,
+      cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var dist = 0.0
+      var i = 0
+      while (i < SubDim) {
+        val x = if (off + i < v.length) v(off + i).toDouble else 0.0
+        val dd = x - cents(c)(i).toDouble
+        dist += dd * dd
+        i += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** A built PQ index: trained codebooks + the codes relation
+    * (vec_id, codes ARRAY<INT> — 8 small ints standing in for the
+    * 8-byte packed representation; `pq_build` benches the build and
+    * `sim_ann_pq` the steady-state search, the build-once contract of
+    * every index here). At deployment scale the codes table IS the
+    * stored index.
+    */
+  final case class PqIndex(codebooks: Array[Array[Array[Float]]],
+      codes: DataFrame)
+
+  private val pqCache = new SessionCache[PqIndex](idx =>
+    scala.util.Try(idx.codes.unpersist(blocking = false)))
+
+  def pqIndex(s: SparkSession, d: String): PqIndex =
+    pqCache.getOrBuild(s, d) {
+      import s.implicits._
+      val cb = trainCodebooks(s, d)
+      val enc = udf { (emb: Seq[Float]) =>
+        val v = emb.toArray
+        Array.tabulate(PqSubvectors)(sub => nearestCode(v, sub * SubDim, cb(sub)))
+      }
+      val codes = Tables.embeddings(s, d)
+        .select($"vec_id", enc($"embedding").as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      PqIndex(cb, codes)
+    }
+
+  /** ADC (asymmetric distance computation) coarse score: the query
+    * stays full-precision, the corpus vector is its reconstruction
+    * Σ_sub dot(q_sub, codeword[sub][code_sub]) — subspaces summed
+    * left-to-right, each inner dot left-to-right, so the unrounded
+    * double is bit-identical in DuckDB and the coarse ORDER BY is
+    * engine-independent (the sim_ann_proj precedent). Deployment form
+    * precomputes the per-query LUT[sub][code] (k×Dim mults amortized
+    * over the corpus, 8 lookups/row); the row kernel here evaluates
+    * the same sum directly — identical values, and the scan-bytes win
+    * (codes, not vectors, cross memory) is the structural point.
+    */
+  private def adcScoreUdf(cb: Array[Array[Array[Float]]]) =
+    udf { (q: Seq[Float], codes: Seq[Int]) =>
+      // per-subspace partial dots, THEN the cross-subspace sum — the
+      // same grouping as the oracle's nested list_sum, so the rounding
+      // of the unrounded double is identical on both engines (a single
+      // flat 64-term accumulation rounds differently)
+      var total = 0.0
+      var sub = 0
+      while (sub < PqSubvectors) {
+        val cw = cb(sub)(codes(sub))
+        val off = sub * SubDim
+        var partial = 0.0
+        var i = 0
+        while (i < SubDim) {
+          val x = if (off + i < q.length) q(off + i).toDouble else 0.0
+          partial += x * cw(i).toDouble
+          i += 1
+        }
+        total += partial
+        sub += 1
+      }
+      total
+    }
+
+  /** Coarse-to-fine PQ ANN: ADC over the codes relation picks top-C
+    * candidates per query; the exact full-width rounded cosine
+    * re-ranks them (same output contract as every sim_ann_*).
+    */
+  def topkPq(s: SparkSession, d: String, k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val idx = pqIndex(s, d)
+    val adc = adcScoreUdf(idx.codebooks)
+    val queries = Tables.embeddings(s, d)
+      .filter($"vec_id" % Similarity.QueryStride === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        VectorFunctions.norm($"embedding").as("q_nrm"))
+    val coarse = broadcast(queries)
+      .join(idx.codes, $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        adc($"q_emb", $"codes").as("adc"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"adc".desc, $"n_id".asc)))
+      .filter($"crank" <= candidates)
+      .select($"q_id", $"n_id")
+    val full = Tables.embeddings(s, d)
+      .select($"vec_id".as("n_id"), $"embedding",
+        VectorFunctions.norm($"embedding").as("nrm"))
+    coarse
+      .join(full, Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select($"q_id", $"n_id",
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
+          4).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)))
+      .filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the codes relation as exploded scalar rows (the proj_build
+    // pattern: the driver compare can't hash a raw array column)
+    "pq_build" -> { (s, d) =>
+      import s.implicits._
+      pqIndex(s, d).codes
+        .select($"vec_id", posexplode($"codes").as(Seq("sub", "code")))
+        .select($"vec_id", $"sub".cast("int").as("sub"),
+          $"code".cast("int").as("code"))
+    },
+    "sim_ann_pq" -> ((s, d) => topkPq(s, d)))
+
+  // static oracles: none — both queries embed TRAINED state and are
+  // rendered at Verify time (dynamicOracles below)
+  val oracles: Map[String, String] = Map.empty
+
+  /** The trained codebooks as a DuckDB literal [sub][code][SubDim]
+    * (float components are exactly representable as doubles, the
+    * centroid-literal precedent).
+    */
+  def codebookSql(s: SparkSession, d: String): String =
+    pqIndex(s, d).codebooks
+      .map(_.map(_.map(_.toDouble.toString).mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+
+  /** Verify-time oracles: DuckDB independently recomputes the argmin-L2
+    * code assignment, the ADC coarse ranking, and the exact re-rank
+    * from the codebook literals — only the trained VALUES come from the
+    * Spark side (the IVF dynamic-oracle contract). The corpus is the
+    * fixed 64-dim embeddings table (the emb_centroids dim contract), so
+    * the oracle indexes subvectors directly.
+    */
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
+    val cb = codebookSql(s, d)
+    // (x - c)^2 summed left-to-right over the sub-dimension; literal
+    // multiplication, not POWER, to keep the double arithmetic identical
+    val dist =
+      s"""list_sum(list_transform(generate_series(1, $SubDim),
+          i -> (e.embedding[(g.s - 1) * $SubDim + i]::DOUBLE - m.cb[g.s][c.c][i])
+             * (e.embedding[(g.s - 1) * $SubDim + i]::DOUBLE - m.cb[g.s][c.c][i])))"""
+    val codesCte =
+      s"""m AS (SELECT $cb AS cb),
+          dists AS (
+            SELECT e.vec_id, g.s, c.c, $dist AS dist
+            FROM embeddings e, m,
+              generate_series(1, $PqSubvectors) AS g(s),
+              generate_series(1, $PqCodewords) AS c(c)),
+          codes AS (
+            SELECT vec_id, s, CAST(c - 1 AS INT) AS code FROM (
+              SELECT vec_id, s, c, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+              FROM dists)
+            WHERE rn = 1)"""
+    Map(
+      "pq_build" ->
+        s"""WITH $codesCte
+            SELECT vec_id, CAST(s - 1 AS INT) AS sub, code FROM codes""",
+      // ADC: per (query, vector) the reconstruction dot — subspace
+      // partial dots summed in subspace order (list_sum over the
+      // per-subspace sums), each inner sum left-to-right, matching the
+      // kernel's accumulation exactly; unrounded ORDER BY then top-C,
+      // exact rounded-cosine re-rank (the sim_ann_proj shape).
+      "sim_ann_pq" ->
+        s"""WITH $codesCte,
+            codesarr AS (
+              SELECT vec_id, list(code ORDER BY s) AS codes
+              FROM codes GROUP BY vec_id),
+            adc AS (
+              SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+                list_sum(list_transform(generate_series(1, $PqSubvectors), s ->
+                  list_sum(list_transform(generate_series(1, $SubDim), i ->
+                    q.embedding[(s - 1) * $SubDim + i]::DOUBLE *
+                    m.cb[s][x.codes[s] + 1][i]))))
+                  AS score
+              FROM embeddings q, codesarr x, m
+              WHERE q.vec_id % ${Similarity.QueryStride} = 0
+                AND q.vec_id <> x.vec_id),
+            coarse AS (
+              SELECT q_id, n_id FROM (
+                SELECT q_id, n_id, ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS crank
+                FROM adc) WHERE crank <= $PqCandidates),
+            scored AS (
+              SELECT c.q_id, c.n_id,
+                ROUND(${Similarity.sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+              FROM coarse c JOIN embeddings q ON q.vec_id = c.q_id
+                           JOIN embeddings n ON n.vec_id = c.n_id)
+            SELECT q_id, n_id, cos_sim, rank FROM (
+              SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+              FROM scored) WHERE rank <= ${Similarity.TopK}""")
+  }
+}

@@ -339,6 +339,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(prI.nonEmpty && recallI >= 0.2, s"implausibly low: $recallI")
   }
 
+  test("PQ ANN: code laws; clustered recall >= 0.9 on 32x-compressed codes; isotropic measured") {
+    import spark.implicits._
+    // code laws: exactly PqSubvectors codes per vector, every code a
+    // valid codebook index — the 8-byte representation standing in for
+    // the 256-byte vector (the 32× scan-bytes cut that is PQ's point)
+    val idx = Pq.pqIndex(spark, clusteredFixture)
+    assert(idx.codes.filter(size($"codes") =!= Pq.PqSubvectors).count() == 0)
+    assert(idx.codes.select(explode($"codes").as("c"))
+      .filter($"c" < 0 || $"c" >= Pq.PqCodewords).count() == 0)
+    assert(idx.codebooks.length == Pq.PqSubvectors &&
+      idx.codebooks.forall(_.length == Pq.PqCodewords))
+    // clustered corpora: the ADC coarse pass + C=100 exact re-rank
+    // holds the same 0.9 floor as the projected path
+    val bfC = Similarity.topkBruteForce(spark, clusteredFixture, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val pqC = Pq.topkPq(spark, clusteredFixture, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recallC = (bfC & pqC).size.toDouble / bfC.size
+    assert(recallC >= 0.9, s"PQ clustered recall regressed: $recallC")
+    // isotropic: quantization noise vs ~1/√64 cosine gaps — measured
+    // and reported (the IVF/proj worst-case convention)
+    val sf01 = "/root/testdata/sf0.01"
+    val bfI = Similarity.topkBruteForce(spark, sf01, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val pqI = Pq.topkPq(spark, sf01, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recallI = (bfI & pqI).size.toDouble / bfI.size
+    info(f"isotropic PQ recall@5 = $recallI%.2f at C=${Pq.PqCandidates}")
+    assert(pqI.nonEmpty && recallI >= 0.2, s"implausibly low: $recallI")
+  }
+
   test("semantic dedup drops only vectors with an exact near-dup partner") {
     import spark.implicits._
     // every dropped vector must appear as the HIGHER id of some exact
