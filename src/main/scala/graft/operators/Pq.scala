@@ -212,6 +212,59 @@ object Pq {
       .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
   }
 
+  /** IVF-PQ composition — the FAISS deployment shape: the IVF coarse
+    * quantizer bounds WHICH vectors are scored (only the query's
+    * probed cells; the shared occupancy-aware probe policy), the PQ
+    * codes bound the BYTES each scored one costs (the candidate join
+    * ships (vec_id, cell) plus 8 codes — the 256-byte vectors never
+    * enter the coarse pass), and full-precision vectors page in only
+    * for the exact re-rank of the ADC top-C. At 10⁹ vectors this is
+    * the stored shape: a codes table partitioned by cell.
+    */
+  def topkIvfPq(s: SparkSession, d: String, k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val ivf = Similarity.ivfIndex(s, d)
+    val pq = pqIndex(s, d)
+    val np = Similarity.defaultNProbe(ivf.cents.length, ivf.cellCounts)
+    val adc = adcScoreUdf(pq.codebooks)
+    val queries = Tables.embeddings(s, d)
+      .filter($"vec_id" % Similarity.QueryStride === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        VectorFunctions.norm($"embedding").as("q_nrm"))
+    val qCells = queries.select($"q_id", $"q_emb",
+      explode(Similarity.nearestCellsUdf(ivf.cents, np)($"q_emb")).as("cell"))
+    // the stored IVF-PQ relation: cell + codes, no vectors
+    val members = ivf.assigned.select($"vec_id", $"cell")
+      .join(pq.codes, Seq("vec_id"))
+    // single assignment ⇒ a vector reaches a query through at most one
+    // probed cell — no candidate dedup exchange (the sim_ann_ivf plan
+    // property)
+    val coarse = broadcast(qCells)
+      .join(members, Seq("cell"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"), adc($"q_emb", $"codes").as("adc"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"adc".desc, $"n_id".asc)))
+      .filter($"crank" <= candidates)
+      .select($"q_id", $"n_id")
+    val full = Tables.embeddings(s, d)
+      .select($"vec_id".as("n_id"), $"embedding",
+        VectorFunctions.norm($"embedding").as("nrm"))
+    coarse
+      .join(full, Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select($"q_id", $"n_id",
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
+          4).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)))
+      .filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the codes relation as exploded scalar rows (the proj_build
     // pattern: the driver compare can't hash a raw array column)
@@ -222,7 +275,8 @@ object Pq {
         .select($"vec_id", $"sub".cast("int").as("sub"),
           $"code".cast("int").as("code"))
     },
-    "sim_ann_pq" -> ((s, d) => topkPq(s, d)))
+    "sim_ann_pq" -> ((s, d) => topkPq(s, d)),
+    "sim_ann_ivfpq" -> ((s, d) => topkIvfPq(s, d)))
 
   // static oracles: none — both queries embed TRAINED state and are
   // rendered at Verify time (dynamicOracles below)
@@ -245,27 +299,48 @@ object Pq {
     * fixed 64-dim embeddings table (the emb_centroids dim contract), so
     * the oracle indexes subvectors directly.
     */
-  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
+  /** Shared oracle CTE text: `pqm` (codebook literal), `dists`
+    * (argmin-L2 inputs — (x−c)² summed left-to-right; literal
+    * multiplication, not POWER, to keep the double arithmetic
+    * identical), `codes` (lowest-code-on-tie argmin), `codesarr`
+    * (per-vector code arrays). The `pqm` name is clash-free with the
+    * IVF CTEs' `m` so the IVF-PQ composition can concatenate both.
+    */
+  private[operators] def pqOracleCtes(s: SparkSession, d: String): String = {
     val cb = codebookSql(s, d)
-    // (x - c)^2 summed left-to-right over the sub-dimension; literal
-    // multiplication, not POWER, to keep the double arithmetic identical
     val dist =
       s"""list_sum(list_transform(generate_series(1, $SubDim),
-          i -> (e.embedding[(g.s - 1) * $SubDim + i]::DOUBLE - m.cb[g.s][c.c][i])
-             * (e.embedding[(g.s - 1) * $SubDim + i]::DOUBLE - m.cb[g.s][c.c][i])))"""
-    val codesCte =
-      s"""m AS (SELECT $cb AS cb),
-          dists AS (
-            SELECT e.vec_id, g.s, c.c, $dist AS dist
-            FROM embeddings e, m,
-              generate_series(1, $PqSubvectors) AS g(s),
-              generate_series(1, $PqCodewords) AS c(c)),
-          codes AS (
-            SELECT vec_id, s, CAST(c - 1 AS INT) AS code FROM (
-              SELECT vec_id, s, c, ROW_NUMBER() OVER (
-                PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
-              FROM dists)
-            WHERE rn = 1)"""
+          i -> (e.embedding[(g.s - 1) * $SubDim + i]::DOUBLE - pqm.cb[g.s][c.c][i])
+             * (e.embedding[(g.s - 1) * $SubDim + i]::DOUBLE - pqm.cb[g.s][c.c][i])))"""
+    s"""pqm AS (SELECT $cb AS cb),
+        dists AS (
+          SELECT e.vec_id, g.s, c.c, $dist AS dist
+          FROM embeddings e, pqm,
+            generate_series(1, $PqSubvectors) AS g(s),
+            generate_series(1, $PqCodewords) AS c(c)),
+        codes AS (
+          SELECT vec_id, s, CAST(c - 1 AS INT) AS code FROM (
+            SELECT vec_id, s, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+            FROM dists)
+          WHERE rn = 1),
+        codesarr AS (
+          SELECT vec_id, list(code ORDER BY s) AS codes
+          FROM codes GROUP BY vec_id)"""
+  }
+
+  /** The ADC reconstruction-dot SQL for query alias `q` against a
+    * codesarr alias `x` — subspace partial dots summed in subspace
+    * order, each inner dot left-to-right (the kernel's exact grouping).
+    */
+  private[operators] def sqlAdc(q: String, x: String): String =
+    s"""list_sum(list_transform(generate_series(1, $PqSubvectors), s ->
+        list_sum(list_transform(generate_series(1, $SubDim), i ->
+          $q.embedding[(s - 1) * $SubDim + i]::DOUBLE *
+          pqm.cb[s][$x.codes[s] + 1][i]))))"""
+
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
+    val codesCte = pqOracleCtes(s, d)
     Map(
       "pq_build" ->
         s"""WITH $codesCte
@@ -277,17 +352,10 @@ object Pq {
       // exact rounded-cosine re-rank (the sim_ann_proj shape).
       "sim_ann_pq" ->
         s"""WITH $codesCte,
-            codesarr AS (
-              SELECT vec_id, list(code ORDER BY s) AS codes
-              FROM codes GROUP BY vec_id),
             adc AS (
               SELECT q.vec_id AS q_id, x.vec_id AS n_id,
-                list_sum(list_transform(generate_series(1, $PqSubvectors), s ->
-                  list_sum(list_transform(generate_series(1, $SubDim), i ->
-                    q.embedding[(s - 1) * $SubDim + i]::DOUBLE *
-                    m.cb[s][x.codes[s] + 1][i]))))
-                  AS score
-              FROM embeddings q, codesarr x, m
+                ${sqlAdc("q", "x")} AS score
+              FROM embeddings q, codesarr x, pqm
               WHERE q.vec_id % ${Similarity.QueryStride} = 0
                 AND q.vec_id <> x.vec_id),
             coarse AS (
@@ -303,6 +371,46 @@ object Pq {
             SELECT q_id, n_id, cos_sim, rank FROM (
               SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
                 PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
-              FROM scored) WHERE rank <= ${Similarity.TopK}""")
+              FROM scored) WHERE rank <= ${Similarity.TopK}""",
+      // IVF-PQ composed: the IVF CTEs (m/sims/asg — trained centroid
+      // literals) restate the probe and candidate set, the PQ CTEs
+      // (pqm/codes/codesarr — trained codebook literals) restate the
+      // ADC scores of exactly those candidates, then the usual exact
+      // re-rank. CTE names are disjoint by construction.
+      "sim_ann_ivfpq" -> {
+        val (ivfCtes, k) = Similarity.ivfOracleCtes(s, d)
+        val np = Similarity.defaultNProbe(k, Similarity.ivfIndex(s, d).cellCounts)
+        s"""WITH $ivfCtes,
+            $codesCte,
+            qprobe AS (
+              SELECT vec_id AS q_id, CAST(c - 1 AS BIGINT) AS cell FROM (
+                SELECT vec_id, c, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, c ASC) AS rn
+                FROM sims WHERE vec_id % ${Similarity.QueryStride} = 0)
+              WHERE rn <= $np),
+            cand AS (
+              SELECT q.q_id, a.vec_id AS n_id
+              FROM qprobe q JOIN asg a ON q.cell = a.cell
+              WHERE q.q_id <> a.vec_id),
+            adc AS (
+              SELECT c.q_id, c.n_id, ${sqlAdc("q", "x")} AS score
+              FROM cand c
+                JOIN embeddings q ON q.vec_id = c.q_id
+                JOIN codesarr x ON x.vec_id = c.n_id, pqm),
+            coarse AS (
+              SELECT q_id, n_id FROM (
+                SELECT q_id, n_id, ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS crank
+                FROM adc) WHERE crank <= $PqCandidates),
+            scored AS (
+              SELECT c.q_id, c.n_id,
+                ROUND(${Similarity.sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+              FROM coarse c JOIN embeddings q ON q.vec_id = c.q_id
+                           JOIN embeddings n ON n.vec_id = c.n_id)
+            SELECT q_id, n_id, cos_sim, rank FROM (
+              SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+              FROM scored) WHERE rank <= ${Similarity.TopK}"""
+      })
   }
 }

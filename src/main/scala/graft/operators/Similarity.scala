@@ -267,7 +267,7 @@ object Similarity {
   /** Nearest-`n` centroid cells for a vector, as one narrow kernel
     * over the broadcast centroid matrix (ties → lowest centroid id).
     */
-  private def nearestCellsUdf(cents: Array[(Long, Array[Float], Double)], n: Int) =
+  private[operators] def nearestCellsUdf(cents: Array[(Long, Array[Float], Double)], n: Int) =
     udf { (emb: Seq[Float]) =>
       val nv = {
         var acc = 0.0; var i = 0

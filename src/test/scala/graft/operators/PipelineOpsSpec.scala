@@ -370,6 +370,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pqI.nonEmpty && recallI >= 0.2, s"implausibly low: $recallI")
   }
 
+  test("IVF-PQ composed ANN: clustered recall >= 0.9 with both indexes bounding the work") {
+    import spark.implicits._
+    // the deployment composition: probed cells bound WHICH vectors are
+    // ADC-scored, codes bound the bytes each one costs; candidates
+    // must be a subset of the probed-cell members, so recall is capped
+    // by IVF's — the spec pins that the PQ coarse pass doesn't lose
+    // the neighbors IVF kept (C=100 covers the probed topic cells)
+    val bf = Similarity.topkBruteForce(spark, clusteredFixture, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Pq.topkIvfPq(spark, clusteredFixture, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivfpq).size.toDouble / bf.size
+    assert(recall >= 0.9, s"IVF-PQ clustered recall regressed: $recall")
+    // composition sanity: IVF-PQ results ⊆ what plain IVF's candidate
+    // set could produce is structural; cheap cross-check instead: the
+    // composed path can't beat brute force's neighbor set
+    assert(ivfpq.forall { case (q, _) => bf.exists(_._1 == q) })
+  }
+
   test("semantic dedup drops only vectors with an exact near-dup partner") {
     import spark.implicits._
     // every dropped vector must appear as the HIGHER id of some exact
