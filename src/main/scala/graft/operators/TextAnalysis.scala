@@ -458,6 +458,63 @@ object TextAnalysis {
         size(regexp_extract_all(afterIp, lit(NumPattern), lit(0)))
           .cast("long").as("n_num"),
         regexp_replace(afterIp, NumPattern, "#").as("redacted"))
+    },
+
+    // Duplicated-text-mass triage (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better", ACL 2022 measure): per
+    // document, the fraction of its distinct word-3-gram shingles that
+    // occur in ANY other document — the number a curation run consults
+    // to decide how aggressive its dedup pass must be. Reads the
+    // build-once shingle relation (the tokenize+hash pass is never
+    // re-run), one shingle-keyed DF aggregation + one doc-keyed
+    // re-aggregation; a doc's shingles are distinct, so cross-doc DF>1
+    // ⇔ the shingle exists elsewhere. Shingle-less docs report 0.
+    "txt_dup_mass" -> { (s, d) =>
+      import s.implicits._
+      val rows = Dedup.shingleRelation(s, d)
+        .select($"doc_id", explode($"sh").as("shingle"))
+      val dfr = rows.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val per = rows.join(dfr, Seq("shingle"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"df" > 1, 1L).otherwise(0L)).as("n_dup"))
+      Tables.documents(s, d).select($"doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+          coalesce($"n_dup", lit(0L)).as("n_dup"),
+          round(coalesce($"n_dup", lit(0L)).cast("double") /
+            greatest(coalesce($"n_shingles", lit(0L)), lit(1L)), 6)
+            .as("dup_mass"))
+    },
+
+    // Unigram cross-entropy quality proxy — the SQL-expressible
+    // stand-in for LM-perplexity filtering (CCNet-style): per
+    // document, mean −ln p̂(token) under the corpus unigram
+    // distribution. High = rare-token soup (OCR noise, codes); low =
+    // stopword-heavy boilerplate; curation keeps a band. One corpus
+    // tokenization feeds both tf and the corpus counts (the tfidf
+    // exchange-sharing shape); the corpus total is a 1-row broadcast.
+    // round(5): the per-doc Σ tf·ln p runs over ≤types terms in
+    // engine-local order — the txt_entropy tolerance class.
+    "txt_unigram_nll" -> { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val cnt = tf.groupBy($"tok").agg(sum($"tf").as("c"))
+      val total = cnt.agg(sum($"c").as("total"))
+      val per = tf.join(cnt, Seq("tok"))
+        .crossJoin(broadcast(total))
+        .groupBy($"doc_id")
+        .agg(sum($"tf").as("n_tokens"),
+          (-sum($"tf" * log($"c".cast("double") / $"total")) / sum($"tf"))
+            .as("nll"))
+      Tables.documents(s, d).select($"doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+          round(coalesce($"nll", lit(0.0)), 5).as("nll"))
     })
 
   /** N-gram length for decontamination overlap (13 is the common
@@ -893,5 +950,35 @@ object TextAnalysis {
           len(regexp_extract_all(after_email, '$Ipv4Pattern')) AS n_ip,
           len(regexp_extract_all(after_ip, '$NumPattern')) AS n_num,
           regexp_replace(after_ip, '$NumPattern', '#', 'g') AS redacted
-          FROM staged""")
+          FROM staged""",
+    // same distinct word-3-gram shingle definition as the jaccard CTEs
+    "txt_dup_mass" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks t FROM documents),
+          sh AS (SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, GREATEST(len(t) - 2, 0)),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s FROM toks),
+          srows AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          dfr AS (SELECT g, COUNT(*) AS df FROM srows GROUP BY g),
+          per AS (SELECT doc_id, COUNT(*) AS n,
+              SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS nd
+            FROM srows JOIN dfr USING (g) GROUP BY doc_id)
+          SELECT d.doc_id,
+            CAST(COALESCE(per.n, 0) AS BIGINT) AS n_shingles,
+            CAST(COALESCE(per.nd, 0) AS BIGINT) AS n_dup,
+            ROUND(COALESCE(per.nd, 0)::DOUBLE /
+              GREATEST(COALESCE(per.n, 0), 1), 6) AS dup_mass
+          FROM documents d LEFT JOIN per USING (doc_id)""",
+    "txt_unigram_nll" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+          tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+            GROUP BY doc_id, tok),
+          cnt AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok),
+          tot AS (SELECT SUM(c) AS total FROM cnt),
+          per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n,
+              -SUM(tf * ln(c::DOUBLE / total)) / SUM(tf) AS nll
+            FROM tf JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id)
+          SELECT d.doc_id,
+            COALESCE(per.n, 0) AS n_tokens,
+            ROUND(COALESCE(per.nll, 0.0), 5) AS nll
+          FROM documents d LEFT JOIN per USING (doc_id)""")
 }

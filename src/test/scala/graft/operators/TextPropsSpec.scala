@@ -142,6 +142,52 @@ class TextPropsSpec extends AnyFunSuite {
     assert(n.filter($"n".isNull).count() == 1)
   }
 
+  test("dup-mass laws: 1 on a fully duplicated corpus, 0 on disjoint vocab, bounded on real text") {
+    import spark.implicits._
+    // every doc duplicated under two ids → every shingle has DF ≥ 2 →
+    // mass exactly 1 wherever shingles exist
+    val dup = (0L until 20L).flatMap(i => Seq(
+      (2 * i, s"alpha$i beta$i gamma$i delta$i"),
+      (2 * i + 1, s"alpha$i beta$i gamma$i delta$i")))
+    val t1 = java.nio.file.Files.createTempDirectory("dupmass1").toString
+    dup.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$t1/documents.parquet")
+    val m1 = TextAnalysis.queries("txt_dup_mass")(spark, t1)
+    assert(m1.filter($"n_shingles" > 0 && $"dup_mass" =!= 1.0).count() == 0)
+    assert(m1.filter($"n_shingles" === 0 && $"dup_mass" =!= 0.0).count() == 0)
+    // per-doc private vocabularies → no shingle is shared → mass 0
+    val uniq = (0L until 20L).map(i => (i, s"u${i}a u${i}b u${i}c u${i}d"))
+    val t2 = java.nio.file.Files.createTempDirectory("dupmass2").toString
+    uniq.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$t2/documents.parquet")
+    val m2 = TextAnalysis.queries("txt_dup_mass")(spark, t2)
+    assert(m2.filter($"dup_mass" =!= 0.0).count() == 0)
+    assert(m2.filter($"n_shingles" =!= 2L).count() == 0) // 4 tokens → 2 shingles
+  }
+
+  test("unigram NLL: hand-computed fixture; zero for a single-token vocabulary") {
+    import spark.implicits._
+    // corpus "a a a b" + "b": counts a=3, b=2, total=5
+    val t1 = java.nio.file.Files.createTempDirectory("nll1").toString
+    Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$t1/documents.parquet")
+    val exp1 = BigDecimal(-(3 * math.log(3.0 / 5) + math.log(2.0 / 5)) / 4)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal(-math.log(2.0 / 5))
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = TextAnalysis.queries("txt_unigram_nll")(spark, t1)
+      .select($"doc_id", $"n_tokens", $"nll")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(1L) == ((4L, exp1)), s"doc1: ${byId(1L)} want ($exp1)")
+    assert(byId(2L) == ((1L, exp2)), s"doc2: ${byId(2L)} want ($exp2)")
+    // one-token vocabulary: p = 1 everywhere → NLL 0
+    val t2 = java.nio.file.Files.createTempDirectory("nll2").toString
+    Seq((1L, "x x x"), (2L, "x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$t2/documents.parquet")
+    assert(TextAnalysis.queries("txt_unigram_nll")(spark, t2)
+      .filter(abs($"nll") > 1e-12).count() == 0)
+  }
+
   test("entropy laws: bounded by ln(n_types), zero iff one distinct token, order-invariant") {
     import spark.implicits._
     val df = corpus(300).toDF("text")
