@@ -58,10 +58,13 @@ object Bench {
     // to bench_last.json, committed per round as the durable record.
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","budget_violations":$vjson,"failed":$fjson,"total_sec":$total}"""
     println(json)
-    try {
-      val w = new java.io.PrintWriter("bench_last.json")
-      try w.println(json) finally w.close()
-    } catch { case scala.util.control.NonFatal(e) =>
+    try
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_last.json"), json + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      // Files.writeString actually THROWS on I/O failure (PrintWriter
+      // would swallow it behind its error flag and commit a truncated
+      // "durable record")
       System.err.println(s"[bench] could not write bench_last.json: $e")
     }
     spark.stop()

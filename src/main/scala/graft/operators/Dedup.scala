@@ -120,7 +120,7 @@ object Dedup {
   /** doc_id → exploded distinct 64-bit shingle-hash rows (the
     * inverted-index relation).
     */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+  private[operators] def shingleRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     shingleRelation(s, d).select($"doc_id", explode($"sh").as("shingle"))
   }
@@ -163,7 +163,12 @@ object Dedup {
     * full-string special casing, which maps e.g. İ to two code points
     * where utf8proc maps to one). NULL passes through as NULL so a
     * null document lands in the null-fingerprint group on both engines
-    * instead of NPE-ing the query.
+    * instead of NPE-ing the query. Residual contract caveat: simple
+    * case mappings agree up to UNICODE-VERSION alignment of the JVM
+    * and DuckDB's utf8proc — scripts whose lowercase mappings were
+    * added later (Cherokee in 8.0, Georgian Mtavruli in 11.0) can
+    * diverge across mismatched builds; the spec fixtures stay on
+    * long-stable mappings.
     */
   val normalizeText: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
@@ -726,10 +731,12 @@ object Dedup {
     // call on the 60-node deep-chain fixture; local wall time ~flat —
     // scheduler overhead, not scan cost, dominates there — the win at
     // scale is one fewer full edge-set scan per round). Task retries
-    // can double-add a transformation-stage accumulator — that can
-    // only make fingerprints DIFFER, and equality is decided by the
-    // exact except() confirm below, so a corrupted fp costs at most an
-    // extra round, never a wrong result.
+    // can double-add a transformation-stage accumulator, so the
+    // fingerprint is strictly a cheap FIRST filter: set equality is
+    // decided by the TWO-sided exact except() confirm below (two-sided
+    // because a retry-corrupted count could otherwise mask a strict
+    // subset) — a corrupted fp costs at most an extra round or an
+    // extra confirm, never a wrong result.
     def stepFp(e: DataFrame): (DataFrame, (Long, Long)) = {
       val cnt = s.sparkContext.longAccumulator
       val hsum = s.sparkContext.longAccumulator
@@ -760,12 +767,14 @@ object Dedup {
     var converged = false
     while (!converged && iter < maxIter) {
       val (next, cur) = stepFp(edges)
-      // the fingerprint is probabilistic — a hash-sum collision would
-      // silently stop early with wrong components. Confirm the final
-      // round with an exact set compare, cheap once the edge set has
-      // contracted to stars: fps match ⇒ counts match, and both sides
-      // are distinct, so a one-sided except decides set equality.
-      converged = prevFp.contains(cur) && next.except(edges).isEmpty
+      // the fingerprint is probabilistic — a hash-sum collision (or a
+      // retry-corrupted accumulator) must not stop the loop early with
+      // wrong components. Confirm the final round with an exact
+      // two-sided set compare, cheap once the edge set has contracted
+      // to stars (accumulator counts are NOT trusted here, so subset
+      // relationships can't slip through a count coincidence).
+      converged = prevFp.contains(cur) &&
+        next.except(edges).isEmpty && edges.except(next).isEmpty
       prevFp = Some(cur)
       edges = next
       iter += 1

@@ -52,11 +52,17 @@ object Pq {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val sampleSize = Similarity.IvfSampleCap
-    val sample: Array[Array[Float]] = emb
-      .select($"vec_id", $"embedding")
-      .orderBy(xxhash64($"vec_id"), $"vec_id")
-      .limit(sampleSize)
-      .select($"embedding").as[Array[Float]].collect()
+    // when the corpus fits the cap the sample IS the corpus: a bare
+    // columnar scan, no hash-order sort (the trainCentroids shape);
+    // above the cap, the deterministic hash-ordered prefix
+    val n = Similarity.rowCount(s, emb)
+    val sample: Array[Array[Float]] =
+      if (n <= sampleSize) emb.select($"embedding").as[Array[Float]].collect()
+      else emb
+        .select($"vec_id", $"embedding")
+        .orderBy(xxhash64($"vec_id"), $"vec_id")
+        .limit(sampleSize)
+        .select($"embedding").as[Array[Float]].collect()
     require(sample.nonEmpty, s"cannot train PQ codebooks on an empty corpus: $d")
     Array.tabulate(PqSubvectors) { sub =>
       val off = sub * SubDim
@@ -174,24 +180,28 @@ object Pq {
       total
     }
 
-  /** Coarse-to-fine PQ ANN: ADC over the codes relation picks top-C
-    * candidates per query; the exact full-width rounded cosine
-    * re-ranks them (same output contract as every sim_ann_*).
+  /** The query set (every QueryStride'th vector with its norm) — the
+    * shared head of both coarse-to-fine queries here.
     */
-  def topkPq(s: SparkSession, d: String, k: Int = Similarity.TopK,
-      candidates: Int = PqCandidates): DataFrame = {
+  private def queryRelation(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
-    val idx = pqIndex(s, d)
-    val adc = adcScoreUdf(idx.codebooks)
-    val queries = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .filter($"vec_id" % Similarity.QueryStride === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
         VectorFunctions.norm($"embedding").as("q_nrm"))
-    val coarse = broadcast(queries)
-      .join(idx.codes, $"q_id" =!= $"vec_id")
-      .select($"q_id", $"vec_id".as("n_id"),
-        adc($"q_emb", $"codes").as("adc"))
+  }
+
+  /** ADC top-C per query over `scored` (q_id, n_id, adc) rows, then
+    * the exact full-width rounded-cosine re-rank — the ONE place the
+    * coarse-to-fine tail lives, shared by [[topkPq]] and [[topkIvfPq]]
+    * so a contract change (rounding, tie-break, k) cannot fork them.
+    */
+  private def rerankTail(s: SparkSession, d: String, scored: DataFrame,
+      candidates: Int, k: Int): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val coarse = scored
       .withColumn("crank", row_number().over(
         Window.partitionBy($"q_id").orderBy($"adc".desc, $"n_id".asc)))
       .filter($"crank" <= candidates)
@@ -201,7 +211,7 @@ object Pq {
         VectorFunctions.norm($"embedding").as("nrm"))
     coarse
       .join(full, Seq("n_id"))
-      .join(broadcast(queries), Seq("q_id"))
+      .join(broadcast(queryRelation(s, d)), Seq("q_id"))
       .select($"q_id", $"n_id",
         round(VectorFunctions.cosineFrom(
           VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
@@ -210,6 +220,22 @@ object Pq {
         Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)))
       .filter($"rank" <= k)
       .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
+  }
+
+  /** Coarse-to-fine PQ ANN: ADC over the codes relation picks top-C
+    * candidates per query; the exact full-width rounded cosine
+    * re-ranks them (same output contract as every sim_ann_*).
+    */
+  def topkPq(s: SparkSession, d: String, k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame = {
+    import s.implicits._
+    val idx = pqIndex(s, d)
+    val adc = adcScoreUdf(idx.codebooks)
+    val scored = broadcast(queryRelation(s, d))
+      .join(idx.codes, $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        adc($"q_emb", $"codes").as("adc"))
+    rerankTail(s, d, scored, candidates, k)
   }
 
   /** IVF-PQ composition — the FAISS deployment shape: the IVF coarse
@@ -224,16 +250,11 @@ object Pq {
   def topkIvfPq(s: SparkSession, d: String, k: Int = Similarity.TopK,
       candidates: Int = PqCandidates): DataFrame = {
     import s.implicits._
-    import graft.functions.VectorFunctions
     val ivf = Similarity.ivfIndex(s, d)
     val pq = pqIndex(s, d)
     val np = Similarity.defaultNProbe(ivf.cents.length, ivf.cellCounts)
     val adc = adcScoreUdf(pq.codebooks)
-    val queries = Tables.embeddings(s, d)
-      .filter($"vec_id" % Similarity.QueryStride === 0)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-        VectorFunctions.norm($"embedding").as("q_nrm"))
-    val qCells = queries.select($"q_id", $"q_emb",
+    val qCells = queryRelation(s, d).select($"q_id", $"q_emb",
       explode(Similarity.nearestCellsUdf(ivf.cents, np)($"q_emb")).as("cell"))
     // the stored IVF-PQ relation: cell + codes, no vectors
     val members = ivf.assigned.select($"vec_id", $"cell")
@@ -241,28 +262,11 @@ object Pq {
     // single assignment ⇒ a vector reaches a query through at most one
     // probed cell — no candidate dedup exchange (the sim_ann_ivf plan
     // property)
-    val coarse = broadcast(qCells)
+    val scored = broadcast(qCells)
       .join(members, Seq("cell"))
       .filter($"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id".as("n_id"), adc($"q_emb", $"codes").as("adc"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"adc".desc, $"n_id".asc)))
-      .filter($"crank" <= candidates)
-      .select($"q_id", $"n_id")
-    val full = Tables.embeddings(s, d)
-      .select($"vec_id".as("n_id"), $"embedding",
-        VectorFunctions.norm($"embedding").as("nrm"))
-    coarse
-      .join(full, Seq("n_id"))
-      .join(broadcast(queries), Seq("q_id"))
-      .select($"q_id", $"n_id",
-        round(VectorFunctions.cosineFrom(
-          VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
-          4).as("cos_sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)))
-      .filter($"rank" <= k)
-      .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
+    rerankTail(s, d, scored, candidates, k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -308,10 +312,13 @@ object Pq {
     */
   private[operators] def pqOracleCtes(s: SparkSession, d: String): String = {
     val cb = codebookSql(s, d)
+    // COALESCE(..., 0.0) pins the short-vector case to the kernel's
+    // zero-pad contract: an out-of-range list index is NULL in DuckDB
+    // and would silently vanish from list_sum, diverging the argmin
     val dist =
       s"""list_sum(list_transform(generate_series(1, $SubDim),
-          i -> (e.embedding[(g.s - 1) * $SubDim + i]::DOUBLE - pqm.cb[g.s][c.c][i])
-             * (e.embedding[(g.s - 1) * $SubDim + i]::DOUBLE - pqm.cb[g.s][c.c][i])))"""
+          i -> (COALESCE(e.embedding[(g.s - 1) * $SubDim + i]::DOUBLE, 0.0) - pqm.cb[g.s][c.c][i])
+             * (COALESCE(e.embedding[(g.s - 1) * $SubDim + i]::DOUBLE, 0.0) - pqm.cb[g.s][c.c][i])))"""
     s"""pqm AS (SELECT $cb AS cb),
         dists AS (
           SELECT e.vec_id, g.s, c.c, $dist AS dist
@@ -336,8 +343,29 @@ object Pq {
   private[operators] def sqlAdc(q: String, x: String): String =
     s"""list_sum(list_transform(generate_series(1, $PqSubvectors), s ->
         list_sum(list_transform(generate_series(1, $SubDim), i ->
-          $q.embedding[(s - 1) * $SubDim + i]::DOUBLE *
+          COALESCE($q.embedding[(s - 1) * $SubDim + i]::DOUBLE, 0.0) *
           pqm.cb[s][$x.codes[s] + 1][i]))))"""
+
+  /** The shared SQL tail after an `adc(q_id, n_id, score)` CTE: top-C
+    * coarse cut, exact rounded-cosine re-rank, final top-k — the SQL
+    * mirror of [[rerankTail]], defined once so kernel and oracle
+    * contracts change together.
+    */
+  private def sqlRerankTail: String =
+    s"""coarse AS (
+          SELECT q_id, n_id FROM (
+            SELECT q_id, n_id, ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS crank
+            FROM adc) WHERE crank <= $PqCandidates),
+        scored AS (
+          SELECT c.q_id, c.n_id,
+            ROUND(${Similarity.sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+          FROM coarse c JOIN embeddings q ON q.vec_id = c.q_id
+                       JOIN embeddings n ON n.vec_id = c.n_id)
+        SELECT q_id, n_id, cos_sim, rank FROM (
+          SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+          FROM scored) WHERE rank <= ${Similarity.TopK}"""
 
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
     val codesCte = pqOracleCtes(s, d)
@@ -348,8 +376,8 @@ object Pq {
       // ADC: per (query, vector) the reconstruction dot — subspace
       // partial dots summed in subspace order (list_sum over the
       // per-subspace sums), each inner sum left-to-right, matching the
-      // kernel's accumulation exactly; unrounded ORDER BY then top-C,
-      // exact rounded-cosine re-rank (the sim_ann_proj shape).
+      // kernel's accumulation exactly; unrounded ORDER BY then the
+      // shared top-C / exact-re-rank tail (the sim_ann_proj shape).
       "sim_ann_pq" ->
         s"""WITH $codesCte,
             adc AS (
@@ -358,25 +386,12 @@ object Pq {
               FROM embeddings q, codesarr x, pqm
               WHERE q.vec_id % ${Similarity.QueryStride} = 0
                 AND q.vec_id <> x.vec_id),
-            coarse AS (
-              SELECT q_id, n_id FROM (
-                SELECT q_id, n_id, ROW_NUMBER() OVER (
-                  PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS crank
-                FROM adc) WHERE crank <= $PqCandidates),
-            scored AS (
-              SELECT c.q_id, c.n_id,
-                ROUND(${Similarity.sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
-              FROM coarse c JOIN embeddings q ON q.vec_id = c.q_id
-                           JOIN embeddings n ON n.vec_id = c.n_id)
-            SELECT q_id, n_id, cos_sim, rank FROM (
-              SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
-                PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
-              FROM scored) WHERE rank <= ${Similarity.TopK}""",
+            $sqlRerankTail""",
       // IVF-PQ composed: the IVF CTEs (m/sims/asg — trained centroid
       // literals) restate the probe and candidate set, the PQ CTEs
       // (pqm/codes/codesarr — trained codebook literals) restate the
-      // ADC scores of exactly those candidates, then the usual exact
-      // re-rank. CTE names are disjoint by construction.
+      // ADC scores of exactly those candidates, then the shared tail.
+      // CTE names are disjoint by construction.
       "sim_ann_ivfpq" -> {
         val (ivfCtes, k) = Similarity.ivfOracleCtes(s, d)
         val np = Similarity.defaultNProbe(k, Similarity.ivfIndex(s, d).cellCounts)
@@ -397,20 +412,7 @@ object Pq {
               FROM cand c
                 JOIN embeddings q ON q.vec_id = c.q_id
                 JOIN codesarr x ON x.vec_id = c.n_id, pqm),
-            coarse AS (
-              SELECT q_id, n_id FROM (
-                SELECT q_id, n_id, ROW_NUMBER() OVER (
-                  PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS crank
-                FROM adc) WHERE crank <= $PqCandidates),
-            scored AS (
-              SELECT c.q_id, c.n_id,
-                ROUND(${Similarity.sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
-              FROM coarse c JOIN embeddings q ON q.vec_id = c.q_id
-                           JOIN embeddings n ON n.vec_id = c.n_id)
-            SELECT q_id, n_id, cos_sim, rank FROM (
-              SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
-                PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
-              FROM scored) WHERE rank <= ${Similarity.TopK}"""
+            $sqlRerankTail"""
       })
   }
 }

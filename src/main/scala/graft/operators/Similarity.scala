@@ -353,7 +353,7 @@ object Similarity {
     * index build needs n only to size k ≈ √n — the footer path removes
     * one whole Spark job from every build at bench scale.
     */
-  private def rowCount(s: SparkSession, df: DataFrame): Long = {
+  private[operators] def rowCount(s: SparkSession, df: DataFrame): Long = {
     val files = df.inputFiles
     if (files.nonEmpty && files.length <= 64) {
       try {

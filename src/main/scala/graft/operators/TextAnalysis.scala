@@ -471,8 +471,7 @@ object TextAnalysis {
     // ⇔ the shingle exists elsewhere. Shingle-less docs report 0.
     "txt_dup_mass" -> { (s, d) =>
       import s.implicits._
-      val rows = Dedup.shingleRelation(s, d)
-        .select($"doc_id", explode($"sh").as("shingle"))
+      val rows = Dedup.shingleRows(s, d)
       val dfr = rows.groupBy($"shingle").agg(count(lit(1)).as("df"))
       val per = rows.join(dfr, Seq("shingle"))
         .groupBy($"doc_id")
