@@ -246,6 +246,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unexpected materialization between curation stages:\n$p")
   }
 
+  test("IVF-PQ coarse pass reads (vec_id, cell) + codes — corpus vectors only reach the re-rank") {
+    // the composition's point at 10⁹ vectors: the cell-keyed candidate
+    // join ships 8-code rows, never the 256-byte embeddings. A
+    // refactor that joins the full `assigned` relation (it carries
+    // embedding + nrm) silently re-ships the vectors through the
+    // coarse join — visible as those columns on the cached-index scan.
+    val p = plan("sim_ann_ivfpq")
+    val cellScans = p.split('\n')
+      .filter(l => l.contains("InMemoryTableScan") && l.contains("cell"))
+    assert(cellScans.nonEmpty, s"expected a cached (vec_id, cell) scan:\n$p")
+    assert(cellScans.forall(l => !l.contains("embedding") && !l.contains("nrm")),
+      s"coarse pass ships corpus vectors:\n$p")
+  }
+
   test("no declared query windows over bare `source` (class-wide skew guard)") {
     // A Window whose ONLY partition key is `source` routes every
     // document of a source through one task and buffers the partition
