@@ -502,7 +502,12 @@ object TextAnalysis {
         .select($"doc_id", explode(tokens($"text")).as("tok"))
       val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
       val cnt = tf.groupBy($"tok").agg(sum($"tf").as("c"))
-      val total = cnt.agg(sum($"c").as("total"))
+      // the corpus total as ONE narrow scan of per-doc token counts —
+      // deriving it from `cnt` would recompute the whole tokenize→tf
+      // →count subtree a third time for a single scalar (exact same
+      // integer either way)
+      val total = Tables.documents(s, d)
+        .agg(sum(size(tokens($"text")).cast("long")).as("total"))
       val per = tf.join(cnt, Seq("tok"))
         .crossJoin(broadcast(total))
         .groupBy($"doc_id")
@@ -972,7 +977,7 @@ object TextAnalysis {
           tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
             GROUP BY doc_id, tok),
           cnt AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok),
-          tot AS (SELECT SUM(c) AS total FROM cnt),
+          tot AS (SELECT SUM(len($sqlToks)) AS total FROM documents),
           per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n,
               -SUM(tf * ln(c::DOUBLE / total)) / SUM(tf) AS nll
             FROM tf JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id)
