@@ -536,6 +536,19 @@ object Dedup {
     "dedup_embedding_lsh" -> ((s, d) =>
       embeddingLshPairsIndexed(s, d, CosineThreshold)),
 
+    // The embedding family's cluster collapse — pairs alone don't
+    // dedup a corpus (chains must merge): connected components over
+    // the LSH near-dup pair graph, one representative (min vec_id)
+    // per component. Same hybrid CC engine as dedup_cluster (bounded
+    // driver union-find / fused propagation / large-star small-star);
+    // the oracle states the components as a recursive transitive
+    // closure over the SAME plane-literal LSH pair semantics.
+    "dedup_embedding_cluster" -> { (s, d) =>
+      import s.implicits._
+      connectedComponents(embeddingLshPairsIndexed(s, d, CosineThreshold))
+        .select($"doc_id".as("vec_id"), $"rep_id")
+    },
+
     // SemDeDup-style semantic dedup: cluster by the build-once IVF
     // coarse quantizer (Similarity.ivfIndex — the same trained cells
     // the ANN path amortizes), then within each cell drop every vector
@@ -1059,7 +1072,37 @@ object Dedup {
           FROM cand JOIN embeddings ea ON ea.vec_id = id_a
                     JOIN embeddings eb ON eb.vec_id = id_b
           WHERE ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4)
-            >= $CosineThreshold""")
+            >= $CosineThreshold""",
+    // the same plane-literal LSH pair semantics, collapsed to
+    // components by a recursive transitive closure (the dedup_cluster
+    // oracle pattern)
+    "dedup_embedding_cluster" ->
+      s"""WITH RECURSIVE buck AS (
+            SELECT vec_id, CAST(g.t - 1 AS INT) AS tbl,
+              CAST(COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.PlanesPerTable}),
+                p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
+                  i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
+                THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
+            FROM embeddings, (SELECT ${Similarity.planesSql} AS pl) m,
+              generate_series(1, ${Similarity.NumTables}) AS g(t)),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buck a JOIN buck b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          dup AS (
+            SELECT id_a, id_b
+            FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+                      JOIN embeddings eb ON eb.vec_id = id_b
+            WHERE ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4)
+              >= $CosineThreshold),
+          edges AS (SELECT id_a AS u, id_b AS v FROM dup
+            UNION SELECT id_b, id_a FROM dup),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+          SELECT u AS vec_id, LEAST(u, MIN(v)) AS rep_id
+          FROM reach GROUP BY u""")
 
   /** Trained-state oracle for `dedup_semantic` (the last rows-only
     * query of the family): the shared centroid-literal CTEs from
