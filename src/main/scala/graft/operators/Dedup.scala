@@ -869,18 +869,28 @@ object Dedup {
     * ([[Similarity.lshIndex]] — the same relation `lsh_build` benches
     * and `sim_ann_lsh` probes), so the steady-state pair query never
     * re-evaluates the bucket kernel; only the verify side re-scans the
-    * narrow (vec_id, embedding) columns for norms.
+    * narrow (vec_id, embedding) columns for norms. The verified pair
+    * relation itself is ALSO built once per (session, corpus,
+    * threshold) and persisted — `dedup_embedding_lsh` (the pair
+    * report) and `dedup_embedding_cluster` (the component collapse)
+    * both consume it, the same build-once contract as
+    * [[jaccardPairs]]; at corpus scale it is a stored intermediate.
     */
   def embeddingLshPairsIndexed(s: SparkSession, d: String,
-      threshold: Double): DataFrame = {
-    import s.implicits._
-    import graft.functions.VectorFunctions
-    val bucketed = Similarity.lshIndex(s, d)
-      .select($"vec_id", $"table", $"bucket")
-    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
-      VectorFunctions.norm($"embedding").as("nrm"))
-    lshPairsVerify(bucketed, e, threshold)
-  }
+      threshold: Double): DataFrame =
+    embLshPairsCache.getOrBuild(s, s"$threshold#$d") {
+      import s.implicits._
+      import graft.functions.VectorFunctions
+      val bucketed = Similarity.lshIndex(s, d)
+        .select($"vec_id", $"table", $"bucket")
+      val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+        VectorFunctions.norm($"embedding").as("nrm"))
+      lshPairsVerify(bucketed, e, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val embLshPairsCache = new SessionCache[DataFrame](df =>
+    scala.util.Try(df.unpersist(blocking = false)))
 
   /** Shared core: bucket-collision candidates → bare-id-pair dedup →
     * exact cosine verify. Candidate generation and its multi-table
@@ -1053,56 +1063,52 @@ object Dedup {
     // pair candidates come from the corpus-side bucket self-join):
     // identical sign-bit buckets, candidate pairs deduped across
     // tables, exact rounded-cosine verify. Deterministic, hence
-    // hash-checkable even where LSH recall < 1.
+    // hash-checkable even where LSH recall < 1. The CTE text is
+    // SHARED with the cluster oracle below (the jaccardCte pattern) so
+    // the two can never assert different pair sets.
     "dedup_embedding_lsh" ->
-      s"""WITH buck AS (
-            SELECT vec_id, CAST(g.t - 1 AS INT) AS tbl,
-              CAST(COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.PlanesPerTable}),
-                p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
-                  i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
-                THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
-            FROM embeddings, (SELECT ${Similarity.planesSql} AS pl) m,
-              generate_series(1, ${Similarity.NumTables}) AS g(t)),
-          cand AS (
-            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM buck a JOIN buck b
-              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-          SELECT id_a, id_b,
-            ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4) AS cos_sim
-          FROM cand JOIN embeddings ea ON ea.vec_id = id_a
-                    JOIN embeddings eb ON eb.vec_id = id_b
-          WHERE ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4)
-            >= $CosineThreshold""",
+      s"""WITH $embLshCte
+          SELECT id_a, id_b, cos_sim FROM epairs""",
     // the same plane-literal LSH pair semantics, collapsed to
     // components by a recursive transitive closure (the dedup_cluster
     // oracle pattern)
     "dedup_embedding_cluster" ->
-      s"""WITH RECURSIVE buck AS (
-            SELECT vec_id, CAST(g.t - 1 AS INT) AS tbl,
-              CAST(COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.PlanesPerTable}),
-                p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
-                  i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
-                THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
-            FROM embeddings, (SELECT ${Similarity.planesSql} AS pl) m,
-              generate_series(1, ${Similarity.NumTables}) AS g(t)),
-          cand AS (
-            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM buck a JOIN buck b
-              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-          dup AS (
-            SELECT id_a, id_b
-            FROM cand JOIN embeddings ea ON ea.vec_id = id_a
-                      JOIN embeddings eb ON eb.vec_id = id_b
-            WHERE ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4)
-              >= $CosineThreshold),
-          edges AS (SELECT id_a AS u, id_b AS v FROM dup
-            UNION SELECT id_b, id_a FROM dup),
+      s"""WITH RECURSIVE $embLshCte,
+          edges AS (SELECT id_a AS u, id_b AS v FROM epairs
+            UNION SELECT id_b, id_a FROM epairs),
           reach(u, v) AS (
             SELECT u, v FROM edges
             UNION
             SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
           SELECT u AS vec_id, LEAST(u, MIN(v)) AS rep_id
           FROM reach GROUP BY u""")
+
+  /** Shared CTE text for the embedding-LSH pair oracles: plane-literal
+    * sign-bit buckets, corpus-side candidate self-join, exact
+    * rounded-cosine verify at [[CosineThreshold]] — one definition so
+    * the pair oracle and the cluster oracle state the identical pair
+    * set (the [[jaccardCte]] pattern).
+    */
+  private def embLshCte: String =
+    s"""buck AS (
+          SELECT vec_id, CAST(g.t - 1 AS INT) AS tbl,
+            CAST(COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.PlanesPerTable}),
+              p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
+                i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
+              THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
+          FROM embeddings, (SELECT ${Similarity.planesSql} AS pl) m,
+            generate_series(1, ${Similarity.NumTables}) AS g(t)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buck a JOIN buck b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        epairs AS (
+          SELECT id_a, id_b,
+            ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4) AS cos_sim
+          FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+                    JOIN embeddings eb ON eb.vec_id = id_b
+          WHERE ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4)
+            >= $CosineThreshold)"""
 
   /** Trained-state oracle for `dedup_semantic` (the last rows-only
     * query of the family): the shared centroid-literal CTEs from

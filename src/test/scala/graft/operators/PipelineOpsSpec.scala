@@ -389,6 +389,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivfpq.forall { case (q, _) => bf.exists(_._1 == q) })
   }
 
+  test("dedup_embedding_cluster agrees with star-CC over the same LSH pair graph") {
+    import spark.implicits._
+    // independent-algorithm cross-check (the dedup_cluster three-way
+    // pattern): the declared query runs the hybrid CC engine; the
+    // alternating-star algorithm must produce the identical
+    // (vec_id, rep_id = component min) labels from the same pairs
+    val sf01 = "/root/testdata/sf0.01"
+    val pairs = Dedup.queries("dedup_embedding_lsh")(spark, sf01)
+      .select($"id_a", $"id_b")
+    val got = Dedup.queries("dedup_embedding_cluster")(spark, sf01)
+      .as[(Long, Long)].collect().toSet
+    val stars = Dedup.largeStarSmallStar(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "fixture produced no embedding near-dup components")
+    assert(got == stars,
+      s"extra=${got -- stars} missing=${stars -- got}")
+    // every pair's endpoints share a rep, and each rep is its own rep
+    val rep = got.toMap
+    val prs = pairs.as[(Long, Long)].collect()
+    assert(prs.forall { case (a, b) => rep(a) == rep(b) })
+    assert(rep.values.forall(r => rep(r) == r))
+  }
+
   test("semantic dedup drops only vectors with an exact near-dup partner") {
     import spark.implicits._
     // every dropped vector must appear as the HIGHER id of some exact
