@@ -35,18 +35,29 @@ object JdbcTracking {
     def upsertSql(table: String): String
     def bindUpsert(st: java.sql.PreparedStatement,
         r: org.apache.spark.sql.Row): Unit
+    /** True when the engine cannot run this dialect's write statements
+      * from concurrent connections. Writers then serialize through a
+      * JVM-wide lock — sufficient exactly for the one engine that needs
+      * it (embedded Derby lives inside this JVM by definition).
+      */
+    def serializeWrites: Boolean = false
     protected final def outputFile(r: org.apache.spark.sql.Row): String =
       if (r.isNullAt(4)) null else r.getString(4)
   }
 
   /** The reference's engine: `ON CONFLICT (file_hash) DO NOTHING`
-    * (`dags/dag.py:743`).
+    * (`dags/dag.py:743`). `processed_at` is stamped explicitly — the
+    * reference gets the same stamp from the column DEFAULT
+    * (`init-scripts.sql:10`); materializing it in the INSERT keeps the
+    * row identical on engines whose test DDL lacks the default.
+    * Postgres's ON CONFLICT is safe under concurrent connections, so
+    * writes stay parallel per-partition.
     */
   case object Postgres extends SqlDialect {
     val driver = "org.postgresql.Driver"
     def upsertSql(table: String): String =
-      s"""INSERT INTO $table (file_hash, file_path, file_size, status, output_file)
-          VALUES (?, ?, ?, ?, ?) ON CONFLICT (file_hash) DO NOTHING"""
+      s"""INSERT INTO $table (file_hash, file_path, file_size, status, output_file, processed_at)
+          VALUES (?, ?, ?, ?, ?, CURRENT_TIMESTAMP) ON CONFLICT (file_hash) DO NOTHING"""
     def bindUpsert(st: java.sql.PreparedStatement,
         r: org.apache.spark.sql.Row): Unit = {
       st.setString(1, r.getString(0))
@@ -61,18 +72,27 @@ object JdbcTracking {
     * Spark's jars — the dialect the integration spec executes for real.
     * Two Derby quirks: the ON-clause parameter needs an explicit CAST
     * (untyped ? in MERGE search conditions fails type resolution), and
-    * `created_at` is stamped explicitly because Derby's MERGE
-    * NPE-crashes compiling an omitted column whose DEFAULT is the
+    * `created_at`/`processed_at` are stamped explicitly because Derby's
+    * MERGE NPE-crashes compiling an omitted column whose DEFAULT is the
     * non-constant CURRENT_TIMESTAMP (verified against the 10.16 jars).
+    *
+    * `serializeWrites = true`: embedded Derby's MERGE is NOT safe under
+    * concurrent connections — its shared compiled-plan cache races and
+    * either NPEs (`_actionRS is null`, reproduced deterministically by
+    * stress-driving [[upsert]] from 32 local threads) or, worse,
+    * silently drops an insert (the round-8 full-suite flake). A JVM
+    * lock fully serializes it because embedded Derby only ever lives in
+    * this JVM.
     */
   case object Derby extends SqlDialect {
     val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    override def serializeWrites: Boolean = true
     def upsertSql(table: String): String =
       s"""MERGE INTO $table t
           USING SYSIBM.SYSDUMMY1 ON t.file_hash = CAST(? AS VARCHAR(32))
           WHEN NOT MATCHED THEN INSERT
-            (file_hash, file_path, file_size, status, output_file, created_at)
-            VALUES (?, ?, ?, ?, ?, CURRENT_TIMESTAMP)"""
+            (file_hash, file_path, file_size, status, output_file, processed_at, created_at)
+            VALUES (?, ?, ?, ?, ?, CURRENT_TIMESTAMP, CURRENT_TIMESTAMP)"""
     def bindUpsert(st: java.sql.PreparedStatement,
         r: org.apache.spark.sql.Row): Unit = {
       st.setString(1, r.getString(0)) // MERGE match key
@@ -127,6 +147,56 @@ object JdbcTracking {
     } finally conn.close()
   }
 
+  /** Writers whose dialect sets `serializeWrites` take this JVM-wide
+    * monitor around each transaction (embedded-Derby MERGE plan-cache
+    * race; see [[Derby]]).
+    */
+  private object EmbeddedWriteLock
+
+  /** How many times a partition's write transaction is attempted.
+    * Every statement routed through here is idempotent (insert-if-
+    * absent keyed on file_hash; targeted UPDATE), so replaying a
+    * rolled-back batch after a transient failure (lock timeout,
+    * deadlock victim, serialization conflict) is safe and converges.
+    */
+  private val MaxWriteAttempts = 3
+
+  /** One attempted transaction: connect, run `work`, commit; rollback
+    * on failure. Retries [[MaxWriteAttempts]] times on SQLException
+    * with linear backoff, serializing through [[EmbeddedWriteLock]]
+    * when the dialect requires it.
+    */
+  private def writeTransaction(url: String, user: String, password: String,
+      dialect: SqlDialect)(work: java.sql.Connection => Unit): Unit = {
+    def attempt(): Unit = {
+      val conn = DriverManager.getConnection(url, user, password)
+      try {
+        conn.setAutoCommit(false)
+        try {
+          work(conn)
+          conn.commit()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw e
+        }
+      } finally conn.close()
+    }
+    var tries = 0
+    var done = false
+    while (!done) {
+      tries += 1
+      try {
+        if (dialect.serializeWrites) EmbeddedWriteLock.synchronized(attempt())
+        else attempt()
+        done = true
+      } catch {
+        case _: java.sql.SQLException if tries < MaxWriteAttempts =>
+          Thread.sleep(50L * tries)
+      }
+    }
+  }
+
   /** S9: idempotent executor-side upsert of (file_hash, file_path,
     * file_size, status, output_file) rows — insert-if-absent on
     * file_hash keeps content-addressed exactly-once
@@ -138,17 +208,16 @@ object JdbcTracking {
     batch.select("file_hash", "file_path", "file_size", "status", "output_file")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.nonEmpty) {
-          val conn = DriverManager.getConnection(url, user, password)
-          try {
-            conn.setAutoCommit(false)
+          // materialize so a retried transaction can replay the batch
+          val buf = rows.toArray
+          writeTransaction(url, user, password, dialect) { conn =>
             val st = conn.prepareStatement(sql)
-            rows.foreach { r =>
+            buf.foreach { r =>
               dialect.bindUpsert(st, r)
               st.addBatch()
             }
             st.executeBatch()
-            conn.commit()
-          } finally conn.close()
+          }
         }
       }
   }
@@ -162,19 +231,17 @@ object JdbcTracking {
     batch.select("file_hash", "status")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.nonEmpty) {
-          val conn = DriverManager.getConnection(url, user, password)
-          try {
-            conn.setAutoCommit(false)
+          val buf = rows.toArray
+          writeTransaction(url, user, password, dialect) { conn =>
             val st = conn.prepareStatement(
               s"UPDATE $Table SET status = ?, processed_at = CURRENT_TIMESTAMP WHERE file_hash = ?")
-            rows.foreach { r =>
+            buf.foreach { r =>
               st.setString(1, r.getString(1))
               st.setString(2, r.getString(0))
               st.addBatch()
             }
             st.executeBatch()
-            conn.commit()
-          } finally conn.close()
+          }
         }
       }
 }

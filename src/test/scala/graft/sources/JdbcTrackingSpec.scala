@@ -107,11 +107,13 @@ class JdbcTrackingSpec extends AnyFunSuite {
     // no Postgres in the container: pin the statement TEXT and the
     // parameter order against the reference (dags/dag.py:740-759) —
     // the dialect seam itself is executed for real via Derby above
+    // processed_at is the reference's column DEFAULT (init-scripts
+    // .sql:10) materialized into the INSERT — same row, engine-portable
     val norm = JdbcTracking.Postgres.upsertSql(JdbcTracking.Table)
       .split("\\s+").filter(_.nonEmpty).mkString(" ")
     assert(norm ==
-      "INSERT INTO processed_files (file_hash, file_path, file_size, status, output_file) " +
-        "VALUES (?, ?, ?, ?, ?) ON CONFLICT (file_hash) DO NOTHING")
+      "INSERT INTO processed_files (file_hash, file_path, file_size, status, output_file, processed_at) " +
+        "VALUES (?, ?, ?, ?, ?, CURRENT_TIMESTAMP) ON CONFLICT (file_hash) DO NOTHING")
 
     val calls = scala.collection.mutable.Buffer.empty[(Int, Any)]
     val ps = java.lang.reflect.Proxy.newProxyInstance(
@@ -148,6 +150,26 @@ class JdbcTrackingSpec extends AnyFunSuite {
          WHERE file_hash IN ('h10','h11') ORDER BY file_hash""", 3)
     assert(rows.length == 2)
     assert(rows(0)(1) == "failed" && rows(0)(2) != null)
-    assert(rows(1)(1) == "processing" && rows(1)(2) == null)
+    // the untargeted row keeps its status; processed_at was stamped at
+    // insert (the reference's column DEFAULT, init-scripts.sql:10)
+    assert(rows(1)(1) == "processing" && rows(1)(2) != null)
+  }
+
+  test("concurrent single-row partitions cannot lose an insert") {
+    // The round-8 full-suite flake: embedded Derby's MERGE races its
+    // compiled-plan cache under concurrent connections and either NPEs
+    // or silently drops an insert. Force the worst shape — many
+    // simultaneous single-row transactions — deterministically, which
+    // Derby.serializeWrites must survive.
+    init
+    for (i <- 0 until 10) {
+      val rows = (0 until 8).map(t =>
+        (s"c${i}_$t", s"/in/c$i/$t.txt", 1L, "completed", null))
+      JdbcTracking.upsert(batch(rows: _*).repartition(8),
+        url, user, pass, JdbcTracking.Derby)
+      val n = query(
+        s"SELECT COUNT(*) FROM processed_files WHERE file_hash LIKE 'c${i}_%'", 1)
+      assert(n == Seq(Seq(8)), s"iteration $i lost an insert")
+    }
   }
 }
