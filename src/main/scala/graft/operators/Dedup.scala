@@ -64,6 +64,18 @@ object Dedup {
     }
   }
 
+  /** Positional (in-order, NON-distinct) word n-grams — the shingle
+    * stream [[graft.plans.NgramHashesPos]] hashes for the
+    * duplicated-span paths (dedup_substring), where the i-th array slot
+    * IS token position i. Tokenization is byte-identical to
+    * [[distinctNgrams]] so the two shingle views can never diverge.
+    */
+  private[graft] def positionalNgrams(text: String, n: Int): Seq[String] = {
+    val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Seq.empty[String]
+    else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+  }
+
   private def distinctShingles(text: String): Seq[String] =
     distinctNgrams(text, 3)
 
@@ -98,6 +110,16 @@ object Dedup {
       graft.plans.NgramHashes(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), 3))
 
+  /** Positional (in-order, non-distinct) shingle hashes: slot i = the
+    * 3-gram starting at 0-based token position i
+    * ([[graft.plans.NgramHashesPos]]) — the duplicated-span stream
+    * dedup_substring groups into maximal runs.
+    */
+  def posShingleHashes(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.NgramHashesPos(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), 3))
+
   /** doc_id → distinct 64-bit shingle-hash array, built ONCE per
     * (session, corpus) and persisted: the tokenize+hash pass is the
     * dedup family's dominant scan cost, and four consumers read the
@@ -123,6 +145,35 @@ object Dedup {
   private[operators] def shingleRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     shingleRelation(s, d).select($"doc_id", explode($"sh").as("shingle"))
+  }
+
+  /** dedup_substring core: maximal runs of consecutive shingle
+    * positions whose shingle occurs in ≥2 distinct documents.
+    * Positions are 0-based token indices; consecutive duplicated
+    * positions collapse via the gaps-and-islands key (pos − rank).
+    * Shingle identity is the 64-bit FNV-1a hash (the family
+    * convention; the oracle groups the 3-gram STRINGS — equivalent
+    * modulo a 2⁻⁶⁴ collision, far below the check's tolerance).
+    */
+  private def duplicatedSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.documents(s, d)
+      .select($"doc_id", posexplode(posShingleHashes($"text")).as(Seq("pos", "g")))
+    // shingles seen in ≥2 distinct docs; positional duplicates within
+    // a doc collapse BEFORE the df shuffle (map-side distinct)
+    val dupShingles = pos.select($"g", $"doc_id").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2)
+      .select($"g")
+    val dupPos = pos.join(dupShingles, Seq("g"), "left_semi")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    dupPos
+      .withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("run_start"), max($"pos").as("run_end"),
+        count(lit(1)).as("n_shingles"))
+      .select($"doc_id", $"run_start", $"run_end", $"n_shingles")
   }
 
   /** Emit all ordered (a<b) pairs from one inverted-index bucket,
@@ -438,6 +489,21 @@ object Dedup {
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
     },
 
+    // ExactSubstr-style duplicated-span detection (the removal
+    // counterpart of txt_dup_mass's measurement; Lee et al. ACL'22
+    // "Deduplicating Training Data Makes Language Models Better"): a
+    // token span is duplicated when every 3-gram shingle in it occurs
+    // in at least one OTHER document; maximal such spans are reported
+    // as runs of consecutive duplicated shingle positions
+    // (gaps-and-islands over the positional shingle stream). A run
+    // [run_start, run_end] covers tokens run_start..run_end+2
+    // (0-based). Cross-document spans only — same-document repeats are
+    // txt_repetition's domain. Scale shape: the positional stream is
+    // narrow (8-byte hash + int pos); df needs one shuffle on the
+    // shingle key, the run grouping one shuffle on doc_id — no pair
+    // join at all, so this is the cheapest member of the family.
+    "dedup_substring" -> ((s, d) => duplicatedSpans(s, d)),
+
     // MinHash+LSH: banding proposes candidates, exact Jaccard verifies
     // — but only over the candidate pairs (work ∝ Σ bucket collisions,
     // not the full inverted index). Same output contract as
@@ -534,6 +600,15 @@ object Dedup {
     // (cos ≥ ~0.85, where true duplicates live) measured recall is 1.0
     // (PipelineOpsSpec "LSH embedding near-dup").
     "dedup_embedding_lsh" -> ((s, d) =>
+      embeddingLshPairsIndexed(s, d, CosineThreshold)),
+
+    // The verified embedding-LSH pair relation build, benched on its
+    // own `*_build` line (those run first) so BOTH consumers —
+    // dedup_embedding_lsh (the pair report) and dedup_embedding_cluster
+    // (the component collapse) — report steady-state cost; mirrors
+    // pairs_build for the Jaccard family. At corpus scale this is the
+    // stored intermediate one job builds and later jobs read.
+    "emb_pairs_build" -> ((s, d) =>
       embeddingLshPairsIndexed(s, d, CosineThreshold)),
 
     // The embedding family's cluster collapse — pairs alone don't
@@ -1030,6 +1105,29 @@ object Dedup {
       s"""$jaccardCte
           SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
           WHERE ROUND(j, 6) >= $JaccardThreshold""",
+    // Positional 3-gram stream (1-based list index → the engine's
+    // 0-based token position), df over distinct docs, gaps-and-islands
+    // run collapse. The oracle groups 3-gram STRINGS where the engine
+    // groups their 64-bit FNV-1a hashes — identical modulo a 2⁻⁶⁴
+    // collision (the family convention, see shingleHashes).
+    "dedup_substring" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks t FROM documents),
+          prows AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, GREATEST(len(t) - 2, 0)),
+                i -> i - 1)) AS pos,
+              unnest(list_transform(generate_series(1, GREATEST(len(t) - 2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+            FROM toks),
+          dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM prows)
+            GROUP BY g HAVING COUNT(*) >= 2),
+          dpos AS (SELECT doc_id, pos FROM prows
+            WHERE g IN (SELECT g FROM dup)),
+          runs AS (SELECT doc_id, pos,
+              pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM dpos)
+          SELECT doc_id, MIN(pos) AS run_start, MAX(pos) AS run_end,
+            COUNT(*) AS n_shingles
+          FROM runs GROUP BY doc_id, grp""",
     "dedup_cluster" ->
       s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
           dup AS (SELECT id_a, id_b FROM pairs
@@ -1067,6 +1165,10 @@ object Dedup {
     // SHARED with the cluster oracle below (the jaccardCte pattern) so
     // the two can never assert different pair sets.
     "dedup_embedding_lsh" ->
+      s"""WITH $embLshCte
+          SELECT id_a, id_b, cos_sim FROM epairs""",
+    // the build line dumps the same relation it builds
+    "emb_pairs_build" ->
       s"""WITH $embLshCte
           SELECT id_a, id_b, cos_sim FROM epairs""",
     // the same plane-literal LSH pair semantics, collapsed to

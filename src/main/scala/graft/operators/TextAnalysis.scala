@@ -411,6 +411,39 @@ object TextAnalysis {
         .select($"doc_id", $"term", $"tfidf", $"rk".cast("long").as("rk"))
     },
 
+    // BM25 retrieval scoring (Robertson et al., the Lucene-default
+    // +1 IDF variant): top-[[Bm25K]] documents for the fixed query
+    // [[Bm25QueryTerms]] with k1/b literals. Scale shape: the
+    // query-term filter lands BEFORE the tf shuffle (a handful of
+    // terms survive the scan), doc lengths are a narrow no-shuffle
+    // projection, corpus stats a 1-row broadcast — so cost is
+    // ∝ matching postings, never ∝ corpus × vocabulary. round(6) on
+    // the per-doc sum of ≤|Q| O(1)-magnitude contributions is far
+    // above double-addition drift; ordering uses the ROUNDED score +
+    // doc_id so the top-k SET is engine-exact at the boundary.
+    "txt_bm25_topk" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val dl = docs.select($"doc_id", size(tokens($"text")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        avg($"dl").as("avgdl"))
+      val tf = docs
+        .select($"doc_id", explode(tokens($"text")).as("term"))
+        .filter($"term".isin(Bm25QueryTerms: _*))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val idf = log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0))
+      val denom = $"tf" + lit(Bm25K1) *
+        (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl")
+      tf.join(broadcast(dfr), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select($"doc_id", (idf * ($"tf" * lit(Bm25K1 + 1.0)) / denom).as("c"))
+        .groupBy($"doc_id").agg(round(sum($"c"), 6).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc)
+        .limit(Bm25K)
+    },
+
     // Corpus length profiling — the distribution snapshot a curation
     // run consults before choosing filter thresholds: per-source doc
     // counts and interpolated length/token quantiles. Spark
@@ -526,6 +559,16 @@ object TextAnalysis {
     * short-doc fixtures meaningful while exercising the same plan).
     */
   val DecontamN = 8
+
+  /** BM25 parameters — the standard k1/b defaults and a fixed query
+    * over corpus-vocabulary terms (a declared query has no runtime
+    * input; the terms are literals the same way the quality thresholds
+    * are).
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25K = 20
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "filter")
 
   /** The md5-prefix used for the train/eval document split — ONE
     * definition shared by decontamination and pipe_curate so the split
@@ -927,6 +970,24 @@ object TextAnalysis {
             SELECT doc_id, term, tfidf, ROW_NUMBER() OVER (
               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
             FROM scored) WHERE rk <= 3""",
+    "txt_bm25_topk" -> {
+      val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH dl AS (SELECT doc_id, len($sqlToks) AS dl FROM documents),
+          stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+              SELECT doc_id, unnest($sqlToks) AS term FROM documents)
+            WHERE term IN ($terms) GROUP BY doc_id, term),
+          dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          contrib AS (SELECT t.doc_id,
+              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                (tf * ${Bm25K1 + 1.0}) /
+                (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)) AS c
+            FROM tf t JOIN dfx USING (term)
+            JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN stats)
+          SELECT doc_id, ROUND(SUM(c), 6) AS score
+          FROM contrib GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT $Bm25K"""
+    },
     "txt_len_stats" ->
       s"""SELECT source, COUNT(*) AS n_docs,
           ROUND(quantile_cont(LENGTH(text)::DOUBLE, 0.5), 4) AS p50_chars,
@@ -955,7 +1016,11 @@ object TextAnalysis {
           len(regexp_extract_all(after_ip, '$NumPattern')) AS n_num,
           regexp_replace(after_ip, '$NumPattern', '#', 'g') AS redacted
           FROM staged""",
-    // same distinct word-3-gram shingle definition as the jaccard CTEs
+    // same distinct word-3-gram shingle definition as the jaccard CTEs.
+    // The oracle counts distinct 3-gram STRINGS where the engine counts
+    // their 64-bit FNV-1a hashes (Dedup.shingleRows) — n_shingles/df
+    // agree modulo a 2⁻⁶⁴ hash collision, the jaccard-family
+    // convention (see Dedup.shingleHashes).
     "txt_dup_mass" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks t FROM documents),
           sh AS (SELECT doc_id, list_distinct(list_transform(

@@ -93,6 +93,44 @@ object NgramKernels {
     grams.foreach { g => out(i) = graft.operators.Dedup.fnv1a(g); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Positional variant: slot i = hash of the n-gram starting at token
+    * i, duplicates kept — the duplicated-span stream.
+    */
+  def posHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val grams = graft.operators.Dedup.positionalNgrams(
+      if (text == null) "" else text.toString, n)
+    val out = new Array[Long](grams.length)
+    var i = 0
+    grams.foreach { g => out(i) = graft.operators.Dedup.fnv1a(g); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** ngram_hashes_pos(text) → array<bigint>: positional, in-order,
+  * non-distinct n-gram hashes — slot i is the n-gram starting at token
+  * position i (0-based). Same tokenization and FNV-1a hash as
+  * [[NgramHashes]]; the position-preserving stream the duplicated-span
+  * dedup (dedup_substring) groups into maximal runs.
+  */
+case class NgramHashesPos(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes_pos requires STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = s"ngram_hashes_pos_$n"
+
+  override protected def nullSafeEval(text: Any): Any =
+    NgramKernels.posHashes(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NgramKernels.posHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashesPos =
+    copy(child = newChild)
 }
 
 /** minhash_sig(array<bigint>) → array<bigint>: the 64-seed

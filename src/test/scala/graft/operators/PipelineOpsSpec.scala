@@ -538,6 +538,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_substring: maximal cross-doc duplicated runs, hand-computed") {
+    import spark.implicits._
+    // doc 0/1 share the token prefix "a b c d" -> duplicated shingles
+    // "a b c" (pos 0) and "b c d" (pos 1) form ONE maximal run in each;
+    // doc 3 carries the same two shingles at NON-adjacent positions
+    // (0 and 6) -> two single-shingle runs (the gaps-and-islands case);
+    // doc 2 shares nothing.
+    val tmp = java.nio.file.Files.createTempDirectory("substr").toString
+    Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d x y"),
+      (2L, "zz ww qq"),
+      (3L, "a b c q q q b c d q"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.queries("dedup_substring")(spark, tmp)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0, 1, 2L),
+      (1L, 0, 1, 2L),
+      (3L, 0, 0, 1L),
+      (3L, 6, 6, 1L)))
+    // a doc shorter than one shingle can't crash the positional kernel
+    Seq((9L, "one two")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Dedup.queries("dedup_substring")(spark, tmp).count() == 0)
+  }
+
   test("deterministic sample is invariant under repartitioning and rerun") {
     import spark.implicits._
     val ids = { () =>
