@@ -647,13 +647,15 @@ object Dedup {
       connectedComponents(queries("dedup_ngram_jaccard")(s, d))
     })
 
-  /** Iteration cap for [[connectedComponents]]: propagation converges
-    * in component-diameter rounds, and near-dup components are
-    * shallow (dup chains, not paths of length 20). A pathological
-    * deeper graph exits at the cap with labels still a valid — merely
-    * coarser-than-final — partition refinement; at web scale swap the
-    * simple propagation for alternating large-star/small-star
-    * (O(log n) rounds, same relational shape).
+  /** Iteration cap for [[connectedComponents]]: with pointer jumping
+    * the propagation converges in O(log diameter) rounds, so 20 covers
+    * any component of diameter ≲ 2²⁰ — far beyond near-dup graphs
+    * (dup chains, not million-hop paths). A pathological deeper graph
+    * hitting the cap FAILS FAST by default (requireConvergence):
+    * coarser-than-final labels are a wrong dedup answer, never a
+    * silent one. At web scale swap the simple propagation for
+    * alternating large-star/small-star (O(log² n) rounds, same
+    * relational shape).
     */
   val MaxCcIterations = 20
 
@@ -684,7 +686,9 @@ object Dedup {
     * min root.
     */
   def connectedComponents(pairs: DataFrame,
-      maxDriverEdges: Long = CcDriverEdgeCap): DataFrame = {
+      maxDriverEdges: Long = CcDriverEdgeCap,
+      maxIter: Int = MaxCcIterations,
+      requireConvergence: Boolean = true): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
     // gate and fetch in ONE action: limit(cap+1) stops scanning at the
@@ -742,7 +746,7 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < MaxCcIterations) {
+    while (!converged && iter < maxIter) {
       // min over: own label, neighbors' labels, AND the label's own
       // label (pointer jumping) — the jump halves remaining path
       // lengths each round, so convergence is O(log diameter) rounds
@@ -764,6 +768,17 @@ object Dedup {
       prevSum = nextSum
       labels = next
       iter += 1
+    }
+    // Coarser-than-final labels are a WRONG dedup answer (components
+    // that should merge, didn't) — never return them silently. The
+    // declared queries run strict; callers doing exploratory passes on
+    // pathological graphs can opt out and get the round-7-era WARN.
+    if (!converged) {
+      val msg = s"connectedComponents: no fixpoint after $maxIter rounds — " +
+        "labels are a valid but possibly coarser-than-final refinement; " +
+        "raise maxIter or use largeStarSmallStar (O(log^2 n) rounds)"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select($"id".as("doc_id"), $"rep".as("rep_id"))
   }
@@ -790,7 +805,8 @@ object Dedup {
     * on chain/cycle/mixed fixtures.
     */
   def largeStarSmallStar(pairs: DataFrame,
-      maxIter: Int = MaxCcIterations): DataFrame = {
+      maxIter: Int = MaxCcIterations,
+      requireConvergence: Boolean = true): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
     val byU = org.apache.spark.sql.expressions.Window.partitionBy($"u")
@@ -867,10 +883,15 @@ object Dedup {
       edges = next
       iter += 1
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"largeStarSmallStar: no fixpoint after $maxIter rounds — " +
-          "returning best-effort (valid but possibly coarser) labels")
+    // same strict-by-default contract as [[connectedComponents]]: a
+    // capped-out star contraction may still hold multi-level trees, so
+    // silent best-effort labels would be a wrong dedup answer
+    if (!converged) {
+      val msg = s"largeStarSmallStar: no fixpoint after $maxIter rounds — " +
+        "labels are best-effort (valid but possibly coarser); raise maxIter"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     // fixpoint edges are (child, root) stars; every node (roots and
     // edge-less self-pair nodes included) also labels itself. groupBy-
     // min instead of a bare union-distinct so a non-converged cap-out

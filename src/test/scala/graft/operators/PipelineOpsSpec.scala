@@ -473,6 +473,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cc.count() == 60)
   }
 
+  test("CC cap-out fails fast by default; opt-out returns labeled best-effort") {
+    import spark.implicits._
+    // a 60-node path needs ~7 pointer-jumping rounds (+1 confirm);
+    // maxIter = 1 cannot converge — the strict default must THROW
+    // rather than return coarser-than-final labels (a silent wrong
+    // dedup answer), on BOTH distributed CC paths
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val eProp = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxDriverEdges = 0, maxIter = 1).count()
+    }
+    assert(eProp.getMessage.contains("no fixpoint"))
+    val eStar = intercept[IllegalStateException] {
+      Dedup.largeStarSmallStar(chain, maxIter = 1).count()
+    }
+    assert(eStar.getMessage.contains("no fixpoint"))
+    // explicit opt-out: still one label row per node (valid partition
+    // refinement), just not necessarily final
+    val be = Dedup.connectedComponents(chain, maxDriverEdges = 0,
+      maxIter = 1, requireConvergence = false)
+    assert(be.count() == 60)
+    val beStar = Dedup.largeStarSmallStar(chain, maxIter = 1,
+      requireConvergence = false)
+    assert(beStar.count() == 60)
+  }
+
   test("large-star/small-star CC agrees with both existing paths") {
     import spark.implicits._
     // deep chain (the star algorithm's O(log²)-round claim territory),
