@@ -269,6 +269,51 @@ object Pq {
     rerankTail(s, d, scored, candidates, k)
   }
 
+  /** Write the built PQ index — the stored-index half of the
+    * build-once contract (see Similarity.writeIvfIndex): the codes
+    * relation (the index body — 8 small ints per vector, the 32×
+    * compression that IS the point of PQ) plus the trained codebooks
+    * flattened to (sub, code, vector) rows (bounded:
+    * [[PqSubvectors]]×[[PqCodewords]]).
+    */
+  def writePqIndex(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    val idx = pqIndex(s, d)
+    idx.codes.write.mode("overwrite").parquet(s"$outDir/codes")
+    idx.codebooks.zipWithIndex.toSeq
+      .flatMap { case (cb, sub) => cb.zipWithIndex.map { case (v, code) =>
+        (sub, code, v.toSeq) } }
+      .toDF("sub", "code", "vector")
+      .write.mode("overwrite").parquet(s"$outDir/codebooks")
+  }
+
+  /** Read a stored PQ index back into the probe-side shape. */
+  def readPqIndex(s: SparkSession, indexDir: String): PqIndex = {
+    import s.implicits._
+    val flat = s.read.parquet(s"$indexDir/codebooks")
+      .select($"sub", $"code", $"vector")
+      .as[(Int, Int, Seq[Float])].collect()
+    val cb = Array.tabulate(PqSubvectors, PqCodewords)((s0, c0) => Array.empty[Float])
+    flat.foreach { case (sub, code, v) => cb(sub)(code) = v.toArray }
+    PqIndex(cb, s.read.parquet(s"$indexDir/codes"))
+  }
+
+  /** Probe a STORED PQ index (written by [[writePqIndex]]) — ADC
+    * coarse scoring straight off the stored codes, exact re-rank tail
+    * unchanged.
+    */
+  def topkPqStored(s: SparkSession, d: String, indexDir: String,
+      k: Int = Similarity.TopK, candidates: Int = PqCandidates): DataFrame = {
+    import s.implicits._
+    val idx = readPqIndex(s, indexDir)
+    val adc = adcScoreUdf(idx.codebooks)
+    val scored = broadcast(queryRelation(s, d))
+      .join(idx.codes, $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        adc($"q_emb", $"codes").as("adc"))
+    rerankTail(s, d, scored, candidates, k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the codes relation as exploded scalar rows (the proj_build
     // pattern: the driver compare can't hash a raw array column)

@@ -136,11 +136,18 @@ object Similarity {
   }
 
   def topkLsh(s: SparkSession, d: String, k: Int = TopK,
-      multiprobe: Boolean = true): DataFrame = {
+      multiprobe: Boolean = true): DataFrame =
+    lshProbe(s, lshIndex(s, d), querySet(s, d), k, multiprobe)
+
+  /** The LSH probe against a GIVEN bucketed index — shared by the
+    * session-cached path ([[topkLsh]]) and the stored-index path
+    * ([[topkLshStored]]).
+    */
+  private def lshProbe(s: SparkSession, bucketed: DataFrame,
+      queries: DataFrame, k: Int, multiprobe: Boolean): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
-    val bucketed = lshIndex(s, d)
-    val qBase = querySet(s, d)
+    val qBase = queries
       .select($"q_id", $"q_emb", $"q_nrm", explode(lshBucketsPacked($"q_emb")).as("tp"))
       .select($"q_id", $"q_emb", $"q_nrm",
         unpackTable($"tp").as("table"), unpackBucket($"tp").as("bucket"))
@@ -503,16 +510,23 @@ object Similarity {
     }
 
   def topkIvf(s: SparkSession, d: String, k: Int = TopK,
-      nprobe: Int = -1, assign: Int = IvfAssign): DataFrame = {
+      nprobe: Int = -1, assign: Int = IvfAssign): DataFrame =
+    ivfProbe(s, ivfIndex(s, d, assign), querySet(s, d), k, nprobe, assign)
+
+  /** The IVF probe against a GIVEN index — the steady-state query job,
+    * shared by the session-cached path ([[topkIvf]]) and the
+    * stored-index path ([[topkIvfStored]]).
+    */
+  private def ivfProbe(s: SparkSession, idx: IvfIndex, queries: DataFrame,
+      k: Int, nprobe: Int, assign: Int): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
-    val idx = ivfIndex(s, d, assign)
     val cents = idx.cents
     val assigned = idx.assigned
     val np = if (nprobe > 0) nprobe else defaultNProbe(cents.length, idx.cellCounts)
     // per query: its np nearest cells via the same kernel
     val probe = nearestCellsUdf(cents, np)
-    val qCells = querySet(s, d)
+    val qCells = queries
       .select($"q_id", $"q_emb", $"q_nrm",
         explode(probe($"q_emb")).as("cell"))
     val scored = broadcast(qCells)
@@ -535,6 +549,108 @@ object Similarity {
       .filter($"rank" <= k)
       .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
   }
+
+  // ------------------------------------------------------------------
+  // Stored-index layout — the deployment shape of the build-once
+  // contract: ONE job builds an index and writes it as a
+  // partition-laid-out parquet table; any LATER driver (a fresh
+  // session, days later, a different cluster) reads it back and probes
+  // without rebuilding. The session caches above model this contract
+  // in-process; these functions ARE it. Probe jobs join the broadcast
+  // query side on the partition column, so dynamic partition pruning
+  // limits the stored scan to the probed cells/buckets — the property
+  // IndexStoreSpec pins on the executed plan.
+  // ------------------------------------------------------------------
+
+  /** Write the built IVF index: assignments partitioned by `cell`
+    * (a probe touching nprobe cells reads only those directories) plus
+    * the bounded trained state (centroids, norms, occupancy — ≤
+    * [[IvfKCap]] rows) as a small side table.
+    */
+  def writeIvfIndex(s: SparkSession, d: String, outDir: String,
+      assign: Int = IvfAssign): Unit = {
+    import s.implicits._
+    val idx = ivfIndex(s, d, assign)
+    idx.assigned.select($"vec_id", $"embedding", $"nrm", $"cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/assignments")
+    idx.cents.toSeq
+      .map { case (cid, cv, cn) =>
+        (cid, cv.toSeq, cn, idx.cellCounts(cid.toInt)) }
+      .toDF("cell", "centroid", "cnrm", "occupancy")
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+  }
+
+  /** Read a stored IVF index. The assignments schema is passed
+    * explicitly so the `cell` partition column comes back as the
+    * original LONG (directory-value inference would make it INT, and
+    * the resulting join-side cast would defeat partition pruning).
+    */
+  def readIvfIndex(s: SparkSession, indexDir: String): IvfIndex = {
+    import s.implicits._
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .select($"cell", $"centroid", $"cnrm", $"occupancy")
+      .as[(Long, Seq[Float], Double, Long)].collect()
+      .sortBy(_._1)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("nrm",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType)))
+    IvfIndex(
+      cents.map { case (cid, cv, cn, _) => (cid, cv.toArray, cn) },
+      s.read.schema(schema).parquet(s"$indexDir/assignments"),
+      cents.map(_._4))
+  }
+
+  /** Probe a STORED IVF index (written by [[writeIvfIndex]]) — the
+    * separate-query-job half of the deployment shape; no session cache
+    * involved, nothing rebuilt.
+    */
+  def topkIvfStored(s: SparkSession, d: String, indexDir: String,
+      k: Int = TopK, nprobe: Int = -1, assign: Int = IvfAssign): DataFrame =
+    ivfProbe(s, readIvfIndex(s, indexDir), querySet(s, d), k, nprobe, assign)
+
+  /** Write the built LSH index partitioned by (table, bucket): a probe
+    * reads only the (multi)probed bucket directories. Bucket
+    * cardinality is bounded ([[NumTables]] × 2^[[PlanesPerTable]]
+    * directories); a deployment with pathological per-bucket file
+    * counts would coarsen to partitionBy("table") + bucketBy.
+    */
+  def writeLshIndex(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    lshIndex(s, d).select($"vec_id", $"embedding", $"nrm", $"table", $"bucket")
+      .write.mode("overwrite").partitionBy("table", "bucket").parquet(outDir)
+  }
+
+  /** Read a stored LSH index (schema passed for the same
+    * partition-column-type reason as [[readIvfIndex]]).
+    */
+  def readLshIndex(s: SparkSession, indexDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("nrm",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("table",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType)))
+    s.read.schema(schema).parquet(indexDir)
+  }
+
+  /** Probe a STORED LSH index (written by [[writeLshIndex]]). */
+  def topkLshStored(s: SparkSession, d: String, indexDir: String,
+      k: Int = TopK, multiprobe: Boolean = true): DataFrame =
+    lshProbe(s, readLshIndex(s, indexDir), querySet(s, d), k, multiprobe)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topkBruteForce(s, d)),

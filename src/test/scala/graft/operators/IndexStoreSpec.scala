@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stored-index contract — the actual 100 TB deployment shape:
+  * ONE job builds an ANN index and writes it as a partition-laid-out
+  * parquet table; a SEPARATE driver (modeled as a fresh session whose
+  * per-session index caches are provably cold — see the
+  * "index caches are per-session" spec) reads it back and probes it,
+  * with results identical to the build-session probe, and with the
+  * probe scan partition-pruned to the probed cells/buckets rather
+  * than reading the whole stored corpus.
+  */
+class IndexStoreSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = {
+    import df.sparkSession.implicits._
+    df.as[(Long, Long, Double, Int)].collect().toSet
+  }
+
+  /** The FileScan line of the stored-index read in the executed plan. */
+  private def storedScanLine(df: org.apache.spark.sql.DataFrame,
+      pathFragment: String): String =
+    df.queryExecution.executedPlan.toString.split('\n')
+      .filter(_.contains("FileScan parquet"))
+      .find(_.contains(pathFragment))
+      .getOrElse(fail(s"no FileScan over $pathFragment in the plan"))
+
+  test("IVF stored index: fresh-session probe parity + partition-pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    Similarity.writeIvfIndex(spark, sf, dir)
+    val expect = rows(Similarity.topkIvf(spark, sf))
+    assert(expect.nonEmpty)
+
+    val s2 = spark.newSession()
+    val stored = Similarity.topkIvfStored(s2, sf, dir)
+    assert(rows(stored) == expect,
+      "stored-index probe diverged from the build-session probe")
+
+    // the stored assignments scan must carry a partition filter on
+    // `cell` (dynamic partition pruning from the broadcast query
+    // side) — the mechanism that makes a probe read nprobe/k of a
+    // 100 TB stored index instead of all of it
+    val scan = storedScanLine(stored, "assignments")
+    val pf = scan.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+    assert(pf.contains("cell") && pf.contains("dynamicpruning"),
+      s"stored probe scan is not partition-pruned: $scan")
+  }
+
+  test("LSH stored index: fresh-session probe parity + partition-pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("lshstore").toString
+    Similarity.writeLshIndex(spark, sf, dir)
+    val expect = rows(Similarity.topkLsh(spark, sf))
+    assert(expect.nonEmpty)
+
+    val s2 = spark.newSession()
+    val stored = Similarity.topkLshStored(s2, sf, dir)
+    assert(rows(stored) == expect,
+      "stored-index probe diverged from the build-session probe")
+
+    val scan = storedScanLine(stored, "lshstore")
+    val pf = scan.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+    assert(pf.contains("bucket") && pf.contains("dynamicpruning"),
+      s"stored probe scan is not partition-pruned: $scan")
+  }
+
+  test("PQ stored index: fresh-session probe parity (codes + codebooks round-trip)") {
+    val dir = java.nio.file.Files.createTempDirectory("pqstore").toString
+    Pq.writePqIndex(spark, sf, dir)
+    val expect = rows(Pq.topkPq(spark, sf))
+    assert(expect.nonEmpty)
+
+    val s2 = spark.newSession()
+    assert(rows(Pq.topkPqStored(s2, sf, dir)) == expect,
+      "stored-PQ probe diverged from the build-session probe")
+  }
+}
