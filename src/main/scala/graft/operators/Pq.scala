@@ -42,13 +42,31 @@ object Pq {
     */
   val PqCandidates = 100
 
+  /** Zero-padded subvector of `v` starting at `off` (the short-vector
+    * contract shared by training, encoding, and the oracle CTEs).
+    */
+  @inline private def subvOf(v: Array[Float], off: Int): Array[Float] =
+    Array.tabulate(SubDim)(i => if (off + i < v.length) v(off + i) else 0f)
+
   /** Per-subspace EUCLIDEAN k-means on the deterministic sample
     * (hash-ordered prefix, init = first k subvectors, first-wins
     * assignment ties, empty cells keep their centroid — every
     * determinism rule of the IVF trainer, but L2 on subvectors, the
     * published PQ objective). Returns [sub][code][SubDim] floats.
+    *
+    * The driver/distributed split is GUARDED the same way as
+    * [[Similarity.trainCentroids]]: total training cost
+    * (sample × codewords × Dim × iters, summed over subspaces) under
+    * `maxDriverFlops` collects the sample and runs Lloyd locally;
+    * above it — e.g. production 256-codeword/8-bit codebooks at the
+    * full sample cap (~5·10⁹ flops) — the sample stays distributed and
+    * each iteration ships per-partition partial sums for ALL subspaces
+    * in one pass, combined in partition order (deterministic given the
+    * session's parallelism). Raising PqCodewords can therefore never
+    * silently grow an unguarded driver collect+train.
     */
-  def trainCodebooks(s: SparkSession, d: String): Array[Array[Array[Float]]] = {
+  def trainCodebooks(s: SparkSession, d: String,
+      maxDriverFlops: Double = Similarity.DriverTrainFlopsCap): Array[Array[Array[Float]]] = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val sampleSize = Similarity.IvfSampleCap
@@ -56,38 +74,97 @@ object Pq {
     // columnar scan, no hash-order sort (the trainCentroids shape);
     // above the cap, the deterministic hash-ordered prefix
     val n = Similarity.rowCount(s, emb)
-    val sample: Array[Array[Float]] =
-      if (n <= sampleSize) emb.select($"embedding").as[Array[Float]].collect()
+    val sampleDs: org.apache.spark.sql.Dataset[Array[Float]] =
+      if (n <= sampleSize) emb.select($"embedding").as[Array[Float]]
       else emb
         .select($"vec_id", $"embedding")
         .orderBy(xxhash64($"vec_id"), $"vec_id")
         .limit(sampleSize)
-        .select($"embedding").as[Array[Float]].collect()
-    require(sample.nonEmpty, s"cannot train PQ codebooks on an empty corpus: $d")
-    Array.tabulate(PqSubvectors) { sub =>
-      val off = sub * SubDim
-      def subv(v: Array[Float]): Array[Float] =
-        Array.tabulate(SubDim)(i => if (off + i < v.length) v(off + i) else 0f)
-      val xs = sample.map(subv)
-      var cents: Array[Array[Float]] =
-        (0 until PqCodewords).map(i => xs(i % xs.length).clone()).toArray
+        .select($"embedding").as[Array[Float]]
+    val effSample = math.min(n, sampleSize.toLong)
+    if (Similarity.trainFlops(effSample, PqCodewords) <= maxDriverFlops) {
+      val sample = sampleDs.collect()
+      require(sample.nonEmpty, s"cannot train PQ codebooks on an empty corpus: $d")
+      Array.tabulate(PqSubvectors) { sub =>
+        val off = sub * SubDim
+        val xs = sample.map(subvOf(_, off))
+        var cents: Array[Array[Float]] =
+          (0 until PqCodewords).map(i => xs(i % xs.length).clone()).toArray
+        var iter = 0
+        while (iter < Similarity.LloydIters) {
+          val sums = Array.fill(PqCodewords)(new Array[Double](SubDim))
+          val counts = new Array[Int](PqCodewords)
+          xs.foreach { x =>
+            val c = nearestCode(x, 0, cents)
+            var i = 0
+            while (i < SubDim) { sums(c)(i) += x(i); i += 1 }
+            counts(c) += 1
+          }
+          cents = cents.zipWithIndex.map { case (old, c) =>
+            if (counts(c) == 0) old
+            else sums(c).map(v => (v / counts(c)).toFloat)
+          }
+          iter += 1
+        }
+        cents
+      }
+    } else {
+      // distributed Lloyd: same init (first k sample subvectors), same
+      // assignment kernel, partial sums per partition — one RDD pass
+      // per iteration covers every subspace
+      val init = sampleDs.take(PqCodewords)
+      require(init.nonEmpty, s"cannot train PQ codebooks on an empty corpus: $d")
+      val rdd = sampleDs.rdd
+        .repartition(s.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var cbs: Array[Array[Array[Float]]] = Array.tabulate(PqSubvectors) { sub =>
+        val off = sub * SubDim
+        (0 until PqCodewords)
+          .map(i => subvOf(init(i % init.length), off)).toArray
+      }
       var iter = 0
       while (iter < Similarity.LloydIters) {
-        val sums = Array.fill(PqCodewords)(new Array[Double](SubDim))
-        val counts = new Array[Int](PqCodewords)
-        xs.foreach { x =>
-          val c = nearestCode(x, 0, cents)
-          var i = 0
-          while (i < SubDim) { sums(c)(i) += x(i); i += 1 }
-          counts(c) += 1
+        val bc = s.sparkContext.broadcast(cbs)
+        val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+          val cl = bc.value
+          val sums = Array.fill(PqSubvectors, PqCodewords)(new Array[Double](SubDim))
+          val counts = Array.fill(PqSubvectors)(new Array[Int](PqCodewords))
+          it.foreach { v =>
+            var sub = 0
+            while (sub < PqSubvectors) {
+              val x = subvOf(v, sub * SubDim)
+              val c = nearestCode(x, 0, cl(sub))
+              val srow = sums(sub)(c)
+              var i = 0
+              while (i < SubDim) { srow(i) += x(i); i += 1 }
+              counts(sub)(c) += 1
+              sub += 1
+            }
+          }
+          Iterator.single((pid, sums, counts))
+        }.collect().sortBy(_._1) // combine in partition order: deterministic
+        cbs = Array.tabulate(PqSubvectors) { sub =>
+          val sums = Array.fill(PqCodewords)(new Array[Double](SubDim))
+          val counts = new Array[Int](PqCodewords)
+          partials.foreach { case (_, ps, pc) =>
+            var c = 0
+            while (c < PqCodewords) {
+              var i = 0
+              while (i < SubDim) { sums(c)(i) += ps(sub)(c)(i); i += 1 }
+              counts(c) += pc(sub)(c)
+              c += 1
+            }
+          }
+          cbs(sub).zipWithIndex.map { case (old, c) =>
+            if (counts(c) == 0) old
+            else sums(c).map(v => (v / counts(c)).toFloat)
+          }
         }
-        cents = cents.zipWithIndex.map { case (old, c) =>
-          if (counts(c) == 0) old
-          else sums(c).map(v => (v / counts(c)).toFloat)
-        }
+        bc.destroy()
         iter += 1
       }
-      cents
+      rdd.unpersist(blocking = false)
+      cbs
     }
   }
 

@@ -591,6 +591,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.queries("dedup_substring")(spark, tmp).count() == 0)
   }
 
+  test("PQ Lloyd training is flops-guarded and the distributed path agrees") {
+    // fixture parameters sit far under the driver cap; production
+    // 256-codeword books at the full sample cap would exceed it, so
+    // the guard (not a comment) decides the path
+    assert(Similarity.trainFlops(Similarity.IvfSampleCap, Pq.PqCodewords)
+      <= Similarity.DriverTrainFlopsCap)
+    assert(Similarity.trainFlops(Similarity.IvfSampleCap, 256)
+      > Similarity.DriverTrainFlopsCap)
+    // forcing the distributed branch (maxDriverFlops = 0) must
+    // reproduce the driver-path codebooks up to partition-ordered
+    // double-addition drift
+    val local = Pq.trainCodebooks(spark, sf)
+    val dist = Pq.trainCodebooks(spark, sf, maxDriverFlops = 0)
+    assert(local.length == dist.length)
+    for (sub <- local.indices; code <- local(sub).indices) {
+      val (a, b) = (local(sub)(code), dist(sub)(code))
+      assert(a.length == b.length)
+      var d2 = 0.0; var i = 0
+      while (i < a.length) {
+        val dd = a(i).toDouble - b(i).toDouble; d2 += dd * dd; i += 1
+      }
+      assert(math.sqrt(d2) <= 1e-6,
+        s"codebook[$sub][$code] diverged: l2=${math.sqrt(d2)}")
+    }
+  }
+
   test("deterministic sample is invariant under repartitioning and rerun") {
     import spark.implicits._
     val ids = { () =>
