@@ -158,14 +158,22 @@ object Dedup {
   private def duplicatedSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pos = Tables.documents(s, d)
-      .select($"doc_id", posexplode(posShingleHashes($"text")).as(Seq("pos", "g")))
-    // shingles seen in ≥2 distinct docs; positional duplicates within
-    // a doc collapse BEFORE the df shuffle (map-side distinct)
-    val dupShingles = pos.select($"g", $"doc_id").distinct()
+    val withArr = Tables.documents(s, d)
+      .select($"doc_id", posShingleHashes($"text").as("sh"))
+    // shingles seen in ≥2 distinct docs. Per-doc positional duplicates
+    // collapse ROW-LOCALLY (array_distinct) before the explode, so the
+    // df aggregate is one map-side-combinable shuffle on the 8-byte
+    // key — no (g, doc_id) distinct exchange at all.
+    val dupShingles = withArr
+      .select(explode(array_distinct($"sh")).as("g"))
       .groupBy($"g").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2)
       .select($"g")
+    // the positional stream probes the (small, aggregated) dup set —
+    // a broadcast-able semi-join, so positions never shuffle on g;
+    // the only wide exchange of the whole query is the per-doc window,
+    // and the final run aggregate reuses its doc_id partitioning.
+    val pos = withArr.select($"doc_id", posexplode($"sh").as(Seq("pos", "g")))
     val dupPos = pos.join(dupShingles, Seq("g"), "left_semi")
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     dupPos
