@@ -28,8 +28,13 @@ object DnaCodec {
     d.map(b => f"${b & 0xff}%02x").mkString
   }
 
+  /** Null text is an empty file to this codec (the
+    * null-doc-is-empty-file contract of DnaPipeline.discover) — the
+    * codec stays total even when called outside the coalescing
+    * pipeline entry.
+    */
   def md5HexUtf8(text: String): String =
-    md5Hex(text.getBytes(StandardCharsets.UTF_8))
+    md5Hex((if (text == null) "" else text).getBytes(StandardCharsets.UTF_8))
 
   /** Split text into UTF-8-safe chunks, each carrying RS parity, an MD5
     * checksum of its original bytes, and its Goldman DNA sequence

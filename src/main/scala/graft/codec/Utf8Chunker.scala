@@ -36,9 +36,12 @@ object Utf8Chunker {
     out.toSeq
   }
 
-  /** Chunk a string into UTF-8 byte slices of at most `chunkSize` bytes. */
+  /** Chunk a string into UTF-8 byte slices of at most `chunkSize`
+    * bytes. Null text chunks as the empty file (the
+    * null-doc-is-empty-file contract of DnaPipeline.discover).
+    */
   def chunkBytes(text: String, chunkSize: Int): Seq[Array[Byte]] = {
-    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val bytes = (if (text == null) "" else text).getBytes(StandardCharsets.UTF_8)
     chunkOffsets(bytes, chunkSize).map { case (s, e) => bytes.slice(s, e) }
   }
 

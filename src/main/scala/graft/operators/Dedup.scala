@@ -86,12 +86,23 @@ object Dedup {
   /** FNV-1a 64-bit — the single base hash shared by the inverted
     * index, the minhash signatures, the simhash bit votes, and the LSH
     * verify join, so a hash-function change cannot silently diverge
-    * between paths.
+    * between paths. Folds over Unicode CODE POINTS (not UTF-16 code
+    * units): DuckDB's `ord`/string indexing are code-point-based, so
+    * this is the only definition both engines can state — charAt would
+    * silently diverge on astral-plane text (emoji, CJK extensions),
+    * caught by the round-9 adversarial-corpus sweep. A code point is
+    * < 2²¹, so `h ^= cp` touches only the low 32 bits — exactly the
+    * bounded-XOR form the HUGEINT oracle states.
     */
   @inline private[graft] def fnv1a(g: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
-    while (i < g.length) { h ^= g.charAt(i); h *= 0x100000001b3L; i += 1 }
+    while (i < g.length) {
+      val cp = g.codePointAt(i)
+      h ^= cp
+      h *= 0x100000001b3L
+      i += Character.charCount(cp)
+    }
     h
   }
 
@@ -1098,8 +1109,9 @@ object Dedup {
       s"""$jaccardCte
           SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs""",
     // SimHash restated in HUGEINT arithmetic mod 2⁶⁴: FNV-1a folds over
-    // each token's char codes (ASCII corpus; Java char = code point
-    // here) — XOR touches only the low 16 bits, so it runs on BIGINT
+    // each token's Unicode CODE POINTS (ord/len are code-point-based in
+    // DuckDB, matching the kernel's codePointAt loop) — a code point is
+    // < 2²¹, so XOR touches only the low 32 bits and runs on BIGINT
     // while the wrapping multiply stays in HUGEINT. Per-bit ±1 votes,
     // sign → bit, then Spark's conv(…,10,16) semantics: two's-
     // complement view, uppercase hex, no leading zeros, 0 → '0'.
@@ -1107,7 +1119,7 @@ object Dedup {
       val fnv = s"""list_reduce(
           list_prepend(CAST('14695981039346656037' AS HUGEINT),
             list_transform(generate_series(1, len(tok)), i -> CAST(ord(tok[i]) AS HUGEINT))),
-          (acc, c) -> ((acc - acc % 65536 + CAST(xor(CAST(acc % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+          (acc, c) -> ((acc - acc % 4294967296 + CAST(xor(CAST(acc % 4294967296 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))"""
       s"""WITH toks AS (
             SELECT doc_id, UNNEST($sqlToks) AS tok FROM documents),

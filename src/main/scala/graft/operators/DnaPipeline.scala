@@ -32,12 +32,16 @@ object DnaPipeline {
     */
   def discover(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // a null document is an EMPTY FILE to this pipeline (the reference
+    // reads files; file content is never SQL-NULL) — coalesced here,
+    // at the single entry point, so every downstream kernel stays
+    // total; the oracles state the same COALESCE
     Tables.documents(s, d).select(
       format_string("doc_%05d.txt", $"doc_id").as("file_path"),
       $"doc_id",
-      $"text",
-      md5(to_binary($"text", lit("utf-8"))).as("file_hash"),
-      octet_length($"text").cast("long").as("file_size"))
+      coalesce($"text", lit("")).as("text"),
+      md5(to_binary(coalesce($"text", lit("")), lit("utf-8"))).as("file_hash"),
+      octet_length(coalesce($"text", lit(""))).cast("long").as("file_size"))
   }
 
   /** J1/T2: content-hash anti-join dedup against a tracking relation.
@@ -139,14 +143,19 @@ object DnaPipeline {
     // task's memory (SURVEY.md §4.2).
     "dna_reconstruct" -> { (s, d) =>
       import s.implicits._
-      chunkRelation(s, d)
+      val recon = chunkRelation(s, d)
         .select($"doc_id", $"idx", $"dna_sequence", $"chunk_nbytes")
         .as[DnaFunctions.ChunkSlice]
         .groupByKey(_.doc_id)
         .agg(DnaFunctions.ReconstructAggregator.toColumn.name("reconstructed"))
         .toDF("doc_id", "reconstructed")
+      // EVERY discovered file reconstructs — a zero-chunk (empty) file
+      // to the empty string, exactly as the codec round-trips it
+      discover(s, d).select($"doc_id")
+        .join(recon, Seq("doc_id"), "left")
         .select($"doc_id",
-          md5(to_binary($"reconstructed", lit("utf-8"))).as("recon_md5"))
+          md5(to_binary(coalesce($"reconstructed", lit("")), lit("utf-8")))
+            .as("recon_md5"))
     },
 
     // A2/A3-type stats over the encoded relation, per source. The
@@ -189,12 +198,20 @@ object DnaPipeline {
              sum($"n_chunks").as("total_chunks"))
     })
 
-  private val chunkExpr = s"CAST(CEIL(LENGTH(text) / $ChunkSize.0) AS BIGINT)"
+  // COALESCE: the null-doc-is-empty-file contract of `discover`.
+  // strlen (BYTES, the chunker's unit), not LENGTH (characters): the
+  // two only coincide on ASCII. Chunk BOUNDARIES in the dna_chunks
+  // oracle remain character-based SUBSTRING windows — byte-identical
+  // for single-chunk documents of any script and multi-chunk ASCII
+  // documents; a multi-chunk NON-ASCII document's UTF-8-safe byte
+  // boundaries are not ANSI-SQL-expressible (documented gap).
+  private val chunkExpr =
+    s"CAST(CEIL(strlen(COALESCE(text, '')) / $ChunkSize.0) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
     "dna_roundtrip" ->
-      s"""SELECT doc_id, MD5(text) AS original_checksum,
-          MD5(text) AS reconstructed_checksum,
+      s"""SELECT doc_id, MD5(COALESCE(text, '')) AS original_checksum,
+          MD5(COALESCE(text, '')) AS reconstructed_checksum,
           $chunkExpr AS n_chunks,
           'success' AS status
           FROM documents""",
@@ -202,8 +219,8 @@ object DnaPipeline {
       s"""SELECT d.doc_id,
           PRINTF('dna_chunk_%03d', g.i) AS chunk_id,
           CAST(g.i AS INT) AS idx,
-          CAST(LENGTH(SUBSTRING(d.text, CAST(g.i * $ChunkSize + 1 AS BIGINT), $ChunkSize)) AS INT) AS chunk_nbytes,
-          MD5(SUBSTRING(d.text, CAST(g.i * $ChunkSize + 1 AS BIGINT), $ChunkSize)) AS checksum
+          CAST(strlen(SUBSTRING(COALESCE(d.text, ''), CAST(g.i * $ChunkSize + 1 AS BIGINT), $ChunkSize)) AS INT) AS chunk_nbytes,
+          MD5(SUBSTRING(COALESCE(d.text, ''), CAST(g.i * $ChunkSize + 1 AS BIGINT), $ChunkSize)) AS checksum
           FROM documents d
           JOIN generate_series(0, 4095) AS g(i)
             ON g.i < $chunkExpr""",
@@ -211,17 +228,18 @@ object DnaPipeline {
       s"""SELECT CAST(SUM($chunkExpr) AS BIGINT) AS n_chunks,
           CAST(0 AS BIGINT) AS n_invalid FROM documents""",
     "dna_reconstruct" ->
-      """SELECT doc_id, MD5(text) AS recon_md5 FROM documents""",
+      """SELECT doc_id, MD5(COALESCE(text, '')) AS recon_md5 FROM documents""",
     "dna_stats" ->
       s"""SELECT source, CAST(SUM($chunkExpr) AS BIGINT) AS n_chunks,
-          CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes
+          CAST(SUM(strlen(COALESCE(text, ''))) AS BIGINT) AS total_bytes
           FROM documents GROUP BY source""",
     "pipe_incremental_dedup" ->
       """SELECT d.doc_id, PRINTF('doc_%05d.txt', d.doc_id) AS file_path,
-         CAST(LENGTH(d.text) AS BIGINT) AS file_size
+         CAST(LENGTH(COALESCE(d.text, '')) AS BIGINT) AS file_size
          FROM documents d
          WHERE NOT EXISTS (SELECT 1 FROM documents p
-           WHERE p.doc_id % 3 = 0 AND MD5(p.text) = MD5(d.text))""",
+           WHERE p.doc_id % 3 = 0
+             AND MD5(COALESCE(p.text, '')) = MD5(COALESCE(d.text, '')))""",
     "pipe_status_report" ->
       s"""SELECT 'success' AS status, COUNT(*) AS n_files,
           COUNT(*) AS n_roundtrip_ok,

@@ -56,14 +56,17 @@ object Multimodal {
     */
   def mediaRelation(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // null text = empty payload (the DnaPipeline.discover contract):
+    // the decode kernels stay total on corpora with null rows
+    val t = coalesce($"text", lit(""))
     Tables.documents(s, d).select(
       $"doc_id".as("media_id"),
-      to_binary($"text", lit("utf-8")).as("payload"),
+      to_binary(t, lit("utf-8")).as("payload"),
       lit("fake/text-as-image").as("media_type"),
       struct(
-        octet_length(to_binary($"text", lit("utf-8"))).cast("long").as("n_bytes"),
-        (octet_length(to_binary($"text", lit("utf-8"))) % 640 + 1).as("width"),
-        (octet_length(to_binary($"text", lit("utf-8"))).cast("long") * 7 % 480 + 1)
+        octet_length(to_binary(t, lit("utf-8"))).cast("long").as("n_bytes"),
+        (octet_length(to_binary(t, lit("utf-8"))) % 640 + 1).as("width"),
+        (octet_length(to_binary(t, lit("utf-8"))).cast("long") * 7 % 480 + 1)
           .cast("int").as("height"),
         lit(3).as("channels")).as("meta"))
   }
@@ -97,12 +100,13 @@ object Multimodal {
     "mm_frame_sample" -> { (s, d) =>
       import s.implicits._
       val k = 16
+      val t = coalesce($"text", lit(""))
       Tables.documents(s, d).select(
         $"doc_id".as("media_id"),
         concat_ws("", transform(
           sequence(lit(1),
-            greatest(ceil(length($"text") / lit(k.toDouble)), lit(1)).cast("int")),
-          i => substring($"text", (i - lit(1)) * k + 1, lit(1)))).as("frames"))
+            greatest(ceil(length(t) / lit(k.toDouble)), lit(1)).cast("int")),
+          i => substring(t, (i - lit(1)) * k + 1, lit(1)))).as("frames"))
     },
 
     // Feature extraction through the partition-batched decode path.
@@ -121,24 +125,27 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_meta" ->
       """SELECT doc_id AS media_id, 'fake/text-as-image' AS media_type,
-         octet_length(encode(text)) AS n_bytes,
-         CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-         CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INT) AS height,
+         octet_length(encode(COALESCE(text, ''))) AS n_bytes,
+         CAST(octet_length(encode(COALESCE(text, ''))) % 640 + 1 AS INT) AS width,
+         CAST(octet_length(encode(COALESCE(text, ''))) * 7 % 480 + 1 AS INT) AS height,
          3 AS channels
          FROM documents""",
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,
          array_to_string(list_transform(
-           generate_series(1, CAST(GREATEST(CEIL(LENGTH(text) / 16.0), 1) AS BIGINT)),
-           i -> text[(i-1)*16 + 1]), '') AS frames
+           generate_series(1, CAST(GREATEST(CEIL(LENGTH(COALESCE(text, '')) / 16.0), 1) AS BIGINT)),
+           i -> COALESCE(text, '')[(i-1)*16 + 1]), '') AS frames
          FROM documents""",
-    // ASCII corpus: byte histogram == char-code histogram, so the
-    // stubbed decoder's output is independently computable in SQL.
+    // BYTE-exact restatement: the stubbed decoder bins UTF-8 BYTES
+    // (bin = byte // 16 = the byte's high hex nibble), so the oracle
+    // reads each byte's first hex digit off hex(encode(text)) — valid
+    // on any corpus, not just ASCII (round-9 adversarial sweep).
     "mm_features" ->
       """WITH chars AS (
-           SELECT doc_id, octet_length(encode(text)) AS n,
-             list_transform(generate_series(1, LENGTH(text)),
-               i -> ord(text[i]) * 16 // 256) AS bins
+           SELECT doc_id, octet_length(encode(COALESCE(text, ''))) AS n,
+             list_transform(generate_series(1, octet_length(encode(COALESCE(text, '')))),
+               i -> instr('0123456789ABCDEF',
+                 substring(hex(encode(COALESCE(text, ''))), 2*i - 1, 1)) - 1) AS bins
            FROM documents)
          SELECT doc_id AS media_id,
            ROUND((len(list_filter(bins, b -> b = 4))::FLOAT /

@@ -66,7 +66,8 @@ object Pq {
     * silently grow an unguarded driver collect+train.
     */
   def trainCodebooks(s: SparkSession, d: String,
-      maxDriverFlops: Double = Similarity.DriverTrainFlopsCap): Array[Array[Array[Float]]] = {
+      maxDriverFlops: Double = Similarity.DriverTrainFlopsCap,
+      codewords: Int = PqCodewords): Array[Array[Array[Float]]] = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val sampleSize = Similarity.IvfSampleCap
@@ -82,18 +83,18 @@ object Pq {
         .limit(sampleSize)
         .select($"embedding").as[Array[Float]]
     val effSample = math.min(n, sampleSize.toLong)
-    if (Similarity.trainFlops(effSample, PqCodewords) <= maxDriverFlops) {
+    if (Similarity.trainFlops(effSample, codewords) <= maxDriverFlops) {
       val sample = sampleDs.collect()
       require(sample.nonEmpty, s"cannot train PQ codebooks on an empty corpus: $d")
       Array.tabulate(PqSubvectors) { sub =>
         val off = sub * SubDim
         val xs = sample.map(subvOf(_, off))
         var cents: Array[Array[Float]] =
-          (0 until PqCodewords).map(i => xs(i % xs.length).clone()).toArray
+          (0 until codewords).map(i => xs(i % xs.length).clone()).toArray
         var iter = 0
         while (iter < Similarity.LloydIters) {
-          val sums = Array.fill(PqCodewords)(new Array[Double](SubDim))
-          val counts = new Array[Int](PqCodewords)
+          val sums = Array.fill(codewords)(new Array[Double](SubDim))
+          val counts = new Array[Int](codewords)
           xs.foreach { x =>
             val c = nearestCode(x, 0, cents)
             var i = 0
@@ -112,14 +113,14 @@ object Pq {
       // distributed Lloyd: same init (first k sample subvectors), same
       // assignment kernel, partial sums per partition — one RDD pass
       // per iteration covers every subspace
-      val init = sampleDs.take(PqCodewords)
+      val init = sampleDs.take(codewords)
       require(init.nonEmpty, s"cannot train PQ codebooks on an empty corpus: $d")
       val rdd = sampleDs.rdd
         .repartition(s.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var cbs: Array[Array[Array[Float]]] = Array.tabulate(PqSubvectors) { sub =>
         val off = sub * SubDim
-        (0 until PqCodewords)
+        (0 until codewords)
           .map(i => subvOf(init(i % init.length), off)).toArray
       }
       var iter = 0
@@ -127,8 +128,8 @@ object Pq {
         val bc = s.sparkContext.broadcast(cbs)
         val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
           val cl = bc.value
-          val sums = Array.fill(PqSubvectors, PqCodewords)(new Array[Double](SubDim))
-          val counts = Array.fill(PqSubvectors)(new Array[Int](PqCodewords))
+          val sums = Array.fill(PqSubvectors, codewords)(new Array[Double](SubDim))
+          val counts = Array.fill(PqSubvectors)(new Array[Int](codewords))
           it.foreach { v =>
             var sub = 0
             while (sub < PqSubvectors) {
@@ -144,11 +145,11 @@ object Pq {
           Iterator.single((pid, sums, counts))
         }.collect().sortBy(_._1) // combine in partition order: deterministic
         cbs = Array.tabulate(PqSubvectors) { sub =>
-          val sums = Array.fill(PqCodewords)(new Array[Double](SubDim))
-          val counts = new Array[Int](PqCodewords)
+          val sums = Array.fill(codewords)(new Array[Double](SubDim))
+          val counts = new Array[Int](codewords)
           partials.foreach { case (_, ps, pc) =>
             var c = 0
-            while (c < PqCodewords) {
+            while (c < codewords) {
               var i = 0
               while (i < SubDim) { sums(c)(i) += ps(sub)(c)(i); i += 1 }
               counts(c) += pc(sub)(c)
@@ -208,10 +209,11 @@ object Pq {
   private val pqCache = new SessionCache[PqIndex](idx =>
     scala.util.Try(idx.codes.unpersist(blocking = false)))
 
-  def pqIndex(s: SparkSession, d: String): PqIndex =
-    pqCache.getOrBuild(s, d) {
+  def pqIndex(s: SparkSession, d: String,
+      codewords: Int = PqCodewords): PqIndex =
+    pqCache.getOrBuild(s, s"$codewords#$d") {
       import s.implicits._
-      val cb = trainCodebooks(s, d)
+      val cb = trainCodebooks(s, d, codewords = codewords)
       val enc = udf { (emb: Seq[Float]) =>
         val v = emb.toArray
         Array.tabulate(PqSubvectors)(sub => nearestCode(v, sub * SubDim, cb(sub)))
@@ -304,9 +306,10 @@ object Pq {
     * re-ranks them (same output contract as every sim_ann_*).
     */
   def topkPq(s: SparkSession, d: String, k: Int = Similarity.TopK,
-      candidates: Int = PqCandidates): DataFrame = {
+      candidates: Int = PqCandidates,
+      codewords: Int = PqCodewords): DataFrame = {
     import s.implicits._
-    val idx = pqIndex(s, d)
+    val idx = pqIndex(s, d, codewords)
     val adc = adcScoreUdf(idx.codebooks)
     val scored = broadcast(queryRelation(s, d))
       .join(idx.codes, $"q_id" =!= $"vec_id")

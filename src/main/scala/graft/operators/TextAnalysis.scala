@@ -73,8 +73,8 @@ object TextAnalysis {
         length($"text").cast("long").as("n_chars"),
         round(length(regexp_replace($"text", "[^A-Za-z]", "")) /
           greatest(length($"text"), lit(1)).cast("double"), 6).as("alpha_ratio"),
-        round(aggregate(transform(toks, t => length(t)), lit(0),
-          (acc, x) => acc + x).cast("double") / greatest(n, lit(1.0)), 6)
+        round(coalesce(aggregate(transform(toks, t => length(t)), lit(0),
+          (acc, x) => acc + x), lit(0)).cast("double") / greatest(n, lit(1.0)), 6)
           .as("mean_token_len"),
         round(stopwordCount(toks) / greatest(n, lit(1.0)), 6).as("stopword_ratio"),
         round(size(array_distinct(toks)) / greatest(n, lit(1.0)), 6).as("type_token_ratio"))
@@ -215,10 +215,17 @@ object TextAnalysis {
     "txt_bloom_decontaminate" -> { (s, d) =>
       import s.implicits._
       val (train, evalGrams) = decontamSides(s, d)
-      val bloom = evalGrams.stat.bloomFilter("gh", BloomExpectedGrams, BloomFpp)
-      val mightContain = udf((gh: Long) => bloom.mightContain(gh))
-        .withName("bloom_might_contain")
-      contaminationReport(train.filter(mightContain($"gh")), evalGrams)
+      // a held-out side with no grams at all (possible on degenerate
+      // corpora) has nothing to contaminate — and Spark's bloomFilter
+      // aggregate returns an unusable null-buffer sketch on empty
+      // input, so short-circuit instead of probing it
+      if (evalGrams.isEmpty) contaminationReport(train.limit(0), evalGrams)
+      else {
+        val bloom = evalGrams.stat.bloomFilter("gh", BloomExpectedGrams, BloomFpp)
+        val mightContain = udf((gh: Long) => bloom.mightContain(gh))
+          .withName("bloom_might_contain")
+        contaminationReport(train.filter(mightContain($"gh")), evalGrams)
+      }
     },
 
     // Vocabulary build — the tokenizer-construction step: global token
@@ -714,7 +721,8 @@ object TextAnalysis {
     * counts — one hashmap pass (NOTES perf lesson 1). Empty docs → 0.
     */
   val entropyKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (toks: Seq[String]) =>
+    udf { (toksIn: Seq[String]) =>
+      val toks = Option(toksIn).getOrElse(Seq.empty) // null text = no tokens
       val n = toks.length
       if (n == 0) 0.0
       else {
@@ -736,7 +744,8 @@ object TextAnalysis {
     * corpus twice for per-row-computable metrics.
     */
   val repetitionKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (toks: Seq[String]) =>
+    udf { (toksIn: Seq[String]) =>
+      val toks = Option(toksIn).getOrElse(Seq.empty) // null text = no tokens
       val nTok = toks.length
       val types = new java.util.HashSet[String]()
       val grams = new java.util.HashMap[String, Int]()
@@ -826,7 +835,7 @@ object TextAnalysis {
               GREATEST(len($sqlToks), 1) >= 0.2""",
     "txt_fingerprint" ->
       s"""SELECT doc_id,
-          MD5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS token_set_fp,
+          MD5(COALESCE(array_to_string(list_sort(list_distinct($sqlToks)), ' '), '')) AS token_set_fp,
           MD5(text) AS content_fp
           FROM documents""",
     "txt_sample_det" ->
@@ -912,12 +921,12 @@ object TextAnalysis {
           SELECT doc_id, CAST(w AS BIGINT) AS win_id,
             CAST(w * $WinStride AS BIGINT) AS tok_start,
             CAST(LEAST($WinTokens, len(ts) - w * $WinStride) AS BIGINT) AS n_toks,
-            md5(array_to_string(ts[w * $WinStride + 1 :
+            md5(COALESCE(array_to_string(ts[w * $WinStride + 1 :
               w * $WinStride + LEAST($WinTokens, len(ts) - w * $WinStride)],
-              ' ')) AS win_fp
+              ' '), '')) AS win_fp
           FROM x""",
     "txt_repetition" ->
-      s"""WITH tok AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+      s"""WITH tok AS (SELECT doc_id, COALESCE($sqlToks, []) AS ts FROM documents),
           base AS (SELECT doc_id, len(ts) AS n_tok,
             len(list_distinct(ts)) AS n_types,
             CASE WHEN len(ts) >= 2

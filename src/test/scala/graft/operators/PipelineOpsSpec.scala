@@ -370,6 +370,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pqI.nonEmpty && recallI >= 0.2, s"implausibly low: $recallI")
   }
 
+  test("PQ at production parameters: 256-codeword books, recall >= the 16-codeword fixture") {
+    import spark.implicits._
+    // codewords is a parameter, not a constant: the same trainer,
+    // encoder, and search run the production 256/8-bit shape. On the
+    // clustered fixture the finer quantizer must not lose recall vs
+    // the 16-codeword fixture books.
+    val bf = Similarity.topkBruteForce(spark, clusteredFixture, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    def recallAt(codewords: Int): Double = {
+      val pq = Pq.topkPq(spark, clusteredFixture, k = 5, codewords = codewords)
+        .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+      (bf & pq).size.toDouble / bf.size
+    }
+    val r16 = recallAt(Pq.PqCodewords)
+    val r256 = recallAt(256)
+    info(f"clustered recall@5: 16-codeword $r16%.3f, 256-codeword $r256%.3f")
+    assert(r256 >= r16,
+      s"production books lost recall: 256-cw $r256 < 16-cw $r16")
+    // code laws hold at the production width too
+    val idx = Pq.pqIndex(spark, clusteredFixture, codewords = 256)
+    assert(idx.codes.filter(size($"codes") =!= Pq.PqSubvectors).count() == 0)
+    assert(idx.codes.select(explode($"codes").as("c"))
+      .filter($"c" < 0 || $"c" >= 256).count() == 0)
+    assert(idx.codebooks.forall(_.length == 256))
+  }
+
   test("IVF-PQ composed ANN: clustered recall >= 0.9 with both indexes bounding the work") {
     import spark.implicits._
     // the deployment composition: probed cells bound WHICH vectors are
