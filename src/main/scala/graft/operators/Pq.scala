@@ -328,10 +328,25 @@ object Pq {
     * the stored shape: a codes table partitioned by cell.
     */
   def topkIvfPq(s: SparkSession, d: String, k: Int = Similarity.TopK,
-      candidates: Int = PqCandidates): DataFrame = {
+      candidates: Int = PqCandidates): DataFrame =
+    ivfPqProbe(s, d, Similarity.ivfIndex(s, d), pqIndex(s, d), k, candidates)
+
+  /** The composed probe against GIVEN indexes — shared by the
+    * session-cached path ([[topkIvfPq]]) and the stored-index path
+    * ([[topkIvfPqStored]], the actual FAISS deployment shape: both
+    * index halves written by one build job, read + composed by any
+    * later query job).
+    */
+  def topkIvfPqStored(s: SparkSession, d: String, ivfDir: String,
+      pqDir: String, k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame =
+    ivfPqProbe(s, d, Similarity.readIvfIndex(s, ivfDir),
+      readPqIndex(s, pqDir), k, candidates)
+
+  private def ivfPqProbe(s: SparkSession, d: String,
+      ivf: Similarity.IvfIndex, pq: PqIndex, k: Int,
+      candidates: Int): DataFrame = {
     import s.implicits._
-    val ivf = Similarity.ivfIndex(s, d)
-    val pq = pqIndex(s, d)
     val np = Similarity.defaultNProbe(ivf.cents.length, ivf.cellCounts)
     val adc = adcScoreUdf(pq.codebooks)
     val qCells = queryRelation(s, d).select($"q_id", $"q_emb",

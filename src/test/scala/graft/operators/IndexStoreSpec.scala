@@ -74,6 +74,24 @@ class IndexStoreSpec extends AnyFunSuite {
       s"stored probe scan is not partition-pruned: $scan")
   }
 
+  test("IVF-PQ stored composition: both halves written, composed in a fresh session") {
+    // the FAISS deployment shape end-to-end: one build job writes the
+    // coarse quantizer layout AND the codes; a later query job reads
+    // both back and composes them with results identical to the
+    // build-session composition
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfpq_ivf").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("ivfpq_pq").toString
+    Similarity.writeIvfIndex(spark, sf, ivfDir)
+    Pq.writePqIndex(spark, sf, pqDir)
+    val expect = rows(Pq.topkIvfPq(spark, sf))
+    assert(expect.nonEmpty)
+
+    val s2 = spark.newSession()
+    val stored = Pq.topkIvfPqStored(s2, sf, ivfDir, pqDir)
+    assert(rows(stored) == expect,
+      "stored IVF-PQ composition diverged from the build-session probe")
+  }
+
   test("PQ stored index: fresh-session probe parity (codes + codebooks round-trip)") {
     val dir = java.nio.file.Files.createTempDirectory("pqstore").toString
     Pq.writePqIndex(spark, sf, dir)

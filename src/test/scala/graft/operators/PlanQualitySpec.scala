@@ -100,6 +100,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!scanLine.contains("user_id") && !scanLine.contains("value"), scanLine)
   }
 
+  test("bm25: the query-term filter culls the token stream before any exchange") {
+    // cost ∝ matching postings requires the isin(term) filter to run
+    // map-side, under the tf aggregate's exchange — a filter above an
+    // exchange would shuffle the whole corpus token stream first
+    val p = plan("txt_bm25_topk")
+    val lines = p.split('\n')
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("spark"))
+    val exchangeAbove = lines.take(filterIdx).count(_.contains("Exchange"))
+    assert(filterIdx >= 0, s"no query-term filter in the plan:\n$p")
+    // plan trees print root-first: exchanges BEFORE the filter line are
+    // its ancestors. The filter's own subtree (scan → filter) must sit
+    // under every exchange of its branch, so at least the tf-aggregate
+    // exchange prints above it
+    assert(exchangeAbove >= 1, s"term filter not below the tf exchange:\n$p")
+    val scanIdx = lines.indexWhere(l => l.contains("FileScan parquet"),
+      filterIdx)
+    assert(scanIdx > filterIdx,
+      s"term filter does not sit directly on the token stream:\n$p")
+  }
+
+  test("dedup_substring: df aggregate is map-side-combinable; dup semi-join broadcasts") {
+    val p = plan("dedup_substring")
+    // array_distinct makes the df count a plain partial_count aggregate
+    // (no (g, doc_id) distinct exchange): exactly one HashAggregate
+    // pair on the shingle key feeding the dup-set side
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"dup-set semi-join did not broadcast:\n$p")
+    // the only wide exchanges: the df aggregate on g and the per-doc
+    // window; the final run aggregate must REUSE the window's doc_id
+    // partitioning rather than adding a third
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"unexpected extra exchange:\n$p")
+  }
+
   test("IVF default probe plan has no candidate-dedup exchange (single assignment)") {
     // round-4 win: with assign=1 a vector reaches a query through at
     // most one probed cell, so the probe plan needs no dropDuplicates —
