@@ -166,11 +166,28 @@ object Dedup {
     * convention; the oracle groups the 3-gram STRINGS — equivalent
     * modulo a 2⁻⁶⁴ collision, far below the check's tolerance).
     */
+  /** doc_id → positional shingle-hash array, built ONCE per (session,
+    * corpus) and persisted — the positional counterpart of
+    * [[shingleRelation]]: duplicatedSpans reads it from two branches
+    * (the df aggregate and the positional probe), and an uncached
+    * relation would re-run the tokenize+hash kernel — the family's
+    * dominant scan cost — once per branch.
+    */
+  private def posShingleRelation(s: SparkSession, d: String): DataFrame =
+    posShingleRelCache.getOrBuild(s, d) {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", posShingleHashes($"text").as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val posShingleRelCache = new SessionCache[DataFrame](df =>
+    scala.util.Try(df.unpersist(blocking = false)))
+
   private def duplicatedSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val withArr = Tables.documents(s, d)
-      .select($"doc_id", posShingleHashes($"text").as("sh"))
+    val withArr = posShingleRelation(s, d)
     // shingles seen in ≥2 distinct docs. Per-doc positional duplicates
     // collapse ROW-LOCALLY (array_distinct) before the explode, so the
     // df aggregate is one map-side-combinable shuffle on the 8-byte

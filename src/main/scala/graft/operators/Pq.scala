@@ -61,8 +61,10 @@ object Pq {
     * above it — e.g. production 256-codeword/8-bit codebooks at the
     * full sample cap (~5·10⁹ flops) — the sample stays distributed and
     * each iteration ships per-partition partial sums for ALL subspaces
-    * in one pass, combined in partition order (deterministic given the
-    * session's parallelism). Raising PqCodewords can therefore never
+    * in one pass over the id-partitioned, id-sorted sample
+    * ([[Similarity.deterministicSampleRdd]] — bit-reproducible, not
+    * just partition-order-stable), partials combined in partition
+    * order. Raising PqCodewords can therefore never
     * silently grow an unguarded driver collect+train.
     */
   def trainCodebooks(s: SparkSession, d: String,
@@ -75,16 +77,17 @@ object Pq {
     // columnar scan, no hash-order sort (the trainCentroids shape);
     // above the cap, the deterministic hash-ordered prefix
     val n = Similarity.rowCount(s, emb)
-    val sampleDs: org.apache.spark.sql.Dataset[Array[Float]] =
-      if (n <= sampleSize) emb.select($"embedding").as[Array[Float]]
+    val sampleDs: org.apache.spark.sql.Dataset[(Long, Array[Float])] =
+      if (n <= sampleSize)
+        emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
       else emb
         .select($"vec_id", $"embedding")
         .orderBy(xxhash64($"vec_id"), $"vec_id")
         .limit(sampleSize)
-        .select($"embedding").as[Array[Float]]
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
     val effSample = math.min(n, sampleSize.toLong)
     if (Similarity.trainFlops(effSample, codewords) <= maxDriverFlops) {
-      val sample = sampleDs.collect()
+      val sample = sampleDs.collect().map(_._2)
       require(sample.nonEmpty, s"cannot train PQ codebooks on an empty corpus: $d")
       Array.tabulate(PqSubvectors) { sub =>
         val off = sub * SubDim
@@ -112,11 +115,12 @@ object Pq {
     } else {
       // distributed Lloyd: same init (first k sample subvectors), same
       // assignment kernel, partial sums per partition — one RDD pass
-      // per iteration covers every subspace
-      val init = sampleDs.take(codewords)
+      // per iteration covers every subspace, over the deterministic
+      // (id-partitioned, id-sorted) sample layout
+      val init = sampleDs.take(codewords).map(_._2)
       require(init.nonEmpty, s"cannot train PQ codebooks on an empty corpus: $d")
-      val rdd = sampleDs.rdd
-        .repartition(s.sparkContext.defaultParallelism)
+      val rdd = Similarity.deterministicSampleRdd(sampleDs,
+          s.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var cbs: Array[Array[Array[Float]]] = Array.tabulate(PqSubvectors) { sub =>
         val off = sub * SubDim
@@ -307,9 +311,16 @@ object Pq {
     */
   def topkPq(s: SparkSession, d: String, k: Int = Similarity.TopK,
       candidates: Int = PqCandidates,
-      codewords: Int = PqCodewords): DataFrame = {
+      codewords: Int = PqCodewords): DataFrame =
+    pqProbe(s, d, pqIndex(s, d, codewords), k, candidates)
+
+  /** The PQ probe against a GIVEN index — shared by the session-cached
+    * path ([[topkPq]]) and the stored path ([[topkPqStored]]) so the
+    * two can never drift (the lshProbe/ivfProbe convention).
+    */
+  private def pqProbe(s: SparkSession, d: String, idx: PqIndex, k: Int,
+      candidates: Int): DataFrame = {
     import s.implicits._
-    val idx = pqIndex(s, d, codewords)
     val adc = adcScoreUdf(idx.codebooks)
     val scored = broadcast(queryRelation(s, d))
       .join(idx.codes, $"q_id" =!= $"vec_id")
@@ -371,9 +382,10 @@ object Pq {
     * flattened to (sub, code, vector) rows (bounded:
     * [[PqSubvectors]]×[[PqCodewords]]).
     */
-  def writePqIndex(s: SparkSession, d: String, outDir: String): Unit = {
+  def writePqIndex(s: SparkSession, d: String, outDir: String,
+      codewords: Int = PqCodewords): Unit = {
     import s.implicits._
-    val idx = pqIndex(s, d)
+    val idx = pqIndex(s, d, codewords)
     idx.codes.write.mode("overwrite").parquet(s"$outDir/codes")
     idx.codebooks.zipWithIndex.toSeq
       .flatMap { case (cb, sub) => cb.zipWithIndex.map { case (v, code) =>
@@ -382,32 +394,35 @@ object Pq {
       .write.mode("overwrite").parquet(s"$outDir/codebooks")
   }
 
-  /** Read a stored PQ index back into the probe-side shape. */
+  /** Read a stored PQ index back into the probe-side shape. The
+    * codebook dimensions come from the DATA (max sub/code + 1), not
+    * from the compiled-in constants, so an index stored at any
+    * codeword width (the 256/8-bit production shape included) round-
+    * trips; a sparse/corrupt codebooks table fails loudly instead of
+    * silently ADC-scoring against empty codewords.
+    */
   def readPqIndex(s: SparkSession, indexDir: String): PqIndex = {
     import s.implicits._
     val flat = s.read.parquet(s"$indexDir/codebooks")
       .select($"sub", $"code", $"vector")
       .as[(Int, Int, Seq[Float])].collect()
-    val cb = Array.tabulate(PqSubvectors, PqCodewords)((s0, c0) => Array.empty[Float])
+    require(flat.nonEmpty, s"empty PQ codebooks table under $indexDir")
+    val nSub = flat.map(_._1).max + 1
+    val nCode = flat.map(_._2).max + 1
+    require(flat.length == nSub * nCode,
+      s"sparse PQ codebooks table under $indexDir: " +
+        s"${flat.length} rows for $nSub x $nCode")
+    val cb = Array.fill(nSub, nCode)(Array.empty[Float])
     flat.foreach { case (sub, code, v) => cb(sub)(code) = v.toArray }
     PqIndex(cb, s.read.parquet(s"$indexDir/codes"))
   }
 
-  /** Probe a STORED PQ index (written by [[writePqIndex]]) — ADC
-    * coarse scoring straight off the stored codes, exact re-rank tail
-    * unchanged.
+  /** Probe a STORED PQ index (written by [[writePqIndex]]) through the
+    * same probe core as the session-cached path.
     */
   def topkPqStored(s: SparkSession, d: String, indexDir: String,
-      k: Int = Similarity.TopK, candidates: Int = PqCandidates): DataFrame = {
-    import s.implicits._
-    val idx = readPqIndex(s, indexDir)
-    val adc = adcScoreUdf(idx.codebooks)
-    val scored = broadcast(queryRelation(s, d))
-      .join(idx.codes, $"q_id" =!= $"vec_id")
-      .select($"q_id", $"vec_id".as("n_id"),
-        adc($"q_emb", $"codes").as("adc"))
-    rerankTail(s, d, scored, candidates, k)
-  }
+      k: Int = Similarity.TopK, candidates: Int = PqCandidates): DataFrame =
+    pqProbe(s, d, readPqIndex(s, indexDir), k, candidates)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the codes relation as exploded scalar rows (the proj_build

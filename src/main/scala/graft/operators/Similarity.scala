@@ -385,6 +385,21 @@ object Similarity {
     if (nrm == 0) v.clone() else v.map(x => (x / nrm).toFloat)
   }
 
+  /** Hash-partitioned by id and id-sorted within each partition — the
+    * distributed trainers' sample layout. A bare `repartition` pins
+    * partition MEMBERSHIP but not in-partition ORDER (shuffle-block
+    * fetch order varies run to run), and float accumulation is not
+    * associative, so partial sums would drift by last-ulp between
+    * runs. Keying the partitioner on the id and sorting in-partition
+    * makes distributed training bit-reproducible, matching the
+    * determinism contract the driver path already has.
+    */
+  private[operators] def deterministicSampleRdd(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      parallelism: Int): org.apache.spark.rdd.RDD[Array[Float]] =
+    ds.rdd.partitionBy(new org.apache.spark.HashPartitioner(parallelism))
+      .mapPartitions(it => it.toArray.sortBy(_._1).iterator.map(_._2))
+
   def trainCentroids(s: SparkSession, d: String,
       maxDriverFlops: Double = DriverTrainFlopsCap): Array[(Long, Array[Float], Double)] = {
     import s.implicits._
@@ -397,16 +412,17 @@ object Similarity {
     // (normalization happens in `unit`), i.e. the cheapest possible
     // plan for the index-build job. Above the cap, the deterministic
     // hash-ordered prefix (stable across runs and partitionings).
-    val sampleDs: org.apache.spark.sql.Dataset[Array[Float]] =
-      if (n <= sampleSize) emb.select($"embedding").as[Array[Float]]
+    val sampleDs: org.apache.spark.sql.Dataset[(Long, Array[Float])] =
+      if (n <= sampleSize)
+        emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
       else emb.select($"vec_id", $"embedding")
         .orderBy(xxhash64($"vec_id"), $"vec_id")
         .limit(sampleSize)
-        .select($"embedding").as[Array[Float]]
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
 
     val cents: Array[Array[Float]] =
       if (trainFlops(sampleSize, k) <= maxDriverFlops) {
-        val sample = sampleDs.collect().map(unit)
+        val sample = sampleDs.collect().map(t => unit(t._2))
         require(sample.nonEmpty, s"cannot train IVF centroids on an empty corpus: $d")
         val dim = sample.head.length
         var cs: Array[Array[Float]] =
@@ -421,11 +437,11 @@ object Similarity {
         }
         cs
       } else {
-        val init = sampleDs.take(k).map(unit)
+        val init = sampleDs.take(k).map(t => unit(t._2))
         require(init.nonEmpty, s"cannot train IVF centroids on an empty corpus: $d")
         val dim = init.head.length
-        val rdd = sampleDs.rdd.map(unit)
-          .repartition(s.sparkContext.defaultParallelism)
+        val rdd = deterministicSampleRdd(sampleDs,
+          s.sparkContext.defaultParallelism).map(unit)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         var cs: Array[Array[Float]] =
           (0 until k).map(i => init(i % init.length).clone()).toArray

@@ -215,13 +215,15 @@ object TextAnalysis {
     "txt_bloom_decontaminate" -> { (s, d) =>
       import s.implicits._
       val (train, evalGrams) = decontamSides(s, d)
-      // a held-out side with no grams at all (possible on degenerate
-      // corpora) has nothing to contaminate — and Spark's bloomFilter
-      // aggregate returns an unusable null-buffer sketch on empty
-      // input, so short-circuit instead of probing it
-      if (evalGrams.isEmpty) contaminationReport(train.limit(0), evalGrams)
+      val bloom = evalGrams.stat.bloomFilter("gh", BloomExpectedGrams, BloomFpp)
+      // Spark's bloomFilter aggregate yields an unusable null-buffer
+      // sketch when its input is EMPTY (possible on degenerate
+      // corpora). One driver-side probe detects that for free — an
+      // isEmpty() gate would instead run the whole eval-side gram
+      // aggregation as an extra job on every healthy run.
+      val usable = scala.util.Try(bloom.mightContain(0L)).isSuccess
+      if (!usable) contaminationReport(train.limit(0), evalGrams)
       else {
-        val bloom = evalGrams.stat.bloomFilter("gh", BloomExpectedGrams, BloomFpp)
         val mightContain = udf((gh: Long) => bloom.mightContain(gh))
           .withName("bloom_might_contain")
         contaminationReport(train.filter(mightContain($"gh")), evalGrams)
@@ -431,6 +433,13 @@ object TextAnalysis {
     "txt_bm25_topk" -> { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
+      // the doc-length projection is consumed twice (corpus stats,
+      // per-doc join) and therefore tokenizes twice: column pruning
+      // specializes each consumer's subplan, so ReuseExchange cannot
+      // serve both from one pass (verified — a forced repartition
+      // only added a shuffle without achieving reuse). At deployment
+      // scale doc length is a STORED column of the corpus table
+      // (computed once at ingest), which removes both passes.
       val dl = docs.select($"doc_id", size(tokens($"text")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         avg($"dl").as("avgdl"))
