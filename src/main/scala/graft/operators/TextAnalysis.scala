@@ -215,18 +215,22 @@ object TextAnalysis {
     "txt_bloom_decontaminate" -> { (s, d) =>
       import s.implicits._
       val (train, evalGrams) = decontamSides(s, d)
-      val bloom = evalGrams.stat.bloomFilter("gh", BloomExpectedGrams, BloomFpp)
-      // Spark's bloomFilter aggregate yields an unusable null-buffer
-      // sketch when its input is EMPTY (possible on degenerate
-      // corpora). One driver-side probe detects that for free — an
-      // isEmpty() gate would instead run the whole eval-side gram
-      // aggregation as an extra job on every healthy run.
-      val usable = scala.util.Try(bloom.mightContain(0L)).isSuccess
-      if (!usable) contaminationReport(train.limit(0), evalGrams)
-      else {
-        val mightContain = udf((gh: Long) => bloom.mightContain(gh))
-          .withName("bloom_might_contain")
-        contaminationReport(train.filter(mightContain($"gh")), evalGrams)
+      // stat.bloomFilter executes its aggregation EAGERLY and throws an
+      // NPE from BloomFilter.readFrom (null aggregate buffer) when its
+      // input is empty — possible on degenerate corpora. Catch exactly
+      // that signature and report zero contamination; anything else
+      // (executor loss, OOM) still propagates. An isEmpty() pre-gate
+      // would instead run the whole eval-side gram aggregation as an
+      // extra job on every healthy run.
+      val bloomOpt =
+        try Some(evalGrams.stat.bloomFilter("gh", BloomExpectedGrams, BloomFpp))
+        catch { case _: NullPointerException => None }
+      bloomOpt match {
+        case None => contaminationReport(train.limit(0), evalGrams)
+        case Some(bloom) =>
+          val mightContain = udf((gh: Long) => bloom.mightContain(gh))
+            .withName("bloom_might_contain")
+          contaminationReport(train.filter(mightContain($"gh")), evalGrams)
       }
     },
 
