@@ -96,6 +96,54 @@ object Embeddings {
       project(s, d)
         .select($"vec_id", posexplode($"proj").as(Seq("dim", "pv")))
         .select($"vec_id", $"dim", round($"pv".cast("double"), 6).as("pv"))
+    },
+
+    // Per-label embedding outlier gate — the "mislabeled / off-manifold
+    // vector" triage of embedding-space curation: squared L2 distance
+    // to the vector's own label centroid, flagged when strictly above
+    // the label's p90. Scale shape mirrors txt_quality_gate: centroids
+    // are the (label, dim)-keyed aggregation collapsed to a
+    // labels-sized ARRAY relation broadcast back (never a window over
+    // the corpus); the distance is a row-local ordered fold over the
+    // dimension zip — identical accumulation order in both engines on
+    // the 6-rounded centroids; and the p90 thresholds are a second
+    // labels-keyed aggregation over the 5-rounded distances, broadcast
+    // for the final filter. The dist relation is re-derived by each
+    // consumer (threshold agg, final filter — the bm25 doc-length
+    // convention; ReuseExchange collapses the duplicated centroid
+    // broadcast at execution), so cost is a few corpus scans + the
+    // (label, dim) exchange + tiny broadcasts — no corpus-keyed
+    // shuffle, no vec_id-keyed re-aggregation. At deployment scale
+    // dist2 would be a stored column computed once at ingest.
+    "emb_outliers" -> { (s, d) =>
+      import s.implicits._
+      val cent = Tables.embeddings(s, d)
+        .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"label", $"dim")
+        .agg(round(avg($"v".cast("double")), 6).as("c"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"c"))),
+          x => x("c")).as("cent"))
+      val dist = Tables.embeddings(s, d)
+        .join(broadcast(cent), Seq("label"))
+        .select($"vec_id", $"label",
+          round(aggregate(
+            zip_with($"embedding", slice($"cent", lit(1), size($"embedding")),
+              (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+            lit(0.0), (a, v) => a + v), 5).as("dist2"))
+      // thresh is deliberately UNROUNDED: the oracle restates Spark's
+      // exact interpolation arithmetic ((hi−pos)·d_lo + (pos−lo)·d_hi,
+      // verified bit-equal against Percentile's output), so both
+      // engines hold the identical double — while ROUNDING it would
+      // introduce a divergence, because the lerp of two 5-rounded
+      // values lands on exact decimal .5 boundaries where Spark
+      // (shortest-repr HALF_UP) and DuckDB (binary-value rounding)
+      // disagree.
+      val thr = dist.groupBy($"label")
+        .agg(expr("percentile(dist2, 0.9)").as("thresh"))
+      dist.join(broadcast(thr), Seq("label"))
+        .filter($"dist2" > $"thresh")
+        .select($"vec_id", $"label", $"dist2", $"thresh")
     })
 
   /** Library form of the JL projection: (vec_id, proj array<float>). */
@@ -212,5 +260,40 @@ object Embeddings {
             SELECT q_id, label, votes, ROW_NUMBER() OVER (
               PARTITION BY q_id ORDER BY votes DESC, label ASC) AS rk
             FROM votes) WHERE rk = 1"""
-    })
+    },
+    // Centroids restated as the same rounded (label, dim) averages
+    // (the emb_centroids convention), gathered into a dim-ordered
+    // list; the distance fold runs over the vector's own length
+    // (mirrors the Spark side's slice). The p90 threshold does NOT use
+    // quantile_cont: its interpolation drifts an ulp from Spark's
+    // `percentile` on some inputs (algebraically equal, floating-point
+    // different). Instead the oracle states Percentile's exact
+    // arithmetic on the sorted distances — pos = 0.9·(n−1),
+    // lo = ⌊pos⌋, thresh = (lo+1−pos)·d[lo] + (pos−lo)·d[lo+1]
+    // (the CONVEX form, bit-verified against Spark) — same doubles,
+    // same ops, identical 64-bit result, so thresh needs no rounding
+    // on either side.
+    "emb_outliers" ->
+      """WITH c AS (SELECT label, g.i AS i,
+           ROUND(AVG(embedding[g.i]::DOUBLE), 6) AS c
+           FROM embeddings, generate_series(1, 64) AS g(i)
+           GROUP BY label, g.i),
+         cl AS (SELECT label, list(c ORDER BY i) AS cent FROM c
+           GROUP BY label),
+         dist AS (SELECT e.vec_id, e.label,
+             ROUND(COALESCE(list_sum(list_transform(
+               generate_series(1, len(e.embedding)),
+               i -> (e.embedding[i]::DOUBLE - cent[i]) *
+                    (e.embedding[i]::DOUBLE - cent[i]))), 0.0), 5) AS dist2
+           FROM embeddings e JOIN cl USING (label)),
+         srt AS (SELECT label, list(dist2 ORDER BY dist2) AS ds
+           FROM dist GROUP BY label),
+         t AS (SELECT label,
+             (lo + 1 - pos) * ds[lo + 1] +
+               (pos - lo) * ds[LEAST(lo + 2, len(ds))] AS thresh
+           FROM (SELECT label, ds, 0.9 * (len(ds) - 1) AS pos,
+             CAST(FLOOR(0.9 * (len(ds) - 1)) AS BIGINT) AS lo FROM srt))
+         SELECT vec_id, dist.label, dist2, thresh
+         FROM dist JOIN t USING (label)
+         WHERE dist2 > thresh""")
 }

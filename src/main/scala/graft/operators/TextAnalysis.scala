@@ -572,6 +572,65 @@ object TextAnalysis {
         .select($"doc_id",
           coalesce($"n_tokens", lit(0L)).as("n_tokens"),
           round(coalesce($"nll", lit(0.0)), 5).as("nll"))
+    },
+
+    // Deterministic training-shard layout audit: route each document
+    // to one of 16 shards by a stable id hash (the first md5 nibble —
+    // content-free, so shard membership survives text edits), then
+    // audit the layout per shard: doc count, token mass, and an
+    // ORDER-INDEPENDENT membership fingerprint (bit_xor of a 32-bit
+    // md5-derived doc key). The assignment column is exactly what a
+    // shard writer's `repartition(shard)` routes on at 100 TB; the
+    // audit is one map-side-combinable aggregation to a 16-row
+    // relation (partial bit_xor/sum/count collapse per input split
+    // before the exchange), and the fingerprint lets two independent
+    // runs — or two engines — certify identical shard membership
+    // without ever comparing document lists.
+    "txt_shard" -> { (s, d) =>
+      import s.implicits._
+      val h = md5($"doc_id".cast("string"))
+      Tables.documents(s, d)
+        .select(
+          conv(substring(h, 1, 1), 16, 10).cast("int").as("shard"),
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("mk"),
+          coalesce(size(tokens($"text")), lit(0)).cast("long").as("n_toks"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_toks").as("n_tokens"),
+          expr("bit_xor(mk)").as("member_fp"))
+    },
+
+    // Temperature-based mixture resampling (the multi-source/
+    // multilingual rebalancing staple, α = 1/2): each source keeps
+    // documents at rate min(1, MixBaseRate·√(n_max/n_s)) — the
+    // largest source is cut to MixBaseRate while smaller sources keep
+    // proportionally more, flattening the source distribution toward
+    // uniform exactly as p_s ∝ n_s^α resampling does. The keep
+    // decision is a deterministic integer compare,
+    // hash32(doc) < ⌊rate·2³²⌋ — the same subset on every engine,
+    // rerun, and partitioning (the txt_sample_det reproducibility
+    // contract). The rate table derives from ONE per-source count
+    // aggregation (a sources-sized relation, broadcast back), so the
+    // corpus is scanned once with a row-local filter. Cross-engine
+    // exactness by construction: n_max/n_s divides exact longs, sqrt
+    // is IEEE-correctly-rounded, round(,6) then ·2³² (exact power-of-
+    // two scaling) and floor leave no ulp room for disagreement.
+    "txt_mix_sample" -> { (s, d) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      val rates = Tables.documents(s, d)
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+        .select($"source",
+          round(least(lit(1.0),
+            lit(MixBaseRate) * sqrt(max($"n").over(w).cast("double") / $"n")), 6)
+            .as("keep_rate"))
+      val hv = conv(substring(
+        md5(concat(lit("mix|"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+      Tables.documents(s, d)
+        .join(broadcast(rates), Seq("source"))
+        .filter(hv < floor($"keep_rate" * lit(4294967296.0)).cast("long"))
+        .select($"doc_id", $"source", $"keep_rate")
     })
 
   /** N-gram length for decontamination overlap (13 is the common
@@ -788,8 +847,23 @@ object TextAnalysis {
     */
   val ShardDocs = 100000L
 
+  /** Base keep-rate for the LARGEST source in txt_mix_sample; smaller
+    * sources keep min(1, MixBaseRate·√(n_max/n_s)). A power of two so
+    * the rate arithmetic stays exactly representable.
+    */
+  val MixBaseRate = 0.25
+
   private val sqlToks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
   private val sqlStop = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB restatement of Spark's `conv(substring(md5(x),1,8),16,10)`
+    * — the first 32 md5 bits as a BIGINT, built from eight hex-digit
+    * strpos terms (DuckDB has no base-conversion function).
+    */
+  private def sqlHex32(md5Expr: String): String =
+    (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substr($md5Expr, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
 
   /** Exact-decontamination oracle, shared by `txt_decontaminate` and
     * `txt_bloom_decontaminate` — the Bloom path's whole point is that
@@ -1071,5 +1145,26 @@ object TextAnalysis {
           SELECT d.doc_id,
             COALESCE(per.n, 0) AS n_tokens,
             ROUND(COALESCE(per.nll, 0.0), 5) AS nll
-          FROM documents d LEFT JOIN per USING (doc_id)""")
+          FROM documents d LEFT JOIN per USING (doc_id)""",
+    "txt_shard" ->
+      s"""WITH b AS (SELECT
+            strpos('0123456789abcdef',
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS shard,
+            ${sqlHex32("md5(CAST(doc_id AS VARCHAR))")} AS mk,
+            COALESCE(len($sqlToks), 0) AS n_toks
+          FROM documents)
+          SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+            CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+            bit_xor(mk) AS member_fp
+          FROM b GROUP BY shard""",
+    "txt_mix_sample" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n FROM documents
+            GROUP BY source),
+          r AS (SELECT source, ROUND(LEAST(1.0,
+              $MixBaseRate * SQRT((MAX(n) OVER ())::DOUBLE / n)), 6)
+              AS keep_rate FROM per)
+          SELECT d.doc_id, d.source, r.keep_rate
+          FROM documents d JOIN r USING (source)
+          WHERE ${sqlHex32("md5('mix|' || CAST(d.doc_id AS VARCHAR))")}
+            < CAST(FLOOR(keep_rate * 4294967296.0) AS BIGINT)""")
 }

@@ -135,6 +135,44 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unexpected extra exchange:\n$p")
   }
 
+  test("txt_shard: one map-side-combinable exchange to the 16-row audit, no window") {
+    val p = plan("txt_shard")
+    // the audit must be a single hash aggregate pair on the shard key
+    // (partial count/sum/bit_xor collapse per split before the
+    // exchange) — a second wide exchange or a window would mean the
+    // layout audit shuffles the corpus instead of 16 partial rows
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(count(p, "Window") == 0, p)
+  }
+
+  test("txt_mix_sample: rate table broadcasts; corpus scan stays narrow") {
+    val p = plan("txt_mix_sample")
+    // the per-source rate relation joins back as a broadcast — a
+    // sort-merge join here would shuffle the whole corpus on `source`
+    // (a handful of hot keys) just to attach one double per row
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+    // only the sources-sized count agg exchanges by hash; the keep
+    // filter itself is row-local on the scan side of the join
+    assert(count(p, "Exchange hashpartitioning") <= 1, p)
+  }
+
+  test("emb_outliers: centroid + threshold relations broadcast; no corpus window") {
+    val p = plan("emb_outliers")
+    // every tiny relation (label→centroid array twice — the dist
+    // relation is re-derived per consumer — and label→p90) must
+    // broadcast back; partitioning the corpus by ~10 labels — join or
+    // window — is the skew anti-pattern txt_quality_gate eliminated
+    assert(count(p, "BroadcastHashJoin") == 3, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+    assert(count(p, "Window") == 0, p)
+    // wide exchanges: the (label, dim) + label centroid aggs (×2
+    // consumers; identical subtrees, collapsed by ReuseExchange at
+    // execution) and the label-keyed percentile agg (partial
+    // value-count maps over 5-rounded dist2)
+    assert(count(p, "Exchange hashpartitioning") <= 5, p)
+  }
+
   test("IVF default probe plan has no candidate-dedup exchange (single assignment)") {
     // round-4 win: with assign=1 a vector reaches a query through at
     // most one probed cell, so the probe plan needs no dropDuplicates —
