@@ -264,15 +264,23 @@ object Embeddings {
     // Centroids restated as the same rounded (label, dim) averages
     // (the emb_centroids convention), gathered into a dim-ordered
     // list; the distance fold runs over the vector's own length
-    // (mirrors the Spark side's slice). The p90 threshold does NOT use
-    // quantile_cont: its interpolation drifts an ulp from Spark's
-    // `percentile` on some inputs (algebraically equal, floating-point
-    // different). Instead the oracle states Percentile's exact
-    // arithmetic on the sorted distances — pos = 0.9·(n−1),
-    // lo = ⌊pos⌋, thresh = (lo+1−pos)·d[lo] + (pos−lo)·d[lo+1]
-    // (the CONVEX form, bit-verified against Spark) — same doubles,
-    // same ops, identical 64-bit result, so thresh needs no rounding
-    // on either side.
+    // (mirrors the Spark side's slice), and NULL-embedding rows are
+    // dropped up front — exactly the Spark side's net behavior (NULL
+    // dist2 is invisible to `percentile` and to the final filter),
+    // where COALESCE-ing them to 0.0 would shift the label's
+    // threshold. The p90 threshold does NOT use quantile_cont: its
+    // interpolation drifts an ulp from Spark's `percentile` on some
+    // inputs (algebraically equal, floating-point different). Instead
+    // the oracle states Percentile's exact arithmetic on the sorted
+    // distances — pos = 0.9·(n−1), lo = ⌊pos⌋,
+    // thresh = (lo+1−pos)·d[lo] + (pos−lo)·d[lo+1] (the CONVEX form,
+    // bit-verified against Spark), with Percentile's equal-keys early
+    // return (d[lo] = d[lo+1] ⇒ thresh = d[lo] exactly — the convex
+    // sum is NOT bit-stable on duplicated values). 0.9 must be cast
+    // ::DOUBLE: DuckDB parses the bare literal as DECIMAL, whose
+    // exact-decimal pos yields different interpolation weights than
+    // Spark's double multiply. Same doubles, same ops, identical
+    // 64-bit result — so thresh needs no rounding on either side.
     "emb_outliers" ->
       """WITH c AS (SELECT label, g.i AS i,
            ROUND(AVG(embedding[g.i]::DOUBLE), 6) AS c
@@ -285,14 +293,19 @@ object Embeddings {
                generate_series(1, len(e.embedding)),
                i -> (e.embedding[i]::DOUBLE - cent[i]) *
                     (e.embedding[i]::DOUBLE - cent[i]))), 0.0), 5) AS dist2
-           FROM embeddings e JOIN cl USING (label)),
+           FROM embeddings e JOIN cl USING (label)
+           WHERE e.embedding IS NOT NULL),
          srt AS (SELECT label, list(dist2 ORDER BY dist2) AS ds
            FROM dist GROUP BY label),
          t AS (SELECT label,
-             (lo + 1 - pos) * ds[lo + 1] +
-               (pos - lo) * ds[LEAST(lo + 2, len(ds))] AS thresh
-           FROM (SELECT label, ds, 0.9 * (len(ds) - 1) AS pos,
-             CAST(FLOOR(0.9 * (len(ds) - 1)) AS BIGINT) AS lo FROM srt))
+             CASE WHEN ds[LEAST(lo + 2, len(ds))] = ds[lo + 1]
+               THEN ds[lo + 1]
+               ELSE (lo + 1 - pos) * ds[lo + 1] +
+                 (pos - lo) * ds[LEAST(lo + 2, len(ds))]
+             END AS thresh
+           FROM (SELECT label, ds, 0.9::DOUBLE * (len(ds) - 1) AS pos,
+             CAST(FLOOR(0.9::DOUBLE * (len(ds) - 1)) AS BIGINT) AS lo
+             FROM srt))
          SELECT vec_id, dist.label, dist2, thresh
          FROM dist JOIN t USING (label)
          WHERE dist2 > thresh""")
