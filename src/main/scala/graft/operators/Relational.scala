@@ -300,12 +300,49 @@ object Relational {
         .union(c.select(lit(2).as("stage"), $"user_id"))
         .union(p.select(lit(3).as("stage"), $"user_id"))
         .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+    },
+
+    // Top-k session journeys — the path-analysis staple: each session's
+    // ordered event-type sequence becomes one path string, counted
+    // across sessions, top PathTopK by frequency. The sessionization
+    // window and the per-session path aggregate share ONE user-keyed
+    // exchange (same shape as evt_sessions); the path-keyed count then
+    // moves one row per SESSION (orders of magnitude below the event
+    // count), and the final top-k is a TakeOrdered over the distinct-
+    // path relation — no full sort. In-session order is pinned by
+    // array_sort over (ts_ms, event_id, type) structs: event_id is
+    // unique, so ordering is total and engine-independent.
+    "evt_topk_paths" -> { (s, d) =>
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts) div 1000").as("ts_ms"))
+        .withColumn("prev", lag($"ts_ms", 1).over(byUser))
+        .withColumn("brk",
+          when($"prev".isNull || $"ts_ms" - $"prev" > SessionGapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum($"brk").over(byUser.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(concat_ws(">", transform(
+          array_sort(collect_list(struct($"ts_ms", $"event_id", $"event_type"))),
+          e => e.getField("event_type"))).as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"n_sessions".desc, $"path".asc)
+        .limit(PathTopK)
     })
 
   /** Session gap bound for evt_sessions (the reference DAG's 30-minute
     * cadence, `dags/dag.py:39-40`, reused as the session timeout).
     */
   val SessionGapMs = 1800000L
+
+  /** Result size for evt_topk_paths. */
+  val PathTopK = 20
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -441,5 +478,26 @@ object Relational {
       """SELECT event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
          ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k
-         FROM events GROUP BY event_type""")
+         FROM events GROUP BY event_type""",
+    // The evt_sessions CTE chain with event_type carried through, plus
+    // an ORDER BY string_agg per session (equivalent to the struct-sort
+    // on the Spark side — (ts_ms, event_id) is already total).
+    "evt_topk_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
+            FROM events),
+          b AS (SELECT user_id, event_id, event_type, ts_ms,
+            CASE WHEN lag(ts_ms) OVER w IS NULL
+              OR ts_ms - lag(ts_ms) OVER w > $SessionGapMs
+            THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+          sx AS (SELECT user_id, event_id, event_type, ts_ms,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM b),
+          p AS (SELECT user_id, session_idx,
+            string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+            FROM sx GROUP BY user_id, session_idx)
+          SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+          ORDER BY n_sessions DESC, path ASC LIMIT $PathTopK""")
 }

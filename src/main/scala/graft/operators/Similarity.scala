@@ -84,6 +84,35 @@ object Similarity {
   private[operators] def unpackBucket(p: org.apache.spark.sql.Column) =
     p.bitwiseAND(lit(0xffffffffL)).cast("int")
 
+  /** Radius for [[rangeSearch]]: the declared threshold keeps ~140
+    * pairs at sf0.01 on the isotropic fixture (non-trivial but
+    * bounded); a production near-dup radius (≥0.85) is a parameter
+    * away and the plan is unchanged.
+    */
+  val RangeRadius = 0.2
+
+  /** Threshold (range) search — the radius-query sibling of top-k:
+    * every corpus vector within cosine >= `radius` of each query. One
+    * broadcast-join scan and a row-local filter on the ROUNDED score —
+    * no window, no shuffle at all (top-k needs a per-query rank; range
+    * search doesn't), so it scales as |Q| fused multiply-adds per
+    * corpus row and emits matches in place. The gate compares the
+    * rounded cosine (repo threshold convention) so both engines keep
+    * the identical pair set.
+    */
+  def rangeSearch(s: SparkSession, d: String,
+      radius: Double = RangeRadius): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    broadcast(querySet(s, d))
+      .join(corpus(s, d), $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
+          4).as("cos_sim"))
+      .filter($"cos_sim" >= radius)
+  }
+
   /** Brute-force top-k: broadcast queries × corpus scan → rounded
     * cosine → windowed rank (rounded score + neighbor id tiebreak so
     * the result is engine-independent).
@@ -670,6 +699,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topkBruteForce(s, d)),
+    "sim_range" -> ((s, d) => rangeSearch(s, d)),
     // Plane-derived variants (lsh/proj) are fully oracled via the
     // compiled-in literal plane/matrix trick; the IVF family is oracled
     // the same way with the TRAINED centroids rendered at Verify time
@@ -793,6 +823,17 @@ object Similarity {
             SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
               PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
             FROM scored) WHERE rank <= $TopK""",
+    // The brute-force CTE minus the window: the gate compares the
+    // rounded score against the radius cast ::DOUBLE (DuckDB parses
+    // the bare literal as DECIMAL — the emb_outliers lesson).
+    "sim_range" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              ROUND(${sqlCos("q.embedding", "c.embedding")}, 4) AS cos_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % $QueryStride = 0)
+          SELECT q_id, n_id, cos_sim FROM scored
+          WHERE cos_sim >= $RangeRadius::DOUBLE""",
     // Same seeded projection matrix as a SQL literal (shared with
     // emb_project): REAL cast mirrors the kernel's acc.toFloat, the
     // outer DOUBLE + round mirrors the declared query. COALESCE pins

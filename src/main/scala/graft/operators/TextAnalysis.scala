@@ -631,6 +631,46 @@ object TextAnalysis {
         .join(broadcast(rates), Seq("source"))
         .filter(hv < floor($"keep_rate" * lit(4294967296.0)).cast("long"))
         .select($"doc_id", $"source", $"keep_rate")
+    },
+
+    // Gopher-style quality rule battery (Rae et al. 2021, Table A1 —
+    // the published heuristic suite for web-scale pretraining
+    // corpora): per-document metrics plus one 0/1 flag per rule,
+    // n_fail and an overall pass. Rules: word count within
+    // [GopherMinWords, GopherMaxWords]; mean word length within
+    // [GopherMeanWlenMin, GopherMeanWlenMax]; fraction of words
+    // containing an alphabetic character >= GopherAlphaFracMin;
+    // stopword count >= GopherMinStopwords; symbol ('#' / '...')
+    // -to-word ratio <= GopherSymbolRatioMax. Flags derive from the
+    // ROUNDED metrics (the repo-wide threshold convention), so both
+    // engines gate on identical doubles. Entirely row-local — one
+    // scan, no shuffle, linear at 100 TB. NULL text yields NULL
+    // metrics, whose comparisons are NULL, and CASE/when treat that
+    // as fail on both engines.
+    "txt_gopher_rules" -> { (s, d) =>
+      import s.implicits._
+      val toks = tokens($"text")
+      val nw = size(toks).cast("double")
+      val base = Tables.documents(s, d).select(
+        $"doc_id",
+        size(toks).cast("long").as("n_words"),
+        round(coalesce(aggregate(transform(toks, t => length(t)), lit(0),
+          (acc, x) => acc + x), lit(0)).cast("double") / greatest(nw, lit(1.0)), 6)
+          .as("mean_wlen"),
+        round(size(filter(toks, t => t.rlike("[A-Za-z]"))) /
+          greatest(nw, lit(1.0)), 6).as("alpha_frac"),
+        stopwordCount(toks).cast("long").as("n_stop"),
+        round(regexp_count($"text", lit("#|\\.\\.\\.")) /
+          greatest(nw, lit(1.0)), 6).as("sym_ratio"))
+      val flags = Seq(
+        $"n_words" >= GopherMinWords && $"n_words" <= GopherMaxWords,
+        $"mean_wlen" >= GopherMeanWlenMin && $"mean_wlen" <= GopherMeanWlenMax,
+        $"alpha_frac" >= GopherAlphaFracMin,
+        $"n_stop" >= GopherMinStopwords,
+        $"sym_ratio" <= GopherSymbolRatioMax)
+      val nOk = flags.map(f => when(f, 1L).otherwise(0L)).reduce(_ + _)
+      base.withColumn("n_fail", lit(flags.size.toLong) - nOk)
+        .withColumn("pass", when($"n_fail" === 0L, 1L).otherwise(0L))
     })
 
   /** N-gram length for decontamination overlap (13 is the common
@@ -638,6 +678,21 @@ object TextAnalysis {
     * short-doc fixtures meaningful while exercising the same plan).
     */
   val DecontamN = 8
+
+  /** Gopher rule bounds (Rae et al. 2021, Table A1). Word-count /
+    * mean-word-length / alpha-fraction / symbol-ratio bounds are the
+    * published values (the fixture's 10–99-word docs split ~55/45 on
+    * the 50-word floor); the stopword floor uses this repo's closed
+    * [[Stopwords]] set (Gopher's rule counts hits from a comparable
+    * small closed list).
+    */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMeanWlenMin = 3.0
+  val GopherMeanWlenMax = 10.0
+  val GopherAlphaFracMin = 0.8
+  val GopherMinStopwords = 2
+  val GopherSymbolRatioMax = 0.1
 
   /** BM25 parameters — the standard k1/b defaults and a fixed query
     * over corpus-vocabulary terms (a declared query has no runtime
@@ -1166,5 +1221,38 @@ object TextAnalysis {
           SELECT d.doc_id, d.source, r.keep_rate
           FROM documents d JOIN r USING (source)
           WHERE ${sqlHex32("md5('mix|' || CAST(d.doc_id AS VARCHAR))")}
-            < CAST(FLOOR(keep_rate * 4294967296.0) AS BIGINT)""")
+            < CAST(FLOOR(keep_rate * 4294967296.0) AS BIGINT)""",
+    // Metrics restated with the txt_quality conventions (same token
+    // class, same GREATEST guards, same rounding); flags re-derived
+    // from the rounded metrics so both engines gate on identical
+    // doubles. Bounds interpolate from the shared constants; the
+    // ::DOUBLE casts keep DuckDB's DECIMAL literal parsing out of the
+    // comparisons (the emb_outliers lesson). NULL text → NULL metrics
+    // → CASE arms fall through to 0, matching Spark's when/otherwise.
+    "txt_gopher_rules" ->
+      s"""WITH m AS (SELECT doc_id,
+            len($sqlToks) AS n_words,
+            ROUND(COALESCE(list_sum(list_transform($sqlToks, t -> len(t))), 0)::DOUBLE /
+              GREATEST(len($sqlToks), 1), 6) AS mean_wlen,
+            ROUND(len(list_filter($sqlToks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE /
+              GREATEST(len($sqlToks), 1), 6) AS alpha_frac,
+            len(list_filter($sqlToks, t -> list_contains($sqlStop, t))) AS n_stop,
+            ROUND(len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE /
+              GREATEST(len($sqlToks), 1), 6) AS sym_ratio
+            FROM documents),
+          f AS (SELECT doc_id, n_words, mean_wlen, alpha_frac, n_stop, sym_ratio,
+            CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+              THEN 1 ELSE 0 END
+            + CASE WHEN mean_wlen >= $GopherMeanWlenMin::DOUBLE
+                AND mean_wlen <= $GopherMeanWlenMax::DOUBLE THEN 1 ELSE 0 END
+            + CASE WHEN alpha_frac >= $GopherAlphaFracMin::DOUBLE THEN 1 ELSE 0 END
+            + CASE WHEN n_stop >= $GopherMinStopwords THEN 1 ELSE 0 END
+            + CASE WHEN sym_ratio <= $GopherSymbolRatioMax::DOUBLE THEN 1 ELSE 0 END
+              AS n_ok
+            FROM m)
+          SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_wlen,
+            alpha_frac, CAST(n_stop AS BIGINT) AS n_stop, sym_ratio,
+            CAST(5 - n_ok AS BIGINT) AS n_fail,
+            CAST(CASE WHEN n_ok = 5 THEN 1 ELSE 0 END AS BIGINT) AS pass
+          FROM f""")
 }

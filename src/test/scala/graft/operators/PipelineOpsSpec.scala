@@ -907,4 +907,71 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter($"event_type" === "view").select($"user_id").distinct().count()
     assert(f(1) == viewers)
   }
+
+  test("gopher rules: a constructed corpus trips each rule independently") {
+    import spark.implicits._
+    // one doc per failure mode, plus one that passes everything
+    val good = (Seq("the", "and", "of") ++
+      (1 to 57).map(i => s"word$i")).mkString(" ")       // 60 ok words
+    val short = "the cat and dog sat"                    // 5 words
+    val numeric = (1 to 60).map(_ => "12345").mkString(" ") // no alpha, no stop
+    val symbols = (Seq("the", "and") ++ (1 to 48).map(i => s"word$i") ++
+      (1 to 10).map(i => s"trail$i...")).mkString(" ")   // 10/60 symbol marks
+    val longWords = (Seq("the", "and") ++
+      (1 to 58).map(_ => "abcdefghijklmno")).mkString(" ") // mean wlen ≈ 14.6
+    val docs = Seq((0L, good), (1L, short), (2L, numeric),
+      (3L, symbols), (4L, longWords)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.queries("txt_gopher_rules")(spark, tmp)
+      .select($"doc_id", $"n_words", $"n_stop", $"n_fail", $"pass")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 60L, 3L, 0L, 1L)))  // passes all five
+    assert(got(1L) == ((1L, 5L, 2L, 1L, 0L)))   // word-count floor only
+    assert(got(2L)._4 == 2L && got(2L)._5 == 0L) // alpha + stopword rules
+    assert(got(3L) == ((3L, 60L, 2L, 1L, 0L)))  // symbol ratio only
+    assert(got(4L) == ((4L, 60L, 2L, 1L, 0L)))  // mean word length only
+    // on the real corpus: n_words is txt_tokens' n_tokens, and pass
+    // is exactly the zero-fail rows
+    val g = TextAnalysis.queries("txt_gopher_rules")(spark, sf)
+    val t = TextAnalysis.queries("txt_tokens")(spark, sf)
+    assert(g.join(t, "doc_id").filter($"n_words" =!= $"n_tokens").count() == 0)
+    assert(g.filter(($"pass" === 1L) =!= ($"n_fail" === 0L)).count() == 0)
+    assert(g.filter($"pass" === 1L).count() > 0)
+  }
+
+  test("topk paths: a census of sessions in total order over the event alphabet") {
+    import spark.implicits._
+    val paths = Relational.queries("evt_topk_paths")(spark, sf)
+      .as[(String, Long)].collect()
+    assert(paths.nonEmpty && paths.length <= Relational.PathTopK)
+    // the declared ordering (count desc, path asc) is total and kept
+    assert(paths.sameElements(paths.sortBy { case (p, n) => (-n, p) }))
+    // each path spells event types from the corpus alphabet
+    val types = graft.Tables.events(spark, sf).select($"event_type")
+      .distinct().as[String].collect().toSet
+    assert(paths.forall(_._1.split(">").forall(types.contains)))
+    // top paths cover no more sessions than exist
+    val nSessions = Relational.queries("evt_sessions")(spark, sf).count()
+    assert(paths.map(_._2).sum <= nSessions)
+  }
+
+  test("range search: clears the radius, contains the qualifying top-k, monotone in radius") {
+    import spark.implicits._
+    val range = Similarity.queries("sim_range")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(range.nonEmpty)
+    assert(range.forall(_._3 >= Similarity.RangeRadius))
+    // independent path: every brute-force top-k row at/above the
+    // radius must appear (window+rank there, bare filter here)
+    val topk = Similarity.topkBruteForce(spark, sf)
+      .select($"q_id", $"n_id", $"cos_sim").as[(Long, Long, Double)]
+      .collect().filter(_._3 >= Similarity.RangeRadius).toSet
+    assert(topk.nonEmpty && topk.subsetOf(range))
+    // a tighter radius returns a subset
+    val tight = Similarity.rangeSearch(spark, sf, radius = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tight.subsetOf(range))
+  }
 }
