@@ -462,6 +462,11 @@ object Dedup {
   val JaccardThreshold = 0.6
   val CosineThreshold = 0.45
 
+  /** Lines-per-document bound for dedup_lines' packed keeper key
+    * (doc_id·cap + pos): 2²¹ lines/doc leaves 2⁴² doc ids in 63 bits.
+    */
+  val LinePosCap = 1L << 21
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one representative (min doc_id) per content hash.
     // Generalizes the reference's tracking-table dedup to a single
@@ -539,6 +544,49 @@ object Dedup {
     // shingle key, the run grouping one shuffle on doc_id — no pair
     // join at all, so this is the cheapest member of the family.
     "dedup_substring" -> ((s, d) => duplicatedSpans(s, d)),
+
+    // C4-style line-level dedup (Raffel et al. 2020 §2.2: "we
+    // discarded all but one of any three-sentence span occurring more
+    // than once", here at the line granularity the public C4 code
+    // actually dedups on): a non-blank line occurring anywhere else in
+    // the corpus survives only at its first occurrence (lowest
+    // (doc_id, pos)); blank lines are document structure and always
+    // survive; documents are reassembled from surviving lines in
+    // original order. Scale shape — the part worth getting right at
+    // 100 TB: line TEXT never rides a line-keyed shuffle. The keeper
+    // election works on a narrow (line, doc_id, pos) stream whose
+    // groupBy-min partially aggregates map-side (a boilerplate line
+    // duplicated a billion times collapses to one row per input split
+    // BEFORE the exchange — the skew lives exactly there), the
+    // surviving positions collapse to one array row per document, and
+    // the full text moves through exactly ONE doc_id-keyed broadcast-
+    // or-shuffle join, after which the rebuild (split → filter by
+    // position → rejoin) is entirely row-local. Packed keeper key =
+    // doc_id·2²¹ + pos bounds documents at 2²¹ lines (a 100 TB corpus
+    // with longer docs raises [[LinePosCap]] — the key stays in the
+    // 63-bit budget up to 2⁴² docs).
+    "dedup_lines" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val nb = docs
+        .select($"doc_id", posexplode(split($"text", "\n", -1)).as(Seq("pos", "line")))
+        .filter(trim($"line") =!= "")
+      val keepers = nb.groupBy($"line")
+        .agg(min($"doc_id" * lit(LinePosCap) + $"pos").as("keep_key"))
+      val keptPos = nb.join(keepers, Seq("line"))
+        .filter($"doc_id" * lit(LinePosCap) + $"pos" === $"keep_key")
+        .groupBy($"doc_id").agg(collect_list($"pos").as("kept"))
+      val ls = split($"text", "\n", -1)
+      // index lambda i is 0-based; a line survives if blank or elected
+      val keptLines = filter(ls, (x, i) =>
+        trim(x) === "" || array_contains($"kept", i))
+      docs.join(keptPos, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce(size(ls), lit(0)).cast("long").as("n_lines"),
+          coalesce(size(keptLines), lit(0)).cast("long").as("n_kept"),
+          when($"text".isNull, lit(null).cast("string"))
+            .otherwise(concat_ws("\n", keptLines)).as("text_dedup"))
+    },
 
     // MinHash+LSH: banding proposes candidates, exact Jaccard verifies
     // — but only over the candidate pairs (work ∝ Σ bucket collisions,
@@ -1186,6 +1234,39 @@ object Dedup {
           SELECT doc_id, MIN(pos) AS run_start, MAX(pos) AS run_end,
             COUNT(*) AS n_shingles
           FROM runs GROUP BY doc_id, grp""",
+    // Same election restated quadratically: parallel-unnest positions,
+    // blank = trim-to-empty (both engines trim the ASCII space only),
+    // keeper = min packed (doc_id, pos). The rebuild filters 1-based
+    // indices so blank lines survive in place; COALESCE guards
+    // DuckDB's empty-list array_to_string (NULL, where Spark's
+    // concat_ws over an empty array is '').
+    "dedup_lines" ->
+      s"""WITH l AS (SELECT doc_id, text,
+            string_split(text, chr(10)) AS ls FROM documents),
+          lrows AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(ls)), i -> i - 1)) AS pos,
+              unnest(ls) AS line
+            FROM l),
+          nb AS (SELECT doc_id, pos, line FROM lrows WHERE trim(line) <> ''),
+          keep AS (SELECT line, MIN(doc_id * $LinePosCap + pos) AS keep_key
+            FROM nb GROUP BY line),
+          kp AS (SELECT doc_id, list(pos) AS kept
+            FROM nb JOIN keep USING (line)
+            WHERE doc_id * $LinePosCap + pos = keep_key
+            GROUP BY doc_id),
+          built AS (SELECT l.doc_id, l.text, l.ls,
+              list_transform(
+                list_filter(generate_series(1, len(l.ls)),
+                  i -> trim(l.ls[i]) = ''
+                    OR list_contains(COALESCE(kp.kept, []), i - 1)),
+                i -> l.ls[i]) AS kl
+            FROM l LEFT JOIN kp USING (doc_id))
+          SELECT doc_id,
+            COALESCE(len(ls), 0)::BIGINT AS n_lines,
+            COALESCE(len(kl), 0)::BIGINT AS n_kept,
+            CASE WHEN text IS NULL THEN NULL
+              ELSE COALESCE(array_to_string(kl, chr(10)), '') END AS text_dedup
+          FROM built""",
     "dedup_cluster" ->
       s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
           dup AS (SELECT id_a, id_b FROM pairs

@@ -700,6 +700,25 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topkBruteForce(s, d)),
     "sim_range" -> ((s, d) => rangeSearch(s, d)),
+    // ANN quality audit — recall@k of the IVF probe against the
+    // brute-force truth, the metric every ANN deployment tracks
+    // before trading exactness for speed. Both inputs are declared
+    // queries (truth from the same rounded-cosine kernel, candidates
+    // from the cached build-once index), each |Q|·k rows — the join
+    // and per-query agg are trivia next to the scans they audit, so
+    // the line measures steady-state probe+scan cost. n_true counts
+    // the truth rows (k when the corpus has that many neighbors), so
+    // recall stays honest on degenerate tiny-corpus queries.
+    "sim_recall_eval" -> { (s, d) =>
+      import s.implicits._
+      val bf = topkBruteForce(s, d).select($"q_id", $"n_id")
+      val ivf = topkIvf(s, d).select($"q_id", $"n_id", lit(1).as("hit"))
+      bf.join(ivf, Seq("q_id", "n_id"), "left")
+        .groupBy($"q_id")
+        .agg(count(lit(1)).as("n_true"), count($"hit").as("n_hits"))
+        .select($"q_id", $"n_true", $"n_hits",
+          round($"n_hits".cast("double") / $"n_true", 6).as("recall"))
+    },
     // Plane-derived variants (lsh/proj) are fully oracled via the
     // compiled-in literal plane/matrix trick; the IVF family is oracled
     // the same way with the TRAINED centroids rendered at Verify time
@@ -981,33 +1000,46 @@ object Similarity {
     // same occupancy-aware policy as topkIvf (the shared cached index,
     // so the boost decision is identical by construction)
     val np = defaultNProbe(k, ivfIndex(s, d).cellCounts)
+    // Full probe pipeline restated: top-np cells per query by the
+    // same similarity kernel, candidates from the probed cells'
+    // assignments, exact rounded-cosine re-rank (the sim_ann_lsh
+    // oracle pattern; IvfAssign=1 → no cross-cell dedup needed).
+    val ivfSql =
+      s"""WITH $ctes,
+          qprobe AS (
+            SELECT vec_id AS q_id, CAST(c - 1 AS BIGINT) AS cell FROM (
+              SELECT vec_id, c, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, c ASC) AS rn
+              FROM sims WHERE vec_id % $QueryStride = 0)
+            WHERE rn <= $np),
+          cand AS (
+            SELECT q.q_id, a.vec_id AS n_id
+            FROM qprobe q JOIN asg a ON q.cell = a.cell
+            WHERE q.q_id <> a.vec_id),
+          scored AS (
+            SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+            FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
+                       JOIN embeddings n ON n.vec_id = c.n_id)
+          SELECT q_id, n_id, cos_sim, rank FROM (
+            SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+            FROM scored) WHERE rank <= $TopK"""
     Map(
       "ivf_build" ->
         s"""WITH $ctes
             SELECT vec_id, cell FROM asg""",
-      // Full probe pipeline restated: top-np cells per query by the
-      // same similarity kernel, candidates from the probed cells'
-      // assignments, exact rounded-cosine re-rank (the sim_ann_lsh
-      // oracle pattern; IvfAssign=1 → no cross-cell dedup needed).
-      "sim_ann_ivf" ->
-        s"""WITH $ctes,
-            qprobe AS (
-              SELECT vec_id AS q_id, CAST(c - 1 AS BIGINT) AS cell FROM (
-                SELECT vec_id, c, ROW_NUMBER() OVER (
-                  PARTITION BY vec_id ORDER BY sim DESC, c ASC) AS rn
-                FROM sims WHERE vec_id % $QueryStride = 0)
-              WHERE rn <= $np),
-            cand AS (
-              SELECT q.q_id, a.vec_id AS n_id
-              FROM qprobe q JOIN asg a ON q.cell = a.cell
-              WHERE q.q_id <> a.vec_id),
-            scored AS (
-              SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
-              FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
-                         JOIN embeddings n ON n.vec_id = c.n_id)
-            SELECT q_id, n_id, cos_sim, rank FROM (
-              SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
-                PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
-              FROM scored) WHERE rank <= $TopK""")
+      "sim_ann_ivf" -> ivfSql,
+      // The ivf and brute-force pipelines verbatim as nested
+      // subqueries (DuckDB allows WITH inside a parenthesized CTE
+      // body), joined on (q_id, n_id); COUNT(ivf.n_id) counts only
+      // matched truth rows under the LEFT JOIN.
+      "sim_recall_eval" ->
+        s"""WITH ivf AS ($ivfSql),
+            bf AS (${oracles("sim_topk_bruteforce")})
+            SELECT bf.q_id, COUNT(*) AS n_true, COUNT(ivf.n_id) AS n_hits,
+              ROUND(COUNT(ivf.n_id)::DOUBLE / COUNT(*), 6) AS recall
+            FROM bf LEFT JOIN ivf
+              ON bf.q_id = ivf.q_id AND bf.n_id = ivf.n_id
+            GROUP BY bf.q_id""")
   }
 }

@@ -116,7 +116,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // DuckDB parses is the same 64-bit value the kernel used).
     val sim = Similarity.dynamicOracles(spark, sf)
     val ded = Dedup.dynamicOracles(spark, sf)
-    assert(sim.keySet == Set("ivf_build", "sim_ann_ivf"))
+    assert(sim.keySet == Set("ivf_build", "sim_ann_ivf", "sim_recall_eval"))
     assert(ded.keySet == Set("dedup_semantic"))
     val static = graft.SparkEntry.oracleSql.keySet
     assert((sim.keySet ++ ded.keySet).forall(!static.contains(_)))
@@ -615,6 +615,59 @@ class PipelineOpsSpec extends AnyFunSuite {
     Seq((9L, "one two")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     assert(Dedup.queries("dedup_substring")(spark, tmp).count() == 0)
+  }
+
+  test("dedup_lines: first occurrence survives, blanks survive, docs rebuilt in order") {
+    import spark.implicits._
+    // doc 0 owns "alpha beta" (pos 0) and a self-repeat at pos 2; doc 1
+    // repeats it again plus a unique line; doc 2 is blank-structured
+    // around a line doc 0 also holds; doc 3 is null text; doc 4 empty.
+    val tmp = java.nio.file.Files.createTempDirectory("lines").toString
+    Seq(
+      (0L, Some("alpha beta\nshared tail\nalpha beta")),
+      (1L, Some("only mine\nalpha beta")),
+      (2L, Some("\nshared tail\n  \nkept solo")),
+      (3L, None: Option[String]),
+      (4L, Some("")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.queries("dedup_lines")(spark, tmp)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0: keeps pos 0+1, drops its own pos-2 repeat
+    assert(got(0L) == ((0L, 3L, 2L, Some("alpha beta\nshared tail"))))
+    // doc 1: "alpha beta" lost to doc 0, unique line kept
+    assert(got(1L) == ((1L, 2L, 1L, Some("only mine"))))
+    // doc 2: blanks (empty + spaces) survive in place; "shared tail"
+    // lost to doc 0's earlier occurrence; unique line kept
+    assert(got(2L) == ((2L, 4L, 3L, Some("\n  \nkept solo"))))
+    // null text: no lines, NULL rebuild
+    assert(got(3L) == ((3L, 0L, 0L, None)))
+    // empty text: one blank line, kept verbatim
+    assert(got(4L) == ((4L, 1L, 1L, Some(""))))
+    // corpus invariant at the fixture: token mass never grows, and a
+    // doc's surviving text is always a subsequence of its lines
+    val full = Dedup.queries("dedup_lines")(spark, sf)
+    assert(full.filter($"n_kept" > $"n_lines").count() == 0)
+    assert(full.filter($"text_dedup".isNull && $"n_lines" > 0).count() == 0)
+  }
+
+  test("sim_recall_eval: per-query recall matches an independent set intersection") {
+    import spark.implicits._
+    val r = Similarity.queries("sim_recall_eval")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    val bf = Similarity.topkBruteForce(spark, sf)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.topkIvf(spark, sf)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(r.map(_._1).toSet == bf.map(_._1))
+    r.foreach { case (q, nTrue, nHits, rec) =>
+      val truth = bf.filter(_._1 == q)
+      val hits = truth.count(ivf.contains)
+      assert(nTrue == truth.size && nHits == hits, s"q=$q")
+      assert(math.abs(rec - hits.toDouble / truth.size) < 1e-6, s"q=$q")
+    }
   }
 
   test("PQ Lloyd training is flops-guarded and the distributed path agrees") {
