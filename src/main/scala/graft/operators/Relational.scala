@@ -334,6 +334,38 @@ object Relational {
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy($"n_sessions".desc, $"path".asc)
         .limit(PathTopK)
+    },
+
+    // Engagement stickiness — per observed day, DAU, trailing-
+    // MauWindowDays MAU, and their ratio. The scale move: distinct-
+    // users-over-a-sliding-window is NOT a window function over events
+    // (that buffers a month of events per partition); the event stream
+    // collapses ONCE to distinct (user, day) — map-side combinable,
+    // the evt_retention shape — and each user-day then feeds the ≤30
+    // window days it contributes to via a bounded explode. Both
+    // distincts and both counts are ordinary keyed aggs; every
+    // intermediate is |user-days|·30 at worst, orders of magnitude
+    // below the event count. (The approximate alternative at extreme
+    // scale: per-day HLL sketches merged over the window — mergeable,
+    // but not oracle-exact.) The inner join keeps only observed days,
+    // so the window never reports past the corpus. stickiness is the
+    // raw IEEE quotient of two identical BIGINTs — bit-equal cross-
+    // engine, no rounding needed.
+    "evt_dau_mau" -> { (s, d) =>
+      import s.implicits._
+      val ud = Tables.events(s, d)
+        .select($"user_id",
+          expr("unix_micros(ts) div 1000 div 86400000").as("day"))
+        .distinct()
+      val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val mau = ud
+        .select($"user_id",
+          explode(sequence($"day", $"day" + lit(MauWindowDays - 1L))).as("day"))
+        .distinct()
+        .groupBy($"day").agg(count(lit(1)).as("mau"))
+      dau.join(mau, "day")
+        .select($"day", $"dau", $"mau",
+          ($"dau".cast("double") / $"mau".cast("double")).as("stickiness"))
     })
 
   /** Session gap bound for evt_sessions (the reference DAG's 30-minute
@@ -343,6 +375,11 @@ object Relational {
 
   /** Result size for evt_topk_paths. */
   val PathTopK = 20
+
+  /** Trailing active-user window for evt_dau_mau (the standard
+    * 30-day MAU).
+    */
+  val MauWindowDays = 30L
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -474,6 +511,21 @@ object Relational {
            UNION ALL SELECT 2, user_id FROM c
            UNION ALL SELECT 3, user_id FROM p)
          GROUP BY stage""",
+    // user-day distinct → per-day count (DAU) and bounded 30-day
+    // contribution explode → distinct → per-day count (MAU); the
+    // stickiness quotient is the same BIGINT/BIGINT IEEE division the
+    // Spark plan computes — bit-equal, deliberately unrounded.
+    "evt_dau_mau" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) // 86400000 AS day
+            FROM events),
+          dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+          contrib AS (SELECT DISTINCT user_id, ud.day + g.o AS day
+            FROM ud, generate_series(0, ${MauWindowDays - 1}) AS g(o)),
+          mau AS (SELECT day, COUNT(*) AS mau FROM contrib GROUP BY day)
+          SELECT dau.day, dau.dau, mau.mau,
+            dau.dau::DOUBLE / mau.mau::DOUBLE AS stickiness
+          FROM dau JOIN mau USING (day)""",
     "q16_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

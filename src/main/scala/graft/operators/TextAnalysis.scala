@@ -671,6 +671,42 @@ object TextAnalysis {
       val nOk = flags.map(f => when(f, 1L).otherwise(0L)).reduce(_ + _)
       base.withColumn("n_fail", lit(flags.size.toLong) - nOk)
         .withColumn("pass", when($"n_fail" === 0L, 1L).otherwise(0L))
+    },
+
+    // C4 cleaning heuristics (Raffel et al. 2020 §2.2, the published
+    // rule set minus the external bad-words list and the span dedup,
+    // which is [[Dedup]]'s dedup_lines/dedup_substring): a line is
+    // retained iff it ends in a terminal punctuation mark, holds at
+    // least C4MinLineWords words, and lacks the word "javascript";
+    // the page survives iff the retained text holds at least
+    // C4MinSentences sentence marks and the raw page has neither
+    // "lorem ipsum" nor a curly brace. Entirely row-local column
+    // expressions — one scan, no shuffle, linear at 100 TB; at
+    // deployment scale keep/text_clean become the ingest-time gate
+    // and stored column. NULL text follows the repo's no-tokens
+    // contract (zero counts, NULL rebuild, keep 0).
+    "txt_c4_rules" -> { (s, d) =>
+      import s.implicits._
+      val ls = split($"text", "\n", -1)
+      val keptL = filter(ls, l =>
+        trim(l).rlike(C4EndMarkClass + "$") &&
+          size(tokens(l)) >= C4MinLineWords &&
+          !l.rlike("(?i)\\bjavascript\\b"))
+      val clean = when($"text".isNull, lit(null).cast("string"))
+        .otherwise(concat_ws("\n", keptL))
+      Tables.documents(s, d).select(
+        $"doc_id",
+        coalesce(size(ls), lit(0)).cast("long").as("n_lines"),
+        coalesce(size(keptL), lit(0)).cast("long").as("n_kept"),
+        coalesce(regexp_count(clean, lit(C4EndMarkSentence)), lit(0))
+          .cast("long").as("n_sentences"),
+        when(lower($"text").contains("lorem ipsum"), 1L).otherwise(0L)
+          .as("has_lorem"),
+        when($"text".contains("{"), 1L).otherwise(0L).as("has_brace"),
+        clean.as("text_clean"))
+        .withColumn("keep",
+          when($"n_sentences" >= C4MinSentences &&
+            $"has_lorem" === 0L && $"has_brace" === 0L, 1L).otherwise(0L))
     })
 
   /** N-gram length for decontamination overlap (13 is the common
@@ -693,6 +729,17 @@ object TextAnalysis {
   val GopherAlphaFracMin = 0.8
   val GopherMinStopwords = 2
   val GopherSymbolRatioMax = 0.1
+
+  /** C4 rule constants (Raffel et al. 2020 §2.2). The terminal-mark
+    * class is the paper's period/exclamation/question/end-quote set;
+    * the sentence counter counts the sentence-ENDING marks (.!?) in
+    * the retained text. Regexes are RE2-safe character classes so both
+    * engines match identically.
+    */
+  val C4MinLineWords = 5
+  val C4MinSentences = 3
+  val C4EndMarkClass = "[.!?\"]"
+  val C4EndMarkSentence = "[.!?]"
 
   /** BM25 parameters — the standard k1/b defaults and a fixed query
     * over corpus-vocabulary terms (a declared query has no runtime
@@ -1254,5 +1301,38 @@ object TextAnalysis {
             alpha_frac, CAST(n_stop AS BIGINT) AS n_stop, sym_ratio,
             CAST(5 - n_ok AS BIGINT) AS n_fail,
             CAST(CASE WHEN n_ok = 5 THEN 1 ELSE 0 END AS BIGINT) AS pass
-          FROM f""")
+          FROM f""",
+    // Line retention restated with the dedup_lines conventions (split
+    // on chr(10), ASCII-space trim, array_to_string-empty-is-NULL
+    // coalesce) and the gopher-rules word-count class; NULL text
+    // yields NULL lists/counts, coalesced to the zero-counts/NULL-
+    // rebuild/keep-0 contract.
+    "txt_c4_rules" ->
+      s"""WITH l AS (SELECT doc_id, text,
+            string_split(text, chr(10)) AS ls FROM documents),
+          k AS (SELECT doc_id, text, ls,
+            list_filter(ls, x -> regexp_matches(trim(x), '$C4EndMarkClass$$')
+              AND len(list_filter(regexp_split_to_array(x, '\\s+'),
+                t -> len(t) > 0)) >= $C4MinLineWords
+              AND NOT regexp_matches(x, '(?i)\\bjavascript\\b')) AS kl
+            FROM l),
+          m AS (SELECT doc_id, text, ls, kl,
+            CASE WHEN text IS NULL THEN NULL
+              ELSE COALESCE(array_to_string(kl, chr(10)), '') END AS clean
+            FROM k)
+          SELECT doc_id,
+            COALESCE(len(ls), 0)::BIGINT AS n_lines,
+            COALESCE(len(kl), 0)::BIGINT AS n_kept,
+            COALESCE(len(regexp_extract_all(clean, '$C4EndMarkSentence')), 0)::BIGINT
+              AS n_sentences,
+            CASE WHEN contains(lower(text), 'lorem ipsum')
+              THEN 1 ELSE 0 END::BIGINT AS has_lorem,
+            CASE WHEN contains(text, '{') THEN 1 ELSE 0 END::BIGINT AS has_brace,
+            clean AS text_clean,
+            CASE WHEN COALESCE(len(regexp_extract_all(clean, '$C4EndMarkSentence')), 0)
+                >= $C4MinSentences
+              AND NOT COALESCE(contains(lower(text), 'lorem ipsum'), FALSE)
+              AND NOT COALESCE(contains(text, '{'), FALSE)
+              THEN 1 ELSE 0 END::BIGINT AS keep
+          FROM m""")
 }

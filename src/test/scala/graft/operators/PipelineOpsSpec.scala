@@ -670,6 +670,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("txt_c4_rules: line retention and page gates pin the published rule set") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("c4").toString
+    val keepLine = "this line has enough words to pass."
+    Seq(
+      // doc 0: three proper sentences on kept lines → keep
+      (0L, Some(s"$keepLine\n$keepLine\nanother full sentence right here today!")),
+      // doc 1: line lacks terminal punctuation → dropped → 0 sentences
+      (1L, Some("this line has enough words but no mark")),
+      // doc 2: four words only → dropped despite the period
+      (2L, Some("too few words here.")),
+      // doc 3: javascript line dropped, case-insensitively
+      (3L, Some(s"please enable JavaScript to continue reading this.\n$keepLine")),
+      // doc 4: lorem ipsum page-gate fires even with clean lines
+      (4L, Some(s"$keepLine\n$keepLine\nlorem ipsum dolor sit amet today.")),
+      // doc 5: curly brace page-gate
+      (5L, Some(s"$keepLine\n$keepLine\nfunction f() { return 1; } is code.")),
+      // doc 6: null text → zero counts, NULL rebuild
+      (6L, None: Option[String]),
+      // doc 7: kept lines but only two sentence marks → dropped
+      (7L, Some(s"$keepLine\n$keepLine")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.queries("txt_c4_rules")(spark, tmp)
+      .as[(Long, Long, Long, Long, Long, Long, Option[String], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._8 == 1L && got(0L)._3 == 3L && got(0L)._4 == 3L)
+    assert(got(1L)._3 == 0L && got(1L)._8 == 0L)
+    assert(got(2L)._3 == 0L)
+    assert(got(3L)._3 == 1L && got(3L)._7 == Some(keepLine))
+    assert(got(4L)._5 == 1L && got(4L)._8 == 0L && got(4L)._3 == 3L)
+    assert(got(5L)._6 == 1L && got(5L)._8 == 0L)
+    assert(got(6L) == ((6L, 0L, 0L, 0L, 0L, 0L, None, 0L)))
+    assert(got(7L)._3 == 2L && got(7L)._4 == 2L && got(7L)._8 == 0L)
+    // corpus invariants: kept ⊆ lines; keep ⇒ sentence floor met
+    val full = TextAnalysis.queries("txt_c4_rules")(spark, sf)
+    assert(full.filter($"n_kept" > $"n_lines").count() == 0)
+    assert(full.filter($"keep" === 1L &&
+      $"n_sentences" < TextAnalysis.C4MinSentences).count() == 0)
+  }
+
+  test("evt_dau_mau: trailing-window MAU matches an independent recompute") {
+    import spark.implicits._
+    val r = Relational.queries("evt_dau_mau")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    // MAU bounds DAU; stickiness is exactly their quotient
+    r.foreach { case (_, dau, mau, st) =>
+      assert(mau >= dau && st == dau.toDouble / mau.toDouble)
+    }
+    // independent recompute from the raw user-day set
+    val ud = graft.Tables.events(spark, sf)
+      .select($"user_id", expr("unix_micros(ts) div 1000 div 86400000").as("day"))
+      .distinct().as[(Long, Long)].collect()
+    val byDay = ud.groupBy(_._2)
+    r.foreach { case (day, dau, mau, _) =>
+      assert(dau == byDay(day).length, s"day $day dau")
+      val want = ud.filter { case (_, d2) =>
+        d2 <= day && d2 > day - Relational.MauWindowDays
+      }.map(_._1).distinct.length
+      assert(mau == want, s"day $day mau $mau vs $want")
+    }
+    // every observed day reports
+    assert(r.map(_._1).toSet == byDay.keySet)
+  }
+
   test("PQ Lloyd training is flops-guarded and the distributed path agrees") {
     // fixture parameters sit far under the driver cap; production
     // 256-codeword books at the full sample cap would exceed it, so
