@@ -553,11 +553,14 @@ object Dedup {
     // (doc_id, pos)); blank lines are document structure and always
     // survive; documents are reassembled from surviving lines in
     // original order. Scale shape — the part worth getting right at
-    // 100 TB: line TEXT never rides a line-keyed shuffle. The keeper
-    // election works on a narrow (line, doc_id, pos) stream whose
-    // groupBy-min partially aggregates map-side (a boilerplate line
-    // duplicated a billion times collapses to one row per input split
-    // BEFORE the exchange — the skew lives exactly there), the
+    // 100 TB: line TEXT never rides ANY shuffle. Lines collapse to
+    // 8-byte xxhash64 keys at the scan (the shingle-hash convention —
+    // the DuckDB oracle elects on line STRINGS, so the two agree
+    // modulo a 2⁻⁶⁴ collision, as documented for the jaccard family),
+    // the keeper election's groupBy-min partially aggregates map-side
+    // (a boilerplate line duplicated a billion times collapses to one
+    // row per input split BEFORE the exchange — the skew lives exactly
+    // there), the verify join moves only (hash, doc_id, pos) rows, the
     // surviving positions collapse to one array row per document, and
     // the full text moves through exactly ONE doc_id-keyed broadcast-
     // or-shuffle join, after which the rebuild (split → filter by
@@ -571,9 +574,10 @@ object Dedup {
       val nb = docs
         .select($"doc_id", posexplode(split($"text", "\n", -1)).as(Seq("pos", "line")))
         .filter(trim($"line") =!= "")
-      val keepers = nb.groupBy($"line")
+        .select($"doc_id", $"pos", xxhash64($"line").as("lh"))
+      val keepers = nb.groupBy($"lh")
         .agg(min($"doc_id" * lit(LinePosCap) + $"pos").as("keep_key"))
-      val keptPos = nb.join(keepers, Seq("line"))
+      val keptPos = nb.join(keepers, Seq("lh"))
         .filter($"doc_id" * lit(LinePosCap) + $"pos" === $"keep_key")
         .groupBy($"doc_id").agg(collect_list($"pos").as("kept"))
       val ls = split($"text", "\n", -1)
@@ -1236,7 +1240,10 @@ object Dedup {
           FROM runs GROUP BY doc_id, grp""",
     // Same election restated quadratically: parallel-unnest positions,
     // blank = trim-to-empty (both engines trim the ASCII space only),
-    // keeper = min packed (doc_id, pos). The rebuild filters 1-based
+    // keeper = min packed (doc_id, pos). The oracle elects on line
+    // STRINGS where the engine elects on their xxhash64 — equal modulo
+    // a 2⁻⁶⁴ collision, the jaccard-family convention (see
+    // shingleHashes). The rebuild filters 1-based
     // indices so blank lines survive in place; COALESCE guards
     // DuckDB's empty-list array_to_string (NULL, where Spark's
     // concat_ws over an empty array is '').

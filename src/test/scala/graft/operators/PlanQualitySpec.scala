@@ -369,4 +369,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(p, "HashAggregate(keys=[user_id") >= 2,
       s"no map-side (user, day) partial dedup:\n$p")
   }
+
+  test("round-9 row-local operators never exchange (emb_pca/recon, txt_c4_rules, pca_build)") {
+    for (q <- Seq("emb_pca", "emb_pca_recon", "txt_c4_rules")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 0, s"$q grew a shuffle:\n$p")
+    }
+    // the trained model is a driver-local relation — plan is a bare
+    // LocalTableScan, no Spark job beyond emitting it
+    val pb = plan("pca_build")
+    assert(count(pb, "Exchange") == 0 && pb.contains("LocalTableScan"), pb)
+  }
+
+  test("dedup_lines ships 8-byte line hashes through its shuffles, never line text") {
+    val p = plan("dedup_lines")
+    // election + verify exchanges key on the xxhash64 column
+    assert(p.contains("hashpartitioning(lh"), p)
+    assert(!p.split('\n').exists(_.contains("hashpartitioning(line")),
+      s"line text became a shuffle key:\n$p")
+    // keeper election partial-aggregates map-side (the skew collapse)
+    assert(count(p, "partial_min") >= 1, s"no map-side keeper partial:\n$p")
+  }
+
+  test("evt_dau_mau: map-side user-day collapse, bounded explode, broadcast day join") {
+    val p = plan("evt_dau_mau")
+    // the distinct partial-aggregates before the exchange (twice: the
+    // raw user-day collapse and the post-explode contribution dedup)
+    assert(count(p, "HashAggregate(keys=[user_id") >= 2, p)
+    // the 30-day contribution is a Generate explode, never a window
+    assert(count(p, "Generate explode") >= 1 && count(p, "Window") == 0, p)
+    // the per-day DAU/MAU relations are tiny: their join broadcasts
+    assert(count(p, "BroadcastHashJoin") == 1 && count(p, "SortMergeJoin") == 0, p)
+  }
 }
