@@ -141,6 +141,37 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("short and empty vectors follow the min(len, Dim) prefix contract") {
+    import spark.implicits._
+    // training must ignore the ragged rows; application projects the
+    // prefix (the IVF kernel contract), empty → all-zero projections
+    // and zero residual
+    val tmp = java.nio.file.Files.createTempDirectory("pcashort").toString
+    val dim = Similarity.Dim
+    val rnd = new scala.util.Random(11)
+    val full = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val ragged = Seq(
+      (100L, Array.fill(3)(1.0f)), // short: 3-term prefix
+      (101L, Array.empty[Float]))  // empty: zero terms
+    (full ++ ragged).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val m = Pca.trainPca(spark, tmp)
+    assert(m.n == 40L) // ragged rows excluded from training
+    val pv = Pca.queries("emb_pca")(spark, tmp)
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    assert(pv.keySet.size == 42) // but every row projects
+    pv(100L).foreach { case (_, c, got) =>
+      val want = (0 until 3).map(i => (1.0 - m.mean(i)) * m.comps(c)(i)).sum
+      assert(math.abs(got - BigDecimal(want).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    assert(pv(101L).forall(_._3 == 0.0))
+    val err = Pca.queries("emb_pca_recon")(spark, tmp)
+      .as[(Long, Double)].collect().toMap
+    assert(err(101L) == 0.0 && err(100L) >= 0.0)
+  }
+
   test("jacobi eigensolver pins a known spectrum") {
     // diag(5,2,1) rotated by a fixed orthogonal matrix must come back
     // with the same eigenvalues and (up to sign) eigenvectors
