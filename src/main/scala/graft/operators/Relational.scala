@@ -366,6 +366,36 @@ object Relational {
       dau.join(mau, "day")
         .select($"day", $"dau", $"mau",
           ($"dau".cast("double") / $"mau".cast("double")).as("stickiness"))
+    },
+
+    // Daily-volume anomaly flags — the pipeline-health tripwire: per
+    // event type, each day's event count scored against that type's
+    // own mean/stddev, |z| > ZScoreThreshold flagged. The moments
+    // derive from INTEGER sums (n, Σc, Σc²) — exact and order-free, so
+    // μ/σ/z are bit-identical cross-engine with no rounding at all;
+    // σ=0 (constant series) pins z to 0 on both sides, and the
+    // variance is GREATEST-clamped against last-ulp cancellation
+    // before the sqrt. Scale shape: events collapse to (type, day)
+    // counts map-side; the per-type stats are a types-sized relation
+    // broadcast back — never a window over the daily series.
+    "evt_anomaly" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .select($"event_type",
+          expr("unix_micros(ts) div 1000 div 86400000").as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+      val stats = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"cnt").as("sc"),
+          sum($"cnt" * $"cnt").as("sc2"))
+      val mu = $"sc".cast("double") / $"n".cast("double")
+      val sd = sqrt(greatest(
+        $"sc2".cast("double") / $"n".cast("double") - mu * mu, lit(0.0)))
+      daily.join(broadcast(stats), Seq("event_type"))
+        .select($"event_type", $"day", $"cnt",
+          when(sd === 0.0, 0.0)
+            .otherwise(($"cnt".cast("double") - mu) / sd).as("z"))
+        .withColumn("is_anomaly",
+          when(abs($"z") > ZScoreThreshold, 1L).otherwise(0L))
     })
 
   /** Session gap bound for evt_sessions (the reference DAG's 30-minute
@@ -380,6 +410,9 @@ object Relational {
     * 30-day MAU).
     */
   val MauWindowDays = 30L
+
+  /** Anomaly gate for evt_anomaly (the conventional 3σ rule). */
+  val ZScoreThreshold = 3.0
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -526,6 +559,27 @@ object Relational {
           SELECT dau.day, dau.dau, mau.mau,
             dau.dau::DOUBLE / mau.mau::DOUBLE AS stickiness
           FROM dau JOIN mau USING (day)""",
+    // moments from exact integer sums → bit-identical μ/σ/z on both
+    // engines (no rounding); σ=0 → z=0, variance GREATEST-clamped
+    "evt_anomaly" ->
+      s"""WITH daily AS (SELECT event_type,
+            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) // 86400000 AS day,
+            COUNT(*) AS cnt
+            FROM events GROUP BY event_type, day),
+          st AS (SELECT event_type, COUNT(*) AS n, SUM(cnt) AS sc,
+            SUM(cnt * cnt) AS sc2 FROM daily GROUP BY event_type),
+          z AS (SELECT d.event_type, d.day, d.cnt,
+            CASE WHEN SQRT(GREATEST(sc2::DOUBLE / n::DOUBLE
+                - (sc::DOUBLE / n::DOUBLE) * (sc::DOUBLE / n::DOUBLE), 0.0)) = 0.0
+              THEN 0.0
+              ELSE (d.cnt::DOUBLE - sc::DOUBLE / n::DOUBLE)
+                / SQRT(GREATEST(sc2::DOUBLE / n::DOUBLE
+                - (sc::DOUBLE / n::DOUBLE) * (sc::DOUBLE / n::DOUBLE), 0.0)) END AS z
+            FROM daily d JOIN st USING (event_type))
+          SELECT event_type, day, cnt, z,
+            CASE WHEN ABS(z) > $ZScoreThreshold::DOUBLE THEN 1 ELSE 0 END::BIGINT
+              AS is_anomaly
+          FROM z""",
     "q16_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

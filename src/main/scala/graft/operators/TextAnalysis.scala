@@ -170,6 +170,27 @@ object TextAnalysis {
         .select($"doc_id", $"source", $"n_tokens", $"pack_id")
     },
 
+    // The capstone manifest a training job hands to its data loader:
+    // the full curation pipeline (pipe_curate — shared definition, by
+    // reference) re-sharded with the txt_shard rule into a 16-row
+    // relation of per-shard doc counts, token mass, and an order-
+    // independent bit_xor membership fingerprint (the audit that the
+    // loader read exactly the curated set). Cost beyond pipe_curate
+    // itself: one map-side-combinable 16-group agg over the survivors'
+    // (doc_id, n_tokens) scalars — the wide text never reappears.
+    "pipe_train_manifest" -> { (s, d) =>
+      import s.implicits._
+      val h = md5($"doc_id".cast("string"))
+      queries("pipe_curate")(s, d)
+        .select(
+          conv(substring(h, 1, 1), 16, 10).cast("int").as("shard"),
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("mk"),
+          $"n_tokens".cast("long").as("nt"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+          expr("bit_xor(mk)").as("member_fp"))
+    },
+
     // Deterministic hash sampling — the staple curation subsample at
     // corpus scale: keep a document iff the leading hex byte of
     // md5(doc_id) sorts below the rate threshold ('1a' ≈ 26/256 ≈ 10%).
@@ -967,6 +988,48 @@ object TextAnalysis {
       s"(strpos('0123456789abcdef', substr($md5Expr, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
     }.mkString("(", " + ", ")")
 
+  /** The pipe_curate CTE chain, shared verbatim by the `pipe_curate`
+    * oracle and the `pipe_train_manifest` oracle that nests it.
+    */
+  private lazy val curateOracle: String =
+    s"""WITH q AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE LENGTH(text) >= 100
+            AND LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+              GREATEST(LENGTH(text), 1) >= 0.7
+            AND len(list_distinct($sqlToks))::DOUBLE /
+              GREATEST(len($sqlToks), 1) >= 0.2),
+        k AS (
+          SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text, ROW_NUMBER() OVER (
+              PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q)
+          WHERE rn = 1),
+        tok AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+        g AS (SELECT doc_id,
+          CASE WHEN len(ts) >= $DecontamN
+            THEN list_transform(range(0, len(ts) - ${DecontamN - 1}),
+              i -> array_to_string(ts[i+1:i+$DecontamN], ' '))
+            ELSE [] END AS gs,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS split
+          FROM tok),
+        ev AS (SELECT DISTINCT gram FROM
+          (SELECT unnest(gs) AS gram FROM g WHERE split < '$EvalSplitThreshold')),
+        contaminated AS (SELECT DISTINCT doc_id FROM
+          (SELECT doc_id, unnest(gs) AS gram FROM g
+           WHERE split >= '$EvalSplitThreshold') t JOIN ev USING (gram)),
+        c AS (
+          SELECT k.doc_id, k.source, k.text FROM k
+          WHERE substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) >= '$EvalSplitThreshold'
+            AND k.doc_id NOT IN (SELECT doc_id FROM contaminated))
+        SELECT doc_id, source, n_tokens,
+          CAST(FLOOR((cum - n_tokens) / $PackTokens.0) AS BIGINT) AS pack_id
+        FROM (SELECT doc_id, source, len($sqlToks) AS n_tokens,
+          SUM(len($sqlToks)) OVER (
+            PARTITION BY source, CAST(FLOOR(doc_id / $ShardDocs.0) AS BIGINT)
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM c)"""
+
   /** Exact-decontamination oracle, shared by `txt_decontaminate` and
     * `txt_bloom_decontaminate` — the Bloom path's whole point is that
     * its result is indistinguishable from the exact one.
@@ -1047,44 +1110,17 @@ object TextAnalysis {
     // The curation pipeline restated as one CTE chain: each stage is
     // the corresponding single-operator oracle applied to the previous
     // stage's survivors.
-    "pipe_curate" ->
-      s"""WITH q AS (
-            SELECT doc_id, source, text FROM documents
-            WHERE LENGTH(text) >= 100
-              AND LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
-                GREATEST(LENGTH(text), 1) >= 0.7
-              AND len(list_distinct($sqlToks))::DOUBLE /
-                GREATEST(len($sqlToks), 1) >= 0.2),
-          k AS (
-            SELECT doc_id, source, text FROM (
-              SELECT doc_id, source, text, ROW_NUMBER() OVER (
-                PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q)
-            WHERE rn = 1),
-          tok AS (SELECT doc_id, $sqlToks AS ts FROM documents),
-          g AS (SELECT doc_id,
-            CASE WHEN len(ts) >= $DecontamN
-              THEN list_transform(range(0, len(ts) - ${DecontamN - 1}),
-                i -> array_to_string(ts[i+1:i+$DecontamN], ' '))
-              ELSE [] END AS gs,
-            substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS split
-            FROM tok),
-          ev AS (SELECT DISTINCT gram FROM
-            (SELECT unnest(gs) AS gram FROM g WHERE split < '$EvalSplitThreshold')),
-          contaminated AS (SELECT DISTINCT doc_id FROM
-            (SELECT doc_id, unnest(gs) AS gram FROM g
-             WHERE split >= '$EvalSplitThreshold') t JOIN ev USING (gram)),
-          c AS (
-            SELECT k.doc_id, k.source, k.text FROM k
-            WHERE substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) >= '$EvalSplitThreshold'
-              AND k.doc_id NOT IN (SELECT doc_id FROM contaminated))
-          SELECT doc_id, source, n_tokens,
-            CAST(FLOOR((cum - n_tokens) / $PackTokens.0) AS BIGINT) AS pack_id
-          FROM (SELECT doc_id, source, len($sqlToks) AS n_tokens,
-            SUM(len($sqlToks)) OVER (
-              PARTITION BY source, CAST(FLOOR(doc_id / $ShardDocs.0) AS BIGINT)
-              ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-            FROM c)""",
+    "pipe_curate" -> curateOracle,
+    // the curate chain verbatim as a nested CTE (the sim_recall_eval
+    // nesting trick), re-sharded with the txt_shard arithmetic
+    "pipe_train_manifest" ->
+      s"""WITH cur AS ($curateOracle)
+          SELECT CAST(strpos('0123456789abcdef',
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard,
+            COUNT(*) AS n_docs,
+            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+            bit_xor(${sqlHex32("md5(CAST(doc_id AS VARCHAR))")}) AS member_fp
+          FROM cur GROUP BY 1""",
     "txt_vocab" ->
       s"""WITH toks AS (SELECT unnest($sqlToks) AS token FROM documents),
           cnt AS (SELECT token, COUNT(*) AS n_occ FROM toks GROUP BY token),

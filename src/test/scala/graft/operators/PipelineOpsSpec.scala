@@ -736,6 +736,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.map(_._1).toSet == byDay.keySet)
   }
 
+  test("evt_anomaly: z-scores match exact-moment recompute; constant series pin z=0") {
+    import spark.implicits._
+    val r = Relational.queries("evt_anomaly")(spark, sf)
+      .as[(String, Long, Long, Double, Long)].collect()
+    assert(r.nonEmpty)
+    // recompute from the (type, day) counts with the same exact
+    // integer moments — z must be BIT-equal (no tolerance)
+    val daily = r.groupBy(_._1)
+    daily.foreach { case (_, rows) =>
+      val n = rows.length.toDouble
+      val sc = rows.map(_._3).sum.toDouble
+      val sc2 = rows.map(c => c._3 * c._3).sum.toDouble
+      val mu = sc / n
+      val sd = math.sqrt(math.max(sc2 / n - mu * mu, 0.0))
+      rows.foreach { case (_, _, cnt, z, flag) =>
+        val want = if (sd == 0.0) 0.0 else (cnt.toDouble - mu) / sd
+        assert(z == want, s"z drifted: $z vs $want")
+        assert(flag == (if (math.abs(z) > Relational.ZScoreThreshold) 1L else 0L))
+      }
+    }
+    // constant series: one event per day → sd=0 → z=0, never NaN
+    val tmp = java.nio.file.Files.createTempDirectory("anom").toString
+    (0 until 5).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(s"2026-01-0${i + 1} 00:00:00"),
+        1L, "ping", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val const = Relational.queries("evt_anomaly")(spark, tmp)
+      .as[(String, Long, Long, Double, Long)].collect()
+    assert(const.length == 5 && const.forall(c => c._4 == 0.0 && c._5 == 0L))
+  }
+
+  test("pipe_train_manifest reconciles with pipe_curate") {
+    import spark.implicits._
+    val man = TextAnalysis.queries("pipe_train_manifest")(spark, sf)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(man.nonEmpty && man.map(_._1).distinct.length == man.length)
+    val cur = TextAnalysis.queries("pipe_curate")(spark, sf)
+      .select($"doc_id", $"n_tokens").as[(Long, Int)].collect()
+    // shard totals cover exactly the curated set
+    assert(man.map(_._2).sum == cur.length)
+    assert(man.map(_._3).sum == cur.map(_._2.toLong).sum)
+    // per-shard membership fingerprint: xor of the same 32-bit keys
+    def hex32(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val wantFp = cur.groupBy(c => (hex32(c._1) >> 28).toInt)
+      .map { case (sh, rows) => sh -> rows.map(c => hex32(c._1)).reduce(_ ^ _) }
+    man.foreach { case (sh, _, _, fp) =>
+      assert(wantFp(sh) == fp, s"shard $sh fingerprint")
+    }
+  }
+
   test("PQ Lloyd training is flops-guarded and the distributed path agrees") {
     // fixture parameters sit far under the driver cap; production
     // 256-codeword books at the full sample cap would exceed it, so
