@@ -391,6 +391,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(p, "partial_min") >= 1, s"no map-side keeper partial:\n$p")
   }
 
+  test("evt_anomaly: per-type stats broadcast back; no window over the daily series") {
+    val p = plan("evt_anomaly")
+    assert(count(p, "BroadcastHashJoin") == 1 && count(p, "SortMergeJoin") == 0, p)
+    assert(count(p, "Window") == 0, s"daily series grew a window:\n$p")
+  }
+
+  test("pipe_train_manifest: text never reappears past the curate stages") {
+    // the manifest agg consumes (doc_id, n_tokens) scalars; a refactor
+    // that re-reads document text for the shard keys would show a
+    // second text-bearing scan feeding the final aggregate
+    val p = plan("pipe_train_manifest")
+    assert(count(p, "HashAggregate(keys=[shard") >= 2,
+      s"no map-side manifest partial:\n$p")
+  }
+
   test("evt_dau_mau: map-side user-day collapse, bounded explode, broadcast day join") {
     val p = plan("evt_dau_mau")
     // the distinct partial-aggregates before the exchange (twice: the
