@@ -245,14 +245,7 @@ object Pca {
     // Pure row-local map over the corpus (the model rides the udf
     // closure: PcaDim·Dim doubles), exploded to scalar rows for the
     // driver compare.
-    "emb_pca" -> { (s, d) =>
-      import s.implicits._
-      val m = pcaModel(s, d)
-      val proj = udf((emb: Seq[Float]) => projections(m, emb).toSeq)
-      Tables.embeddings(s, d)
-        .select($"vec_id", posexplode(proj($"embedding")).as(Seq("comp", "pv")))
-        .select($"vec_id", $"comp", round($"pv", 6).as("pv"))
-    },
+    "emb_pca" -> ((s, d) => projectWith(s, d, pcaModel(s, d))),
 
     // PCA reconstruction error — the residual mass outside the kept
     // subspace, the "off-manifold vector" score of embedding-space
@@ -283,6 +276,56 @@ object Pca {
       Tables.embeddings(s, d)
         .select($"vec_id", round(err($"embedding"), 5).as("err2"))
     })
+
+  /** The emb_pca projection given a model (cached or stored). */
+  private def projectWith(s: SparkSession, d: String, m: PcaModel): DataFrame = {
+    import s.implicits._
+    val proj = udf((emb: Seq[Float]) => projections(m, emb).toSeq)
+    Tables.embeddings(s, d)
+      .select($"vec_id", posexplode(proj($"embedding")).as(Seq("comp", "pv")))
+      .select($"vec_id", $"comp", round($"pv", 6).as("pv"))
+  }
+
+  // ------------------------------------------------------------------
+  // Stored-model contract (the stored-index convention): ONE job
+  // trains and writes the model; any LATER driver reads it back and
+  // projects without retraining. Parquet DOUBLE round-trips the exact
+  // 64-bit values, so stored-model projections are bit-identical to
+  // build-session projections (IndexStoreSpec pins this in a fresh
+  // session whose training cache is provably cold).
+  // ------------------------------------------------------------------
+
+  /** Write the trained model: component loadings (one row per
+    * component) plus a 1-row stats table (mean, full spectrum, n).
+    */
+  def writePcaModel(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    val m = pcaModel(s, d)
+    m.comps.zipWithIndex.map { case (w, c) => (c, w.toSeq) }.toSeq
+      .toDF("comp", "loading")
+      .write.mode("overwrite").parquet(s"$outDir/components")
+    Seq((m.mean.toSeq, m.eigvals.toSeq, m.n))
+      .toDF("mean", "eigvals", "n")
+      .write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
+  /** Read a stored model (component order restored by the comp id). */
+  def readPcaModel(s: SparkSession, modelDir: String): PcaModel = {
+    import s.implicits._
+    val comps = s.read.parquet(s"$modelDir/components")
+      .select($"comp", $"loading").as[(Int, Seq[Double])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    val (mean, eig, n) = s.read.parquet(s"$modelDir/stats")
+      .select($"mean", $"eigvals", $"n")
+      .as[(Seq[Double], Seq[Double], Long)].collect().head
+    PcaModel(mean.toArray, comps, eig.toArray, n)
+  }
+
+  /** Project with a STORED model — the separate-query-job half; no
+    * session cache involved, nothing retrained.
+    */
+  def projectStored(s: SparkSession, d: String, modelDir: String): DataFrame =
+    projectWith(s, d, readPcaModel(s, modelDir))
 
   /** Static oracles: none — every PCA oracle embeds trained state. */
   val oracles: Map[String, String] = Map.empty

@@ -102,4 +102,25 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(rows(Pq.topkPqStored(s2, sf, dir)) == expect,
       "stored-PQ probe diverged from the build-session probe")
   }
+
+  test("PCA stored model: fresh-session projection parity (doubles round-trip)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pcastore").toString
+    Pca.writePcaModel(spark, sf, dir)
+    val expect = Pca.queries("emb_pca")(spark, sf)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(expect.nonEmpty)
+
+    val s2 = spark.newSession()
+    val got = Pca.projectStored(s2, sf, dir)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(got == expect,
+      "stored-model projection diverged from the build-session projection")
+    // the read-back model is the exact trained state, not a re-train
+    val m = Pca.readPcaModel(s2, dir)
+    val orig = Pca.pcaModel(spark, sf)
+    assert(m.mean.sameElements(orig.mean) && m.n == orig.n)
+    assert(m.comps.zip(orig.comps).forall { case (a, b) => a.sameElements(b) })
+    assert(m.eigvals.sameElements(orig.eigvals))
+  }
 }
