@@ -247,6 +247,35 @@ object Pca {
     // driver compare.
     "emb_pca" -> ((s, d) => projectWith(s, d, pcaModel(s, d))),
 
+    // PCA whitening — the projection rescaled so each kept component
+    // has unit corpus variance (wv_c = pv_c / √λ_c), the standard
+    // preconditioning before cosine/Euclidean ANN indexing and any
+    // isotropy-assuming downstream model. A component whose eigenvalue
+    // is ≤ 0 carries no corpus variance: its whitened coordinate is
+    // pinned to 0.0 on BOTH sides rather than divided by a rounding-
+    // noise √λ. Bit-exactness needs no tolerance: pv is the same
+    // left-to-right kernel emb_pca pins, λ rides to the oracle as a
+    // Double.toString literal, and IEEE sqrt + division are correctly
+    // rounded in both engines. Row-local, zero shuffle.
+    "emb_whiten" -> { (s, d) =>
+      import s.implicits._
+      val m = pcaModel(s, d)
+      val lam = m.eigvals.take(m.comps.length)
+      val wh = udf { (emb: Seq[Float]) =>
+        val pv = projections(m, emb)
+        val out = new Array[Double](pv.length)
+        var c = 0
+        while (c < pv.length) {
+          out(c) = if (lam(c) > 0) pv(c) / math.sqrt(lam(c)) else 0.0
+          c += 1
+        }
+        out.toSeq
+      }
+      Tables.embeddings(s, d)
+        .select($"vec_id", posexplode(wh($"embedding")).as(Seq("comp", "wv")))
+        .select($"vec_id", $"comp", round($"wv", 6).as("wv"))
+    },
+
     // PCA reconstruction error — the residual mass outside the kept
     // subspace, the "off-manifold vector" score of embedding-space
     // curation (a high-residual vector is one the corpus's principal
@@ -367,6 +396,17 @@ object Pca {
             SELECT e.vec_id, CAST(g.c - 1 AS INT) AS comp,
               ROUND(${pvExpr("g.c")}, 6) AS pv
             FROM embeddings e, pm, generate_series(1, ${m.comps.length}) AS g(c)""",
+      // λ as a Double.toString literal; ≤0 eigenvalues pin wv to 0.0
+      // exactly as the kernel does (never divide by √rounding-noise)
+      "emb_whiten" ->
+        s"""WITH $pm, lam AS (SELECT ${m.eigvals.take(m.comps.length)
+              .mkString("[", ", ", "]")} AS l)
+            SELECT e.vec_id, CAST(g.c - 1 AS INT) AS comp,
+              ROUND(CASE WHEN lam.l[g.c] > 0
+                THEN (${pvExpr("g.c")}) / sqrt(lam.l[g.c])
+                ELSE 0.0 END, 6) AS wv
+            FROM embeddings e, pm, lam,
+              generate_series(1, ${m.comps.length}) AS g(c)""",
       // ssq and each pv accumulate left-to-right over the same prefix,
       // the component sum-of-squares left-to-right over c, and the
       // square is a self-multiply (never POW) — the exact kernel
