@@ -23,11 +23,21 @@ object Bench {
     // construction is attributed to its own bench line and every
     // index-consuming query (sim_ann_*, dedup_semantic, emb_knn_label)
     // measures steady-state probe cost — the build-once contract.
+    // Build lines are DEPENDENCY-ordered, not just alphabetical: the
+    // pair-relation builds consume base indexes (emb_pairs_build walks
+    // Similarity.lshIndex), so base index builds run in tier 0 and
+    // derived builds in tier 1 — otherwise an alphabetically-earlier
+    // consumer silently absorbs its dependency's build cost and the
+    // dependency's own line measures a warm no-op (r9 verdict: lsh_build
+    // read 0.14 s against its 0.82 line because emb_pairs_build < l).
+    val derivedBuilds = Set("emb_pairs_build", "pairs_build")
     // a failed query must be LOUD: recording a ~0s time would sail
     // under the budget tripwire and read as a clean fast pass
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq
-      .sortBy { case (name, _) => (if (name.endsWith("_build")) 0 else 1, name) }
+      .sortBy { case (name, _) =>
+        (if (!name.endsWith("_build")) 2
+         else if (derivedBuilds(name)) 1 else 0, name) }
       .map { case (name, fn) =>
       System.gc()
       val t0 = System.nanoTime()

@@ -1076,6 +1076,118 @@ object Dedup {
   private val embLshPairsCache = new SessionCache[DataFrame](df =>
     scala.util.Try(df.unpersist(blocking = false)))
 
+  // ------------------------------------------------------------------
+  // Stored pair-relation contract — the stored-index convention
+  // applied to the dedup pair graph. At 100 TB the pair relation is
+  // THE expensive intermediate: ONE job runs the candidate+verify
+  // build (`pairs_build` / `emb_pairs_build` above) and writes the
+  // verified edges; LATER jobs — the component collapse, the pair
+  // report, an incremental re-dedup — read them back without paying
+  // the build again. The SessionCaches above model this in-process;
+  // these functions ARE the cross-job form. Edges are written
+  // partitioned by a bounded shard of the canonical lower id, so a
+  // resumable / incremental consumer (re-verify one shard, collapse
+  // shard-at-a-time, backfill a failed shard) reads ONE directory via
+  // static partition pruning instead of the whole graph.
+  // ------------------------------------------------------------------
+
+  /** Shard count for stored pair relations: bounded directory fanout
+    * (id_a % PairShards). 16 keeps per-shard file counts sane at any
+    * scale; a deployment re-shards by writing with a different value —
+    * readers never assume a count, they read the layout.
+    */
+  val PairShards = 16
+
+  private def withShard(pairs: DataFrame): DataFrame =
+    pairs.withColumn("shard",
+      org.apache.spark.sql.functions.pmod(col("id_a"), lit(PairShards.toLong))
+        .cast("int"))
+
+  /** Pair-relation schema for stored reads — explicit for the same
+    * partition-column-type reason as [[Similarity.readIvfIndex]]
+    * (directory-value inference would type `shard` by parsing, and a
+    * cast on the filter side defeats partition pruning).
+    */
+  private def pairSchema(simCol: String) = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id_a",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("id_b",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField(simCol,
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("shard",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Write the verified exact-Jaccard pair relation ([[jaccardPairs]])
+    * as shard-partitioned parquet. The UNROUNDED jaccard rides along
+    * (parquet DOUBLE round-trips 64-bit values exactly — the PCA
+    * stored-model lesson), so stored consumers apply the same
+    * round-then-threshold the declared queries do.
+    */
+  def writeJaccardPairs(s: SparkSession, d: String, outDir: String,
+      maxDf: Int = MaxShingleDf): Unit = {
+    import s.implicits._
+    withShard(jaccardPairs(s, d, maxDf)
+      .select($"id_a", $"id_b", $"jaccard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
+  /** Read a stored Jaccard pair relation (all shards). */
+  def readJaccardPairs(s: SparkSession, pairsDir: String): DataFrame =
+    s.read.schema(pairSchema("jaccard")).parquet(pairsDir)
+
+  /** One shard of a stored pair relation — the incremental/resumable
+    * consumer's read; the filter is a static partition predicate, so
+    * the scan touches one directory (IndexStoreSpec pins this on the
+    * executed plan).
+    */
+  def readPairShard(pairs: DataFrame, shard: Int): DataFrame =
+    pairs.filter(col("shard") === shard)
+
+  /** `dedup_ngram_jaccard` from a stored pair relation — identical
+    * output, no inverted-index build.
+    */
+  def ngramJaccardStored(s: SparkSession, pairsDir: String): DataFrame = {
+    import s.implicits._
+    readJaccardPairs(s, pairsDir)
+      .filter(round($"jaccard", 6) >= JaccardThreshold)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+  }
+
+  /** `dedup_cluster` from a stored pair relation: the one-job-builds/
+    * later-job-collapses shape the 100 TB dedup story is made of.
+    */
+  def clusterStored(s: SparkSession, pairsDir: String): DataFrame =
+    connectedComponents(ngramJaccardStored(s, pairsDir))
+
+  /** Write the verified embedding-LSH pair relation
+    * ([[embeddingLshPairsIndexed]]) shard-partitioned. cos_sim is
+    * stored as the declared queries emit it (rounded to 4,
+    * threshold-filtered): the verify threshold is part of the build's
+    * identity, exactly as the LSH plane tensor is part of the index's.
+    */
+  def writeEmbPairs(s: SparkSession, d: String, outDir: String,
+      threshold: Double = CosineThreshold): Unit =
+    withShard(embeddingLshPairsIndexed(s, d, threshold))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Read a stored embedding pair relation (all shards). */
+  def readEmbPairs(s: SparkSession, pairsDir: String): DataFrame =
+    s.read.schema(pairSchema("cos_sim")).parquet(pairsDir)
+
+  /** `dedup_embedding_lsh` from a stored pair relation. */
+  def embeddingLshStored(s: SparkSession, pairsDir: String): DataFrame = {
+    import s.implicits._
+    readEmbPairs(s, pairsDir).select($"id_a", $"id_b", $"cos_sim")
+  }
+
+  /** `dedup_embedding_cluster` from a stored pair relation. */
+  def embeddingClusterStored(s: SparkSession, pairsDir: String): DataFrame = {
+    import s.implicits._
+    connectedComponents(embeddingLshStored(s, pairsDir))
+      .select($"doc_id".as("vec_id"), $"rep_id")
+  }
+
   /** Shared core: bucket-collision candidates → bare-id-pair dedup →
     * exact cosine verify. Candidate generation and its multi-table
     * dedup move bare 16-byte id pairs only; embeddings re-attach AFTER

@@ -123,4 +123,66 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(m.comps.zip(orig.comps).forall { case (a, b) => a.sameElements(b) })
     assert(m.eigvals.sameElements(orig.eigvals))
   }
+
+  test("Jaccard stored pair relation: fresh-session report+collapse parity, shard-pruned scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jacpairs").toString
+    Dedup.writeJaccardPairs(spark, sf, dir)
+    val expectPairs = Dedup.queries("dedup_ngram_jaccard")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val expectClusters = Dedup.queries("dedup_cluster")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(expectPairs.nonEmpty && expectClusters.nonEmpty)
+
+    // a FRESH session (cold pair caches) reads the stored relation:
+    // the pair report and the component collapse both match the
+    // build-session declared queries without re-running the
+    // inverted-index build
+    val s2 = spark.newSession()
+    assert(Dedup.ngramJaccardStored(s2, dir)
+      .as[(Long, Long, Double)].collect().toSet == expectPairs,
+      "stored pair report diverged from the build-session query")
+    assert(Dedup.clusterStored(s2, dir)
+      .as[(Long, Long)].collect().toSet == expectClusters,
+      "stored-pair component collapse diverged")
+
+    // the shard-at-a-time consumer (incremental collapse / backfill)
+    // reads ONE shard directory: static partition pruning on `shard`
+    val shard = Dedup.readPairShard(Dedup.readJaccardPairs(s2, dir), 3)
+    val got = shard.as[(Long, Long, Double, Int)].collect().toSet
+    val all = Dedup.readJaccardPairs(s2, dir)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got.nonEmpty && got == all.filter(_._1 % Dedup.PairShards == 3),
+      "shard read is not exactly the shard's rows")
+    val scan = storedScanLine(shard, "jacpairs")
+    val pf = scan.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+    assert(pf.contains("shard") && pf.contains("= 3"),
+      s"shard read is not partition-pruned: $scan")
+  }
+
+  test("Embedding stored pair relation: fresh-session report+collapse parity, shard-pruned scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("embpairs").toString
+    Dedup.writeEmbPairs(spark, sf, dir)
+    val expectPairs = Dedup.queries("dedup_embedding_lsh")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val expectClusters = Dedup.queries("dedup_embedding_cluster")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(expectPairs.nonEmpty && expectClusters.nonEmpty)
+
+    val s2 = spark.newSession()
+    assert(Dedup.embeddingLshStored(s2, dir)
+      .as[(Long, Long, Double)].collect().toSet == expectPairs,
+      "stored emb pair report diverged from the build-session query")
+    assert(Dedup.embeddingClusterStored(s2, dir)
+      .as[(Long, Long)].collect().toSet == expectClusters,
+      "stored emb-pair component collapse diverged")
+
+    val shard = Dedup.readPairShard(Dedup.readEmbPairs(s2, dir), 1)
+    assert(shard.as[(Long, Long, Double, Int)].collect().forall(_._4 == 1))
+    val scan = storedScanLine(shard, "embpairs")
+    val pf = scan.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+    assert(pf.contains("shard") && pf.contains("= 1"),
+      s"shard read is not partition-pruned: $scan")
+  }
 }

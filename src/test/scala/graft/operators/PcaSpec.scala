@@ -141,6 +141,72 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_whiten = pv/sqrt(eigval); zero-variance components pin to 0.0, never NaN") {
+    import spark.implicits._
+    val m = Pca.pcaModel(spark, sf)
+    // whitened coordinates match the from-scratch recompute on the
+    // real corpus (all eigenvalues positive here → division path)
+    val pvRows = Pca.queries("emb_pca")(spark, sf)
+      .as[(Long, Int, Double)].collect()
+    val wv = Pca.queries("emb_whiten")(spark, sf)
+      .as[(Long, Int, Double)].collect().map { case (id, c, v) => (id, c) -> v }.toMap
+    assert(wv.size == pvRows.length)
+    // recompute from raw embeddings (pvRows are rounded to 6dp, so a
+    // recompute from them would double-round; go back to the vectors)
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    rows.foreach { case (id, x) =>
+      val n = math.min(x.length, Similarity.Dim)
+      for (c <- 0 until Pca.PcaDim) {
+        val p = (0 until n).map(i => (x(i).toDouble - m.mean(i)) * m.comps(c)(i)).sum
+        val lam = m.eigvals(c)
+        val want = if (lam > 0) p / math.sqrt(lam) else 0.0
+        assert(math.abs(wv((id, c)) - BigDecimal(want).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12, s"vec $id comp $c")
+      }
+    }
+    // whitened population variance of every positive-λ component is 1
+    val byComp = Pca.queries("emb_whiten")(spark, sf)
+      .as[(Long, Int, Double)].collect().groupBy(_._2)
+    for (c <- 0 until Pca.PcaDim if m.eigvals(c) > 0) {
+      val vals = byComp(c).map(_._3)
+      val mu = vals.sum / vals.length
+      val varc = vals.map(v => (v - mu) * (v - mu)).sum / vals.length
+      assert(math.abs(varc - 1.0) < 1e-3, s"comp $c whitened var $varc")
+    }
+    // degenerate corpus: rank-2 data → eigenvalues for kept components
+    // 2..15 are exactly 0 (the covariance is exactly block-zero there,
+    // Jacobi never rotates those planes). Without the λ≤0 pin the
+    // kernel would emit 0/√0 = NaN; with it, exactly 0.0.
+    val tmp = java.nio.file.Files.createTempDirectory("pcawhiten").toString
+    val dim = Similarity.Dim
+    val rnd = new scala.util.Random(7)
+    (0L until 40L).map { i =>
+      val v = new Array[Float](dim)
+      v(0) = rnd.nextGaussian().toFloat
+      v(1) = rnd.nextGaussian().toFloat
+      (i, v)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val md = Pca.trainPca(spark, tmp)
+    assert((2 until Pca.PcaDim).forall(c => md.eigvals(c) <= 0.0),
+      "degenerate corpus must have ≤0 eigenvalues in the kept range")
+    val wvd = Pca.queries("emb_whiten")(spark, tmp)
+      .as[(Long, Int, Double)].collect()
+    assert(wvd.forall(r => !r._3.isNaN))
+    assert(wvd.filter(_._2 >= 2).forall(_._3 == 0.0),
+      "zero-variance components must whiten to exactly 0.0")
+    // and the two live components still whiten to unit variance
+    val live = wvd.filter(_._2 < 2).groupBy(_._2)
+    for ((c, g) <- live) {
+      val vals = g.map(_._3)
+      val mu = vals.sum / vals.length
+      val varc = vals.map(v => (v - mu) * (v - mu)).sum / vals.length
+      assert(math.abs(varc - 1.0) < 1e-3, s"degenerate comp $c var $varc")
+    }
+  }
+
   test("short and empty vectors follow the min(len, Dim) prefix contract") {
     import spark.implicits._
     // training must ignore the ragged rows; application projects the

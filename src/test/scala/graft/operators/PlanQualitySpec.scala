@@ -370,8 +370,8 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no map-side (user, day) partial dedup:\n$p")
   }
 
-  test("round-9 row-local operators never exchange (emb_pca/recon, txt_c4_rules, pca_build)") {
-    for (q <- Seq("emb_pca", "emb_pca_recon", "txt_c4_rules")) {
+  test("round-9 row-local operators never exchange (emb_pca/recon/whiten, txt_c4_rules, pca_build)") {
+    for (q <- Seq("emb_pca", "emb_pca_recon", "emb_whiten", "txt_c4_rules")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 0, s"$q grew a shuffle:\n$p")
     }
