@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, DnaPipeline, Embeddings, Multimodal, Pca, Pq, Relational, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, DnaPipeline, Embeddings, Multimodal, Pca, Pq, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ DnaPipeline.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Embeddings.queries ++ Pq.queries ++ Pca.queries
+      Multimodal.queries ++ Embeddings.queries ++ Pq.queries ++ Pca.queries ++
+      Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,5 @@ object SparkEntry {
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
     Similarity.dynamicOracles(spark, sfDir) ++
       Dedup.dynamicOracles(spark, sfDir) ++ Pq.dynamicOracles(spark, sfDir) ++
-      Pca.dynamicOracles(spark, sfDir)
+      Pca.dynamicOracles(spark, sfDir) ++ Bpe.dynamicOracles(spark, sfDir)
 }

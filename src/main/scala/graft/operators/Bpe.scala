@@ -1,0 +1,396 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Byte-pair-encoding tokenizer as TRAINED state — the public BPE
+  * construction (Sennrich et al., ACL 2016: iterated most-frequent
+  * adjacent-pair merges over a word-frequency table; the GPT-2 lineage
+  * applies the same merges with a whitespace-ish pre-tokenizer and no
+  * end-of-word marker, which is the variant here). This makes the
+  * pipeline's token accounting mean what a training job needs it to
+  * mean: `txt_windows` / `txt_shard` / `pipe_train_manifest` budget
+  * whitespace tokens; a loader budgets TOKENIZER tokens. `bpe_build`
+  * trains the merge table once per corpus and `txt_bpe_tokens` applies
+  * it, following the IVF/PQ/PCA trained-state contract — deterministic
+  * training cached per (session, corpus), oracles that embed the
+  * trained model as literals rendered at Verify time, and a stored-model
+  * API so one job trains and any later job encodes without retraining.
+  *
+  * Scale shape (the part that must survive 100 TB): training never
+  * iterates over the corpus — ONE map-side-combinable word count
+  * (`groupBy(word).count`, the txt_vocab shuffle shape) reduces 100 TB
+  * of text to its word-frequency table, and the merge loop runs on the
+  * top-[[BpeWordTypesCap]] types by (count desc, word asc) — a bounded,
+  * deterministic driver table (the IvfSampleCap convention; production
+  * BPE trainers train on exactly this kind of frequency-truncated
+  * table). Driver flops are bounded by Cap × [[BpeMaxWordLen]] ×
+  * [[BpeNumMerges]] ≈ 5e8 regardless of corpus size. Encoding is a
+  * pure row-local map — the merge table rides the closure (≤ a few KB)
+  * with a per-executor memo keyed on word, so a 100 TB encode pass is
+  * one narrow scan, zero shuffle.
+  *
+  * Determinism contract (what makes the oracle compare exact): pair
+  * counts are exact integers; the merge chosen each round is max count
+  * with lexicographic-smallest (lhs, rhs) tie-break; training applies a
+  * merge left-to-right non-overlapping. Encode re-derives a word's
+  * tokens by repeatedly merging the LEFTMOST occurrence of the
+  * lowest-rank adjacent pair — one occurrence per step — which the
+  * DuckDB oracle restates verbatim as a recursive CTE (argmin =
+  * `list_indexof(rk, list_min(rk))`, leftmost by construction).
+  * [[graft.BpeSpec]] pins that the two formulations agree: encode of
+  * every trained word type equals the training loop's final symbol
+  * sequence.
+  */
+object Bpe {
+
+  /** Words longer than this many code points bypass BPE (emitted as a
+    * single opaque token) — bounds the O(len²) merge scan per word on
+    * both engines against pathological unbroken-run inputs.
+    */
+  val BpeMaxWordLen = 64
+
+  /** Word-frequency table rows the driver trains on: top types by
+    * (count desc, word asc). Bounds driver memory/flops at any corpus
+    * size; at 100 TB the tail types this truncates are exactly the
+    * ones whose pairs could never win a merge round.
+    */
+  val BpeWordTypesCap = 32768
+
+  /** Maximum merges learned (the vocab-size knob). */
+  val BpeNumMerges = 256
+
+  /** A pair must occur at least this often (weighted by word freq) to
+    * be merged — merges below this are corpus noise.
+    */
+  val BpeMinPairFreq = 2L
+
+  /** Per-executor encode-memo cap (entries); beyond it, encode still
+    * computes correctly, it just stops caching new words.
+    */
+  val EncodeMemoCap = 1 << 20
+
+  /** Trained model: merge table in rank order (lhs, rhs, weighted pair
+    * count at merge time).
+    */
+  final case class BpeModel(merges: Array[(String, String, Long)]) {
+    /** (lhs, rhs) → rank. */
+    lazy val ranks: Map[(String, String), Int] =
+      merges.iterator.zipWithIndex.map { case ((l, r, _), i) => ((l, r), i) }.toMap
+  }
+
+  private val cache = new SessionCache[BpeModel]()
+
+  def bpeModel(s: SparkSession, d: String): BpeModel =
+    cache.getOrBuild(s, s"bpe#$d")(trainBpe(s, d))
+
+  /** Split a word into per-code-point strings — the BPE alphabet.
+    * Code points, not UTF-16 chars, so surrogate-pair symbols stay
+    * whole and the split agrees with the oracle's code-point
+    * `string_split(word, '')`.
+    */
+  private[operators] def codePoints(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** One training-side merge application: left-to-right,
+    * non-overlapping ([a,a,a] + merge (a,a) → [aa, a]).
+    */
+  private[operators] def applyMerge(sym: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](sym.length)
+    var i = 0
+    while (i < sym.length) {
+      if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == r) {
+        out += l + r
+        i += 2
+      } else {
+        out += sym(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Train: distributed word-frequency table → bounded driver merge
+    * loop. Words longer than [[BpeMaxWordLen]] are excluded from
+    * training for the same reason encode bypasses them.
+    */
+  def trainBpe(s: SparkSession, d: String): BpeModel = {
+    import s.implicits._
+    val wordCounts = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens($"text")).as("word"))
+      .filter(length($"word") <= BpeMaxWordLen)
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word".asc)
+      .limit(BpeWordTypesCap)
+      .as[(String, Long)].collect()
+
+    var reps: Array[Array[String]] = wordCounts.map(wc => codePoints(wc._1))
+    val freqs: Array[Long] = wordCounts.map(_._2)
+    val merges = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (!done && merges.length < BpeNumMerges) {
+      // exact weighted adjacent-pair counts (all adjacencies, the
+      // classical overlapping count: [a,a,a] contributes (a,a) twice)
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      var w = 0
+      while (w < reps.length) {
+        val sym = reps(w)
+        val f = freqs(w)
+        var i = 0
+        while (i < sym.length - 1) {
+          val k = (sym(i), sym(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        w += 1
+      }
+      // max count; ties broken by lexicographic smallest (lhs, rhs)
+      var best: ((String, String), Long) = null
+      counts.foreach { e =>
+        if (best == null || e._2 > best._2 ||
+          (e._2 == best._2 && (e._1._1 < best._1._1 ||
+            (e._1._1 == best._1._1 && e._1._2 < best._1._2)))) best = e
+      }
+      if (best == null || best._2 < BpeMinPairFreq) done = true
+      else {
+        merges += ((best._1._1, best._1._2, best._2))
+        reps = reps.map(applyMerge(_, best._1._1, best._1._2))
+      }
+    }
+    BpeModel(merges.toArray)
+  }
+
+  /** Final training-side symbol sequences per trained word type —
+    * exposed for the spec's encode≡training consistency pin.
+    */
+  private[operators] def trainedReps(s: SparkSession, d: String): Map[String, Array[String]] = {
+    import s.implicits._
+    val m = bpeModel(s, d)
+    val words = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens($"text")).as("word"))
+      .filter(length($"word") <= BpeMaxWordLen)
+      .distinct().as[String].collect()
+    words.iterator.map { w =>
+      var sym = codePoints(w)
+      m.merges.foreach { case (l, r, _) => sym = applyMerge(sym, l, r) }
+      (w, sym)
+    }.toMap
+  }
+
+  /** Encode one word: repeatedly merge the leftmost occurrence of the
+    * lowest-rank adjacent pair (one occurrence per step) until no
+    * adjacent pair is in the merge table. Long words bypass as a
+    * single token.
+    */
+  private[operators] def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    val toks0 = codePoints(word)
+    if (toks0.length > BpeMaxWordLen) return Array(word)
+    val toks = scala.collection.mutable.ArrayBuffer.from(toks0)
+    var go = true
+    while (go && toks.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < toks.length - 1) {
+        ranks.get((toks(i), toks(i + 1))) match {
+          case Some(r) if r < bestRank => bestRank = r; bestI = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (bestI < 0) go = false
+      else {
+        toks(bestI) = toks(bestI) + toks(bestI + 1)
+        toks.remove(bestI + 1)
+      }
+    }
+    toks.toArray
+  }
+
+  /** A serializable word→tokens encoder with a bounded per-executor
+    * memo (a 100 TB corpus revisits the same word types constantly;
+    * the memo makes the steady-state cost a hash probe).
+    */
+  private def encoder(m: BpeModel): String => Array[String] = {
+    val ranks = m.ranks
+    val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    (word: String) => {
+      val hit = memo.get(word)
+      if (hit != null) hit
+      else {
+        val e = encodeWord(word, ranks)
+        if (memo.size < EncodeMemoCap) memo.put(word, e)
+        e
+      }
+    }
+  }
+
+  /** txt_bpe_tokens given a model (session-cached or stored): per-doc
+    * whitespace word count + BPE token count. Row-local, zero shuffle.
+    */
+  private def bpeTokensWith(s: SparkSession, d: String, m: BpeModel): DataFrame = {
+    import s.implicits._
+    val enc = encoder(m)
+    val stats = udf { (text: String) =>
+      val t = if (text == null) "" else text
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      var nb = 0L
+      ws.foreach(w => nb += enc(w).length.toLong)
+      (ws.length.toLong, nb)
+    }
+    Tables.documents(s, d)
+      .select($"doc_id", stats($"text").as("s"))
+      .select($"doc_id", $"s._1".as("n_words"), $"s._2".as("n_bpe"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bench build line: trains (or hits the session cache) and emits
+    // the merge table — rank order IS the model. The oracle is the
+    // pca_build convention (driver literals pin the VALUES round-trip);
+    // the training arithmetic is cross-checked by txt_bpe_tokens,
+    // where DuckDB re-applies the merges to every word from scratch.
+    "bpe_build" -> { (s, d) =>
+      import s.implicits._
+      val m = bpeModel(s, d)
+      if (m.merges.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("lhs",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("rhs",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("freq",
+              org.apache.spark.sql.types.LongType))))
+      else m.merges.zipWithIndex
+        .map { case ((l, r, f), i) => (i, l, r, f) }.toSeq
+        .toDF("rank", "lhs", "rhs", "freq")
+    },
+
+    // BPE token accounting per document — the tokenizer-token form of
+    // txt_tokens. One narrow scan; the model rides the closure.
+    "txt_bpe_tokens" -> ((s, d) => bpeTokensWith(s, d, bpeModel(s, d))))
+
+  // ------------------------------------------------------------------
+  // Stored-model contract (the stored-index convention): ONE job
+  // trains and writes the merge table; any LATER driver reads it back
+  // and encodes without retraining. The merge table is tiny (≤
+  // BpeNumMerges rows) but it IS the tokenizer's identity — training
+  // jobs and loader jobs must agree on it bit-for-bit, which is the
+  // same reason production tokenizers ship merges.txt as an artifact.
+  // ------------------------------------------------------------------
+
+  def writeBpeModel(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    val m = bpeModel(s, d)
+    m.merges.zipWithIndex.map { case ((l, r, f), i) => (i, l, r, f) }.toSeq
+      .toDF("rank", "lhs", "rhs", "freq")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  def readBpeModel(s: SparkSession, modelDir: String): BpeModel = {
+    import s.implicits._
+    val rows = s.read.parquet(modelDir)
+      .select($"rank", $"lhs", $"rhs", $"freq").as[(Int, String, String, Long)]
+      .collect().sortBy(_._1)
+    BpeModel(rows.map(t => (t._2, t._3, t._4)))
+  }
+
+  /** txt_bpe_tokens with a STORED model — the separate-query-job half;
+    * nothing retrained.
+    */
+  def bpeTokensStored(s: SparkSession, d: String, modelDir: String): DataFrame =
+    bpeTokensWith(s, d, readBpeModel(s, modelDir))
+
+  /** Static oracles: none — every BPE oracle embeds trained state. */
+  val oracles: Map[String, String] = Map.empty
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The merge table as a DuckDB nested-map literal lhs → (rhs → rank).
+    * Nested maps, not concatenated keys: a separator character could
+    * collide with token content (tokens may contain any non-whitespace
+    * code point). An empty model gets an impossible-key sentinel map
+    * (tokens are never empty strings) so the literal stays typed.
+    */
+  private def mergeMapLiteral(m: BpeModel): String =
+    if (m.merges.isEmpty) "MAP {'': MAP {'': 2147483647}}"
+    else {
+      val byLhs = scala.collection.mutable.LinkedHashMap[String,
+        scala.collection.mutable.ArrayBuffer[(String, Int)]]()
+      m.merges.iterator.zipWithIndex.foreach { case ((l, r, _), i) =>
+        byLhs.getOrElseUpdate(l,
+          new scala.collection.mutable.ArrayBuffer[(String, Int)]) += ((r, i))
+      }
+      byLhs.iterator.map { case (l, rs) =>
+        s"${sq(l)}: MAP {" + rs.map { case (r, i) => s"${sq(r)}: $i" }.mkString(", ") + "}"
+      }.mkString("MAP {", ", ", "}")
+    }
+
+  /** Trained merges as literals; DuckDB re-derives every word's tokens
+    * with a recursive CTE stating the encode algorithm verbatim: rank
+    * each adjacent pair via the merge map, merge the leftmost
+    * lowest-rank occurrence, repeat until no pair ranks.
+    */
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
+    val m = bpeModel(s, d)
+    val buildSql =
+      if (m.merges.isEmpty)
+        """SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS VARCHAR) AS lhs,
+            CAST(NULL AS VARCHAR) AS rhs, CAST(NULL AS BIGINT) AS freq
+            WHERE false"""
+      else {
+        val rows = m.merges.zipWithIndex.map { case ((l, r, f), i) =>
+          s"($i, ${sq(l)}, ${sq(r)}, $f)"
+        }.mkString(", ")
+        s"""SELECT CAST(rank AS INT) AS rank, lhs::VARCHAR AS lhs,
+            rhs::VARCHAR AS rhs, CAST(freq AS BIGINT) AS freq
+            FROM (VALUES $rows) t(rank, lhs, rhs, freq)"""
+      }
+    // rk: per-adjacent-pair merge rank (NULL when the pair is not in
+    // the table); list_min skips NULLs, list_indexof takes the
+    // FIRST position of the min → leftmost lowest-rank occurrence.
+    val rk =
+      """list_transform(generate_series(1, len(toks) - 1),
+         i -> map_extract(map_extract(mm.m, toks[i])[1], toks[i+1])[1])"""
+    val tokensSql =
+      s"""WITH RECURSIVE mm AS (SELECT ${mergeMapLiteral(m)} AS m),
+          dw AS (SELECT doc_id, w AS word FROM (
+            SELECT doc_id, unnest(list_filter(
+              regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS w
+            FROM documents)),
+          words AS (SELECT DISTINCT word FROM dw WHERE len(word) <= $BpeMaxWordLen),
+          enc AS (
+            SELECT word, string_split(word, '') AS toks FROM words
+            UNION ALL
+            SELECT word,
+              list_slice(toks, 1, bi - 1) || [toks[bi] || toks[bi+1]]
+                || list_slice(toks, bi + 2, len(toks)) AS toks
+            FROM (SELECT word, toks, list_indexof(rk, list_min(rk)) AS bi
+                  FROM (SELECT word, toks, $rk AS rk FROM enc, mm))
+            WHERE bi IS NOT NULL),
+          fin AS (
+            SELECT word, len(toks) AS n
+            FROM (SELECT word, toks, list_indexof(rk, list_min(rk)) AS bi
+                  FROM (SELECT word, toks, $rk AS rk FROM enc, mm))
+            WHERE bi IS NULL),
+          agg AS (
+            SELECT dw.doc_id, COUNT(*) AS nw, SUM(COALESCE(fin.n, 1)) AS nb
+            FROM dw LEFT JOIN fin USING (word) GROUP BY dw.doc_id)
+          SELECT d.doc_id,
+            CAST(COALESCE(agg.nw, 0) AS BIGINT) AS n_words,
+            CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_bpe
+          FROM documents d LEFT JOIN agg USING (doc_id)"""
+    Map("bpe_build" -> buildSql, "txt_bpe_tokens" -> tokensSql)
+  }
+}

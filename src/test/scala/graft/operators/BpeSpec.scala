@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants the DuckDB oracle can't state for the BPE family:
+  * hand-checked training on pinned corpora (merge order, counts,
+  * tie-breaks, stopping), the encode≡training-representation agreement
+  * that justifies restating encode as the oracle's recursive argmin
+  * CTE, and the encode kernel's structural properties (lossless
+  * concatenation, code-point splitting, long-word bypass).
+  */
+class BpeSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Write a tiny documents.parquet under a temp sf-dir so trainBpe
+    * sees a hand-pinned corpus through the normal Tables path.
+    */
+  private def corpusDir(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpecorpus").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("training learns merges in frequency order with exact weighted counts") {
+    // words: ab ×3, abc ×2 → pairs (a,b):5, (b,c):2 → merge (a,b,5);
+    // then reps [ab], [ab,c] → (ab,c):2 → merge (ab,c,2); then no
+    // multi-symbol words remain → stop
+    val d = corpusDir(Seq("ab ab ab", "abc abc"))
+    val m = Bpe.trainBpe(spark, d)
+    assert(m.merges.toSeq == Seq(("a", "b", 5L), ("ab", "c", 2L)))
+  }
+
+  test("equal-count merges tie-break to the lexicographically smallest pair") {
+    val d = corpusDir(Seq("ab cd ab cd"))
+    val m = Bpe.trainBpe(spark, d)
+    assert(m.merges.toSeq == Seq(("a", "b", 2L), ("c", "d", 2L)))
+  }
+
+  test("adjacent-pair counts are the classical overlapping count; repeats merge left-to-right") {
+    // "aaa" ×2: (a,a) counts twice per word → 4; after merging LTR
+    // non-overlapping each word is [aa, a] → (aa,a):2 → merge; then
+    // single symbols → stop
+    val d = corpusDir(Seq("aaa aaa"))
+    val m = Bpe.trainBpe(spark, d)
+    assert(m.merges.toSeq == Seq(("a", "a", 4L), ("aa", "a", 2L)))
+    // encode agrees with the training representation
+    assert(Bpe.encodeWord("aaa", m.ranks).toSeq == Seq("aaa"))
+    // [a,a,a,a]: merge at 0 → [aa,a,a]; the rank-0 (a,a) at index 1
+    // beats the rank-1 (aa,a) at index 0 → [aa,aa] — the same result
+    // training's left-to-right merge-all produces
+    assert(Bpe.encodeWord("aaaa", m.ranks).toSeq == Seq("aa", "aa"))
+  }
+
+  test("pairs below the min frequency are not merged; single-char words train nothing") {
+    val d = corpusDir(Seq("x y z"))
+    val m = Bpe.trainBpe(spark, d)
+    assert(m.merges.isEmpty)
+    // encode with an empty model = the code-point split
+    assert(Bpe.encodeWord("xyz", m.ranks).toSeq == Seq("x", "y", "z"))
+    // the declared build query emits an empty, correctly-typed frame
+    val df = Bpe.queries("bpe_build")(spark, d)
+    assert(df.count() == 0)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("rank", "int"), ("lhs", "string"), ("rhs", "string"), ("freq", "bigint")))
+  }
+
+  test("encode of every trained word type equals the training loop's final symbols") {
+    // the agreement that lets the oracle restate encode (global-argmin
+    // one-merge-per-step) while training applies merges in rank order:
+    // on the real corpus the two formulations coincide word-for-word
+    val reps = Bpe.trainedReps(spark, sf)
+    val m = Bpe.bpeModel(spark, sf)
+    assert(reps.nonEmpty && m.merges.nonEmpty)
+    reps.foreach { case (w, sym) =>
+      assert(Bpe.encodeWord(w, m.ranks).toSeq == sym.toSeq,
+        s"encode('$w') diverged from the training representation")
+    }
+  }
+
+  test("encode is lossless, code-point-based, and bypasses long words") {
+    val m = Bpe.bpeModel(spark, sf)
+    // concatenating tokens reproduces the word, for ASCII and for
+    // multi-byte/surrogate-pair content alike
+    for (w <- Seq("hello", "héllo…", "日本語テスト", "a😀b", "x"))
+      assert(Bpe.encodeWord(w, m.ranks).mkString == w)
+    // surrogate pairs split as ONE symbol, not two UTF-16 halves
+    assert(Bpe.codePoints("a😀b").toSeq == Seq("a", "😀", "b"))
+    // 64 code points encodes; 65 bypasses as a single opaque token
+    val at = "a" * Bpe.BpeMaxWordLen
+    assert(Bpe.encodeWord(at, Map(("a", "a") -> 0)).forall(_.forall(_ == 'a')))
+    assert(Bpe.encodeWord(at + "a", Map(("a", "a") -> 0)).toSeq == Seq(at + "a"))
+  }
+
+  test("txt_bpe_tokens: per-doc counts match a driver recompute; empty text counts zero") {
+    import spark.implicits._
+    val d = corpusDir(Seq("ab ab abc", "", "  ", "zzz ab"))
+    val m = Bpe.bpeModel(spark, d)
+    val got = Bpe.queries("txt_bpe_tokens")(spark, d)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, a, b) => (k, (a, b)) }.toMap
+    val expect = Seq("ab ab abc", "", "  ", "zzz ab").zipWithIndex.map { case (t, i) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      (i.toLong, (ws.length.toLong, ws.map(w => Bpe.encodeWord(w, m.ranks).length.toLong).sum))
+    }.toMap
+    assert(got == expect)
+    assert(got(1L) == ((0L, 0L)) && got(2L) == ((0L, 0L)))
+  }
+
+  test("model is a deterministic function of the corpus") {
+    val m1 = Bpe.trainBpe(spark, sf)
+    val m2 = Bpe.trainBpe(spark, sf)
+    assert(m1.merges.toSeq == m2.merges.toSeq)
+  }
+}

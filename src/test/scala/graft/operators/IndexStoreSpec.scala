@@ -124,6 +124,25 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(m.eigvals.sameElements(orig.eigvals))
   }
 
+  test("BPE stored model: fresh-session encode parity (merge table round-trip)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpestore").toString
+    Bpe.writeBpeModel(spark, sf, dir)
+    val expect = Bpe.queries("txt_bpe_tokens")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expect.nonEmpty)
+
+    val s2 = spark.newSession()
+    assert(Bpe.bpeTokensStored(s2, sf, dir)
+      .as[(Long, Long, Long)].collect().toSet == expect,
+      "stored-model encode diverged from the build-session encode")
+    // the read-back merge table is the exact trained state in rank
+    // order — the tokenizer's identity, as merges.txt is for
+    // production tokenizers
+    val m = Bpe.readBpeModel(s2, dir)
+    assert(m.merges.toSeq == Bpe.bpeModel(spark, sf).merges.toSeq)
+  }
+
   test("Jaccard stored pair relation: fresh-session report+collapse parity, shard-pruned scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("jacpairs").toString

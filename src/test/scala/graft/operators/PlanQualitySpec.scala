@@ -381,6 +381,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(pb, "Exchange") == 0 && pb.contains("LocalTableScan"), pb)
   }
 
+  test("BPE: encode pass never exchanges; the merge table is a driver-local relation") {
+    // txt_bpe_tokens is ONE narrow scan — the model rides the udf
+    // closure, so a 100 TB encode pass shuffles nothing
+    val p = plan("txt_bpe_tokens")
+    assert(count(p, "Exchange") == 0, s"txt_bpe_tokens grew a shuffle:\n$p")
+    val pb = plan("bpe_build")
+    assert(count(pb, "Exchange") == 0 && pb.contains("LocalTableScan"), pb)
+  }
+
   test("dedup_lines ships 8-byte line hashes through its shuffles, never line text") {
     val p = plan("dedup_lines")
     // election + verify exchanges key on the xxhash64 column
