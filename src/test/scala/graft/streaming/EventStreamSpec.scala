@@ -72,6 +72,11 @@ class EventStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       val all = spark.table("sessions").as[SessionUpdate].collect()
       assert(all.exists(s => s.user_id == 7 && s.closed && s.n_events == 2))
+      // the close REMOVED user 7's state row — the store holds exactly
+      // the one live session (user 9), not every user ever seen
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 1L,
+        s"expected 1 live session in the state store, found $stateRows")
     } finally q.stop()
   }
 
@@ -132,6 +137,45 @@ class EventStreamSpec extends AnyFunSuite {
       val ids = spark.table("dedup").as[Event].collect().map(_.event_id).toSeq
       assert(ids.sorted == Seq(1L, 2L, 3L),
         s"expected each id exactly once, got $ids")
+    } finally q.stop()
+  }
+
+  test("dedup state store is bounded by the watermark: old keys evicted, never accreted") {
+    // the claim behind dropDuplicatesWithinWatermark's existence here
+    // (EventStream.scala dedupStream Scaladoc), pinned on the state
+    // metrics the way PlanQualitySpec pins batch plans: under a
+    // two-batch replay, keys older than the watermark horizon LEAVE
+    // the store — a forever stream holds O(window) state, not
+    // O(distinct keys ever)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: ten distinct keys early in the stream
+      mem.addData((1 to 10).map(i =>
+        Event(i.toLong, i.toLong, "click", 1.0, ts(i))): _*)
+      q.processAllAvailable()
+      val loaded = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(loaded == 10L, s"expected all 10 keys in state, found $loaded")
+
+      // batch 2 moves event time 10h ahead; its commit advances the
+      // watermark to ts(600)-2h, far past every batch-1 key
+      mem.addData(Event(100, 100, "click", 1.0, ts(600)))
+      q.processAllAvailable()
+      // batch 3 runs WITH that advanced watermark: batch-1 keys evict
+      mem.addData(Event(101, 101, "click", 1.0, ts(610)))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(after <= 2L,
+        s"watermark passed 10 keys but state still holds $after rows")
+      // eviction is bounded-state bookkeeping, not dedup forgetting
+      // in-window keys: the two recent events both emitted exactly once
+      val ids = spark.table("dedup_bounded").as[Event].collect()
+        .map(_.event_id).toSet
+      assert(ids == (1L to 10L).toSet + 100L + 101L)
     } finally q.stop()
   }
 
