@@ -312,6 +312,30 @@ object Bpe {
   def bpeTokensStored(s: SparkSession, d: String, modelDir: String): DataFrame =
     bpeTokensWith(s, d, readBpeModel(s, modelDir))
 
+  /** Per-document BPE token sequence (word order preserved, words
+    * flattened) — the stream the window/manifest machinery consumes
+    * when budgeting tokenizer tokens instead of whitespace tokens
+    * ([[TextAnalysis.txtWindowsBpe]]). Row-local like the counter.
+    */
+  def tokensArrayUdf(m: BpeModel): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val enc = encoder(m)
+    udf { (text: String) =>
+      // null propagates (not []): the window machinery's explode then
+      // emits no rows for null-text docs, exactly as the declared
+      // whitespace txt_windows behaves (size(null) → null sequence)
+      if (text == null) null
+      else text.split("\\s+").filter(_.nonEmpty).flatMap(w => enc(w)).toSeq
+    }
+  }
+
+  /** (doc_id, nt = BPE token count) — the token-mass relation
+    * [[TextAnalysis.trainManifestBpe]] re-weighs the manifest with.
+    */
+  def tokenMass(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTokensWith(s, d, bpeModel(s, d)).select($"doc_id", $"n_bpe".as("nt"))
+  }
+
   /** Static oracles: none — every BPE oracle embeds trained state. */
   val oracles: Map[String, String] = Map.empty
 

@@ -180,15 +180,8 @@ object TextAnalysis {
     // (doc_id, n_tokens) scalars — the wide text never reappears.
     "pipe_train_manifest" -> { (s, d) =>
       import s.implicits._
-      val h = md5($"doc_id".cast("string"))
-      queries("pipe_curate")(s, d)
-        .select(
-          conv(substring(h, 1, 1), 16, 10).cast("int").as("shard"),
-          conv(substring(h, 1, 8), 16, 10).cast("long").as("mk"),
-          $"n_tokens".cast("long").as("nt"))
-        .groupBy($"shard")
-        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
-          expr("bit_xor(mk)").as("member_fp"))
+      manifestFrom(queries("pipe_curate")(s, d)
+        .select($"doc_id", $"n_tokens".as("nt")))
     },
 
     // Deterministic hash sampling — the staple curation subsample at
@@ -285,21 +278,8 @@ object TextAnalysis {
     // checksums, and slicing is a narrow map at read time. Row-local:
     // explode of a per-row sequence, zero shuffle, linear in corpus
     // tokens.
-    "txt_windows" -> { (s, d) =>
-      import s.implicits._
-      Tables.documents(s, d)
-        .select($"doc_id", tokens($"text").as("ts"))
-        .select($"doc_id", $"ts", explode(expr(
-          s"sequence(0, cast((greatest(size(ts) - $WinTokens, 0) + ${WinStride - 1}) div $WinStride AS INT))"))
-          .as("w"))
-        .select($"doc_id", $"w".cast("long").as("win_id"),
-          ($"w" * WinStride).cast("long").as("tok_start"),
-          least(lit(WinTokens), size($"ts") - $"w" * WinStride).cast("long")
-            .as("n_toks"),
-          md5(to_binary(concat_ws(" ", slice($"ts", $"w" * WinStride + 1,
-            least(lit(WinTokens), size($"ts") - $"w" * WinStride))),
-            lit("utf-8"))).as("win_fp"))
-    },
+    "txt_windows" -> ((s, d) =>
+      windowsOver(Tables.documents(s, d), tokens(col("text")))),
 
     // Unigram Shannon entropy per document — the "natural text vs
     // degenerate/generated" quality signal (low entropy = stuck
@@ -810,6 +790,68 @@ object TextAnalysis {
       .select($"doc_id", $"source", $"shard", $"n_tokens",
         floor(($"cum" - $"n_tokens") / lit(PackTokens.toDouble)).cast("long")
           .as("pack_id"))
+  }
+
+  /** The window machinery behind txt_windows, over ANY per-doc token
+    * stream — the "token" a training job budgets is a PARAMETER
+    * (whitespace tokens for the declared query, BPE tokens via
+    * [[txtWindowsBpe]]), the windowing/fingerprint contract is not.
+    */
+  private def windowsOver(docs: DataFrame, toks: Column): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", toks.as("ts"))
+      .select($"doc_id", $"ts", explode(expr(
+        s"sequence(0, cast((greatest(size(ts) - $WinTokens, 0) + ${WinStride - 1}) div $WinStride AS INT))"))
+        .as("w"))
+      .select($"doc_id", $"w".cast("long").as("win_id"),
+        ($"w" * WinStride).cast("long").as("tok_start"),
+        least(lit(WinTokens), size($"ts") - $"w" * WinStride).cast("long")
+          .as("n_toks"),
+        md5(to_binary(concat_ws(" ", slice($"ts", $"w" * WinStride + 1,
+          least(lit(WinTokens), size($"ts") - $"w" * WinStride))),
+          lit("utf-8"))).as("win_fp"))
+  }
+
+  /** txt_windows budgeted in trained-BPE tokens: the same row-local
+    * window plan over the [[Bpe.tokensArrayUdf]] stream — window
+    * lengths now mean what the loader's sequence budget means.
+    */
+  def txtWindowsBpe(s: SparkSession, d: String): DataFrame =
+    windowsOver(Tables.documents(s, d),
+      Bpe.tokensArrayUdf(Bpe.bpeModel(s, d))(col("text")))
+
+  /** The manifest stage behind pipe_train_manifest, over ANY
+    * (doc_id, nt) token-mass relation: md5 shard/membership keys from
+    * doc_id, one 16-group map-side-combinable agg. Membership (n_docs,
+    * member_fp) depends only on doc_id — swapping the token counter
+    * can re-weigh shards but never changes WHICH docs are in them
+    * (spec-pinned in BpeSpec).
+    */
+  private def manifestFrom(docTokens: DataFrame): DataFrame = {
+    val s = docTokens.sparkSession
+    import s.implicits._
+    val h = md5($"doc_id".cast("string"))
+    docTokens
+      .select(
+        conv(substring(h, 1, 1), 16, 10).cast("int").as("shard"),
+        conv(substring(h, 1, 8), 16, 10).cast("long").as("mk"),
+        $"nt".cast("long").as("nt"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+        expr("bit_xor(mk)").as("member_fp"))
+  }
+
+  /** pipe_train_manifest with token mass in trained-BPE tokens: the
+    * curated membership joined to [[Bpe.tokenMass]] — one narrow
+    * doc_id-keyed join (16 bytes/row), then the same 16-row agg. The
+    * loader-facing numbers now budget what the tokenizer will emit.
+    */
+  def trainManifestBpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    manifestFrom(queries("pipe_curate")(s, d).select($"doc_id")
+      .join(Bpe.tokenMass(s, d), Seq("doc_id")))
   }
 
   /** The two sides of decontamination, shared by the exact and Bloom

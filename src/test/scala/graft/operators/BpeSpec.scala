@@ -118,6 +118,61 @@ class BpeSpec extends AnyFunSuite {
     assert(got(1L) == ((0L, 0L)) && got(2L) == ((0L, 0L)))
   }
 
+  test("trainManifestBpe: identical shard membership to the declared manifest, BPE token mass") {
+    import spark.implicits._
+    // swapping the token counter re-weighs shards but never changes
+    // WHICH docs are in them: n_docs and member_fp must be bit-equal
+    // to pipe_train_manifest's, and the re-weighed token mass must
+    // equal a driver recompute from txt_bpe_tokens over the curated set
+    val declared = TextAnalysis.queries("pipe_train_manifest")(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val bpe = TextAnalysis.trainManifestBpe(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(bpe.keySet == declared.keySet)
+    declared.foreach { case (shard, (_, nDocs, _, fp)) =>
+      assert(bpe(shard)._2 == nDocs, s"shard $shard doc count changed")
+      assert(bpe(shard)._4 == fp, s"shard $shard membership changed")
+    }
+    val curated = TextAnalysis.queries("pipe_curate")(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val nbpe = Bpe.queries("txt_bpe_tokens")(spark, sf)
+      .select($"doc_id", $"n_bpe").as[(Long, Long)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shardOf(id: Long): Int = Integer.parseInt(
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 1), 16)
+    val expect = curated.groupBy(shardOf).map { case (sh, ids) =>
+      sh -> ids.iterator.map(nbpe).sum
+    }
+    assert(bpe.view.mapValues(_._3).toMap == expect,
+      "BPE token mass diverged from the driver recompute")
+  }
+
+  test("txtWindowsBpe: offsets, counts, and fingerprints match a driver recompute over the BPE stream") {
+    import spark.implicits._
+    val m = Bpe.bpeModel(spark, sf)
+    val got = TextAnalysis.txtWindowsBpe(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val (wT, wS) = (TextAnalysis.WinTokens, TextAnalysis.WinStride)
+    val expect = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().flatMap {
+        case (_, null) => Seq.empty
+        case (id, text) =>
+          val toks = text.split("\\s+").filter(_.nonEmpty)
+            .flatMap(w => Bpe.encodeWord(w, m.ranks))
+          val nWin = (math.max(toks.length - wT, 0) + wS - 1) / wS + 1
+          (0 until nWin).map { w =>
+            val n = math.min(wT, toks.length - w * wS)
+            val fp = md.digest(toks.slice(w * wS, w * wS + n).mkString(" ")
+              .getBytes("UTF-8")).map("%02x".format(_)).mkString
+            (id, w.toLong, (w * wS).toLong, n.toLong, fp)
+          }
+      }.toSet
+    assert(got == expect, "BPE windows diverged from the driver recompute")
+  }
+
   test("model is a deterministic function of the corpus") {
     val m1 = Bpe.trainBpe(spark, sf)
     val m2 = Bpe.trainBpe(spark, sf)
