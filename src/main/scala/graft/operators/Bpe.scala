@@ -279,7 +279,91 @@ object Bpe {
 
     // BPE token accounting per document — the tokenizer-token form of
     // txt_tokens. One narrow scan; the model rides the closure.
-    "txt_bpe_tokens" -> ((s, d) => bpeTokensWith(s, d, bpeModel(s, d))))
+    "txt_bpe_tokens" -> ((s, d) => bpeTokensWith(s, d, bpeModel(s, d))),
+
+    // The id table the loader's embedding matrix is sized by: corpus
+    // alphabet (distinct code points of trainable words, code-point-
+    // sorted — equal to DuckDB's binary ORDER BY on UTF-8) gets ids
+    // 0..|A|-1, merge outputs |A|..|A|+M-1 in rank order (the GPT-2
+    // vocab-file convention). The oracle re-derives the ALPHABET
+    // independently from the corpus; only the merges ride as literals.
+    "bpe_vocab" -> { (s, d) =>
+      import s.implicits._
+      val v = vocab(s, d)
+      if (v.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("token_id",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("token",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("kind",
+              org.apache.spark.sql.types.StringType))))
+      else v.toSeq.toDF("token_id", "token", "kind")
+    },
+
+    // The tokenized corpus — the artifact the tokenize stage actually
+    // hands the loader: every document as its (pos, token, token_id)
+    // stream, word order preserved. Row-local: one narrow scan, the
+    // model + id map ride the closure, posexplode gives global
+    // positions; zero shuffle at any corpus size. Long-word bypass
+    // tokens are out-of-vocab by construction → token_id = -1 (the
+    // OOV sentinel, pinned on both engines).
+    "txt_bpe_encode" -> { (s, d) =>
+      import s.implicits._
+      val enc = encoder(bpeModel(s, d))
+      val ids = vocabIdMap(s, d)
+      val toks = udf { (text: String) =>
+        if (text == null) null
+        else text.split("\\s+").filter(_.nonEmpty).flatMap(w => enc(w)).toSeq
+      }
+      val tid = udf { (tok: String) => ids.getOrElse(tok, -1) }
+      Tables.documents(s, d)
+        .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "token")))
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"token",
+          tid($"token").as("token_id"))
+    })
+
+  /** Corpus alphabet: distinct single code points of trainable
+    * (≤ cap) words, sorted by code point. A tiny distributed distinct
+    * (explode of per-word code points → ≤ #distinct-cp rows); the
+    * sort runs on the driver over the collected result, pinned to
+    * code-point order = DuckDB's binary UTF-8 ORDER BY.
+    */
+  private def alphabet(s: SparkSession, d: String): Array[String] = {
+    import s.implicits._
+    val cps = udf((w: String) => codePoints(w).toSeq)
+    Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens($"text")).as("word"))
+      .filter(length($"word") <= BpeMaxWordLen)
+      .select(explode(cps($"word")).as("ch"))
+      .distinct().as[String].collect()
+      .sortBy(_.codePointAt(0))
+  }
+
+  /** The full vocab table: (token_id, token, kind) — alphabet then
+    * merge outputs in rank order. Token STRINGS can repeat (two merge
+    * paths can emit the same string); ids never do.
+    */
+  def vocab(s: SparkSession, d: String): Array[(Int, String, String)] = {
+    val a = alphabet(s, d)
+    val m = bpeModel(s, d)
+    a.zipWithIndex.map { case (ch, i) => (i, ch, "char") } ++
+      m.merges.zipWithIndex.map { case ((l, r, _), i) =>
+        (a.length + i, l + r, "merge")
+      }
+  }
+
+  /** token → lowest token_id (first-wins on duplicate strings — the
+    * deterministic rule both engines' encode joins apply).
+    */
+  private def vocabIdMap(s: SparkSession, d: String): Map[String, Int] = {
+    val out = scala.collection.mutable.HashMap[String, Int]()
+    vocab(s, d).sortBy(_._1).foreach { case (id, tok, _) =>
+      if (!out.contains(tok)) out(tok) = id
+    }
+    out.toMap
+  }
 
   // ------------------------------------------------------------------
   // Stored-model contract (the stored-index convention): ONE job
@@ -361,10 +445,78 @@ object Bpe {
       }.mkString("MAP {", ", ", "}")
     }
 
+  // ----- oracle fragment builders (shared by the corpus oracles) -----
+
+  /** Word stream with per-doc word positions + the distinct trainable
+    * word set. Indexed list_transform + struct unnest (DuckDB's
+    * correlated-lateral-free list flattening — generate_series as a
+    * table function rejects column bounds); NULL/empty token lists
+    * yield no rows, exactly as posexplode does.
+    */
+  private val wordCtes =
+    s"""dws AS (SELECT doc_id, list_filter(
+          regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS ws
+        FROM documents),
+        dw AS (SELECT doc_id, u.word AS word, u.wpos AS wpos FROM (
+          SELECT doc_id, unnest(list_transform(ws,
+            (w, i) -> {'word': w, 'wpos': i})) AS u
+          FROM dws)),
+        words AS (SELECT DISTINCT word FROM dw WHERE len(word) <= $BpeMaxWordLen)"""
+
+  /** The encode recursion: rank each adjacent pair via the merge map
+    * (NULL when absent), merge the LEFTMOST LOWEST-RANK occurrence
+    * (`list_indexof(rk, list_min(rk))` — list_min skips NULLs,
+    * list_indexof takes the first position), repeat until no pair
+    * ranks. `fin` carries each word's final tokens and count.
+    */
+  private val rkExpr =
+    """list_transform(generate_series(1, len(toks) - 1),
+       i -> map_extract(map_extract(mm.m, toks[i])[1], toks[i+1])[1])"""
+
+  private val encCtes =
+    s"""enc AS (
+          SELECT word, string_split(word, '') AS toks FROM words
+          UNION ALL
+          SELECT word,
+            list_slice(toks, 1, bi - 1) || [toks[bi] || toks[bi+1]]
+              || list_slice(toks, bi + 2, len(toks)) AS toks
+          FROM (SELECT word, toks, list_indexof(rk, list_min(rk)) AS bi
+                FROM (SELECT word, toks, $rkExpr AS rk FROM enc, mm))
+          WHERE bi IS NOT NULL),
+        fin AS (
+          SELECT word, toks, len(toks) AS n
+          FROM (SELECT word, toks, list_indexof(rk, list_min(rk)) AS bi
+                FROM (SELECT word, toks, $rkExpr AS rk FROM enc, mm))
+          WHERE bi IS NULL)"""
+
+  /** Alphabet re-derived INDEPENDENTLY from the corpus (binary ORDER
+    * BY on UTF-8 = code-point order, matching the kernel's sort);
+    * merge-output ids ride as literals offset by the driver's
+    * alphabet size — an engine disagreement on the alphabet shifts
+    * every merge id and fails the compare loudly.
+    */
+  private def vocabCtes(m: BpeModel, alphaSize: Int): String = {
+    val mg =
+      if (m.merges.isEmpty)
+        """SELECT CAST(NULL AS INT) AS token_id, CAST(NULL AS VARCHAR) AS token,
+            CAST(NULL AS VARCHAR) AS kind WHERE false"""
+      else {
+        val rows = m.merges.zipWithIndex.map { case ((l, r, _), i) =>
+          s"(${alphaSize + i}, ${sq(l + r)})"
+        }.mkString(", ")
+        s"""SELECT CAST(id AS INT) AS token_id, tok::VARCHAR AS token,
+            'merge' AS kind FROM (VALUES $rows) t(id, tok)"""
+      }
+    s"""chars AS (SELECT DISTINCT unnest(string_split(word, '')) AS token
+          FROM words),
+        alpha AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS INT)
+            AS token_id, token, 'char' AS kind FROM chars),
+        vocab AS (SELECT * FROM alpha UNION ALL $mg)"""
+  }
+
   /** Trained merges as literals; DuckDB re-derives every word's tokens
-    * with a recursive CTE stating the encode algorithm verbatim: rank
-    * each adjacent pair via the merge map, merge the leftmost
-    * lowest-rank occurrence, repeat until no pair ranks.
+    * from scratch ([[encCtes]]), the alphabet from the corpus, and the
+    * flattened positional stream from the word order.
     */
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
     val m = bpeModel(s, d)
@@ -381,33 +533,9 @@ object Bpe {
             rhs::VARCHAR AS rhs, CAST(freq AS BIGINT) AS freq
             FROM (VALUES $rows) t(rank, lhs, rhs, freq)"""
       }
-    // rk: per-adjacent-pair merge rank (NULL when the pair is not in
-    // the table); list_min skips NULLs, list_indexof takes the
-    // FIRST position of the min → leftmost lowest-rank occurrence.
-    val rk =
-      """list_transform(generate_series(1, len(toks) - 1),
-         i -> map_extract(map_extract(mm.m, toks[i])[1], toks[i+1])[1])"""
+    val mmCte = s"mm AS (SELECT ${mergeMapLiteral(m)} AS m)"
     val tokensSql =
-      s"""WITH RECURSIVE mm AS (SELECT ${mergeMapLiteral(m)} AS m),
-          dw AS (SELECT doc_id, w AS word FROM (
-            SELECT doc_id, unnest(list_filter(
-              regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS w
-            FROM documents)),
-          words AS (SELECT DISTINCT word FROM dw WHERE len(word) <= $BpeMaxWordLen),
-          enc AS (
-            SELECT word, string_split(word, '') AS toks FROM words
-            UNION ALL
-            SELECT word,
-              list_slice(toks, 1, bi - 1) || [toks[bi] || toks[bi+1]]
-                || list_slice(toks, bi + 2, len(toks)) AS toks
-            FROM (SELECT word, toks, list_indexof(rk, list_min(rk)) AS bi
-                  FROM (SELECT word, toks, $rk AS rk FROM enc, mm))
-            WHERE bi IS NOT NULL),
-          fin AS (
-            SELECT word, len(toks) AS n
-            FROM (SELECT word, toks, list_indexof(rk, list_min(rk)) AS bi
-                  FROM (SELECT word, toks, $rk AS rk FROM enc, mm))
-            WHERE bi IS NULL),
+      s"""WITH RECURSIVE $mmCte, $wordCtes, $encCtes,
           agg AS (
             SELECT dw.doc_id, COUNT(*) AS nw, SUM(COALESCE(fin.n, 1)) AS nb
             FROM dw LEFT JOIN fin USING (word) GROUP BY dw.doc_id)
@@ -415,6 +543,31 @@ object Bpe {
             CAST(COALESCE(agg.nw, 0) AS BIGINT) AS n_words,
             CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_bpe
           FROM documents d LEFT JOIN agg USING (doc_id)"""
-    Map("bpe_build" -> buildSql, "txt_bpe_tokens" -> tokensSql)
+    val alphaSize = alphabet(s, d).length
+    val vocabSql =
+      s"""WITH $wordCtes, ${vocabCtes(m, alphaSize)}
+          SELECT token_id, token, kind FROM vocab"""
+    // bypassed (> cap) words miss `fin` and flatten as themselves; the
+    // min-id join rule makes duplicate token strings deterministic;
+    // OOV (bypass) tokens pin to -1 on both engines
+    val encodeSql =
+      s"""WITH RECURSIVE $mmCte, $wordCtes, $encCtes, ${vocabCtes(m, alphaSize)},
+          vmin AS (SELECT token, MIN(token_id) AS token_id
+                   FROM vocab GROUP BY token),
+          wtok AS (SELECT dw.doc_id, dw.wpos, COALESCE(f.toks, [dw.word]) AS toks
+                   FROM dw LEFT JOIN fin f USING (word)),
+          woff AS (SELECT doc_id, wpos, toks,
+                     SUM(len(toks)) OVER (PARTITION BY doc_id ORDER BY wpos)
+                       - len(toks) AS off
+                   FROM wtok),
+          flat AS (SELECT doc_id, off + u.j - 1 AS pos, u.token AS token FROM (
+            SELECT doc_id, off, unnest(list_transform(toks,
+              (t, j) -> {'token': t, 'j': j})) AS u
+            FROM woff))
+          SELECT f.doc_id, CAST(f.pos AS BIGINT) AS pos, f.token,
+            CAST(COALESCE(v.token_id, -1) AS INT) AS token_id
+          FROM flat f LEFT JOIN vmin v USING (token)"""
+    Map("bpe_build" -> buildSql, "txt_bpe_tokens" -> tokensSql,
+      "bpe_vocab" -> vocabSql, "txt_bpe_encode" -> encodeSql)
   }
 }

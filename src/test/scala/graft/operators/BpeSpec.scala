@@ -173,6 +173,63 @@ class BpeSpec extends AnyFunSuite {
     assert(got == expect, "BPE windows diverged from the driver recompute")
   }
 
+  test("bpe_vocab: contiguous ids, code-point-sorted alphabet first, merges in rank order") {
+    import spark.implicits._
+    val v = Bpe.queries("bpe_vocab")(spark, sf)
+      .as[(Int, String, String)].collect().sortBy(_._1)
+    val m = Bpe.bpeModel(spark, sf)
+    assert(v.nonEmpty)
+    assert(v.map(_._1).toSeq == v.indices.toSeq, "ids not contiguous from 0")
+    val (alpha, merges) = v.partition(_._3 == "char")
+    // alphabet block precedes the merge block and is cp-sorted, unique
+    assert(alpha.map(_._1).toSeq == (0 until alpha.length))
+    assert(alpha.map(_._2.codePointAt(0)).toSeq == alpha.map(_._2.codePointAt(0)).sorted.toSeq)
+    assert(alpha.map(_._2).distinct.length == alpha.length)
+    assert(alpha.forall(t => t._2.codePointCount(0, t._2.length) == 1),
+      "alphabet entry with more than one code point")
+    // merge ids are |A| + rank; token = lhs+rhs
+    assert(merges.length == m.merges.length)
+    merges.zipWithIndex.foreach { case ((id, tok, _), i) =>
+      assert(id == alpha.length + i && tok == m.merges(i)._1 + m.merges(i)._2)
+    }
+    // every char of every trainable word is in the alphabet
+    val chars = alpha.map(_._2).toSet
+    Bpe.trainedReps(spark, sf).keys.foreach { w =>
+      Bpe.codePoints(w).foreach(c => assert(chars.contains(c), s"'$c' of '$w' not in alphabet"))
+    }
+  }
+
+  test("txt_bpe_encode: the tokenized corpus matches a driver recompute and reconstructs the text") {
+    import spark.implicits._
+    val m = Bpe.bpeModel(spark, sf)
+    val vocab = Bpe.queries("bpe_vocab")(spark, sf)
+      .as[(Int, String, String)].collect()
+    val ids = scala.collection.mutable.HashMap[String, Int]()
+    vocab.sortBy(_._1).foreach { case (id, tok, _) =>
+      if (!ids.contains(tok)) ids(tok) = id
+    }
+    val got = Bpe.queries("txt_bpe_encode")(spark, sf)
+      .as[(Long, Long, String, Int)].collect()
+    assert(got.nonEmpty)
+    val byDoc = got.groupBy(_._1)
+    graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().foreach {
+        case (id, null) => assert(!byDoc.contains(id))
+        case (id, text) =>
+          val words = text.split("\\s+").filter(_.nonEmpty)
+          val stream = words.flatMap(w => Bpe.encodeWord(w, m.ranks))
+          val rows = byDoc.getOrElse(id, Array.empty).sortBy(_._2)
+          assert(rows.map(_._2).toSeq == stream.indices.map(_.toLong).toSeq,
+            s"doc $id positions not contiguous")
+          assert(rows.map(_._3).toSeq == stream.toSeq, s"doc $id token stream diverged")
+          rows.foreach { case (_, _, tok, tid) =>
+            assert(tid == ids.getOrElse(tok, -1), s"doc $id token '$tok' id $tid")
+          }
+          // lossless: concatenating the stream reproduces the words
+          assert(rows.map(_._3).mkString == words.mkString)
+      }
+  }
+
   test("model is a deterministic function of the corpus") {
     val m1 = Bpe.trainBpe(spark, sf)
     val m2 = Bpe.trainBpe(spark, sf)

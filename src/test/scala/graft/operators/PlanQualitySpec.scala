@@ -384,8 +384,10 @@ class PlanQualitySpec extends AnyFunSuite {
   test("BPE: encode pass never exchanges; the merge table is a driver-local relation") {
     // txt_bpe_tokens is ONE narrow scan — the model rides the udf
     // closure, so a 100 TB encode pass shuffles nothing
-    val p = plan("txt_bpe_tokens")
-    assert(count(p, "Exchange") == 0, s"txt_bpe_tokens grew a shuffle:\n$p")
+    for (q <- Seq("txt_bpe_tokens", "txt_bpe_encode")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") == 0, s"$q grew a shuffle:\n$p")
+    }
     val pb = plan("bpe_build")
     assert(count(pb, "Exchange") == 0 && pb.contains("LocalTableScan"), pb)
   }
