@@ -276,6 +276,10 @@ object Pca {
         .select($"vec_id", $"comp", round($"wv", 6).as("wv"))
     },
 
+    // ANN through the trained subspace — sim_ann_proj with loadings
+    // that FOLLOW the corpus instead of a data-oblivious JL matrix.
+    "sim_ann_pca" -> ((s, d) => topkPca(s, d)),
+
     // PCA reconstruction error — the residual mass outside the kept
     // subspace, the "off-manifold vector" score of embedding-space
     // curation (a high-residual vector is one the corpus's principal
@@ -305,6 +309,86 @@ object Pca {
       Tables.embeddings(s, d)
         .select($"vec_id", round(err($"embedding"), 5).as("err2"))
     })
+
+  /** Candidate pool for [[topkPca]] — the ProjCandidates rationale:
+    * the exact re-rank must cover the query's topic neighborhood,
+    * because within-neighborhood order is what the projection blurs.
+    */
+  val PcaCandidates: Int = Similarity.ProjCandidates
+
+  /** The PCA-projected corpus as a build-once index (vec_id,
+    * pv[PcaDim] doubles, pn) — the TRAINED counterpart of
+    * [[Similarity.projIndex]]: where JL is data-oblivious, the PCA
+    * loadings put the coarse pass in the subspace that actually
+    * carries the corpus's variance. Built once per (session, corpus)
+    * and persisted; its cost rides sim_ann_pca's bench line (the
+    * projection is one narrow map, trivia next to the coarse scan).
+    */
+  private val pcaIndexCache = new SessionCache[org.apache.spark.sql.DataFrame](
+    df => scala.util.Try(df.unpersist(blocking = false)))
+
+  private def pcaIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pcaIndexCache.getOrBuild(s, s"pcaidx#$d") {
+      val m = pcaModel(s, d)
+      val proj = udf((emb: Seq[Float]) => projections(m, emb).toSeq)
+      val pn = udf { (pv: Seq[Double]) =>
+        var acc = 0.0
+        var i = 0
+        while (i < pv.length) { acc += pv(i) * pv(i); i += 1 }
+        math.sqrt(acc)
+      }
+      Tables.embeddings(s, d)
+        .select($"vec_id", proj($"embedding").as("pv"))
+        .withColumn("pn", pn($"pv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+  }
+
+  /** Coarse-to-fine ANN over the trained subspace: projected cosine
+    * over the PcaDim index picks top-C candidates per query
+    * (UNROUNDED doubles — the dot/÷√/÷√ association matches the
+    * oracle's sqlCos term-for-term, so the order is bit-identical),
+    * exact full-width cosine re-ranks them. Same scale shape as
+    * [[Similarity.topkProjected]]: broadcast query side, one narrow
+    * scan of the stored projection, cost ∝ |Q|·corpus on 16-d doubles.
+    */
+  def topkPca(s: SparkSession, d: String, k: Int = Similarity.TopK,
+      candidates: Int = PcaCandidates): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
+    val idx = pcaIndex(s, d)
+    val q = idx.filter($"vec_id" % Similarity.QueryStride === 0)
+      .select($"vec_id".as("q_id"), $"pv".as("q_pv"), $"pn".as("q_pn"))
+    val dotU = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val coarse = broadcast(q)
+      .join(idx, $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (dotU($"q_pv", $"pv") / $"q_pn" / $"pn").as("psim"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"psim".desc, $"n_id".asc)))
+      .filter($"crank" <= candidates)
+      .select($"q_id", $"n_id")
+    val scored = coarse
+      .join(Similarity.corpus(s, d)
+        .select($"vec_id".as("n_id"), $"embedding", $"nrm"), Seq("n_id"))
+      .join(broadcast(Similarity.querySet(s, d)), Seq("q_id"))
+      .select($"q_id", $"n_id",
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
+          4).as("cos_sim"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)))
+      .filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
+  }
 
   /** The emb_pca projection given a model (cached or stored). */
   private def projectWith(s: SparkSession, d: String, m: PcaModel): DataFrame = {
@@ -407,6 +491,40 @@ object Pca {
                 ELSE 0.0 END, 6) AS wv
             FROM embeddings e, pm, lam,
               generate_series(1, ${m.comps.length}) AS g(c)""",
+      // the whole coarse-to-fine ANN restated: identical projection
+      // per vector (mu/w literals), UNROUNDED projected cosine picks
+      // top-C (sqlCos's dot/÷√/÷√ association = the kernel's, so the
+      // doubles and hence the order are bit-identical), exact
+      // full-width cosine re-ranks — the sim_ann_proj oracle with the
+      // trained subspace in place of the JL literal
+      "sim_ann_pca" -> {
+        val pvList =
+          s"""list_transform(generate_series(1, ${m.comps.length}), c ->
+              COALESCE(list_sum(list_transform(
+                generate_series(1, LEAST(len(e.embedding), $dim)),
+                i -> (e.embedding[i]::DOUBLE - pm.mu[i]) * pm.w[c][i])), 0.0))"""
+        s"""WITH $pm,
+            pv AS (SELECT e.vec_id, e.embedding, $pvList AS pv
+                   FROM embeddings e, pm),
+            coarse AS (
+              SELECT q_id, n_id FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS n_id, ROW_NUMBER() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY ${Similarity.sqlCos("q.pv", "c.pv")} DESC,
+                    c.vec_id ASC) AS crank
+                FROM pv q JOIN pv c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id % ${Similarity.QueryStride} = 0)
+              WHERE crank <= $PcaCandidates),
+            scored AS (
+              SELECT c.q_id, c.n_id,
+                ROUND(${Similarity.sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+              FROM coarse c JOIN embeddings q ON q.vec_id = c.q_id
+                           JOIN embeddings n ON n.vec_id = c.n_id)
+            SELECT q_id, n_id, cos_sim, rank FROM (
+              SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+              FROM scored) WHERE rank <= ${Similarity.TopK}"""
+      },
       // ssq and each pv accumulate left-to-right over the same prefix,
       // the component sum-of-squares left-to-right over c, and the
       // square is a self-multiply (never POW) — the exact kernel

@@ -53,13 +53,13 @@ object Similarity {
     planes.map(_.map(_.mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
-  private def corpus(s: SparkSession, d: String): DataFrame = {
+  private[operators] def corpus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d).select($"vec_id", $"embedding",
       graft.functions.VectorFunctions.norm($"embedding").as("nrm"))
   }
 
-  private def querySet(s: SparkSession, d: String): DataFrame = {
+  private[operators] def querySet(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     corpus(s, d).filter($"vec_id" % QueryStride === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))

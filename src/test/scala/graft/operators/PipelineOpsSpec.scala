@@ -396,6 +396,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(idx.codebooks.forall(_.length == 256))
   }
 
+  test("PCA-projected ANN: clustered recall >= 0.9 through the trained subspace") {
+    import spark.implicits._
+    // the trained counterpart of the JL coarse pass: 20 topic
+    // directions live in a <=20-dim subspace, so the 16 variance-top
+    // components separate clusters and the C=100 exact re-rank
+    // recovers within-cluster order — same floor as the proj path
+    val bf = Similarity.topkBruteForce(spark, clusteredFixture, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val pca = Pca.topkPca(spark, clusteredFixture, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(pca.nonEmpty)
+    val recall = (bf & pca).size.toDouble / bf.size
+    assert(recall >= 0.9, s"PCA-ANN clustered recall regressed: $recall")
+  }
+
   test("IVF-PQ composed ANN: clustered recall >= 0.9 with both indexes bounding the work") {
     import spark.implicits._
     // the deployment composition: probed cells bound WHICH vectors are
