@@ -309,20 +309,27 @@ object Bpe {
     // positions; zero shuffle at any corpus size. Long-word bypass
     // tokens are out-of-vocab by construction → token_id = -1 (the
     // OOV sentinel, pinned on both engines).
-    "txt_bpe_encode" -> { (s, d) =>
-      import s.implicits._
-      val enc = encoder(bpeModel(s, d))
-      val ids = vocabIdMap(s, d)
-      val toks = udf { (text: String) =>
-        if (text == null) null
-        else text.split("\\s+").filter(_.nonEmpty).flatMap(w => enc(w)).toSeq
-      }
-      val tid = udf { (tok: String) => ids.getOrElse(tok, -1) }
-      Tables.documents(s, d)
-        .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "token")))
-        .select($"doc_id", $"pos".cast("long").as("pos"), $"token",
-          tid($"token").as("token_id"))
-    })
+    "txt_bpe_encode" -> ((s, d) =>
+      encodeWith(s, d, bpeModel(s, d), vocabIdMap(s, d))))
+
+  /** txt_bpe_encode given a model and an id table (session-derived or
+    * stored — a loader's ids are FROZEN at train time, so the stored
+    * form takes the ids from the model artifact, not the corpus).
+    */
+  private def encodeWith(s: SparkSession, d: String, m: BpeModel,
+      ids: Map[String, Int]): DataFrame = {
+    import s.implicits._
+    val enc = encoder(m)
+    val toks = udf { (text: String) =>
+      if (text == null) null
+      else text.split("\\s+").filter(_.nonEmpty).flatMap(w => enc(w)).toSeq
+    }
+    val tid = udf { (tok: String) => ids.getOrElse(tok, -1) }
+    Tables.documents(s, d)
+      .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "token")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"token",
+        tid($"token").as("token_id"))
+  }
 
   /** Corpus alphabet: distinct single code points of trainable
     * (≤ cap) words, sorted by code point. A tiny distributed distinct
@@ -374,20 +381,39 @@ object Bpe {
   // same reason production tokenizers ship merges.txt as an artifact.
   // ------------------------------------------------------------------
 
+  /** Write the tokenizer artifact pair: the merge table AND the vocab
+    * id table (merges.txt + vocab.json, the shape every production
+    * tokenizer ships). The vocab is stored — not re-derived — because
+    * a loader's ids are frozen at TRAIN time: encoding a different or
+    * grown corpus later must keep the original embedding-matrix ids.
+    */
   def writeBpeModel(s: SparkSession, d: String, outDir: String): Unit = {
     import s.implicits._
     val m = bpeModel(s, d)
     m.merges.zipWithIndex.map { case ((l, r, f), i) => (i, l, r, f) }.toSeq
       .toDF("rank", "lhs", "rhs", "freq")
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode("overwrite").parquet(s"$outDir/merges")
+    vocab(s, d).toSeq.toDF("token_id", "token", "kind")
+      .write.mode("overwrite").parquet(s"$outDir/vocab")
   }
 
   def readBpeModel(s: SparkSession, modelDir: String): BpeModel = {
     import s.implicits._
-    val rows = s.read.parquet(modelDir)
+    val rows = s.read.parquet(s"$modelDir/merges")
       .select($"rank", $"lhs", $"rhs", $"freq").as[(Int, String, String, Long)]
       .collect().sortBy(_._1)
     BpeModel(rows.map(t => (t._2, t._3, t._4)))
+  }
+
+  /** The stored id table, min-id-deduped like [[vocabIdMap]]. */
+  def readBpeVocab(s: SparkSession, modelDir: String): Map[String, Int] = {
+    import s.implicits._
+    val rows = s.read.parquet(s"$modelDir/vocab")
+      .select($"token_id", $"token").as[(Int, String)]
+      .collect().sortBy(_._1)
+    val out = scala.collection.mutable.HashMap[String, Int]()
+    rows.foreach { case (id, tok) => if (!out.contains(tok)) out(tok) = id }
+    out.toMap
   }
 
   /** txt_bpe_tokens with a STORED model — the separate-query-job half;
@@ -395,6 +421,12 @@ object Bpe {
     */
   def bpeTokensStored(s: SparkSession, d: String, modelDir: String): DataFrame =
     bpeTokensWith(s, d, readBpeModel(s, modelDir))
+
+  /** txt_bpe_encode with a STORED model and its FROZEN ids — the
+    * tokenize job any later corpus (or re-run) executes.
+    */
+  def bpeEncodeStored(s: SparkSession, d: String, modelDir: String): DataFrame =
+    encodeWith(s, d, readBpeModel(s, modelDir), readBpeVocab(s, modelDir))
 
   /** Per-document BPE token sequence (word order preserved, words
     * flattened) — the stream the window/manifest machinery consumes

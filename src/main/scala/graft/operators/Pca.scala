@@ -327,10 +327,13 @@ object Pca {
   private val pcaIndexCache = new SessionCache[org.apache.spark.sql.DataFrame](
     df => scala.util.Try(df.unpersist(blocking = false)))
 
-  private def pcaIndex(s: SparkSession, d: String): DataFrame = {
+  private def pcaIndex(s: SparkSession, d: String): DataFrame =
+    pcaIndexWith(s, d, pcaModel(s, d), s"pcaidx#$d")
+
+  private def pcaIndexWith(s: SparkSession, d: String, m: PcaModel,
+      key: String): DataFrame = {
     import s.implicits._
-    pcaIndexCache.getOrBuild(s, s"pcaidx#$d") {
-      val m = pcaModel(s, d)
+    pcaIndexCache.getOrBuild(s, key) {
       val proj = udf((emb: Seq[Float]) => projections(m, emb).toSeq)
       val pn = udf { (pv: Seq[Double]) =>
         var acc = 0.0
@@ -354,11 +357,26 @@ object Pca {
     * scan of the stored projection, cost ∝ |Q|·corpus on 16-d doubles.
     */
   def topkPca(s: SparkSession, d: String, k: Int = Similarity.TopK,
-      candidates: Int = PcaCandidates): DataFrame = {
+      candidates: Int = PcaCandidates): DataFrame =
+    topkFromIndex(s, d, pcaIndex(s, d), k, candidates)
+
+  /** [[topkPca]] with a STORED model — the separate-query-job half:
+    * the projected index is rebuilt from the stored loadings (one
+    * narrow map), nothing retrained; projections are bit-identical to
+    * the build session's (the parquet-DOUBLE round-trip), so the
+    * probe results are too.
+    */
+  def topkPcaStored(s: SparkSession, d: String, modelDir: String,
+      k: Int = Similarity.TopK, candidates: Int = PcaCandidates): DataFrame =
+    topkFromIndex(s, d,
+      pcaIndexWith(s, d, readPcaModel(s, modelDir), s"pcaidx#stored#$modelDir#$d"),
+      k, candidates)
+
+  private def topkFromIndex(s: SparkSession, d: String,
+      idx: DataFrame, k: Int, candidates: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions
-    val idx = pcaIndex(s, d)
     val q = idx.filter($"vec_id" % Similarity.QueryStride === 0)
       .select($"vec_id".as("q_id"), $"pv".as("q_pv"), $"pn".as("q_pn"))
     val dotU = udf { (a: Seq[Double], b: Seq[Double]) =>

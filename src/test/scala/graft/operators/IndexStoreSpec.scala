@@ -124,23 +124,43 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(m.eigvals.sameElements(orig.eigvals))
   }
 
-  test("BPE stored model: fresh-session encode parity (merge table round-trip)") {
+  test("BPE stored model: fresh-session token counts AND tokenized corpus parity") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bpestore").toString
     Bpe.writeBpeModel(spark, sf, dir)
-    val expect = Bpe.queries("txt_bpe_tokens")(spark, sf)
+    val expectCounts = Bpe.queries("txt_bpe_tokens")(spark, sf)
       .as[(Long, Long, Long)].collect().toSet
-    assert(expect.nonEmpty)
+    val expectEnc = Bpe.queries("txt_bpe_encode")(spark, sf)
+      .as[(Long, Long, String, Int)].collect().toSet
+    assert(expectCounts.nonEmpty && expectEnc.nonEmpty)
 
     val s2 = spark.newSession()
     assert(Bpe.bpeTokensStored(s2, sf, dir)
-      .as[(Long, Long, Long)].collect().toSet == expect,
-      "stored-model encode diverged from the build-session encode")
+      .as[(Long, Long, Long)].collect().toSet == expectCounts,
+      "stored-model token counts diverged from the build session")
+    // the tokenize job with FROZEN stored ids reproduces the corpus
+    // stream bit-for-bit — merges.txt + vocab round-trip together
+    assert(Bpe.bpeEncodeStored(s2, sf, dir)
+      .as[(Long, Long, String, Int)].collect().toSet == expectEnc,
+      "stored-model tokenized corpus diverged from the build session")
     // the read-back merge table is the exact trained state in rank
     // order — the tokenizer's identity, as merges.txt is for
     // production tokenizers
     val m = Bpe.readBpeModel(s2, dir)
     assert(m.merges.toSeq == Bpe.bpeModel(spark, sf).merges.toSeq)
+  }
+
+  test("PCA stored model drives the ANN probe: fresh-session sim_ann_pca parity") {
+    val dir = java.nio.file.Files.createTempDirectory("pcaannstore").toString
+    Pca.writePcaModel(spark, sf, dir)
+    val expect = rows(Pca.topkPca(spark, sf))
+    assert(expect.nonEmpty)
+
+    // a fresh session rebuilds the projected index from the STORED
+    // loadings (one narrow map, no retraining) and probes identically
+    val s2 = spark.newSession()
+    assert(rows(Pca.topkPcaStored(s2, sf, dir)) == expect,
+      "stored-model PCA-ANN probe diverged from the build-session probe")
   }
 
   test("Jaccard stored pair relation: fresh-session report+collapse parity, shard-pruned scan") {

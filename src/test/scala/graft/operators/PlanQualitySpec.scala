@@ -392,6 +392,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(pb, "Exchange") == 0 && pb.contains("LocalTableScan"), pb)
   }
 
+  test("sim_ann_pca: query sides broadcast; corpus vectors only reach the re-rank join") {
+    val p = plan("sim_ann_pca")
+    // coarse pass: broadcast projected queries x projected-index scan;
+    // fine pass: broadcast full-width query set into the candidate
+    // re-rank — the wide corpus never sort-merges on either stage
+    assert(count(p, "BroadcastHashJoin") >= 2, s"query sides not broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") == 0, s"corpus-side sort-merge appeared:\n$p")
+  }
+
   test("dedup_lines ships 8-byte line hashes through its shuffles, never line text") {
     val p = plan("dedup_lines")
     // election + verify exchanges key on the xxhash64 column
