@@ -230,6 +230,23 @@ class BpeSpec extends AnyFunSuite {
       }
   }
 
+  test("a stored model tokenizes a DIFFERENT corpus with frozen ids") {
+    import spark.implicits._
+    // the actual cross-corpus deployment: train on corpus A, write the
+    // artifact, tokenize corpus B with A's merges and A's ids — B's
+    // novel symbols are OOV (-1), never silently assigned new ids
+    val trainDir = corpusDir(Seq("ab ab ab", "abc abc"))
+    val dir = java.nio.file.Files.createTempDirectory("bpecross").toString
+    Bpe.writeBpeModel(spark, trainDir, dir)
+    val evalDir = corpusDir(Seq("ab abc zq"))
+    val got = Bpe.bpeEncodeStored(spark, evalDir, dir)
+      .as[(Long, Long, String, Int)].collect().sortBy(r => (r._1, r._2))
+    // trained vocab: alphabet a,b,c (ids 0,1,2) + merges ab(3), abc(4)
+    // "ab" -> [ab](3); "abc" -> [abc](4); "zq" -> [z,q] both OOV
+    assert(got.map(t => (t._3, t._4)).toSeq ==
+      Seq(("ab", 3), ("abc", 4), ("z", -1), ("q", -1)))
+  }
+
   test("model is a deterministic function of the corpus") {
     val m1 = Bpe.trainBpe(spark, sf)
     val m2 = Bpe.trainBpe(spark, sf)
