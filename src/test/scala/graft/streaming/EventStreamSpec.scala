@@ -140,6 +140,56 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hourly windows over the REAL events fixture match the batch analogue") {
+    // the streaming surface on fixture data, not toy rows: replay
+    // sf0.001's 1000 events through the watermarked window in two
+    // micro-batches, flush the watermark past every original window,
+    // and require the closed-window stream to equal hourlyCountsBatch
+    // on the same rows — the per-window-close contract the batch
+    // analogue exists to pin
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .as[Event].collect().sortBy(_.ts.getTime)
+    assert(fixture.length == 1000)
+    val mem = MemoryStream[Event]
+    val q = hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_fixture")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      // two flush sentinels 10h past the end: the first advances the
+      // watermark when its batch commits, the second runs a batch
+      // UNDER that watermark so every original window emits
+      val flushTs = new Timestamp(fixture.last.ts.getTime + 10 * 3600 * 1000L)
+      mem.addData(Event(-1, -1, "flush_sentinel", 0.0, flushTs))
+      q.processAllAvailable()
+      mem.addData(Event(-2, -1, "flush_sentinel", 0.0,
+        new Timestamp(flushTs.getTime + 60000)))
+      q.processAllAvailable()
+      val got = spark.table("hourly_fixture")
+        .as[(Timestamp, String, Long, Double)].collect()
+        .filter(_._2 != "flush_sentinel")
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val expect = hourlyCountsBatch(fixture.toSeq.toDF())
+        .as[(Timestamp, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(got.keySet == expect.keySet,
+        s"closed windows diverged: missing ${expect.keySet -- got.keySet}, extra ${got.keySet -- expect.keySet}")
+      expect.foreach { case (k, (n, sum)) =>
+        assert(got(k)._1 == n, s"$k: n_events ${got(k)._1} != $n")
+        // both sides round(2) after double sums whose accumulation
+        // order differs — compare within a rounding ulp, not bitwise
+        assert(math.abs(got(k)._2 - sum) <= 0.011, s"$k: sum ${got(k)._2} != $sum")
+      }
+    } finally q.stop()
+  }
+
   test("dedup state store is bounded by the watermark: old keys evicted, never accreted") {
     // the claim behind dropDuplicatesWithinWatermark's existence here
     // (EventStream.scala dedupStream Scaladoc), pinned on the state
