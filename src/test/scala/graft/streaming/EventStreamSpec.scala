@@ -190,6 +190,50 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization over the REAL events fixture matches batch evt_sessions") {
+    // cross-surface parity on fixture data: the flatMapGroupsWithState
+    // sessionizer replaying sf0.001's events must close exactly the
+    // sessions the declared batch gaps-and-islands query finds — same
+    // gap bound, same (user, n_events, start, end) set. Both sides own
+    // the >30-min-starts-new-session boundary, so a drift in either
+    // breaks this, not just its own unit tests.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val fixture = graft.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_fixture")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      // flush twice: first advances the watermark past every gap
+      // timeout, second runs a batch under it so the timeouts fire
+      val flushTs = new Timestamp(fixture.last.ts.getTime + 10 * 3600 * 1000L)
+      mem.addData(Event(-1, -1, "flush", 0.0, flushTs))
+      q.processAllAvailable()
+      mem.addData(Event(-2, -1, "flush", 0.0,
+        new Timestamp(flushTs.getTime + 60000)))
+      q.processAllAvailable()
+      val got = spark.table("sessions_fixture").as[SessionUpdate].collect()
+        .filter(s => s.closed && s.user_id >= 0)
+        .map(s => (s.user_id, s.n_events.toLong,
+          s.session_start.getTime, s.session_end.getTime)).toSet
+      val expect = graft.operators.Relational.queries("evt_sessions")(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map { case (u, _, n, startMs, durMs) => (u, n, startMs, startMs + durMs) }
+        .toSet
+      assert(expect.nonEmpty && got == expect,
+        s"streaming sessions diverged from batch: missing ${expect -- got}, extra ${got -- expect}")
+    } finally q.stop()
+  }
+
   test("dedup state store is bounded by the watermark: old keys evicted, never accreted") {
     // the claim behind dropDuplicatesWithinWatermark's existence here
     // (EventStream.scala dedupStream Scaladoc), pinned on the state
