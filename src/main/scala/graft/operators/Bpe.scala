@@ -599,7 +599,25 @@ object Bpe {
           SELECT f.doc_id, CAST(f.pos AS BIGINT) AS pos, f.token,
             CAST(COALESCE(v.token_id, -1) AS INT) AS token_id
           FROM flat f LEFT JOIN vmin v USING (token)"""
+    // the curate chain verbatim as a nested CTE (the manifest oracle's
+    // own trick) joined to the BPE per-doc counts — membership keys
+    // identical to pipe_train_manifest's, token mass re-derived from
+    // the merge literals
+    val manifestBpeSql =
+      s"""WITH RECURSIVE $mmCte, $wordCtes, $encCtes,
+          nb AS (SELECT dw.doc_id, SUM(COALESCE(fin.n, 1)) AS nt
+                 FROM dw LEFT JOIN fin USING (word) GROUP BY dw.doc_id),
+          cur AS (${TextAnalysis.curateOracle})
+          SELECT CAST(strpos('0123456789abcdef',
+              substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard,
+            COUNT(*) AS n_docs,
+            CAST(SUM(nb.nt) AS BIGINT) AS n_tokens,
+            bit_xor(${TextAnalysis.sqlHex32("md5(CAST(c.doc_id AS VARCHAR))")})
+              AS member_fp
+          FROM cur c JOIN nb USING (doc_id)
+          GROUP BY 1"""
     Map("bpe_build" -> buildSql, "txt_bpe_tokens" -> tokensSql,
-      "bpe_vocab" -> vocabSql, "txt_bpe_encode" -> encodeSql)
+      "bpe_vocab" -> vocabSql, "txt_bpe_encode" -> encodeSql,
+      "pipe_train_manifest_bpe" -> manifestBpeSql)
   }
 }

@@ -184,6 +184,14 @@ object TextAnalysis {
         .select($"doc_id", $"n_tokens".as("nt")))
     },
 
+    // The manifest re-weighed in trained-BPE tokens — the declared
+    // form of [[trainManifestBpe]], so the parameterized token
+    // accounting is oracle-checked, not just spec-checked: DuckDB
+    // recomputes the curate chain AND every word's BPE tokens from
+    // the merge literals, then reconciles the same 16-row manifest
+    // (oracle lives with the model: Bpe.dynamicOracles).
+    "pipe_train_manifest_bpe" -> ((s, d) => trainManifestBpe(s, d)),
+
     // Deterministic hash sampling — the staple curation subsample at
     // corpus scale: keep a document iff the leading hex byte of
     // md5(doc_id) sorts below the rate threshold ('1a' ≈ 26/256 ≈ 10%).
@@ -1018,14 +1026,14 @@ object TextAnalysis {
     */
   val MixBaseRate = 0.25
 
-  private val sqlToks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
+  private[operators] val sqlToks = "list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)"
   private val sqlStop = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** DuckDB restatement of Spark's `conv(substring(md5(x),1,8),16,10)`
     * — the first 32 md5 bits as a BIGINT, built from eight hex-digit
     * strpos terms (DuckDB has no base-conversion function).
     */
-  private def sqlHex32(md5Expr: String): String =
+  private[operators] def sqlHex32(md5Expr: String): String =
     (0 until 8).map { i =>
       s"(strpos('0123456789abcdef', substr($md5Expr, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
     }.mkString("(", " + ", ")")
@@ -1033,7 +1041,7 @@ object TextAnalysis {
   /** The pipe_curate CTE chain, shared verbatim by the `pipe_curate`
     * oracle and the `pipe_train_manifest` oracle that nests it.
     */
-  private lazy val curateOracle: String =
+  private[operators] lazy val curateOracle: String =
     s"""WITH q AS (
           SELECT doc_id, source, text FROM documents
           WHERE LENGTH(text) >= 100
