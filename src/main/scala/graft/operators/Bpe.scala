@@ -521,6 +521,22 @@ object Bpe {
                 FROM (SELECT word, toks, $rkExpr AS rk FROM enc, mm))
           WHERE bi IS NULL)"""
 
+  /** The flattened positional token stream: every word's final tokens
+    * (bypassed words as themselves), global per-doc positions via a
+    * running offset over word positions.
+    */
+  private val flatCtes =
+    """wtok AS (SELECT dw.doc_id, dw.wpos, COALESCE(f.toks, [dw.word]) AS toks
+               FROM dw LEFT JOIN fin f USING (word)),
+       woff AS (SELECT doc_id, wpos, toks,
+                  SUM(len(toks)) OVER (PARTITION BY doc_id ORDER BY wpos)
+                    - len(toks) AS off
+                FROM wtok),
+       flat AS (SELECT doc_id, off + u.j - 1 AS pos, u.token AS token FROM (
+         SELECT doc_id, off, unnest(list_transform(toks,
+           (t, j) -> {'token': t, 'j': j})) AS u
+         FROM woff))"""
+
   /** Alphabet re-derived INDEPENDENTLY from the corpus (binary ORDER
     * BY on UTF-8 = code-point order, matching the kernel's sort);
     * merge-output ids ride as literals offset by the driver's
@@ -586,19 +602,34 @@ object Bpe {
       s"""WITH RECURSIVE $mmCte, $wordCtes, $encCtes, ${vocabCtes(m, alphaSize)},
           vmin AS (SELECT token, MIN(token_id) AS token_id
                    FROM vocab GROUP BY token),
-          wtok AS (SELECT dw.doc_id, dw.wpos, COALESCE(f.toks, [dw.word]) AS toks
-                   FROM dw LEFT JOIN fin f USING (word)),
-          woff AS (SELECT doc_id, wpos, toks,
-                     SUM(len(toks)) OVER (PARTITION BY doc_id ORDER BY wpos)
-                       - len(toks) AS off
-                   FROM wtok),
-          flat AS (SELECT doc_id, off + u.j - 1 AS pos, u.token AS token FROM (
-            SELECT doc_id, off, unnest(list_transform(toks,
-              (t, j) -> {'token': t, 'j': j})) AS u
-            FROM woff))
+          $flatCtes
           SELECT f.doc_id, CAST(f.pos AS BIGINT) AS pos, f.token,
             CAST(COALESCE(v.token_id, -1) AS INT) AS token_id
           FROM flat f LEFT JOIN vmin v USING (token)"""
+    // the txt_windows arithmetic verbatim over the per-doc BPE stream.
+    // Null-text docs keep ts NULL (not []): the windows arithmetic's
+    // null-SKIPPING least/greatest (both engines) then emits the same
+    // single (0, 0, WinTokens, md5('')) row the declared whitespace
+    // txt_windows emits for them — quirky, but the pinned contract;
+    // zero-token docs emit the single genuinely-empty window
+    val (wT, wS) = (TextAnalysis.WinTokens, TextAnalysis.WinStride)
+    val windowsSql =
+      s"""WITH RECURSIVE $mmCte, $wordCtes, $encCtes, $flatCtes,
+          wl AS (SELECT doc_id, list(token ORDER BY pos) AS ts
+                 FROM flat GROUP BY doc_id),
+          base AS (SELECT d.doc_id,
+                     CASE WHEN d.ws IS NULL THEN NULL
+                          ELSE COALESCE(wl.ts, []) END AS ts
+                   FROM dws d LEFT JOIN wl USING (doc_id)),
+          x AS (SELECT doc_id, ts, UNNEST(range(0,
+            (GREATEST(len(ts) - $wT, 0) + ${wS - 1}) // $wS + 1)) AS w
+            FROM base)
+          SELECT doc_id, CAST(w AS BIGINT) AS win_id,
+            CAST(w * $wS AS BIGINT) AS tok_start,
+            CAST(LEAST($wT, len(ts) - w * $wS) AS BIGINT) AS n_toks,
+            md5(COALESCE(array_to_string(ts[w * $wS + 1 :
+              w * $wS + LEAST($wT, len(ts) - w * $wS)], ' '), '')) AS win_fp
+          FROM x"""
     // the curate chain verbatim as a nested CTE (the manifest oracle's
     // own trick) joined to the BPE per-doc counts — membership keys
     // identical to pipe_train_manifest's, token mass re-derived from
@@ -618,6 +649,7 @@ object Bpe {
           GROUP BY 1"""
     Map("bpe_build" -> buildSql, "txt_bpe_tokens" -> tokensSql,
       "bpe_vocab" -> vocabSql, "txt_bpe_encode" -> encodeSql,
+      "txt_windows_bpe" -> windowsSql,
       "pipe_train_manifest_bpe" -> manifestBpeSql)
   }
 }

@@ -192,6 +192,11 @@ object TextAnalysis {
     // (oracle lives with the model: Bpe.dynamicOracles).
     "pipe_train_manifest_bpe" -> ((s, d) => trainManifestBpe(s, d)),
 
+    // Training windows budgeted in trained-BPE tokens — the declared
+    // form of [[txtWindowsBpe]] (oracle with the model:
+    // Bpe.dynamicOracles re-derives every window from merge literals).
+    "txt_windows_bpe" -> ((s, d) => txtWindowsBpe(s, d)),
+
     // Deterministic hash sampling — the staple curation subsample at
     // corpus scale: keep a document iff the leading hex byte of
     // md5(doc_id) sorts below the rate threshold ('1a' ≈ 26/256 ≈ 10%).

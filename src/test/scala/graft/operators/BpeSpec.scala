@@ -158,7 +158,12 @@ class BpeSpec extends AnyFunSuite {
     val (wT, wS) = (TextAnalysis.WinTokens, TextAnalysis.WinStride)
     val expect = graft.Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect().flatMap {
-        case (_, null) => Seq.empty
+        case (id, null) =>
+          // the declared txt_windows null-doc contract: least/greatest
+          // SKIP the null size, so a null-text doc emits one
+          // (0, 0, WinTokens, md5("")) row on both engines
+          Seq((id, 0L, 0L, wT.toLong,
+            md.digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString))
         case (id, text) =>
           val toks = text.split("\\s+").filter(_.nonEmpty)
             .flatMap(w => Bpe.encodeWord(w, m.ranks))

@@ -384,7 +384,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("BPE: encode pass never exchanges; the merge table is a driver-local relation") {
     // txt_bpe_tokens is ONE narrow scan — the model rides the udf
     // closure, so a 100 TB encode pass shuffles nothing
-    for (q <- Seq("txt_bpe_tokens", "txt_bpe_encode")) {
+    for (q <- Seq("txt_bpe_tokens", "txt_bpe_encode", "txt_windows_bpe")) {
       val p = plan(q)
       assert(count(p, "Exchange") == 0, s"$q grew a shuffle:\n$p")
     }
