@@ -216,14 +216,27 @@ object Bpe {
     toks.toArray
   }
 
-  /** A serializable word→tokens encoder with a bounded per-executor
-    * memo (a 100 TB corpus revisits the same word types constantly;
-    * the memo makes the steady-state cost a hash probe).
+  /** Per-JVM (executor-wide) encode memos, keyed by the model's
+    * canonical merge list so two models never cross-contaminate. The
+    * map lives in this object — initialized once per executor JVM —
+    * NOT in the udf closure (a closure field would deserialize fresh
+    * per task, reducing the memo to per-partition reuse). Each memo is
+    * bounded by [[EncodeMemoCap]]; models seen per JVM are few.
+    */
+  private val jvmMemos = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
+
+  /** A serializable word→tokens encoder backed by the JVM-wide memo
+    * (a 100 TB corpus revisits the same word types constantly; the
+    * steady-state cost is a hash probe shared across tasks).
     */
   private def encoder(m: BpeModel): String => Array[String] = {
     val ranks = m.ranks
-    val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    val modelKey = m.merges.iterator
+      .map { case (l, r, _) => l + " " + r }.mkString("")
     (word: String) => {
+      val memo = jvmMemos.computeIfAbsent(modelKey,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
       val hit = memo.get(word)
       if (hit != null) hit
       else {
@@ -258,21 +271,11 @@ object Bpe {
     // pca_build convention (driver literals pin the VALUES round-trip);
     // the training arithmetic is cross-checked by txt_bpe_tokens,
     // where DuckDB re-applies the merges to every word from scratch.
+    // tuple encoders carry the schema, so the empty-model case yields
+    // the same named/typed empty frame with no special branch
     "bpe_build" -> { (s, d) =>
       import s.implicits._
-      val m = bpeModel(s, d)
-      if (m.merges.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("rank",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("lhs",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("rhs",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("freq",
-              org.apache.spark.sql.types.LongType))))
-      else m.merges.zipWithIndex
+      bpeModel(s, d).merges.zipWithIndex
         .map { case ((l, r, f), i) => (i, l, r, f) }.toSeq
         .toDF("rank", "lhs", "rhs", "freq")
     },
@@ -289,17 +292,7 @@ object Bpe {
     // independently from the corpus; only the merges ride as literals.
     "bpe_vocab" -> { (s, d) =>
       import s.implicits._
-      val v = vocab(s, d)
-      if (v.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("token_id",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("token",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("kind",
-              org.apache.spark.sql.types.StringType))))
-      else v.toSeq.toDF("token_id", "token", "kind")
+      vocab(s, d).toSeq.toDF("token_id", "token", "kind")
     },
 
     // The tokenized corpus — the artifact the tokenize stage actually
@@ -319,11 +312,7 @@ object Bpe {
   private def encodeWith(s: SparkSession, d: String, m: BpeModel,
       ids: Map[String, Int]): DataFrame = {
     import s.implicits._
-    val enc = encoder(m)
-    val toks = udf { (text: String) =>
-      if (text == null) null
-      else text.split("\\s+").filter(_.nonEmpty).flatMap(w => enc(w)).toSeq
-    }
+    val toks = tokensArrayUdf(m)
     val tid = udf { (tok: String) => ids.getOrElse(tok, -1) }
     Tables.documents(s, d)
       .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "token")))
@@ -348,18 +337,24 @@ object Bpe {
       .sortBy(_.codePointAt(0))
   }
 
+  private val vocabCache = new SessionCache[Array[(Int, String, String)]]()
+
   /** The full vocab table: (token_id, token, kind) — alphabet then
     * merge outputs in rank order. Token STRINGS can repeat (two merge
-    * paths can emit the same string); ids never do.
+    * paths can emit the same string); ids never do. Cached per
+    * (session, corpus) like the model: the alphabet derivation is a
+    * corpus scan, and bpe_vocab / txt_bpe_encode / the Verify-time
+    * oracles all consume the same table.
     */
-  def vocab(s: SparkSession, d: String): Array[(Int, String, String)] = {
-    val a = alphabet(s, d)
-    val m = bpeModel(s, d)
-    a.zipWithIndex.map { case (ch, i) => (i, ch, "char") } ++
-      m.merges.zipWithIndex.map { case ((l, r, _), i) =>
-        (a.length + i, l + r, "merge")
-      }
-  }
+  def vocab(s: SparkSession, d: String): Array[(Int, String, String)] =
+    vocabCache.getOrBuild(s, s"bpevocab#$d") {
+      val a = alphabet(s, d)
+      val m = bpeModel(s, d)
+      a.zipWithIndex.map { case (ch, i) => (i, ch, "char") } ++
+        m.merges.zipWithIndex.map { case ((l, r, _), i) =>
+          (a.length + i, l + r, "merge")
+        }
+    }
 
   /** token → lowest token_id (first-wins on duplicate strings — the
     * deterministic rule both engines' encode joins apply).
@@ -436,9 +431,12 @@ object Bpe {
   def tokensArrayUdf(m: BpeModel): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val enc = encoder(m)
     udf { (text: String) =>
-      // null propagates (not []): the window machinery's explode then
-      // emits no rows for null-text docs, exactly as the declared
-      // whitespace txt_windows behaves (size(null) → null sequence)
+      // null propagates (not []) so downstream plans treat a null-text
+      // doc exactly as the declared whitespace queries do. NB: for the
+      // window machinery that does NOT mean "no rows": least/greatest
+      // SKIP null operands on both engines, so a null stream emits the
+      // single (0, 0, WinTokens, md5('')) row — the pinned txt_windows
+      // null-doc contract (BpeSpec + the txt_windows_bpe oracle).
       if (text == null) null
       else text.split("\\s+").filter(_.nonEmpty).flatMap(w => enc(w)).toSeq
     }

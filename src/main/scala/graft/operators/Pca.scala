@@ -335,30 +335,27 @@ object Pca {
     import s.implicits._
     pcaIndexCache.getOrBuild(s, key) {
       val proj = udf((emb: Seq[Float]) => projections(m, emb).toSeq)
-      val pn = udf { (pv: Seq[Double]) =>
-        var acc = 0.0
-        var i = 0
-        while (i < pv.length) { acc += pv(i) * pv(i); i += 1 }
-        math.sqrt(acc)
-      }
       Tables.embeddings(s, d)
         .select($"vec_id", proj($"embedding").as("pv"))
-        .withColumn("pn", pn($"pv"))
+        // native double-array kernel (VectorKernels.normD): same
+        // left-to-right accumulation as the oracle's list_sum
+        .withColumn("pn", graft.functions.VectorFunctions.norm($"pv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
   }
 
-  /** Coarse-to-fine ANN over the trained subspace: projected cosine
-    * over the PcaDim index picks top-C candidates per query
-    * (UNROUNDED doubles — the dot/÷√/÷√ association matches the
-    * oracle's sqlCos term-for-term, so the order is bit-identical),
-    * exact full-width cosine re-ranks them. Same scale shape as
-    * [[Similarity.topkProjected]]: broadcast query side, one narrow
-    * scan of the stored projection, cost ∝ |Q|·corpus on 16-d doubles.
+  /** Coarse-to-fine ANN over the trained subspace — exactly
+    * [[Similarity.coarseFineTopk]] (ONE shared probe definition with
+    * the JL path, so tie-breaks and rounding can never drift) over the
+    * PCA-projected index. The coarse cosine runs as the native
+    * double-array codegen kernels (VectorKernels.dotD/normD): the
+    * dot/÷√/÷√ association matches the oracle's sqlCos term-for-term,
+    * so the candidate order is bit-identical cross-engine. Cost ∝
+    * |Q|·corpus on 16-d doubles, broadcast query side.
     */
   def topkPca(s: SparkSession, d: String, k: Int = Similarity.TopK,
       candidates: Int = PcaCandidates): DataFrame =
-    topkFromIndex(s, d, pcaIndex(s, d), k, candidates)
+    Similarity.coarseFineTopk(s, d, pcaIndex(s, d), k, candidates)
 
   /** [[topkPca]] with a STORED model — the separate-query-job half:
     * the projected index is rebuilt from the stored loadings (one
@@ -368,45 +365,9 @@ object Pca {
     */
   def topkPcaStored(s: SparkSession, d: String, modelDir: String,
       k: Int = Similarity.TopK, candidates: Int = PcaCandidates): DataFrame =
-    topkFromIndex(s, d,
+    Similarity.coarseFineTopk(s, d,
       pcaIndexWith(s, d, readPcaModel(s, modelDir), s"pcaidx#stored#$modelDir#$d"),
       k, candidates)
-
-  private def topkFromIndex(s: SparkSession, d: String,
-      idx: DataFrame, k: Int, candidates: Int): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions
-    val q = idx.filter($"vec_id" % Similarity.QueryStride === 0)
-      .select($"vec_id".as("q_id"), $"pv".as("q_pv"), $"pn".as("q_pn"))
-    val dotU = udf { (a: Seq[Double], b: Seq[Double]) =>
-      var acc = 0.0
-      var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    val coarse = broadcast(q)
-      .join(idx, $"q_id" =!= $"vec_id")
-      .select($"q_id", $"vec_id".as("n_id"),
-        (dotU($"q_pv", $"pv") / $"q_pn" / $"pn").as("psim"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"psim".desc, $"n_id".asc)))
-      .filter($"crank" <= candidates)
-      .select($"q_id", $"n_id")
-    val scored = coarse
-      .join(Similarity.corpus(s, d)
-        .select($"vec_id".as("n_id"), $"embedding", $"nrm"), Seq("n_id"))
-      .join(broadcast(Similarity.querySet(s, d)), Seq("q_id"))
-      .select($"q_id", $"n_id",
-        round(VectorFunctions.cosineFrom(
-          VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
-          4).as("cos_sim"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)))
-      .filter($"rank" <= k)
-      .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
-  }
 
   /** The emb_pca projection given a model (cached or stored). */
   private def projectWith(s: SparkSession, d: String, m: PcaModel): DataFrame = {

@@ -791,15 +791,27 @@ object Similarity {
   }
 
   def topkProjected(s: SparkSession, d: String, k: Int = TopK,
-      candidates: Int = ProjCandidates): DataFrame = {
+      candidates: Int = ProjCandidates): DataFrame =
+    coarseFineTopk(s, d, projIndex(s, d), k, candidates)
+
+  /** The coarse-to-fine probe shared by the JL ([[topkProjected]]) and
+    * trained-PCA ([[Pca.topkPca]]) paths: `idx` is any projected index
+    * (vec_id, pv: float or double array, pn); projected cosine over
+    * the full corpus keeps top-C per query (UNROUNDED — bit-identical
+    * doubles on both engines make the order exact), then the exact
+    * full-width cosine re-ranks only the candidates. One definition so
+    * the tie-breaks/rounding can never drift between the two kernels
+    * and their oracles.
+    */
+  private[operators] def coarseFineTopk(s: SparkSession, d: String,
+      idx: DataFrame, k: Int, candidates: Int): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
-    val proj = projIndex(s, d)
-    val qProj = proj.filter($"vec_id" % QueryStride === 0)
+    val qProj = idx.filter($"vec_id" % QueryStride === 0)
       .select($"vec_id".as("q_id"), $"pv".as("q_pv"), $"pn".as("q_pn"))
     // coarse pass: projected cosine over the full corpus, top-C kept
     val coarse = broadcast(qProj)
-      .join(proj, $"q_id" =!= $"vec_id")
+      .join(idx, $"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id".as("n_id"),
         VectorFunctions.cosineFrom(
           VectorFunctions.dot($"q_pv", $"pv"), $"q_pn", $"pn").as("proj_sim"))

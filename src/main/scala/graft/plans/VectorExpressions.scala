@@ -23,6 +23,18 @@ object VectorKernels {
     acc
   }
   def norm(a: ArrayData): Double = math.sqrt(dot(a, a))
+
+  /** ARRAY<DOUBLE> variants (the trained-PCA projection index): same
+    * left-to-right accumulation, `getDouble` walk.
+    */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.numElements(), b.numElements())
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+  def normD(a: ArrayData): Double = math.sqrt(dotD(a, a))
 }
 
 /** vector_dot(array<float>, array<float>) → double, whole-stage
@@ -32,24 +44,32 @@ object VectorKernels {
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def isFloatArray(t: DataType): Boolean = t match {
-    case ArrayType(FloatType, _) => true
+  private def numArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isDouble: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
     case _ => false
   }
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+    if (numArray(left.dataType) && left.dataType == right.dataType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vector_dot requires (ARRAY<FLOAT>, ARRAY<FLOAT>), got " +
+      s"vector_dot requires matching (ARRAY<FLOAT|DOUBLE>, same), got " +
         s"(${left.dataType.sql}, ${right.dataType.sql})")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isDouble)
+      VectorKernels.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorKernels.dot($a, $b)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isDouble) "dotD" else "dot"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorKernels.$fn($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDot =
@@ -279,18 +299,26 @@ object MinhashKernels {
 case class VectorNorm(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"vector_norm requires ARRAY<FLOAT>, got ${other.sql}")
+      s"vector_norm requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_norm"
 
   override protected def nullSafeEval(a: Any): Any =
-    VectorKernels.norm(a.asInstanceOf[ArrayData])
+    if (isDouble) VectorKernels.normD(a.asInstanceOf[ArrayData])
+    else VectorKernels.norm(a.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.plans.VectorKernels.norm($a)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isDouble) "normD" else "norm"
+    defineCodeGen(ctx, ev, a => s"graft.plans.VectorKernels.$fn($a)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): VectorNorm =
     copy(child = newChild)
