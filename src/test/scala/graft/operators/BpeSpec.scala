@@ -252,6 +252,43 @@ class BpeSpec extends AnyFunSuite {
       Seq(("ab", 3), ("abc", 4), ("z", -1), ("q", -1)))
   }
 
+  test("encode-kernel laws on generated Unicode words: lossless, bounded, deterministic") {
+    // a deterministic-seeded sweep over the Unicode space the fixtures
+    // can't enumerate: surrogate pairs, combining marks, ZWJ
+    // sequences, RTL, control chars — for ANY word and ANY merge
+    // table, encode must concatenate back to the word, never emit an
+    // empty token, and respect the bypass boundary
+    import org.scalacheck.Gen
+    val cpGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("é", "ß", "ñ", "Σ", "ω", "д").map(identity),
+      Gen.oneOf("日", "本", "語", "中").map(identity),
+      Gen.oneOf("😀", "🎉", "𝕏").map(identity),           // surrogate pairs
+      Gen.oneOf("́", "̈").map(identity),          // combining marks
+      Gen.oneOf("‍", "א", "ا").map(identity) // ZWJ, RTL
+    )
+    val wordGen: Gen[String] = for {
+      n <- Gen.choose(1, 80) // crosses the BpeMaxWordLen=64 boundary
+      cps <- Gen.listOfN(n, cpGen)
+    } yield cps.mkString
+    val m = Bpe.bpeModel(spark, sf)
+    var seed = org.scalacheck.rng.Seed(13L)
+    (0 until 500).foreach { i =>
+      wordGen.apply(Gen.Parameters.default.withSize(1 + i % 60), seed).foreach { w =>
+        val toks = Bpe.encodeWord(w, m.ranks)
+        assert(toks.mkString == w,
+          s"lossy encode of ${w.map(c => f"${c.toInt}%04x").mkString(" ")}")
+        assert(toks.forall(_.nonEmpty), s"empty token from '$w'")
+        val nCp = w.codePointCount(0, w.length)
+        if (nCp > Bpe.BpeMaxWordLen)
+          assert(toks.length == 1, s"long word not bypassed: $nCp cps")
+        else assert(toks.length <= nCp, s"more tokens than code points for '$w'")
+        assert(Bpe.encodeWord(w, m.ranks).toSeq == toks.toSeq, "nondeterministic encode")
+      }
+      seed = seed.next
+    }
+  }
+
   test("model is a deterministic function of the corpus") {
     val m1 = Bpe.trainBpe(spark, sf)
     val m2 = Bpe.trainBpe(spark, sf)
