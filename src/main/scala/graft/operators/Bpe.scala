@@ -122,24 +122,183 @@ object Bpe {
   /** Train: distributed word-frequency table → bounded driver merge
     * loop. Words longer than [[BpeMaxWordLen]] are excluded from
     * training for the same reason encode bypasses them.
+    *
+    * `numMerges` is the vocab-size knob: the default stays the
+    * corpus-sized [[BpeNumMerges]] (what `bpe_build` declares), but the
+    * loop itself is the INCREMENTAL formulation ([[mergeLoop]]), so a
+    * production 32k–100k-merge train is driver-time-bounded by total
+    * symbol churn, not merges × corpus-types (BpeSpec pins both the
+    * equivalence to the from-scratch loop and the bounded wall time).
     */
-  def trainBpe(s: SparkSession, d: String): BpeModel = {
+  def trainBpe(s: SparkSession, d: String,
+      numMerges: Int = BpeNumMerges): BpeModel =
+    BpeModel(mergeLoop(wordTable(s, d), numMerges))
+
+  /** The distributed half of training: ONE map-side-combinable word
+    * count, truncated to the top-[[BpeWordTypesCap]] types by
+    * (count desc, word asc) — the bounded deterministic driver table
+    * both merge loops run on.
+    */
+  private[operators] def wordTable(s: SparkSession, d: String): Array[(String, Long)] = {
     import s.implicits._
-    val wordCounts = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(explode(TextAnalysis.tokens($"text")).as("word"))
       .filter(length($"word") <= BpeMaxWordLen)
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"word".asc)
       .limit(BpeWordTypesCap)
       .as[(String, Long)].collect()
+  }
 
+  /** Heap entry for the lazy-deletion max-heap: valid iff `cnt` still
+    * equals the pair's live count when popped.
+    */
+  private final case class PairEntry(cnt: Long, l: String, r: String)
+
+  /** max count first; ties → lexicographically smallest (lhs, rhs) —
+    * the same total order the from-scratch argmax scan applies.
+    */
+  private val pairOrder: java.util.Comparator[PairEntry] =
+    new java.util.Comparator[PairEntry] {
+      def compare(a: PairEntry, b: PairEntry): Int = {
+        val c = java.lang.Long.compare(b.cnt, a.cnt)
+        if (c != 0) c
+        else {
+          val cl = a.l.compareTo(b.l)
+          if (cl != 0) cl else a.r.compareTo(b.r)
+        }
+      }
+    }
+
+  /** The production merge loop: INCREMENTAL pair-count maintenance.
+    *
+    * The classical formulation recounts every adjacent pair of every
+    * word type per round — O(types × maxLen) per merge, fine at a few
+    * hundred merges, minutes-to-hours at a production 32k–100k vocab.
+    * This loop is the standard incremental structure instead (the
+    * public Sennrich reference implementation's shape): an inverted
+    * `pair → word indices` index finds the words a chosen merge
+    * touches, only THOSE words' pair multisets are diffed (old rep
+    * out, new rep in), and the argmax comes off a max-heap with lazy
+    * deletion (an entry is stale — popped and discarded — unless its
+    * recorded count equals the pair's live count; every count change
+    * pushes one fresh entry). Per-round cost is proportional to the
+    * symbol length of the affected words only, so total driver work is
+    * bounded by the total symbol churn, which telescopes: each merge
+    * strictly shrinks the affected reps, giving O(types × maxLen)
+    * TOTAL shrink across ALL rounds plus the per-round index probes.
+    *
+    * Semantics are pinned EQUAL to [[mergeLoopReference]] (BpeSpec:
+    * identical merge tables on hand corpora, on the sf corpus, and —
+    * prefix property — under a larger numMerges): same overlapping
+    * pair counts, same (count desc, pair asc) argmax, same
+    * left-to-right non-overlapping application, same
+    * [[BpeMinPairFreq]] stop.
+    */
+  private[operators] def mergeLoop(wordCounts: Array[(String, Long)],
+      numMerges: Int): Array[(String, String, Long)] = {
+    val reps: Array[Array[String]] = wordCounts.map(wc => codePoints(wc._1))
+    val freqs: Array[Long] = wordCounts.map(_._2)
+
+    val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+    val occurs = new scala.collection.mutable.HashMap[(String, String),
+      scala.collection.mutable.HashSet[Int]]()
+    val heap = new java.util.PriorityQueue[PairEntry](pairOrder)
+
+    def addPairs(sym: Array[String], f: Long, w: Int,
+        changed: scala.collection.mutable.HashSet[(String, String)]): Unit = {
+      var i = 0
+      while (i < sym.length - 1) {
+        val k = (sym(i), sym(i + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + f)
+        occurs.getOrElseUpdate(k,
+          new scala.collection.mutable.HashSet[Int]()) += w
+        if (changed != null) changed += k
+        i += 1
+      }
+    }
+    def removePairs(sym: Array[String], f: Long,
+        changed: scala.collection.mutable.HashSet[(String, String)]): Unit = {
+      var i = 0
+      while (i < sym.length - 1) {
+        val k = (sym(i), sym(i + 1))
+        val nv = counts.getOrElse(k, 0L) - f
+        if (nv <= 0L) counts.remove(k) else counts.update(k, nv)
+        changed += k
+        i += 1
+      }
+    }
+    def containsPair(sym: Array[String], l: String, r: String): Boolean = {
+      var i = 0
+      while (i < sym.length - 1) {
+        if (sym(i) == l && sym(i + 1) == r) return true
+        i += 1
+      }
+      false
+    }
+
+    // initial exact weighted adjacent-pair counts (all adjacencies,
+    // the classical overlapping count: [a,a,a] contributes (a,a)
+    // twice), then one heap entry per live pair
+    var w = 0
+    while (w < reps.length) {
+      addPairs(reps(w), freqs(w), w, null)
+      w += 1
+    }
+    counts.foreach { case ((l, r), c) => heap.add(PairEntry(c, l, r)) }
+
+    val merges = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (!done && merges.length < numMerges) {
+      // pop to the first non-stale entry — the live argmax
+      var top: PairEntry = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (counts.getOrElse((e.l, e.r), 0L) == e.cnt) top = e
+      }
+      if (top == null || top.cnt < BpeMinPairFreq) done = true
+      else {
+        merges += ((top.l, top.r, top.cnt))
+        val key = (top.l, top.r)
+        val changed = new scala.collection.mutable.HashSet[(String, String)]()
+        // only words indexed under the merged pair; the index is
+        // stale-tolerant (a word may have lost the pair since it was
+        // indexed), so re-check against the current rep
+        occurs.get(key).foreach(_.foreach { wi =>
+          val sym = reps(wi)
+          if (containsPair(sym, top.l, top.r)) {
+            val f = freqs(wi)
+            removePairs(sym, f, changed)
+            val ns = applyMerge(sym, top.l, top.r)
+            reps(wi) = ns
+            addPairs(ns, f, wi, changed)
+          }
+        })
+        // LTR application leaves no (l,r) adjacency behind (lr ≠ l, r)
+        counts.remove(key)
+        occurs.remove(key)
+        changed -= key
+        // one fresh entry per touched pair at its post-round count;
+        // entries carrying any older count are now stale by equality
+        changed.foreach { k =>
+          counts.get(k).foreach(c => heap.add(PairEntry(c, k._1, k._2)))
+        }
+      }
+    }
+    merges.toArray
+  }
+
+  /** The classical from-scratch loop — O(types × maxLen) per round —
+    * kept as the semantic REFERENCE the incremental loop is spec-pinned
+    * against (never called on the query path).
+    */
+  private[operators] def mergeLoopReference(wordCounts: Array[(String, Long)],
+      numMerges: Int): Array[(String, String, Long)] = {
     var reps: Array[Array[String]] = wordCounts.map(wc => codePoints(wc._1))
     val freqs: Array[Long] = wordCounts.map(_._2)
     val merges = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var done = false
-    while (!done && merges.length < BpeNumMerges) {
-      // exact weighted adjacent-pair counts (all adjacencies, the
-      // classical overlapping count: [a,a,a] contributes (a,a) twice)
+    while (!done && merges.length < numMerges) {
       val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
       var w = 0
       while (w < reps.length) {
@@ -153,7 +312,6 @@ object Bpe {
         }
         w += 1
       }
-      // max count; ties broken by lexicographic smallest (lhs, rhs)
       var best: ((String, String), Long) = null
       counts.foreach { e =>
         if (best == null || e._2 > best._2 ||
@@ -166,7 +324,7 @@ object Bpe {
         reps = reps.map(applyMerge(_, best._1._1, best._1._2))
       }
     }
-    BpeModel(merges.toArray)
+    merges.toArray
   }
 
   /** Final training-side symbol sequences per trained word type —
@@ -228,20 +386,40 @@ object Bpe {
 
   /** A serializable word→tokens encoder backed by the JVM-wide memo
     * (a 100 TB corpus revisits the same word types constantly; the
-    * steady-state cost is a hash probe shared across tasks).
+    * steady-state cost is a hash probe shared across tasks). `memoCap`
+    * is injectable so BpeSpec can pin the beyond-cap contract (encode
+    * stays correct, the memo stays allocation-bounded) without
+    * allocating 2²⁰ entries; production callers always take the
+    * [[EncodeMemoCap]] default.
     */
-  private def encoder(m: BpeModel): String => Array[String] = {
+  /** Canonical per-model memo key — the separator control characters
+    * cannot collide with token content (tokens never contain
+    * whitespace, let alone NUL/SOH).
+    */
+  private def modelKey(m: BpeModel): String =
+    m.merges.iterator
+      .map { case (l, r, _) => l + "\u0000" + r }.mkString("\u0001")
+
+  /** Live memo entry count for a model's JVM-wide memo (0 if none) —
+    * exposed for BpeSpec's allocation-bound pin.
+    */
+  private[operators] def memoSize(m: BpeModel): Int = {
+    val memo = jvmMemos.get(modelKey(m))
+    if (memo == null) 0 else memo.size
+  }
+
+  private[operators] def encoder(m: BpeModel,
+      memoCap: Int = EncodeMemoCap): String => Array[String] = {
     val ranks = m.ranks
-    val modelKey = m.merges.iterator
-      .map { case (l, r, _) => l + " " + r }.mkString("")
+    val mk = modelKey(m)
     (word: String) => {
-      val memo = jvmMemos.computeIfAbsent(modelKey,
+      val memo = jvmMemos.computeIfAbsent(mk,
         _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
       val hit = memo.get(word)
       if (hit != null) hit
       else {
         val e = encodeWord(word, ranks)
-        if (memo.size < EncodeMemoCap) memo.put(word, e)
+        if (memo.size < memoCap) memo.put(word, e)
         e
       }
     }
@@ -329,12 +507,19 @@ object Bpe {
   private def alphabet(s: SparkSession, d: String): Array[String] = {
     import s.implicits._
     val cps = udf((w: String) => codePoints(w).toSeq)
-    Tables.documents(s, d)
+    // driver transfer bounded by construction: rows are DISTINCT single
+    // code points, so |result| ≤ |Unicode| ≈ 1.11M (~a few MB) at ANY
+    // corpus size — guarded like the other bounded collects so a
+    // tokenization bug emitting non-single-cp rows fails loudly here
+    val a = Tables.documents(s, d)
       .select(explode(TextAnalysis.tokens($"text")).as("word"))
       .filter(length($"word") <= BpeMaxWordLen)
       .select(explode(cps($"word")).as("ch"))
       .distinct().as[String].collect()
-      .sortBy(_.codePointAt(0))
+    require(a.length <= 1200000,
+      s"bpe alphabet of ${a.length} entries exceeds the Unicode bound — " +
+        "upstream split is not emitting single code points")
+    a.sortBy(_.codePointAt(0))
   }
 
   private val vocabCache = new SessionCache[Array[(Int, String, String)]]()
@@ -631,7 +816,11 @@ object Bpe {
     // the curate chain verbatim as a nested CTE (the manifest oracle's
     // own trick) joined to the BPE per-doc counts — membership keys
     // identical to pipe_train_manifest's, token mass re-derived from
-    // the merge literals
+    // the merge literals. LEFT JOIN + COALESCE, not inner: `nb` only
+    // has docs with ≥1 word, but the Spark kernel's tokenMass covers
+    // EVERY doc, so a curated zero-token doc must stay in the manifest
+    // with nt=0 on both engines (unreachable under the current quality
+    // gate, pinned anyway so gate-threshold changes can't diverge it)
     val manifestBpeSql =
       s"""WITH RECURSIVE $mmCte, $wordCtes, $encCtes,
           nb AS (SELECT dw.doc_id, SUM(COALESCE(fin.n, 1)) AS nt
@@ -640,10 +829,10 @@ object Bpe {
           SELECT CAST(strpos('0123456789abcdef',
               substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard,
             COUNT(*) AS n_docs,
-            CAST(SUM(nb.nt) AS BIGINT) AS n_tokens,
+            CAST(SUM(COALESCE(nb.nt, 0)) AS BIGINT) AS n_tokens,
             bit_xor(${TextAnalysis.sqlHex32("md5(CAST(c.doc_id AS VARCHAR))")})
               AS member_fp
-          FROM cur c JOIN nb USING (doc_id)
+          FROM cur c LEFT JOIN nb USING (doc_id)
           GROUP BY 1"""
     Map("bpe_build" -> buildSql, "txt_bpe_tokens" -> tokensSql,
       "bpe_vocab" -> vocabSql, "txt_bpe_encode" -> encodeSql,

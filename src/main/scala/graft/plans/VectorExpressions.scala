@@ -44,20 +44,22 @@ object VectorKernels {
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def numArray(t: DataType): Boolean = t match {
-    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
-    case _ => false
-  }
   private def isDouble: Boolean = left.dataType match {
     case ArrayType(DoubleType, _) => true
     case _ => false
   }
+  // element types only — ArrayType equality would also compare
+  // containsNull, rejecting e.g. an array literal against a nullable
+  // parquet column even though the kernels never read validity
   override def checkInputDataTypes(): TypeCheckResult =
-    if (numArray(left.dataType) && left.dataType == right.dataType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"vector_dot requires matching (ARRAY<FLOAT|DOUBLE>, same), got " +
-        s"(${left.dataType.sql}, ${right.dataType.sql})")
+    (left.dataType, right.dataType) match {
+      case (ArrayType(et1, _), ArrayType(et2, _))
+          if et1 == et2 && (et1 == FloatType || et1 == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vector_dot requires matching (ARRAY<FLOAT|DOUBLE>, same), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
 

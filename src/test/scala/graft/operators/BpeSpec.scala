@@ -294,4 +294,68 @@ class BpeSpec extends AnyFunSuite {
     val m2 = Bpe.trainBpe(spark, sf)
     assert(m1.merges.toSeq == m2.merges.toSeq)
   }
+
+  /** Deterministic synthetic word-frequency table with enough pair
+    * structure to sustain thousands of merges: pseudo-words over a
+    * 26-letter alphabet, zipf-ish frequencies, seeded RNG.
+    */
+  private def syntheticWordTable(nTypes: Int, seed: Long): Array[(String, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val byWord = scala.collection.mutable.LinkedHashMap[String, Long]()
+    while (byWord.size < nTypes) {
+      val len = 6 + rnd.nextInt(12)
+      val w = Array.fill(len)(alpha(rnd.nextInt(26))).mkString
+      val f = 1L + rnd.nextInt(50).toLong
+      byWord.update(w, byWord.getOrElse(w, 0L) + f)
+    }
+    byWord.toArray
+  }
+
+  test("incremental merge loop is identical to the from-scratch reference") {
+    // on the real sf corpus word table at the production default…
+    val corpusWc = Bpe.wordTable(spark, sf)
+    assert(Bpe.mergeLoop(corpusWc, Bpe.BpeNumMerges).toSeq ==
+      Bpe.mergeLoopReference(corpusWc, Bpe.BpeNumMerges).toSeq)
+    // …and on a 20k-type synthetic table, where the reference loop is
+    // still affordable at 256 merges
+    val wc = syntheticWordTable(20000, seed = 42L)
+    assert(Bpe.mergeLoop(wc, 256).toSeq == Bpe.mergeLoopReference(wc, 256).toSeq)
+  }
+
+  test("production-vocab train: 8k merges, prefix property, bounded driver time") {
+    val wc = syntheticWordTable(20000, seed = 42L)
+    val t0 = System.nanoTime()
+    val big = Bpe.mergeLoop(wc, 8192)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // (a) the vocab knob actually reaches production scale on this table
+    assert(big.length == 8192, s"only ${big.length} merges learned")
+    // (b) greedy determinism ⇒ a smaller vocab is a strict prefix —
+    // the property that links the 256-merge reference equivalence to
+    // the 8k-merge regime the reference loop can't affordably verify
+    assert(Bpe.mergeLoop(wc, 256).toSeq == big.take(256).toSeq)
+    // (c) driver time bounded (the PQ trainer convention: generous
+    // ceiling, catches the O(types × maxLen × merges) regression —
+    // the from-scratch loop at this size needs ~2e9 pair recounts)
+    assert(sec < 60.0, f"8k-merge train took $sec%.1f s")
+  }
+
+  test("encode beyond the memo cap stays correct and allocation-bounded") {
+    // fresh model (unique corpus → unique memo key), tiny injected cap
+    val d = corpusDir(Seq("memocap xy xz yz xy xz"))
+    val m = Bpe.trainBpe(spark, d)
+    val cap = 64
+    val enc = Bpe.encoder(m, memoCap = cap)
+    // 50× the cap in distinct words: every encode must equal the
+    // uncached kernel, cached or not
+    val words = (0 until cap * 50).map(i => s"w${i}xyz${i % 7}")
+    words.foreach { w =>
+      assert(enc(w).toSeq == Bpe.encodeWord(w, m.ranks).toSeq, s"mismatch on $w")
+    }
+    // the memo stopped allocating at the cap
+    assert(Bpe.memoSize(m) <= cap,
+      s"memo grew to ${Bpe.memoSize(m)} entries past the $cap cap")
+    // and beyond-cap words still encode deterministically on re-query
+    assert(enc(words.last).toSeq == Bpe.encodeWord(words.last, m.ranks).toSeq)
+  }
 }
