@@ -733,7 +733,29 @@ object Dedup {
     // component representative (min doc_id).
     "dedup_cluster" -> { (s, d) =>
       connectedComponents(queries("dedup_ngram_jaccard")(s, d))
+    },
+
+    // The STORED-path form of dedup_cluster, declared so the one-job-
+    // builds / later-job-collapses lifecycle sits under the driver's
+    // oracle gate and the bench, not just IndexStoreSpec: write the
+    // verified pair relation shard-partitioned, read it back through
+    // the explicit-schema stored reader, collapse components. Same
+    // answer as dedup_cluster by construction (parquet DOUBLE
+    // round-trips exactly; round-then-threshold applied on the read
+    // side), so it shares that oracle verbatim.
+    "dedup_cluster_stored" -> { (s, d) =>
+      val dir = storedPairsDir(d)
+      writeJaccardPairs(s, d, dir)
+      clusterStored(s, dir)
     })
+
+  /** Deterministic per-corpus location for the declared stored-pair
+    * round trip — under the JVM temp dir, keyed by the corpus path so
+    * concurrent Verify/Bench runs on different fixtures never collide.
+    */
+  private def storedPairsDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_stored_pairs_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Iteration cap for [[connectedComponents]]: with pointer jumping
     * the propagation converges in O(log diameter) rounds, so 20 covers
@@ -1267,6 +1289,23 @@ object Dedup {
           JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
           JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b)"""
 
+  /** Transitive closure of the exact-Jaccard dup graph — shared by
+    * dedup_cluster and dedup_cluster_stored (the stored round trip may
+    * not change the answer).
+    */
+  private lazy val clusterOracle: String =
+    s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        dup AS (SELECT id_a, id_b FROM pairs
+          WHERE ROUND(j, 6) >= $JaccardThreshold),
+        edges AS (SELECT id_a AS u, id_b AS v FROM dup
+          UNION SELECT id_b, id_a FROM dup),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id
+        FROM reach GROUP BY u"""
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT MD5(text) AS content_fp, MIN(doc_id) AS keeper_id,
@@ -1386,18 +1425,11 @@ object Dedup {
             CASE WHEN text IS NULL THEN NULL
               ELSE COALESCE(array_to_string(kl, chr(10)), '') END AS text_dedup
           FROM built""",
-    "dedup_cluster" ->
-      s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-          dup AS (SELECT id_a, id_b FROM pairs
-            WHERE ROUND(j, 6) >= $JaccardThreshold),
-          edges AS (SELECT id_a AS u, id_b AS v FROM dup
-            UNION SELECT id_b, id_a FROM dup),
-          reach(u, v) AS (
-            SELECT u, v FROM edges
-            UNION
-            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-          SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id
-          FROM reach GROUP BY u""",
+    "dedup_cluster" -> clusterOracle,
+    // byte-identical answer contract for the stored round trip: the
+    // stored path must collapse exactly the components the in-session
+    // path does, so it shares the oracle STRING, not a restatement
+    "dedup_cluster_stored" -> clusterOracle,
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
