@@ -34,7 +34,13 @@ object Bench {
     // a failed query must be LOUD: recording a ~0s time would sail
     // under the budget tripwire and read as a clean fast pass
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // optional comma-separated subset for local scale-curve runs
+    // (e.g. the sf1 fixture); the driver never sets it, so driver
+    // artifacts always measure the full surface
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
       .sortBy { case (name, _) =>
         (if (!name.endsWith("_build")) 2
          else if (derivedBuilds(name)) 1 else 0, name) }
