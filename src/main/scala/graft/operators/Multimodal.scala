@@ -21,16 +21,45 @@ import graft.Tables
   */
 object Multimodal {
 
-  /** STUB: deterministic stand-in for an image/audio decoder. Real
-    * deployments replace exactly this object with a codec binding
-    * (libjpeg/ffmpeg via JNI); its contract — bytes in, dimensions +
-    * fixed-shape features out — is what the operators depend on.
+  /** The decode seam: bytes in → dimensions + fixed-shape features
+    * out. Implementations are Serializable values whose instances ride
+    * the task closure; a JNI/FFI-backed codec would instead lazy-init
+    * its native context inside `mapPartitions` (the slot is marked in
+    * [[decodeFeaturesWith]]). The DECLARED queries always run the
+    * hermetic [[FakeDecoder]] so the oracle stays deterministic;
+    * deployments pass [[JdkImageDecoder]] (or their own binding) to
+    * [[decodeFeaturesWith]].
     */
-  object FakeDecoder {
-    val FeatureBins = 16
+  trait MediaDecoder extends Serializable {
+    def name: String
+
+    /** Decoded (width, height), or None when this codec can't read the
+      * payload — callers decide whether undecodable media dead-letters
+      * or degrades (the FilePipeline dead-letter convention).
+      */
+    def dims(bytes: Array[Byte]): Option[(Int, Int)]
+
+    /** Fixed-width feature vector ([[FeatureBins]] entries) — total:
+      * must return the zero vector, never throw, on undecodable input.
+      */
+    def features(bytes: Array[Byte]): Array[Float]
+  }
+
+  val FeatureBins = 16
+
+  /** STUB: deterministic stand-in for an image/audio decoder — derives
+    * "dimensions" and "pixels" from the payload bytes, so every stage
+    * around it is oracle-checkable in a container with no media
+    * payloads. The hermetic default for all declared queries.
+    */
+  object FakeDecoder extends MediaDecoder {
+    val name = "fake"
 
     def width(nBytes: Long): Int = (nBytes % 640 + 1).toInt
     def height(nBytes: Long): Int = (nBytes * 7 % 480 + 1).toInt
+
+    def dims(bytes: Array[Byte]): Option[(Int, Int)] =
+      Some((width(bytes.length.toLong), height(bytes.length.toLong)))
 
     /** "Pixel statistics": a 16-bin byte histogram normalized to
       * frequencies — fixed-width Array[Float], the shape a real
@@ -45,6 +74,54 @@ object Multimodal {
       }
       val n = math.max(bytes.length, 1).toFloat
       hist.map(_ / n)
+    }
+  }
+
+  /** A REAL decoder behind the same seam, with zero added
+    * dependencies: `javax.imageio` ships in the JDK and reads
+    * PNG/JPEG/GIF/BMP. Gated on [[available]] (reader registry
+    * non-empty — headless-safe); undecodable payloads yield
+    * None/zero-vector rather than throwing, so a mixed corpus streams
+    * through without a partition ever failing. Features are the same
+    * 16-bin histogram shape as the stub, computed over decoded PIXEL
+    * LUMINANCE instead of payload bytes. MultimodalSpec round-trips an
+    * in-memory PNG through it; the declared queries stay on
+    * [[FakeDecoder]].
+    */
+  object JdkImageDecoder extends MediaDecoder {
+    val name = "jdk-imageio"
+
+    def available: Boolean =
+      try javax.imageio.ImageIO.getReaderFormatNames.nonEmpty
+      catch { case scala.util.control.NonFatal(_) => false }
+
+    private def read(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    def dims(bytes: Array[Byte]): Option[(Int, Int)] =
+      read(bytes).map(img => (img.getWidth, img.getHeight))
+
+    def features(bytes: Array[Byte]): Array[Float] = read(bytes) match {
+      case None => new Array[Float](FeatureBins)
+      case Some(img) =>
+        val hist = new Array[Int](FeatureBins)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer ITU-R 601 luma; 0..255 → 16 bins like the stub
+            val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            hist(lum * FeatureBins / 256) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w * h, 1).toFloat
+        hist.map(_ / n)
     }
   }
 
@@ -71,19 +148,26 @@ object Multimodal {
         lit(3).as("channels")).as("meta"))
   }
 
-  /** Partition-batched decode: one `FakeDecoder` per partition (the
-    * slot where a real binding would lazily initialize its native
-    * context once per task, not once per row).
+  /** Partition-batched decode through the [[MediaDecoder]] seam: one
+    * decoder per partition (the slot where a JNI/FFI binding would
+    * lazily initialize its native context once per task, not once per
+    * row).
     */
-  def decodeFeatures(s: SparkSession, d: String): DataFrame = {
+  def decodeFeaturesWith(s: SparkSession, media: DataFrame,
+      decoder: MediaDecoder): DataFrame = {
     import s.implicits._
-    val media = mediaRelation(s, d)
-      .select($"media_id", $"payload").as[(Long, Array[Byte])]
-    media.mapPartitions { it =>
-      // per-partition decoder init would go here
-      it.map { case (id, bytes) => (id, FakeDecoder.features(bytes)) }
-    }.toDF("media_id", "features")
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition native-context init would go here
+        it.map { case (id, bytes) => (id, decoder.features(bytes)) }
+      }.toDF("media_id", "features")
   }
+
+  /** The declared decode path — hermetic [[FakeDecoder]], so the
+    * mm_features oracle stays a pure function of the fixture.
+    */
+  def decodeFeatures(s: SparkSession, d: String): DataFrame =
+    decodeFeaturesWith(s, mediaRelation(s, d), FakeDecoder)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata projection: must never deserialize payload bytes —

@@ -312,4 +312,45 @@ class EventStreamSpec extends AnyFunSuite {
         s"got $rows")
     } finally q.stop()
   }
+
+  test("micro-batch throughput stays above a pathology floor (progress metrics)") {
+    // not a benchmark — a regression tripwire on the engine-reported
+    // progress metrics: replaying the sf0.001 fixture (1000 events)
+    // through the watermarked hourly window must sustain well over
+    // 100 rows/s of trigger-execution throughput. A pathological
+    // per-batch regression (state store thrash, accidental per-row
+    // work in the plan) drops this by orders of magnitude; normal
+    // local[2] runs measure thousands. The floor is deliberately
+    // generous so scheduler jitter can never flap it.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val mem = MemoryStream[Event]
+    val q = hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_throughput")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 4 micro-batches of 250 rows — enough triggers to average out
+      // one slow first batch (codegen/JIT) without a long run
+      fixture.grouped(250).foreach { b =>
+        mem.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val progress = q.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0)
+      val rows = progress.map(_.numInputRows).sum
+      val execMs = progress
+        .map(p => p.durationMs.getOrDefault("triggerExecution", 0L).toLong)
+        .sum
+      assert(rows == fixture.length.toLong,
+        s"progress accounted $rows of ${fixture.length} input rows")
+      assert(execMs > 0, "no triggerExecution durations reported")
+      val rowsPerSec = rows.toDouble * 1000.0 / execMs
+      info(f"streaming throughput: $rowsPerSec%.0f rows/s over ${progress.size} batches")
+      assert(rowsPerSec > 100.0,
+        f"pathological micro-batch throughput: $rowsPerSec%.0f rows/s")
+    } finally q.stop()
+  }
 }
