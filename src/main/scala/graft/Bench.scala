@@ -39,6 +39,13 @@ object Bench {
     // artifacts always measure the full surface
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name silently shrinking the run would look like a clean
+    // fast pass — same LOUDNESS rule as failed queries
+    subset.foreach { qs =>
+      val unknown = qs -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .sortBy { case (name, _) =>

@@ -384,21 +384,20 @@ object Bpe {
   private val jvmMemos = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
 
-  /** A serializable word→tokens encoder backed by the JVM-wide memo
-    * (a 100 TB corpus revisits the same word types constantly; the
-    * steady-state cost is a hash probe shared across tasks). `memoCap`
-    * is injectable so BpeSpec can pin the beyond-cap contract (encode
-    * stays correct, the memo stays allocation-bounded) without
-    * allocating 2²⁰ entries; production callers always take the
-    * [[EncodeMemoCap]] default.
+  /** Canonical per-model memo key. Length-prefixed components, not
+    * bare separators: tokens are only whitespace-free, so a separator
+    * CHARACTER could legally appear inside a merge symbol and alias
+    * two different models' keys — the length prefixes make the
+    * encoding injective regardless of token content.
     */
-  /** Canonical per-model memo key — the separator control characters
-    * cannot collide with token content (tokens never contain
-    * whitespace, let alone NUL/SOH).
-    */
-  private def modelKey(m: BpeModel): String =
-    m.merges.iterator
-      .map { case (l, r, _) => l + "\u0000" + r }.mkString("\u0001")
+  private def modelKey(m: BpeModel): String = {
+    val sb = new java.lang.StringBuilder(m.merges.length * 12)
+    m.merges.foreach { case (l, r, _) =>
+      sb.append(l.length).append(':').append(l)
+        .append('|').append(r.length).append(':').append(r).append(';')
+    }
+    sb.toString
+  }
 
   /** Live memo entry count for a model's JVM-wide memo (0 if none) —
     * exposed for BpeSpec's allocation-bound pin.
@@ -408,6 +407,14 @@ object Bpe {
     if (memo == null) 0 else memo.size
   }
 
+  /** A serializable word→tokens encoder backed by the JVM-wide memo
+    * (a 100 TB corpus revisits the same word types constantly; the
+    * steady-state cost is a hash probe shared across tasks). `memoCap`
+    * is injectable so BpeSpec can pin the beyond-cap contract (encode
+    * stays correct, the memo stays allocation-bounded) without
+    * allocating 2²⁰ entries; production callers always take the
+    * [[EncodeMemoCap]] default.
+    */
   private[operators] def encoder(m: BpeModel,
       memoCap: Int = EncodeMemoCap): String => Array[String] = {
     val ranks = m.ranks

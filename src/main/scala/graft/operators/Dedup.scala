@@ -752,10 +752,15 @@ object Dedup {
   /** Deterministic per-corpus location for the declared stored-pair
     * round trip — under the JVM temp dir, keyed by the corpus path so
     * concurrent Verify/Bench runs on different fixtures never collide.
+    * The hashCode suffix keeps the key injective where the readable
+    * sanitized prefix isn't (`/a/sf0.1` vs `/a/sf0_1` both sanitize to
+    * the same text); residue is temp-dir-reclaimed, ≤ a few MB per
+    * fixture ever run.
     */
   private def storedPairsDir(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_stored_pairs_" +
-      d.replaceAll("[^A-Za-z0-9]", "_")
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.lang.Integer.toHexString(d.hashCode)
 
   /** Iteration cap for [[connectedComponents]]: with pointer jumping
     * the propagation converges in O(log diameter) rounds, so 20 covers

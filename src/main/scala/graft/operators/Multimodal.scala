@@ -58,21 +58,27 @@ object Multimodal {
     def width(nBytes: Long): Int = (nBytes % 640 + 1).toInt
     def height(nBytes: Long): Int = (nBytes * 7 % 480 + 1).toInt
 
-    def dims(bytes: Array[Byte]): Option[(Int, Int)] =
-      Some((width(bytes.length.toLong), height(bytes.length.toLong)))
+    // null payload = empty payload (the mediaRelation coalesce
+    // contract, honored here too so the trait's totality promise
+    // holds for callers that skip mediaRelation)
+    def dims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      Some((width(n), height(n)))
+    }
 
     /** "Pixel statistics": a 16-bin byte histogram normalized to
       * frequencies — fixed-width Array[Float], the shape a real
       * embedding/feature extractor returns.
       */
     def features(bytes: Array[Byte]): Array[Float] = {
+      val b = if (bytes == null) Array.emptyByteArray else bytes
       val hist = new Array[Int](FeatureBins)
       var i = 0
-      while (i < bytes.length) {
-        hist((bytes(i) & 0xff) * FeatureBins / 256) += 1
+      while (i < b.length) {
+        hist((b(i) & 0xff) * FeatureBins / 256) += 1
         i += 1
       }
-      val n = math.max(bytes.length, 1).toFloat
+      val n = math.max(b.length, 1).toFloat
       hist.map(_ / n)
     }
   }
@@ -96,8 +102,10 @@ object Multimodal {
       catch { case scala.util.control.NonFatal(_) => false }
 
     private def read(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case scala.util.control.NonFatal(_) => None }
+      if (bytes == null) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case scala.util.control.NonFatal(_) => None }
 
     def dims(bytes: Array[Byte]): Option[(Int, Int)] =
       read(bytes).map(img => (img.getWidth, img.getHeight))

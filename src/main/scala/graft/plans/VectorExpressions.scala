@@ -19,7 +19,13 @@ object VectorKernels {
     var acc = 0.0
     var i = 0
     val n = math.min(a.numElements(), b.numElements())
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      // a NULL element would silently read as 0.0 and skew the score —
+      // refuse, like packed_pairs/minhash_sig (cheap predictable branch)
+      require(!a.isNullAt(i) && !b.isNullAt(i),
+        "vector_dot: NULL element in input array")
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    }
     acc
   }
   def norm(a: ArrayData): Double = math.sqrt(dot(a, a))
@@ -31,7 +37,11 @@ object VectorKernels {
     var acc = 0.0
     var i = 0
     val n = math.min(a.numElements(), b.numElements())
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      require(!a.isNullAt(i) && !b.isNullAt(i),
+        "vector_dot: NULL element in input array")
+      acc += a.getDouble(i) * b.getDouble(i); i += 1
+    }
     acc
   }
   def normD(a: ArrayData): Double = math.sqrt(dotD(a, a))

@@ -48,7 +48,7 @@ def upsample_documents(base, out):
     for k in range(COPIES):
         sfx = "" if k == 0 else str(k)
         for r in rows:
-            doc_id.append(r["doc_id"] + k * n_ids)
+            doc_id.append(None if r["doc_id"] is None else r["doc_id"] + k * n_ids)
             tx = r["text"]
             if tx is not None and sfx:
                 tx = re.sub(r"\S+", lambda m: m.group(0) + sfx, tx)
@@ -72,12 +72,13 @@ def upsample_documents(base, out):
 def upsample_embeddings(base, out):
     t = pq.read_table(f"{base}/embeddings.parquet")
     rows = t.to_pylist()
-    n_ids = max(r["vec_id"] for r in rows) + 1
+    n_ids = max(r["vec_id"] for r in rows if r["vec_id"] is not None) + 1
+    dim = next((len(r["embedding"]) for r in rows if r["embedding"]), 1)
     vec_id, emb, label = [], [], []
     for k in range(COPIES):
-        rot = (5 * k) % (len(rows[0]["embedding"]) or 1)
+        rot = (5 * k) % dim
         for r in rows:
-            vec_id.append(r["vec_id"] + k * n_ids)
+            vec_id.append(None if r["vec_id"] is None else r["vec_id"] + k * n_ids)
             v = r["embedding"]
             emb.append(v[rot:] + v[:rot] if v is not None else None)
             label.append(r["label"])
@@ -95,6 +96,10 @@ def upsample_embeddings(base, out):
 def upsample_events(base, out):
     t = pq.read_table(f"{base}/events.parquet")
     n_ev = t.num_rows
+    eid = t.column("event_id").to_pylist()
+    # offset by max+1 like the other tables — offsetting by row count
+    # would collide copies whenever ids are sparse
+    n_eids = max(e for e in eid if e is not None) + 1
     uid = t.column("user_id").to_pylist()
     n_users = max(u for u in uid if u is not None) + 1
     parts = []
@@ -102,7 +107,9 @@ def upsample_events(base, out):
         c = t.set_column(
             t.schema.get_field_index("event_id"),
             "event_id",
-            pa.array([e + k * n_ev for e in t.column("event_id").to_pylist()], pa.int64()),
+            pa.array(
+                [None if e is None else e + k * n_eids for e in eid], pa.int64()
+            ),
         )
         c = c.set_column(
             c.schema.get_field_index("user_id"),
