@@ -214,7 +214,7 @@ object Embeddings {
          WHERE g.i <= len(embedding)""",
     "emb_centroids" ->
       """SELECT label, CAST(g.i - 1 AS INT) AS dim,
-         ROUND(AVG(embedding[g.i]::DOUBLE), 6) AS centroid_v,
+         ROUND(AVG(embedding[g.i]::DOUBLE), 6) + 0.0 AS centroid_v,
          COUNT(*) AS n_vecs
          FROM embeddings, generate_series(1, 64) AS g(i)
          GROUP BY label, g.i""",
@@ -233,7 +233,7 @@ object Embeddings {
     "emb_project" ->
       s"""SELECT vec_id, CAST(g.k - 1 AS INT) AS dim,
           ROUND(CAST(CAST(COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
-            i -> embedding[i]::DOUBLE * m.p[g.k][i])), 0.0) AS REAL) AS DOUBLE), 6) AS pv
+            i -> embedding[i]::DOUBLE * m.p[g.k][i])), 0.0) AS REAL) AS DOUBLE), 6) + 0.0 AS pv
           FROM embeddings, (SELECT $projMatrixSql AS p) m,
             generate_series(1, $ProjDim) AS g(k)""",
     "emb_knn_label" -> {
@@ -246,7 +246,7 @@ object Embeddings {
             i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
       s"""WITH scored AS (
             SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label,
-              ROUND(${cos("q.embedding", "c.embedding")}, 4) AS cos_sim
+              ROUND(${cos("q.embedding", "c.embedding")}, 4) + 0.0 AS cos_sim
             FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
             WHERE q.vec_id % ${Similarity.QueryStride} = 0),
           ranked AS (

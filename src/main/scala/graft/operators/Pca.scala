@@ -457,7 +457,7 @@ object Pca {
       "emb_pca" ->
         s"""WITH $pm
             SELECT e.vec_id, CAST(g.c - 1 AS INT) AS comp,
-              ROUND(${pvExpr("g.c")}, 6) AS pv
+              ROUND(${pvExpr("g.c")}, 6) + 0.0 AS pv
             FROM embeddings e, pm, generate_series(1, ${m.comps.length}) AS g(c)""",
       // λ as a Double.toString literal; ≤0 eigenvalues pin wv to 0.0
       // exactly as the kernel does (never divide by √rounding-noise)
@@ -467,7 +467,7 @@ object Pca {
             SELECT e.vec_id, CAST(g.c - 1 AS INT) AS comp,
               ROUND(CASE WHEN lam.l[g.c] > 0
                 THEN (${pvExpr("g.c")}) / sqrt(lam.l[g.c])
-                ELSE 0.0 END, 6) AS wv
+                ELSE 0.0 END, 6) + 0.0 AS wv
             FROM embeddings e, pm, lam,
               generate_series(1, ${m.comps.length}) AS g(c)""",
       // the whole coarse-to-fine ANN restated: identical projection
@@ -496,7 +496,7 @@ object Pca {
               WHERE crank <= $PcaCandidates),
             scored AS (
               SELECT c.q_id, c.n_id,
-                ROUND(${Similarity.sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+                ROUND(${Similarity.sqlCos("q.embedding", "n.embedding")}, 4) + 0.0 AS cos_sim
               FROM coarse c JOIN embeddings q ON q.vec_id = c.q_id
                            JOIN embeddings n ON n.vec_id = c.n_id)
             SELECT q_id, n_id, cos_sim, rank FROM (

@@ -514,7 +514,7 @@ object Pq {
             FROM adc) WHERE crank <= $PqCandidates),
         scored AS (
           SELECT c.q_id, c.n_id,
-            ROUND(${Similarity.sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+            ROUND(${Similarity.sqlCos("q.embedding", "n.embedding")}, 4) + 0.0 AS cos_sim
           FROM coarse c JOIN embeddings q ON q.vec_id = c.q_id
                        JOIN embeddings n ON n.vec_id = c.n_id)
         SELECT q_id, n_id, cos_sim, rank FROM (

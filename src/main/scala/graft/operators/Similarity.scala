@@ -847,7 +847,7 @@ object Similarity {
     "sim_topk_bruteforce" ->
       s"""WITH scored AS (
             SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-              ROUND(${sqlCos("q.embedding", "c.embedding")}, 4) AS cos_sim
+              ROUND(${sqlCos("q.embedding", "c.embedding")}, 4) + 0.0 AS cos_sim
             FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
             WHERE q.vec_id % $QueryStride = 0)
           SELECT q_id, n_id, cos_sim, rank FROM (
@@ -873,7 +873,7 @@ object Similarity {
     "proj_build" ->
       s"""SELECT vec_id, CAST(g.k - 1 AS INT) AS dim,
           ROUND(CAST(CAST(COALESCE(list_sum(list_transform(generate_series(1, $Dim),
-            i -> embedding[i]::DOUBLE * m.p[g.k][i])), 0.0) AS REAL) AS DOUBLE), 6) AS pv
+            i -> embedding[i]::DOUBLE * m.p[g.k][i])), 0.0) AS REAL) AS DOUBLE), 6) + 0.0 AS pv
           FROM embeddings, (SELECT ${Embeddings.projMatrixSql} AS p) m,
             generate_series(1, ${Embeddings.ProjDim}) AS g(k)""",
     // Sign-bit bucket per (vector, table) from the literal hyperplane
@@ -913,7 +913,7 @@ object Similarity {
             FROM qprobe q JOIN buck b ON q.tbl = b.tbl AND q.bucket = b.bucket
             WHERE q.q_id <> b.vec_id),
           scored AS (
-            SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+            SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) + 0.0 AS cos_sim
             FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
                        JOIN embeddings n ON n.vec_id = c.n_id)
           SELECT q_id, n_id, cos_sim, rank FROM (
@@ -938,7 +938,7 @@ object Similarity {
               FROM pv q JOIN pv c ON q.vec_id <> c.vec_id
               WHERE q.vec_id % $QueryStride = 0) WHERE crank <= $ProjCandidates),
           scored AS (
-            SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+            SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) + 0.0 AS cos_sim
             FROM coarse c JOIN embeddings q ON q.vec_id = c.q_id
                          JOIN embeddings n ON n.vec_id = c.n_id)
           SELECT q_id, n_id, cos_sim, rank FROM (
@@ -1029,7 +1029,7 @@ object Similarity {
             FROM qprobe q JOIN asg a ON q.cell = a.cell
             WHERE q.q_id <> a.vec_id),
           scored AS (
-            SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) AS cos_sim
+            SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) + 0.0 AS cos_sim
             FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
                        JOIN embeddings n ON n.vec_id = c.n_id)
           SELECT q_id, n_id, cos_sim, rank FROM (
