@@ -340,6 +340,30 @@ class BpeSpec extends AnyFunSuite {
     assert(sec < 60.0, f"8k-merge train took $sec%.1f s")
   }
 
+  test("property sweep: incremental ≡ reference on random word tables") {
+    // the structured tests pin two corpora; this sweeps the space the
+    // incremental loop's bookkeeping could get wrong — tiny alphabets
+    // force heavy merge interaction (repeats, self-merges aa+a,
+    // chains), random freqs exercise the weighted tie-breaks
+    val rnd = new scala.util.Random(7L)
+    (0 until 60).foreach { it =>
+      val alphaSize = 2 + rnd.nextInt(5)
+      val nTypes = 5 + rnd.nextInt(120)
+      val byWord = scala.collection.mutable.LinkedHashMap[String, Long]()
+      (0 until nTypes).foreach { _ =>
+        val len = 1 + rnd.nextInt(10)
+        val w = Array.fill(len)(('a' + rnd.nextInt(alphaSize)).toChar).mkString
+        byWord.update(w, byWord.getOrElse(w, 0L) + 1L + rnd.nextInt(5))
+      }
+      val wc = byWord.toArray
+      val inc = Bpe.mergeLoop(wc, 64).toSeq
+      val ref = Bpe.mergeLoopReference(wc, 64).toSeq
+      assert(inc == ref,
+        s"iteration $it diverged (alpha=$alphaSize, types=${wc.length}):\n" +
+          s"  inc=$inc\n  ref=$ref\n  wc=${wc.toSeq}")
+    }
+  }
+
   test("encode beyond the memo cap stays correct and allocation-bounded") {
     // fresh model (unique corpus → unique memo key), tiny injected cap
     val d = corpusDir(Seq("memocap xy xz yz xy xz"))
