@@ -71,4 +71,26 @@ class AdversarialKernelSpec extends AnyFunSuite {
     assert(rec.getAs[String]("recon_md5") ==
       graft.codec.DnaCodec.md5HexUtf8(""))
   }
+
+  test("Spark round never emits negative zero (the oracle +0.0 convention's other half)") {
+    // the sf1 find: DuckDB's ROUND preserves the sign of zero, Spark's
+    // BigDecimal-based round cannot produce -0.0 — the oracles
+    // normalize their side with `+ 0.0`, and THIS pin holds the Spark
+    // side of the contract so the two can never drift: if round ever
+    // started emitting -0.0, the driver compare would format it "-0"
+    // against the oracle's "0"
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, round}
+    val tiny = Seq(-1e-9, -4.9e-7, -0.0, 0.0, 4.9e-7, -1e-300)
+    val out = tiny.toDF("x")
+      .select(round(col("x"), 6).as("r"))
+      .as[Double].collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r) !=
+        java.lang.Double.doubleToRawLongBits(-0.0),
+        s"round emitted negative zero (bits ${java.lang.Long.toHexString(
+          java.lang.Double.doubleToRawLongBits(r))})")
+    }
+    assert(out.forall(_ == 0.0))
+  }
 }
