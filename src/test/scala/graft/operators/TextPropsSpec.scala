@@ -129,7 +129,7 @@ class TextPropsSpec extends AnyFunSuite {
       ("İSTANBUL ΣΟΦΟΣ", "istanbul σοφοσ"),
       // U+001C–1F are Character.isWhitespace but NOT Unicode
       // White_Space — they must survive, or Spark and RE2 disagree
-      ("X", "x"),
+      ("\u001c\u001dX", "\u001c\u001dx"),
       ("", ""), ("   ", ""))
     val got = rows.toDF("t", "want")
       .select(Dedup.normalizeText($"t").as("got"), $"want")
