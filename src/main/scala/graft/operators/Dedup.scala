@@ -754,13 +754,17 @@ object Dedup {
     * concurrent Verify/Bench runs on different fixtures never collide.
     * The hashCode suffix keeps the key injective where the readable
     * sanitized prefix isn't (`/a/sf0.1` vs `/a/sf0_1` both sanitize to
-    * the same text); residue is temp-dir-reclaimed, ≤ a few MB per
-    * fixture ever run.
+    * the same text), and the pid suffix keeps two JVMs on the SAME
+    * fixture (an overlapping Verify + Bench, which does happen) from
+    * racing one directory's overwrite against the other's read — each
+    * process writes and reads its own copy. Residue is
+    * temp-dir-reclaimed, ≤ a few MB per fixture per process ever run.
     */
   private def storedPairsDir(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_stored_pairs_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      java.lang.Integer.toHexString(d.hashCode) + "_p" +
+      ProcessHandle.current().pid()
 
   /** Iteration cap for [[connectedComponents]]: with pointer jumping
     * the propagation converges in O(log diameter) rounds, so 20 covers
@@ -1066,8 +1070,12 @@ object Dedup {
     val s = emb.sparkSession
     import s.implicits._
     import graft.functions.VectorFunctions
+    // occupancy-adaptive bucket sizing: one COUNT of the input (a
+    // build-once pair job reads it in full anyway) picks the plane
+    // count that holds per-bucket occupancy at the target
+    val np = Similarity.adaptivePlanes(emb.count())
     val bucketed = emb
-      .select($"vec_id", explode(Similarity.lshBucketsPacked($"embedding")).as("tp"))
+      .select($"vec_id", explode(Similarity.lshBucketsPacked($"embedding", np)).as("tp"))
       .select($"vec_id", Similarity.unpackTable($"tp").as("table"),
         Similarity.unpackBucket($"tp").as("bucket"))
     val e = emb.select($"vec_id", $"embedding",
@@ -1487,13 +1495,14 @@ object Dedup {
     * set (the [[jaccardCte]] pattern).
     */
   private def embLshCte: String =
-    s"""buck AS (
+    s"""prm AS (SELECT ${Similarity.planesPrmSql()} AS np),
+        buck AS (
           SELECT vec_id, CAST(g.t - 1 AS INT) AS tbl,
-            CAST(COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.PlanesPerTable}),
+            CAST(COALESCE(list_sum(list_transform(generate_series(1, prm.np),
               p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
                 i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
               THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
-          FROM embeddings, (SELECT ${Similarity.planesSql} AS pl) m,
+          FROM embeddings, (SELECT ${Similarity.planesSql} AS pl) m, prm,
             generate_series(1, ${Similarity.NumTables}) AS g(t)),
         cand AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

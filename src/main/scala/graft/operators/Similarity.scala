@@ -25,21 +25,70 @@ object Similarity {
   val QueryStride = 100
 
   /** Multi-table random-hyperplane LSH (seed 42): `NumTables`
-    * independent tables of `PlanesPerTable` sign bits each. More
-    * tables → higher recall; more planes/table → smaller buckets.
-    * Literal arrays so every executor compiles the same plan with zero
-    * closure shipping. 6 bits = 64 buckets/table is sized for the test
-    * corpora (≈40 rows/bucket at sf0.1); at corpus scale hold the
-    * per-bucket row target by growing planes ≈ log₂(n / targetBucket)
-    * — ~25 bits at 10⁹ vectors — and recover recall with more tables
-    * or wider multiprobe, the standard hyperplane-LSH trade.
+    * independent tables of an OCCUPANCY-ADAPTIVE number of sign bits
+    * each. More tables → higher recall; more planes/table → smaller
+    * buckets. Literal arrays so every executor compiles the same plan
+    * with zero closure shipping.
+    *
+    * The plane count per table is derived from the corpus size, not
+    * fixed: a fixed count makes per-bucket occupancy — and so
+    * within-bucket candidate PAIRS, which grow with occupancy² — scale
+    * linearly (quadratically) with the corpus, the measured 21.5×
+    * sf0.1→sf1 curve of emb_pairs_build under the old `PlanesPerTable
+    * = 6`. [[adaptivePlanes]] instead holds occupancy at
+    * [[TargetBucketRows]] by choosing the smallest p in
+    * [[MinPlanes]]..[[MaxPlanes]] with 2^p · TargetBucketRows ≥ n —
+    * i.e. planes ≈ log₂(n / target), the standard hyperplane-LSH
+    * sizing rule and the same derive-from-n discipline as
+    * [[ivfK]]'s √n cells. Integer-exact (shift-and-compare, no
+    * floating log whose ulps could disagree with the oracle's SQL
+    * restatement at power-of-two boundaries); the DuckDB oracles
+    * recompute the identical p from COUNT(*) ([[planesPrmSql]]), so
+    * hash-exactness survives the sizing being dynamic. The recall
+    * trade (more planes → lower per-table collision probability for
+    * true near-dups) is paid once in tables/multiprobe width, not per
+    * corpus doubling: at the near-dup thresholds this path is built
+    * for, collision probability per plane is ≈ 0.82, so even 24
+    * planes keep ≥8-table-with-multiprobe recall useful, and the
+    * verify step is exact either way. [[MaxPlanes]] = 24 holds the
+    * target occupancy to ~536 M vectors; a larger deployment raises
+    * the cap (one constant — the seeded tensor just grows).
     */
   val NumTables = 8
-  val PlanesPerTable = 6
+  val MinPlanes = 2
+  val MaxPlanes = 24
+  /** Per-table bucket-occupancy target: ≈ n/2^p rows per bucket. 32
+    * reproduces the round-10 hand sizing at sf0.1 (2000 vectors → 6
+    * planes, ≈31 rows/bucket) so the bench-SF behavior is unchanged;
+    * what changes is that 10× data now gets +3..4 planes instead of
+    * 10× occupancy.
+    */
+  val TargetBucketRows = 32
   val Dim = 64
+
+  /** Smallest p in [MinPlanes, MaxPlanes] with 2^p·TargetBucketRows ≥
+    * n (= clamp(⌈log₂(n/TargetBucketRows)⌉)) — the ONE place the
+    * sizing rule lives; [[planesPrmSql]] is its SQL restatement.
+    */
+  def adaptivePlanes(n: Long): Int = {
+    var p = MinPlanes
+    while (p < MaxPlanes && (1L << p) * TargetBucketRows < n) p += 1
+    p
+  }
+
+  /** [[adaptivePlanes]] restated for DuckDB as a scalar subquery on
+    * the same corpus the oracle scans — integer shift-and-compare, so
+    * both engines derive the identical plane count from the identical
+    * row count (no float log). COALESCE supplies the MaxPlanes clamp
+    * when no p in range satisfies the bound.
+    */
+  def planesPrmSql(tbl: String = "embeddings"): String =
+    s"""COALESCE((SELECT MIN(p) FROM generate_series($MinPlanes, $MaxPlanes) s(p)
+        WHERE (1::BIGINT << p) * $TargetBucketRows >= (SELECT COUNT(*) FROM $tbl)), $MaxPlanes)"""
+
   lazy val planes: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NumTables, PlanesPerTable, Dim)(rnd.nextGaussian())
+    Array.fill(NumTables, MaxPlanes, Dim)(rnd.nextGaussian())
   }
 
   /** The hyperplane tensor as a DuckDB list literal (tables × planes ×
@@ -73,11 +122,25 @@ object Similarity {
     * original hot spot; the UDF that replaced them still paid a
     * Seq[Float] → Seq[(Int,Int)] encoder round trip per row — gone
     * here, like the minhash/ngram/vector kernels before it).
+    * `numPlanes` (from [[adaptivePlanes]]) selects the leading sign
+    * bits of each table's seeded plane stack — compiled into the plan
+    * as a literal, so the kernel stays branch-free per row.
     */
-  def lshBucketsPacked(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def lshBucketsPacked(emb: org.apache.spark.sql.Column,
+      numPlanes: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.plans.LshBuckets(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb)))
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb), numPlanes))
+
+  /** The adaptive plane count for a corpus dir — one metadata-cheap
+    * COUNT per (session, corpus), cached like the indexes it sizes.
+    * Deterministic in the corpus, so index build, probe, and the
+    * DuckDB oracle all derive the same p independently.
+    */
+  private val lshPlanesCache = new SessionCache[Integer]()
+  def lshPlanes(s: SparkSession, d: String): Int =
+    lshPlanesCache.getOrBuild(s, d)(Integer.valueOf(
+      adaptivePlanes(Tables.embeddings(s, d).count()))).intValue
 
   private[operators] def unpackTable(p: org.apache.spark.sql.Column) =
     shiftrightunsigned(p, 32).cast("int")
@@ -135,13 +198,13 @@ object Similarity {
     * bucket, rank within candidates. Approximate by construction
     * (recall < 1 when true neighbors land in other buckets).
     */
-  /** Query-side multiprobe: in each table, also probe the buckets at
-    * Hamming distance 1 from the query signature (the planes whose
-    * hyperplane the query sits closest to are the likeliest sign
-    * flips; probing all single flips is the simple, deterministic
-    * form). Corpus stays bucketed once — only the probe fan-out grows.
-    */
-  val MultiprobeFlips: Int = PlanesPerTable // all Hamming-1 neighbors
+  // Query-side multiprobe: in each table, also probe the buckets at
+  // Hamming distance 1 from the query signature (the planes whose
+  // hyperplane the query sits closest to are the likeliest sign
+  // flips; probing all single flips is the simple, deterministic
+  // form). Corpus stays bucketed once — only the probe fan-out grows.
+  // Flip count = the table's (adaptive) plane count, so multiprobe
+  // width follows the sizing automatically.
 
   /** The bucketed-corpus LSH index, built once per (session, corpus)
     * like [[ivfIndex]]: at deployment scale this is a stored table
@@ -158,7 +221,7 @@ object Similarity {
     lshIndexCache.getOrBuild(s, d)(
       corpus(s, d)
         .select($"vec_id", $"embedding", $"nrm",
-          explode(lshBucketsPacked($"embedding")).as("tp"))
+          explode(lshBucketsPacked($"embedding", lshPlanes(s, d))).as("tp"))
         .select($"vec_id", $"embedding", $"nrm",
           unpackTable($"tp").as("table"), unpackBucket($"tp").as("bucket"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -166,24 +229,26 @@ object Similarity {
 
   def topkLsh(s: SparkSession, d: String, k: Int = TopK,
       multiprobe: Boolean = true): DataFrame =
-    lshProbe(s, lshIndex(s, d), querySet(s, d), k, multiprobe)
+    lshProbe(s, lshIndex(s, d), querySet(s, d), k, multiprobe, lshPlanes(s, d))
 
   /** The LSH probe against a GIVEN bucketed index — shared by the
     * session-cached path ([[topkLsh]]) and the stored-index path
     * ([[topkLshStored]]).
     */
   private def lshProbe(s: SparkSession, bucketed: DataFrame,
-      queries: DataFrame, k: Int, multiprobe: Boolean): DataFrame = {
+      queries: DataFrame, k: Int, multiprobe: Boolean,
+      numPlanes: Int): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
     val qBase = queries
-      .select($"q_id", $"q_emb", $"q_nrm", explode(lshBucketsPacked($"q_emb")).as("tp"))
+      .select($"q_id", $"q_emb", $"q_nrm",
+        explode(lshBucketsPacked($"q_emb", numPlanes)).as("tp"))
       .select($"q_id", $"q_emb", $"q_nrm",
         unpackTable($"tp").as("table"), unpackBucket($"tp").as("bucket"))
     val q =
       if (!multiprobe) qBase
       else qBase.select($"q_id", $"q_emb", $"q_nrm", $"table",
-        explode(array((lit(-1) +: (0 until MultiprobeFlips).map(lit(_))): _*)).as("flip"),
+        explode(array((lit(-1) +: (0 until numPlanes).map(lit(_))): _*)).as("flip"),
         $"bucket")
         .select($"q_id", $"q_emb", $"q_nrm", $"table",
           when($"flip" === -1, $"bucket")
@@ -251,6 +316,24 @@ object Similarity {
     */
   val ProbeFraction = 0.125
 
+  /** Ceiling on the DEFAULT probe width (round-11 verdict item 2).
+    * With [[ivfK]]'s √n cells, per-query probe cost is nprobe · n/k ≈
+    * nprobe · √n — scale-honest only while nprobe stays bounded. The
+    * old uncapped ⌈k/8⌉ default grew nprobe with √n, making the
+    * default probe a constant FRACTION of the corpus (n/8 per query,
+    * no asymptotic win over a scan — the measured 16.8× sf0.1→sf1
+    * sim_ann_ivfpq curve). Capping the base at 8 cells restores the
+    * √n-per-query curve the √n-cell design promises (the FAISS
+    * convention: nprobe is an absolute knob, not a fraction of nlist)
+    * and is a no-op below k = 64 cells (≈4k vectors), so every bench-SF
+    * plan and recall floor is unchanged. The recall trade at scale is
+    * explicit: a constant probe width over more, finer cells sees a
+    * shrinking corpus fraction; recall-sensitive large-corpus callers
+    * pass nprobe (the documented convention) — the default optimizes
+    * the declared steady-state probe cost.
+    */
+  val NProbeCap = 8
+
   /** k for a corpus of n vectors: ⌈√n⌉ capped — grows sublinearly, so
     * cells grow with √n while the centroid matrix stays broadcastable.
     */
@@ -259,10 +342,11 @@ object Similarity {
 
   /** Default cell probe count for a k-cell quantizer — the ONE place
     * the probe policy lives: shared by [[topkIvf]] and the generated
-    * `sim_ann_ivf` oracle so the two cannot drift.
+    * `sim_ann_ivf` oracle so the two cannot drift. Fraction-of-cells
+    * between the [[NProbe]] floor and the [[NProbeCap]] ceiling.
     */
   def defaultNProbe(k: Int): Int =
-    math.max(NProbe, math.ceil(k * ProbeFraction).toInt)
+    math.min(NProbeCap, math.max(NProbe, math.ceil(k * ProbeFraction).toInt))
 
   /** Occupancy-adaptive probe width (stored with the index): a
     * NEAR-UNIFORM cell-occupancy histogram is the isotropic signature
@@ -663,14 +747,34 @@ object Similarity {
 
   /** Write the built LSH index partitioned by (table, bucket): a probe
     * reads only the (multi)probed bucket directories. Bucket
-    * cardinality is bounded ([[NumTables]] × 2^[[PlanesPerTable]]
-    * directories); a deployment with pathological per-bucket file
-    * counts would coarsen to partitionBy("table") + bucketBy.
+    * cardinality is bounded ([[NumTables]] × 2^planes directories,
+    * planes from [[adaptivePlanes]]); a deployment with pathological
+    * per-bucket file counts would coarsen to partitionBy("table") +
+    * bucketBy. The plane count the index was built with is stored
+    * alongside it (an underscore-prefixed sidecar Spark's parquet
+    * listing ignores, like _SUCCESS), so a later probe job buckets its
+    * queries with the INDEX's sizing even if the corpus has since
+    * grown past the next sizing step.
     */
   def writeLshIndex(s: SparkSession, d: String, outDir: String): Unit = {
     import s.implicits._
     lshIndex(s, d).select($"vec_id", $"embedding", $"nrm", $"table", $"bucket")
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(outDir)
+    val p = new org.apache.hadoop.fs.Path(outDir, "_graft_lsh_planes")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(lshPlanes(s, d).toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The plane count a stored LSH index was built with (sidecar
+    * written by [[writeLshIndex]]).
+    */
+  def readLshPlanes(s: SparkSession, indexDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "_graft_lsh_planes")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+    finally in.close()
   }
 
   /** Read a stored LSH index (schema passed for the same
@@ -692,10 +796,13 @@ object Similarity {
     s.read.schema(schema).parquet(indexDir)
   }
 
-  /** Probe a STORED LSH index (written by [[writeLshIndex]]). */
+  /** Probe a STORED LSH index (written by [[writeLshIndex]]) — query
+    * buckets are computed with the index's stored plane count.
+    */
   def topkLshStored(s: SparkSession, d: String, indexDir: String,
       k: Int = TopK, multiprobe: Boolean = true): DataFrame =
-    lshProbe(s, readLshIndex(s, indexDir), querySet(s, d), k, multiprobe)
+    lshProbe(s, readLshIndex(s, indexDir), querySet(s, d), k, multiprobe,
+      readLshPlanes(s, indexDir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topkBruteForce(s, d)),
@@ -880,34 +987,39 @@ object Similarity {
     // tensor: bit p set iff dot(embedding, plane[t][p]) >= 0 — the same
     // double accumulation on both engines, so buckets are hash-exact.
     // COALESCE(..., 0.0) >= 0 pins the empty-embedding case (kernel:
-    // dot stays 0.0 → every bit set).
+    // dot stays 0.0 → every bit set). The plane count is re-derived
+    // from COUNT(*) by the prm CTE ([[planesPrmSql]]) — the oracle
+    // follows the occupancy-adaptive sizing automatically.
     "lsh_build" ->
-      s"""SELECT vec_id, CAST(g.t - 1 AS INT) AS "table",
-          CAST(COALESCE(list_sum(list_transform(generate_series(1, $PlanesPerTable),
+      s"""WITH prm AS (SELECT ${planesPrmSql()} AS np)
+          SELECT vec_id, CAST(g.t - 1 AS INT) AS "table",
+          CAST(COALESCE(list_sum(list_transform(generate_series(1, prm.np),
             p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, $Dim),
               i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
             THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
-          FROM embeddings, (SELECT $planesSql AS pl) m,
+          FROM embeddings, (SELECT $planesSql AS pl) m, prm,
             generate_series(1, $NumTables) AS g(t)""",
     // Full LSH probe restated in SQL: same sign-bit buckets (above),
     // query side fanned out over the no-flip probe (-1) plus all
-    // Hamming-1 flips, candidates deduped across tables, exact cosine
-    // re-rank — the literal planes make the whole approximate operator
+    // Hamming-1 flips (flip count = the adaptive plane count),
+    // candidates deduped across tables, exact cosine re-rank — the
+    // literal planes make the whole approximate operator
     // deterministic, hence hash-checkable.
     "sim_ann_lsh" ->
-      s"""WITH buck AS (
+      s"""WITH prm AS (SELECT ${planesPrmSql()} AS np),
+          buck AS (
             SELECT vec_id, embedding, CAST(g.t - 1 AS INT) AS tbl,
-              CAST(COALESCE(list_sum(list_transform(generate_series(1, $PlanesPerTable),
+              CAST(COALESCE(list_sum(list_transform(generate_series(1, prm.np),
                 p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, $Dim),
                   i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
                 THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
-            FROM embeddings, (SELECT $planesSql AS pl) m,
+            FROM embeddings, (SELECT $planesSql AS pl) m, prm,
               generate_series(1, $NumTables) AS g(t)),
           qprobe AS (
             SELECT vec_id AS q_id, tbl,
               CASE WHEN f.fl = -1 THEN bucket ELSE xor(bucket, 1 << f.fl) END AS bucket
-            FROM buck, generate_series(-1, ${MultiprobeFlips - 1}) AS f(fl)
-            WHERE vec_id % $QueryStride = 0),
+            FROM buck, prm, generate_series(-1, ${MaxPlanes - 1}) AS f(fl)
+            WHERE f.fl < prm.np AND vec_id % $QueryStride = 0),
           cand AS (
             SELECT DISTINCT q.q_id, b.vec_id AS n_id
             FROM qprobe q JOIN buck b ON q.tbl = b.tbl AND q.bucket = b.bucket

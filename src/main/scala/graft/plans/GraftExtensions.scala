@@ -52,7 +52,12 @@ object GraftExtensions {
         arity("minhash_sig(hashes)", 1)(args => MinhashSig(args.head))),
       (FunctionIdentifier("lsh_buckets"),
         new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
-        arity("lsh_buckets(embedding)", 1)(args => LshBuckets(args.head))),
+        arity("lsh_buckets(embedding, num_planes)", 2)(args => args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+            LshBuckets(args(0), n)
+          case other => throw new IllegalArgumentException(
+            s"lsh_buckets: num_planes must be an integer literal, got $other")
+        })),
       (FunctionIdentifier("ngram_hashes"),
         new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
         arity("ngram_hashes(text, n)", 2)(args => args(1) match {

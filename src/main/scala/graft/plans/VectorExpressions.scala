@@ -336,18 +336,23 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** lsh_buckets(array<float>) → array<bigint>: the multi-table
-  * random-hyperplane signature as packed (table << 32 | bucket) longs
-  * — one kernel pass over all NumTables × PlanesPerTable sign-bit
-  * dots straight off `ArrayData`, the last ANN kernel still paying a
-  * per-row Seq[Float] → Seq[(Int,Int)] UDF round trip. Identical
-  * double accumulation (emb[i].toDouble × plane[i], left-to-right) to
-  * the UDF it replaces, so buckets — and the lsh_build / sim_ann_lsh
+/** lsh_buckets(array<float>, numPlanes) → array<bigint>: the
+  * multi-table random-hyperplane signature as packed
+  * (table << 32 | bucket) longs — one kernel pass over all
+  * NumTables × numPlanes sign-bit dots straight off `ArrayData`, the
+  * last ANN kernel still paying a per-row Seq[Float] → Seq[(Int,Int)]
+  * UDF round trip. `numPlanes` is the occupancy-adaptive plane count
+  * ([[graft.operators.Similarity.adaptivePlanes]]), baked into the
+  * plan as a generated-code literal: each table uses the leading
+  * `numPlanes` planes of the seeded stack. Identical double
+  * accumulation (emb[i].toDouble × plane[i], left-to-right) to the
+  * UDF it replaces, so buckets — and the lsh_build / sim_ann_lsh
   * oracles that recompute them from the plane literals — are
   * bit-identical. Empty input: zero dots, every bit set (dot >= 0),
   * matching the kernel contract the oracle's COALESCE pins.
   */
-case class LshBuckets(child: Expression) extends UnaryExpression {
+case class LshBuckets(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -359,10 +364,10 @@ case class LshBuckets(child: Expression) extends UnaryExpression {
   override def prettyName: String = "lsh_buckets"
 
   override protected def nullSafeEval(emb: Any): Any =
-    LshKernels.buckets(emb.asInstanceOf[ArrayData])
+    LshKernels.buckets(emb.asInstanceOf[ArrayData], numPlanes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.LshKernels.buckets($c)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.LshKernels.buckets($c, $numPlanes)")
 
   override protected def withNewChildInternal(newChild: Expression): LshBuckets =
     copy(child = newChild)
@@ -370,7 +375,7 @@ case class LshBuckets(child: Expression) extends UnaryExpression {
 
 /** Static kernel for [[LshBuckets]], callable from generated Java. */
 object LshKernels {
-  def buckets(emb: ArrayData): ArrayData = {
+  def buckets(emb: ArrayData, numPlanes: Int): ArrayData = {
     val ps = graft.operators.Similarity.planes
     val m = if (emb == null) 0 else emb.numElements()
     val out = new Array[Long](ps.length)
@@ -379,7 +384,8 @@ object LshKernels {
       val tp = ps(t)
       var bucket = 0
       var p = 0
-      while (p < tp.length) {
+      val pn = math.min(numPlanes, tp.length)
+      while (p < pn) {
         val w = tp(p)
         var dot = 0.0
         var i = 0
