@@ -641,40 +641,22 @@ object Dedup {
     // no subquadratic parameterization reaches recall 1.0 — measured on
     // the test corpora, qualifying pairs sit continuously at the
     // threshold (cos 0.45–0.6), so the exact query stays exact.
-    "dedup_embedding" -> { (s, d) =>
-      import s.implicits._
-      val e = Tables.embeddings(s, d)
-        .select(expr(s"vec_id div $EmbBlockRows").cast("int").as("blk"),
-          $"vec_id", $"embedding")
-      val blocks = e.groupBy($"blk")
-        .agg(collect_list(struct($"vec_id", $"embedding")).as("vs"))
-      // key-only (blk_a <= blk_b) pair relation: bytes, not vectors
-      val blkIds = blocks.select($"blk")
-      val pairIdx = blkIds.select($"blk".as("blk_a"))
-        .join(blkIds.select($"blk".as("blk_b")), $"blk_a" <= $"blk_b")
-      val joined = pairIdx
-        .join(blocks.select($"blk".as("blk_a"), $"vs".as("va")), Seq("blk_a"))
-        .join(blocks.select($"blk".as("blk_b"), $"vs".as("vb")), Seq("blk_b"))
-        .select($"blk_a", $"blk_b", $"va", $"vb")
-        .as[(Int, Int, Seq[(Long, Array[Float])], Seq[(Long, Array[Float])])]
-      // emit just under the rounded threshold so ROUND(...,4) >= t
-      // filters identically to the oracle at the boundary
-      val preFilter = CosineThreshold - 1e-4
-      joined.flatMap { case (ba, bb, va, vb) =>
-        val a = va.sortBy(_._1).toArray
-        val b = if (ba == bb) a else vb.sortBy(_._1).toArray
-        val na = a.map { case (_, v) => math.sqrt(dotf(v, v)) }
-        val nb = if (ba == bb) na else b.map { case (_, v) => math.sqrt(dotf(v, v)) }
-        for {
-          i <- a.indices.iterator
-          j <- (if (ba == bb) i + 1 else 0) until b.length
-          cos = dotf(a(i)._2, b(j)._2) / na(i) / nb(j)
-          if cos >= preFilter
-        } yield (a(i)._1, b(j)._1, cos)
-      }.toDF("id_a", "id_b", "cos")
-        .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
-        .filter($"cos_sim" >= CosineThreshold)
-    },
+    "dedup_embedding" -> ((s, d) => exactEmbeddingPairs(s, d, None)),
+
+    // The exact pair baseline restricted to a deterministic id window
+    // (all qualifying pairs among vec_id < [[EmbWindowK]]): at bench
+    // SFs the window covers the whole corpus, so this IS
+    // dedup_embedding; at scale fixtures it pins a fixed-size slice
+    // whose DuckDB oracle stays tractable where the full exact
+    // oracle's Θ(n²) self-join blows the sweep cap — the
+    // scale-correctness gate for the embedding-pair family. The slice
+    // is exact, not approximate: a pair qualifies among ids < K iff
+    // it qualifies in the full corpus (pairwise cosine depends on
+    // nothing else), so the window output equals the full output
+    // filtered to the window, and the id filter pushes to the scan so
+    // the Spark side costs O(K²) pair work regardless of n.
+    "dedup_embedding_window" -> ((s, d) =>
+      exactEmbeddingPairs(s, d, Some(EmbWindowK))),
 
     // The SUBQUADRATIC embedding near-dup — the declared scale path:
     // random-hyperplane LSH candidate generation + exact cosine verify
@@ -748,6 +730,57 @@ object Dedup {
       writeJaccardPairs(s, d, dir)
       clusterStored(s, dir)
     })
+
+  /** Id cap for `dedup_embedding_window`: covers every bench-SF corpus
+    * in full (sf0.1 has 2000 vectors, sf0.01/sf0.001 have 500) and
+    * slices exactly the base copy out of the 10× sf1 fixture — the
+    * full oracle's DuckDB cost at sf0.1 is the window oracle's cost at
+    * ANY scale.
+    */
+  val EmbWindowK = 2000L
+
+  /** The exact blocked all-pairs query (`dedup_embedding`), optionally
+    * restricted to vec_id < idCap (`dedup_embedding_window`): the id
+    * filter lands BEFORE blocking, so a windowed run reads and pairs
+    * only the window (a pushed-down scan predicate), never the corpus.
+    */
+  private def exactEmbeddingPairs(s: SparkSession, d: String,
+      idCap: Option[Long]): DataFrame = {
+    import s.implicits._
+    val base = idCap.foldLeft(Tables.embeddings(s, d))((df, k) =>
+      df.filter($"vec_id" < k))
+    val e = base
+      .select(expr(s"vec_id div $EmbBlockRows").cast("int").as("blk"),
+        $"vec_id", $"embedding")
+    val blocks = e.groupBy($"blk")
+      .agg(collect_list(struct($"vec_id", $"embedding")).as("vs"))
+    // key-only (blk_a <= blk_b) pair relation: bytes, not vectors
+    val blkIds = blocks.select($"blk")
+    val pairIdx = blkIds.select($"blk".as("blk_a"))
+      .join(blkIds.select($"blk".as("blk_b")), $"blk_a" <= $"blk_b")
+    val joined = pairIdx
+      .join(blocks.select($"blk".as("blk_a"), $"vs".as("va")), Seq("blk_a"))
+      .join(blocks.select($"blk".as("blk_b"), $"vs".as("vb")), Seq("blk_b"))
+      .select($"blk_a", $"blk_b", $"va", $"vb")
+      .as[(Int, Int, Seq[(Long, Array[Float])], Seq[(Long, Array[Float])])]
+    // emit just under the rounded threshold so ROUND(...,4) >= t
+    // filters identically to the oracle at the boundary
+    val preFilter = CosineThreshold - 1e-4
+    joined.flatMap { case (ba, bb, va, vb) =>
+      val a = va.sortBy(_._1).toArray
+      val b = if (ba == bb) a else vb.sortBy(_._1).toArray
+      val na = a.map { case (_, v) => math.sqrt(dotf(v, v)) }
+      val nb = if (ba == bb) na else b.map { case (_, v) => math.sqrt(dotf(v, v)) }
+      for {
+        i <- a.indices.iterator
+        j <- (if (ba == bb) i + 1 else 0) until b.length
+        cos = dotf(a(i)._2, b(j)._2) / na(i) / nb(j)
+        if cos >= preFilter
+      } yield (a(i)._1, b(j)._1, cos)
+    }.toDF("id_a", "id_b", "cos")
+      .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
+      .filter($"cos_sim" >= CosineThreshold)
+  }
 
   /** Deterministic per-corpus location for the declared stored-pair
     * round trip — under the JVM temp dir, keyed by the corpus path so
@@ -1162,8 +1195,17 @@ object Dedup {
   def writeJaccardPairs(s: SparkSession, d: String, outDir: String,
       maxDf: Int = MaxShingleDf): Unit = {
     import s.implicits._
+    // cluster rows into their shard before the partitioned write —
+    // without this every upstream task writes into every shard
+    // directory (tasks × shards files: measured 512 tiny files for 16
+    // shards at sf0.1, and the dominant cost of the
+    // dedup_cluster_stored line); one exchange keyed by the partition
+    // column makes it one file per shard at bench scale, and at
+    // deployment scale caps files-per-shard at the tasks holding that
+    // shard (re-shard by raising PairShards, not by splitting files)
     withShard(jaccardPairs(s, d, maxDf)
       .select($"id_a", $"id_b", $"jaccard"))
+      .repartition($"shard")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
@@ -1204,6 +1246,7 @@ object Dedup {
   def writeEmbPairs(s: SparkSession, d: String, outDir: String,
       threshold: Double = CosineThreshold): Unit =
     withShard(embeddingLshPairsIndexed(s, d, threshold))
+      .repartition(col("shard")) // see writeJaccardPairs: one file per shard
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
   /** Read a stored embedding pair relation (all shards). */
@@ -1443,22 +1486,12 @@ object Dedup {
     // stored path must collapse exactly the components the in-session
     // path does, so it shares the oracle STRING, not a restatement
     "dedup_cluster_stored" -> clusterOracle,
-    "dedup_embedding" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
-              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-            / SQRT(list_sum(list_transform(generate_series(1, len(a.embedding)),
-              i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-            / SQRT(list_sum(list_transform(generate_series(1, len(b.embedding)),
-              i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 4) AS cos_sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
-              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-            / SQRT(list_sum(list_transform(generate_series(1, len(a.embedding)),
-              i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-            / SQRT(list_sum(list_transform(generate_series(1, len(b.embedding)),
-              i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 4)
-            >= $CosineThreshold""",
+    "dedup_embedding" -> exactPairOracle(""),
+    // the same exact-pair statement restricted to the id window — the
+    // slice is a WHERE on the join sides, so the oracle's cost is
+    // O(K²) at any corpus scale (the whole point of the window query)
+    "dedup_embedding_window" ->
+      exactPairOracle(s"AND a.vec_id < $EmbWindowK AND b.vec_id < $EmbWindowK"),
     // LSH semantics restated from the literal hyperplane tensor (the
     // sim_ann_lsh oracle pattern, minus the query-side multiprobe —
     // pair candidates come from the corpus-side bucket self-join):
@@ -1487,6 +1520,28 @@ object Dedup {
             SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
           SELECT u AS vec_id, LEAST(u, MIN(v)) AS rep_id
           FROM reach GROUP BY u""")
+
+  /** The exact all-pairs oracle statement, with an optional extra join
+    * predicate (`dedup_embedding` passes none; `dedup_embedding_window`
+    * passes the id window) — one definition so the full and windowed
+    * statements can never assert different pair semantics.
+    */
+  private def exactPairOracle(extraOn: String): String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          / SQRT(list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+          / SQRT(list_sum(list_transform(generate_series(1, len(b.embedding)),
+            i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id $extraOn
+        WHERE ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          / SQRT(list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+          / SQRT(list_sum(list_transform(generate_series(1, len(b.embedding)),
+            i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 4)
+          >= $CosineThreshold"""
 
   /** Shared CTE text for the embedding-LSH pair oracles: plane-literal
     * sign-bit buckets, corpus-side candidate self-join, exact

@@ -116,7 +116,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     // DuckDB parses is the same 64-bit value the kernel used).
     val sim = Similarity.dynamicOracles(spark, sf)
     val ded = Dedup.dynamicOracles(spark, sf)
-    assert(sim.keySet == Set("ivf_build", "sim_ann_ivf", "sim_recall_eval"))
+    assert(sim.keySet == Set("ivf_build", "sim_ann_ivf", "sim_ann_ivf_stored",
+      "sim_recall_eval"))
     assert(ded.keySet == Set("dedup_semantic"))
     val static = graft.SparkEntry.oracleSql.keySet
     assert((sim.keySet ++ ded.keySet).forall(!static.contains(_)))

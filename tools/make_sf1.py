@@ -55,7 +55,13 @@ def upsample_documents(base, out):
             text.append(tx)
             lang.append(r["lang"])
             source.append(r["source"])
-            n_chars.append(len(tx) if tx is not None else r["n_chars"])
+            # copy 0 is byte-faithful to the base fixture: carry its
+            # n_chars through unchanged (recomputing would silently
+            # diverge if the base ever has n_chars != len(text))
+            if k == 0:
+                n_chars.append(r["n_chars"])
+            else:
+                n_chars.append(len(tx) if tx is not None else r["n_chars"])
     out_t = pa.table(
         {
             "doc_id": pa.array(doc_id, pa.int64()),
