@@ -46,20 +46,41 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.mkString(", ")}")
     }
+    // optional per-query best-of-N (SPARK_GRAFT_BEST_OF=2) for local
+    // A/B runs on a contended machine: re-run each query and keep the
+    // fastest, damping scheduler jitter (two driver artifacts differed
+    // ~35% on identical code paths at r10→r11). The driver never sets
+    // it, so driver artifacts stay single-shot with the same schema.
+    // Build-attributed lines — `*_build`, plus the session-cached DNA
+    // relations that land on their first consumers (dna_chunks,
+    // dna_roundtrip per the bench_budget comment) — always keep their
+    // FIRST run: a re-run hits the session cache, and min() would
+    // report a warm no-op as the build cost.
+    val bestOf = math.max(1,
+      sys.env.get("SPARK_GRAFT_BEST_OF").map(_.trim.toInt).getOrElse(1))
+    def buildAttributed(n: String): Boolean =
+      n.endsWith("_build") || n == "dna_chunks" || n == "dna_roundtrip"
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .sortBy { case (name, _) =>
         (if (!name.endsWith("_build")) 2
          else if (derivedBuilds(name)) 1 else 0, name) }
       .map { case (name, fn) =>
-      System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] QUERY FAILED: $name: ${e.getMessage}")
+      def once(): Double = {
+        System.gc()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] QUERY FAILED: $name: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val first = once()
+      val t =
+        if (bestOf <= 1 || buildAttributed(name) || failed.contains(name)) first
+        else (first +: Seq.fill(bestOf - 1)(once())).min
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -133,6 +133,88 @@ object Multimodal {
     }
   }
 
+  /** A REAL audio decoder behind the same seam, again with zero added
+    * dependencies: `javax.sound.sampled` ships in the JDK and reads
+    * WAV/AIFF/AU containers. With the image decoder this shrinks the
+    * environmental stub to VIDEO only (no container format ships with
+    * the JDK). The (width, height) dims contract maps to
+    * (channels, frames); features are the same [[FeatureBins]]-bin
+    * histogram shape as the other decoders, computed over decoded
+    * SAMPLE AMPLITUDE (any PCM width/endianness is normalized through
+    * the JDK's converter to signed 16-bit first, so an 8-bit unsigned
+    * WAV and its 16-bit equivalent land in the same bins). Undecodable
+    * payloads yield None/zero-vector, never throw — the mixed-corpus
+    * totality rule. Deployment note: `features` materializes one
+    * decoded payload at a time per partition (bounded by the largest
+    * single clip, not the partition), which is the same per-row
+    * footprint contract as image decode; hour-long audio would chunk
+    * the stream instead.
+    */
+  object JdkAudioDecoder extends MediaDecoder {
+    val name = "jdk-audio"
+
+    def available: Boolean =
+      try javax.sound.sampled.AudioSystem.getAudioFileTypes.nonEmpty
+      catch { case scala.util.control.NonFatal(_) => false }
+
+    private def open(bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] =
+      if (bytes == null) None
+      else
+        try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch {
+          // getAudioInputStream throws the CHECKED
+          // UnsupportedAudioFileException on non-audio bytes — the
+          // routine "not this modality" case, not an error
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case scala.util.control.NonFatal(_) => None
+        }
+
+    /** Re-encode to signed 16-bit PCM at the source rate/channels —
+      * sample-width/endianness normalization only, so no resampler is
+      * required of the JDK's converter graph.
+      */
+    private def pcm16(in: javax.sound.sampled.AudioInputStream): Option[javax.sound.sampled.AudioInputStream] = {
+      val f = in.getFormat
+      val t = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+        f.getSampleRate, false)
+      try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(t, in))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    def dims(bytes: Array[Byte]): Option[(Int, Int)] = open(bytes).map { in =>
+      try {
+        val frames = in.getFrameLength
+        (in.getFormat.getChannels,
+          math.min(math.max(frames, 0L), Int.MaxValue.toLong).toInt)
+      } finally in.close()
+    }
+
+    def features(bytes: Array[Byte]): Array[Float] =
+      open(bytes).flatMap(pcm16) match {
+        case None => new Array[Float](FeatureBins)
+        case Some(in) =>
+          try {
+            val pcm = in.readAllBytes()
+            val hist = new Array[Int](FeatureBins)
+            var i = 0
+            while (i + 1 < pcm.length) {
+              // little-endian signed 16-bit → 0..255 "amplitude level"
+              // → 16 bins, the luminance-binning convention
+              val s = ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
+              hist(((s >> 8) + 128) * FeatureBins / 256) += 1
+              i += 2
+            }
+            val n = math.max(pcm.length / 2, 1).toFloat
+            hist.map(_ / n)
+          } catch {
+            case scala.util.control.NonFatal(_) => new Array[Float](FeatureBins)
+          } finally in.close()
+      }
+  }
+
   /** The media relation: opaque payload + typed metadata struct. At
     * 100 TB this is a parquet table of real payloads partitioned by
     * media type / date; metadata travels in-row so planning never

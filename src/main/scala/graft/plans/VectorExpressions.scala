@@ -60,7 +60,10 @@ case class VectorDot(left: Expression, right: Expression)
   }
   // element types only — ArrayType equality would also compare
   // containsNull, rejecting e.g. an array literal against a nullable
-  // parquet column even though the kernels never read validity
+  // parquet column. Ignoring containsNull is safe because the kernels
+  // reject NULL elements loudly at runtime (isNullAt → throw), so a
+  // nullable-typed column with no actual nulls works and one WITH
+  // nulls fails with a real error instead of a wrong dot product
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(et1, _), ArrayType(et2, _))

@@ -90,4 +90,80 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.toSeq == viaSeam(id).toSeq, s"decoder drift on media $id")
     }
   }
+
+  /** A mono 16-bit little-endian WAV over the given samples. */
+  private def wav16(samples: Array[Short]): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The same content as a mono 8-bit UNSIGNED WAV (the classic low-fi
+    * WAV encoding) — one unsigned byte per sample.
+    */
+  private def wav8(samples: Array[Int]): Array[Byte] = {
+    val data = samples.map(v => (v & 0xff).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("JDK audio decoder reads a real WAV's channels and frame count") {
+    assert(Multimodal.JdkAudioDecoder.available, "JDK has no audio writers?")
+    val bytes = wav16(Array.fill[Short](480)(0))
+    assert(Multimodal.JdkAudioDecoder.dims(bytes) == Some((1, 480)))
+  }
+
+  test("audio features: amplitude histogram over decoded samples") {
+    // constant sample 16384 → level (16384>>8)+128 = 192 → bin
+    // 192*16/256 = 12, full mass; silence (0) → bin 8
+    val loud = Multimodal.JdkAudioDecoder.features(wav16(Array.fill[Short](100)(16384)))
+    assert(loud.length == Multimodal.FeatureBins)
+    assert(loud(12) == 1.0f, s"expected all mass in bin 12, got ${loud.toSeq}")
+    val silent = Multimodal.JdkAudioDecoder.features(wav16(Array.fill[Short](100)(0)))
+    assert(silent(8) == 1.0f, s"expected all mass in bin 8, got ${silent.toSeq}")
+  }
+
+  test("audio sample-width normalization: 8-bit unsigned bins like 16-bit") {
+    // unsigned byte 192 is the same amplitude as signed 16384 — the
+    // pcm16 normalization must land both in the same bin
+    val b8 = Multimodal.JdkAudioDecoder.features(wav8(Array.fill(100)(192)))
+    assert(b8(12) == 1.0f, s"expected all mass in bin 12, got ${b8.toSeq}")
+  }
+
+  test("undecodable audio degrades to None/zero-vector, never throws") {
+    val garbage = "definitely not audio".getBytes("UTF-8")
+    assert(Multimodal.JdkAudioDecoder.dims(garbage).isEmpty)
+    assert(Multimodal.JdkAudioDecoder.features(garbage).toSeq ==
+      Seq.fill(Multimodal.FeatureBins)(0.0f))
+    assert(Multimodal.JdkAudioDecoder.dims(Array.empty[Byte]).isEmpty)
+    // an image is not audio either — modality misroutes degrade too
+    assert(Multimodal.JdkAudioDecoder.dims(png(4, 4, 10)).isEmpty)
+  }
+
+  test("the partition-batched decode path runs the audio decoder behind the seam") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, wav16(Array.fill[Short](64)(16384))),
+      (2L, "not audio".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val real = Multimodal
+      .decodeFeaturesWith(spark, media, Multimodal.JdkAudioDecoder)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(real(1L)(12) == 1.0f)
+    assert(real(2L).toSeq == Seq.fill(Multimodal.FeatureBins)(0.0f))
+  }
 }
