@@ -334,9 +334,8 @@ object Pca {
       key: String): DataFrame = {
     import s.implicits._
     pcaIndexCache.getOrBuild(s, key) {
-      val proj = udf((emb: Seq[Float]) => projections(m, emb).toSeq)
       Tables.embeddings(s, d)
-        .select($"vec_id", proj($"embedding").as("pv"))
+        .select($"vec_id", projectCol(m, $"embedding").as("pv"))
         // native double-array kernel (VectorKernels.normD): same
         // left-to-right accumulation as the oracle's list_sum
         .withColumn("pn", graft.functions.VectorFunctions.norm($"pv"))
@@ -372,11 +371,23 @@ object Pca {
   /** The emb_pca projection given a model (cached or stored). */
   private def projectWith(s: SparkSession, d: String, m: PcaModel): DataFrame = {
     import s.implicits._
-    val proj = udf((emb: Seq[Float]) => projections(m, emb).toSeq)
     Tables.embeddings(s, d)
-      .select($"vec_id", posexplode(proj($"embedding")).as(Seq("comp", "pv")))
+      .select($"vec_id",
+        posexplode(projectCol(m, $"embedding")).as(Seq("comp", "pv")))
       .select($"vec_id", $"comp", round($"pv", 6).as("pv"))
   }
+
+  /** The trained projection as a native codegen column
+    * ([[graft.plans.PcaProject]]) — the model rides the plan as a
+    * reference object instead of a UDF closure, and the kernel reads
+    * ArrayData directly (no per-row Seq encoder round trip).
+    */
+  private def projectCol(m: PcaModel,
+      emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.PcaProject(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb),
+        m.mean, m.comps, Similarity.Dim))
 
   // ------------------------------------------------------------------
   // Stored-model contract (the stored-index convention): ONE job

@@ -239,29 +239,13 @@ object Pq {
     * the same sum directly — identical values, and the scan-bytes win
     * (codes, not vectors, cross memory) is the structural point.
     */
-  private def adcScoreUdf(cb: Array[Array[Array[Float]]]) =
-    udf { (q: Seq[Float], codes: Seq[Int]) =>
-      // per-subspace partial dots, THEN the cross-subspace sum — the
-      // same grouping as the oracle's nested list_sum, so the rounding
-      // of the unrounded double is identical on both engines (a single
-      // flat 64-term accumulation rounds differently)
-      var total = 0.0
-      var sub = 0
-      while (sub < PqSubvectors) {
-        val cw = cb(sub)(codes(sub))
-        val off = sub * SubDim
-        var partial = 0.0
-        var i = 0
-        while (i < SubDim) {
-          val x = if (off + i < q.length) q(off + i).toDouble else 0.0
-          partial += x * cw(i).toDouble
-          i += 1
-        }
-        total += partial
-        sub += 1
-      }
-      total
-    }
+  private def adcScore(cb: Array[Array[Array[Float]]])(
+      q: org.apache.spark.sql.Column,
+      codes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.PqAdc(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(q),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(codes), cb))
 
   /** The query set (every QueryStride'th vector with its norm) — the
     * shared head of both coarse-to-fine queries here.
@@ -321,7 +305,7 @@ object Pq {
   private def pqProbe(s: SparkSession, d: String, idx: PqIndex, k: Int,
       candidates: Int): DataFrame = {
     import s.implicits._
-    val adc = adcScoreUdf(idx.codebooks)
+    val adc = adcScore(idx.codebooks) _
     val scored = broadcast(queryRelation(s, d))
       .join(idx.codes, $"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id".as("n_id"),
@@ -359,7 +343,7 @@ object Pq {
       candidates: Int): DataFrame = {
     import s.implicits._
     val np = Similarity.defaultNProbe(ivf.cents.length, ivf.cellCounts)
-    val adc = adcScoreUdf(pq.codebooks)
+    val adc = adcScore(pq.codebooks) _
     val qCells = queryRelation(s, d).select($"q_id", $"q_emb",
       explode(Similarity.nearestCellsUdf(ivf.cents, np)($"q_emb")).as("cell"))
     // the stored IVF-PQ relation: cell + codes, no vectors

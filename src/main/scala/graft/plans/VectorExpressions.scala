@@ -403,3 +403,134 @@ object LshKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** pq_adc(query array<float>, codes array<int>) → double: the PQ
+  * asymmetric-distance score against the TRAINED codebooks, as a
+  * native codegen expression — the last pair-scoring kernel still
+  * paying a per-row Seq[Float]/Seq[Int] encoder round trip (at 10×
+  * bench scale the IVF-PQ probe scores ~10⁶ candidate rows; the
+  * boxing, not the arithmetic, dominated). The codebook tensor is a
+  * plan constant shipped once per plan via `addReferenceObj` (it is
+  * trained state, so it cannot be a compile-time literal like the LSH
+  * planes — the sim_ann_pq/sim_ann_ivfpq oracles already render it at
+  * Verify time). Accumulation is per-subspace partial dots then a
+  * cross-subspace sum, bit-identical to the UDF it replaces and to the
+  * oracle's nested list_sum; query elements past the vector's length
+  * read as 0.0 (the short-vector padding contract).
+  */
+case class PqAdc(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Float]]]) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc requires (ARRAY<FLOAT>, ARRAY<INT>), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(q: Any, codes: Any): Any =
+    PqKernels.adc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, (q, c) => s"graft.plans.PqKernels.adc($q, $c, $cb)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernel for [[PqAdc]], callable from generated Java. */
+object PqKernels {
+  def adc(q: ArrayData, codes: ArrayData,
+      cb: Array[Array[Array[Float]]]): Double = {
+    val m = q.numElements()
+    require(codes.numElements() >= cb.length,
+      "pq_adc: codes array shorter than the codebook's subspace count")
+    var total = 0.0
+    var off = 0
+    var sub = 0
+    while (sub < cb.length) {
+      require(!codes.isNullAt(sub), "pq_adc: NULL code in codes array")
+      val cw = cb(sub)(codes.getInt(sub))
+      var partial = 0.0
+      var i = 0
+      while (i < cw.length) {
+        if (off + i < m) {
+          require(!q.isNullAt(off + i), "pq_adc: NULL element in query vector")
+          partial += q.getFloat(off + i).toDouble * cw(i).toDouble
+        }
+        i += 1
+      }
+      total += partial
+      off += cw.length
+      sub += 1
+    }
+    total
+  }
+}
+
+/** pca_project(emb array<float>) → array<double>: projection onto the
+  * TRAINED PCA loadings (centered dot per component), as a native
+  * codegen expression — same plan-constant treatment as [[PqAdc]]
+  * (trained state via `addReferenceObj`, never a compile-time
+  * literal). Replaces the row-local Scala UDF on the emb_pca /
+  * sim_ann_pca index-build path: the 64×16 arithmetic is cheap, the
+  * per-row Seq[Float] → Seq[Double] encoder round trip was the cost.
+  * Accumulation is per-component left-to-right over
+  * (emb[i] − mean[i]) · w[i] with i < min(len, dim), bit-identical to
+  * the UDF and the oracle's list_sum restatement.
+  */
+case class PcaProject(child: Expression, mean: Array[Double],
+    comps: Array[Array[Double]], dim: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pca_project requires ARRAY<FLOAT>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pca_project"
+
+  override protected def nullSafeEval(emb: Any): Any =
+    PcaKernels.project(emb.asInstanceOf[ArrayData], mean, comps, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val meanRef = ctx.addReferenceObj("pcaMean", mean, "double[]")
+    val compsRef = ctx.addReferenceObj("pcaComps", comps, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.PcaKernels.project($c, $meanRef, $compsRef, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PcaProject =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[PcaProject]], callable from generated Java. */
+object PcaKernels {
+  def project(emb: ArrayData, mean: Array[Double],
+      comps: Array[Array[Double]], dim: Int): ArrayData = {
+    val n = math.min(if (emb == null) 0 else emb.numElements(), dim)
+    val out = new Array[Double](comps.length)
+    var c = 0
+    while (c < comps.length) {
+      val w = comps(c)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        require(!emb.isNullAt(i), "pca_project: NULL element in input array")
+        acc += (emb.getFloat(i).toDouble - mean(i)) * w(i)
+        i += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
