@@ -345,7 +345,7 @@ object Pq {
     val np = Similarity.defaultNProbe(ivf.cents.length, ivf.cellCounts)
     val adc = adcScore(pq.codebooks) _
     val qCells = queryRelation(s, d).select($"q_id", $"q_emb",
-      explode(Similarity.nearestCellsUdf(ivf.cents, np)($"q_emb")).as("cell"))
+      explode(Similarity.nearestCellsCol(ivf.cents, np)($"q_emb")).as("cell"))
     // the stored IVF-PQ relation: cell + codes, no vectors
     val members = ivf.assigned.select($"vec_id", $"cell")
       .join(pq.codes, Seq("vec_id"))

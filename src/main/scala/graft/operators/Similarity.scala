@@ -385,22 +385,19 @@ object Similarity {
     math.min(k, defaultNProbe(k) * probeBoost(cellCounts))
 
   /** Nearest-`n` centroid cells for a vector, as one narrow kernel
-    * over the broadcast centroid matrix (ties → lowest centroid id).
+    * over the centroid matrix riding the plan as a reference constant
+    * (ties → lowest centroid id) — native codegen
+    * ([[graft.plans.NearestCells]]): the assignment pass is n·k dots
+    * over the whole corpus, the heaviest per-row work of ivf_build,
+    * and the former UDF paid a Seq[Float] → Seq[Long] encoder round
+    * trip on every one.
     */
-  private[operators] def nearestCellsUdf(cents: Array[(Long, Array[Float], Double)], n: Int) =
-    udf { (emb: Seq[Float]) =>
-      val nv = {
-        var acc = 0.0; var i = 0
-        while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
-        math.sqrt(acc)
-      }
-      cents.map { case (cid, cv, cn) =>
-        var dot = 0.0; var i = 0
-        val m = math.min(emb.length, cv.length)
-        while (i < m) { dot += emb(i).toDouble * cv(i).toDouble; i += 1 }
-        (cid, dot / nv / cn)
-      }.sortBy { case (cid, sim) => (-sim, cid) }.take(n).map(_._1).toSeq
-    }
+  private[operators] def nearestCellsCol(
+      cents: Array[(Long, Array[Float], Double)], n: Int)(
+      emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.NearestCells(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb), cents, n))
 
   /** Max multiply-adds the Lloyd loop may spend on the driver
     * (sample × k × dim × iters ≈ 1 s of one core). Below the cap the
@@ -596,7 +593,7 @@ object Similarity {
       cents: Array[(Long, Array[Float], Double)],
       assign: Int = IvfAssign): DataFrame = {
     import s.implicits._
-    val cells = nearestCellsUdf(cents, assign)
+    val cells = nearestCellsCol(cents, assign) _
     corpus(s, d).select($"vec_id", $"embedding", $"nrm",
       explode(cells($"embedding")).as("cell"))
   }
@@ -654,7 +651,7 @@ object Similarity {
     val assigned = idx.assigned
     val np = if (nprobe > 0) nprobe else defaultNProbe(cents.length, idx.cellCounts)
     // per query: its np nearest cells via the same kernel
-    val probe = nearestCellsUdf(cents, np)
+    val probe = nearestCellsCol(cents, np) _
     val qCells = queries
       .select($"q_id", $"q_emb", $"q_nrm",
         explode(probe($"q_emb")).as("cell"))
@@ -1129,7 +1126,7 @@ object Similarity {
   }
 
   /** Shared oracle CTE text: `m` (centroid literals), `sims` (every
-    * (vec_id, cell, sim) pair — the [[nearestCellsUdf]] kernel
+    * (vec_id, cell, sim) pair — the [[nearestCellsCol]] kernel
     * restated: dot over min(len, Dim) terms, divided by the vector
     * norm then the stored centroid norm, in that order), `asg` (argmax
     * cell, lowest-cell tiebreak — single assignment, the declared

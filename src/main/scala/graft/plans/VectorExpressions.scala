@@ -534,3 +534,93 @@ object PcaKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** nearest_cells(emb array<float>) → array<bigint>: the `n` nearest
+  * IVF centroid cells by cosine (ties → lowest centroid id), as a
+  * native codegen expression over the broadcast-as-plan-constant
+  * centroid matrix — the assignment kernel of ivf_build (n·k dot
+  * products over the whole corpus, the heaviest build line at 10×
+  * bench scale) and of every IVF probe's query side, previously a
+  * Seq[Float] → Seq[Long] UDF round trip per row. Same arithmetic as
+  * the UDF it replaces: left-to-right double dot against each
+  * centroid, divided by the vector norm then the stored centroid norm
+  * in that order, ranked by java.lang.Double total order descending
+  * (the Scala 2.13 sortBy default) with the centroid-id tiebreak —
+  * bit-identical cells, so the Verify-time centroid-literal oracles
+  * are untouched.
+  */
+case class NearestCells(child: Expression,
+    cents: Array[(Long, Array[Float], Double)], n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells requires ARRAY<FLOAT>, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override protected def nullSafeEval(emb: Any): Any =
+    IvfKernels.nearestCells(emb.asInstanceOf[ArrayData], cents, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the tuple-array type has no stable Java source name — ship it as
+    // Object and cast inside the Scala kernel
+    val centsRef = ctx.addReferenceObj("ivfCents", cents, "java.lang.Object")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.IvfKernels.nearestCells($c, $centsRef, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[NearestCells]], callable from generated Java. */
+object IvfKernels {
+  def nearestCells(emb: ArrayData, centsObj: Object, n: Int): ArrayData = {
+    val cents = centsObj.asInstanceOf[Array[(Long, Array[Float], Double)]]
+    val m = emb.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      require(!emb.isNullAt(i), "nearest_cells: NULL element in input array")
+      val x = emb.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    val nv = math.sqrt(acc)
+    val ids = new Array[Long](cents.length)
+    val sims = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val (cid, cv, cn) = cents(c)
+      var dot = 0.0
+      var j = 0
+      val lim = math.min(m, cv.length)
+      while (j < lim) { dot += emb.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+      ids(c) = cid
+      sims(c) = dot / nv / cn
+      c += 1
+    }
+    // rank (sim desc, cid asc) under java.lang.Double total order —
+    // the exact order Scala's sortBy((-sim, cid)) produced
+    val idx = Array.range(0, cents.length)
+    val boxed = idx.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+      def compare(a: Integer, b: Integer): Int = {
+        // ascending on the NEGATED sim, not descending on sim: the two
+        // differ for NaN (total order puts NaN greatest, so a NaN sim
+        // must sort LAST here, exactly as sortBy(-sim) did)
+        val s = java.lang.Double.compare(-sims(a.intValue), -sims(b.intValue))
+        if (s != 0) s else java.lang.Long.compare(ids(a.intValue), ids(b.intValue))
+      }
+    })
+    val take = math.min(n, cents.length)
+    val out = new Array[Long](take)
+    var o = 0
+    while (o < take) { out(o) = ids(boxed(o).intValue); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
