@@ -436,4 +436,15 @@ class PlanQualitySpec extends AnyFunSuite {
     // the per-day DAU/MAU relations are tiny: their join broadcasts
     assert(count(p, "BroadcastHashJoin") == 1 && count(p, "SortMergeJoin") == 0, p)
   }
+
+  test("dedup_embedding_window: the id cap is a pushed scan predicate") {
+    // the window query's whole point is O(K²) cost at any corpus
+    // scale — that holds only if vec_id < K reaches the parquet scan
+    // (reading the corpus then filtering would be O(n) scan + O(K²))
+    val p = plan("dedup_embedding_window")
+    val scans = p.split('\n').filter(_.contains("FileScan parquet"))
+    assert(scans.nonEmpty, p)
+    assert(p.contains(s"LessThan(vec_id,${Dedup.EmbWindowK})"),
+      s"id window not pushed to the scan:\n$p")
+  }
 }
