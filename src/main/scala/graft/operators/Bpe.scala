@@ -469,6 +469,18 @@ object Bpe {
     // txt_tokens. One narrow scan; the model rides the closure.
     "txt_bpe_tokens" -> ((s, d) => bpeTokensWith(s, d, bpeModel(s, d))),
 
+    // The STORED-path form of txt_bpe_tokens (the sim_ann_ivf_stored
+    // pattern): write the trained merge table + frozen-id vocab, read
+    // them back, tokenize — the train-once / tokenize-later lifecycle
+    // every production tokenizer runs, under the oracle gate. The
+    // merge table round-trips exactly (strings + ints), so it shares
+    // txt_bpe_tokens' oracle verbatim.
+    "txt_bpe_tokens_stored" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("bpem", d)
+      writeBpeModel(s, d, dir)
+      bpeTokensStored(s, d, dir)
+    },
+
     // The id table the loader's embedding matrix is sized by: corpus
     // alphabet (distinct code points of trainable words, code-point-
     // sorted — equal to DuckDB's binary ORDER BY on UTF-8) gets ids
@@ -842,6 +854,9 @@ object Bpe {
           FROM cur c LEFT JOIN nb USING (doc_id)
           GROUP BY 1"""
     Map("bpe_build" -> buildSql, "txt_bpe_tokens" -> tokensSql,
+      // stored probe shares the session-path oracle verbatim (the
+      // Similarity.oracles sim_ann_lsh_stored convention)
+      "txt_bpe_tokens_stored" -> tokensSql,
       "bpe_vocab" -> vocabSql, "txt_bpe_encode" -> encodeSql,
       "txt_windows_bpe" -> windowsSql,
       "pipe_train_manifest_bpe" -> manifestBpeSql)

@@ -280,6 +280,18 @@ object Pca {
     // that FOLLOW the corpus instead of a data-oblivious JL matrix.
     "sim_ann_pca" -> ((s, d) => topkPca(s, d)),
 
+    // The STORED-path form of sim_ann_pca (the sim_ann_ivf_stored
+    // pattern): write the trained model, read it back, rebuild the
+    // projected index from the stored loadings, probe — the train-
+    // once / tokenize-and-search-later lifecycle under the oracle
+    // gate. Parquet DOUBLE round-trips the exact 64-bit loadings, so
+    // it shares sim_ann_pca's oracle verbatim.
+    "sim_ann_pca_stored" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("pcam", d)
+      writePcaModel(s, d, dir)
+      topkPcaStored(s, d, dir)
+    },
+
     // PCA reconstruction error — the residual mass outside the kept
     // subspace, the "off-manifold vector" score of embedding-space
     // curation (a high-residual vector is one the corpus's principal
@@ -456,7 +468,7 @@ object Pca {
           generate_series(1, LEAST(len(e.embedding), $dim)),
           i -> (e.embedding[i]::DOUBLE - pm.mu[i]) * pm.w[$cRef][i])), 0.0)"""
     val pvc = pvExpr("c")
-    Map(
+    val base = Map(
       // ::DOUBLE on every value column: DuckDB parses the bare decimal
       // literals in VALUES as DECIMAL (the emb_outliers lesson), which
       // would print with trailing zeros and hash-mismatch
@@ -532,5 +544,8 @@ object Pca {
                   c -> ($pvc) * ($pvc))), 0.0),
                 0.0), 5) AS err2
             FROM embeddings e, pm""")
+    // stored probe shares the session-path oracle verbatim (the
+    // Similarity.oracles sim_ann_lsh_stored convention)
+    base + ("sim_ann_pca_stored" -> base("sim_ann_pca"))
   }
 }

@@ -419,6 +419,17 @@ object Pq {
           $"code".cast("int").as("code"))
     },
     "sim_ann_pq" -> ((s, d) => topkPq(s, d)),
+    // The STORED-path form of sim_ann_pq (the sim_ann_ivf_stored
+    // pattern): write codes + codebooks, read them back, ADC-probe —
+    // the compressed-index lifecycle (store 8 bytes/vector, probe
+    // later) under the oracle gate. Same answer as sim_ann_pq by
+    // construction (parquet round-trips the float codebooks exactly),
+    // so it shares that oracle verbatim.
+    "sim_ann_pq_stored" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("pq", d)
+      writePqIndex(s, d, dir)
+      topkPqStored(s, d, dir)
+    },
     "sim_ann_ivfpq" -> ((s, d) => topkIvfPq(s, d)))
 
   // static oracles: none — both queries embed TRAINED state and are
@@ -508,7 +519,7 @@ object Pq {
 
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
     val codesCte = pqOracleCtes(s, d)
-    Map(
+    val base = Map(
       "pq_build" ->
         s"""WITH $codesCte
             SELECT vec_id, CAST(s - 1 AS INT) AS sub, code FROM codes""",
@@ -553,5 +564,8 @@ object Pq {
                 JOIN codesarr x ON x.vec_id = c.n_id, pqm),
             $sqlRerankTail"""
       })
+    // stored probe shares the session-path oracle verbatim (the
+    // Similarity.oracles sim_ann_lsh_stored convention)
+    base + ("sim_ann_pq_stored" -> base("sim_ann_pq"))
   }
 }

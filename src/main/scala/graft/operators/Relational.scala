@@ -368,6 +368,81 @@ object Relational {
           ($"dau".cast("double") / $"mau".cast("double")).as("stickiness"))
     },
 
+    // As-of join — each purchase attributed to the user's most recent
+    // click at-or-before it in the (ts_ms, event_id) total order, the
+    // classic attribution/point-in-time lookup. The scale move: an
+    // as-of join is NOT an inequality join (a theta join materializes
+    // |purchases|x|clicks| candidates per user before filtering) — both
+    // event streams ride ONE user-keyed exchange, sorted once, and the
+    // running last-non-null window IS the as-of lookup: each row costs
+    // O(1) beyond the sort, so per-user cost is the user's own event
+    // count, independent of corpus size. The type filter lands before
+    // the shuffle (pushdown-eligible), so only click/purchase rows move.
+    // The two last() calls pick from the same row (null on exactly the
+    // same rows), keeping (click_id, click_ts_ms) consistent.
+    // Unattributed purchases (no prior click) keep -1 sentinels rather
+    // than NULLs so every output column stays a non-null BIGINT
+    // (type-stable through the driver's pandas compare on both engines).
+    "evt_asof" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts) div 1000").as("ts_ms"))
+        .withColumn("click_id",
+          last(when($"event_type" === "click", $"event_id"),
+            ignoreNulls = true).over(w))
+        .withColumn("click_ts_ms",
+          last(when($"event_type" === "click", $"ts_ms"),
+            ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"),
+          $"ts_ms".as("p_ts_ms"),
+          coalesce($"click_id", lit(-1L)).as("click_id"),
+          coalesce($"click_ts_ms", lit(-1L)).as("click_ts_ms"),
+          coalesce($"ts_ms" - $"click_ts_ms", lit(-1L)).as("lag_ms"))
+    },
+
+    // Bounded range join — per purchase, the count and cent-exact value
+    // mass of the user's clicks inside the trailing attribution window
+    // [p_ts - AttribWindowMs, p_ts). The scale move: a range join by
+    // BINNING — each click is exploded to exactly two window-width
+    // buckets (its own and the next), purchases keep their one bucket,
+    // and the equi-join on (user, bucket) carries the range predicate
+    // as a residual filter. The theta join's cross product never
+    // materializes: candidates per purchase are bounded by one user's
+    // clicks in two buckets, so the join stays an ordinary hash/sort-
+    // merge equi-join at any corpus size (the epsilon-join binning
+    // construction). A (purchase, click) pair can meet in at most one
+    // bucket — the two exploded copies carry distinct bucket values —
+    // so no dedup pass is needed. Value mass is summed in BIGINT cents
+    // (FLOOR(v*100+0.5), the q17 convention) so cross-engine float
+    // summation order can't flip the hash; zero-click purchases stay in
+    // the result via the left join with count/sum pinned to 0.
+    "evt_attrib_window" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts) div 1000").as("ts_ms"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts_ms",
+          expr(s"ts_ms div ${AttribWindowMs}L").as("bkt"))
+      val c = e.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts_ms".as("c_ts"), $"cents",
+          explode(array(expr(s"ts_ms div ${AttribWindowMs}L"),
+            expr(s"ts_ms div ${AttribWindowMs}L + 1L"))).as("c_bkt"))
+      p.join(c, $"user_id" === $"c_user" && $"bkt" === $"c_bkt" &&
+          $"c_ts" >= $"ts_ms" - AttribWindowMs && $"c_ts" < $"ts_ms", "left")
+        .groupBy($"user_id", $"event_id", $"ts_ms")
+        .agg(count($"c_ts").as("n_clicks"),
+          coalesce(sum($"cents"), lit(0L)).as("click_cents"))
+        .select($"user_id", $"event_id".as("purchase_id"),
+          $"ts_ms".as("p_ts_ms"), $"n_clicks", $"click_cents")
+    },
+
     // Daily-volume anomaly flags — the pipeline-health tripwire: per
     // event type, each day's event count scored against that type's
     // own mean/stddev, |z| > ZScoreThreshold flagged. The moments
@@ -405,6 +480,13 @@ object Relational {
 
   /** Result size for evt_topk_paths. */
   val PathTopK = 20
+
+  /** Trailing attribution window for evt_attrib_window (7 days — the
+    * conventional click-attribution lookback; also the bin width for
+    * the range-join bucketing, so each click lands in exactly two
+    * buckets regardless of the window chosen).
+    */
+  val AttribWindowMs = 604800000L
 
   /** Trailing active-user window for evt_dau_mau (the standard
     * 30-day MAU).
@@ -580,6 +662,44 @@ object Relational {
             CASE WHEN ABS(z) > $ZScoreThreshold::DOUBLE THEN 1 ELSE 0 END::BIGINT
               AS is_anomaly
           FROM z""",
+    // the as-of lookup as a running last-non-null over the same
+    // (ts_ms, event_id) total order the Spark window uses; -1
+    // sentinels keep every column non-null BIGINT on both engines
+    "evt_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         m AS (SELECT user_id, event_id, event_type, ts_ms,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+             IGNORE NULLS) OVER w AS click_id,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_ms END
+             IGNORE NULLS) OVER w AS click_ts_ms
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id AS purchase_id, ts_ms AS p_ts_ms,
+           COALESCE(click_id, -1) AS click_id,
+           COALESCE(click_ts_ms, -1) AS click_ts_ms,
+           COALESCE(ts_ms - click_ts_ms, -1) AS lag_ms
+         FROM m WHERE event_type = 'purchase'""",
+    // the range join stated directly as a theta join — DuckDB can
+    // afford the per-user cross product the Spark plan's binning
+    // avoids; CAST around the sum keeps DuckDB's HUGEINT out of the
+    // compared schema
+    "evt_attrib_window" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms,
+            CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events),
+          p AS (SELECT user_id, event_id, ts_ms FROM e
+            WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, ts_ms AS c_ts, cents FROM e
+            WHERE event_type = 'click')
+          SELECT p.user_id, p.event_id AS purchase_id, p.ts_ms AS p_ts_ms,
+            COUNT(c.c_ts) AS n_clicks,
+            CAST(COALESCE(SUM(c.cents), 0) AS BIGINT) AS click_cents
+          FROM p LEFT JOIN c ON p.user_id = c.user_id
+            AND c.c_ts >= p.ts_ms - $AttribWindowMs AND c.c_ts < p.ts_ms
+          GROUP BY p.user_id, p.event_id, p.ts_ms""",
     "q16_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

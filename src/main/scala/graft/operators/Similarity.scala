@@ -235,24 +235,32 @@ object Similarity {
     * session-cached path ([[topkLsh]]) and the stored-index path
     * ([[topkLshStored]]).
     */
+  /** The (multi)probed buckets per query — (q_id, q_emb, q_nrm, table,
+    * bucket) — shared by the probe join and the stored path's
+    * pushdown-set derivation so the two can never drift.
+    */
+  private def probeBuckets(queries: DataFrame, numPlanes: Int,
+      multiprobe: Boolean): DataFrame = {
+    val qBase = queries
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        explode(lshBucketsPacked(col("q_emb"), numPlanes)).as("tp"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        unpackTable(col("tp")).as("table"), unpackBucket(col("tp")).as("bucket"))
+    if (!multiprobe) qBase
+    else qBase.select(col("q_id"), col("q_emb"), col("q_nrm"), col("table"),
+      explode(array((lit(-1) +: (0 until numPlanes).map(lit(_))): _*)).as("flip"),
+      col("bucket"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("table"),
+        when(col("flip") === -1, col("bucket"))
+          .otherwise(expr("bucket ^ shiftleft(1, flip)")).as("bucket"))
+  }
+
   private def lshProbe(s: SparkSession, bucketed: DataFrame,
       queries: DataFrame, k: Int, multiprobe: Boolean,
       numPlanes: Int): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
-    val qBase = queries
-      .select($"q_id", $"q_emb", $"q_nrm",
-        explode(lshBucketsPacked($"q_emb", numPlanes)).as("tp"))
-      .select($"q_id", $"q_emb", $"q_nrm",
-        unpackTable($"tp").as("table"), unpackBucket($"tp").as("bucket"))
-    val q =
-      if (!multiprobe) qBase
-      else qBase.select($"q_id", $"q_emb", $"q_nrm", $"table",
-        explode(array((lit(-1) +: (0 until numPlanes).map(lit(_))): _*)).as("flip"),
-        $"bucket")
-        .select($"q_id", $"q_emb", $"q_nrm", $"table",
-          when($"flip" === -1, $"bucket")
-            .otherwise(expr("bucket ^ shiftleft(1, flip)")).as("bucket"))
+    val q = probeBuckets(queries, numPlanes, multiprobe)
     broadcast(q)
       .join(bucketed, Seq("table", "bucket"))
       .filter($"q_id" =!= $"vec_id")
@@ -750,24 +758,32 @@ object Similarity {
       k: Int = TopK, nprobe: Int = -1, assign: Int = IvfAssign): DataFrame =
     ivfProbe(s, readIvfIndex(s, indexDir), querySet(s, d), k, nprobe, assign)
 
-  /** Write the built LSH index partitioned by (table, bucket): a probe
-    * reads only the (multi)probed bucket directories. Bucket
-    * cardinality is bounded ([[NumTables]] × 2^planes directories,
-    * planes from [[adaptivePlanes]]); a deployment with pathological
-    * per-bucket file counts would coarsen to partitionBy("table") +
-    * bucketBy. The plane count the index was built with is stored
-    * alongside it (an underscore-prefixed sidecar Spark's parquet
-    * listing ignores, like _SUCCESS), so a later probe job buckets its
-    * queries with the INDEX's sizing even if the corpus has since
-    * grown past the next sizing step.
+  /** Write the built LSH index partitioned by table, each table's
+    * rows SORTED by bucket so parquet row-group min/max stats prune
+    * bucket predicates. Partitioning by bucket itself would be
+    * scale-dishonest now that the plane count is occupancy-adaptive:
+    * at [[MaxPlanes]]=24 it means 2^24 directories per table (and at
+    * bench SF it already meant 512 tiny directories whose per-dir
+    * commit+footer overhead dominated the query, the
+    * dedup_cluster_stored tiny-file lesson one level up). Directory
+    * count is now [[NumTables]] at ANY corpus size; bucket-level read
+    * selectivity comes from the probe side pushing its bounded probed-
+    * bucket set as a static filter ([[topkLshStored]]). The plane
+    * count the index was built with is stored alongside it (an
+    * underscore-prefixed sidecar Spark's parquet listing ignores, like
+    * _SUCCESS), so a later probe job buckets its queries with the
+    * INDEX's sizing even if the corpus has since grown past the next
+    * sizing step.
     */
   def writeLshIndex(s: SparkSession, d: String, outDir: String): Unit = {
     import s.implicits._
     lshIndex(s, d).select($"vec_id", $"embedding", $"nrm", $"table", $"bucket")
-      // cluster rows into their directory first — one file per
-      // (table, bucket) instead of tasks × directories tiny files
-      .repartition($"table", $"bucket")
-      .write.mode("overwrite").partitionBy("table", "bucket").parquet(outDir)
+      // cluster rows into their directory, sorted by bucket within it
+      // — one bucket-ordered file per table at bench scale; at
+      // deployment scale files-per-table is bounded by the tasks
+      // holding that table and each file stays bucket-ordered
+      .repartition($"table").sortWithinPartitions($"bucket")
+      .write.mode("overwrite").partitionBy("table").parquet(outDir)
     val p = new org.apache.hadoop.fs.Path(outDir, "_graft_lsh_planes")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -786,7 +802,9 @@ object Similarity {
   }
 
   /** Read a stored LSH index (schema passed for the same
-    * partition-column-type reason as [[readIvfIndex]]).
+    * partition-column-type reason as [[readIvfIndex]]; `bucket` is a
+    * data column sorted within each file, `table` the partition
+    * directory).
     */
   def readLshIndex(s: SparkSession, indexDir: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -797,20 +815,49 @@ object Similarity {
           org.apache.spark.sql.types.FloatType)),
       org.apache.spark.sql.types.StructField("nrm",
         org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("table",
-        org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("table",
         org.apache.spark.sql.types.IntegerType)))
     s.read.schema(schema).parquet(indexDir)
   }
 
+  /** A probe's distinct (table, bucket) set is pushed to the stored
+    * scan as a static filter when it has at most this many pairs —
+    * parquet then prunes row groups by the bucket min/max stats the
+    * bucket-sorted layout guarantees. The cap bounds driver transfer
+    * and filter size: |pairs| ≤ |Q|·NumTables·(planes+1), and a probe
+    * batch large enough to blow it is touching so many buckets that a
+    * straight scan-join reads little it doesn't need (the fallback).
+    */
+  val LshProbePushdownCap = 65536
+
   /** Probe a STORED LSH index (written by [[writeLshIndex]]) — query
-    * buckets are computed with the index's stored plane count.
+    * buckets are computed with the index's stored plane count, and the
+    * bounded probed-bucket set is pushed down as a per-table IN filter
+    * so the scan reads only probed row groups (the bucket-directory
+    * pruning the old 2^planes-directory layout did, without its
+    * directory explosion).
     */
   def topkLshStored(s: SparkSession, d: String, indexDir: String,
-      k: Int = TopK, multiprobe: Boolean = true): DataFrame =
-    lshProbe(s, readLshIndex(s, indexDir), querySet(s, d), k, multiprobe,
-      readLshPlanes(s, indexDir))
+      k: Int = TopK, multiprobe: Boolean = true): DataFrame = {
+    val planes = readLshPlanes(s, indexDir)
+    val queries = querySet(s, d)
+    val idx = readLshIndex(s, indexDir)
+    val pairs = probeBuckets(queries, planes, multiprobe)
+      .select(col("table"), col("bucket")).distinct()
+      .limit(LshProbePushdownCap + 1).collect()
+    val pruned =
+      if (pairs.length > LshProbePushdownCap) idx
+      else {
+        val byTable = pairs.groupBy(_.getInt(0))
+          .map { case (t, rs) => (t, rs.map(_.getInt(1)).distinct.sorted) }
+        idx.filter(byTable.map { case (t, bs) =>
+          col("table") === t && col("bucket").isin(bs.map(Integer.valueOf): _*)
+        }.reduce(_ || _))
+      }
+    lshProbe(s, pruned, queries, k, multiprobe, planes)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topkBruteForce(s, d)),
@@ -840,6 +887,17 @@ object Similarity {
     // (see dynamicOracles below). Recall is additionally spec-tested
     // against the brute-force baseline.
     "sim_ann_lsh" -> ((s, d) => topkLsh(s, d)),
+    // The STORED-path form of sim_ann_lsh (the sim_ann_ivf_stored
+    // pattern): write the bucketed index partitioned by (table,
+    // bucket) with its plane-count sidecar, probe through the stored
+    // readers — buckets computed with the INDEX's recorded sizing.
+    // Same answer as sim_ann_lsh by construction, so it shares that
+    // oracle verbatim.
+    "sim_ann_lsh_stored" -> { (s, d) =>
+      val dir = storedQueryDir("lsh", d)
+      writeLshIndex(s, d, dir)
+      topkLshStored(s, d, dir)
+    },
     "lsh_build" -> { (s, d) =>
       import s.implicits._
       lshIndex(s, d).select($"vec_id", $"table", $"bucket")
@@ -891,18 +949,21 @@ object Similarity {
         .select($"vec_id", $"dim", round($"pv".cast("double"), 6).as("pv"))
     })
 
-  /** Deterministic per-corpus location for the declared stored-index
-    * round trip (`sim_ann_ivf_stored`) — under the JVM temp dir, keyed
-    * by corpus path (hashCode keeps the key injective past
+  /** Deterministic per-corpus location for a declared stored-index /
+    * stored-model round trip (`sim_ann_ivf_stored` and the family it
+    * templated: lsh/pq/pca/bpe stored probes) — under the JVM temp
+    * dir, keyed by corpus path (hashCode keeps the key injective past
     * sanitization) and pid (two JVMs on the same fixture never race
     * one directory's overwrite against the other's read). Residue is
     * temp-dir-reclaimed, ≤ a few MB per fixture per process.
     */
-  private def storedIvfDir(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_stored_ivf_" +
+  private[operators] def storedQueryDir(kind: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_stored_${kind}_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       java.lang.Integer.toHexString(d.hashCode) + "_p" +
       ProcessHandle.current().pid()
+
+  private def storedIvfDir(d: String): String = storedQueryDir("ivf", d)
 
   /** Candidate pool per query for [[topkProjected]]: the re-rank
     * budget must COVER the query's local neighborhood (its topic
@@ -986,7 +1047,7 @@ object Similarity {
       / SQRT(list_sum(list_transform(generate_series(1, len($b)),
         i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
       s"""WITH scored AS (
             SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -1093,6 +1154,14 @@ object Similarity {
             SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
               PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
             FROM scored) WHERE rank <= $TopK""")
+
+  /** Static oracles — the stored LSH probe shares sim_ann_lsh's SQL
+    * verbatim: the stored round trip may not change the answer
+    * (IndexStoreSpec pins fresh-session parity), so a divergence reads
+    * as a stored-path bug, exactly what the gate should catch.
+    */
+  val oracles: Map[String, String] =
+    baseOracles + ("sim_ann_lsh_stored" -> baseOracles("sim_ann_lsh"))
 
   // ----- dynamic (trained-state) oracles ------------------------------
   //

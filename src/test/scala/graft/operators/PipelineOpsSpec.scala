@@ -1164,4 +1164,70 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(tight.subsetOf(range))
   }
+
+  test("evt_asof: picks the latest prior click; ties break on event_id; no-click sentinel") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val tmp = java.nio.file.Files.createTempDirectory("asof").toString
+    Seq(
+      // user 1: two clicks before the purchase → latest one wins
+      (10L, t(10), 1L, "click", 1.0, "{}"),
+      (11L, t(20), 1L, "click", 1.0, "{}"),
+      (12L, t(30), 1L, "purchase", 5.0, "{}"),
+      // user 2: click only AFTER the purchase → sentinel -1s
+      (20L, t(40), 2L, "purchase", 5.0, "{}"),
+      (21L, t(50), 2L, "click", 1.0, "{}"),
+      // user 3: click at the SAME ts as the purchase — smaller
+      // event_id sorts before the purchase in the total order → it
+      // attributes; a same-ts click with a LARGER id must not
+      (30L, t(60), 3L, "click", 1.0, "{}"),
+      (31L, t(60), 3L, "purchase", 5.0, "{}"),
+      (32L, t(60), 3L, "click", 1.0, "{}"),
+      // a view between click and purchase must not break attribution
+      (40L, t(70), 4L, "click", 1.0, "{}"),
+      (41L, t(75), 4L, "view", 0.0, "{}"),
+      (42L, t(80), 4L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Relational.queries("evt_asof")(spark, tmp)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._2 -> x).toMap
+    assert(r.size == 4)
+    val (_, _, p1, c1, ct1, lag1) = r(12L)
+    assert(c1 == 11L && lag1 == p1 - ct1 && lag1 == 10000L)
+    assert(r(20L)._4 == -1L && r(20L)._5 == -1L && r(20L)._6 == -1L)
+    assert(r(31L)._4 == 30L && r(31L)._6 == 0L,
+      "same-ts smaller-id click must attribute; larger-id must not")
+    assert(r(42L)._4 == 40L && r(42L)._6 == 10000L)
+  }
+
+  test("evt_attrib_window: window boundaries, cent-exact sums, zero-click purchases kept") {
+    import spark.implicits._
+    val W = Relational.AttribWindowMs
+    def t(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val tmp = java.nio.file.Files.createTempDirectory("attrib").toString
+    val pTs = 2L * W + 1000L // purchase sits just after a bucket edge
+    Seq(
+      // user 1 clicks around the purchase at pTs:
+      (1L, t(pTs - W - 1), 1L, "click", 1.00, "{}"),  // 1ms too old
+      (2L, t(pTs - W), 1L, "click", 2.25, "{}"),      // exactly at the edge: IN
+      (3L, t(pTs - 1), 1L, "click", 3.10, "{}"),      // just inside: IN
+      (4L, t(pTs), 1L, "click", 4.00, "{}"),          // at p_ts: OUT (exclusive)
+      (5L, t(pTs), 1L, "purchase", 9.99, "{}"),
+      // user 2's click inside user 1's window must not leak across users
+      (6L, t(pTs - 10), 2L, "click", 7.00, "{}"),
+      // user 2: purchase with no clicks in window
+      (7L, t(pTs + 5000), 2L, "purchase", 1.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Relational.queries("evt_attrib_window")(spark, tmp)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._2 -> x).toMap
+    assert(r.size == 2)
+    // user 1: clicks 2 and 3 qualify → 225 + 310 cents
+    assert(r(5L)._4 == 2L && r(5L)._5 == 535L)
+    // user 2: its own click is 5s+10ms before its purchase → inside
+    // the window; user 1's clicks never leak in
+    assert(r(7L)._4 == 1L && r(7L)._5 == 700L)
+  }
 }
