@@ -1230,4 +1230,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the window; user 1's clicks never leak in
     assert(r(7L)._4 == 1L && r(7L)._5 == 700L)
   }
+
+  test("evt_asof / evt_attrib_window: property sweep vs brute-force recompute") {
+    import spark.implicits._
+    // random event tables drawn on a W/4 grid ±1ms jitter, so exact
+    // window edges, same-ts ties, and bucket crossings occur often —
+    // the bucketed range join and the windowed as-of must match a
+    // direct per-user brute-force recompute on every draw
+    val W = Relational.AttribWindowMs
+    val types = Array("click", "purchase", "view")
+    for (seed <- Seq(7, 41)) {
+      val r = new scala.util.Random(seed)
+      val rows = (0 until 400).map { i =>
+        val ms = r.nextInt(12).toLong * (W / 4) + (r.nextInt(3) - 1)
+        (i.toLong, new java.sql.Timestamp(1700000000000L + ms),
+          (r.nextInt(8) + 1).toLong, types(r.nextInt(3)),
+          r.nextInt(50000) / 100.0, "{}")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"prop$seed").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      case class Ev(id: Long, ms: Long, user: Long, typ: String, v: Double)
+      val evs = rows.map(t => Ev(t._1, t._2.getTime, t._3, t._4, t._5))
+      val purchases = evs.filter(_.typ == "purchase")
+
+      val asof = Relational.queries("evt_asof")(spark, tmp)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(x => x._2 -> x).toMap
+      assert(asof.size == purchases.size)
+      purchases.foreach { p =>
+        val prior = evs.filter(c => c.typ == "click" && c.user == p.user &&
+          (c.ms < p.ms || (c.ms == p.ms && c.id < p.id)))
+        val want = if (prior.isEmpty) (-1L, -1L, -1L) else {
+          val c = prior.maxBy(c => (c.ms, c.id))
+          (c.id, c.ms, p.ms - c.ms)
+        }
+        val got = asof(p.id)
+        assert((got._4, got._5, got._6) == want, s"asof seed=$seed p=${p.id}")
+      }
+
+      val attrib = Relational.queries("evt_attrib_window")(spark, tmp)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(x => x._2 -> x).toMap
+      assert(attrib.size == purchases.size)
+      purchases.foreach { p =>
+        val in = evs.filter(c => c.typ == "click" && c.user == p.user &&
+          c.ms >= p.ms - W && c.ms < p.ms)
+        val wantCents = in.map(c => math.floor(c.v * 100 + 0.5).toLong).sum
+        val got = attrib(p.id)
+        assert(got._4 == in.size.toLong && got._5 == wantCents,
+          s"attrib seed=$seed p=${p.id}: got $got want (${in.size}, $wantCents)")
+      }
+    }
+  }
 }
