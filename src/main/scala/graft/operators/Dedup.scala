@@ -729,6 +729,19 @@ object Dedup {
       val dir = storedPairsDir(d)
       writeJaccardPairs(s, d, dir)
       clusterStored(s, dir)
+    },
+
+    // The embedding-side counterpart of dedup_cluster_stored: write
+    // the verified LSH pair relation shard-partitioned, read it back
+    // through the explicit-schema stored reader, collapse components —
+    // the lifecycle a 100 TB near-dup job actually runs (pairs built
+    // once, collapsed by later jobs). Same answer as
+    // dedup_embedding_cluster by construction, so it shares that
+    // oracle verbatim.
+    "dedup_embedding_cluster_stored" -> { (s, d) =>
+      val dir = storedPairsDir(d) + "_emb"
+      writeEmbPairs(s, d, dir)
+      embeddingClusterStored(s, dir)
     })
 
   /** Id cap for `dedup_embedding_window`: covers every bench-SF corpus
@@ -1362,7 +1375,7 @@ object Dedup {
         SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id
         FROM reach GROUP BY u"""
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT MD5(text) AS content_fp, MIN(doc_id) AS keeper_id,
          COUNT(*) AS n_copies FROM documents GROUP BY 1""",
@@ -1520,6 +1533,14 @@ object Dedup {
             SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
           SELECT u AS vec_id, LEAST(u, MIN(v)) AS rep_id
           FROM reach GROUP BY u""")
+
+  /** Static oracles — the stored embedding collapse shares
+    * dedup_embedding_cluster's SQL verbatim (the dedup_cluster_stored
+    * byte-identical answer contract: the stored round trip may not
+    * change the answer).
+    */
+  val oracles: Map[String, String] = baseOracles +
+    ("dedup_embedding_cluster_stored" -> baseOracles("dedup_embedding_cluster"))
 
   /** The exact all-pairs oracle statement, with an optional extra join
     * predicate (`dedup_embedding` passes none; `dedup_embedding_window`
