@@ -530,6 +530,33 @@ object Dedup {
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
     },
 
+    // Fuzzy benchmark decontamination — the NEAR-duplicate form of
+    // txt_decontaminate (the dedup-based decontamination of Lee et
+    // al.): a TRAINING document is contaminated when it is a
+    // near-duplicate (n-gram Jaccard ≥ JaccardThreshold) of any
+    // document in the held-out eval split (the same deterministic
+    // md5-prefix split rule txt_decontaminate uses — shared
+    // splitPrefix, so the splits cannot drift). Rides the build-once
+    // verified pair relation: a cross-split near-dup IS a verified
+    // pair whose sides fall on opposite sides of the split, so the
+    // operator is one narrow classify pass over pairs the corpus
+    // already paid for, plus a per-doc tally — no new wide work at
+    // any corpus size.
+    "txt_decontaminate_fuzzy" -> { (s, d) =>
+      import s.implicits._
+      val evalSide = (c: Column) =>
+        TextAnalysis.splitPrefix(c) < TextAnalysis.EvalSplitThreshold
+      queries("dedup_ngram_jaccard")(s, d)
+        .withColumn("a_eval", evalSide($"id_a"))
+        .withColumn("b_eval", evalSide($"id_b"))
+        .filter($"a_eval" =!= $"b_eval")
+        .select(when($"a_eval", $"id_b").otherwise($"id_a").as("doc_id"),
+          $"jaccard")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_eval_neardups"),
+          max($"jaccard").as("max_jaccard"))
+    },
+
     // ExactSubstr-style duplicated-span detection (the removal
     // counterpart of txt_dup_mass's measurement; Lee et al. ACL'22
     // "Deduplicating Training Data Makes Language Models Better"): a
@@ -1435,6 +1462,22 @@ object Dedup {
       s"""$jaccardCte
           SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
           WHERE ROUND(j, 6) >= $JaccardThreshold""",
+    // the shared pair CTE with each side classified by the
+    // decontamination split rule (substr(md5(id),1,2), the
+    // txt_decontaminate oracle's convention) — a qualifying pair with
+    // exactly one eval-side member contaminates its train-side member
+    "txt_decontaminate_fuzzy" ->
+      s"""$jaccardCte,
+          qual AS (SELECT id_a, id_b, ROUND(j, 6) AS jac,
+            CASE WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 2)
+              < '${TextAnalysis.EvalSplitThreshold}' THEN 1 ELSE 0 END AS a_ev,
+            CASE WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 2)
+              < '${TextAnalysis.EvalSplitThreshold}' THEN 1 ELSE 0 END AS b_ev
+            FROM pairs WHERE ROUND(j, 6) >= $JaccardThreshold)
+          SELECT CASE WHEN a_ev = 0 THEN id_a ELSE id_b END AS doc_id,
+            COUNT(*) AS n_eval_neardups, MAX(jac) AS max_jaccard
+          FROM qual WHERE a_ev + b_ev = 1
+          GROUP BY 1""",
     // Positional 3-gram stream (1-based list index → the engine's
     // 0-based token position), df over distinct docs, gaps-and-islands
     // run collapse. The oracle groups 3-gram STRINGS where the engine

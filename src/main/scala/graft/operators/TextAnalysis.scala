@@ -769,7 +769,7 @@ object TextAnalysis {
     * definition shared by decontamination and pipe_curate so the split
     * rule cannot drift between consumers.
     */
-  private def splitPrefix(id: Column): Column =
+  private[operators] def splitPrefix(id: Column): Column =
     substring(md5(id.cast("string")), 1, 2)
 
   /** The cheap row-local quality gate (length / alpha-ratio / TTR

@@ -105,6 +105,51 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
 
+  case class AsofAttribution(user_id: Long, purchase_id: Long, p_ts_ms: Long,
+      click_id: Long, click_ts_ms: Long, lag_ms: Long)
+
+  case class LastClick(clickId: Long, clickMs: Long)
+
+  /** Streaming as-of attribution with O(1) state per user — the
+    * streaming form of the batch `evt_asof` query (purchase → latest
+    * click at-or-before it in the (ts_ms, event_id) total order, -1
+    * sentinels when none). Within a micro-batch a user's events fold
+    * in that total order, so intra-batch disorder is absorbed exactly
+    * like the batch window; across batches only the LAST click
+    * survives in state — constant bytes per user forever, the state
+    * bound a 100 TB/day attribution stream actually needs (state
+    * cardinality = users, not events). The trade, stated: a click
+    * arriving in a LATER micro-batch than a purchase it should have
+    * attributed cannot retro-attribute (the purchase was already
+    * emitted) — the same bounded-state contract family as
+    * [[dedupStream]]'s watermark window. No timeout: a user's last
+    * click is live indefinitely, exactly like the batch query's
+    * unbounded-preceding frame.
+    */
+  def asofAttribute(events: Dataset[Event]): Dataset[AsofAttribution] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, AsofAttribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[LastClick]) =>
+          val out = List.newBuilder[AsofAttribution]
+          var last = state.getOption
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { ev =>
+            val t = ev.ts.getTime
+            if (ev.event_type == "click") last = Some(LastClick(ev.event_id, t))
+            else out += (last match {
+              case Some(c) => AsofAttribution(userId, ev.event_id, t,
+                c.clickId, c.clickMs, t - c.clickMs)
+              case None => AsofAttribution(userId, ev.event_id, t, -1L, -1L, -1L)
+            })
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup with BOUNDED state: the streaming analogue
     * of `dedup_exact` / the file pipeline's content-hash anti-join.
     * `dropDuplicatesWithinWatermark` keeps a key in the state store

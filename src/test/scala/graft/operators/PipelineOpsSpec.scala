@@ -1231,6 +1231,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(7L)._4 == 1L && r(7L)._5 == 700L)
   }
 
+  test("txt_decontaminate_fuzzy: train-side docs only, consistent with the pair relation") {
+    import spark.implicits._
+    val fuzzy = Dedup.queries("txt_decontaminate_fuzzy")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(fuzzy.nonEmpty)
+    def isEval(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${md(0) & 0xff}%02x" < TextAnalysis.EvalSplitThreshold
+    }
+    // every flagged doc is on the TRAIN side of the split
+    assert(fuzzy.forall(f => !isEval(f._1)))
+    // independent recompute from the declared pair relation: the
+    // flagged set is exactly the train members of cross-split pairs
+    val pairs = Dedup.queries("dedup_ngram_jaccard")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val cross = pairs.filter(p => isEval(p._1) != isEval(p._2))
+      .map(p => (if (isEval(p._1)) p._2 else p._1, p._3))
+    val want = cross.groupBy(_._1).map { case (id, xs) =>
+      (id, xs.length.toLong, xs.map(_._2).max) }
+    assert(fuzzy.map(f => (f._1, f._2, f._3)).toSet == want.toSet)
+  }
+
   test("evt_asof / evt_attrib_window: property sweep vs brute-force recompute") {
     import spark.implicits._
     // random event tables drawn on a W/4 grid ±1ms jitter, so exact

@@ -362,4 +362,70 @@ class EventStreamSpec extends AnyFunSuite {
           f"pathological micro-batch throughput: $rowsPerSec%.0f rows/s")
     } finally q.stop()
   }
+
+  test("streaming as-of attribution over the REAL fixture matches batch evt_asof") {
+    // replay sf0.001's events through asofAttribute in two TIME-SPLIT
+    // micro-batches (a time split preserves every user's event order
+    // across the boundary, so the O(1)-state stream must reproduce the
+    // batch window exactly) and require set equality with the declared
+    // batch query on the same fixture
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = asofAttribute(mem.toDS())
+      .writeStream.format("memory").queryName("asof_fixture")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("asof_fixture")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val expect = graft.operators.Relational
+        .queries("evt_asof")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(expect.nonEmpty && got == expect,
+        s"streaming as-of diverged: missing ${(expect -- got).take(3)}, " +
+          s"extra ${(got -- expect).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming as-of: cross-batch state carries the last click; late clicks cannot retro-attribute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = asofAttribute(mem.toDS())
+      .writeStream.format("memory").queryName("asof_state")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1, arrival order scrambled: the fold must use event-time
+      // order, so p11 attributes to c10 (not the later-timestamped c12)
+      mem.addData(
+        Event(12, 1, "click", 0.0, ts(30)),
+        Event(10, 1, "click", 0.0, ts(0)),
+        Event(11, 1, "purchase", 5.0, ts(10)),
+        Event(20, 2, "purchase", 5.0, ts(10))) // user 2: no click yet
+      q.processAllAvailable()
+      // batch 2: user 1's state carries c12 across the boundary; user
+      // 2's click arrives AFTER its purchase was emitted (bounded-state
+      // trade — no retro-attribution) but serves the NEXT purchase
+      mem.addData(
+        Event(13, 1, "purchase", 5.0, ts(60)),
+        Event(21, 2, "click", 0.0, ts(40)),
+        Event(22, 2, "purchase", 5.0, ts(50)))
+      q.processAllAvailable()
+      val got = spark.table("asof_state")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(x => x._2 -> x).toMap
+      assert(got(11L)._4 == 10L && got(11L)._6 == 10 * 60000L)
+      assert(got(20L)._4 == -1L && got(20L)._5 == -1L && got(20L)._6 == -1L)
+      assert(got(13L)._4 == 12L, "state must carry the last click across batches")
+      assert(got(22L)._4 == 21L, "a late click must still serve later purchases")
+    } finally q.stop()
+  }
 }
