@@ -257,10 +257,17 @@ object Similarity {
 
   private def lshProbe(s: SparkSession, bucketed: DataFrame,
       queries: DataFrame, k: Int, multiprobe: Boolean,
-      numPlanes: Int): DataFrame = {
+      numPlanes: Int): DataFrame =
+    probeJoin(s, bucketed, probeBuckets(queries, numPlanes, multiprobe), k)
+
+  /** The probe join tail against a PRE-BUILT probe-bucket set — split
+    * from [[lshProbe]] so the stored path can feed the same q it
+    * collected the pushdown set from (one evaluation, no drift).
+    */
+  private def probeJoin(s: SparkSession, bucketed: DataFrame,
+      q: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
-    val q = probeBuckets(queries, numPlanes, multiprobe)
     broadcast(q)
       .join(bucketed, Seq("table", "bucket"))
       .filter($"q_id" =!= $"vec_id")
@@ -781,8 +788,15 @@ object Similarity {
       // cluster rows into their directory, sorted by bucket within it
       // — one bucket-ordered file per table at bench scale; at
       // deployment scale files-per-table is bounded by the tasks
-      // holding that table and each file stays bucket-ordered
-      .repartition($"table").sortWithinPartitions($"bucket")
+      // holding that table and each file stays bucket-ordered. The
+      // sort leads with table: it satisfies the dynamic-partition
+      // writer's required ordering (sorting by bucket alone would make
+      // the writer insert its OWN sort on table over the stream, both
+      // re-sorting and — if that sort spills — interleaving the bucket
+      // order the row-group pruning depends on), and it keeps files
+      // bucket-ordered even when two tables hash to one shuffle
+      // partition
+      .repartition($"table").sortWithinPartitions($"table", $"bucket")
       .write.mode("overwrite").partitionBy("table").parquet(outDir)
     val p = new org.apache.hadoop.fs.Path(outDir, "_graft_lsh_planes")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -842,13 +856,17 @@ object Similarity {
   def topkLshStored(s: SparkSession, d: String, indexDir: String,
       k: Int = TopK, multiprobe: Boolean = true): DataFrame = {
     val planes = readLshPlanes(s, indexDir)
-    val queries = querySet(s, d)
-    val idx = readLshIndex(s, indexDir)
-    val pairs = probeBuckets(queries, planes, multiprobe)
-      .select(col("table"), col("bucket")).distinct()
+    // persisted so the pushdown-set collect and the probe join share
+    // ONE evaluation of the query bucketing (it is the probe's
+    // broadcast side — small by definition)
+    val q = probeBuckets(querySet(s, d), planes, multiprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = q.select(col("table"), col("bucket")).distinct()
       .limit(LshProbePushdownCap + 1).collect()
+    val idx = readLshIndex(s, indexDir)
     val pruned =
-      if (pairs.length > LshProbePushdownCap) idx
+      if (pairs.isEmpty) idx.filter(lit(false)) // no queries → empty probe
+      else if (pairs.length > LshProbePushdownCap) idx
       else {
         val byTable = pairs.groupBy(_.getInt(0))
           .map { case (t, rs) => (t, rs.map(_.getInt(1)).distinct.sorted) }
@@ -856,7 +874,7 @@ object Similarity {
           col("table") === t && col("bucket").isin(bs.map(Integer.valueOf): _*)
         }.reduce(_ || _))
       }
-    lshProbe(s, pruned, queries, k, multiprobe, planes)
+    probeJoin(s, pruned, q, k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -888,11 +906,12 @@ object Similarity {
     // against the brute-force baseline.
     "sim_ann_lsh" -> ((s, d) => topkLsh(s, d)),
     // The STORED-path form of sim_ann_lsh (the sim_ann_ivf_stored
-    // pattern): write the bucketed index partitioned by (table,
-    // bucket) with its plane-count sidecar, probe through the stored
-    // readers — buckets computed with the INDEX's recorded sizing.
-    // Same answer as sim_ann_lsh by construction, so it shares that
-    // oracle verbatim.
+    // pattern): write the bucketed index as table-partitioned,
+    // bucket-SORTED parquet with its plane-count sidecar, probe
+    // through the stored readers — buckets computed with the INDEX's
+    // recorded sizing, the probed-bucket set pushed down so row-group
+    // stats prune the scan. Same answer as sim_ann_lsh by
+    // construction, so it shares that oracle verbatim.
     "sim_ann_lsh_stored" -> { (s, d) =>
       val dir = storedQueryDir("lsh", d)
       writeLshIndex(s, d, dir)

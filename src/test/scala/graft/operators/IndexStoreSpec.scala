@@ -77,6 +77,26 @@ class IndexStoreSpec extends AnyFunSuite {
     val pushed = scan.replaceAll(".*PushedFilters: \\[", "").takeWhile(_ != ']')
     assert(pushed.contains("bucket"),
       s"probed-bucket set was not pushed to the stored scan: $scan")
+
+    // a pushed filter only prunes if the FILES are bucket-ordered
+    // (row-group min/max stats) — pin the physical property directly:
+    // every data file in every table directory must carry a
+    // non-decreasing bucket column (PushedFilters strings stay listed
+    // even when stats can't prune, so the string assert alone is not
+    // enough)
+    val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator()
+    var checked = 0
+    dataFiles.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet")) {
+        val buckets = spark.read.parquet(p.toString)
+          .select("bucket").collect().map(_.getInt(0))
+        assert(buckets.sameElements(buckets.sorted),
+          s"stored LSH file $p is not bucket-ordered")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "no stored LSH data files found to check")
   }
 
   test("IVF-PQ stored composition: both halves written, composed in a fresh session") {
