@@ -215,6 +215,100 @@ object Multimodal {
       }
   }
 
+  /** A REAL video decoder behind the same seam, still with zero added
+    * dependencies — which is possible because the oldest mainstream
+    * video container is just a RIFF chunk tree with per-frame payloads:
+    * MJPEG-in-AVI ('RIFF..AVI ', frames in '##dc'/'##db' chunks inside
+    * the 'movi' LIST, each an ordinary JPEG that `javax.imageio`
+    * decodes). This closes the environmental stub entirely: image,
+    * audio, AND video now each have a working JDK decoder behind the
+    * seam, and `FakeDecoder` remains only as the hermetic default the
+    * declared oracles need. Modern codecs (H.264+) genuinely need a
+    * native library — that binding would slot into the same
+    * mapPartitions seam — but the CONTAINER/frame plumbing this
+    * decoder exercises is the part the engine owns.
+    *
+    * dims = (width, height) of the first decodable frame; features =
+    * the elementwise MEAN of the per-frame luminance histograms
+    * ([[JdkImageDecoder.features]] on each sampled frame — shared
+    * kernel, so a 1-frame video bins exactly like its still image),
+    * sampled at a stride so at most [[VideoMaxDecodedFrames]] frames
+    * decode regardless of clip length. Malformed RIFF, non-AVI bytes,
+    * or undecodable frames degrade to None/zero-vector, never throw
+    * (the mixed-corpus totality rule).
+    */
+  object JdkVideoDecoder extends MediaDecoder {
+    val name = "jdk-mjpeg-avi"
+
+    def available: Boolean = JdkImageDecoder.available
+
+    /** Raw frame payloads ('##dc'/'##db' chunk bodies under 'movi'),
+      * in file order; empty on anything that is not a parseable AVI.
+      * Tolerant walk: bad sizes/truncation end the walk rather than
+      * throw.
+      */
+    def frames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      if (bytes == null || bytes.length < 12) return Nil
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def u32(off: Int): Long =
+        (bytes(off) & 0xffL) | (bytes(off + 1) & 0xffL) << 8 |
+          (bytes(off + 2) & 0xffL) << 16 | (bytes(off + 3) & 0xffL) << 24
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
+      val out = Seq.newBuilder[Array[Byte]]
+      def isFrameChunk(cc: String): Boolean =
+        cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+          (cc.endsWith("dc") || cc.endsWith("db"))
+      // walk one chunk sequence [from, until); recurse into LISTs —
+      // frame chunks can sit under 'movi' directly or 'rec ' sublists
+      def walk(from: Int, until: Int): Unit = {
+        var p = from
+        while (p + 8 <= until) {
+          val cc = fourcc(p)
+          val size = u32(p + 4)
+          val dataStart = p + 8
+          if (size < 0 || dataStart + size > until) return // truncated
+          val dataEnd = (dataStart + size).toInt
+          if (cc == "LIST" && size >= 4) walk(dataStart + 4, dataEnd)
+          else if (isFrameChunk(cc) && size > 0)
+            out += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          p = dataEnd + (size.toInt & 1) // chunks pad to even
+        }
+      }
+      try { walk(12, bytes.length); out.result() }
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }
+
+    def dims(bytes: Array[Byte]): Option[(Int, Int)] =
+      frames(bytes).iterator.flatMap(JdkImageDecoder.dims).nextOption()
+
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val fs = frames(bytes)
+      if (fs.isEmpty) return new Array[Float](FeatureBins)
+      val stride = math.max(1, fs.length / VideoMaxDecodedFrames)
+      val sampled = fs.indices.by(stride).take(VideoMaxDecodedFrames)
+        .map(i => fs(i))
+      // decodable frames only: a corrupt frame must not drag the mean
+      // toward zero
+      val hists = sampled.map(JdkImageDecoder.features)
+        .filter(_.exists(_ != 0f))
+      if (hists.isEmpty) return new Array[Float](FeatureBins)
+      val acc = new Array[Float](FeatureBins)
+      hists.foreach { h =>
+        var i = 0
+        while (i < FeatureBins) { acc(i) += h(i); i += 1 }
+      }
+      acc.map(_ / hists.length)
+    }
+  }
+
+  /** Decode-cost bound for [[JdkVideoDecoder.features]]: stride-sample
+    * so at most this many frames decode per clip — per-row work is
+    * bounded by frame size × this constant, not clip length (the
+    * mm_frame_sample stride convention applied inside the kernel).
+    */
+  val VideoMaxDecodedFrames = 8
+
   /** The media relation: opaque payload + typed metadata struct. At
     * 100 TB this is a parquet table of real payloads partitioned by
     * media type / date; metadata travels in-row so planning never

@@ -166,4 +166,86 @@ class MultimodalSpec extends AnyFunSuite {
     assert(real(1L)(12) == 1.0f)
     assert(real(2L).toSeq == Seq.fill(Multimodal.FeatureBins)(0.0f))
   }
+
+  // ----- video (MJPEG-in-AVI through the RIFF walker) ----------------
+
+  private def jpeg(w: Int, h: Int, grey: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (grey << 16) | (grey << 8) | grey
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Minimal structurally-valid MJPEG AVI: RIFF('AVI ') with a token
+    * hdrl LIST and a movi LIST holding one '00dc' chunk per frame
+    * (odd-sized payloads exercise the even-padding rule).
+    */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, (v >> 8 & 0xff).toByte,
+        (v >> 16 & 0xff).toByte, (v >> 24 & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] =
+      cc(fourcc) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    val avih = chunk("avih", new Array[Byte](56))
+    val hdrl = chunk("LIST", cc("hdrl") ++ avih)
+    val movi = chunk("LIST",
+      cc("movi") ++ frames.flatMap(f => chunk("00dc", f)))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  test("JDK video decoder: frame payloads, dims, and mean-histogram features") {
+    assume(Multimodal.JdkVideoDecoder.available)
+    val fs = Seq(jpeg(6, 4, 0), jpeg(6, 4, 128), jpeg(6, 4, 255))
+    val avi = mjpegAvi(fs)
+    val d = Multimodal.JdkVideoDecoder
+    assert(d.frames(avi).map(_.toSeq) == fs.map(_.toSeq),
+      "RIFF walk must return the exact frame payloads in order")
+    assert(d.dims(avi).contains((6, 4)))
+    // features are the elementwise MEAN of the per-frame image
+    // histograms — shared kernel, recomputed here independently
+    val want = fs.map(Multimodal.JdkImageDecoder.features)
+      .transpose.map(xs => xs.sum / fs.length)
+    assert(d.features(avi).toSeq == want)
+    // a 1-frame video bins exactly like its still image
+    val one = mjpegAvi(Seq(fs(1)))
+    assert(d.features(one).toSeq ==
+      Multimodal.JdkImageDecoder.features(fs(1)).toSeq)
+  }
+
+  test("video decoder totality: junk, truncated AVI, and non-AVI RIFF degrade") {
+    val d = Multimodal.JdkVideoDecoder
+    for (bad <- Seq(null, Array.emptyByteArray, "not a video".getBytes("UTF-8"),
+        png(3, 3, 7), mjpegAvi(Seq(jpeg(4, 4, 9))).take(40).toArray,
+        "RIFF   WAVE".getBytes("US-ASCII"))) {
+      assert(d.dims(bad).isEmpty)
+      assert(d.features(bad).toSeq == Seq.fill(Multimodal.FeatureBins)(0.0f))
+    }
+    // corrupt FRAME inside a well-formed container: skipped, not zeroed
+    val good = jpeg(5, 5, 64)
+    val mixed = mjpegAvi(Seq(Array[Byte](1, 2, 3), good))
+    assert(d.dims(mixed).contains((5, 5)))
+    assert(d.features(mixed).toSeq ==
+      Multimodal.JdkImageDecoder.features(good).toSeq)
+  }
+
+  test("the partition-batched decode path runs the video decoder behind the seam") {
+    assume(Multimodal.JdkVideoDecoder.available)
+    import spark.implicits._
+    val media = Seq(
+      (1L, mjpegAvi(Seq(jpeg(8, 8, 200), jpeg(8, 8, 200)))),
+      (2L, "not a video".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val real = Multimodal
+      .decodeFeaturesWith(spark, media, Multimodal.JdkVideoDecoder)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(real(1L).sum > 0.99f && real(1L).sum < 1.01f,
+      "mean histogram must stay a frequency distribution")
+    assert(real(2L).toSeq == Seq.fill(Multimodal.FeatureBins)(0.0f))
+  }
 }
