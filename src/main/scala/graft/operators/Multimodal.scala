@@ -237,7 +237,17 @@ object Multimodal {
     * or undecodable frames degrade to None/zero-vector, never throw
     * (the mixed-corpus totality rule).
     */
-  object JdkVideoDecoder extends MediaDecoder {
+  /** Optional decoder capability: containers that hold addressable
+    * frames ([[JdkVideoDecoder]]; an animated-GIF or native-codec
+    * binding would too). Lets [[sampleFramesWith]] stay decoder-
+    * agnostic.
+    */
+  trait FrameSource extends Serializable {
+    /** Raw frame payloads in container order; empty when unparseable. */
+    def frames(bytes: Array[Byte]): Seq[Array[Byte]]
+  }
+
+  object JdkVideoDecoder extends MediaDecoder with FrameSource {
     val name = "jdk-mjpeg-avi"
 
     def available: Boolean = JdkImageDecoder.available
@@ -352,6 +362,27 @@ object Multimodal {
     */
   def decodeFeatures(s: SparkSession, d: String): DataFrame =
     decodeFeaturesWith(s, mediaRelation(s, d), FakeDecoder)
+
+  /** REAL frame sampling through a frame-addressable decoder: one row
+    * per sampled frame (media_id, frame_idx, frame) — the deployment
+    * form of mm_frame_sample for container payloads (the declared
+    * query keeps its hermetic text-stride form for the oracle).
+    * Partition-batched like [[decodeFeaturesWith]]; the stride bounds
+    * per-clip emission, and non-container payloads simply emit no
+    * rows (the mixed-corpus totality rule).
+    */
+  def sampleFramesWith(s: SparkSession, media: DataFrame,
+      src: FrameSource, stride: Int = 1): DataFrame = {
+    import s.implicits._
+    val step = math.max(1, stride)
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val fs = src.frames(bytes)
+          fs.indices.by(step).map(i => (id, i, fs(i)))
+        }
+      }.toDF("media_id", "frame_idx", "frame")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata projection: must never deserialize payload bytes —

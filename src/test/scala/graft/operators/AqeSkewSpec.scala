@@ -55,4 +55,35 @@ class AqeSkewSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("evt_asof stays correct under a pathologically hot user") {
+    // a power user holding 99% of the event stream: the as-of window
+    // sorts that user inside ONE task (inherent to running-state
+    // semantics — splitting a user's timeline would need boundary
+    // state handoff), so the pin here is CORRECTNESS under skew plus
+    // the absence of any per-user materialization blowup. 20k
+    // alternating click/purchase events → every purchase attributes
+    // to the click immediately before it.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hotasof").toString
+    val hot = (0 until 20000).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), 99L,
+        if (i % 2 == 0) "click" else "purchase", 1.0, "{}")
+    }
+    val cold = (0 until 200).map { i =>
+      (20000L + i, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        (i % 10).toLong, if (i % 2 == 0) "click" else "purchase", 1.0, "{}")
+    }
+    (hot ++ cold)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Relational.queries("evt_asof")(spark, tmp)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val hotRows = r.filter(_._1 == 99L)
+    assert(hotRows.length == 10000)
+    // purchase i attributes to click i-1, lag exactly one second
+    assert(hotRows.forall(x => x._4 == x._2 - 1 && x._6 == 1000L))
+    // the cold users are unaffected by the hot partition
+    assert(r.count(_._1 != 99L) == 100)
+  }
 }

@@ -248,4 +248,20 @@ class MultimodalSpec extends AnyFunSuite {
       "mean histogram must stay a frequency distribution")
     assert(real(2L).toSeq == Seq.fill(Multimodal.FeatureBins)(0.0f))
   }
+
+  test("real frame sampling: stride over container frames, non-video rows emit nothing") {
+    assume(Multimodal.JdkVideoDecoder.available)
+    import spark.implicits._
+    val fs = (0 until 5).map(i => jpeg(4, 4, i * 50))
+    val media = Seq(
+      (1L, mjpegAvi(fs)),
+      (2L, "plain text".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val rows = Multimodal
+      .sampleFramesWith(spark, media, Multimodal.JdkVideoDecoder, stride = 2)
+      .as[(Long, Int, Array[Byte])].collect()
+    assert(rows.forall(_._1 == 1L), "non-container payloads must emit no rows")
+    assert(rows.map(_._2).sorted.toSeq == Seq(0, 2, 4))
+    rows.foreach { case (_, i, f) => assert(f.toSeq == fs(i).toSeq) }
+  }
 }

@@ -447,4 +447,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains(s"LessThan(vec_id,${Dedup.EmbWindowK})"),
       s"id window not pushed to the scan:\n$p")
   }
+
+  test("evt_asof: type filter in the scan, ONE exchange, never an inequality join") {
+    val p = plan("evt_asof")
+    // the as-of is a window over one user-keyed exchange — a refactor
+    // that reintroduces a theta join (BNLJ/cartesian) or a second
+    // shuffle is exactly the 100 TB regression this pins
+    assert(count(p, "Exchange") == 1, p)
+    assert(count(p, "BroadcastNestedLoopJoin") == 0 &&
+      count(p, "CartesianProduct") == 0, p)
+    val scanLine = p.split('\n').find(_.contains("FileScan parquet")).get
+    assert(scanLine.contains("event_type"), s"type filter not in scan: $scanLine")
+    assert(!scanLine.contains("props") && !scanLine.contains("value"),
+      s"unused columns not pruned: $scanLine")
+  }
+
+  test("evt_attrib_window: binned equi-join carries the range residual, no theta join") {
+    val p = plan("evt_attrib_window")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0 &&
+      count(p, "CartesianProduct") == 0,
+      s"range join degenerated to a theta join:\n$p")
+    // the range predicate must ride the equi-join as a residual, not
+    // disappear: the join line (BHJ here, SMJ at scale) carries it
+    val joinLine = p.split('\n')
+      .find(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joinLine.isDefined, p)
+    assert(joinLine.get.contains(">="), s"range residual missing: ${joinLine.get}")
+  }
+
+  test("txt_decontaminate_fuzzy: classify pass reuses the cached pair relation") {
+    Dedup.jaccardPairs(spark, sf).count()
+    val p = plan("txt_decontaminate_fuzzy")
+    assert(p.contains("InMemoryTableScan"),
+      s"fuzzy decontamination re-built the pair relation instead of reading the cache:\n$p")
+  }
 }
