@@ -765,6 +765,52 @@ object Similarity {
       k: Int = TopK, nprobe: Int = -1, assign: Int = IvfAssign): DataFrame =
     ivfProbe(s, readIvfIndex(s, indexDir), querySet(s, d), k, nprobe, assign)
 
+  /** Append NEW vectors to a STORED IVF index WITHOUT retraining — the
+    * nightly-ingest half of the build-once lifecycle. Only the k·d
+    * centroid matrix is read back (never the stored assignments); the
+    * batch is assigned against the FROZEN coarse quantizer with the
+    * same native kernel the build used, so an appended vector lands in
+    * exactly the cell a full rebuild with these centroids would give
+    * it, and cell-partitioned rows are APPENDED (each batch's files
+    * land inside the existing cell directories — files-per-cell grows
+    * by the batch's tasks per append; periodic compaction or a rebuild
+    * is the deployment's defragmentation, the FAISS convention that
+    * retraining is a new index VERSION while appending is cheap). The
+    * occupancy table is rewritten (bounded: k rows) so the
+    * occupancy-aware probe policy prices the grown cells. Batch ids
+    * must be disjoint from the stored ones (content-addressed
+    * upstream, the tracking-table convention). Single-writer
+    * maintenance op: a probe racing an append may see a partial batch
+    * — a deployment needing atomic cutover versions the index dir.
+    */
+  def appendToIvfIndex(s: SparkSession, indexDir: String,
+      batch: DataFrame, assign: Int = IvfAssign): Unit = {
+    import s.implicits._
+    val centRows = s.read.parquet(s"$indexDir/centroids")
+      .select($"cell", $"centroid", $"cnrm", $"occupancy")
+      .as[(Long, Seq[Float], Double, Long)].collect().sortBy(_._1)
+    val cents = centRows.map { case (cid, cv, cn, _) => (cid, cv.toArray, cn) }
+    val cells = nearestCellsCol(cents, assign) _
+    val assigned = batch
+      .select($"vec_id", $"embedding",
+        graft.functions.VectorFunctions.norm($"embedding").as("nrm"))
+      .select($"vec_id", $"embedding", $"nrm",
+        explode(cells($"embedding")).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val delta = assigned.groupBy($"cell").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assigned.repartition($"cell")
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$indexDir/assignments")
+      centRows.toSeq
+        .map { case (cid, cv, cn, occ) =>
+          (cid, cv, cn, occ + delta.getOrElse(cid, 0L)) }
+        .toDF("cell", "centroid", "cnrm", "occupancy")
+        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    } finally assigned.unpersist(blocking = false)
+  }
+
   /** Write the built LSH index partitioned by table, each table's
     * rows SORTED by bucket so parquet row-group min/max stats prune
     * bucket predicates. Partitioning by bucket itself would be

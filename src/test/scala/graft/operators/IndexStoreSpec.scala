@@ -99,6 +99,46 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(checked > 0, "no stored LSH data files found to check")
   }
 
+  test("IVF append: frozen-quantizer assignment parity, occupancy tracks growth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    Similarity.writeIvfIndex(spark, sf, dir)
+    // materialize the BEFORE state eagerly: the stored reader is lazy,
+    // so reading it after the append would see the appended files
+    val before = Similarity.readIvfIndex(spark, dir)
+    val beforeCount = before.assigned.count()
+    val beforeOcc = before.cellCounts.sum
+    assert(beforeCount == beforeOcc)
+    val origCells = before.assigned.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toSet
+
+    // batch = copies of existing vectors under disjoint ids: each MUST
+    // land in exactly its original's cell(s) — the frozen-quantizer
+    // contract (a rebuild with these centroids would agree)
+    val batch = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(spark, dir, batch)
+
+    val s2 = spark.newSession()
+    val after = Similarity.readIvfIndex(s2, dir)
+    val nNew = after.assigned.filter(col("vec_id") >= 1000000L).count()
+    assert(nNew > 0)
+    assert(after.assigned.count() == beforeCount + nNew)
+    assert(after.cellCounts.sum == beforeOcc + nNew,
+      "occupancy table must price the appended rows")
+    val newCells = after.assigned.filter(col("vec_id") >= 1000000L)
+      .select((col("vec_id") - 1000000L).as("vec_id"), col("cell"))
+      .as[(Long, Long)].collect().toSet
+    assert(newCells == origCells,
+      "appended copies must assign to exactly their originals' cells")
+    // the coarse quantizer itself is immutable across appends
+    assert(after.cents.length == before.cents.length)
+    assert(after.cents.zip(before.cents).forall { case (a, b) =>
+      a._1 == b._1 && a._2.sameElements(b._2) && a._3 == b._3 })
+  }
+
   test("IVF-PQ stored composition: both halves written, composed in a fresh session") {
     // the FAISS deployment shape end-to-end: one build job writes the
     // coarse quantizer layout AND the codes; a later query job reads
