@@ -811,6 +811,29 @@ object Similarity {
     } finally assigned.unpersist(blocking = false)
   }
 
+  /** Defragment a stored IVF index after appends: rewrite the
+    * assignments one file per cell (each [[appendToIvfIndex]] batch
+    * adds files inside the cell directories; probes pay per-file
+    * footer/open cost, so periodic compaction is the deployment's
+    * maintenance job — the counterpart of a log-structured store's
+    * merge). Content and occupancy are unchanged; single-writer like
+    * the append (version the index dir for atomic cutover).
+    */
+  def compactIvfIndex(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val src = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/assignments_compacting")
+    // distributed copy into a sibling dir, then swap — never a driver
+    // collect, never a read-while-overwrite of the same directory
+    readIvfIndex(s, indexDir).assigned
+      .select($"vec_id", $"embedding", $"nrm", $"cell")
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(src, true)
+    require(fs.rename(tmp, src), s"compaction swap failed for $indexDir")
+  }
+
   /** Write the built LSH index partitioned by table, each table's
     * rows SORTED by bucket so parquet row-group min/max stats prune
     * bucket predicates. Partitioning by bucket itself would be
@@ -848,6 +871,32 @@ object Similarity {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(lshPlanes(s, d).toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Append NEW vectors to a STORED LSH index — the LSH counterpart
+    * of [[appendToIvfIndex]], and the reason the plane-count sidecar
+    * exists: the batch is bucketed with the INDEX's recorded plane
+    * count (never the current corpus's adaptive sizing, which may
+    * have stepped since the build), so appended vectors collide with
+    * stored ones exactly as a rebuild at that sizing would. Each
+    * append adds one bucket-sorted file per touched table directory;
+    * per-file row-group pruning is preserved (every file stays
+    * bucket-ordered), and compaction/rebuild is the defrag path as
+    * with IVF. Single-writer, disjoint ids — the append conventions.
+    */
+  def appendToLshIndex(s: SparkSession, indexDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val planes = readLshPlanes(s, indexDir)
+    batch
+      .select($"vec_id", $"embedding",
+        graft.functions.VectorFunctions.norm($"embedding").as("nrm"))
+      .select($"vec_id", $"embedding", $"nrm",
+        explode(lshBucketsPacked($"embedding", planes)).as("tp"))
+      .select($"vec_id", $"embedding", $"nrm",
+        unpackTable($"tp").as("table"), unpackBucket($"tp").as("bucket"))
+      .repartition($"table").sortWithinPartitions($"table", $"bucket")
+      .write.mode("append").partitionBy("table").parquet(indexDir)
   }
 
   /** The plane count a stored LSH index was built with (sidecar

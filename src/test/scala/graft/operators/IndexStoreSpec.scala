@@ -139,6 +139,81 @@ class IndexStoreSpec extends AnyFunSuite {
       a._1 == b._1 && a._2.sameElements(b._2) && a._3 == b._3 })
   }
 
+  test("IVF compaction: files-per-cell collapse to one; content and probe unchanged") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    Similarity.writeIvfIndex(spark, sf, dir)
+    // two appends fragment the cell directories
+    for (off <- Seq(1000000L, 2000000L)) {
+      val batch = graft.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < 30)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+      Similarity.appendToIvfIndex(spark, dir, batch)
+    }
+    def parquetFiles(p: String): Seq[java.nio.file.Path] = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator()
+      val out = Seq.newBuilder[java.nio.file.Path]
+      it.forEachRemaining(f => if (f.toString.endsWith(".parquet")) out += f)
+      out.result()
+    }
+    val fragmented = parquetFiles(s"$dir/assignments")
+    val beforeRows = Similarity.readIvfIndex(spark, dir).assigned
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toSet
+
+    Similarity.compactIvfIndex(spark, dir)
+    val compacted = parquetFiles(s"$dir/assignments")
+    assert(compacted.size < fragmented.size,
+      s"compaction did not reduce files: ${fragmented.size} -> ${compacted.size}")
+    // one file per cell directory after compaction
+    val perDir = compacted.groupBy(_.getParent)
+    assert(perDir.values.forall(_.size == 1),
+      s"cells with >1 file after compaction: ${perDir.filter(_._2.size > 1).keys}")
+    // content identical through the swap
+    val afterRows = Similarity.readIvfIndex(spark.newSession(), dir).assigned
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(afterRows == beforeRows)
+  }
+
+  test("LSH append: batch buckets with the SIDECAR plane count; files stay bucket-ordered") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lshappend").toString
+    Similarity.writeLshIndex(spark, sf, dir)
+    val before = Similarity.readLshIndex(spark, dir)
+      .select(col("vec_id"), col("table"), col("bucket"))
+      .as[(Long, Int, Int)].collect()
+    val origBuckets = before.filter(_._1 < 40)
+      .map(r => (r._1, r._2, r._3)).toSet
+
+    val batch = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 40)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.appendToLshIndex(spark, dir, batch)
+
+    val after = Similarity.readLshIndex(spark.newSession(), dir)
+      .select(col("vec_id"), col("table"), col("bucket"))
+      .as[(Long, Int, Int)].collect()
+    assert(after.length > before.length)
+    // identical copies collide with their originals in every table —
+    // the sidecar-sizing contract
+    val newBuckets = after.filter(_._1 >= 1000000L)
+      .map(r => (r._1 - 1000000L, r._2, r._3)).toSet
+    assert(newBuckets == origBuckets)
+    // every file (original + appended) remains bucket-ordered
+    val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+    var checked = 0
+    it.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet")) {
+        val bs = spark.read.parquet(p.toString)
+          .select("bucket").collect().map(_.getInt(0))
+        assert(bs.sameElements(bs.sorted), s"unordered appended file $p")
+        checked += 1
+      }
+    }
+    assert(checked > Similarity.NumTables, "append produced no new files")
+  }
+
   test("IVF-PQ stored composition: both halves written, composed in a fresh session") {
     // the FAISS deployment shape end-to-end: one build job writes the
     // coarse quantizer layout AND the codes; a later query job reads
