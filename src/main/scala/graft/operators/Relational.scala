@@ -368,6 +368,36 @@ object Relational {
           ($"dau".cast("double") / $"mau".cast("double")).as("stickiness"))
     },
 
+    // Windowed conversion funnel — evt_funnel with a per-stage
+    // conversion DEADLINE (the product-analytics norm: a click only
+    // converts within AttribWindowMs of the first view, a purchase
+    // within AttribWindowMs of that click). Same shrinking user-keyed
+    // join-reduce shape as evt_funnel — each stage's relation is a
+    // subset of the last, per-user scalars move after the first
+    // pushdown-filtered scans — plus exact BIGINT lag mass per stage
+    // (sum of conversion delays; integer, so hash-exact cross-engine
+    // with no rounding). Stage mins are consistent: v_ts is constant
+    // per user, so min(ts) and min(ts - v_ts) pick the same event.
+    "evt_funnel_windowed" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d).select($"user_id", $"event_type",
+        expr("unix_micros(ts) div 1000").as("ts_ms"))
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts_ms").as("v_ts"))
+      val c = e.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts_ms" > $"v_ts" && $"ts_ms" <= $"v_ts" + AttribWindowMs)
+        .groupBy($"user_id")
+        .agg(min($"ts_ms").as("c_ts"), min($"ts_ms" - $"v_ts").as("c_lag"))
+      val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts_ms" > $"c_ts" && $"ts_ms" <= $"c_ts" + AttribWindowMs)
+        .groupBy($"user_id").agg(min($"ts_ms" - $"c_ts").as("p_lag"))
+      v.select(lit(1L).as("stage"), $"user_id", lit(0L).as("lag"))
+        .union(c.select(lit(2L).as("stage"), $"user_id", $"c_lag".as("lag")))
+        .union(p.select(lit(3L).as("stage"), $"user_id", $"p_lag".as("lag")))
+        .groupBy($"stage")
+        .agg(count(lit(1)).as("n_users"), sum($"lag").as("sum_lag_ms"))
+    },
+
     // As-of join — each purchase attributed to the user's most recent
     // click at-or-before it in the (ts_ms, event_id) total order, the
     // classic attribution/point-in-time lookup. The scale move: an
@@ -662,6 +692,32 @@ object Relational {
             CASE WHEN ABS(z) > $ZScoreThreshold::DOUBLE THEN 1 ELSE 0 END::BIGINT
               AS is_anomaly
           FROM z""",
+    // the same shrinking staged shape with the per-stage deadline
+    // ANDed on; CAST around the lag sum keeps HUGEINT out of the
+    // compared schema
+    "evt_funnel_windowed" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
+            FROM events),
+          v AS (SELECT user_id, MIN(ts_ms) AS v_ts FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, MIN(ts_ms) AS c_ts,
+            MIN(ts_ms - v_ts) AS c_lag
+            FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts_ms > v_ts
+              AND ts_ms <= v_ts + $AttribWindowMs
+            GROUP BY e.user_id),
+          p AS (SELECT e.user_id, MIN(ts_ms - c_ts) AS p_lag
+            FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts_ms > c_ts
+              AND ts_ms <= c_ts + $AttribWindowMs
+            GROUP BY e.user_id)
+          SELECT stage, COUNT(*) AS n_users,
+            CAST(SUM(lag) AS BIGINT) AS sum_lag_ms FROM (
+            SELECT 1 AS stage, user_id, 0 AS lag FROM v
+            UNION ALL SELECT 2, user_id, c_lag FROM c
+            UNION ALL SELECT 3, user_id, p_lag FROM p)
+          GROUP BY stage""",
     // the as-of lookup as a running last-non-null over the same
     // (ts_ms, event_id) total order the Spark window uses; -1
     // sentinels keep every column non-null BIGINT on both engines
