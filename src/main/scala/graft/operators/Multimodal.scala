@@ -215,6 +215,25 @@ object Multimodal {
       }
   }
 
+  /** Optional decoder capability: containers that hold addressable
+    * frames ([[JdkVideoDecoder]]; an animated-GIF or native-codec
+    * binding would too). Lets [[sampleFramesWith]] stay decoder-
+    * agnostic. `sampledFrames` exists so a container implementation
+    * can COPY only the frames a stride selects — the default
+    * materializes everything and strides after, which a large-clip
+    * decoder should override.
+    */
+  trait FrameSource extends Serializable {
+    /** Raw frame payloads in container order; empty when unparseable. */
+    def frames(bytes: Array[Byte]): Seq[Array[Byte]]
+
+    /** (frame_idx, payload) for every stride-th frame. */
+    def sampledFrames(bytes: Array[Byte], stride: Int): Seq[(Int, Array[Byte])] = {
+      val fs = frames(bytes)
+      fs.indices.by(math.max(1, stride)).map(i => (i, fs(i)))
+    }
+  }
+
   /** A REAL video decoder behind the same seam, still with zero added
     * dependencies — which is possible because the oldest mainstream
     * video container is just a RIFF chunk tree with per-frame payloads:
@@ -232,32 +251,27 @@ object Multimodal {
     * the elementwise MEAN of the per-frame luminance histograms
     * ([[JdkImageDecoder.features]] on each sampled frame — shared
     * kernel, so a 1-frame video bins exactly like its still image),
-    * sampled at a stride so at most [[VideoMaxDecodedFrames]] frames
-    * decode regardless of clip length. Malformed RIFF, non-AVI bytes,
-    * or undecodable frames degrade to None/zero-vector, never throw
-    * (the mixed-corpus totality rule).
+    * ceil-stride-sampled ACROSS the whole clip so at most
+    * [[VideoMaxDecodedFrames]] frames decode regardless of clip
+    * length. The walk records (offset, length) ranges and copies only
+    * the frames actually consumed — per-row allocation is frames-used
+    * × frame size, never clip size. Malformed RIFF, non-AVI bytes,
+    * pathological nesting, or undecodable frames degrade to
+    * None/zero-vector, never throw (the mixed-corpus totality rule).
     */
-  /** Optional decoder capability: containers that hold addressable
-    * frames ([[JdkVideoDecoder]]; an animated-GIF or native-codec
-    * binding would too). Lets [[sampleFramesWith]] stay decoder-
-    * agnostic.
-    */
-  trait FrameSource extends Serializable {
-    /** Raw frame payloads in container order; empty when unparseable. */
-    def frames(bytes: Array[Byte]): Seq[Array[Byte]]
-  }
-
   object JdkVideoDecoder extends MediaDecoder with FrameSource {
     val name = "jdk-mjpeg-avi"
 
     def available: Boolean = JdkImageDecoder.available
 
-    /** Raw frame payloads ('##dc'/'##db' chunk bodies under 'movi'),
+    /** (offset, length) of each '##dc'/'##db' chunk body under 'movi',
       * in file order; empty on anything that is not a parseable AVI.
-      * Tolerant walk: bad sizes/truncation end the walk rather than
-      * throw.
+      * Tolerant ITERATIVE walk (an explicit range stack, so
+      * adversarially-nested LISTs cannot StackOverflow a task — that
+      * error is fatal and would escape a NonFatal catch): bad sizes or
+      * truncation end the walk rather than throw.
       */
-    def frames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    private def frameRanges(bytes: Array[Byte]): Seq[(Int, Int)] = {
       if (bytes == null || bytes.length < 12) return Nil
       def fourcc(off: Int): String =
         new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -265,39 +279,76 @@ object Multimodal {
         (bytes(off) & 0xffL) | (bytes(off + 1) & 0xffL) << 8 |
           (bytes(off + 2) & 0xffL) << 16 | (bytes(off + 3) & 0xffL) << 24
       if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
-      val out = Seq.newBuilder[Array[Byte]]
       def isFrameChunk(cc: String): Boolean =
         cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
           (cc.endsWith("dc") || cc.endsWith("db"))
-      // walk one chunk sequence [from, until); recurse into LISTs —
-      // frame chunks can sit under 'movi' directly or 'rec ' sublists
-      def walk(from: Int, until: Int): Unit = {
-        var p = from
-        while (p + 8 <= until) {
-          val cc = fourcc(p)
-          val size = u32(p + 4)
-          val dataStart = p + 8
-          if (size < 0 || dataStart + size > until) return // truncated
-          val dataEnd = (dataStart + size).toInt
-          if (cc == "LIST" && size >= 4) walk(dataStart + 4, dataEnd)
-          else if (isFrameChunk(cc) && size > 0)
-            out += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-          p = dataEnd + (size.toInt & 1) // chunks pad to even
+      val out = Seq.newBuilder[(Int, Int)]
+      // ranges still to scan; LIST bodies push their inner range and
+      // the remainder of the outer one — frame chunks can sit under
+      // 'movi' directly or 'rec ' sublists
+      var stack = List((12, bytes.length))
+      try {
+        while (stack.nonEmpty) {
+          var (p, until) = stack.head
+          stack = stack.tail
+          var walking = true
+          while (walking && p + 8 <= until) {
+            val cc = fourcc(p)
+            val size = u32(p + 4)
+            val dataStart = p + 8
+            if (size < 0 || dataStart + size > until) walking = false // truncated
+            else {
+              val dataEnd = (dataStart + size).toInt
+              if (cc == "LIST" && size >= 4) {
+                // depth-first IN ORDER: the LIST body scans next, the
+                // remainder of this range after it — same emission
+                // order as the recursive walk, no recursion depth
+                stack = (dataStart + 4, dataEnd) ::
+                  (dataEnd + (size.toInt & 1), until) :: stack
+                walking = false
+              } else {
+                if (isFrameChunk(cc) && size > 0)
+                  out += ((dataStart, size.toInt))
+                p = dataEnd + (size.toInt & 1) // chunks pad to even
+              }
+            }
+          }
         }
-      }
-      try { walk(12, bytes.length); out.result() }
-      catch { case scala.util.control.NonFatal(_) => Nil }
+        out.result()
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
+
+    private def copyRange(bytes: Array[Byte], r: (Int, Int)): Array[Byte] =
+      java.util.Arrays.copyOfRange(bytes, r._1, r._1 + r._2)
+
+    /** Raw frame payloads in file order — the materializing accessor;
+      * [[features]]/[[dims]]/[[sampledFrames]] go through
+      * [[frameRanges]] and copy only what they consume.
+      */
+    def frames(bytes: Array[Byte]): Seq[Array[Byte]] =
+      frameRanges(bytes).map(copyRange(bytes, _))
+
+    override def sampledFrames(bytes: Array[Byte],
+        stride: Int): Seq[(Int, Array[Byte])] = {
+      val rs = frameRanges(bytes)
+      rs.indices.by(math.max(1, stride))
+        .map(i => (i, copyRange(bytes, rs(i))))
     }
 
     def dims(bytes: Array[Byte]): Option[(Int, Int)] =
-      frames(bytes).iterator.flatMap(JdkImageDecoder.dims).nextOption()
+      frameRanges(bytes).iterator
+        .flatMap(r => JdkImageDecoder.dims(copyRange(bytes, r)))
+        .nextOption()
 
     def features(bytes: Array[Byte]): Array[Float] = {
-      val fs = frames(bytes)
-      if (fs.isEmpty) return new Array[Float](FeatureBins)
-      val stride = math.max(1, fs.length / VideoMaxDecodedFrames)
-      val sampled = fs.indices.by(stride).take(VideoMaxDecodedFrames)
-        .map(i => fs(i))
+      val rs = frameRanges(bytes)
+      if (rs.isEmpty) return new Array[Float](FeatureBins)
+      // ceil stride: samples spread across the WHOLE clip (floor would
+      // decode only the first consecutive 8 of a 9..15-frame clip)
+      val stride = (rs.length + VideoMaxDecodedFrames - 1) / VideoMaxDecodedFrames
+      val sampled = rs.indices.by(math.max(1, stride))
+        .take(VideoMaxDecodedFrames)
+        .map(i => copyRange(bytes, rs(i)))
       // decodable frames only: a corrupt frame must not drag the mean
       // toward zero
       val hists = sampled.map(JdkImageDecoder.features)
@@ -378,8 +429,7 @@ object Multimodal {
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val fs = src.frames(bytes)
-          fs.indices.by(step).map(i => (id, i, fs(i)))
+          src.sampledFrames(bytes, step).map { case (i, f) => (id, i, f) }
         }
       }.toDF("media_id", "frame_idx", "frame")
   }

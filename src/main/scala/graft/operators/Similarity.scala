@@ -803,11 +803,17 @@ object Similarity {
       assigned.repartition($"cell")
         .write.mode("append").partitionBy("cell")
         .parquet(s"$indexDir/assignments")
+      // NEVER overwrite the trained quantizer in place: a crash
+      // mid-overwrite would destroy the only copy of the centroids
+      // (irreplaceable without a retrain). Write a sibling, swap.
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/centroids_updating")
       centRows.toSeq
         .map { case (cid, cv, cn, occ) =>
           (cid, cv, cn, occ + delta.getOrElse(cid, 0L)) }
         .toDF("cell", "centroid", "cnrm", "occupancy")
-        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+        .write.mode("overwrite").parquet(tmp.toString)
+      swapDirInto(s, tmp,
+        new org.apache.hadoop.fs.Path(s"$indexDir/centroids"))
     } finally assigned.unpersist(blocking = false)
   }
 
@@ -819,19 +825,38 @@ object Similarity {
     * merge). Content and occupancy are unchanged; single-writer like
     * the append (version the index dir for atomic cutover).
     */
+  /** Swap a freshly-written sibling directory into place without a
+    * window where the target is missing: target → `_old`, fresh →
+    * target, drop `_old`. A crash between the renames leaves the fresh
+    * copy intact under one of the two names — recoverable by hand —
+    * never a deleted-only state. (Rename is atomic-cheap on HDFS/local;
+    * an object store without rename versions whole index dirs instead,
+    * the note on [[appendToIvfIndex]].)
+    */
+  private def swapDirInto(s: SparkSession,
+      fresh: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path): Unit = {
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(target.toString + "_old")
+    fs.delete(old, true)
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"swap: could not retire $target")
+    require(fs.rename(fresh, target), s"swap: could not promote $fresh")
+    fs.delete(old, true)
+  }
+
   def compactIvfIndex(s: SparkSession, indexDir: String): Unit = {
     import s.implicits._
     val src = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/assignments_compacting")
     // distributed copy into a sibling dir, then swap — never a driver
-    // collect, never a read-while-overwrite of the same directory
+    // collect, never a read-while-overwrite of the same directory,
+    // never a window with no assignments on disk
     readIvfIndex(s, indexDir).assigned
       .select($"vec_id", $"embedding", $"nrm", $"cell")
       .repartition($"cell")
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(src, true)
-    require(fs.rename(tmp, src), s"compaction swap failed for $indexDir")
+    swapDirInto(s, tmp, src)
   }
 
   /** Write the built LSH index partitioned by table, each table's

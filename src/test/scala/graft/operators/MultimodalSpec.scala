@@ -249,6 +249,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(real(2L).toSeq == Seq.fill(Multimodal.FeatureBins)(0.0f))
   }
 
+  test("video features ceil-stride: a 15-frame clip samples ACROSS the clip, not its head") {
+    assume(Multimodal.JdkVideoDecoder.available)
+    // floor stride would decode frames 0..7 and never see the tail;
+    // ceil stride (2 here) must sample 0,2,...,14 — pinned by making
+    // the head frames one shade and the tail another
+    val fs = (0 until 15).map(i => jpeg(4, 4, if (i < 8) 0 else 250))
+    val got = Multimodal.JdkVideoDecoder.features(mjpegAvi(fs))
+    val want = (0 until 15 by 2).map(i => fs(i))
+      .map(Multimodal.JdkImageDecoder.features)
+      .transpose.map(xs => xs.sum / 8)
+    assert(got.toSeq == want)
+    // tail shade present in the mean — head-only sampling would zero it
+    assert(got.last > 0f, "clip tail never sampled")
+  }
+
+  test("adversarially nested LISTs cannot overflow the walk; rec sublists keep frame order") {
+    val d = Multimodal.JdkVideoDecoder
+    // ~60k nested LIST('rec ') headers: a recursive walk would
+    // StackOverflow (fatal — escapes NonFatal) and kill the task
+    val n = 60000
+    val buf = java.nio.ByteBuffer.allocate(12 + n * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + n * 12)
+      .put("AVI ".getBytes("US-ASCII"))
+    for (k <- 0 until n)
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4 + (n - 1 - k) * 12)
+        .put("rec ".getBytes("US-ASCII"))
+    assert(d.frames(buf.array()).isEmpty)
+    assert(d.features(buf.array()).toSeq ==
+      Seq.fill(Multimodal.FeatureBins)(0.0f))
+
+    // in-order traversal: frame, LIST rec(frame, frame), frame must
+    // come back 0,1,2,3 — an out-of-order stack walk would scramble
+    // frame_idx
+    val f = (0 until 4).map(i => jpeg(3, 3, i * 60))
+    def le32(v: Int) = Array((v & 0xff).toByte, (v >> 8 & 0xff).toByte,
+      (v >> 16 & 0xff).toByte, (v >> 24 & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def chunk(fcc: String, data: Array[Byte]) =
+      cc(fcc) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    val rec = chunk("LIST", cc("rec ") ++ chunk("00dc", f(1)) ++ chunk("00dc", f(2)))
+    val movi = chunk("LIST",
+      cc("movi") ++ chunk("00dc", f(0)) ++ rec ++ chunk("00dc", f(3)))
+    val body = cc("AVI ") ++ movi
+    val avi = cc("RIFF") ++ le32(body.length) ++ body
+    assert(d.frames(avi).map(_.toSeq) == f.map(_.toSeq),
+      "rec-sublist frames out of order")
+  }
+
   test("real frame sampling: stride over container frames, non-video rows emit nothing") {
     assume(Multimodal.JdkVideoDecoder.available)
     import spark.implicits._
