@@ -588,6 +588,47 @@ object TextAnalysis {
           round(coalesce($"nll", lit(0.0)), 5).as("nll"))
     },
 
+    // Bigram-LM cross-entropy — the stronger perplexity-filter proxy
+    // (the unigram NLL's conditional sibling; the KenLM-filter shape
+    // without the external LM): per doc, the mean NLL of each token
+    // given its predecessor under the corpus bigram model with
+    // add-one smoothing over the corpus vocabulary,
+    // p(w|prev) = (C(prev,w) + 1) / (C(prev,·) + V). Bigram emission
+    // is ROW-LOCAL (a transform over the token array — no positional
+    // self-join); the model is two keyed count aggs (bigram, then
+    // prev — the second a rollup of the first, never a second corpus
+    // pass) and V rides as a 1-row broadcast. Counts are exact
+    // integers; ln products round(5) like txt_unigram_nll. Docs with
+    // <2 tokens carry zero bigrams → 0.0 (the LEFT-JOIN pin).
+    "txt_bigram_nll" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", tokens($"text").as("toks"))
+      val pairs = docs.select($"doc_id", explode(when(size($"toks") >= 2,
+        expr("""transform(sequence(2, size(toks)),
+                i -> struct(element_at(toks, i - 1) AS prev,
+                            element_at(toks, i) AS cur))"""))
+        .otherwise(expr("array()"))).as("bg"))
+        .select($"doc_id", $"bg.prev".as("prev"), $"bg.cur".as("cur"))
+      val tf = pairs.groupBy($"doc_id", $"prev", $"cur")
+        .agg(count(lit(1)).as("tf"))
+      val bc = tf.groupBy($"prev", $"cur").agg(sum($"tf").as("cbg"))
+      val pc = bc.groupBy($"prev").agg(sum($"cbg").as("cprev"))
+      val vocab = docs.select(explode($"toks").as("tok"))
+        .agg(countDistinct($"tok").as("v"))
+      val per = tf.join(bc, Seq("prev", "cur")).join(pc, Seq("prev"))
+        .crossJoin(broadcast(vocab))
+        .groupBy($"doc_id")
+        .agg(sum($"tf").as("n_bigrams"),
+          (-sum($"tf" * log(($"cbg" + 1).cast("double") /
+            ($"cprev" + $"v").cast("double"))) / sum($"tf")).as("nll"))
+      Tables.documents(s, d).select($"doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+          round(coalesce($"nll", lit(0.0)), 5).as("nll"))
+    },
+
     // Deterministic training-shard layout audit: route each document
     // to one of 16 shards by a stable id hash (the first md5 nibble —
     // content-free, so shard membership survives text edits), then
@@ -1337,6 +1378,34 @@ object TextAnalysis {
             FROM tf JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id)
           SELECT d.doc_id,
             COALESCE(per.n, 0) AS n_tokens,
+            ROUND(COALESCE(per.nll, 0.0), 5) AS nll
+          FROM documents d LEFT JOIN per USING (doc_id)""",
+    // the same model restated: row-local bigram lists, two count
+    // CTEs (the second rolls up the first), V from the distinct token
+    // stream; identical add-one arithmetic, round(5) like the unigram
+    "txt_bigram_nll" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(2, len(t)),
+                i -> t[i-1])) AS prev,
+              unnest(list_transform(generate_series(2, len(t)),
+                i -> t[i])) AS cur
+            FROM toks WHERE len(t) >= 2),
+          tf AS (SELECT doc_id, prev, cur, COUNT(*) AS tf FROM bg
+            GROUP BY doc_id, prev, cur),
+          bc AS (SELECT prev, cur, SUM(tf) AS cbg FROM tf
+            GROUP BY prev, cur),
+          pc AS (SELECT prev, SUM(cbg) AS cprev FROM bc GROUP BY prev),
+          voc AS (SELECT COUNT(DISTINCT tok) AS v FROM
+            (SELECT unnest($sqlToks) AS tok FROM documents)),
+          per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n,
+              -SUM(tf * ln((cbg + 1)::DOUBLE / (cprev + v)::DOUBLE))
+                / SUM(tf) AS nll
+            FROM tf JOIN bc USING (prev, cur) JOIN pc USING (prev)
+              CROSS JOIN voc
+            GROUP BY doc_id)
+          SELECT d.doc_id,
+            COALESCE(per.n, 0) AS n_bigrams,
             ROUND(COALESCE(per.nll, 0.0), 5) AS nll
           FROM documents d LEFT JOIN per USING (doc_id)""",
     "txt_shard" ->
