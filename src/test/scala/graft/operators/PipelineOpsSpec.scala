@@ -1304,6 +1304,38 @@ class PipelineOpsSpec extends AnyFunSuite {
         assert(got._4 == in.size.toLong && got._5 == wantCents,
           s"attrib seed=$seed p=${p.id}: got $got want (${in.size}, $wantCents)")
       }
+
+      // windowed funnel: stage membership and exact lag mass recomputed
+      // per user from the same random draw (deadline edges included —
+      // the grid makes ts == v_ts + W occur, which must still convert:
+      // the bound is inclusive)
+      val byUser = evs.groupBy(_.user)
+      case class St(users: Long, lag: Long)
+      var s1 = St(0, 0); var s2 = St(0, 0); var s3 = St(0, 0)
+      byUser.foreach { case (_, es) =>
+        val views = es.filter(_.typ == "view")
+        if (views.nonEmpty) {
+          val vTs = views.map(_.ms).min
+          s1 = St(s1.users + 1, s1.lag)
+          val clicks = es.filter(c => c.typ == "click" &&
+            c.ms > vTs && c.ms <= vTs + W)
+          if (clicks.nonEmpty) {
+            val cTs = clicks.map(_.ms).min
+            s2 = St(s2.users + 1, s2.lag + (cTs - vTs))
+            val buys = es.filter(c => c.typ == "purchase" &&
+              c.ms > cTs && c.ms <= cTs + W)
+            if (buys.nonEmpty)
+              s3 = St(s3.users + 1, s3.lag + (buys.map(_.ms).min - cTs))
+          }
+        }
+      }
+      val fun = Relational.queries("evt_funnel_windowed")(spark, tmp)
+        .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+      for ((stage, want) <- Seq(1L -> s1, 2L -> s2, 3L -> s3)
+           if want.users > 0) {
+        assert(fun(stage) == ((want.users, want.lag)),
+          s"funnel seed=$seed stage=$stage: got ${fun(stage)} want $want")
+      }
     }
   }
 }
