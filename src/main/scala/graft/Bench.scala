@@ -102,15 +102,21 @@ object Bench {
     // to bench_last.json, committed per round as the durable record.
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","budget_violations":$vjson,"failed":$fjson,"total_sec":$total}"""
     println(json)
-    try
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_last.json"), json + "\n")
-    catch { case scala.util.control.NonFatal(e) =>
-      // Files.writeString actually THROWS on I/O failure (PrintWriter
-      // would swallow it behind its error flag and commit a truncated
-      // "durable record")
-      System.err.println(s"[bench] could not write bench_last.json: $e")
-    }
+    // SUBSET runs (SPARK_GRAFT_QUERIES) are local curve/A-B probes —
+    // writing them over the durable record silently replaces the
+    // committed full-surface artifact with a 3-query fragment (this
+    // happened twice before this guard existed; both times the
+    // clobbered artifact reached a commit)
+    if (subset.isEmpty)
+      try
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_last.json"), json + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        // Files.writeString actually THROWS on I/O failure (PrintWriter
+        // would swallow it behind its error flag and commit a truncated
+        // "durable record")
+        System.err.println(s"[bench] could not write bench_last.json: $e")
+      }
     spark.stop()
   }
 

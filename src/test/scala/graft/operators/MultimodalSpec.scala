@@ -265,6 +265,9 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("adversarially nested LISTs cannot overflow the walk; rec sublists keep frame order") {
+    // the ordering half builds JPEG payloads — guard like the sibling
+    // video tests so a writer-less JVM cancels instead of failing
+    assume(Multimodal.JdkVideoDecoder.available)
     val d = Multimodal.JdkVideoDecoder
     // ~60k nested LIST('rec ') headers: a recursive walk would
     // StackOverflow (fatal — escapes NonFatal) and kill the task

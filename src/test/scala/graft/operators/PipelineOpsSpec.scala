@@ -1331,10 +1331,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
       val fun = Relational.queries("evt_funnel_windowed")(spark, tmp)
         .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
-      for ((stage, want) <- Seq(1L -> s1, 2L -> s2, 3L -> s3)
-           if want.users > 0) {
-        assert(fun(stage) == ((want.users, want.lag)),
-          s"funnel seed=$seed stage=$stage: got ${fun(stage)} want $want")
+      for ((stage, want) <- Seq(1L -> s1, 2L -> s2, 3L -> s3)) {
+        if (want.users > 0)
+          assert(fun(stage) == ((want.users, want.lag)),
+            s"funnel seed=$seed stage=$stage: got ${fun(stage)} want $want")
+        else
+          // an empty stage must be ABSENT — an overcounting bug that
+          // invents conversions would otherwise slip past the sweep
+          assert(!fun.contains(stage),
+            s"funnel seed=$seed stage=$stage: spurious row ${fun.get(stage)}")
       }
     }
   }
