@@ -108,12 +108,20 @@ object Bench {
     // to bench_last.json, committed per round as the durable record.
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","budget_violations":$vjson,"failed":$fjson,"total_sec":$total}"""
     println(json)
-    // SUBSET runs (SPARK_GRAFT_QUERIES) are local curve/A-B probes —
-    // writing them over the durable record silently replaces the
-    // committed full-surface artifact with a 3-query fragment (this
-    // happened twice before this guard existed; both times the
-    // clobbered artifact reached a commit)
-    if (subset.isEmpty)
+    // The durable record is written ONLY by a full-surface run under
+    // the committed sizing: a subset run (SPARK_GRAFT_QUERIES), a
+    // non-default shuffle width (SPARK_GRAFT_SHUFFLE), or best-of-N
+    // re-runs would silently replace the committed artifact with
+    // numbers measured under different conditions, schema-identical
+    // and undetectable (the subset form of this reached a commit
+    // twice before the guard existed). The stdout JSON still prints
+    // for local reading either way.
+    val defaultConditions =
+      subset.isEmpty && sys.env.get("SPARK_GRAFT_SHUFFLE").isEmpty && bestOf == 1
+    if (!defaultConditions && subset.isEmpty)
+      System.err.println(
+        "[bench] non-default knobs set: bench_last.json NOT updated")
+    if (defaultConditions)
       try
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_last.json"), json + "\n")
