@@ -137,6 +137,16 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(after.cents.length == before.cents.length)
     assert(after.cents.zip(before.cents).forall { case (a, b) =>
       a._1 == b._1 && a._2.sameElements(b._2) && a._3 == b._3 })
+
+    // end to end: the stored PROBE must surface the appended rows —
+    // query 0's appended exact copy (id 1000000, cosine 1.0) sits in
+    // the same cell as its original, so a probe of the grown index
+    // has to return it among the top neighbors
+    val probed = Similarity.topkIvfStored(spark.newSession(), sf, dir)
+      .filter(col("q_id") === 0L && col("n_id") === 1000000L)
+      .select(col("cos_sim")).as[Double].collect()
+    assert(probed.length == 1 && probed.head == 1.0,
+      "appended exact duplicate did not surface through the stored probe")
   }
 
   test("IVF compaction: files-per-cell collapse to one; content and probe unchanged") {
