@@ -116,8 +116,13 @@ object Bench {
     // and undetectable (the subset form of this reached a commit
     // twice before the guard existed). The stdout JSON still prints
     // for local reading either way.
+    // SPARK_GRAFT_CPUS counts too (r12 advice): a non-default thread
+    // count changes both parallelism and the shuffle default, and the
+    // cpu count is not recorded in the JSON, so its clobber would be
+    // schema-identical and undetectable
     val defaultConditions =
-      subset.isEmpty && sys.env.get("SPARK_GRAFT_SHUFFLE").isEmpty && bestOf == 1
+      subset.isEmpty && sys.env.get("SPARK_GRAFT_SHUFFLE").isEmpty &&
+        sys.env.get("SPARK_GRAFT_CPUS").isEmpty && bestOf == 1
     if (!defaultConditions && subset.isEmpty)
       System.err.println(
         "[bench] non-default knobs set: bench_last.json NOT updated")

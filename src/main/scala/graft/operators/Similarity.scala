@@ -976,20 +976,28 @@ object Similarity {
   def topkLshStored(s: SparkSession, d: String, indexDir: String,
       k: Int = TopK, multiprobe: Boolean = true): DataFrame = {
     val planes = readLshPlanes(s, indexDir)
-    // persisted so the pushdown-set collect and the probe join share
-    // ONE evaluation of the query bucketing (it is the probe's
-    // broadcast side — small by definition)
-    val q = probeBuckets(querySet(s, d), planes, multiprobe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = q.select(col("table"), col("bucket")).distinct()
-      .limit(LshProbePushdownCap + 1).collect()
+    // the probe-bucket relation is the join's BROADCAST side —
+    // driver-sized by definition — so it is collected ONCE and
+    // rebuilt as a local relation: the pushdown set derives from the
+    // same collected rows (one evaluation, no drift) with no
+    // session-lifetime persist (r12 advice: the old MEMORY_AND_DISK
+    // cache was never unpersisted, pinning one RDD per probe call in
+    // the block manager for the session's lifetime)
+    val qDf = probeBuckets(querySet(s, d), planes, multiprobe)
+    val qRows = qDf.collect()
+    val q = s.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qDf.schema)
+    val ti = qDf.schema.fieldIndex("table")
+    val bi = qDf.schema.fieldIndex("bucket")
+    val pairs = qRows.iterator
+      .map(r => (r.getInt(ti), r.getInt(bi))).toSet
     val idx = readLshIndex(s, indexDir)
     val pruned =
       if (pairs.isEmpty) idx.filter(lit(false)) // no queries → empty probe
-      else if (pairs.length > LshProbePushdownCap) idx
+      else if (pairs.size > LshProbePushdownCap) idx
       else {
-        val byTable = pairs.groupBy(_.getInt(0))
-          .map { case (t, rs) => (t, rs.map(_.getInt(1)).distinct.sorted) }
+        val byTable = pairs.groupBy(_._1)
+          .map { case (t, rs) => (t, rs.map(_._2).toSeq.sorted) }
         idx.filter(byTable.map { case (t, bs) =>
           col("table") === t && col("bucket").isin(bs.map(Integer.valueOf): _*)
         }.reduce(_ || _))

@@ -125,6 +125,17 @@ object EventStream {
     * [[dedupStream]]'s watermark window. No timeout: a user's last
     * click is live indefinitely, exactly like the batch query's
     * unbounded-preceding frame.
+    *
+    * Late data may not VIOLATE the batch contract either (r12 advice):
+    * state keeps the (ts, event_id)-MAX click, so a late-arriving OLD
+    * click in a later micro-batch cannot clobber a newer one already
+    * in state, and a purchase never attributes a stored click that
+    * sits at-or-after it in the total order (a late purchase older
+    * than the surviving click gets the -1 sentinels — "no prior
+    * click visible", the same answer the bounded-state trade already
+    * gives when the true click was dropped). Every emitted row is
+    * therefore a row the batch query COULD emit: click strictly
+    * before the purchase in (ts_ms, event_id) order, lag_ms ≥ 0.
     */
   def asofAttribute(events: Dataset[Event]): Dataset[AsofAttribution] = {
     import events.sparkSession.implicits._
@@ -136,13 +147,24 @@ object EventStream {
         (userId: Long, it: Iterator[Event], state: GroupState[LastClick]) =>
           val out = List.newBuilder[AsofAttribution]
           var last = state.getOption
+          // strict (ts_ms, event_id) total-order precedence
+          def precedes(c: LastClick, ms: Long, id: Long): Boolean =
+            c.clickMs < ms || (c.clickMs == ms && c.clickId < id)
           it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { ev =>
             val t = ev.ts.getTime
-            if (ev.event_type == "click") last = Some(LastClick(ev.event_id, t))
-            else out += (last match {
-              case Some(c) => AsofAttribution(userId, ev.event_id, t,
-                c.clickId, c.clickMs, t - c.clickMs)
-              case None => AsofAttribution(userId, ev.event_id, t, -1L, -1L, -1L)
+            if (ev.event_type == "click") {
+              // keep the (ts, event_id)-max click: a late OLD click
+              // must not clobber a newer one carried across batches
+              if (last.forall(c => precedes(c, t, ev.event_id)))
+                last = Some(LastClick(ev.event_id, t))
+            } else out += (last match {
+              // attribute only a click strictly BEFORE the purchase in
+              // the (ts_ms, event_id) total order — a stored click
+              // at-or-after a late purchase is invisible to it
+              case Some(c) if precedes(c, t, ev.event_id) =>
+                AsofAttribution(userId, ev.event_id, t,
+                  c.clickId, c.clickMs, t - c.clickMs)
+              case _ => AsofAttribution(userId, ev.event_id, t, -1L, -1L, -1L)
             })
           }
           last.foreach(state.update)

@@ -428,4 +428,49 @@ class EventStreamSpec extends AnyFunSuite {
       assert(got(22L)._4 == 21L, "a late click must still serve later purchases")
     } finally q.stop()
   }
+
+  test("streaming as-of: late OLD clicks cannot clobber state; a late purchase never sees a FUTURE click") {
+    // the r12-advice orderings: both outputs below were impossible
+    // under the batch contract but the old fold emitted them — (a) a
+    // late-arriving old click overwrote a newer stored click, (b) a
+    // late purchase attributed a stored click with click_ts > p_ts,
+    // emitting a negative lag_ms
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = asofAttribute(mem.toDS())
+      .writeStream.format("memory").queryName("asof_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(10, 1, "click", 0.0, ts(100)), // user 1: newer click first
+        Event(20, 2, "click", 0.0, ts(100)), // user 2: stored click
+        // same-ts tiebreak across the batch boundary: user 3's stored
+        // click id 32 does NOT precede purchase id 31 at the same ts;
+        // user 4's stored click id 40 DOES precede purchase id 41
+        Event(32, 3, "click", 0.0, ts(10)),
+        Event(40, 4, "click", 0.0, ts(10)))
+      q.processAllAvailable()
+      mem.addData(
+        Event(11, 1, "click", 0.0, ts(50)), // (a) late OLD click
+        Event(12, 1, "purchase", 5.0, ts(200)),
+        Event(21, 2, "purchase", 5.0, ts(50)), // (b) late purchase
+        Event(31, 3, "purchase", 5.0, ts(10)), // same-ts, higher-id click stored
+        Event(41, 4, "purchase", 5.0, ts(10))) // same-ts, lower-id click stored
+      q.processAllAvailable()
+      val got = spark.table("asof_late")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(x => x._2 -> x).toMap
+      assert(got(12L)._4 == 10L,
+        "a late OLD click must not clobber the newer stored click")
+      assert(got(21L)._4 == -1L && got(21L)._6 == -1L,
+        "a late purchase must not attribute a stored FUTURE click (negative lag)")
+      assert(got(31L)._4 == -1L,
+        "same-ts tiebreak: a higher-event-id click does not precede the purchase")
+      assert(got(41L)._4 == 40L && got(41L)._6 == 0L,
+        "same-ts tiebreak: a lower-event-id click precedes the purchase (lag 0)")
+      // no emitted row may carry a negative lag other than the sentinel
+      assert(got.values.forall(r => r._6 >= 0 || r._6 == -1L))
+    } finally q.stop()
+  }
 }
