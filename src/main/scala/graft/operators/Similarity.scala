@@ -604,12 +604,56 @@ object Similarity {
     }
   }
 
+  /** Assignment passes above this many multiply-adds repartition a
+    * row-group-starved scan to the session's cores first (~0.4 s of
+    * one core — the point where a bounded shuffle of the corpus is
+    * cheaper than serial compute). Below it the extra exchange costs
+    * more than it saves (bench-SF plans stay shuffle-free).
+    */
+  val AssignRepartitionFlops: Double = 2e8
+
+  /** Parquet read parallelism is ROW-GROUP-bounded, not byte-range
+    * bounded: a single-row-group file yields ONE non-empty task no
+    * matter how many byte splits the scheduler cuts (every scale
+    * fixture here is written that way, and a freshly-ingested corpus
+    * on a real cluster often is too — few big files from an upstream
+    * writer). For scan-cheap queries that's irrelevant; for the IVF
+    * assignment pass (n·k·d multiply-adds riding the scan) it
+    * serializes the build: measured 10.2 s of kernel CPU on one core
+    * vs a 51 MB corpus at sf10. When the kernel work crosses
+    * [[AssignRepartitionFlops]] and the source cannot feed the
+    * session's cores, one bounded round-robin exchange of the (id,
+    * embedding, nrm) rows unlocks cores× assignment throughput; at
+    * deployment scale (row groups ≫ cores) this is a no-op.
+    */
+  private[operators] def scanRowGroups(s: SparkSession, df: DataFrame): Long = {
+    val files = df.inputFiles
+    if (files.isEmpty || files.length > 64) Long.MaxValue // already wide
+    else
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size.toLong finally r.close()
+        }.sum
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+  }
+
   def ivfAssignments(s: SparkSession, d: String,
       cents: Array[(Long, Array[Float], Double)],
       assign: Int = IvfAssign): DataFrame = {
     import s.implicits._
     val cells = nearestCellsCol(cents, assign) _
-    corpus(s, d).select($"vec_id", $"embedding", $"nrm",
+    val base = corpus(s, d)
+    val cores = s.sparkContext.defaultParallelism
+    val flops = rowCount(s, Tables.embeddings(s, d)).toDouble * cents.length * Dim
+    val src =
+      if (flops >= AssignRepartitionFlops && scanRowGroups(s, base) < cores)
+        base.repartition(cores)
+      else base
+    src.select($"vec_id", $"embedding", $"nrm",
       explode(cells($"embedding")).as("cell"))
   }
 

@@ -562,65 +562,310 @@ case class NearestCells(child: Expression,
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "nearest_cells"
 
+  /** Two-level coarse quantizer over the centroid matrix (round-12
+    * verdict item 1), built ONCE on the driver at plan-construction
+    * time and shipped as a plan constant beside the centroids; null
+    * below [[IvfKernels.HierMinCells]] where the flat scan wins.
+    */
+  @transient private lazy val hier: IvfKernels.Hier =
+    IvfKernels.buildHier(cents)
+
   override protected def nullSafeEval(emb: Any): Any =
-    IvfKernels.nearestCells(emb.asInstanceOf[ArrayData], cents, n)
+    IvfKernels.nearestCells(emb.asInstanceOf[ArrayData], cents, hier, n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // the tuple-array type has no stable Java source name — ship it as
     // Object and cast inside the Scala kernel
     val centsRef = ctx.addReferenceObj("ivfCents", cents, "java.lang.Object")
+    val hierRef = ctx.addReferenceObj("ivfHier", hier, "java.lang.Object")
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.IvfKernels.nearestCells($c, $centsRef, $n)")
+      c => s"graft.plans.IvfKernels.nearestCells($c, $centsRef, $hierRef, $n)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
     copy(child = newChild)
 }
 
-/** Static kernel for [[NearestCells]], callable from generated Java. */
+/** Static kernels for [[NearestCells]], callable from generated Java.
+  *
+  * The assignment pass is the IVF build's hot loop: n rows × k
+  * centroids × d dims of dot products, O(n^1.5) at the k=√n sizing —
+  * the one at-linear sf10 curve of round 12. Two kernel-level designs
+  * close it:
+  *
+  * 1. TOP-N BY INSERTION, not a full sort. The old kernel allocated
+  *    and box-sorted ALL k cells per row to take the top 1–16; the
+  *    measured cost at sf10 (200k × 448 cells) was ~30 s of boxing +
+  *    comparator sort against ~0.3 s of dot products. The insertion
+  *    scan keeps the same (−sim total order, cid) ranking with zero
+  *    allocation beyond the n-slot result arrays.
+  *
+  * 2. HIERARCHICAL PRUNING (the two-level coarse quantizer): the k
+  *    centroids are clustered once on the driver into g = ⌈√k⌉
+  *    super-cells; per row the kernel scores the g super-centroids,
+  *    orders groups by a triangle-inequality UPPER BOUND on any
+  *    member's cosine — cos(θ_group − δ_group) where δ is the group's
+  *    max member-to-super angle — and scans groups best-bound-first,
+  *    stopping when the bound can no longer displace the running n-th
+  *    best. The bound is exact geometry (padded by [[BoundEps]]
+  *    against double rounding), so the output is BIT-IDENTICAL to the
+  *    flat scan — same cells, same order, ties and NaN included
+  *    (NearestCellsSpec pins equality property-style) — while the
+  *    scanned-member count drops from k to ~√k·w on clustered
+  *    corpora: O(n·√k) assignment, O(n^1.25) at the √n sizing.
+  *
+  * NaN discipline, pinned: the comparator ranks by Double.compare on
+  * the NEGATED sim (NaN ranks LAST). The prune test compares negated
+  * values too, so an all-NaN running top (zero-norm vector) compares
+  * as compare(−bound, NaN) = −1 → never prunes → degenerates to the
+  * flat scan, and a NaN BOUND (overflowing input) is replaced by 2.0
+  * (≥ any cosine) → its group is always scanned. A pruned group can
+  * therefore only ever contain members ranking strictly worse than
+  * the kept top-n.
+  */
 object IvfKernels {
-  def nearestCells(emb: ArrayData, centsObj: Object, n: Int): ArrayData = {
+
+  /** Below this many cells the flat scan beats the hierarchy (g·d
+    * super-dots plus bookkeeping outweigh the pruned members); bench
+    * SF sits below it, so bench plans carry no hierarchy at all.
+    */
+  val HierMinCells = 64
+
+  /** Additive pad on the cosine upper bound: the triangle-inequality
+    * bound is exact in real arithmetic; the pad absorbs double
+    * rounding in the bound/sim computations (≲1e-13 at d=64) so a
+    * last-ulp difference can never prune a group the flat scan would
+    * have ranked into the top-n. A false KEEP costs one group scan; a
+    * false prune would cost correctness.
+    */
+  val BoundEps = 1e-9
+
+  /** Driver-built two-level coarse quantizer: unit super-centroids,
+    * member index lists, and each group's (cos δ, sin δ) for the
+    * bound. Serializable — rides the plan as a reference constant.
+    */
+  final class Hier(val superCents: Array[Array[Double]],
+      val members: Array[Array[Int]],
+      val cosD: Array[Double], val sinD: Array[Double])
+    extends Serializable
+
+  /** Cluster the k centroids into ⌈√k⌉ super-cells (deterministic
+    * spherical k-means: init = first g unit centroids, max-dot
+    * assignment with lowest-index tiebreak, mean-then-renormalize,
+    * 5 iterations — the trainCentroids conventions), then record per
+    * group the max member angle δ for the bound. Returns null below
+    * [[HierMinCells]] — the kernel treats null as "flat scan".
+    * Driver-side, O(k·√k·d) once per plan: trivia next to the n·k
+    * assignment pass it prunes.
+    */
+  def buildHier(cents: Array[(Long, Array[Float], Double)]): Hier = {
+    val k = cents.length
+    if (k < HierMinCells) return null
+    val d = cents(0)._2.length
+    // unit centroid matrix (cn is |cv| by the trainer's construction;
+    // recompute defensively so the bound's geometry never depends on
+    // the stored norm being exact)
+    val u = Array.ofDim[Double](k, d)
+    var c = 0
+    while (c < k) {
+      val cv = cents(c)._2
+      var acc = 0.0
+      var i = 0
+      while (i < math.min(d, cv.length)) {
+        acc += cv(i).toDouble * cv(i).toDouble; i += 1
+      }
+      val nrm = math.sqrt(acc)
+      i = 0
+      while (i < math.min(d, cv.length)) {
+        u(c)(i) = if (nrm == 0) 0.0 else cv(i).toDouble / nrm; i += 1
+      }
+      c += 1
+    }
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt
+    var sc: Array[Array[Double]] = Array.tabulate(g)(j => u(j).clone())
+    val asg = new Array[Int](k)
+    var iter = 0
+    while (iter < 5) {
+      c = 0
+      while (c < k) {
+        var best = 0
+        var bestDot = Double.MinValue
+        var j = 0
+        while (j < g) {
+          var dot = 0.0
+          var i = 0
+          while (i < d) { dot += u(c)(i) * sc(j)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = j }
+          j += 1
+        }
+        asg(c) = best
+        c += 1
+      }
+      val sums = Array.ofDim[Double](g, d)
+      val counts = new Array[Int](g)
+      c = 0
+      while (c < k) {
+        var i = 0
+        while (i < d) { sums(asg(c))(i) += u(c)(i); i += 1 }
+        counts(asg(c)) += 1
+        c += 1
+      }
+      sc = Array.tabulate(g) { j =>
+        if (counts(j) == 0) sc(j)
+        else {
+          var acc = 0.0
+          var i = 0
+          while (i < d) { acc += sums(j)(i) * sums(j)(i); i += 1 }
+          val nrm = math.sqrt(acc)
+          if (nrm == 0) sc(j) else sums(j).map(_ / nrm)
+        }
+      }
+      iter += 1
+    }
+    val members = Array.tabulate(g)(j => (0 until k).filter(asg(_) == j).toArray)
+    val cosD = new Array[Double](g)
+    val sinD = new Array[Double](g)
+    var j = 0
+    while (j < g) {
+      var maxAngle = 0.0
+      members(j).foreach { c =>
+        var dot = 0.0
+        var i = 0
+        while (i < d) { dot += u(c)(i) * sc(j)(i); i += 1 }
+        val a = math.acos(math.max(-1.0, math.min(1.0, dot)))
+        if (a > maxAngle) maxAngle = a
+      }
+      // pad δ a hair outward: cos/sin of a slightly larger angle can
+      // only LOOSEN the bound
+      maxAngle = math.min(math.Pi, maxAngle + 1e-9)
+      cosD(j) = math.cos(maxAngle)
+      sinD(j) = math.sin(maxAngle)
+      j += 1
+    }
+    new Hier(sc, members, cosD, sinD)
+  }
+
+  /** (sim, id) ranks strictly better than (thanSim, thanId) under the
+    * (−sim Double total order, id asc) comparator.
+    */
+  private def ranksBefore(sim: Double, id: Long,
+      thanSim: Double, thanId: Long): Boolean = {
+    val s = java.lang.Double.compare(-sim, -thanSim)
+    s < 0 || (s == 0 && id < thanId)
+  }
+
+  /** Insert (sim, cid) into the running top-n arrays (sims/ids hold
+    * `size` entries in final rank order); returns the new size.
+    */
+  private def insertTop(sims: Array[Double], ids: Array[Long], size: Int,
+      n: Int, sim: Double, cid: Long): Int = {
+    if (size == n && !ranksBefore(sim, cid, sims(size - 1), ids(size - 1)))
+      return size
+    var pos = if (size == n) size - 1 else size
+    while (pos > 0 && ranksBefore(sim, cid, sims(pos - 1), ids(pos - 1))) {
+      sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+    }
+    sims(pos) = sim; ids(pos) = cid
+    math.min(size + 1, n)
+  }
+
+  def nearestCells(emb: ArrayData, centsObj: Object, hierObj: Object,
+      n: Int): ArrayData = {
+    // Object-typed like cents: the nested class's binary name
+    // (IvfKernels$Hier) is not a valid generated-Java source type
+    val hier = hierObj.asInstanceOf[Hier]
     val cents = centsObj.asInstanceOf[Array[(Long, Array[Float], Double)]]
+    val k = cents.length
     val m = emb.numElements()
+    // snapshot the row into a primitive array FIRST: the scan hands a
+    // ColumnarArray/UnsafeArrayData whose getFloat is a virtual call
+    // the JIT cannot inline across k dot loops — measured 595 µs/row
+    // at k=448 reading ArrayData directly vs ~30 µs off a local
+    // float[] (the single biggest line of the r12 sf10 ivf_build
+    // curve). m virtual reads once, then m·k direct reads.
+    val v = new Array[Float](m)
     var acc = 0.0
     var i = 0
     while (i < m) {
       require(!emb.isNullAt(i), "nearest_cells: NULL element in input array")
-      val x = emb.getFloat(i).toDouble
-      acc += x * x
+      val x = emb.getFloat(i)
+      v(i) = x
+      acc += x.toDouble * x.toDouble
       i += 1
     }
     val nv = math.sqrt(acc)
-    val ids = new Array[Long](cents.length)
-    val sims = new Array[Double](cents.length)
-    var c = 0
-    while (c < cents.length) {
+    val take = math.min(n, k)
+    val sims = new Array[Double](take)
+    val ids = new Array[Long](take)
+    var size = 0
+
+    def scanMember(c: Int): Unit = {
       val (cid, cv, cn) = cents(c)
       var dot = 0.0
       var j = 0
       val lim = math.min(m, cv.length)
-      while (j < lim) { dot += emb.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
-      ids(c) = cid
-      sims(c) = dot / nv / cn
-      c += 1
+      while (j < lim) { dot += v(j).toDouble * cv(j).toDouble; j += 1 }
+      size = insertTop(sims, ids, size, take, dot / nv / cn, cid)
     }
-    // rank (sim desc, cid asc) under java.lang.Double total order —
-    // the exact order Scala's sortBy((-sim, cid)) produced
-    val idx = Array.range(0, cents.length)
-    val boxed = idx.map(Integer.valueOf)
-    java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
-      def compare(a: Integer, b: Integer): Int = {
-        // ascending on the NEGATED sim, not descending on sim: the two
-        // differ for NaN (total order puts NaN greatest, so a NaN sim
-        // must sort LAST here, exactly as sortBy(-sim) did)
-        val s = java.lang.Double.compare(-sims(a.intValue), -sims(b.intValue))
-        if (s != 0) s else java.lang.Long.compare(ids(a.intValue), ids(b.intValue))
+
+    // the hierarchy's spherical-triangle bound assumes full-width
+    // vectors; a short/overlong row (adversarial fixtures) takes the
+    // flat scan, as does a sub-threshold k (hier == null)
+    val d = if (k == 0) 0 else cents(0)._2.length
+    if (hier == null || m != d || take >= k) {
+      var c = 0
+      while (c < k) { scanMember(c); c += 1 }
+    } else {
+      val g = hier.superCents.length
+      val bounds = new Array[Double](g)
+      var j = 0
+      while (j < g) {
+        val sc = hier.superCents(j)
+        var dot = 0.0
+        i = 0
+        while (i < d) { dot += v(i).toDouble * sc(i); i += 1 }
+        val cosT = math.max(-1.0, math.min(1.0, dot / nv))
+        val sinT = math.sqrt(math.max(0.0, 1.0 - cosT * cosT))
+        // cos(θ − δ) — even in θ−δ, so no sign branch; ≥ any member's
+        // cosine by the spherical triangle inequality
+        var b = cosT * hier.cosD(j) + sinT * hier.sinD(j) + BoundEps
+        if (java.lang.Double.isNaN(b)) b = 2.0 // overflow → always scan
+        bounds(j) = b
+        j += 1
       }
-    })
-    val take = math.min(n, cents.length)
-    val out = new Array[Long](take)
-    var o = 0
-    while (o < take) { out(o) = ids(boxed(o).intValue); o += 1 }
+      // group order: bound desc (primitive insertion sort on indices —
+      // g = √k ≤ 64 entries)
+      val order = new Array[Int](g)
+      j = 0
+      while (j < g) {
+        var pos = j
+        while (pos > 0 && bounds(order(pos - 1)) < bounds(j)) {
+          order(pos) = order(pos - 1); pos -= 1
+        }
+        order(pos) = j
+        j += 1
+      }
+      var oi = 0
+      var done = false
+      while (oi < g && !done) {
+        val grp = order(oi)
+        // prune iff the bound ranks strictly WORSE than the running
+        // n-th sim under the negated-total-order comparator: an
+        // all-NaN top never prunes (compare(−b, NaN) = −1), so the
+        // zero-norm row degenerates to the flat scan's answer
+        if (size == take &&
+            java.lang.Double.compare(-bounds(grp), -sims(size - 1)) > 0)
+          done = true
+        else {
+          val ms = hier.members(grp)
+          var mi = 0
+          while (mi < ms.length) { scanMember(ms(mi)); mi += 1 }
+        }
+        oi += 1
+      }
+    }
+    val out = new Array[Long](size)
+    System.arraycopy(ids, 0, out, 0, size)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

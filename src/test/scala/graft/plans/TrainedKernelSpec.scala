@@ -105,14 +105,14 @@ class TrainedKernelSpec extends AnyFunSuite {
     }
     (0 until 30).foreach { _ =>
       val emb = Array.fill(64)(rnd.nextGaussian().toFloat)
-      val got = IvfKernels.nearestCells(new GenericArrayData(emb), cents, 4)
+      val got = IvfKernels.nearestCells(new GenericArrayData(emb), cents, IvfKernels.buildHier(cents), 4)
         .toLongArray().toSeq
       assert(got == reference(cents, emb, 4))
     }
     // empty vector: norm 0 → every sim NaN → order falls to cid asc,
     // under Double TOTAL order (NaN sorts last in the negated-asc key)
     val gotEmpty = IvfKernels
-      .nearestCells(new GenericArrayData(Array.emptyFloatArray), cents, 3)
+      .nearestCells(new GenericArrayData(Array.emptyFloatArray), cents, IvfKernels.buildHier(cents), 3)
       .toLongArray().toSeq
     assert(gotEmpty == reference(cents, Array.emptyFloatArray, 3))
     assert(gotEmpty == Seq(0L, 1L, 2L))
@@ -122,14 +122,62 @@ class TrainedKernelSpec extends AnyFunSuite {
       (2L, cents(0)._2, cents(0)._3),
       (9L, cents(1)._2, cents(1)._3))
     val embT = Array.fill(64)(rnd.nextGaussian().toFloat)
-    val gotTie = IvfKernels.nearestCells(new GenericArrayData(embT), dup, 2)
+    val gotTie = IvfKernels.nearestCells(new GenericArrayData(embT), dup, IvfKernels.buildHier(dup), 2)
       .toLongArray().toSeq
     assert(gotTie == reference(dup, embT, 2))
     // the duplicate-centroid tie resolves to the lower cid: 2 ranks
     // before 5 in the full ordering
-    val full = IvfKernels.nearestCells(new GenericArrayData(embT), dup, 3)
+    val full = IvfKernels.nearestCells(new GenericArrayData(embT), dup, IvfKernels.buildHier(dup), 3)
       .toLongArray().toSeq
     assert(full.indexOf(2L) < full.indexOf(5L))
+  }
+
+  test("hierarchical NearestCells is bit-identical to the flat scan at every width") {
+    // the r12-verdict item-1 contract: the two-level coarse quantizer
+    // may only PRUNE groups that cannot rank, never change the answer
+    // — same cells, same order, ties / NaN / zero-norm included. The
+    // flat reference is the kernel itself with hier = null (the
+    // sub-threshold dispatch), so the equality is over the exact
+    // shipped code paths.
+    def mk(k: Int, clustered: Boolean): Array[(Long, Array[Float], Double)] = {
+      val topics = Array.fill(12, 64)(rnd.nextGaussian().toFloat)
+      Array.tabulate(k) { c =>
+        val cv =
+          if (clustered) {
+            val t = topics(c % 12)
+            Array.tabulate(64)(i => t(i) + 0.15f * rnd.nextGaussian().toFloat)
+          } else Array.fill(64)(rnd.nextGaussian().toFloat)
+        val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        (c.toLong, cv, if (cn == 0) 1.0 else cn)
+      }
+    }
+    for (clustered <- Seq(true, false); k <- Seq(64, 200)) {
+      val cents = mk(k, clustered)
+      // duplicate-centroid ties straddling group boundaries
+      cents(k - 1) = (cents(k - 1)._1, cents(3)._2, cents(3)._3)
+      val hier = IvfKernels.buildHier(cents)
+      assert(hier != null, s"k=$k must build a hierarchy")
+      var pruned = false
+      for (n <- Seq(1, 4, 16); trial <- 0 until 40) {
+        val emb = trial match {
+          case 0 => new Array[Float](64) // zero norm → all-NaN sims
+          case 1 => Array.fill(30)(rnd.nextGaussian().toFloat) // short → flat fallback
+          case 2 => cents(7)._2.clone() // exactly on a centroid
+          case _ => Array.fill(64)(rnd.nextGaussian().toFloat)
+        }
+        val flat = IvfKernels
+          .nearestCells(new GenericArrayData(emb), cents, null, n)
+          .toLongArray().toSeq
+        val viaHier = IvfKernels
+          .nearestCells(new GenericArrayData(emb), cents, hier, n)
+          .toLongArray().toSeq
+        assert(viaHier == flat,
+          s"hier/flat drift at k=$k n=$n clustered=$clustered trial=$trial: " +
+            s"$viaHier != $flat")
+        pruned = true
+      }
+      assert(pruned)
+    }
   }
 
   test("PcaProject matches the replaced centered-dot UDF, incl. short vectors") {
