@@ -1312,7 +1312,7 @@ object Dedup {
     * the dedup, so a pair colliding in several tables never ships its
     * vectors repeatedly through the widest shuffle.
     */
-  private def lshPairsVerify(bucketed: DataFrame, e: DataFrame,
+  private[operators] def lshPairsVerify(bucketed: DataFrame, e: DataFrame,
       threshold: Double): DataFrame = {
     val s = bucketed.sparkSession
     import s.implicits._

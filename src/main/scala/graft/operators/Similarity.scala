@@ -218,8 +218,13 @@ object Similarity {
 
   def lshIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the bucket kernel is tables × planes × dim per row — the same
+    // work-conditioned widening as the IVF assignment pass (a
+    // single-row-group corpus otherwise serializes the build)
+    val p = lshPlanes(s, d)
+    val n = rowCount(s, Tables.embeddings(s, d))
     lshIndexCache.getOrBuild(s, d)(
-      corpus(s, d)
+      widenIfStarved(s, corpus(s, d), n.toDouble * NumTables * p * Dim)
         .select($"vec_id", $"embedding", $"nrm",
           explode(lshBucketsPacked($"embedding", lshPlanes(s, d))).as("tp"))
         .select($"vec_id", $"embedding", $"nrm",
@@ -641,18 +646,25 @@ object Similarity {
       } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
   }
 
+  /** Widen a per-row-kernel-heavy scan to the session's cores when
+    * the parquet layout cannot (see [[scanRowGroups]]) and the kernel
+    * work justifies one bounded exchange ([[AssignRepartitionFlops]]).
+    */
+  private[operators] def widenIfStarved(s: SparkSession, df: DataFrame,
+      flops: Double): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (flops >= AssignRepartitionFlops && scanRowGroups(s, df) < cores)
+      df.repartition(cores)
+    else df
+  }
+
   def ivfAssignments(s: SparkSession, d: String,
       cents: Array[(Long, Array[Float], Double)],
       assign: Int = IvfAssign): DataFrame = {
     import s.implicits._
     val cells = nearestCellsCol(cents, assign) _
-    val base = corpus(s, d)
-    val cores = s.sparkContext.defaultParallelism
-    val flops = rowCount(s, Tables.embeddings(s, d)).toDouble * cents.length * Dim
-    val src =
-      if (flops >= AssignRepartitionFlops && scanRowGroups(s, base) < cores)
-        base.repartition(cores)
-      else base
+    val n = rowCount(s, Tables.embeddings(s, d))
+    val src = widenIfStarved(s, corpus(s, d), n.toDouble * cents.length * Dim)
     src.select($"vec_id", $"embedding", $"nrm",
       explode(cells($"embedding")).as("cell"))
   }

@@ -381,6 +381,14 @@ object LshKernels {
   def buckets(emb: ArrayData, numPlanes: Int): ArrayData = {
     val ps = graft.operators.Similarity.planes
     val m = if (emb == null) 0 else emb.numElements()
+    // snapshot once: tables × planes × dim re-reads through the
+    // scan's virtual ArrayData.getFloat dominated the bucket kernel
+    // (the NearestCells lesson — see IvfKernels.nearestCells); only
+    // the first Dim elements are ever dotted
+    val lim = math.min(m, graft.operators.Similarity.Dim)
+    val v = new Array[Float](lim)
+    var j = 0
+    while (j < lim) { v(j) = emb.getFloat(j); j += 1 }
     val out = new Array[Long](ps.length)
     var t = 0
     while (t < ps.length) {
@@ -392,8 +400,8 @@ object LshKernels {
         val w = tp(p)
         var dot = 0.0
         var i = 0
-        val n = math.min(m, w.length)
-        while (i < n) { dot += emb.getFloat(i).toDouble * w(i); i += 1 }
+        val n = math.min(lim, w.length)
+        while (i < n) { dot += v(i).toDouble * w(i); i += 1 }
         if (dot >= 0) bucket |= (1 << p)
         p += 1
       }
@@ -517,6 +525,15 @@ object PcaKernels {
   def project(emb: ArrayData, mean: Array[Double],
       comps: Array[Array[Double]], dim: Int): ArrayData = {
     val n = math.min(if (emb == null) 0 else emb.numElements(), dim)
+    // snapshot once (the NearestCells lesson): components × dim
+    // re-reads through the virtual getFloat were the kernel's cost
+    val v = new Array[Float](n)
+    var j = 0
+    while (j < n) {
+      require(!emb.isNullAt(j), "pca_project: NULL element in input array")
+      v(j) = emb.getFloat(j)
+      j += 1
+    }
     val out = new Array[Double](comps.length)
     var c = 0
     while (c < comps.length) {
@@ -524,8 +541,7 @@ object PcaKernels {
       var acc = 0.0
       var i = 0
       while (i < n) {
-        require(!emb.isNullAt(i), "pca_project: NULL element in input array")
-        acc += (emb.getFloat(i).toDouble - mean(i)) * w(i)
+        acc += (v(i).toDouble - mean(i)) * w(i)
         i += 1
       }
       out(c) = acc

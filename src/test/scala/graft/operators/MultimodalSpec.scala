@@ -317,4 +317,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_._2).sorted.toSeq == Seq(0, 2, 4))
     rows.foreach { case (_, i, f) => assert(f.toSeq == fs(i).toSeq) }
   }
+
+  test("contentSketch: exact signed 4-gram accumulation, total on degenerate input") {
+    // hand-rolled reference on a tiny payload
+    val b = "abcdef".getBytes("US-ASCII")
+    val want = new Array[Float](Multimodal.SigDim)
+    (0 to b.length - 4).foreach { i =>
+      val h = (0 until 4).foldLeft(0L)((a, j) => a * Multimodal.SigP + (b(i + j) & 0xff))
+      want((h % Multimodal.SigDim).toInt) +=
+        (if ((h / Multimodal.SigDim) % 2 == 0) 1f else -1f)
+    }
+    assert(Multimodal.contentSketch(b).toSeq == want.toSeq)
+    // < SigGram bytes → no grams → zero vector; null → zero vector
+    assert(Multimodal.contentSketch("abc".getBytes).forall(_ == 0f))
+    assert(Multimodal.contentSketch(null).forall(_ == 0f))
+    // determinism across calls
+    assert(Multimodal.contentSketch(b).toSeq == Multimodal.contentSketch(b).toSeq)
+  }
+
+  test("signature signs CONTENT, not container bytes: PNG vs BMP of the same pixels") {
+    assume(Multimodal.JdkImageDecoder.available)
+    // a non-uniform image so the signature is information-bearing
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach { x =>
+      val g = (x * 16 + y * 3) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    })
+    def enc(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val (pngB, bmpB) = (enc("png"), enc("bmp"))
+    assert(!java.util.Arrays.equals(pngB, bmpB), "containers must differ")
+    val d = Multimodal.JdkImageDecoder
+    // identical decoded luminance ⇒ identical signatures, despite
+    // byte-level-different containers — the property the near-dup
+    // pairing rests on
+    assert(d.signature(pngB).toSeq == d.signature(bmpB).toSeq)
+    assert(d.signature(pngB).exists(_ != 0f))
+    // a different image signs differently
+    assert(d.signature(pngB).toSeq != d.signature(png(16, 16, 7)).toSeq)
+    // undecodable → zero signature (excluded from pairing upstream)
+    assert(d.signature("junk".getBytes).forall(_ == 0f))
+  }
+
+  test("dedup_media pairs equal the exact cosine pair set (LSH recall on the fixture)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val sigs = Multimodal.signaturesWith(
+      spark, Multimodal.mediaRelation(spark, dir), Multimodal.FakeDecoder)
+      .as[(Long, Array[Float], Double)].collect()
+    assert(sigs.nonEmpty && sigs.forall(_._3 > 0),
+      "zero-content rows must be excluded before pairing")
+    def cos(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a._2.length) { acc += a._2(i).toDouble * b._2(i).toDouble; i += 1 }
+      BigDecimal(acc / a._3 / b._3)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val exact = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      c = cos(a, b) if c >= Multimodal.MediaCosineThreshold
+    } yield (a._1, b._1, c)).toSet
+    val got = Multimodal.queries("dedup_media")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == exact,
+      s"LSH pair set diverged: missing ${(exact -- got).take(3)}, extra ${(got -- exact).take(3)}")
+    assert(exact.nonEmpty, "fixture should contain at least one media near-dup pair")
+  }
 }
