@@ -980,6 +980,42 @@ object Similarity {
       .write.mode("append").partitionBy("table").parquet(indexDir)
   }
 
+  /** Defragment a stored LSH index after appends — the LSH
+    * counterpart of [[compactIvfIndex]] (r12 verdict item 2): each
+    * [[appendToLshIndex]] batch adds one bucket-sorted file per
+    * touched table directory, and while every file stays individually
+    * bucket-ordered, probes pay per-file footer/open cost and
+    * per-file row-group pruning degrades as files shrink — the exact
+    * overhead the table-partitioned bucket-SORTED layout exists to
+    * avoid. One distributed rewrite restores one bucket-ordered file
+    * per table (same `repartition($"table")` +
+    * `sortWithinPartitions(table, bucket)` discipline as the writer —
+    * the dynamic-partition writer's required ordering, see
+    * [[writeLshIndex]]), with the plane-count sidecar re-written into
+    * the fresh layout BEFORE promotion so no reader ever sees a
+    * sidecar-less index. Crash-safe via the same [[swapDirInto]]
+    * two-rename (target → `_old`, fresh → target): a crash leaves a
+    * complete copy under one of the two names, never a
+    * deleted-only state. Content is unchanged; single-writer
+    * maintenance op like the append (version the index dir for
+    * atomic cutover).
+    */
+  def compactLshIndex(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val src = new org.apache.hadoop.fs.Path(indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + "_compacting")
+    val planes = readLshPlanes(s, indexDir)
+    readLshIndex(s, indexDir)
+      .select($"vec_id", $"embedding", $"nrm", $"bucket", $"table")
+      .repartition($"table").sortWithinPartitions($"table", $"bucket")
+      .write.mode("overwrite").partitionBy("table").parquet(tmp.toString)
+    val p = new org.apache.hadoop.fs.Path(tmp, "_graft_lsh_planes")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(planes.toString.getBytes("UTF-8")) finally out.close()
+    swapDirInto(s, tmp, src)
+  }
+
   /** The plane count a stored LSH index was built with (sidecar
     * written by [[writeLshIndex]]).
     */

@@ -224,6 +224,63 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(checked > Similarity.NumTables, "append produced no new files")
   }
 
+  test("LSH compaction: files-per-table collapse to one; content, sidecar, and probe unchanged") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lshcompact").toString
+    Similarity.writeLshIndex(spark, sf, dir)
+    def parquetFiles(p: String): Seq[java.nio.file.Path] = {
+      val out = Seq.newBuilder[java.nio.file.Path]
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator()
+      it.forEachRemaining(f => if (f.toString.endsWith(".parquet")) out += f)
+      out.result()
+    }
+    // two appends fragment the table directories
+    (0 until 2).foreach { k =>
+      val batch = graft.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L * (k + 1)).as("vec_id"),
+          col("embedding"))
+      Similarity.appendToLshIndex(spark, dir, batch)
+    }
+    val fragmented = parquetFiles(dir)
+    assert(fragmented.groupBy(_.getParent).values.exists(_.size > 1),
+      "appends should fragment at least one table directory")
+    val beforeRows = Similarity.readLshIndex(spark, dir)
+      .select(col("vec_id"), col("table"), col("bucket"))
+      .as[(Long, Int, Int)].collect().toSet
+    val beforePlanes = Similarity.readLshPlanes(spark, dir)
+    val beforeProbe = Similarity.topkLshStored(spark, sf, dir)
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    Similarity.compactLshIndex(spark, dir)
+
+    val compacted = parquetFiles(dir)
+    assert(compacted.size < fragmented.size,
+      s"compaction did not reduce files: ${fragmented.size} -> ${compacted.size}")
+    val perDir = compacted.groupBy(_.getParent)
+    assert(perDir.values.forall(_.size == 1),
+      s"tables with >1 file after compaction: ${perDir.filter(_._2.size > 1).keys}")
+    // every compacted file is bucket-ordered (the row-group-pruning
+    // contract the layout exists for)
+    compacted.foreach { p =>
+      val bs = spark.read.parquet(p.toString)
+        .select("bucket").collect().map(_.getInt(0))
+      assert(bs.sameElements(bs.sorted), s"unordered compacted file $p")
+    }
+    // sidecar survives the swap; content and a fresh-session stored
+    // probe are byte-identical through it
+    val fresh = spark.newSession()
+    assert(Similarity.readLshPlanes(fresh, dir) == beforePlanes)
+    val afterRows = Similarity.readLshIndex(fresh, dir)
+      .select(col("vec_id"), col("table"), col("bucket"))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(afterRows == beforeRows)
+    val afterProbe = Similarity.topkLshStored(spark, sf, dir)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(afterProbe == beforeProbe)
+  }
+
   test("IVF-PQ stored composition: both halves written, composed in a fresh session") {
     // the FAISS deployment shape end-to-end: one build job writes the
     // coarse quantizer layout AND the codes; a later query job reads
