@@ -172,6 +172,126 @@ object EventStream {
       }
   }
 
+  case class FunnelTransition(user_id: Long, stage: Long, ts_ms: Long,
+      lag_ms: Long)
+
+  /** Per-user funnel progress: the stage timestamps already locked in.
+    * Constant bytes per user forever — the funnel has 3 stages, each
+    * recorded at most once.
+    */
+  case class FunnelState(vTs: Long, cTs: Long, purchased: Boolean)
+
+  /** Streaming windowed conversion funnel with O(1) state per user —
+    * the streaming form of the batch `evt_funnel_windowed` query
+    * (view → click within [[graft.operators.Relational.AttribWindowMs]]
+    * of the first view → purchase within the window of that click).
+    * Emits one append-mode row per stage TRANSITION (a user crosses
+    * each stage at most once, so ≤3 rows per user ever); the batch
+    * query's per-stage (n_users, sum_lag_ms) aggregate is a trivial
+    * keyed rollup of these rows — the spec pins exactly that parity.
+    *
+    * Within a micro-batch events fold in (ts_ms, event_id) order, so
+    * the first eligible click/purchase in fold order IS the batch
+    * query's min — intra-batch disorder is absorbed exactly. Across
+    * batches, stage decisions are IMMUTABLE once emitted (append mode
+    * cannot retract): a late out-of-order view earlier than the
+    * recorded first view, or a late click that would have beaten the
+    * recorded one, does not re-derive downstream stages — the same
+    * bounded-state no-retro contract as [[asofAttribute]], stated.
+    */
+  def funnelWindowed(events: Dataset[Event],
+      windowMs: Long = graft.operators.Relational.AttribWindowMs): Dataset[FunnelTransition] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "click" ||
+        e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelTransition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val out = List.newBuilder[FunnelTransition]
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, purchased = false))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { ev =>
+            val t = ev.ts.getTime
+            ev.event_type match {
+              case "view" if st.vTs < 0 =>
+                st = st.copy(vTs = t)
+                out += FunnelTransition(userId, 1L, t, 0L)
+              case "click" if st.vTs >= 0 && st.cTs < 0 &&
+                  t > st.vTs && t <= st.vTs + windowMs =>
+                st = st.copy(cTs = t)
+                out += FunnelTransition(userId, 2L, t, t - st.vTs)
+              case "purchase" if st.cTs >= 0 && !st.purchased &&
+                  t > st.cTs && t <= st.cTs + windowMs =>
+                st = st.copy(purchased = true)
+                out += FunnelTransition(userId, 3L, t, t - st.cTs)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class AttribWindowResult(user_id: Long, purchase_id: Long,
+      p_ts_ms: Long, n_clicks: Long, click_cents: Long)
+
+  /** Per-user trailing click buffer, evicted to the attribution
+    * window: clicks older than (max event time seen − window) can
+    * never serve a future in-order purchase, so state is bounded by
+    * one user's clicks per window — the watermark-shaped bound a
+    * forever stream needs (state ∝ rate × window, never history).
+    */
+  case class ClickWindowState(maxTs: Long, clicks: List[(Long, Long)])
+
+  /** Streaming trailing-window attribution — the streaming form of the
+    * batch `evt_attrib_window` query: per purchase, the count and
+    * BIGINT-cent value mass of the user's clicks in
+    * [p_ts − window, p_ts). One append-mode row per purchase.
+    *
+    * Same fold conventions as [[funnelWindowed]]/[[asofAttribute]]:
+    * (ts_ms, event_id)-ordered intra-batch fold (so a purchase sees
+    * exactly the clicks the batch range join gives it when data
+    * arrives within its batch, disordered or not), window-bounded
+    * per-user state across batches, and the stated no-retro trade —
+    * a click landing in a LATER micro-batch than a purchase it
+    * belonged to cannot amend the already-emitted row, and a click
+    * evicted by window age cannot serve an out-of-order late
+    * purchase.
+    */
+  def attribWindow(events: Dataset[Event],
+      windowMs: Long = graft.operators.Relational.AttribWindowMs): Dataset[AttribWindowResult] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClickWindowState, AttribWindowResult](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[ClickWindowState]) =>
+          val out = List.newBuilder[AttribWindowResult]
+          var st = state.getOption.getOrElse(ClickWindowState(Long.MinValue, Nil))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { ev =>
+            val t = ev.ts.getTime
+            val maxTs = math.max(st.maxTs, t)
+            if (ev.event_type == "click") {
+              // the batch convention: FLOOR(value·100 + 0.5) cents
+              val cents = math.floor(ev.value * 100 + 0.5).toLong
+              // evict clicks that no in-order purchase can reach
+              st = ClickWindowState(maxTs,
+                (t, cents) :: st.clicks.filter(_._1 >= maxTs - windowMs))
+            } else {
+              val inWin = st.clicks.filter(c =>
+                c._1 >= t - windowMs && c._1 < t)
+              out += AttribWindowResult(userId, ev.event_id, t,
+                inWin.length.toLong, inWin.map(_._2).sum)
+              st = st.copy(maxTs = maxTs)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup with BOUNDED state: the streaming analogue
     * of `dedup_exact` / the file pipeline's content-hash anti-join.
     * `dropDuplicatesWithinWatermark` keeps a key in the state store

@@ -429,6 +429,132 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed funnel over the REAL fixture matches batch evt_funnel_windowed") {
+    // time-split replay (the asof pattern): per-user event order is
+    // preserved across the boundary, so the O(1)-state fold must
+    // reproduce the batch query's per-stage aggregate exactly once
+    // its transition rows are rolled up
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = funnelWindowed(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_fixture")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("funnel_fixture")
+        .groupBy($"stage")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_users"),
+          org.apache.spark.sql.functions.sum($"lag_ms").as("sum_lag_ms"))
+        .as[(Long, Long, Long)].collect().toSet
+      val expect = graft.operators.Relational
+        .queries("evt_funnel_windowed")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(expect.nonEmpty && got == expect,
+        s"streaming funnel diverged: missing ${(expect -- got).take(3)}, " +
+          s"extra ${(got -- expect).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming funnel: cross-batch stage state; stage decisions are immutable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = funnelWindowed(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_state")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(10, 1, "view", 0.0, ts(0)),
+        Event(11, 1, "click", 0.0, ts(10))) // converts: 10 min after view
+      q.processAllAvailable()
+      mem.addData(
+        Event(12, 1, "purchase", 5.0, ts(20)), // batch 2: state carries cTs
+        Event(13, 1, "click", 0.0, ts(15)),    // late click: must NOT re-derive stage 2
+        Event(20, 2, "click", 0.0, ts(5)),     // user 2: click with no view — no stage
+        Event(21, 2, "purchase", 1.0, ts(6)))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_state")
+        .as[(Long, Long, Long, Long)].collect()
+      val u1 = rows.filter(_._1 == 1L).map(r => r._2 -> r._4).toMap
+      assert(u1 == Map(1L -> 0L, 2L -> 10 * 60000L, 3L -> 10 * 60000L),
+        s"expected one transition per stage with first-eligible lags, got $u1")
+      assert(!rows.exists(_._1 == 2L), "clicks without a view must not stage")
+    } finally q.stop()
+  }
+
+  test("streaming attribution window over the REAL fixture matches batch evt_attrib_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = attribWindow(mem.toDS())
+      .writeStream.format("memory").queryName("attrib_fixture")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("attrib_fixture")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val expect = graft.operators.Relational
+        .queries("evt_attrib_window")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(expect.nonEmpty && got == expect,
+        s"streaming attribution diverged: missing ${(expect -- got).take(3)}, " +
+          s"extra ${(got -- expect).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming attribution: window-bounded click state, eviction, cross-batch carry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val W = graft.operators.Relational.AttribWindowMs
+    val mem = MemoryStream[Event]
+    val q = attribWindow(mem.toDS())
+      .writeStream.format("memory").queryName("attrib_state")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // click far outside the window, then two in-window clicks
+      mem.addData(
+        Event(10, 1, "click", 1.25, new Timestamp(0L)),
+        Event(11, 1, "click", 2.0, new Timestamp(2 * W)),
+        Event(12, 1, "click", 3.0, new Timestamp(2 * W + 1000)))
+      q.processAllAvailable()
+      // batch 2: the purchase sees only the trailing-window clicks,
+      // carried across the batch boundary; the aged-out click at t=0
+      // was evicted and contributes nothing
+      mem.addData(Event(13, 1, "purchase", 9.99, new Timestamp(2 * W + 2000)))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_state")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r._2 == 13L && r._4 == 2L && r._5 == 200L + 300L,
+        s"expected 2 clicks / 500 cents, got $r")
+      // a purchase AT a click's timestamp excludes it (half-open window)
+      mem.addData(Event(14, 1, "purchase", 1.0, new Timestamp(2 * W + 1000)))
+      q.processAllAvailable()
+      val r2 = spark.table("attrib_state")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .find(_._2 == 14L).get
+      assert(r2._4 == 1L && r2._5 == 200L,
+        s"half-open window must exclude the same-ts click, got $r2")
+    } finally q.stop()
+  }
+
   test("streaming as-of: late OLD clicks cannot clobber state; a late purchase never sees a FUTURE click") {
     // the r12-advice orderings: both outputs below were impossible
     // under the batch contract but the old fold emitted them — (a) a
