@@ -523,6 +523,79 @@ object Relational {
     */
   val MauWindowDays = 30L
 
+  /** Timeline chunk width for [[asofTwoPass]] (1 day): a hot user's
+    * events split across ⌈span/chunk⌉ tasks instead of one.
+    */
+  val AsofChunkMs = 86400000L
+
+  /** The 2-pass skew variant of `evt_asof` (r12 verdict stretch item):
+    * the declared window form sorts each user's whole timeline in ONE
+    * task — correct and AQE-skew-tested to 99% single-user skew
+    * (AqeSkewSpec), but a user whose history exceeds a task's memory
+    * is a hard wall. This variant is the classic parallel prefix-scan
+    * decomposition of the same running-last window:
+    *
+    * 1. chunk each user's timeline by [[AsofChunkMs]] time range
+    *    (same-ts events always co-chunk, so the (ts_ms, event_id)
+    *    total order never straddles a boundary);
+    * 2. pass A: the running last-click window WITHIN (user, chunk) —
+    *    per-task state is one chunk of one user, bounded by activity
+    *    rate × chunk width, not history;
+    * 3. the carry: per (user, chunk) the last click of all PRECEDING
+    *    chunks, a running-last window over the chunk SUMMARY relation
+    *    (≤ one row per (user, chunk) — orders of magnitude below the
+    *    event count, so its per-user sort is trivially safe);
+    * 4. join the carry back on (user, chunk); each purchase takes its
+    *    within-chunk running last, else the carried one, else the -1
+    *    sentinels.
+    *
+    * Exactly the declared query's answer by the prefix-scan identity
+    * (last-before-row = last-in-prefix-chunks ∪ last-within-chunk);
+    * AsofTwoPassSpec pins equality on the real fixture, under forced
+    * many-chunk splitting, and on the hot-user skew fixture. Not the
+    * declared query: the extra summary exchange + join only pay off
+    * past task-sized users, the deployment's call via the chunk knob.
+    */
+  def asofTwoPass(s: SparkSession, d: String,
+      chunkMs: Long = AsofChunkMs): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_id", $"event_type",
+        expr("unix_micros(ts) div 1000").as("ts_ms"))
+      .withColumn("chunk", expr(s"ts_ms div ${chunkMs}L"))
+    val w = Window.partitionBy($"user_id", $"chunk")
+      .orderBy($"ts_ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = e
+      .withColumn("l_click_id",
+        last(when($"event_type" === "click", $"event_id"),
+          ignoreNulls = true).over(w))
+      .withColumn("l_click_ts",
+        last(when($"event_type" === "click", $"ts_ms"),
+          ignoreNulls = true).over(w))
+    // chunk summaries: the (ts_ms, event_id)-max click per (user,
+    // chunk) — max over the lexicographic struct IS the window's total
+    // order — carried forward over the user's chunk sequence
+    val sums = e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"chunk")
+      .agg(max(struct($"ts_ms", $"event_id")).as("lastc"))
+    val wc = Window.partitionBy($"user_id").orderBy($"chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = e.select($"user_id", $"chunk").distinct()
+      .join(sums, Seq("user_id", "chunk"), "left")
+      .withColumn("carry", last($"lastc", ignoreNulls = true).over(wc))
+      .select($"user_id", $"chunk", $"carry")
+    withLocal.filter($"event_type" === "purchase")
+      .join(carry, Seq("user_id", "chunk"), "left")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"ts_ms".as("p_ts_ms"),
+        coalesce($"l_click_id", $"carry.event_id", lit(-1L)).as("click_id"),
+        coalesce($"l_click_ts", $"carry.ts_ms", lit(-1L)).as("click_ts_ms"),
+        coalesce($"ts_ms" - coalesce($"l_click_ts", $"carry.ts_ms"),
+          lit(-1L)).as("lag_ms"))
+  }
+
   /** Anomaly gate for evt_anomaly (the conventional 3σ rule). */
   val ZScoreThreshold = 3.0
 
