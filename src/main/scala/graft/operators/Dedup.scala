@@ -142,6 +142,12 @@ object Dedup {
   def shingleRelation(s: SparkSession, d: String): DataFrame =
     shingleRelCache.getOrBuild(s, d) {
       import s.implicits._
+      // NOT widened (cf. Similarity.widenIfStarved): measured at sf10,
+      // hash-exchanging the raw text to beat the row-group-starved
+      // scan cost MORE than the serialized tokenize it saves
+      // (pairs_build 100 s -> 120 s; round-robin with its
+      // sort-before-repartition: 257 s) — this family's cost lives in
+      // the downstream shingle-keyed shuffles, not the scan pass
       Tables.documents(s, d)
         .select($"doc_id", shingleHashes($"text").as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

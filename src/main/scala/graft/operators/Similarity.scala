@@ -224,7 +224,7 @@ object Similarity {
     val p = lshPlanes(s, d)
     val n = rowCount(s, Tables.embeddings(s, d))
     lshIndexCache.getOrBuild(s, d)(
-      widenIfStarved(s, corpus(s, d), n.toDouble * NumTables * p * Dim)
+      widenIfStarved(s, corpus(s, d), n.toDouble * NumTables * p * Dim, $"vec_id")
         .select($"vec_id", $"embedding", $"nrm",
           explode(lshBucketsPacked($"embedding", lshPlanes(s, d))).as("tp"))
         .select($"vec_id", $"embedding", $"nrm",
@@ -649,14 +649,57 @@ object Similarity {
   /** Widen a per-row-kernel-heavy scan to the session's cores when
     * the parquet layout cannot (see [[scanRowGroups]]) and the kernel
     * work justifies one bounded exchange ([[AssignRepartitionFlops]]).
+    * The exchange HASHES on the caller's row key — never round-robin:
+    * RoundRobinPartitioning sorts every row first
+    * (spark.sql.execution.sortBeforeRepartition, for deterministic
+    * retries), and that sort runs on the starved partition layout the
+    * widen exists to escape — measured 256 s for pairs_build at sf10
+    * (one task Tim-sorting 1 GB of text rows) vs 100 s without the
+    * widen and ~60 s with the hash exchange. Hash on a unique id
+    * spreads rows evenly with zero sort.
     */
   private[operators] def widenIfStarved(s: SparkSession, df: DataFrame,
-      flops: Double): DataFrame = {
+      flops: Double, key: org.apache.spark.sql.Column): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
     if (flops >= AssignRepartitionFlops && scanRowGroups(s, df) < cores)
-      df.repartition(cores)
+      df.repartition(cores, key)
     else df
   }
+
+  /** Uncompressed byte size of a scan's parquet source (row-group
+    * metadata summed off the footers — no Spark job), for sizing the
+    * [[widenIfStarved]] work estimate of text/decode kernels whose
+    * per-row cost is byte-proportional rather than a fixed
+    * vector-arithmetic count. Long.MaxValue when unknown/many-file
+    * (those layouts are wide already, so the widen is moot).
+    */
+  private[operators] def scanBytes(s: SparkSession, df: DataFrame): Long = {
+    val files = df.inputFiles
+    if (files.isEmpty || files.length > 64) Long.MaxValue
+    else
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            var total = 0L
+            r.getRowGroups.forEach(rg => total += rg.getTotalByteSize)
+            total
+          } finally r.close()
+        }.sum
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+  }
+
+  /** Rough multiply-add-equivalents per input byte for a tokenize /
+    * hash / decode kernel (FNV per char, split scanning, histogram
+    * accumulation are all a few ops per byte) — with
+    * [[AssignRepartitionFlops]] this widens byte-heavy scans only
+    * past ~6 MB of text per missing core, so bench-SF single-digit-MB
+    * corpora keep their exchange-free plans.
+    */
+  private[operators] val TextKernelFlopsPerByte = 32.0
 
   def ivfAssignments(s: SparkSession, d: String,
       cents: Array[(Long, Array[Float], Double)],
@@ -664,7 +707,8 @@ object Similarity {
     import s.implicits._
     val cells = nearestCellsCol(cents, assign) _
     val n = rowCount(s, Tables.embeddings(s, d))
-    val src = widenIfStarved(s, corpus(s, d), n.toDouble * cents.length * Dim)
+    val src = widenIfStarved(s, corpus(s, d),
+      n.toDouble * cents.length * Dim, $"vec_id")
     src.select($"vec_id", $"embedding", $"nrm",
       explode(cells($"embedding")).as("cell"))
   }
