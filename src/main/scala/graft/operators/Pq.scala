@@ -267,12 +267,27 @@ object Pq {
   private def rerankTail(s: SparkSession, d: String, scored: DataFrame,
       candidates: Int, k: Int): DataFrame = {
     import s.implicits._
-    import graft.functions.VectorFunctions
-    val coarse = scored
+    // winnow the ADC stream per partition before the rank window
+    // (Similarity.winnowTopPerKey: output-invariant, kills the full
+    // shuffle+sort of every scored row)
+    val coarse = Similarity.winnowTopPerKey(
+        scored.select($"q_id", $"n_id", $"adc"), candidates)
       .withColumn("crank", row_number().over(
         Window.partitionBy($"q_id").orderBy($"adc".desc, $"n_id".asc)))
       .filter($"crank" <= candidates)
       .select($"q_id", $"n_id")
+    fineRerank(s, d, coarse, k)
+  }
+
+  /** The exact full-width re-rank of a coarse candidate set — shared
+    * by both coarse front-ends (the ADC join winnow above and the LUT
+    * scan in [[pqProbe]]) so the contract (rounding, tie-break, k)
+    * cannot fork.
+    */
+  private def fineRerank(s: SparkSession, d: String, coarse: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
     val full = Tables.embeddings(s, d)
       .select($"vec_id".as("n_id"), $"embedding",
         VectorFunctions.norm($"embedding").as("nrm"))
@@ -305,12 +320,79 @@ object Pq {
   private def pqProbe(s: SparkSession, d: String, idx: PqIndex, k: Int,
       candidates: Int): DataFrame = {
     import s.implicits._
-    val adc = adcScore(idx.codebooks) _
-    val scored = broadcast(queryRelation(s, d))
-      .join(idx.codes, $"q_id" =!= $"vec_id")
-      .select($"q_id", $"vec_id".as("n_id"),
-        adc($"q_emb", $"codes").as("adc"))
-    rerankTail(s, d, scored, candidates, k)
+    // The FAISS ADC trick done relationally: per query, the dot of
+    // its sub-slices against every codeword is precomputed ONCE into
+    // a lookup table (|Q| × subspaces × codewords doubles —
+    // driver-bounded), and the whole-corpus scan then scores each
+    // codes row with subspaces ADDS per query instead of subspaces ×
+    // subDim multiplies — and instead of a broadcast nested-loop
+    // join materializing |Q|·n joined rows for the old per-pair ADC
+    // expression. LUT entries are the SAME left-to-right per-subspace
+    // partial dots the PqAdc kernel computed, summed in the same
+    // subspace order, so scores are bit-identical; per-partition
+    // TopBuf winnowing under the rank window's exact comparator keeps
+    // the output invariant (the coarseScanTopC argument).
+    val qRows = queryRelation(s, d)
+      .select($"q_id", $"q_emb")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cb = idx.codebooks
+    val luts: Array[Array[Array[Double]]] = qRows.map { case (_, q) =>
+      var off = 0
+      cb.map { sub =>
+        val row = sub.map { cw =>
+          var partial = 0.0
+          var i = 0
+          while (i < cw.length) {
+            if (off + i < q.length)
+              partial += q(off + i).toDouble * cw(i).toDouble
+            i += 1
+          }
+          partial
+        }
+        off += sub(0).length
+        row
+      }
+    }
+    val qIds = qRows.map(_._1)
+    val bc = s.sparkContext.broadcast((qIds, luts))
+    val n = Similarity.rowCount(s, Tables.embeddings(s, d))
+    val src = Similarity.widenIfStarved(s, idx.codes,
+      qIds.length.toDouble * n * cb.length, $"vec_id")
+    val coarse = src.select($"vec_id", $"codes")
+      .as[(Long, Array[Int])].mapPartitions { it =>
+        val (ids, tabs) = bc.value
+        val bufs = Array.fill(ids.length)(new Similarity.TopBuf(candidates))
+        it.foreach { case (vid, codes) =>
+          if (codes != null && codes.length >= tabs.headOption.map(_.length).getOrElse(0)) {
+            var qi = 0
+            while (qi < ids.length) {
+              if (ids(qi) != vid) {
+                val lut = tabs(qi)
+                var total = 0.0
+                var sub = 0
+                while (sub < lut.length) {
+                  total += lut(sub)(codes(sub))
+                  sub += 1
+                }
+                bufs(qi).insert(total, vid)
+              }
+              qi += 1
+            }
+          }
+        }
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        var qi = 0
+        while (qi < ids.length) {
+          bufs(qi).foreach((sc, id) => out += ((ids(qi), id, sc)))
+          qi += 1
+        }
+        out.result().iterator
+      }.toDF("q_id", "n_id", "adc")
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"adc".desc, $"n_id".asc)))
+      .filter($"crank" <= candidates)
+      .select($"q_id", $"n_id")
+    fineRerank(s, d, coarse, k)
   }
 
   /** IVF-PQ composition — the FAISS deployment shape: the IVF coarse

@@ -176,21 +176,137 @@ object Similarity {
       .filter($"cos_sim" >= radius)
   }
 
+  /** Bounded per-key top-k buffer for [[winnowTopPerKey]]: insertion
+    * under EXACTLY Spark's sort order for `score DESC, id ASC` —
+    * java.lang.Double total order (NaN greatest, so NaN ranks FIRST
+    * descending, matching the window the winnow feeds), id ascending
+    * on ties. Most rows fail the k-th-slot check in one compare.
+    */
+  private[operators] final class TopBuf(k: Int) {
+    private val sims = new Array[Double](k)
+    private val ids = new Array[Long](k)
+    var size = 0
+    private def before(aS: Double, aI: Long, bS: Double, bI: Long): Boolean = {
+      val c = java.lang.Double.compare(aS, bS)
+      c > 0 || (c == 0 && aI < bI)
+    }
+    def insert(sc: Double, id: Long): Unit = {
+      if (size == k && !before(sc, id, sims(size - 1), ids(size - 1))) return
+      var pos = if (size == k) size - 1 else size
+      while (pos > 0 && before(sc, id, sims(pos - 1), ids(pos - 1))) {
+        sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+      }
+      sims(pos) = sc; ids(pos) = id
+      size = math.min(size + 1, k)
+    }
+    def foreach(f: (Double, Long) => Unit): Unit = {
+      var i = 0
+      while (i < size) { f(sims(i), ids(i)); i += 1 }
+    }
+  }
+
+  /** Per-partition top-k winnow for the |Q|·n scoring streams: the
+    * windowed `row_number().over(partitionBy(q_id))` rank is exact but
+    * EXCHANGES AND SORTS every scored row — at 100× bench scale the
+    * coarse stages score |Q|·n ≈ 4·10⁸ rows, and the rank window's
+    * full shuffle+sort spilled for minutes (the sim_ann_pca sf10
+    * measurement). The winnow keeps, inside each upstream task, a
+    * bounded per-query buffer ([[TopBuf]]: |Q| × k entries — a few MB)
+    * and emits only per-partition winners, ≤ partitions · |Q| · k
+    * rows; the rank window then runs over that bounded relation.
+    * EXACT by the superset argument: every global top-k row is a
+    * top-k row of its own partition under the identical
+    * (score DESC total order, id ASC) comparator, so no winner is
+    * winnowed away — the downstream window sees everything it would
+    * have ranked into the top k.
+    */
+  private[operators] def winnowTopPerKey(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val cols = scored.columns
+    scored.as[(Long, Long, Double)].mapPartitions { it =>
+      val heaps = new java.util.HashMap[Long, TopBuf]()
+      it.foreach { case (q, i, sc) =>
+        var b = heaps.get(q)
+        if (b == null) { b = new TopBuf(k); heaps.put(q, b) }
+        b.insert(sc, i)
+      }
+      val out = Vector.newBuilder[(Long, Long, Double)]
+      heaps.forEach((q, buf) => buf.foreach((sc, i) => out += ((q, i, sc))))
+      out.result().iterator
+    }.toDF(cols: _*)
+  }
+
+  /** The coarse projected scan behind [[coarseFineTopk]]: every
+    * corpus row scored against the collected query matrix inside one
+    * mapPartitions (see the call-site comment for why this beats the
+    * broadcast join + rank window by orders of magnitude at scale).
+    * `pv` is cast to ARRAY<DOUBLE> first — a float widens exactly, so
+    * the JL (float) and PCA (double) indexes share one kernel with
+    * bit-identical products either way.
+    */
+  private[operators] def coarseScanTopC(s: SparkSession, d: String,
+      idx: DataFrame, candidates: Int): DataFrame = {
+    import s.implicits._
+    val prj = idx.select($"vec_id", $"pv".cast("array<double>").as("pv"), $"pn")
+    val qRows = prj.filter($"vec_id" % QueryStride === 0)
+      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(qRows)
+    val n = rowCount(s, Tables.embeddings(s, d))
+    val src = widenIfStarved(s, prj,
+      qRows.length.toDouble * n * 16, $"vec_id")
+    src.as[(Long, Array[Double], Double)].mapPartitions { it =>
+      val qs = bc.value
+      val bufs = Array.fill(qs.length)(new TopBuf(candidates))
+      it.foreach { case (vid, pv, pn) =>
+        if (pv != null) {
+          var qi = 0
+          while (qi < qs.length) {
+            val q = qs(qi)
+            if (q._1 != vid) {
+              val qpv = q._2
+              var dot = 0.0
+              var i = 0
+              val m = math.min(qpv.length, pv.length)
+              while (i < m) { dot += qpv(i) * pv(i); i += 1 }
+              bufs(qi).insert(dot / q._3 / pn, vid)
+            }
+            qi += 1
+          }
+        }
+      }
+      val out = Vector.newBuilder[(Long, Long, Double)]
+      var qi = 0
+      while (qi < qs.length) {
+        val qid = qs(qi)._1
+        bufs(qi).foreach((sc, id) => out += ((qid, id, sc)))
+        qi += 1
+      }
+      out.result().iterator
+    }.toDF("q_id", "n_id", "proj_sim")
+  }
+
   /** Brute-force top-k: broadcast queries × corpus scan → rounded
-    * cosine → windowed rank (rounded score + neighbor id tiebreak so
-    * the result is engine-independent).
+    * cosine → per-partition winnow → windowed rank over the winners
+    * (rounded score + neighbor id tiebreak so the result is
+    * engine-independent; the winnow is output-invariant, see
+    * [[winnowTopPerKey]]).
     */
   def topkBruteForce(s: SparkSession, d: String, k: Int = TopK): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
+    val n = rowCount(s, Tables.embeddings(s, d))
     val scored = broadcast(querySet(s, d))
-      .join(corpus(s, d), $"q_id" =!= $"vec_id")
+      .join(widenIfStarved(s, corpus(s, d),
+        (n.toDouble / QueryStride) * n * Dim, $"vec_id"),
+        $"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id".as("n_id"),
         round(VectorFunctions.cosineFrom(
           VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
           4).as("cos_sim"))
     val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+    winnowTopPerKey(scored, k)
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
       .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
   }
 
@@ -1294,28 +1410,37 @@ object Similarity {
       idx: DataFrame, k: Int, candidates: Int): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
-    val qProj = idx.filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("q_id"), $"pv".as("q_pv"), $"pn".as("q_pn"))
-    // coarse pass: projected cosine over the full corpus, top-C kept
-    val coarse = broadcast(qProj)
-      .join(idx, $"q_id" =!= $"vec_id")
-      .select($"q_id", $"vec_id".as("n_id"),
-        VectorFunctions.cosineFrom(
-          VectorFunctions.dot($"q_pv", $"pv"), $"q_pn", $"pn").as("proj_sim"))
+    // coarse pass: projected cosine over the full corpus, top-C kept —
+    // as a broadcast-MATRIX scan, not a join. The broadcast
+    // nested-loop join form materialized BOTH projected vectors into
+    // every one of the |Q|·n joined rows (≈120 GB of row copies at
+    // sf10) before the projection computed one double from them, and
+    // then exchanged+sorted the full scored stream for the rank
+    // window; at 100× bench scale that was minutes of spill. Here the
+    // collected query matrix (|Q|·projDim doubles — driver-bounded by
+    // the 1/QueryStride sampling) rides a broadcast; ONE pass over
+    // the corpus scores each row against all queries in primitive
+    // arrays and feeds per-query bounded buffers ([[TopBuf]]), so
+    // only per-partition winners (≤ partitions·|Q|·C rows) reach the
+    // exact rank window. Output-invariant: same left-to-right double
+    // dot, same dot/q_pn/pn division order, same
+    // (sim DESC total order, id ASC) comparator as the window —
+    // per-partition top-C is a superset of global top-C.
+    val coarse = coarseScanTopC(s, d, idx, candidates)
       .withColumn("crank", row_number().over(
         Window.partitionBy($"q_id").orderBy($"proj_sim".desc, $"n_id".asc)))
       .filter($"crank" <= candidates)
       .select($"q_id", $"n_id")
     // fine pass: exact full-width cosine on the C candidates only
     val full = corpus(s, d)
-    val scored = coarse
+    val fine = coarse
       .join(full.select($"vec_id".as("n_id"), $"embedding", $"nrm"), Seq("n_id"))
       .join(broadcast(querySet(s, d)), Seq("q_id"))
       .select($"q_id", $"n_id",
         round(VectorFunctions.cosineFrom(
           VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
           4).as("cos_sim"))
-    scored
+    fine
       .withColumn("rank", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)))
       .filter($"rank" <= k)
