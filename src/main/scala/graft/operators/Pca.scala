@@ -339,7 +339,7 @@ object Pca {
   private val pcaIndexCache = new SessionCache[org.apache.spark.sql.DataFrame](
     df => scala.util.Try(df.unpersist(blocking = false)))
 
-  private def pcaIndex(s: SparkSession, d: String): DataFrame =
+  private[operators] def pcaIndex(s: SparkSession, d: String): DataFrame =
     pcaIndexWith(s, d, pcaModel(s, d), s"pcaidx#$d")
 
   private def pcaIndexWith(s: SparkSession, d: String, m: PcaModel,
