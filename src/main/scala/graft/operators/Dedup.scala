@@ -1212,7 +1212,7 @@ object Dedup {
     */
   val PairShards = 16
 
-  private def withShard(pairs: DataFrame): DataFrame =
+  private[operators] def withShard(pairs: DataFrame): DataFrame =
     pairs.withColumn("shard",
       org.apache.spark.sql.functions.pmod(col("id_a"), lit(PairShards.toLong))
         .cast("int"))

@@ -711,7 +711,33 @@ object Multimodal {
       import s.implicits._
       Dedup.connectedComponents(mediaNearDupPairs(s, d))
         .select($"doc_id".as("media_id"), $"rep_id")
+    },
+
+    // The stored-pair-relation round trip (the writeEmbPairs lifecycle
+    // applied to the media family): ONE job builds + writes the
+    // verified pair relation shard-partitioned, a later job reads it
+    // back — byte-identical answer, so it shares dedup_media's oracle
+    // verbatim (the dedup_cluster_stored convention).
+    "dedup_media_stored" -> { (s, d) =>
+      import s.implicits._
+      val dir = Similarity.storedQueryDir("mediapairs", d)
+      writeMediaPairs(s, d, dir)
+      Dedup.readEmbPairs(s, dir).select($"id_a", $"id_b", $"cos_sim")
     })
+
+  /** Write the verified media pair relation shard-partitioned
+    * ([[Dedup.writeEmbPairs]]'s layout verbatim — same schema, same
+    * bounded shard fanout, one file per shard via the
+    * repartition-by-shard exchange), so the incremental/resumable
+    * consumers ([[Dedup.readPairShard]], shard-at-a-time collapse)
+    * work unchanged on media pairs.
+    */
+  def writeMediaPairs(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    Dedup.withShard(mediaNearDupPairs(s, d))
+      .repartition($"shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 
   /** Shared CTE text for the dedup_media oracles — the embLshCte
     * pattern: signature restated from bytes up (hex-digit byte
@@ -769,6 +795,12 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "dedup_media" ->
+      s"""WITH $mediaLshCte
+          SELECT id_a, id_b, cos_sim FROM mpairs""",
+    // byte-identical answer contract for the stored round trip — the
+    // oracle STRING is shared, not restated (dedup_cluster_stored
+    // convention)
+    "dedup_media_stored" ->
       s"""WITH $mediaLshCte
           SELECT id_a, id_b, cos_sim FROM mpairs""",
     "dedup_media_cluster" ->
