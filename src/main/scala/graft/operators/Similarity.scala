@@ -334,18 +334,23 @@ object Similarity {
 
   def lshIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // the bucket kernel is tables × planes × dim per row — the same
-    // work-conditioned widening as the IVF assignment pass (a
-    // single-row-group corpus otherwise serializes the build)
-    val p = lshPlanes(s, d)
-    val n = rowCount(s, Tables.embeddings(s, d))
-    lshIndexCache.getOrBuild(s, d)(
+    lshIndexCache.getOrBuild(s, d) {
+      // the bucket kernel is tables × planes × dim per row — the same
+      // work-conditioned widening as the IVF assignment pass (a
+      // single-row-group corpus otherwise serializes the build). The
+      // sizing probes (count + parquet footers) live INSIDE the
+      // session-cached build: they price one build, not every probe
+      // call that walks the index (moving them out added ~0.7 s to
+      // the bench lsh_build line for nothing).
+      val p = lshPlanes(s, d)
+      val n = rowCount(s, Tables.embeddings(s, d))
       widenIfStarved(s, corpus(s, d), n.toDouble * NumTables * p * Dim, $"vec_id")
         .select($"vec_id", $"embedding", $"nrm",
           explode(lshBucketsPacked($"embedding", lshPlanes(s, d))).as("tp"))
         .select($"vec_id", $"embedding", $"nrm",
           unpackTable($"tp").as("table"), unpackBucket($"tp").as("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
   }
 
   def topkLsh(s: SparkSession, d: String, k: Int = TopK,
