@@ -357,7 +357,8 @@ object Pq {
     val bc = s.sparkContext.broadcast((qIds, luts))
     val n = Similarity.rowCount(s, Tables.embeddings(s, d))
     val src = Similarity.widenIfStarved(s, idx.codes,
-      qIds.length.toDouble * n * cb.length, $"vec_id")
+      qIds.length.toDouble * n * cb.length, $"vec_id",
+      Tables.embeddings(s, d))
     val coarse = src.select($"vec_id", $"codes")
       .as[(Long, Array[Int])].mapPartitions { it =>
         val (ids, tabs) = bc.value

@@ -254,7 +254,7 @@ object Similarity {
     val bc = s.sparkContext.broadcast(qRows)
     val n = rowCount(s, Tables.embeddings(s, d))
     val src = widenIfStarved(s, prj,
-      qRows.length.toDouble * n * 16, $"vec_id")
+      qRows.length.toDouble * n * 16, $"vec_id", Tables.embeddings(s, d))
     src.as[(Long, Array[Double], Double)].mapPartitions { it =>
       val qs = bc.value
       val bufs = Array.fill(qs.length)(new TopBuf(candidates))
@@ -780,9 +780,16 @@ object Similarity {
     * spreads rows evenly with zero sort.
     */
   private[operators] def widenIfStarved(s: SparkSession, df: DataFrame,
-      flops: Double, key: org.apache.spark.sql.Column): DataFrame = {
+      flops: Double, key: org.apache.spark.sql.Column,
+      layout: DataFrame = null): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
-    if (flops >= AssignRepartitionFlops && scanRowGroups(s, df) < cores)
+    // `layout` carries the SOURCE table when `df` is a derived/cached
+    // relation whose inputFiles no longer resolve to the parquet
+    // (measured: the PQ codes cache reported no files, the widen
+    // silently never fired, and the 3.2e9-add LUT scan ran on the one
+    // task its single-row-group ancestry allowed)
+    val probe = if (layout == null) df else layout
+    if (flops >= AssignRepartitionFlops && scanRowGroups(s, probe) < cores)
       df.repartition(cores, key)
     else df
   }
@@ -1391,11 +1398,17 @@ object Similarity {
   def projIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
-    projIndexCache.getOrBuild(s, d)(
-      Tables.embeddings(s, d)
+    projIndexCache.getOrBuild(s, d) {
+      // the projection kernel is n·16·64 multiply-adds riding the
+      // scan — the same work-conditioned widening as the other index
+      // builds (sized once per session-cached build)
+      val emb = Tables.embeddings(s, d)
+      widenIfStarved(s, emb,
+          rowCount(s, emb).toDouble * 16 * Dim, $"vec_id")
         .select($"vec_id", Embeddings.projectUdf($"embedding").as("pv"))
         .select($"vec_id", $"pv", VectorFunctions.norm($"pv").as("pn"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
   }
 
   def topkProjected(s: SparkSession, d: String, k: Int = TopK,
