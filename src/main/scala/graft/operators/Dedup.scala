@@ -20,27 +20,15 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles of a document. Word n-grams (not
-    * unigrams) because the corpus vocabulary is tiny — unigram sets
-    * barely discriminate; 3-gram sets do.
-    *
-    * One tight pass per document: the equivalent Catalyst
-    * transform/slice/concat_ws higher-order pipeline is evaluated
-    * interpretively per element and dominated every dedup operator's
-    * runtime (~3× on the shingle-producing stages). Semantics are
-    * identical to the oracle's regexp_split + list_transform CTE:
-    * split on \s+, drop empties, join triples with single spaces,
-    * keep first occurrence order, distinct.
-    */
-  /** The single tokenize/3-gram/dedup pass both shingle kernels share
-    * (so tokenization can never drift between the exact-Jaccard path
-    * and the minhash/LSH paths): split on \s+, drop empties, join
-    * triples with single spaces, keep first occurrence order, distinct.
-    */
   /** Distinct word n-grams of a document in one tokenize pass —
     * shared by the shingle paths here (n = 3) and txt_decontaminate
     * (n = [[TextAnalysis.DecontamN]]), so a tokenization change cannot
-    * silently diverge between them.
+    * silently diverge between them. Semantics match the oracle's
+    * regexp_split + list_transform CTE: split on \s+, drop empties,
+    * join with single spaces, keep first-occurrence order, distinct.
+    * One tight imperative pass because the equivalent Catalyst
+    * transform/slice/concat_ws pipeline is evaluated interpretively
+    * per element and dominated the shingle-producing stages (~3×).
     */
   private[graft] def distinctNgrams(text: String, n: Int): Seq[String] = {
     val toks = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)

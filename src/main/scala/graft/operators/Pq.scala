@@ -363,22 +363,28 @@ object Pq {
       .as[(Long, Array[Int])].mapPartitions { it =>
         val (ids, tabs) = bc.value
         val bufs = Array.fill(ids.length)(new Similarity.TopBuf(candidates))
+        val nSub = tabs.headOption.map(_.length).getOrElse(0)
         it.foreach { case (vid, codes) =>
-          if (codes != null && codes.length >= tabs.headOption.map(_.length).getOrElse(0)) {
-            var qi = 0
-            while (qi < ids.length) {
-              if (ids(qi) != vid) {
-                val lut = tabs(qi)
-                var total = 0.0
-                var sub = 0
-                while (sub < lut.length) {
-                  total += lut(sub)(codes(sub))
-                  sub += 1
-                }
-                bufs(qi).insert(total, vid)
+          // loud on malformed rows, matching the replaced PqKernels.adc
+          // require: a silently skipped codes row would shrink the
+          // candidate set without any signal that the index is corrupt
+          require(codes != null && codes.length >= nSub,
+            s"pq scan: codes row for vec_id=$vid has " +
+              s"${if (codes == null) "null" else codes.length.toString} " +
+              s"codes, need $nSub")
+          var qi = 0
+          while (qi < ids.length) {
+            if (ids(qi) != vid) {
+              val lut = tabs(qi)
+              var total = 0.0
+              var sub = 0
+              while (sub < lut.length) {
+                total += lut(sub)(codes(sub))
+                sub += 1
               }
-              qi += 1
+              bufs(qi).insert(total, vid)
             }
+            qi += 1
           }
         }
         val out = Vector.newBuilder[(Long, Long, Double)]

@@ -842,9 +842,18 @@ object IvfKernels {
         while (i < d) { dot += v(i).toDouble * sc(i); i += 1 }
         val cosT = math.max(-1.0, math.min(1.0, dot / nv))
         val sinT = math.sqrt(math.max(0.0, 1.0 - cosT * cosT))
-        // cos(θ − δ) — even in θ−δ, so no sign branch; ≥ any member's
-        // cosine by the spherical triangle inequality
-        var b = cosT * hier.cosD(j) + sinT * hier.sinD(j) + BoundEps
+        // Upper bound on any member's cosine. For θ ≥ δ the spherical
+        // triangle inequality gives cos(θ − δ). For θ < δ (query
+        // INSIDE the group's cone, cosT ≥ cosD) that formula is WRONG:
+        // a member can sit at angle δm ≈ θ from the super-centroid,
+        // i.e. coincident with the query, so the only valid bound is
+        // 1. cos(θ−δ) being even in its argument hides the regime
+        // change — clamp explicitly (the r13 ADVICE counterexample:
+        // query coincident with a member of a wide group was pruned
+        // in favor of a worse cell).
+        var b =
+          if (cosT >= hier.cosD(j)) 1.0 + BoundEps
+          else cosT * hier.cosD(j) + sinT * hier.sinD(j) + BoundEps
         if (java.lang.Double.isNaN(b)) b = 2.0 // overflow → always scan
         bounds(j) = b
         j += 1

@@ -180,6 +180,53 @@ class TrainedKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("NearestCells bound clamps to 1 when the query is inside a group's cone") {
+    // The r13-ADVICE counterexample, pinned as a directed geometry:
+    // cos(θ−δ) is only an upper bound on member cosine when θ ≥ δ.
+    // With the query INSIDE a wide group's radius (θ < δ) a member can
+    // be coincident with it (cosine 1 > cos(δ−θ)), so the unclamped
+    // bound pruned the group holding the true nearest centroid. Built
+    // in the plane of the first two coordinates: group 0 = {A at 10°,
+    // B at 80°} off s0 = 0° (δ0 = 80°), group 1 = {C at 40°} with
+    // s1 = C (δ1 = 0). Query = A: true best is A (sim 1), but the
+    // unclamped group-0 bound cos(10°−80°) ≈ 0.342 ranks below C's
+    // sim cos(30°) ≈ 0.866, so group 0 was pruned after C was found.
+    val d = 64
+    def unit(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      val v = new Array[Float](d)
+      v(0) = math.cos(r).toFloat
+      v(1) = math.sin(r).toFloat
+      v
+    }
+    def withNorm(cid: Long, cv: Array[Float]): (Long, Array[Float], Double) = {
+      val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      (cid, cv, cn)
+    }
+    val cents = Array(
+      withNorm(0L, unit(10)),  // A — group 0
+      withNorm(1L, unit(80)),  // B — group 0 (widens δ0 to 80°)
+      withNorm(2L, unit(40)))  // C — group 1, its own super-centroid
+    val s0 = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    val s1 = cents(2)._2.map(_.toDouble)
+    val d0 = math.toRadians(80)
+    val hier = new IvfKernels.Hier(
+      Array(s0, s1),
+      Array(Array(0, 1), Array(2)),
+      Array(math.cos(d0), 1.0),
+      Array(math.sin(d0), 0.0))
+    val query = cents(0)._2.clone() // coincident with member A, θ0 = 10° < δ0
+    val flat = IvfKernels
+      .nearestCells(new GenericArrayData(query), cents, null, 1)
+      .toLongArray().toSeq
+    assert(flat == Seq(0L), "flat scan must rank A first")
+    val viaHier = IvfKernels
+      .nearestCells(new GenericArrayData(query), cents, hier, 1)
+      .toLongArray().toSeq
+    assert(viaHier == flat,
+      s"inside-cone query pruned the true nearest group: $viaHier != $flat")
+  }
+
   test("PcaProject matches the replaced centered-dot UDF, incl. short vectors") {
     val mean = Array.fill(64)(rnd.nextGaussian())
     val comps = Array.fill(16, 64)(rnd.nextGaussian())
