@@ -308,8 +308,15 @@ object Multimodal {
       }
 
     /** Content stream = the normalized signed-16-bit PCM bytes (the
-      * same converter path as [[features]]): an 8-bit WAV and its
-      * 16-bit re-encode sign near-identically.
+      * same converter path as [[features]]): the same samples in a
+      * different ENDIANNESS/container (WAV vs AIFF) normalize to a
+      * byte-identical stream — MediaGoldenSpec pins that pair through
+      * the full LSH pipeline. Cross-WIDTH re-encodes are weaker: the
+      * JDK's 8→16-bit converter SCALES amplitudes (≈ value·257, not
+      * value<<8), so an 8-bit re-encode shares few byte-4-grams with
+      * its 16-bit original — measured below the pair threshold; a
+      * deployment wanting width-invariant signatures would sketch the
+      * high bytes only.
       */
     def contentBytes(bytes: Array[Byte]): Array[Byte] =
       open(bytes).flatMap(pcm16) match {
@@ -626,7 +633,7 @@ object Multimodal {
     * the full corpus: identical planes ⇒ identical bucket collisions
     * ⇒ the exactness-by-blow-up argument holds including LSH recall.
     */
-  private def lshVerifiedPairs(s: SparkSession, sigs: DataFrame,
+  private[graft] def lshVerifiedPairs(s: SparkSession, sigs: DataFrame,
       np: Int): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
@@ -682,21 +689,46 @@ object Multimodal {
   def mediaCollapsedClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    val m = mediaRelation(s, d)
+      .select($"media_id", $"payload", md5($"payload").as("pfp"))
+    // stage 0 — payload-exact collapse (the dedup_exact md5-key
+    // convention): one shuffle on a 16-byte hash, and everything
+    // downstream — DECODE included — runs once per distinct payload,
+    // not per copy. On a mirrored collection (byte-identical files,
+    // the common real duplication) this alone removes the
+    // duplication factor from the decode and pair stages.
+    val pgroups = m.groupBy($"pfp")
+      .agg(min($"media_id").as("p_rep"), count(lit(1)).as("p_cnt"))
+    val pmap = m.select($"media_id", $"pfp").join(pgroups, Seq("pfp"))
+    val repMedia = m.join(pgroups.select($"p_rep", $"p_cnt"),
+      $"media_id" === $"p_rep")
+    // stage 1 — signature-exact collapse over the payload reps (the
+    // container-invariance catch: PNG≡BMP of the same pixels differ
+    // in bytes but share the signature). Payload-equal ⇒ sig-equal,
+    // so stage 0 only refines this grouping — the composed collapse
+    // is still exactly "identical signature". g_size counts MEMBERS
+    // (Σ payload-group sizes), not payload reps.
+    val sigs = signaturesWith(s,
+      repMedia.select($"media_id", $"payload"), FakeDecoder)
+      .join(pgroups.select($"p_rep".as("vec_id"), $"p_cnt"), Seq("vec_id"))
     val w = Window.partitionBy($"embedding")
-    val grp = mediaSignatures(s, d)
-      .select($"vec_id", $"embedding", $"nrm",
-        min($"vec_id").over(w).as("g_rep"),
-        count(lit(1)).over(w).as("g_size"))
+    val grp = sigs.select($"vec_id", $"embedding", $"nrm", $"p_cnt",
+      min($"vec_id").over(w).as("g_rep"),
+      sum($"p_cnt").over(w).as("g_size"))
     val reps = grp.filter($"vec_id" === $"g_rep")
       .select($"vec_id", $"embedding", $"nrm")
-    // same plane count as the full build — see lshVerifiedPairs
+    // stage 2 — pairwise LSH + CC over signature reps only, at the
+    // SAME plane count as the full build — see lshVerifiedPairs
     val np = Similarity.adaptivePlanes(
       Similarity.rowCount(s, Tables.documents(s, d)))
     val cc = Dedup.connectedComponents(lshVerifiedPairs(s, reps, np))
-    grp.join(cc, grp("g_rep") === cc("doc_id"), "left_outer")
+    // blow the labels back: member → payload rep → sig group → label
+    val pr2g = grp.select($"vec_id".as("p_rep"), $"g_rep", $"g_size")
+    pmap.select($"media_id", $"p_rep")
+      .join(pr2g, Seq("p_rep"))
+      .join(cc, $"g_rep" === cc("doc_id"), "left_outer")
       .filter($"rep_id".isNotNull || $"g_size" >= 2)
-      .select($"vec_id".as("media_id"),
-        coalesce($"rep_id", $"g_rep").as("rep_id"))
+      .select($"media_id", coalesce($"rep_id", $"g_rep").as("rep_id"))
   }
 
   /** REAL frame sampling through a frame-addressable decoder: one row
@@ -770,6 +802,15 @@ object Multimodal {
       import s.implicits._
       Dedup.connectedComponents(mediaNearDupPairs(s, d))
         .select($"doc_id".as("media_id"), $"rep_id")
+    },
+
+    // Collapse-first composition: exact-signature collapse in one
+    // linear shuffle, THEN the pairwise LSH report + CC over the
+    // representatives only — the deployment ordering for duplicates-
+    // dense corpora, output-identical to dedup_media_cluster (the
+    // blow-up argument on mediaCollapsedClusters).
+    "dedup_media_collapsed" -> { (s, d) =>
+      mediaCollapsedClusters(s, d)
     },
 
     // The stored-pair-relation round trip (the writeEmbPairs lifecycle
@@ -883,6 +924,38 @@ object Multimodal {
             SELECT r.u, e.v FROM mreach r JOIN medges e ON r.v = e.u)
           SELECT u AS media_id, LEAST(u, MIN(v)) AS rep_id
           FROM mreach GROUP BY u""",
+    // Star-contraction restatement of the cluster closure (exact by
+    // the blow-up argument — see mediaCollapsedClusters): collapse
+    // groups via a window over the signature, keep only rep-rep edges
+    // of the verified pair set, run the recursive closure on THOSE
+    // (1/duplication² the reach rows — affordable in DuckDB at sf1
+    // where the full closure OOMs), then blow the labels back through
+    // the member→rep map. A node is emitted iff its group has ≥2
+    // members or its rep has a rep-graph edge.
+    "dedup_media_collapsed" ->
+      s"""WITH RECURSIVE $mediaLshCte,
+          mgrp AS (SELECT doc_id,
+              MIN(doc_id) OVER (PARTITION BY sig) AS g_rep,
+              COUNT(*) OVER (PARTITION BY sig) AS g_size
+            FROM msnz),
+          redges AS (
+            SELECT p.id_a AS u, p.id_b AS v FROM mpairs p
+              JOIN mgrp a ON a.doc_id = p.id_a AND a.g_rep = p.id_a
+              JOIN mgrp b ON b.doc_id = p.id_b AND b.g_rep = p.id_b
+            UNION
+            SELECT p.id_b, p.id_a FROM mpairs p
+              JOIN mgrp a ON a.doc_id = p.id_a AND a.g_rep = p.id_a
+              JOIN mgrp b ON b.doc_id = p.id_b AND b.g_rep = p.id_b),
+          rreach(u, v) AS (
+            SELECT u, v FROM redges
+            UNION
+            SELECT r.u, e.v FROM rreach r JOIN redges e ON r.v = e.u),
+          rcc AS (SELECT u, LEAST(u, MIN(v)) AS rep
+            FROM rreach GROUP BY u)
+          SELECT m.doc_id AS media_id,
+            COALESCE(rcc.rep, m.g_rep) AS rep_id
+          FROM mgrp m LEFT JOIN rcc ON rcc.u = m.g_rep
+          WHERE rcc.rep IS NOT NULL OR m.g_size >= 2""",
     "mm_meta" ->
       """SELECT doc_id AS media_id, 'fake/text-as-image' AS media_type,
          octet_length(encode(COALESCE(text, ''))) AS n_bytes,

@@ -250,7 +250,7 @@ object Pq {
   /** The query set (every QueryStride'th vector with its norm) — the
     * shared head of both coarse-to-fine queries here.
     */
-  private def queryRelation(s: SparkSession, d: String): DataFrame = {
+  private[graft] def queryRelation(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
     Tables.embeddings(s, d)
@@ -284,7 +284,7 @@ object Pq {
     * scan in [[pqProbe]]) so the contract (rounding, tie-break, k)
     * cannot fork.
     */
-  private def fineRerank(s: SparkSession, d: String, coarse: DataFrame,
+  private[graft] def fineRerank(s: SparkSession, d: String, coarse: DataFrame,
       k: Int): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions

@@ -1220,13 +1220,17 @@ object Similarity {
     s.read.schema(schema).parquet(indexDir)
   }
 
-  /** A probe's distinct (table, bucket) set is pushed to the stored
-    * scan as a static filter when it has at most this many pairs —
-    * parquet then prunes row groups by the bucket min/max stats the
-    * bucket-sorted layout guarantees. The cap bounds driver transfer
-    * and filter size: |pairs| ≤ |Q|·NumTables·(planes+1), and a probe
-    * batch large enough to blow it is touching so many buckets that a
-    * straight scan-join reads little it doesn't need (the fallback).
+  /** A probe GROUP's distinct (table, bucket) set is pushed to the
+    * stored scan as a static filter when it has at most this many
+    * pairs — parquet then prunes row groups by the bucket min/max
+    * stats the bucket-sorted layout guarantees. The cap bounds filter
+    * size per scan: |pairs| ≤ |Q|·NumTables·(planes+1). A query batch
+    * whose pair set exceeds the cap no longer falls back to one full
+    * scan-join (r13 verdict item 3: that cliff measured 2.4 s →
+    * 9.6–17.4 s at sf10) — [[topkLshStored]] greedy-packs the queries
+    * into cap-sized groups and unions the per-group probes, so every
+    * scan keeps its pushdown and total row groups read stays
+    * proportional to the buckets actually probed.
     */
   val LshProbePushdownCap = 65536
 
@@ -1238,7 +1242,8 @@ object Similarity {
     * directory explosion).
     */
   def topkLshStored(s: SparkSession, d: String, indexDir: String,
-      k: Int = TopK, multiprobe: Boolean = true): DataFrame = {
+      k: Int = TopK, multiprobe: Boolean = true,
+      pushdownCap: Int = LshProbePushdownCap): DataFrame = {
     val planes = readLshPlanes(s, indexDir)
     // the probe-bucket relation is the join's BROADCAST side —
     // driver-sized by definition — so it is collected ONCE and
@@ -1249,24 +1254,50 @@ object Similarity {
     // the block manager for the session's lifetime)
     val qDf = probeBuckets(querySet(s, d), planes, multiprobe)
     val qRows = qDf.collect()
-    val q = s.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), qDf.schema)
+    val qi = qDf.schema.fieldIndex("q_id")
     val ti = qDf.schema.fieldIndex("table")
     val bi = qDf.schema.fieldIndex("bucket")
-    val pairs = qRows.iterator
-      .map(r => (r.getInt(ti), r.getInt(bi))).toSet
     val idx = readLshIndex(s, indexDir)
-    val pruned =
-      if (pairs.isEmpty) idx.filter(lit(false)) // no queries → empty probe
-      else if (pairs.size > LshProbePushdownCap) idx
-      else {
-        val byTable = pairs.groupBy(_._1)
-          .map { case (t, rs) => (t, rs.map(_._2).toSeq.sorted) }
-        idx.filter(byTable.map { case (t, bs) =>
-          col("table") === t && col("bucket").isin(bs.map(Integer.valueOf): _*)
-        }.reduce(_ || _))
+    if (qRows.isEmpty) // no queries → empty probe
+      return probeJoin(s, idx.filter(lit(false)), s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        qDf.schema), k)
+    // Greedy-pack queries into groups whose DISTINCT pair set fits
+    // the pushdown cap, so every scan keeps its row-group pruning
+    // instead of one over-cap batch degrading to a full scan-join
+    // (r13 verdict item 3). Each query's top-k depends only on its
+    // own candidates, so the union of per-group probes partitioned by
+    // q_id IS the unsplit answer — same rows, same ranks
+    // (IndexStoreSpec pins it under a forced tiny cap). One group ≡
+    // the pre-batching plan exactly. The pack walk is O(total pairs)
+    // driver-side via the incremental new-pair count.
+    val byQuery = qRows.groupBy(_.getLong(qi)).toSeq.sortBy(_._1)
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row],
+        scala.collection.mutable.HashSet[(Int, Int)])]
+    byQuery.foreach { case (_, rows) =>
+      val qPairs = rows.map(r => (r.getInt(ti), r.getInt(bi))).toSet
+      val fits = groups.nonEmpty && {
+        val cur = groups.last._2
+        cur.size + qPairs.count(!cur.contains(_)) <= pushdownCap
       }
-    probeJoin(s, pruned, q, k)
+      if (!fits)
+        groups += ((scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row],
+          scala.collection.mutable.HashSet.empty[(Int, Int)]))
+      groups.last._1 ++= rows
+      groups.last._2 ++= qPairs
+    }
+    groups.iterator.map { case (rows, pairs) =>
+      val gq = s.createDataFrame(
+        java.util.Arrays.asList(rows.toArray: _*), qDf.schema)
+      val byTable = pairs.groupBy(_._1)
+        .map { case (t, rs) => (t, rs.map(_._2).toSeq.sorted) }
+      val pruned = idx.filter(byTable.map { case (t, bs) =>
+        col("table") === t && col("bucket").isin(bs.map(Integer.valueOf): _*)
+      }.reduce(_ || _))
+      probeJoin(s, pruned, gq, k)
+    }.reduce(_.union(_))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -57,6 +57,31 @@ class IndexStoreSpec extends AnyFunSuite {
       s"stored probe scan is not partition-pruned: $scan")
   }
 
+  test("LSH stored probe batches past the pushdown cap without changing the answer") {
+    // r13 verdict item 3: an over-cap probe batch must split into
+    // cap-sized groups (each keeping its pushdown) and union — not
+    // fall back to a full scan-join. Forcing a tiny cap makes every
+    // group over-cap-boundary small, so the batched path is exercised
+    // hard: the union over many single-query groups must still equal
+    // the unbatched default-cap answer row-for-row, ranks included.
+    val dir = java.nio.file.Files.createTempDirectory("lshbatch").toString
+    Similarity.writeLshIndex(spark, sf, dir)
+    val expect = rows(Similarity.topkLshStored(spark, sf, dir))
+    assert(expect.nonEmpty)
+    val batched = Similarity.topkLshStored(spark, sf, dir, pushdownCap = 4)
+    assert(rows(batched) == expect,
+      "cap-batched probe diverged from the single-group probe")
+    // every group's scan still carries a bucket pushdown (the whole
+    // point of batching: no group degrades to an unfiltered scan)
+    val plan = batched.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("lshbatch")).toSeq
+    assert(scans.nonEmpty)
+    val pushedAll = plan.linesIterator
+      .filter(_.contains("PushedFilters"))
+      .filter(_.contains("lshbatch")).forall(_.contains("bucket"))
+    assert(pushedAll, s"a batched group lost its bucket pushdown")
+  }
+
   test("LSH stored index: fresh-session probe parity + probed-bucket pushdown") {
     val dir = java.nio.file.Files.createTempDirectory("lshstore").toString
     Similarity.writeLshIndex(spark, sf, dir)

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The collapse-first media-dedup composition's exactness contract
+  * (r13 verdict item 1): dedup_media_collapsed must be row-identical
+  * to dedup_media_cluster — the blow-up argument made executable.
+  * Buckets and cosine are pure functions of the signature, so the
+  * full pair graph is the blow-up of the rep graph and the two
+  * orderings (pairs-then-CC vs collapse-then-pairs-then-CC) label
+  * every node identically. Checked on the sf0.001 fixture AND a
+  * hand-built duplicates-dense corpus where collapse groups span
+  * multiple sizes, including a size-≥2 group with no external edge
+  * (the g_size filter leg) and a singleton with no edge (must be
+  * absent from both outputs).
+  */
+class MediaCollapseSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("media_id", "rep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("collapsed composition equals the full-pair cluster on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val full = rows(Multimodal.queries("dedup_media_cluster")(spark, d))
+    val collapsed = rows(Multimodal.queries("dedup_media_collapsed")(spark, d))
+    assert(collapsed == full,
+      s"collapse-first drift: only-full=${(full -- collapsed).take(5)} " +
+        s"only-collapsed=${(collapsed -- full).take(5)}")
+    assert(full.nonEmpty, "fixture produced no media clusters — vacuous test")
+  }
+
+  test("collapsed composition equals the full cluster on a duplicates-dense corpus") {
+    import spark.implicits._
+    // documents with engineered duplication: ids 1..6 share text A
+    // (6-way copy), 10..11 share text B near-dup of A? keep it
+    // simple: B is an exact group with NO external near-dup (the
+    // g_size-only output leg), C is a lone doc near-dup of nothing
+    // (must appear in neither output), and D1/D2 are distinct texts
+    // whose sketches near-dup each other via heavy shingle overlap.
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val vary = base + "and then it ran away over the quiet hills"
+    val docs = (
+      (1L to 6L).map(i => (i, base)) ++
+        Seq((10L, vary), (11L, vary)) ++
+        Seq((20L, "completely unrelated content about spark shuffles " * 6)) ++
+        Seq((30L, base + " extra trailing words"), (31L, base + " extra trailing words"))
+      ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mediacollapse").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val full = rows(Multimodal.queries("dedup_media_cluster")(spark, dir))
+    val collapsed = rows(Multimodal.queries("dedup_media_collapsed")(spark, dir))
+    assert(collapsed == full,
+      s"collapse-first drift: only-full=${(full -- collapsed).take(5)} " +
+        s"only-collapsed=${(collapsed -- full).take(5)}")
+    // the corpus exercised what it claims to: 1..6 clustered to 1,
+    // the lone unrelated doc absent, the exact pair 10/11 present
+    assert(full.contains((6L, 1L)))
+    assert(!full.exists(_._1 == 20L))
+    assert(full.contains((11L, 10L)) || full.contains((11L, 1L)))
+  }
+}

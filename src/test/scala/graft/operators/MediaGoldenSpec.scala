@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The REAL decoders through the FULL pair pipeline (r13 verdict item
+  * 7): the declared media queries run the hermetic FakeDecoder, and
+  * MultimodalSpec pins PNG≡BMP at the signature level — this spec
+  * extends that pin end-to-end: a small golden corpus of real
+  * PNG/BMP/WAV payloads goes through [[Multimodal.signaturesWith]]
+  * with the JDK decoders and the adaptive-LSH pair build
+  * ([[Multimodal.lshVerifiedPairs]]), and the resulting pair set must
+  * equal brute-force thresholded cosine over the same signatures —
+  * the recall/precision contract the declared path claims, on actual
+  * containers.
+  */
+class MediaGoldenSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** w×h image with per-pixel grey from `lum(x, y)`, encoded with the
+    * given ImageIO format ("png"/"bmp").
+    */
+  private def img(w: Int, h: Int, fmt: String)(lum: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val g = lum(x, y) & 0xff
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, fmt, out)
+    out.toByteArray
+  }
+
+  /** Mono 16-bit PCM in the given container (WAV = little-endian,
+    * AIFF = big-endian): same samples in both containers normalize to
+    * byte-identical PCM through the decoder's endianness conversion —
+    * a cross-container EXACT signature duplicate, the audio analogue
+    * of PNG≡BMP. (Cross-WIDTH is deliberately not pinned as exact:
+    * the JDK's 8→16-bit converter SCALES amplitudes — ≈ value·257,
+    * not value<<8 — so an 8-bit re-encode is near- but not
+    * gram-identical; authoring this spec measured it below the 0.85
+    * pair threshold on random samples.)
+    */
+  private def pcm16File(samples: Array[Short],
+      tpe: javax.sound.sampled.AudioFileFormat.Type,
+      bigEndian: Boolean): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, bigEndian)
+    val raw: Array[Byte] = samples.flatMap { s =>
+      if (bigEndian) Seq((s >> 8).toByte, s.toByte)
+      else Seq(s.toByte, (s >> 8).toByte)
+    }.toArray
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in, tpe, out)
+    out.toByteArray
+  }
+
+  /** Brute-force thresholded rounded cosine over collected signatures
+    * — the spec's own restatement of the verify kernel's math.
+    */
+  private def bruteForce(sigs: Seq[(Long, Array[Float])]): Set[(Long, Long)] = {
+    val withNorm = sigs.map { case (id, v) =>
+      (id, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    }.filter(_._3 > 0)
+    (for {
+      (ia, va, na) <- withNorm
+      (ib, vb, nb) <- withNorm
+      if ia < ib
+      dot = va.zip(vb).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2.toDouble)
+      cos = BigDecimal(dot / na / nb)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= Multimodal.MediaCosineThreshold
+    } yield (ia, ib)).toSet
+  }
+
+  private def pipelinePairs(payloads: Seq[(Long, Array[Byte])],
+      dec: Multimodal.MediaDecoder): (Set[(Long, Long)], Set[(Long, Long)]) = {
+    import spark.implicits._
+    val media = payloads.toDF("media_id", "payload")
+    val sigs = Multimodal.signaturesWith(spark, media, dec)
+    val np = Similarity.adaptivePlanes(payloads.size.toLong)
+    val got = Multimodal.lshVerifiedPairs(spark, sigs, np)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteForce(
+      sigs.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .collect().map { case (id, v) => (id, v) }.toSeq)
+    (got, want)
+  }
+
+  test("real image decoders drive the pair pipeline: PNG≡BMP + near-dup + unrelated") {
+    assume(Multimodal.JdkImageDecoder.available)
+    def p1(x: Int, y: Int): Int = (x * 3 + y * 7) % 251
+    val payloads = Seq(
+      1L -> img(64, 64, "png")(p1),
+      2L -> img(64, 64, "bmp")(p1), // same pixels, different container
+      3L -> img(64, 64, "png")((x, y) =>
+        if (y >= 60) (x * 11) % 241 else p1(x, y)), // last rows altered
+      4L -> img(64, 64, "png")((x, y) => (x * x + 5 * y) % 239), // unrelated
+      5L -> "not an image at all".getBytes("UTF-8")) // undecodable → excluded
+    val (got, want) = pipelinePairs(payloads, Multimodal.JdkImageDecoder)
+    assert(got == want, s"LSH pair set != brute force: got $got want $want")
+    // the golden corpus exercised what it claims: the cross-container
+    // exact pair, the near-dup triangle, no unrelated/undecodable ids
+    assert(got.contains((1L, 2L)), "PNG/BMP exact pair missing")
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)),
+      "altered-rows near-dup pair missing")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), "unrelated image paired")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L), "undecodable payload paired")
+  }
+
+  test("real audio decoder drives the pair pipeline: WAV≡AIFF + near-dup + unrelated") {
+    assume(Multimodal.JdkAudioDecoder.available)
+    import javax.sound.sampled.AudioFileFormat.Type.{AIFF, WAVE}
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(4000)((rnd.nextInt(65536) - 32768).toShort)
+    val altered = base.clone()
+    (0 until 200).foreach(i => altered(i) = ((i * 3737) % 65536 - 32768).toShort)
+    val unrelated = Array.fill(4000)((rnd.nextInt(65536) - 32768).toShort)
+    val payloads = Seq(
+      1L -> pcm16File(base, WAVE, bigEndian = false),
+      2L -> pcm16File(base, AIFF, bigEndian = true), // same PCM, other container
+      3L -> pcm16File(altered, WAVE, bigEndian = false), // short altered prefix
+      4L -> pcm16File(unrelated, WAVE, bigEndian = false),
+      5L -> "definitely not audio".getBytes("UTF-8"))
+    val (got, want) = pipelinePairs(payloads, Multimodal.JdkAudioDecoder)
+    assert(got == want, s"LSH pair set != brute force: got $got want $want")
+    assert(got.contains((1L, 2L)), "WAV/AIFF cross-container exact pair missing")
+    assert(got.contains((1L, 3L)), "altered-prefix near-dup pair missing")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), "unrelated audio paired")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L), "undecodable payload paired")
+  }
+}
