@@ -413,27 +413,7 @@ object Relational {
     // Unattributed purchases (no prior click) keep -1 sentinels rather
     // than NULLs so every output column stays a non-null BIGINT
     // (type-stable through the driver's pandas compare on both engines).
-    "evt_asof" -> { (s, d) =>
-      import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .filter($"event_type".isin("click", "purchase"))
-        .select($"user_id", $"event_id", $"event_type",
-          expr("unix_micros(ts) div 1000").as("ts_ms"))
-        .withColumn("click_id",
-          last(when($"event_type" === "click", $"event_id"),
-            ignoreNulls = true).over(w))
-        .withColumn("click_ts_ms",
-          last(when($"event_type" === "click", $"ts_ms"),
-            ignoreNulls = true).over(w))
-        .filter($"event_type" === "purchase")
-        .select($"user_id", $"event_id".as("purchase_id"),
-          $"ts_ms".as("p_ts_ms"),
-          coalesce($"click_id", lit(-1L)).as("click_id"),
-          coalesce($"click_ts_ms", lit(-1L)).as("click_ts_ms"),
-          coalesce($"ts_ms" - $"click_ts_ms", lit(-1L)).as("lag_ms"))
-    },
+    "evt_asof" -> { (s, d) => asofAuto(s, d) },
 
     // Bounded range join — per purchase, the count and cent-exact value
     // mass of the user's clicks inside the trailing attribution window
@@ -556,6 +536,68 @@ object Relational {
     * declared query: the extra summary exchange + join only pay off
     * past task-sized users, the deployment's call via the chunk knob.
     */
+  /** The declared single-window as-of form: per-user running last
+    * click via ONE user-keyed exchange. Right up to task-sized users;
+    * [[asofAuto]] swaps in [[asofTwoPass]] past that.
+    */
+  def asofWindowed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_id", $"event_type",
+        expr("unix_micros(ts) div 1000").as("ts_ms"))
+      .withColumn("click_id",
+        last(when($"event_type" === "click", $"event_id"),
+          ignoreNulls = true).over(w))
+      .withColumn("click_ts_ms",
+        last(when($"event_type" === "click", $"ts_ms"),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"ts_ms".as("p_ts_ms"),
+        coalesce($"click_id", lit(-1L)).as("click_id"),
+        coalesce($"click_ts_ms", lit(-1L)).as("click_ts_ms"),
+        coalesce($"ts_ms" - $"click_ts_ms", lit(-1L)).as("lag_ms"))
+  }
+
+  /** Past this many click/purchase rows for ONE user, the windowed
+    * form's single-task per-user sort is at risk of spilling/OOM and
+    * [[asofAuto]] switches to the 2-pass prefix-scan decomposition.
+    * Sized to what one task sorts comfortably (narrow 32-byte rows,
+    * a few hundred MB), far above any organic fixture.
+    */
+  val AsofSkewRowThreshold = 2000000L
+
+  /** The skew probe behind [[asofAuto]]: max per-user row count over
+    * the filtered event stream. One job whose shuffle is the partial-
+    * aggregated (user, count) relation — users-sized, orders of
+    * magnitude below the full-row exchange the window itself pays, so
+    * the probe costs roughly a scan, not a second as-of.
+    */
+  private[graft] def maxUserRows(s: SparkSession, d: String): Long = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .agg(max($"n")).as[Option[Long]].first().getOrElse(0L)
+  }
+
+  /** Auto-selecting as-of (r13 verdict stretch item 8): probe the
+    * per-user row-count skew, run the windowed form below
+    * [[AsofSkewRowThreshold]] and [[asofTwoPass]] above it. The two
+    * forms are answer-identical (AsofTwoPassSpec pins it on the real
+    * fixture, under forced chunking, and on the hot-user skew
+    * fixture), so the selection can never change the declared query's
+    * rows — PlanQualitySpec forces both branches through a threshold
+    * override and compares.
+    */
+  def asofAuto(s: SparkSession, d: String,
+      threshold: Long = AsofSkewRowThreshold): DataFrame =
+    if (maxUserRows(s, d) > threshold) asofTwoPass(s, d)
+    else asofWindowed(s, d)
+
   def asofTwoPass(s: SparkSession, d: String,
       chunkMs: Long = AsofChunkMs): DataFrame = {
     import s.implicits._

@@ -462,6 +462,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unused columns not pruned: $scanLine")
   }
 
+  test("evt_asof auto-selects the 2-pass form on detected skew, answer unchanged") {
+    // r13 verdict stretch item 8: the declared evt_asof probes max
+    // per-user row count and swaps in asofTwoPass past the task-size
+    // threshold. Forcing the threshold to 0 must take the 2-pass
+    // branch (visible as the chunk-summary join the windowed plan
+    // cannot contain) with the windowed branch's exact rows; the
+    // default threshold on the fixture must stay on the one-exchange
+    // windowed plan (pinned by the evt_asof plan test above).
+    val windowed = Relational.asofWindowed(spark, sf)
+    val forced = Relational.asofAuto(spark, sf, threshold = 0L)
+    assert(count(forced.queryExecution.executedPlan.toString, "Exchange") > 1,
+      "threshold=0 did not select the 2-pass plan")
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toSeq).toSet
+    assert(rows(forced) == rows(windowed),
+      "auto-selected 2-pass answer drifted from the windowed form")
+    assert(Relational.maxUserRows(spark, sf) > 0)
+  }
+
   test("evt_attrib_window: binned equi-join carries the range residual, no theta join") {
     val p = plan("evt_attrib_window")
     assert(count(p, "BroadcastNestedLoopJoin") == 0 &&
