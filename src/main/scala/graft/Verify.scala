@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing names restrict the dump to those queries (ad-hoc
+    // big-SF evidence runs; the driver's 2-arg call dumps everything)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +19,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,13 +45,20 @@ object Verify {
     // cache, so this is literal formatting, not a second training run.
     // Degrade to the static map (rows-only for those queries) rather
     // than fail the whole dump if generation throws.
+    // Subset runs skip dynamic generation when the static map already
+    // covers every requested query (dynamic rendering would otherwise
+    // train the session's indexes just to format literals nobody reads).
+    val needDynamic =
+      only.isEmpty || !only.forall(SparkEntry.oracleSql.contains)
     val dynamic =
-      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      if (!needDynamic) Map.empty[String, String]
+      else try SparkEntry.dynamicOracleSql(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
         Map.empty[String, String]
       }
     val json = (SparkEntry.oracleSql ++ dynamic)
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -152,14 +152,6 @@ object Dedup {
     shingleRelation(s, d).select($"doc_id", explode($"sh").as("shingle"))
   }
 
-  /** dedup_substring core: maximal runs of consecutive shingle
-    * positions whose shingle occurs in ≥2 distinct documents.
-    * Positions are 0-based token indices; consecutive duplicated
-    * positions collapse via the gaps-and-islands key (pos − rank).
-    * Shingle identity is the 64-bit FNV-1a hash (the family
-    * convention; the oracle groups the 3-gram STRINGS — equivalent
-    * modulo a 2⁻⁶⁴ collision, far below the check's tolerance).
-    */
   /** doc_id → positional shingle-hash array, built ONCE per (session,
     * corpus) and persisted — the positional counterpart of
     * [[shingleRelation]]: duplicatedSpans reads it from two branches
@@ -178,6 +170,14 @@ object Dedup {
   private val posShingleRelCache = new SessionCache[DataFrame](df =>
     scala.util.Try(df.unpersist(blocking = false)))
 
+  /** dedup_substring core: maximal runs of consecutive shingle
+    * positions whose shingle occurs in ≥2 distinct documents.
+    * Positions are 0-based token indices; consecutive duplicated
+    * positions collapse via the gaps-and-islands key (pos − rank).
+    * Shingle identity is the 64-bit FNV-1a hash (the family
+    * convention; the oracle groups the 3-gram STRINGS — equivalent
+    * modulo a 2⁻⁶⁴ collision, far below the check's tolerance).
+    */
   private def duplicatedSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

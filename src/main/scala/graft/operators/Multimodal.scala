@@ -686,7 +686,24 @@ object Multimodal {
     * afford at sf1 where the full-closure oracle OOMs (verdict item
     * 4).
     */
-  def mediaCollapsedClusters(s: SparkSession, d: String): DataFrame = {
+  private val mediaCollapseCache = new SessionCache[DataFrame](df =>
+    scala.util.Try(df.unpersist(blocking = false)))
+
+  def mediaCollapsedClusters(s: SparkSession, d: String): DataFrame =
+    mediaCollapseCache.getOrBuild(s, d) {
+      val (df, scaffolding) = mediaCollapsedClustersBuild(s, d)
+      val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize NOW so the stage-local persists can be dropped
+      // immediately — they exist only to share the decode/groupBy
+      // subtrees across this one computation, and leaving them cached
+      // until session stop would pin block-manager memory per corpus
+      out.count()
+      scaffolding.foreach(t => scala.util.Try(t.unpersist(blocking = false)))
+      out
+    }
+
+  private def mediaCollapsedClustersBuild(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val m = mediaRelation(s, d)
@@ -697,8 +714,15 @@ object Multimodal {
     // not per copy. On a mirrored collection (byte-identical files,
     // the common real duplication) this alone removes the
     // duplication factor from the decode and pair stages.
+    // the payload-group and sig-group relations are each read by 2-3
+    // downstream subtrees, and Spark does not dedupe common subplans
+    // (measured: the unpersisted plan carried 10 parquet scans and
+    // re-ran the decode per use) — persist both; they are DISTINCT-
+    // CONTENT-sized, orders below the corpus, and dropped by the
+    // caller as soon as the result is materialized
     val pgroups = m.groupBy($"pfp")
       .agg(min($"media_id").as("p_rep"), count(lit(1)).as("p_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pmap = m.select($"media_id", $"pfp").join(pgroups, Seq("pfp"))
     val repMedia = m.join(pgroups.select($"p_rep", $"p_cnt"),
       $"media_id" === $"p_rep")
@@ -715,6 +739,7 @@ object Multimodal {
     val grp = sigs.select($"vec_id", $"embedding", $"nrm", $"p_cnt",
       min($"vec_id").over(w).as("g_rep"),
       sum($"p_cnt").over(w).as("g_size"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = grp.filter($"vec_id" === $"g_rep")
       .select($"vec_id", $"embedding", $"nrm")
     // stage 2 — pairwise LSH + CC over signature reps only, at the
@@ -724,11 +749,12 @@ object Multimodal {
     val cc = Dedup.connectedComponents(lshVerifiedPairs(s, reps, np))
     // blow the labels back: member → payload rep → sig group → label
     val pr2g = grp.select($"vec_id".as("p_rep"), $"g_rep", $"g_size")
-    pmap.select($"media_id", $"p_rep")
+    val out = pmap.select($"media_id", $"p_rep")
       .join(pr2g, Seq("p_rep"))
       .join(cc, $"g_rep" === cc("doc_id"), "left_outer")
       .filter($"rep_id".isNotNull || $"g_size" >= 2)
       .select($"media_id", coalesce($"rep_id", $"g_rep").as("rep_id"))
+    (out, Seq(pgroups, grp))
   }
 
   /** REAL frame sampling through a frame-addressable decoder: one row
@@ -859,7 +885,7 @@ object Multimodal {
       s"($acc * $SigP + bs[i+$j])"
     }
 
-  private def mediaLshCte: String = {
+  private def mediaSigCte: String = {
     val enc = "encode(COALESCE(text, ''))"
     s"""mbytes AS (SELECT doc_id,
           octet_length($enc) AS n,
@@ -882,14 +908,22 @@ object Multimodal {
           FROM mdense GROUP BY doc_id),
         msnz AS (SELECT doc_id, sig FROM msig
           WHERE list_sum(list_transform(sig, x -> x * x)) > 0),
-        mprm AS (SELECT ${Similarity.planesPrmSql("documents")} AS np),
-        mbuck AS (
+        mprm AS (SELECT ${Similarity.planesPrmSql("documents")} AS np)"""
+  }
+
+  /** The bucket→candidate→verified-pair tail over a parameterized node
+    * relation `src(doc_id, sig)` — ONE template, so the full oracles
+    * (src = msnz) and the collapsed oracle (src = signature reps) can
+    * never assert different bucket/verify semantics.
+    */
+  private def mediaPairTail(src: String): String =
+    s"""mbuck AS (
           SELECT doc_id, CAST(g.t - 1 AS INT) AS tbl,
             CAST(COALESCE(list_sum(list_transform(generate_series(1, mprm.np),
               p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, $SigDim),
                 i -> sig[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
               THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
-          FROM msnz, (SELECT ${Similarity.planesSql} AS pl) m, mprm,
+          FROM $src, (SELECT ${Similarity.planesSql} AS pl) m, mprm,
             generate_series(1, ${Similarity.NumTables}) AS g(t)),
         mcand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -898,11 +932,14 @@ object Multimodal {
         mpairs AS (
           SELECT id_a, id_b,
             ROUND(${Similarity.sqlCos("sa.sig", "sb.sig")}, 4) AS cos_sim
-          FROM mcand JOIN msnz sa ON sa.doc_id = id_a
-                     JOIN msnz sb ON sb.doc_id = id_b
+          FROM mcand JOIN $src sa ON sa.doc_id = id_a
+                     JOIN $src sb ON sb.doc_id = id_b
           WHERE ROUND(${Similarity.sqlCos("sa.sig", "sb.sig")}, 4)
             >= $MediaCosineThreshold)"""
-  }
+
+  private def mediaLshCte: String =
+    s"""$mediaSigCte,
+        ${mediaPairTail("msnz")}"""
 
   val oracles: Map[String, String] = Map(
     "dedup_media" ->
@@ -925,33 +962,35 @@ object Multimodal {
           SELECT u AS media_id, LEAST(u, MIN(v)) AS rep_id
           FROM mreach GROUP BY u""",
     // Star-contraction restatement of the cluster closure (exact by
-    // the blow-up argument — see mediaCollapsedClusters): collapse
-    // groups via a window over the signature, keep only rep-rep edges
-    // of the verified pair set, run the recursive closure on THOSE
-    // (1/duplication² the reach rows — affordable in DuckDB at sf1
-    // where the full closure OOMs), then blow the labels back through
-    // the member→rep map. A node is emitted iff its group has ≥2
-    // members or its rep has a rep-graph edge.
+    // the blow-up argument — see mediaCollapsedClusters), applied at
+    // the BUCKET stage: members of a signature group land in exactly
+    // their rep's buckets and verify at exactly its cosines, so
+    // building buckets/candidates/pairs over the reps alone yields
+    // precisely the rep-rep slice of the full verified pair set —
+    // the oracle's quadratic stage then sees one node per DISTINCT
+    // signature, which is what makes it affordable on the
+    // duplicates-dense big-SF fixtures (the earlier restatement
+    // filtered the FULL mpairs down to rep-rep edges and OOM'd DuckDB
+    // at 500k rows: candidates there grow with duplication², ~25M
+    // fat-sig verify joins at 100×). Closure over rep-rep edges, then
+    // labels blow back through the member→rep map. A node is emitted
+    // iff its group has ≥2 members or its rep has a rep-graph edge.
     "dedup_media_collapsed" ->
-      s"""WITH RECURSIVE $mediaLshCte,
-          mgrp AS (SELECT doc_id,
-              MIN(doc_id) OVER (PARTITION BY sig) AS g_rep,
-              COUNT(*) OVER (PARTITION BY sig) AS g_size
-            FROM msnz),
-          redges AS (
-            SELECT p.id_a AS u, p.id_b AS v FROM mpairs p
-              JOIN mgrp a ON a.doc_id = p.id_a AND a.g_rep = p.id_a
-              JOIN mgrp b ON b.doc_id = p.id_b AND b.g_rep = p.id_b
-            UNION
-            SELECT p.id_b, p.id_a FROM mpairs p
-              JOIN mgrp a ON a.doc_id = p.id_a AND a.g_rep = p.id_a
-              JOIN mgrp b ON b.doc_id = p.id_b AND b.g_rep = p.id_b),
+      s"""WITH RECURSIVE $mediaSigCte,
+          mgrp0 AS (SELECT sig, MIN(doc_id) AS g_rep, COUNT(*) AS g_size
+            FROM msnz GROUP BY sig),
+          mreps AS (SELECT g_rep AS doc_id, sig FROM mgrp0),
+          ${mediaPairTail("mreps")},
+          redges AS (SELECT id_a AS u, id_b AS v FROM mpairs
+            UNION SELECT id_b, id_a FROM mpairs),
           rreach(u, v) AS (
             SELECT u, v FROM redges
             UNION
             SELECT r.u, e.v FROM rreach r JOIN redges e ON r.v = e.u),
           rcc AS (SELECT u, LEAST(u, MIN(v)) AS rep
-            FROM rreach GROUP BY u)
+            FROM rreach GROUP BY u),
+          mgrp AS (SELECT m.doc_id, g.g_rep, g.g_size
+            FROM msnz m JOIN mgrp0 g ON m.sig = g.sig)
           SELECT m.doc_id AS media_id,
             COALESCE(rcc.rep, m.g_rep) AS rep_id
           FROM mgrp m LEFT JOIN rcc ON rcc.u = m.g_rep

@@ -29,13 +29,19 @@ def canon(rows, names):
     out.sort()
     return [names[i] for i in order], out
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    # in-memory connections get no spill dir by default — big-SF media
+    # oracles (recursive closures over the restated pair set) need one
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='96GB'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         res_path = os.path.join(out_dir, name)
@@ -64,4 +70,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:]) or None))
