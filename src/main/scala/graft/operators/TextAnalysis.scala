@@ -810,7 +810,7 @@ object TextAnalysis {
     * definition shared by decontamination and pipe_curate so the split
     * rule cannot drift between consumers.
     */
-  private[operators] def splitPrefix(id: Column): Column =
+  private[graft] def splitPrefix(id: Column): Column =
     substring(md5(id.cast("string")), 1, 2)
 
   /** The cheap row-local quality gate (length / alpha-ratio / TTR
@@ -818,7 +818,7 @@ object TextAnalysis {
     * pipe_curate so the thresholds cannot drift. Returns the surviving
     * rows unprojected.
     */
-  private def qualityGate(df: DataFrame): DataFrame = {
+  private[graft] def qualityGate(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val toks = tokens($"text")

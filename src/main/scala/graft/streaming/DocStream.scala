@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Streaming document curation — the batch `pipe_curate` stages
+  * (quality gate → content-hash dedup → train-split filter →
+  * decontamination → historical-keeplist check) re-expressed for
+  * continuous ingestion with Structured Streaming, so a corpus can be
+  * curated incrementally as documents arrive instead of in one batch
+  * rebuild. The reference's closest shape is the incremental
+  * tracking-table anti-join (`dags/dag.py:452-474`); this is that idea
+  * applied to the full curation pipeline.
+  *
+  * Parity contract (DocStreamSpec): replaying a corpus through this
+  * stream in arrival order = ascending doc_id yields exactly the batch
+  * `pipe_curate` survivors (minus the packing stage, which needs a
+  * global per-shard order and stays batch — stated). Stage order
+  * matters for that parity and mirrors the batch plan: the dedup runs
+  * BEFORE the split filter and the decontamination filter, so an
+  * eval-split or contaminated first-arrival shadows its later
+  * duplicates exactly like the batch keeplist's min-doc_id winner does.
+  *
+  * Scale design (100 TB / continuous):
+  *  - Every stage before the dedup is row-local (gate predicate,
+  *    md5 fingerprint, token count, gram-set intersect), so the wide
+  *    `text` column never crosses the stateful operator — the
+  *    projection keeps (doc_id, source, fp, n_tokens, is_contam) only,
+  *    the tokenize-once lesson from the batch plan.
+  *  - Dedup state is bounded by the watermark:
+  *    `dropDuplicatesWithinWatermark` on the content hash holds one
+  *    entry per distinct fingerprint seen within the window (state ∝
+  *    ingest rate × watermark, not corpus size). Content re-appearing
+  *    AFTER the watermark re-enters — the bounded-state contract, same
+  *    as [[EventStream.dedupStream]]; the historical keeplist below is
+  *    what catches it.
+  *  - The held-out gram set is broadcast as a literal array —
+  *    exact, and affordable because the eval split is the bounded ~5%
+  *    side. At full scale the row-local cull is the Bloom sketch from
+  *    `txt_bloom_decontaminate` (same gram kernel) with an offline
+  *    exact verify; the literal-array path here is the exact-semantics
+  *    reference the sketch is audited against.
+  *  - The historical keeplist (fingerprints curated in past runs) is a
+  *    stream-static LEFT ANTI join: re-evaluated per micro-batch, so
+  *    callers should cache (or bucket-store) the static side; its
+  *    natural producer is the batch `pipe_incremental_dedup` path.
+  */
+object DocStream {
+
+  /** Curate a stream of documents (schema: doc_id, text, source,
+    * ingest_ts, …) into the append-mode stream of survivors
+    * (doc_id, source, fp, n_tokens).
+    *
+    * @param docs          streaming DataFrame of raw documents
+    * @param evalGrams     distinct [[TextAnalysis.decontamGramHashes]]
+    *                      of the held-out split (fixed at stream start
+    *                      — the deployment shape: the eval set is
+    *                      pinned before training data is collected)
+    * @param historicalFps optional static (fp) relation of content
+    *                      hashes already curated by past runs
+    * @param watermark     dedup state horizon on `ingest_ts`
+    */
+  def curateStream(docs: DataFrame, evalGrams: Array[Long],
+      historicalFps: Option[DataFrame] = None,
+      watermark: String = "2 hours"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+
+    val projected = TextAnalysis.qualityGate(docs)
+      .select($"doc_id", $"source", $"ingest_ts",
+        md5($"text").as("fp"),
+        size(TextAnalysis.tokens($"text")).as("n_tokens"),
+        (size(array_intersect(
+          TextAnalysis.decontamGramHashes($"text"),
+          lit(evalGrams))) > 0).as("is_contam"))
+
+    val deduped = projected
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+    val curated = deduped
+      .filter(TextAnalysis.splitPrefix($"doc_id") >=
+        TextAnalysis.EvalSplitThreshold && !$"is_contam")
+      .select($"doc_id", $"source", $"fp", $"n_tokens")
+
+    historicalFps match {
+      case Some(fps) => curated.join(fps.select($"fp"), Seq("fp"), "left_anti")
+      case None      => curated
+    }
+  }
+}

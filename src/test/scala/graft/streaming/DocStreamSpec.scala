@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Ingest-time document row for [[DocStream]] tests. */
+case class IngestDoc(doc_id: Long, text: String, lang: String,
+    source: String, n_chars: Long, ingest_ts: Timestamp)
+
+/** [[DocStream.curateStream]] — the batch-parity contract (replaying a
+  * corpus in doc_id order yields exactly the declared `pipe_curate`
+  * survivors minus the batch-only packing stage) plus the directed
+  * streaming-only behaviors: cross-batch duplicate drop via bounded
+  * state and the historical-keeplist anti-join.
+  */
+class DocStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(min: Long): Timestamp = new Timestamp((1440 + min) * 60000L)
+
+  /** First two hex chars of md5(id.toString) — the spec-side restatement
+    * of [[TextAnalysis.splitPrefix]] used to PICK ids per split; the
+    * parity test itself exercises the real column expression.
+    */
+  private def md5Prefix(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).take(1)
+      .map("%02x".format(_)).mkString
+
+  private def isEval(id: Long): Boolean =
+    md5Prefix(id) < TextAnalysis.EvalSplitThreshold
+
+  /** A gate-passing text: `n` distinct pure-letter 8-char words from a
+    * seeded vocabulary (length ≥ 100, alpha ratio ≈ 0.9, TTR 1.0).
+    */
+  private def goodText(seed: Int, n: Int = 15): String =
+    (0 until n).map { i =>
+      val c = ('a' + (seed * 7 + i) % 26).toChar
+      val d = ('a' + (seed * 3 + i * 5) % 26).toChar
+      s"$c$d" + ('a' + (seed + i) % 26).toChar.toString * 6
+    }.mkString(" ")
+
+  test("two-batch replay equals batch pipe_curate survivors (pre-pack)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // ids picked by split: train ids ascending, two eval ids
+    val trainIds = (1L to 200L).filterNot(isEval)
+    val evalIds = (1L to 200L).filter(isEval)
+    assert(evalIds.size >= 2, s"fixture needs 2 eval ids, got $evalIds")
+
+    val tShared = goodText(1) // exact-dup text (within-batch pair)
+    val tCross = goodText(2) // exact-dup text (cross-batch pair)
+    val tEval = goodText(3, 20) // eval doc; grams contaminate
+    val tWinner = goodText(4) // eval-split dedup winner shadows a train copy
+    // contaminated train doc: its OWN prefix + an 8-token run of tEval
+    val tContam = goodText(5, 10) + " " +
+      tEval.split(" ").slice(4, 4 + TextAnalysis.DecontamN).mkString(" ")
+
+    val t = trainIds.iterator
+    val docs = Seq(
+      IngestDoc(t.next(), goodText(10), "en", "web", 0, ts(0)), // survives
+      IngestDoc(t.next(), goodText(11), "en", "book", 0, ts(1)), // survives
+      IngestDoc(t.next(), "too short", "en", "web", 0, ts(2)), // gate: length
+      IngestDoc(t.next(), ("x1 23456 " * 14) + "abcdefgh", "en", "web", 0,
+        ts(3)), // gate: alpha ratio
+      IngestDoc(t.next(), tShared, "en", "web", 0, ts(4)), // dup winner
+      IngestDoc(t.next(), tShared, "en", "web", 0, ts(5)), // dup dropped
+      IngestDoc(t.next(), tContam, "en", "web", 0, ts(6)), // decontam drop
+      IngestDoc(evalIds.head, tEval, "en", "eval", 0, ts(7)), // split drop
+      IngestDoc(evalIds(1), tWinner, "en", "eval", 0, ts(8)), // split drop
+      IngestDoc(t.next(), tCross, "en", "web", 0, ts(9)), // cross-batch winner
+      IngestDoc(t.next(), goodText(12), "en", "cc", 0, ts(10)), // survives
+      IngestDoc(t.next(), tWinner, "en", "web", 0, ts(11)), // shadowed by eval
+      IngestDoc(t.next(), tCross, "en", "web", 0, ts(12)) // cross-batch dup
+    ).sortBy(_.doc_id)
+
+    val dir = java.nio.file.Files.createTempDirectory("docstream").toString
+    docs.toDF().select($"doc_id", $"text", $"lang", $"source",
+      length($"text").cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val expected = TextAnalysis.queries("pipe_curate")(spark, dir)
+      .select($"doc_id", $"source", $"n_tokens".cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(expected.size == 5, s"fixture should keep exactly 5: $expected")
+
+    val evalGrams = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(TextAnalysis.splitPrefix($"doc_id") <
+        TextAnalysis.EvalSplitThreshold)
+      .select(explode(TextAnalysis.decontamGramHashes($"text")).as("gh"))
+      .distinct().as[Long].collect()
+
+    val mem = MemoryStream[IngestDoc]
+    val q = DocStream.curateStream(mem.toDF(), evalGrams)
+      .writeStream.format("memory").queryName("doc_curated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // arrival order = ascending doc_id (the parity precondition),
+      // split into two micro-batches so the dedup state must persist
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("doc_curated")
+        .select($"doc_id", $"source", $"n_tokens".cast("long"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == expected, s"stream $got != batch $expected")
+      // the streamed fp matches the batch content-hash convention
+      val fps = spark.table("doc_curated").select($"fp").as[String]
+        .collect().toSet
+      val batchFps = spark.read.parquet(s"$dir/documents.parquet")
+        .join(expected.map(_._1).toSeq.toDF("doc_id"), Seq("doc_id"))
+        .select(md5($"text")).as[String].collect().toSet
+      assert(fps == batchFps)
+    } finally q.stop()
+  }
+
+  test("historical keeplist drops re-ingested content; fresh content passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val known = goodText(20)
+    val fresh = goodText(21)
+    val keep = Seq(known).toDF("text").select(md5($"text").as("fp"))
+
+    val mem = MemoryStream[IngestDoc]
+    // both ids train-split so only the keeplist decides
+    val ids = (1L to 100L).filterNot(isEval)
+    val q = DocStream.curateStream(mem.toDF(), Array.empty[Long], Some(keep))
+      .writeStream.format("memory").queryName("doc_keep")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        IngestDoc(ids.head, known, "en", "web", 0, ts(0)),
+        IngestDoc(ids(1), fresh, "en", "web", 0, ts(1)))
+      q.processAllAvailable()
+      val got = spark.table("doc_keep").select($"doc_id").as[Long]
+        .collect().toSet
+      assert(got == Set(ids(1)), s"got $got")
+    } finally q.stop()
+  }
+}
