@@ -1013,7 +1013,18 @@ object Similarity {
     */
   def topkIvfStored(s: SparkSession, d: String, indexDir: String,
       k: Int = TopK, nprobe: Int = -1, assign: Int = IvfAssign): DataFrame =
-    ivfProbe(s, readIvfIndex(s, indexDir), querySet(s, d), k, nprobe, assign)
+    topkIvfStoredFor(s, querySet(s, d), indexDir, k, nprobe, assign)
+
+  /** The stored-IVF probe for an ARBITRARY query relation
+    * (q_id, q_emb, q_nrm) — the serving entry point, mirroring
+    * [[topkLshStoredFor]]: queries are independent rows, so any batch
+    * of them (a micro-batch of live lookups, a backfill slice) probes
+    * the same stored index through the same cell-pruned scan.
+    */
+  def topkIvfStoredFor(s: SparkSession, queries: DataFrame,
+      indexDir: String, k: Int = TopK, nprobe: Int = -1,
+      assign: Int = IvfAssign): DataFrame =
+    ivfProbe(s, readIvfIndex(s, indexDir), queries, k, nprobe, assign)
 
   /** Append NEW vectors to a STORED IVF index WITHOUT retraining — the
     * nightly-ingest half of the build-once lifecycle. Only the k·d
@@ -1067,14 +1078,6 @@ object Similarity {
     } finally assigned.unpersist(blocking = false)
   }
 
-  /** Defragment a stored IVF index after appends: rewrite the
-    * assignments one file per cell (each [[appendToIvfIndex]] batch
-    * adds files inside the cell directories; probes pay per-file
-    * footer/open cost, so periodic compaction is the deployment's
-    * maintenance job — the counterpart of a log-structured store's
-    * merge). Content and occupancy are unchanged; single-writer like
-    * the append (version the index dir for atomic cutover).
-    */
   /** Swap a freshly-written sibling directory into place without a
     * window where the target is missing: target → `_old`, fresh →
     * target, drop `_old`. A crash between the renames leaves the fresh
@@ -1095,6 +1098,14 @@ object Similarity {
     fs.delete(old, true)
   }
 
+  /** Defragment a stored IVF index after appends: rewrite the
+    * assignments one file per cell (each [[appendToIvfIndex]] batch
+    * adds files inside the cell directories; probes pay per-file
+    * footer/open cost, so periodic compaction is the deployment's
+    * maintenance job — the counterpart of a log-structured store's
+    * merge). Content and occupancy are unchanged; single-writer like
+    * the append (version the index dir for atomic cutover).
+    */
   def compactIvfIndex(s: SparkSession, indexDir: String): Unit = {
     import s.implicits._
     val src = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
@@ -1265,6 +1276,18 @@ object Similarity {
     */
   def topkLshStored(s: SparkSession, d: String, indexDir: String,
       k: Int = TopK, multiprobe: Boolean = true,
+      pushdownCap: Int = LshProbePushdownCap): DataFrame =
+    topkLshStoredFor(s, querySet(s, d), indexDir, k, multiprobe, pushdownCap)
+
+  /** The stored-LSH probe for an ARBITRARY query relation
+    * (q_id, q_emb, q_nrm) — the serving entry point: queries are
+    * independent rows, so any batch of them (a micro-batch of live
+    * lookups, a backfill slice) probes the same stored index through
+    * the same pushdown machinery. [[topkLshStored]] is this applied
+    * to the declared corpus query set.
+    */
+  def topkLshStoredFor(s: SparkSession, queries: DataFrame,
+      indexDir: String, k: Int = TopK, multiprobe: Boolean = true,
       pushdownCap: Int = LshProbePushdownCap): DataFrame = {
     val planes = readLshPlanes(s, indexDir)
     // the probe-bucket relation is the join's BROADCAST side —
@@ -1274,7 +1297,7 @@ object Similarity {
     // session-lifetime persist (r12 advice: the old MEMORY_AND_DISK
     // cache was never unpersisted, pinning one RDD per probe call in
     // the block manager for the session's lifetime)
-    val qDf = probeBuckets(querySet(s, d), planes, multiprobe)
+    val qDf = probeBuckets(queries, planes, multiprobe)
     val qRows = qDf.collect()
     
     val ti = qDf.schema.fieldIndex("table")

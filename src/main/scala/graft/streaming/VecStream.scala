@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Similarity
+
+/** Streaming lifecycle for the stored ANN index — the serving and
+  * maintenance halves of the build → append → compact → probe cycle
+  * whose batch forms are declared queries (`lsh_build`,
+  * `sim_ann_lsh_stored`) and maintenance ops
+  * ([[Similarity.appendToLshIndex]], [[Similarity.compactLshIndex]]).
+  *
+  * Both streams are `foreachBatch` over the BATCH kernels, on purpose:
+  * a micro-batch of new vectors or live queries is exactly the batch
+  * those kernels were built for, so streaming adds scheduling — not a
+  * second implementation that could drift. Parity is therefore
+  * structural (queries are independent rows; appends are the same
+  * writer path), and VecStreamSpec pins it end-to-end.
+  *
+  * Scale notes:
+  *  - Probe cost per micro-batch is the stored probe's contract: the
+  *    probed-bucket set is pushed into the bucket-sorted scan
+  *    (chunked past the cap), so a batch of B queries reads only its
+  *    own buckets — serving latency tracks B, not index size.
+  *  - Each append micro-batch adds one bucket-sorted file per touched
+  *    table directory; probes stay correct throughout (they glob the
+  *    index dir), and [[Similarity.compactLshIndex]] is the periodic
+  *    defrag once accumulated small files start costing footer/open
+  *    overhead. Single-writer discipline: one append stream per index
+  *    version, as with the batch maintenance ops.
+  */
+object VecStream {
+
+  /** Serve a stream of queries (q_id, q_emb, q_nrm) against the stored
+    * LSH index: each micro-batch runs the batch probe and hands the
+    * top-k relation to `sink` (write to a result log, push to a cache
+    * — the caller's choice).
+    */
+  def probeStream(queries: DataFrame, indexDir: String,
+      k: Int = Similarity.TopK)(sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(Similarity.topkLshStoredFor(batch.sparkSession, batch.toDF(),
+          indexDir, k))
+      }.start()
+
+  /** Maintain the stored LSH index from a stream of new vectors
+    * (vec_id, embedding): each micro-batch goes through the batch
+    * append path (same planes sidecar, same bucket-sorted writer), so
+    * probes — streaming or batch — see it from the next trigger on.
+    */
+  def appendStream(vectors: DataFrame, indexDir: String): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Similarity.appendToLshIndex(batch.sparkSession, indexDir,
+          batch.toDF())
+      }.start()
+
+  /** [[probeStream]] against a stored IVF index: same serving shape,
+    * the per-batch cost is the occupancy-priced cell-pruned scan
+    * instead of the bucket pushdown.
+    */
+  def probeStreamIvf(queries: DataFrame, indexDir: String,
+      k: Int = Similarity.TopK, nprobe: Int = -1)(
+      sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(Similarity.topkIvfStoredFor(batch.sparkSession, batch.toDF(),
+          indexDir, k, nprobe))
+      }.start()
+
+  /** [[appendStream]] against a stored IVF index: each micro-batch is
+    * assigned against the FROZEN coarse quantizer and appended into the
+    * existing cell directories ([[Similarity.appendToIvfIndex]]), so no
+    * retrain happens on the ingest path; [[Similarity.compactIvfIndex]]
+    * is the periodic defrag, as with the LSH table files.
+    */
+  def appendStreamIvf(vectors: DataFrame, indexDir: String): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Similarity.appendToIvfIndex(batch.sparkSession, indexDir,
+          batch.toDF())
+      }.start()
+}

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Live-query row for [[VecStream.probeStream]] tests. */
+case class QVec(q_id: Long, q_emb: Array[Float])
+
+/** New-vector row for [[VecStream.appendStream]] tests. */
+case class NVec(vec_id: Long, embedding: Array[Float])
+
+/** [[VecStream]] — the streamed halves of the stored-LSH lifecycle:
+  * micro-batched probes union to the declared stored-probe answer,
+  * and appended vectors become visible to subsequent probes.
+  */
+class VecStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val fixture = "/root/testdata/sf0.001"
+
+  /** The declared query-set convention (vec_id stride 100) with norms
+    * computed by the same kernel the stream side uses.
+    */
+  private def fixtureQueries: Array[QVec] = {
+    import spark.implicits._
+    graft.Tables.embeddings(spark, fixture)
+      .filter($"vec_id" % 100 === 0)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => QVec(id, e) }
+  }
+
+  private def withNorm(qs: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    qs.select($"q_id", $"q_emb",
+      graft.functions.VectorFunctions.norm($"q_emb").as("q_nrm"))
+  }
+
+  test("streamed probe micro-batches union to the declared stored probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vecstream")
+      .toString + "/lsh"
+    Similarity.writeLshIndex(spark, fixture, dir)
+    val expected = Similarity.topkLshStored(spark, fixture, dir)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(expected.nonEmpty)
+
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double, Int)]
+    val mem = MemoryStream[QVec]
+    val q = VecStream.probeStream(withNorm(mem.toDF()), dir) { batchTopk =>
+      batchTopk.as[(Long, Long, Double, Int)].collect()
+        .foreach(results.add)
+    }
+    try {
+      val qs = fixtureQueries
+      val (a, b) = qs.splitAt(qs.length / 2)
+      mem.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.toSeq: _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(results.asScala.toSet == expected,
+        s"stream ${results.size} rows != batch ${expected.size}")
+    } finally q.stop()
+  }
+
+  test("IVF: streamed probe micro-batches union to the declared stored probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vecstream")
+      .toString + "/ivf"
+    Similarity.writeIvfIndex(spark, fixture, dir)
+    val expected = Similarity.topkIvfStored(spark, fixture, dir)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(expected.nonEmpty)
+
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double, Int)]
+    val mem = MemoryStream[QVec]
+    val q = VecStream.probeStreamIvf(withNorm(mem.toDF()), dir) { batchTopk =>
+      batchTopk.as[(Long, Long, Double, Int)].collect()
+        .foreach(results.add)
+    }
+    try {
+      val qs = fixtureQueries
+      val (a, b) = qs.splitAt(qs.length / 2)
+      mem.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.toSeq: _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(results.asScala.toSet == expected,
+        s"stream ${results.size} rows != batch ${expected.size}")
+    } finally q.stop()
+  }
+
+  test("IVF: append stream maintains the index without retraining") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vecstream")
+      .toString + "/ivf"
+    Similarity.writeIvfIndex(spark, fixture, dir)
+
+    val seed = fixtureQueries.head
+    val probeQ = withNorm(Seq(QVec(999999L, seed.q_emb)).toDF(
+      "q_id", "q_emb"))
+    def hits(): Set[Long] =
+      Similarity.topkIvfStoredFor(spark, probeQ, dir)
+        .select($"n_id").as[Long].collect().toSet
+    assert(!hits().contains(1000000L))
+
+    val mem = MemoryStream[NVec]
+    val q = VecStream.appendStreamIvf(mem.toDF(), dir)
+    try {
+      mem.addData(NVec(1000001L, seed.q_emb.map(v => -v)))
+      q.processAllAvailable()
+      mem.addData(NVec(1000000L, seed.q_emb))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val after = Similarity.topkIvfStoredFor(spark, probeQ, dir)
+      .as[(Long, Long, Double, Int)].collect()
+    val clone = after.find(_._2 == 1000000L)
+    assert(clone.isDefined, s"appended clone not found in ${after.toSeq}")
+    assert(clone.get._3 == 1.0, s"clone cosine ${clone.get._3}")
+  }
+
+  test("append stream maintains the index: probes see appended vectors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vecstream")
+      .toString + "/lsh"
+    Similarity.writeLshIndex(spark, fixture, dir)
+
+    val seed = fixtureQueries.head
+    val probeQ = withNorm(Seq(QVec(999999L, seed.q_emb)).toDF(
+      "q_id", "q_emb"))
+    def hits(): Set[Long] =
+      Similarity.topkLshStoredFor(spark, probeQ, dir)
+        .select($"n_id").as[Long].collect().toSet
+    assert(!hits().contains(1000000L))
+
+    val mem = MemoryStream[NVec]
+    val q = VecStream.appendStream(mem.toDF(), dir)
+    try {
+      // batch 1: an unrelated new vector; batch 2: an exact clone of
+      // the probe target — both must land in the stored index
+      mem.addData(NVec(1000001L, seed.q_emb.map(v => -v)))
+      q.processAllAvailable()
+      mem.addData(NVec(1000000L, seed.q_emb))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val after = Similarity.topkLshStoredFor(spark, probeQ, dir)
+      .as[(Long, Long, Double, Int)].collect()
+    val clone = after.find(_._2 == 1000000L)
+    assert(clone.isDefined, s"appended clone not found in ${after.toSeq}")
+    assert(clone.get._3 == 1.0, s"clone cosine ${clone.get._3}")
+  }
+}
