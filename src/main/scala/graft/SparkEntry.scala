@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Bpe, Dedup, DnaPipeline, Embeddings, Multimodal, Pca, Pq, Relational, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, DnaPipeline, Embeddings, Multimodal, Pca, Pq, Relational, Similarity, Sq, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ DnaPipeline.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Embeddings.queries ++ Pq.queries ++ Pca.queries ++
+      Multimodal.queries ++ Embeddings.queries ++ Pq.queries ++ Sq.queries ++ Pca.queries ++
       Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,7 +27,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ DnaPipeline.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Embeddings.oracles ++ Pq.oracles
+      Multimodal.oracles ++ Embeddings.oracles ++ Pq.oracles ++ Sq.oracles
 
   /** Oracles whose SQL embeds deterministically-TRAINED state (the IVF
     * centroids) as literals, so they must be rendered against the
