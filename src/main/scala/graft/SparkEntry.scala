@@ -39,5 +39,6 @@ object SparkEntry {
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
     Similarity.dynamicOracles(spark, sfDir) ++
       Dedup.dynamicOracles(spark, sfDir) ++ Pq.dynamicOracles(spark, sfDir) ++
+      Sq.dynamicOracles(spark, sfDir) ++
       Pca.dynamicOracles(spark, sfDir) ++ Bpe.dynamicOracles(spark, sfDir)
 }

@@ -264,8 +264,8 @@ object Pq {
     * coarse-to-fine tail lives, shared by [[topkPq]] and [[topkIvfPq]]
     * so a contract change (rounding, tie-break, k) cannot fork them.
     */
-  private def rerankTail(s: SparkSession, d: String, scored: DataFrame,
-      candidates: Int, k: Int): DataFrame = {
+  private[operators] def rerankTail(s: SparkSession, d: String,
+      scored: DataFrame, candidates: Int, k: Int): DataFrame = {
     import s.implicits._
     // winnow the ADC stream per partition before the rank window
     // (Similarity.winnowTopPerKey: output-invariant, kills the full

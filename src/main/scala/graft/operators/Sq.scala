@@ -249,6 +249,59 @@ object Sq {
       k: Int = Similarity.TopK, candidates: Int = SqCandidates): DataFrame =
     sqProbe(s, d, readSqIndex(s, indexDir), k, candidates)
 
+  private def sqDecodeDot(dec: Array[Array[Double]])(
+      q: org.apache.spark.sql.Column,
+      codes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.SqDecodeDot(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(q),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(codes), dec))
+
+  /** IVF-SQ composition — the FAISS `IVF…,SQ8` deployment shape,
+    * symmetric with [[Pq.topkIvfPq]]: the IVF coarse quantizer bounds
+    * WHICH vectors are scored (only the query's probed cells, the
+    * shared occupancy-aware probe policy), the SQ codes bound the
+    * BYTES each scored one costs (the candidate join ships (vec_id,
+    * cell) plus 64 code bytes and the precomputed decoded norm — the
+    * 256-byte full-width vectors never enter the coarse pass), and
+    * full-precision vectors page in only for the exact re-rank of the
+    * decode-dot top-C. Against PQ's 8 bytes/vector this trades 8× the
+    * scan bytes for much higher coarse fidelity — the right half of
+    * the recall/bandwidth spectrum when cells are large. At 10⁹
+    * vectors this is the stored shape: a codes table partitioned by
+    * cell.
+    */
+  def topkIvfSq(s: SparkSession, d: String, k: Int = Similarity.TopK,
+      candidates: Int = SqCandidates): DataFrame =
+    ivfSqProbe(s, d, Similarity.ivfIndex(s, d), sqIndex(s, d), k, candidates)
+
+  /** The composed probe against GIVEN indexes (the ivfPqProbe
+    * convention — one body so a session/stored split could never
+    * drift). Score arithmetic is the scan kernel's exactly:
+    * decode-dot / ‖q‖ / decoded-norm, left-associated.
+    */
+  private def ivfSqProbe(s: SparkSession, d: String,
+      ivf: Similarity.IvfIndex, sq: SqIndex, k: Int,
+      candidates: Int): DataFrame = {
+    import s.implicits._
+    val np = Similarity.defaultNProbe(ivf.cents.length, ivf.cellCounts)
+    val dd = sqDecodeDot(sq.decodeTable) _
+    val qCells = Pq.queryRelation(s, d).select($"q_id", $"q_emb", $"q_nrm",
+      explode(Similarity.nearestCellsCol(ivf.cents, np)($"q_emb")).as("cell"))
+    // the stored IVF-SQ relation: cell + codes + decoded norm, no vectors
+    val members = ivf.assigned.select($"vec_id", $"cell")
+      .join(sq.codes, Seq("vec_id"))
+    // single assignment ⇒ a vector reaches a query through at most one
+    // probed cell — no candidate dedup exchange (the sim_ann_ivf plan
+    // property)
+    val scored = broadcast(qCells)
+      .join(members, Seq("cell"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        (dd($"q_emb", $"codes") / $"q_nrm" / $"dnrm").as("adc"))
+    Pq.rerankTail(s, d, scored, candidates, k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the codes relation as exploded scalar rows (the pq_build
     // pattern: the driver compare can't hash a raw binary column; the
@@ -273,7 +326,8 @@ object Sq {
       val dir = Similarity.storedQueryDir("sq", d)
       writeSqIndex(s, d, dir)
       topkSqStored(s, d, dir)
-    })
+    },
+    "sim_ann_ivfsq" -> ((s, d) => topkIvfSq(s, d)))
 
   /** Shared oracle CTE text: per-dim quantizer params under the
     * zero-pad contract, per-(vector, dim) codes with the kernel's
@@ -355,5 +409,53 @@ object Sq {
                 PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
               FROM scored) WHERE rank <= ${Similarity.TopK}""")
     base + ("sim_ann_sq_stored" -> base("sim_ann_sq"))
+  }
+
+  /** The IVF-SQ oracle embeds the trained IVF centroids as literals
+    * (the sim_ann_ivfpq contract), so it is rendered at Verify time;
+    * the SQ half stays the static CTE text above. CTE names are
+    * disjoint by construction (m/sims/asg vs sqp/sqd/sqcodes/sqdec/
+    * sqarr).
+    */
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
+    val (ivfCtes, k) = Similarity.ivfOracleCtes(s, d)
+    val np = Similarity.defaultNProbe(k, Similarity.ivfIndex(s, d).cellCounts)
+    Map("sim_ann_ivfsq" ->
+      s"""WITH $ivfCtes,
+          $sqOracleCtes,
+          qprobe AS (
+            SELECT vec_id AS q_id, CAST(c - 1 AS BIGINT) AS cell FROM (
+              SELECT vec_id, c, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, c ASC) AS rn
+              FROM sims WHERE vec_id % ${Similarity.QueryStride} = 0)
+            WHERE rn <= $np),
+          cand AS (
+            SELECT q.q_id, a.vec_id AS n_id
+            FROM qprobe q JOIN asg a ON q.cell = a.cell
+            WHERE q.q_id <> a.vec_id),
+          adc AS (
+            SELECT c.q_id, c.n_id,
+              list_sum(list_transform(generate_series(1, $SqDim),
+                i -> COALESCE(q.embedding[i]::DOUBLE, 0.0) * x.dec[i]))
+              / SQRT(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                  i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+              / x.dnrm AS score
+            FROM cand c
+              JOIN embeddings q ON q.vec_id = c.q_id
+              JOIN sqarr x ON x.vec_id = c.n_id),
+          coarse AS (
+            SELECT q_id, n_id FROM (
+              SELECT q_id, n_id, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS crank
+              FROM adc) WHERE crank <= $SqCandidates),
+          scored AS (
+            SELECT c.q_id, c.n_id,
+              ROUND(${Similarity.sqlCos("q.embedding", "n.embedding")}, 4) + 0.0 AS cos_sim
+            FROM coarse c JOIN embeddings q ON q.vec_id = c.q_id
+                         JOIN embeddings n ON n.vec_id = c.n_id)
+          SELECT q_id, n_id, cos_sim, rank FROM (
+            SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+            FROM scored) WHERE rank <= ${Similarity.TopK}""")
   }
 }

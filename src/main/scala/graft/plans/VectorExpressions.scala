@@ -484,6 +484,66 @@ object PqKernels {
   }
 }
 
+/** sq_decode_dot(q array<float>, codes binary) → double: the SQ8
+  * asymmetric decode-dot for the IVF-SQ candidate join — q·decoded(x)
+  * where decoded(x)[i] = decodeTable(i)(codes[i]), the same per-corpus
+  * 64×256 table the full-scan coarse pass reads (plan constant via
+  * `addReferenceObj`, the [[PqAdc]] treatment). Accumulation is
+  * left-to-right double over dim 0..63 with query elements past the
+  * vector's length reading 0.0 — bit-identical to Sq.sqProbe's scan
+  * kernel and the oracle's list_sum restatement. Codes shorter than
+  * the table fail loudly (a silently skipped row would shrink the
+  * candidate set with no signal that the index is corrupt).
+  */
+case class SqDecodeDot(left: Expression, right: Expression,
+    dec: Array[Array[Double]]) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), org.apache.spark.sql.types.BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sq_decode_dot requires (ARRAY<FLOAT>, BINARY), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_decode_dot"
+
+  override protected def nullSafeEval(q: Any, codes: Any): Any =
+    SqKernels.decodeDot(q.asInstanceOf[ArrayData],
+      codes.asInstanceOf[Array[Byte]], dec)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("sqDecodeTable", dec, "double[][]")
+    defineCodeGen(ctx, ev, (q, c) => s"graft.plans.SqKernels.decodeDot($q, $c, $t)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDecodeDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernel for [[SqDecodeDot]], callable from generated Java. */
+object SqKernels {
+  def decodeDot(q: ArrayData, codes: Array[Byte],
+      dec: Array[Array[Double]]): Double = {
+    require(codes.length >= dec.length,
+      s"sq_decode_dot: codes row has ${codes.length} bytes, " +
+        s"need ${dec.length}")
+    val m = q.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < dec.length) {
+      if (i < m) {
+        require(!q.isNullAt(i), "sq_decode_dot: NULL element in query vector")
+        dot += q.getFloat(i).toDouble * dec(i)(codes(i) & 0xFF)
+      }
+      i += 1
+    }
+    dot
+  }
+}
+
 /** pca_project(emb array<float>) → array<double>: projection onto the
   * TRAINED PCA loadings (centered dot per component), as a native
   * codegen expression — same plan-constant treatment as [[PqAdc]]

@@ -77,6 +77,53 @@ class SqSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall over ${bf.size} pairs")
   }
 
+  test("ivfsq matches the exact-IVF probe's answers at SQ8 fidelity") {
+    import spark.implicits._
+    // same probed cells by construction (the shared ivfIndex), so the
+    // diff between sim_ann_ivf and sim_ann_ivfsq isolates the SQ
+    // coarse cut: at one byte/dim the decode-dot ranking should keep
+    // nearly every exact winner inside the top-C survivors
+    val ivf = Similarity.queries("sim_ann_ivf")(spark, sf)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val ivfsq = Sq.topkIvfSq(spark, sf)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val agree = (ivf & ivfsq).size.toDouble / ivf.size
+    assert(agree >= 0.9, s"agreement $agree over ${ivf.size} pairs")
+    // and the contract shape: at most TopK rows per query
+    val perQ = Sq.topkIvfSq(spark, sf).groupBy($"q_id").count()
+      .as[(Long, Long)].collect()
+    assert(perQ.forall(_._2 <= Similarity.TopK))
+  }
+
+  test("decodeDot kernel equals the scan kernel's accumulation") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val idx = Sq.sqIndex(spark, sf)
+    val dec = idx.decodeTable
+    // a short (zero-padded) query against a full-width codes row: the
+    // expression must add q[i]·decoded[i][code] for i < len and skip
+    // the padded tail — identical bits to the mapPartitions scan
+    val q = Array[Float](0.5f, -1.25f, 2.0f)
+    val codes = Array.tabulate[Byte](Sq.SqDim)(i => (i * 3).toByte)
+    val got = graft.plans.SqKernels.decodeDot(
+      ArrayData.toArrayData(q), codes, dec)
+    var want = 0.0
+    var i = 0
+    while (i < Sq.SqDim) {
+      val qv = if (i < q.length) q(i).toDouble else 0.0
+      want += qv * dec(i)(codes(i) & 0xFF)
+      i += 1
+    }
+    assert(java.lang.Double.doubleToLongBits(got) ==
+      java.lang.Double.doubleToLongBits(want))
+    // short codes fail loudly (the corrupt-index contract)
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.SqKernels.decodeDot(
+        ArrayData.toArrayData(q), Array[Byte](1, 2), dec)
+    }
+    assert(e.getMessage.contains("codes"))
+  }
+
   test("corrupt codes rows fail loudly instead of shrinking candidates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sqspec")
