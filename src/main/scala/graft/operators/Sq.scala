@@ -275,6 +275,18 @@ object Sq {
       candidates: Int = SqCandidates): DataFrame =
     ivfSqProbe(s, d, Similarity.ivfIndex(s, d), sqIndex(s, d), k, candidates)
 
+  /** The composed probe against STORED index halves (the
+    * topkIvfPqStored convention: both written by one build job, read
+    * and composed by any later query job) — parquet round-trips the
+    * params/norm doubles exactly, so this is bit-identical to
+    * [[topkIvfSq]] on the same corpus (IndexStoreSpec pins it).
+    */
+  def topkIvfSqStored(s: SparkSession, d: String, ivfDir: String,
+      sqDir: String, k: Int = Similarity.TopK,
+      candidates: Int = SqCandidates): DataFrame =
+    ivfSqProbe(s, d, Similarity.readIvfIndex(s, ivfDir),
+      readSqIndex(s, sqDir), k, candidates)
+
   /** The composed probe against GIVEN indexes (the ivfPqProbe
     * convention — one body so a session/stored split could never
     * drift). Score arithmetic is the scan kernel's exactly:

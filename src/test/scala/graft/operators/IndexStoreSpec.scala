@@ -324,6 +324,24 @@ class IndexStoreSpec extends AnyFunSuite {
       "stored IVF-PQ composition diverged from the build-session probe")
   }
 
+  test("IVF-SQ stored composition: both halves written, composed in a fresh session") {
+    // the sim_ann_ivfpq_stored shape for the SQ8 codes: parquet
+    // round-trips the quantizer params and decoded norms exactly, so
+    // the fresh-session composition is bit-identical to the
+    // build-session probe
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfsq_ivf").toString
+    val sqDir = java.nio.file.Files.createTempDirectory("ivfsq_sq").toString
+    Similarity.writeIvfIndex(spark, sf, ivfDir)
+    Sq.writeSqIndex(spark, sf, sqDir)
+    val expect = rows(Sq.topkIvfSq(spark, sf))
+    assert(expect.nonEmpty)
+
+    val s2 = spark.newSession()
+    val stored = Sq.topkIvfSqStored(s2, sf, ivfDir, sqDir)
+    assert(rows(stored) == expect,
+      "stored IVF-SQ composition diverged from the build-session probe")
+  }
+
   test("PQ stored index: fresh-session probe parity (codes + codebooks round-trip)") {
     val dir = java.nio.file.Files.createTempDirectory("pqstore").toString
     Pq.writePqIndex(spark, sf, dir)
