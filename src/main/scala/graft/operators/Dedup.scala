@@ -388,18 +388,126 @@ object Dedup {
     val sig = shingleRelation(s, d)
       .filter(size($"sh") >= 1)
       .select($"doc_id", minhashSig($"sh").as("sig"))
-    val bands = array((0 until NumBands).map { b =>
-      val cols = (0 until BandRows).map(r => element_at($"sig", b * BandRows + r + 1))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
-    }: _*)
-    val buckets = sig.select($"doc_id", explode(bands).as("bb"))
-      .select($"doc_id", $"bb.band", $"bb.bucket")
+    val buckets = bandBucketsOf(sig)
     buckets.as("a")
       .join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
+  }
+
+  /** (doc_id, band, bucket) rows from a (doc_id, sig) relation — the
+    * banding step factored out of [[lshCandidates]] so the self-join
+    * path and the stored incremental index write/probe share one
+    * bucket definition (a band-hash change cannot fork them).
+    */
+  private def bandBucketsOf(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
+    val bands = array((0 until NumBands).map { b =>
+      val cols = (0 until BandRows).map(r => element_at($"sig", b * BandRows + r + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }: _*)
+    sig.select($"doc_id", explode(bands).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bucket")
+  }
+
+  /** Every [[IncrementalMod]]'th document is "the new batch" for the
+    * incremental near-dup query — the declared split convention (the
+    * QueryStride shape: deterministic, corpus-independent).
+    */
+  val IncrementalMod = 10L
+
+  /** Bucket-pair cap for the incremental probe's pushed stored-index
+    * filter (the [[Similarity.LshProbePushdownCap]] convention).
+    */
+  val MinhashPushdownCap = 65536
+
+  /** Write the HISTORICAL minhash index — the snapshot half of the
+    * incremental near-dedup lifecycle a 100 TB corpus runs nightly:
+    * the tokenize-once shingle relation (verify side) plus the band-
+    * bucket relation, band-partitioned and bucket-sorted so a probe's
+    * pushed (band, bucket IN …) filter prunes directories and row
+    * groups instead of scanning the corpus-sized index.
+    */
+  def writeMinhashIndex(s: SparkSession, d: String, outDir: String,
+      pred: Column): Unit = {
+    import s.implicits._
+    val hist = shingleRelation(s, d).filter(pred)
+    hist.select($"doc_id", $"sh")
+      .write.mode("overwrite").parquet(s"$outDir/shingles")
+    val sig = hist.filter(size($"sh") >= 1)
+      .select($"doc_id", minhashSig($"sh").as("sig"))
+    // one exchange keyed by the partition column → one file per band
+    // directory here, tasks-per-band at deployment scale (the
+    // writeIvfIndex note)
+    bandBucketsOf(sig)
+      .repartition($"band")
+      .sortWithinPartitions($"bucket")
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$outDir/bands")
+  }
+
+  /** Incremental near-dup: the NEW batch probed against a STORED
+    * historical index — the production shape where a nightly ingest
+    * pays new×old (and a separate within-batch pass, the ordinary
+    * dedup_minhash_lsh over the batch) instead of re-deduping the
+    * whole corpus. Only the batch is tokenized/signed; the stored
+    * band relation is read under a pushed bucket filter when the
+    * batch's bucket set fits [[MinhashPushdownCap]] (directory-pruned
+    * by band, row-group-pruned by the sorted bucket), degrading to
+    * the ordinary distributed equi-join above it (still
+    * candidates-sized work — only the scan pruning is lost; the
+    * bucket-chunked union of the LSH stored probe is the proven next
+    * step if a deployment's batches outgrow the cap). Verification
+    * joins the batch's session shingles with the stored verify-side
+    * arrays over candidates only. Same pair contract as
+    * dedup_minhash_lsh restricted to one-new-one-old, (new_id,
+    * old_id) oriented.
+    */
+  def incrementalMinhashPairs(s: SparkSession, d: String,
+      indexDir: String, pushdownCap: Int = MinhashPushdownCap): DataFrame = {
+    import s.implicits._
+    val newSh = shingleRelation(s, d)
+      .filter($"doc_id" % IncrementalMod === 0)
+    val newSig = newSh.filter(size($"sh") >= 1)
+      .select($"doc_id", minhashSig($"sh").as("sig"))
+    val newBands = bandBucketsOf(newSig)
+      .select($"doc_id".as("new_id"), $"band", $"bucket")
+    // partition-column type pinned LONG→INT-free via explicit schema
+    // (the readIvfIndex note: inferred dir values defeat pruning)
+    val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType)))
+    val stored = s.read.schema(bandsSchema).parquet(s"$indexDir/bands")
+      .select($"doc_id".as("old_id"), $"band", $"bucket")
+    val probePairs = newBands.select($"band", $"bucket").distinct()
+      .limit(pushdownCap + 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val oldBands =
+      if (probePairs.length > pushdownCap) stored
+      else if (probePairs.isEmpty) stored.filter(lit(false))
+      else stored.filter(probePairs.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, ps) =>
+          col("band") === b &&
+            col("bucket").isin(ps.map(p => java.lang.Long.valueOf(p._2)): _*)
+        }.reduce(_ || _))
+    val cands = newBands.join(oldBands, Seq("band", "bucket"))
+      .select($"new_id", $"old_id").distinct()
+    val oldSh = s.read.parquet(s"$indexDir/shingles")
+    val verified = cands
+      .join(newSh.select($"doc_id".as("new_id"), $"sh".as("sh_a")), "new_id")
+      .join(oldSh.select($"doc_id".as("old_id"), $"sh".as("sh_b")), "old_id")
+      .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard", $"n_common".cast("double") /
+        (size($"sh_a") + size($"sh_b") - $"n_common"))
+    verified
+      .filter(round($"jaccard", 6) >= JaccardThreshold)
+      .select($"new_id", $"old_id", round($"jaccard", 6).as("jaccard"))
   }
 
   /** 64-bit SimHash as a scalar function: one pass over the token
@@ -635,6 +743,17 @@ object Dedup {
     },
 
     // SimHash fingerprints — fully oracled: FNV-1a and the bit votes
+    // Incremental near-dup: write the historical (doc_id %
+    // IncrementalMod ≠ 0) minhash index, probe the new batch against
+    // it in the same declared query — the stored-lifecycle round trip
+    // (the *_stored convention). new×old pairs only; within-batch
+    // pairs are the ordinary dedup_minhash_lsh over the batch.
+    "dedup_minhash_incremental" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("mh_incr", d)
+      writeMinhashIndex(s, d, dir, col("doc_id") % IncrementalMod =!= 0)
+      incrementalMinhashPairs(s, d, dir)
+    },
+
     // are restated in DuckDB HUGEINT mod-2⁶⁴ arithmetic (see oracles),
     // so the 64-bit fingerprints are hash-exact across engines.
     "dedup_simhash" -> { (s, d) =>
@@ -1456,6 +1575,20 @@ object Dedup {
       s"""$jaccardCte
           SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
           WHERE ROUND(j, 6) >= $JaccardThreshold""",
+    // the shared pair CTE restricted to one-new-one-old pairs and
+    // oriented (new_id, old_id) — the incremental probe's contract
+    "dedup_minhash_incremental" ->
+      s"""$jaccardCte,
+          qual AS (SELECT id_a, id_b, ROUND(j, 6) AS jac FROM pairs
+            WHERE ROUND(j, 6) >= $JaccardThreshold),
+          split AS (SELECT id_a, id_b, jac,
+            CASE WHEN id_a % $IncrementalMod = 0 THEN 1 ELSE 0 END AS a_new,
+            CASE WHEN id_b % $IncrementalMod = 0 THEN 1 ELSE 0 END AS b_new
+            FROM qual)
+          SELECT CASE WHEN a_new = 1 THEN id_a ELSE id_b END AS new_id,
+            CASE WHEN a_new = 1 THEN id_b ELSE id_a END AS old_id,
+            jac AS jaccard
+          FROM split WHERE a_new + b_new = 1""",
     // the shared pair CTE with each side classified by the
     // decontamination split rule (substr(md5(id),1,2), the
     // txt_decontaminate oracle's convention) — a qualifying pair with

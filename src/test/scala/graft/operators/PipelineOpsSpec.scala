@@ -1343,4 +1343,56 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("incremental minhash: new-vs-old pairs only, pushdown and fallback agree") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("incr").toString
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    // 22 words → 20 shingles; changing the last word flips 3 shingles:
+    // common 17 / union 23 → jaccard 0.739 ≥ threshold 0.6
+    val base = words("alpha", 21)
+    val docs = Seq(
+      (10L, s"$base tail0"),   // NEW (id % 10 == 0)
+      (3L,  s"$base tail1"),   // old near-dup of 10 → pair (10, 3)
+      (7L,  s"$base tail2"),   // old near-dup of 10 → pair (10, 7)
+      (20L, words("beta", 22)),  // NEW
+      (30L, words("beta", 22)),  // NEW exact dup of 20 → within-batch,
+                                 // NOT a new×old pair
+      (11L, words("gamma", 22)), // old
+      (12L, words("gamma", 22)), // old dup of 11 → old×old, excluded
+      (40L, words("delta", 22))  // NEW, unrelated
+    ).toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+    docs.write.parquet(s"$tmp/documents.parquet")
+
+    val dir = s"$tmp/index"
+    Dedup.writeMinhashIndex(spark, tmp, dir,
+      col("doc_id") % Dedup.IncrementalMod =!= 0)
+    val got = Dedup.incrementalMinhashPairs(spark, tmp, dir)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 3L), (10L, 7L)),
+      s"expected exactly the engineered new-vs-old pairs, got $got")
+    // forced over-cap → the distributed-join fallback; answer identical
+    val fb = Dedup.incrementalMinhashPairs(spark, tmp, dir, pushdownCap = 0)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    assert(fb == got, "fallback join diverged from the pushed probe")
+    // jaccard values survive the round trip at the declared rounding
+    val j = Dedup.incrementalMinhashPairs(spark, tmp, dir)
+      .select($"jaccard").as[Double].collect()
+    assert(j.forall(_ >= Dedup.JaccardThreshold))
+
+    // a batch with nothing shingled (< 3 tokens per doc) probes empty
+    val tmp2 = java.nio.file.Files.createTempDirectory("incr2").toString
+    Seq((100L, "one two"), (5L, words("eps", 22)))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.parquet(s"$tmp2/documents.parquet")
+    val dir2 = s"$tmp2/index"
+    Dedup.writeMinhashIndex(spark, tmp2, dir2,
+      col("doc_id") % Dedup.IncrementalMod =!= 0)
+    assert(Dedup.incrementalMinhashPairs(spark, tmp2, dir2).count() == 0)
+  }
 }
