@@ -410,6 +410,55 @@ object TextAnalysis {
         .select($"doc_id", $"source", $"alpha_r", $"thresh")
     },
 
+    // Trained quality classifier — the FineWeb-edu/GPT-3 filter
+    // pattern: a cheap-to-apply token model DISTILLED from expensive
+    // labels (here the declared percentile gate as weak supervision;
+    // in production, LLM or human labels on a sample), scored over
+    // every document so the expensive labeler never touches the full
+    // corpus. Multinomial naive Bayes with add-one smoothing over the
+    // corpus vocabulary: per-token log-odds w(t) = ln((c⁺+1)/(N⁺+V))
+    // − ln((c⁻+1)/(N⁻+V)), doc score = smoothed log prior + Σ tf·w.
+    // Scale shape: tf (one (doc,tok) shuffle, shared kernel), class
+    // counts (one tok-keyed shuffle of the tf relation), scalars and
+    // priors as 1-row broadcasts, then the score join tf⋈w on tok —
+    // every stage keyed, nothing driver-side; the weight relation is
+    // vocabulary-sized so it stays a shuffle join, never a collect.
+    // Float sums group-accumulate then round(5), the txt_unigram_nll
+    // convention. Docs with no tokens score the prior alone (the
+    // LEFT-JOIN pin); a degenerate all-pass gate keeps finite weights
+    // through the +1 prior/count smoothing.
+    "txt_quality_classifier" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pass = queries("txt_quality_gate")(s, d)
+        .select($"doc_id", lit(1L).as("pass"))
+      val labeled = docs.select($"doc_id")
+        .join(pass, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"pass", lit(0L)).as("label"))
+      val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val classCnt = tf.join(labeled, Seq("doc_id"))
+        .groupBy($"tok")
+        .agg(sum(when($"label" === 1, $"tf").otherwise(0L)).as("c_pos"),
+          sum(when($"label" === 0, $"tf").otherwise(0L)).as("c_neg"))
+      val scal = classCnt.agg(sum($"c_pos").as("np"), sum($"c_neg").as("nn"),
+        count(lit(1)).as("v"))
+      val priors = labeled.agg(
+        sum(when($"label" === 1, 1L).otherwise(0L)).as("pd"),
+        sum(when($"label" === 0, 1L).otherwise(0L)).as("nd"))
+      val w = classCnt.crossJoin(broadcast(scal))
+        .select($"tok",
+          (log(($"c_pos" + 1).cast("double") / ($"np" + $"v")) -
+            log(($"c_neg" + 1).cast("double") / ($"nn" + $"v"))).as("w"))
+      val per = tf.join(w, Seq("tok"))
+        .groupBy($"doc_id").agg(sum($"tf" * $"w").as("sw"))
+      labeled.crossJoin(broadcast(priors))
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id", $"label",
+          round(log(($"pd" + 1).cast("double") / ($"nd" + 1)) +
+            coalesce($"sw", lit(0.0)), 5).as("nb_score"))
+    },
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df), deterministic tiebreak on the term. The inverted
     // shapes are all map-side-combinable aggregations (term counts,
@@ -1287,6 +1336,45 @@ object TextAnalysis {
             FROM q)
           SELECT doc_id, source, alpha_r, thresh FROM t
           WHERE alpha_r >= thresh""",
+    // the gate restated as the label CTE, then the full NB training
+    // and scoring pipeline in static SQL: exact integer counts, LN
+    // log-odds, group-sum + ROUND(5) (the txt_unigram_nll float
+    // convention)
+    "txt_quality_classifier" ->
+      s"""WITH q AS (SELECT doc_id, source,
+            ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+              GREATEST(LENGTH(text), 1), 6) AS alpha_r
+            FROM documents),
+          t AS (SELECT doc_id, alpha_r,
+            ROUND(quantile_cont(alpha_r, 0.25) OVER (PARTITION BY source), 6)
+              AS thresh
+            FROM q),
+          lab AS (SELECT doc_id,
+            CAST(CASE WHEN alpha_r >= thresh THEN 1 ELSE 0 END AS BIGINT)
+              AS label FROM t),
+          toks AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+          tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+            GROUP BY doc_id, tok),
+          cc AS (SELECT tok,
+              SUM(CASE WHEN label = 1 THEN tf ELSE 0 END) AS c_pos,
+              SUM(CASE WHEN label = 0 THEN tf ELSE 0 END) AS c_neg
+            FROM tf JOIN lab USING (doc_id) GROUP BY tok),
+          scal AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn,
+            COUNT(*) AS v FROM cc),
+          pri AS (SELECT
+              SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pd,
+              SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nd
+            FROM lab),
+          w AS (SELECT tok,
+              LN((c_pos + 1)::DOUBLE / (np + v))
+                - LN((c_neg + 1)::DOUBLE / (nn + v)) AS w
+            FROM cc, scal),
+          per AS (SELECT doc_id, SUM(tf * w) AS sw
+            FROM tf JOIN w USING (tok) GROUP BY doc_id)
+          SELECT l.doc_id, l.label,
+            ROUND(LN((pri.pd + 1)::DOUBLE / (pri.nd + 1))
+              + COALESCE(per.sw, 0.0), 5) + 0.0 AS nb_score
+          FROM lab l CROSS JOIN pri LEFT JOIN per ON per.doc_id = l.doc_id""",
     "txt_tfidf_top" ->
       s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
           tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks

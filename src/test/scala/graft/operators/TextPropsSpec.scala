@@ -204,4 +204,46 @@ class TextPropsSpec extends AnyFunSuite {
     // a bag-of-tokens permutation cannot change the distribution
     assert(e.filter($"h" =!= $"hrev").count() == 0)
   }
+
+  test("NB quality classifier separates its training labels; empty docs score the prior") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = TextAnalysis.queries("txt_quality_classifier")(spark, sf)
+      .select($"doc_id", $"label", $"nb_score")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val pos = out.filter(_._2 == 1L).map(_._3)
+    val neg = out.filter(_._2 == 0L).map(_._3)
+    // the gate's 25th-percentile cut guarantees both classes on the
+    // real fixture; a trained NB must at minimum rank its own
+    // training classes apart in the mean
+    assert(pos.nonEmpty && neg.nonEmpty)
+    assert(pos.sum / pos.length > neg.sum / neg.length,
+      s"mean pos ${pos.sum / pos.length} <= mean neg ${neg.sum / neg.length}")
+    // directed: an empty-token doc scores exactly the smoothed prior
+    val tmp = java.nio.file.Files.createTempDirectory("nb").toString
+    // alphas sorted: [0, a1, a4, a5] → q25 = 0.75·a1 > 0, so the
+    // empty doc (alpha_r 0) is the one gate failure
+    Seq(
+      (1L, "alpha beta alpha beta gamma", "s1"),
+      (3L, "", "s1"),              // no tokens at all
+      (4L, "delta delta delta", "s1"),
+      (5L, "epsilon zeta eta theta", "s1")
+    ).toDF("doc_id", "text", "source")
+      .select($"doc_id", $"text", lit("en").as("lang"), $"source",
+        org.apache.spark.sql.functions.length($"text").cast("long").as("n_chars"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val r = TextAnalysis.queries("txt_quality_classifier")(spark, tmp)
+      .select($"doc_id", $"label", $"nb_score")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    val pd = r.values.count(_._1 == 1L)
+    val nd = r.values.count(_._1 == 0L)
+    val prior = math.log((pd + 1).toDouble / (nd + 1))
+    val rounded = BigDecimal(prior).setScale(5,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (emptyLabel, emptyScore) = r(3L)
+    assert(emptyLabel == 0L, "empty text: alpha_r 0 must fail a mixed gate")
+    assert(math.abs(emptyScore - rounded) < 1e-9,
+      s"empty doc scored $emptyScore, smoothed prior is $rounded")
+  }
 }
