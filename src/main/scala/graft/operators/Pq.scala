@@ -497,6 +497,28 @@ object Pq {
       k: Int = Similarity.TopK, candidates: Int = PqCandidates): DataFrame =
     pqProbe(s, d, readPqIndex(s, indexDir), k, candidates)
 
+  /** Append NEW vectors' codes to a STORED PQ index WITHOUT
+    * retraining — the appendToIvfIndex convention for the compressed
+    * family: only the bounded codebooks table is read back (never the
+    * stored codes), the batch encodes through the SAME argmin-L2
+    * kernel the build used against those FROZEN codewords, so an
+    * appended vector lands on exactly the codes a full rebuild with
+    * these codebooks would give it (retraining is a new index
+    * VERSION). Single-writer, disjoint ids, compaction/rebuild as
+    * defrag — the shared append conventions.
+    */
+  def appendToPqIndex(s: SparkSession, indexDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val cb = readPqIndex(s, indexDir).codebooks
+    val enc = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray
+      Array.tabulate(cb.length)(sub => nearestCode(v, sub * SubDim, cb(sub)))
+    }
+    batch.select($"vec_id", enc($"embedding").as("codes"))
+      .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the codes relation as exploded scalar rows (the proj_build
     // pattern: the driver compare can't hash a raw array column)

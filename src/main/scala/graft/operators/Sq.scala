@@ -117,14 +117,21 @@ object Sq {
     * shuffle).
     */
   def sqIndex(s: SparkSession, d: String): SqIndex = {
-    import s.implicits._
     val (mins, maxs) = params(s, d)
     val idx = SqIndex(mins, maxs, null)
-    val dl = idx.deltas
-    val dec = idx.decodeTable
-    val bc = s.sparkContext.broadcast((mins, dl, dec))
-    val codes = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding")
+    idx.copy(codes = encodeWith(s,
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), idx))
+  }
+
+  /** The row-local encode pass against GIVEN quantizer params —
+    * shared by the build ([[sqIndex]]) and the frozen-quantizer
+    * append ([[appendToSqIndex]]) so the two can never drift.
+    */
+  private def encodeWith(s: SparkSession, src: DataFrame,
+      idx: SqIndex): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast((idx.mins, idx.deltas, idx.decodeTable))
+    src.select($"vec_id", $"embedding")
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         val (mn, delta, table) = bc.value
@@ -141,7 +148,22 @@ object Sq {
         }
         (id, cs, math.sqrt(nrm2))
       }.toDF("vec_id", "codes", "dnrm")
-    idx.copy(codes = codes)
+  }
+
+  /** Append NEW vectors' codes to a STORED SQ index WITHOUT
+    * re-deriving the quantizer — the appendToIvfIndex convention for
+    * the codes family: the params table read back IS the frozen
+    * quantizer (a retune would shift every stored code's decoded
+    * value, i.e. a new index VERSION), so an appended vector encodes
+    * to exactly the codes a full rebuild at these params would give
+    * it. Single-writer, disjoint ids, compaction/rebuild as defrag —
+    * the shared append conventions.
+    */
+  def appendToSqIndex(s: SparkSession, indexDir: String,
+      batch: DataFrame): Unit = {
+    val idx = readSqIndex(s, indexDir)
+    encodeWith(s, batch, idx)
+      .write.mode("append").parquet(s"$indexDir/codes")
   }
 
   /** The SQ probe against a GIVEN index — shared by the session path

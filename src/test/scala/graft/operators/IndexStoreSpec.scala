@@ -342,6 +342,52 @@ class IndexStoreSpec extends AnyFunSuite {
       "stored IVF-SQ composition diverged from the build-session probe")
   }
 
+  test("PQ/SQ appends: frozen-quantizer codes equal a rebuild's; appended rows probe-visible") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // PQ: append clones under offset ids — frozen codebooks must give
+    // byte-for-byte the codes the build gave the originals
+    val pqDir = java.nio.file.Files.createTempDirectory("pqappend").toString
+    Pq.writePqIndex(spark, sf, pqDir)
+    val batch = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Pq.appendToPqIndex(spark, pqDir, batch)
+    val pqCodes = spark.read.parquet(s"$pqDir/codes")
+      .as[(Long, Array[Int])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    (0L until 20L).foreach { id =>
+      assert(pqCodes(id + 1000000L) == pqCodes(id),
+        s"pq append codes for clone of $id diverged from the build's")
+    }
+    // SQ: same contract through the frozen params table, dnrm included
+    val sqDir = java.nio.file.Files.createTempDirectory("sqappend").toString
+    Sq.writeSqIndex(spark, sf, sqDir)
+    Sq.appendToSqIndex(spark, sqDir, batch)
+    val sqCodes = spark.read.parquet(s"$sqDir/codes")
+      .as[(Long, Array[Byte], Double)].collect()
+      .map(r => r._1 -> ((r._2.toSeq, r._3))).toMap
+    (0L until 20L).foreach { id =>
+      assert(sqCodes(id + 1000000L) == sqCodes(id),
+        s"sq append codes/dnrm for clone of $id diverged from the build's")
+    }
+    // appended clones are probe-visible: the codes index is a
+    // companion to the vector store (the exact re-rank pages full
+    // vectors from the corpus relation), so the probe corpus is the
+    // original plus the appended batch — the deployment invariant
+    // that an ingest lands vectors AND codes together
+    val corpus = java.nio.file.Files.createTempDirectory("sqcorpus").toString
+    graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .union(batch.select("vec_id", "embedding"))
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val probed = Sq.topkSqStored(spark, corpus, sqDir)
+      .as[(Long, Long, Double, Int)].collect()
+    (0L until 20L).filter(_ % Similarity.QueryStride == 0).foreach { q =>
+      val hit = probed.find(r => r._1 == q && r._2 == q + 1000000L)
+      assert(hit.exists(_._3 == 1.0),
+        s"query $q: appended clone not a cos-1.0 neighbor ($hit)")
+    }
+  }
+
   test("PQ stored index: fresh-session probe parity (codes + codebooks round-trip)") {
     val dir = java.nio.file.Files.createTempDirectory("pqstore").toString
     Pq.writePqIndex(spark, sf, dir)
