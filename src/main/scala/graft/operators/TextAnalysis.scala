@@ -428,35 +428,23 @@ object TextAnalysis {
     // LEFT-JOIN pin); a degenerate all-pass gate keeps finite weights
     // through the +1 prior/count smoothing.
     "txt_quality_classifier" -> { (s, d) =>
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      val pass = queries("txt_quality_gate")(s, d)
-        .select($"doc_id", lit(1L).as("pass"))
-      val labeled = docs.select($"doc_id")
-        .join(pass, Seq("doc_id"), "left")
-        .select($"doc_id", coalesce($"pass", lit(0L)).as("label"))
-      val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
-      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      val classCnt = tf.join(labeled, Seq("doc_id"))
-        .groupBy($"tok")
-        .agg(sum(when($"label" === 1, $"tf").otherwise(0L)).as("c_pos"),
-          sum(when($"label" === 0, $"tf").otherwise(0L)).as("c_neg"))
-      val scal = classCnt.agg(sum($"c_pos").as("np"), sum($"c_neg").as("nn"),
-        count(lit(1)).as("v"))
-      val priors = labeled.agg(
-        sum(when($"label" === 1, 1L).otherwise(0L)).as("pd"),
-        sum(when($"label" === 0, 1L).otherwise(0L)).as("nd"))
-      val w = classCnt.crossJoin(broadcast(scal))
-        .select($"tok",
-          (log(($"c_pos" + 1).cast("double") / ($"np" + $"v")) -
-            log(($"c_neg" + 1).cast("double") / ($"nn" + $"v"))).as("w"))
-      val per = tf.join(w, Seq("tok"))
-        .groupBy($"doc_id").agg(sum($"tf" * $"w").as("sw"))
-      labeled.crossJoin(broadcast(priors))
-        .join(per, Seq("doc_id"), "left")
-        .select($"doc_id", $"label",
-          round(log(($"pd" + 1).cast("double") / ($"nd" + 1)) +
-            coalesce($"sw", lit(0.0)), 5).as("nb_score"))
+      val (w, prior) = nbModel(s, d)
+      scoreWithNbModel(s, d, w, prior)
+    },
+
+    // The stored-model round trip (the txt_bpe_tokens_stored /
+    // sim_ann_pq_stored convention) — and the classifier's actual
+    // deployment mode: train ONCE (on the labeled corpus; in
+    // production, a labeled sample), persist the vocabulary-sized
+    // weight relation + the prior, score any later corpus from the
+    // stored model without touching the labeler again. Parquet
+    // round-trips the double weights exactly, so this shares
+    // txt_quality_classifier's oracle verbatim.
+    "txt_quality_classifier_stored" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("nbmodel", d)
+      writeNbModel(s, d, dir)
+      val (w, prior) = readNbModel(s, dir)
+      scoreWithNbModel(s, d, w, prior)
     },
 
     // TF-IDF keyword extraction: top-3 terms per document by
@@ -1197,6 +1185,122 @@ object TextAnalysis {
         FROM tr JOIN ev USING (gram)
         GROUP BY doc_id, source"""
 
+  /** Train the NB quality model: the gate's weak labels → per-token
+    * log-odds weights (vocabulary-sized, stays distributed) + the
+    * smoothed document-prior log-odds (one double). Shared by the
+    * session query and the stored round trip so the training
+    * arithmetic cannot fork.
+    */
+  def nbModel(s: SparkSession, d: String): (DataFrame, Double) = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val labeled = nbLabels(s, d)
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val classCnt = tf.join(labeled, Seq("doc_id"))
+      .groupBy($"tok")
+      .agg(sum(when($"label" === 1, $"tf").otherwise(0L)).as("c_pos"),
+        sum(when($"label" === 0, $"tf").otherwise(0L)).as("c_neg"))
+    val scal = classCnt.agg(sum($"c_pos").as("np"), sum($"c_neg").as("nn"),
+      count(lit(1)).as("v"))
+    val w = classCnt.crossJoin(broadcast(scal))
+      .select($"tok",
+        (log(($"c_pos" + 1).cast("double") / ($"np" + $"v")) -
+          log(($"c_neg" + 1).cast("double") / ($"nn" + $"v"))).as("w"))
+    val (pd, nd) = labeled.agg(
+        sum(when($"label" === 1, 1L).otherwise(0L)),
+        sum(when($"label" === 0, 1L).otherwise(0L)))
+      .as[(Long, Long)].first()
+    (w, math.log((pd + 1).toDouble / (nd + 1)))
+  }
+
+  /** The gate's weak labels as a (doc_id, label) relation. */
+  private def nbLabels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pass = queries("txt_quality_gate")(s, d)
+      .select($"doc_id", lit(1L).as("pass"))
+    Tables.documents(s, d).select($"doc_id")
+      .join(pass, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"pass", lit(0L)).as("label"))
+  }
+
+  /** Score a corpus with a GIVEN NB model — row set is every document,
+    * score = prior + Σ tf·w over the model's vocabulary (tokens absent
+    * from the model contribute nothing — the stored model's contract
+    * when scoring a LATER corpus; on the training corpus the
+    * vocabulary covers everything, which is what the shared oracle
+    * states).
+    */
+  def scoreWithNbModel(s: SparkSession, d: String, w: DataFrame,
+      prior: Double): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val per = tf.join(w, Seq("tok"))
+      .groupBy($"doc_id").agg(sum($"tf" * $"w").as("sw"))
+    nbLabels(s, d)
+      .join(per, Seq("doc_id"), "left")
+      .select($"doc_id", $"label",
+        round(lit(prior) + coalesce($"sw", lit(0.0)), 5).as("nb_score"))
+  }
+
+  /** Persist the trained model: the weight relation plus a 1-row
+    * prior table (the writeSqIndex params convention).
+    */
+  def writeNbModel(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    val (w, prior) = nbModel(s, d)
+    w.write.mode("overwrite").parquet(s"$outDir/weights")
+    Seq(prior).toDF("prior").write.mode("overwrite")
+      .parquet(s"$outDir/prior")
+  }
+
+  def readNbModel(s: SparkSession, indexDir: String): (DataFrame, Double) = {
+    import s.implicits._
+    val priors = s.read.parquet(s"$indexDir/prior")
+      .select($"prior").as[Double].collect()
+    require(priors.length == 1,
+      s"nb model under $indexDir has ${priors.length} prior rows, need 1")
+    (s.read.parquet(s"$indexDir/weights").select($"tok", $"w"), priors.head)
+  }
+
+  private lazy val nbClassifierOracle: String =
+    s"""WITH q AS (SELECT doc_id, source,
+            ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+              GREATEST(LENGTH(text), 1), 6) AS alpha_r
+            FROM documents),
+          t AS (SELECT doc_id, alpha_r,
+            ROUND(quantile_cont(alpha_r, 0.25) OVER (PARTITION BY source), 6)
+              AS thresh
+            FROM q),
+          lab AS (SELECT doc_id,
+            CAST(CASE WHEN alpha_r >= thresh THEN 1 ELSE 0 END AS BIGINT)
+              AS label FROM t),
+          toks AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+          tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+            GROUP BY doc_id, tok),
+          cc AS (SELECT tok,
+              SUM(CASE WHEN label = 1 THEN tf ELSE 0 END) AS c_pos,
+              SUM(CASE WHEN label = 0 THEN tf ELSE 0 END) AS c_neg
+            FROM tf JOIN lab USING (doc_id) GROUP BY tok),
+          scal AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn,
+            COUNT(*) AS v FROM cc),
+          pri AS (SELECT
+              SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pd,
+              SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nd
+            FROM lab),
+          w AS (SELECT tok,
+              LN((c_pos + 1)::DOUBLE / (np + v))
+                - LN((c_neg + 1)::DOUBLE / (nn + v)) AS w
+            FROM cc, scal),
+          per AS (SELECT doc_id, SUM(tf * w) AS sw
+            FROM tf JOIN w USING (tok) GROUP BY doc_id)
+          SELECT l.doc_id, l.label,
+            ROUND(LN((pri.pd + 1)::DOUBLE / (pri.nd + 1))
+              + COALESCE(per.sw, 0.0), 5) + 0.0 AS nb_score
+          FROM lab l CROSS JOIN pri LEFT JOIN per ON per.doc_id = l.doc_id"""
+
   val oracles: Map[String, String] = Map(
     "txt_tokens" ->
       s"""SELECT doc_id,
@@ -1339,42 +1443,10 @@ object TextAnalysis {
     // the gate restated as the label CTE, then the full NB training
     // and scoring pipeline in static SQL: exact integer counts, LN
     // log-odds, group-sum + ROUND(5) (the txt_unigram_nll float
-    // convention)
-    "txt_quality_classifier" ->
-      s"""WITH q AS (SELECT doc_id, source,
-            ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
-              GREATEST(LENGTH(text), 1), 6) AS alpha_r
-            FROM documents),
-          t AS (SELECT doc_id, alpha_r,
-            ROUND(quantile_cont(alpha_r, 0.25) OVER (PARTITION BY source), 6)
-              AS thresh
-            FROM q),
-          lab AS (SELECT doc_id,
-            CAST(CASE WHEN alpha_r >= thresh THEN 1 ELSE 0 END AS BIGINT)
-              AS label FROM t),
-          toks AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
-          tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
-            GROUP BY doc_id, tok),
-          cc AS (SELECT tok,
-              SUM(CASE WHEN label = 1 THEN tf ELSE 0 END) AS c_pos,
-              SUM(CASE WHEN label = 0 THEN tf ELSE 0 END) AS c_neg
-            FROM tf JOIN lab USING (doc_id) GROUP BY tok),
-          scal AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn,
-            COUNT(*) AS v FROM cc),
-          pri AS (SELECT
-              SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pd,
-              SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nd
-            FROM lab),
-          w AS (SELECT tok,
-              LN((c_pos + 1)::DOUBLE / (np + v))
-                - LN((c_neg + 1)::DOUBLE / (nn + v)) AS w
-            FROM cc, scal),
-          per AS (SELECT doc_id, SUM(tf * w) AS sw
-            FROM tf JOIN w USING (tok) GROUP BY doc_id)
-          SELECT l.doc_id, l.label,
-            ROUND(LN((pri.pd + 1)::DOUBLE / (pri.nd + 1))
-              + COALESCE(per.sw, 0.0), 5) + 0.0 AS nb_score
-          FROM lab l CROSS JOIN pri LEFT JOIN per ON per.doc_id = l.doc_id""",
+    // convention); the stored round trip shares it verbatim (parquet
+    // round-trips the double weights/prior exactly)
+    "txt_quality_classifier" -> nbClassifierOracle,
+    "txt_quality_classifier_stored" -> nbClassifierOracle,
     "txt_tfidf_top" ->
       s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
           tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
