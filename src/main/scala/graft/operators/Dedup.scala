@@ -754,6 +754,16 @@ object Dedup {
       incrementalMinhashPairs(s, d, dir)
     },
 
+    // The embedding-side incremental form: historical vectors as a
+    // stored LSH-layout index, the new batch bucketed at the index's
+    // recorded plane count and pushed into the stored scan — new×old
+    // cosine pairs only.
+    "dedup_embedding_incremental" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("emb_incr", d)
+      writeEmbIncrIndex(s, d, dir)
+      incrementalEmbeddingPairs(s, d, dir)
+    },
+
     // are restated in DuckDB HUGEINT mod-2⁶⁴ arithmetic (see oracles),
     // so the 64-bit fingerprints are hash-exact across engines.
     "dedup_simhash" -> { (s, d) =>
@@ -1425,6 +1435,78 @@ object Dedup {
     * the dedup, so a pair colliding in several tables never ships its
     * vectors repeatedly through the widest shuffle.
     */
+  /** Write the HISTORICAL embedding LSH index for the incremental
+    * near-dup probe — the [[writeMinhashIndex]] lifecycle applied to
+    * the embedding family, reusing the stored-LSH layout verbatim
+    * (table-partitioned, bucket-sorted, plane-count sidecar) so
+    * [[Similarity.readLshIndex]]/[[Similarity.readLshPlanes]] work
+    * unchanged. Plane count is occupancy-adaptive to the HISTORICAL
+    * side (the index's recorded sizing — a probe must bucket its
+    * batch with it, never with the current corpus's).
+    */
+  def writeEmbIncrIndex(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    val old = Similarity.corpus(s, d)
+      .filter($"vec_id" % IncrementalMod =!= 0)
+    val np = Similarity.adaptivePlanes(old.count())
+    old.select($"vec_id", $"embedding", $"nrm",
+        explode(Similarity.lshBucketsPacked($"embedding", np)).as("tp"))
+      .select($"vec_id", $"embedding", $"nrm",
+        Similarity.unpackTable($"tp").as("table"),
+        Similarity.unpackBucket($"tp").as("bucket"))
+      .repartition($"table").sortWithinPartitions($"table", $"bucket")
+      .write.mode("overwrite").partitionBy("table").parquet(outDir)
+    Similarity.writePlanesSidecar(s, outDir, np)
+  }
+
+  /** Incremental embedding near-dup: the NEW batch (vec_id %
+    * [[IncrementalMod]] == 0) probed against the STORED historical
+    * index — new×old cosine pairs only, the [[incrementalMinhashPairs]]
+    * shape for vectors. The batch buckets at the index's recorded
+    * plane count, its (table, bucket) set pushes down into the stored
+    * scan under the shared cap (directory + row-group pruning;
+    * distributed-join fallback above it), and the verify cosine reads
+    * both sides FROM THE JOIN — the stored rows carry embedding+nrm,
+    * so no second corpus lookup. A pair colliding in several tables
+    * dedups before the report.
+    */
+  def incrementalEmbeddingPairs(s: SparkSession, d: String,
+      indexDir: String, threshold: Double = CosineThreshold,
+      pushdownCap: Int = MinhashPushdownCap): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val np = Similarity.readLshPlanes(s, indexDir)
+    val newB = Similarity.corpus(s, d)
+      .filter($"vec_id" % IncrementalMod === 0)
+      .select($"vec_id", $"embedding", $"nrm",
+        explode(Similarity.lshBucketsPacked($"embedding", np)).as("tp"))
+      .select($"vec_id".as("new_id"), $"embedding".as("emb_a"),
+        $"nrm".as("nrm_a"),
+        Similarity.unpackTable($"tp").as("table"),
+        Similarity.unpackBucket($"tp").as("bucket"))
+    val stored = Similarity.readLshIndex(s, indexDir)
+      .select($"vec_id".as("old_id"), $"embedding".as("emb_b"),
+        $"nrm".as("nrm_b"), $"table", $"bucket")
+    val probePairs = newB.select($"table", $"bucket").distinct()
+      .limit(pushdownCap + 1).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val oldB =
+      if (probePairs.length > pushdownCap) stored
+      else if (probePairs.isEmpty) stored.filter(lit(false))
+      else stored.filter(probePairs.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (t, ps) =>
+          col("table") === t &&
+            col("bucket").isin(ps.map(p => Integer.valueOf(p._2)): _*)
+        }.reduce(_ || _))
+    newB.join(oldB, Seq("table", "bucket"))
+      .select($"new_id", $"old_id",
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"emb_a", $"emb_b"), $"nrm_a", $"nrm_b"), 4)
+          .as("cos_sim"))
+      .filter($"cos_sim" >= threshold)
+      .dropDuplicates("new_id", "old_id")
+  }
+
   private[operators] def lshPairsVerify(bucketed: DataFrame, e: DataFrame,
       threshold: Double): DataFrame = {
     val s = bucketed.sparkSession
@@ -1686,6 +1768,33 @@ object Dedup {
     "dedup_embedding_lsh" ->
       s"""WITH $embLshCte
           SELECT id_a, id_b, cos_sim FROM epairs""",
+    // the embLshCte shape with the incremental split: plane count
+    // derived from the HISTORICAL side's row count (the index's
+    // recorded sizing), buckets over each side, new×old candidates,
+    // exact rounded-cosine verify
+    "dedup_embedding_incremental" ->
+      s"""WITH prm AS (SELECT ${Similarity.planesPrmSql(
+            s"embeddings WHERE vec_id % $IncrementalMod <> 0")} AS np),
+          buck AS (
+            SELECT vec_id, CAST(g.t - 1 AS INT) AS tbl,
+              CAST(COALESCE(list_sum(list_transform(generate_series(1, prm.np),
+                p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, ${Similarity.Dim}),
+                  i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
+                THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
+            FROM embeddings, (SELECT ${Similarity.planesSql} AS pl) m, prm,
+              generate_series(1, ${Similarity.NumTables}) AS g(t)),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS new_id, b.vec_id AS old_id
+            FROM buck a JOIN buck b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+            WHERE a.vec_id % $IncrementalMod = 0
+              AND b.vec_id % $IncrementalMod <> 0)
+          SELECT new_id, old_id,
+            ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4) AS cos_sim
+          FROM cand JOIN embeddings ea ON ea.vec_id = new_id
+                    JOIN embeddings eb ON eb.vec_id = old_id
+          WHERE ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4)
+            >= $CosineThreshold""",
     // the build line dumps the same relation it builds
     "emb_pairs_build" ->
       s"""WITH $embLshCte

@@ -1153,10 +1153,19 @@ object Similarity {
       // partition
       .repartition($"table").sortWithinPartitions($"table", $"bucket")
       .write.mode("overwrite").partitionBy("table").parquet(outDir)
+    writePlanesSidecar(s, outDir, lshPlanes(s, d))
+  }
+
+  /** Write the plane-count sidecar for a stored LSH-layout index —
+    * factored so every writer of the layout ([[writeLshIndex]], the
+    * incremental dedup index) records its sizing the same way.
+    */
+  private[operators] def writePlanesSidecar(s: SparkSession, outDir: String,
+      np: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(outDir, "_graft_lsh_planes")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(lshPlanes(s, d).toString.getBytes("UTF-8")) finally out.close()
+    try out.write(np.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Append NEW vectors to a STORED LSH index — the LSH counterpart

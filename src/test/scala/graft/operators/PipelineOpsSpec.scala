@@ -1395,4 +1395,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       col("doc_id") % Dedup.IncrementalMod =!= 0)
     assert(Dedup.incrementalMinhashPairs(spark, tmp2, dir2).count() == 0)
   }
+
+  test("incremental embedding dedup: new-vs-old pairs only, pushdown and fallback agree") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("eincr").toString
+    def unit(axis: Int): Array[Float] = {
+      val v = new Array[Float](64); v(axis) = 1.0f; v
+    }
+    def mix(a: Int, b: Int, ca: Float, cb: Float): Array[Float] = {
+      val v = new Array[Float](64); v(a) = ca; v(b) = cb; v
+    }
+    val vecs = Seq(
+      (3L, unit(1)),                       // old
+      (10L, mix(1, 2, 0.995f, 0.0998f)),   // NEW near-dup of 3 → pair
+      (11L, unit(9)), (12L, unit(9)),      // old×old dup, excluded
+      (20L, unit(7)), (30L, mix(7, 8, 0.995f, 0.0998f)), // NEW×NEW, excluded
+      (40L, unit(5))                       // NEW, unrelated
+    )
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$tmp/embeddings.parquet")
+    val dir = s"$tmp/index"
+    Dedup.writeEmbIncrIndex(spark, tmp, dir)
+    val got = Dedup.incrementalEmbeddingPairs(spark, tmp, dir)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 3L)),
+      s"expected exactly the engineered new-vs-old pair, got $got")
+    val fb = Dedup.incrementalEmbeddingPairs(spark, tmp, dir, pushdownCap = 0)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    assert(fb == got, "fallback join diverged from the pushed probe")
+    val cos = Dedup.incrementalEmbeddingPairs(spark, tmp, dir)
+      .select($"cos_sim").as[Double].collect()
+    assert(cos.forall(_ >= Dedup.CosineThreshold))
+  }
 }
