@@ -448,6 +448,32 @@ object Dedup {
       .parquet(s"$outDir/bands")
   }
 
+  /** Append a batch's shingles + band buckets to a STORED minhash
+    * index — the rolling-ingest half of the incremental lifecycle:
+    * after a batch probes ([[incrementalMinhashPairs]]) it is appended
+    * so the NEXT batch sees it as historical, and no batch is ever
+    * compared against less than the full ingested past. Bands append
+    * as one bucket-sorted file per touched band directory (per-file
+    * row-group pruning preserved, the appendToLshIndex convention);
+    * shingle hashing and banding reuse the exact build kernels, so an
+    * appended doc buckets exactly as a full rebuild would place it.
+    * Single-writer, disjoint ids; periodic rewrite is the defrag path.
+    */
+  def appendToMinhashIndex(s: SparkSession, d: String, indexDir: String,
+      pred: Column): Unit = {
+    import s.implicits._
+    val batch = shingleRelation(s, d).filter(pred)
+    batch.select($"doc_id", $"sh")
+      .write.mode("append").parquet(s"$indexDir/shingles")
+    val sig = batch.filter(size($"sh") >= 1)
+      .select($"doc_id", minhashSig($"sh").as("sig"))
+    bandBucketsOf(sig)
+      .repartition($"band")
+      .sortWithinPartitions($"band", $"bucket")
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$indexDir/bands")
+  }
+
   /** Incremental near-dup: the NEW batch probed against a STORED
     * historical index — the production shape where a nightly ingest
     * pays new×old (and a separate within-batch pass, the ordinary
@@ -466,10 +492,10 @@ object Dedup {
     * old_id) oriented.
     */
   def incrementalMinhashPairs(s: SparkSession, d: String,
-      indexDir: String, pushdownCap: Int = MinhashPushdownCap): DataFrame = {
+      indexDir: String, pushdownCap: Int = MinhashPushdownCap,
+      batchPred: Column = col("doc_id") % IncrementalMod === 0): DataFrame = {
     import s.implicits._
-    val newSh = shingleRelation(s, d)
-      .filter($"doc_id" % IncrementalMod === 0)
+    val newSh = shingleRelation(s, d).filter(batchPred)
     val newSig = newSh.filter(size($"sh") >= 1)
       .select($"doc_id", minhashSig($"sh").as("sig"))
     val newBands = bandBucketsOf(newSig)
@@ -1444,10 +1470,10 @@ object Dedup {
     * side (the index's recorded sizing — a probe must bucket its
     * batch with it, never with the current corpus's).
     */
-  def writeEmbIncrIndex(s: SparkSession, d: String, outDir: String): Unit = {
+  def writeEmbIncrIndex(s: SparkSession, d: String, outDir: String,
+      histPred: Column = col("vec_id") % IncrementalMod =!= 0): Unit = {
     import s.implicits._
-    val old = Similarity.corpus(s, d)
-      .filter($"vec_id" % IncrementalMod =!= 0)
+    val old = Similarity.corpus(s, d).filter(histPred)
     val np = Similarity.adaptivePlanes(old.count())
     old.select($"vec_id", $"embedding", $"nrm",
         explode(Similarity.lshBucketsPacked($"embedding", np)).as("tp"))
@@ -1472,12 +1498,13 @@ object Dedup {
     */
   def incrementalEmbeddingPairs(s: SparkSession, d: String,
       indexDir: String, threshold: Double = CosineThreshold,
-      pushdownCap: Int = MinhashPushdownCap): DataFrame = {
+      pushdownCap: Int = MinhashPushdownCap,
+      batchPred: Column = col("vec_id") % IncrementalMod === 0): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
     val np = Similarity.readLshPlanes(s, indexDir)
     val newB = Similarity.corpus(s, d)
-      .filter($"vec_id" % IncrementalMod === 0)
+      .filter(batchPred)
       .select($"vec_id", $"embedding", $"nrm",
         explode(Similarity.lshBucketsPacked($"embedding", np)).as("tp"))
       .select($"vec_id".as("new_id"), $"embedding".as("emb_a"),

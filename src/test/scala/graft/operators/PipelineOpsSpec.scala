@@ -1426,4 +1426,60 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select($"cos_sim").as[Double].collect()
     assert(cos.forall(_ >= Dedup.CosineThreshold))
   }
+
+  test("rolling ingest: appended batches become historical for the next probe") {
+    import spark.implicits._
+    // --- minhash side ---
+    val tmp = java.nio.file.Files.createTempDirectory("roll").toString
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val base = words("alpha", 21)
+    // doc 1: day-0 historical; doc 10: day-1 batch, near-dup of 1;
+    // doc 20: day-2 batch, near-dup of 10 (and of 1)
+    Seq(
+      (1L, s"$base tail0"),
+      (10L, s"$base tail1"),
+      (20L, s"$base tail2")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val mhDir = s"$tmp/mh"
+    Dedup.writeMinhashIndex(spark, tmp, mhDir, col("doc_id") === 1L)
+    val day1 = Dedup.incrementalMinhashPairs(spark, tmp, mhDir,
+        batchPred = col("doc_id") === 10L)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    assert(day1 == Set((10L, 1L)), s"day1 $day1")
+    // append day-1's batch; day-2 must now pair with BOTH 1 and 10
+    Dedup.appendToMinhashIndex(spark, tmp, mhDir, col("doc_id") === 10L)
+    val day2 = Dedup.incrementalMinhashPairs(spark, tmp, mhDir,
+        batchPred = col("doc_id") === 20L)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    assert(day2 == Set((20L, 1L), (20L, 10L)), s"day2 $day2")
+
+    // --- embedding side: the existing appendToLshIndex composes,
+    // because writeEmbIncrIndex stores the stored-LSH layout ---
+    val etmp = java.nio.file.Files.createTempDirectory("eroll").toString
+    def mix(a: Int, b: Int, ca: Float, cb: Float): Array[Float] = {
+      val v = new Array[Float](64); v(a) = ca; v(b) = cb; v
+    }
+    Seq(
+      (1L, mix(1, 2, 1.0f, 0.0f)),
+      (10L, mix(1, 2, 0.995f, 0.0998f)),
+      (20L, mix(1, 2, 0.98f, 0.199f))
+    ).toDF("vec_id", "embedding").write.parquet(s"$etmp/embeddings.parquet")
+    val eDir = s"$etmp/lsh"
+    Dedup.writeEmbIncrIndex(spark, etmp, eDir, histPred = col("vec_id") === 1L)
+    val e1 = Dedup.incrementalEmbeddingPairs(spark, etmp, eDir,
+        batchPred = col("vec_id") === 10L)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    assert(e1 == Set((10L, 1L)), s"emb day1 $e1")
+    Similarity.appendToLshIndex(spark, eDir,
+      spark.read.parquet(s"$etmp/embeddings.parquet")
+        .filter(col("vec_id") === 10L))
+    val e2 = Dedup.incrementalEmbeddingPairs(spark, etmp, eDir,
+        batchPred = col("vec_id") === 20L)
+      .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    assert(e2 == Set((20L, 1L), (20L, 10L)), s"emb day2 $e2")
+  }
 }
