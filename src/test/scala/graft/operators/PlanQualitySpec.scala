@@ -437,6 +437,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(p, "BroadcastHashJoin") == 1 && count(p, "SortMergeJoin") == 0, p)
   }
 
+  test("incremental dedup probes: the batch's bucket set is pushed into the stored scan") {
+    // the 100 TB contract of the incremental shape: the stored band
+    // relation is read under the batch's (band/table, bucket) filter —
+    // partition pruning on the directory column plus a pushed bucket
+    // predicate — never scanned in full below the cap
+    for ((name, part) <- Seq(("dedup_minhash_incremental", "band"),
+        ("dedup_embedding_incremental", "table"))) {
+      val p = plan(name)
+      // identify the stored-band scan by its non-empty partition
+      // filter on the directory column (paths truncate in the plan
+      // string, so match structure, not the location)
+      val bandScan = p.split('\n').find { l =>
+        val i = l.indexOf("PartitionFilters: [")
+        l.contains("FileScan parquet") && i >= 0 &&
+          l.substring(i).contains(s"$part#")
+      }
+      assert(bandScan.isDefined,
+        s"$name: no stored scan with a $part partition filter:\n$p")
+      val l = bandScan.get
+      assert(l.contains("In(bucket") || l.contains("bucket#"),
+        s"$name: bucket set not pushed: $l")
+    }
+  }
+
   test("dedup_embedding_window: the id cap is a pushed scan predicate") {
     // the window query's whole point is O(K²) cost at any corpus
     // scale — that holds only if vec_id < K reaches the parquet scan
