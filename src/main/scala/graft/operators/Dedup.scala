@@ -441,9 +441,14 @@ object Dedup {
     // one exchange keyed by the partition column → one file per band
     // directory here, tasks-per-band at deployment scale (the
     // writeIvfIndex note)
+    // sort leads with the partition column (the writeLshIndex lesson:
+    // sorting by bucket alone makes the dynamic-partition writer
+    // insert its OWN sort on band over the stream, re-sorting and — if
+    // it spills — interleaving the bucket order the row-group pruning
+    // depends on)
     bandBucketsOf(sig)
       .repartition($"band")
-      .sortWithinPartitions($"bucket")
+      .sortWithinPartitions($"band", $"bucket")
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$outDir/bands")
   }
