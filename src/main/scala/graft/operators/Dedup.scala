@@ -1592,7 +1592,7 @@ object Dedup {
     * formulations are value-identical, and this one is also far
     * cheaper for DuckDB at sf0.1.
     */
-  private val jaccardCte =
+  private[operators] val jaccardCte =
     s"""WITH toks AS (SELECT doc_id, $sqlToks t FROM documents),
         sh AS (SELECT doc_id, list_distinct(list_transform(
           generate_series(1, GREATEST(len(t) - 2, 0)),

@@ -310,6 +310,50 @@ object Similarity {
       .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
   }
 
+  /** RRF fusion constant (Cormack et al., SIGIR'09 — the standard 60). */
+  val RrfK0 = 60
+
+  /** Hybrid retrieval — the production search deployment shape:
+    * a DENSE ranking (embedding cosine) and a LEXICAL ranking (exact
+    * word-3-gram Jaccard over the DF-bounded inverted index — the
+    * BM25-class signal for doc-to-doc retrieval) fused by reciprocal
+    * rank (score = Σ 1/(k₀+rank), a missing side contributes 0).
+    * Lexical catches verbatim/boilerplate overlap the embedding
+    * smooths over; dense catches paraphrase the lexical side can't
+    * see — fusion beats either alone, which is why hybrid is the
+    * retrieval default. The two leg rankings are the DECLARED
+    * queries' machinery verbatim (the brute-force top-k and the
+    * build-once pair relation), so the fusion adds only bounded
+    * |Q|·k-row joins: documents and embeddings share the id space
+    * (the TESTDATA contract — vec_id ≡ doc_id), rankings are
+    * rounded-score + id ordered on both engines, and the fused score
+    * is a 2-term sum rounded(6).
+    */
+  def hybridRrf(s: SparkSession, d: String, k: Int = TopK): DataFrame = {
+    import s.implicits._
+    val dense = topkBruteForce(s, d, k)
+      .select($"q_id", $"n_id", $"rank".as("r_dense"))
+    val pairs = Dedup.jaccardPairs(s, d)
+    val oriented = pairs
+      .select($"id_a".as("q_id"), $"id_b".as("n_id"), $"jaccard")
+      .union(pairs.select($"id_b".as("q_id"), $"id_a".as("n_id"), $"jaccard"))
+      .filter($"q_id" % QueryStride === 0)
+    val lex = oriented
+      .withColumn("r_lex", row_number().over(Window.partitionBy($"q_id")
+        .orderBy(round($"jaccard", 6).desc, $"n_id".asc)))
+      .filter($"r_lex" <= k)
+      .select($"q_id", $"n_id", $"r_lex")
+    dense.join(lex, Seq("q_id", "n_id"), "full_outer")
+      .select($"q_id", $"n_id",
+        round(coalesce(lit(1.0) / (lit(RrfK0) + $"r_dense"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK0) + $"r_lex"), lit(0.0)), 6)
+          .as("rrf"))
+      .withColumn("rank", row_number().over(Window.partitionBy($"q_id")
+        .orderBy($"rrf".desc, $"n_id".asc)))
+      .filter($"rank" <= k)
+      .select($"q_id", $"n_id", $"rrf", $"rank".cast("int").as("rank"))
+  }
+
   /** LSH-bucketed ANN: bucket corpus + queries, probe only the query's
     * bucket, rank within candidates. Approximate by construction
     * (recall < 1 when true neighbors land in other buckets).
@@ -1356,6 +1400,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topkBruteForce(s, d)),
+    "sim_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "sim_range" -> ((s, d) => rangeSearch(s, d)),
     // ANN quality audit — recall@k of the IVF probe against the
     // brute-force truth, the metric every ANN deployment tracks
@@ -1569,6 +1614,40 @@ object Similarity {
             SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
               PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
             FROM scored) WHERE rank <= $TopK""",
+    // Hybrid RRF restated end-to-end: the lexical leg is the shared
+    // DF-bounded jaccardCte (Dedup's pair relation verbatim), the
+    // dense leg the brute-force rounded-cosine ranking, fusion the
+    // 2-term reciprocal-rank sum with 1.0::DOUBLE (the DECIMAL-literal
+    // lesson), rounded(6) before the final rank so ties break
+    // engine-identically.
+    "sim_hybrid_rrf" ->
+      s"""${graft.operators.Dedup.jaccardCte},
+          dense0 AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              ROUND(${sqlCos("q.embedding", "c.embedding")}, 4) + 0.0 AS cos_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % $QueryStride = 0),
+          dense AS (SELECT q_id, n_id, r_dense FROM (
+            SELECT q_id, n_id, ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS r_dense
+            FROM dense0) WHERE r_dense <= $TopK),
+          lex0 AS (SELECT id_a AS q_id, id_b AS n_id, j FROM pairs
+            UNION ALL SELECT id_b, id_a, j FROM pairs),
+          lex AS (SELECT q_id, n_id, r_lex FROM (
+            SELECT q_id, n_id, ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY ROUND(j, 6) DESC, n_id ASC) AS r_lex
+            FROM lex0 WHERE q_id % $QueryStride = 0) WHERE r_lex <= $TopK),
+          fused AS (SELECT
+              COALESCE(d.q_id, l.q_id) AS q_id,
+              COALESCE(d.n_id, l.n_id) AS n_id,
+              ROUND(COALESCE(1.0::DOUBLE / ($RrfK0 + d.r_dense), 0.0)
+                + COALESCE(1.0::DOUBLE / ($RrfK0 + l.r_lex), 0.0), 6) + 0.0 AS rrf
+            FROM dense d FULL OUTER JOIN lex l
+              ON d.q_id = l.q_id AND d.n_id = l.n_id)
+          SELECT q_id, n_id, rrf, rank FROM (
+            SELECT q_id, n_id, rrf, CAST(ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY rrf DESC, n_id ASC) AS INT) AS rank
+            FROM fused) WHERE rank <= $TopK""",
     // The brute-force CTE minus the window: the gate compares the
     // rounded score against the radius cast ::DOUBLE (DuckDB parses
     // the bare literal as DECIMAL — the emb_outliers lesson).

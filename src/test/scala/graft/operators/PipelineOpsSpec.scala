@@ -1427,6 +1427,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cos.forall(_ >= Dedup.CosineThreshold))
   }
 
+  test("hybrid RRF: both-legs neighbor outranks single-leg; fusion arithmetic exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("rrf").toString
+    // doc 1 matches query doc 0 in BOTH legs (shared shingles + close
+    // vector); doc 2 only in the dense leg (no token overlap)
+    Seq((0L, "a b c d"), (1L, "a b c d"), (2L, "x y z w"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.parquet(s"$tmp/documents.parquet")
+    def mix(ca: Float, cb: Float): Array[Float] = {
+      val v = new Array[Float](64); v(1) = ca; v(2) = cb; v
+    }
+    Seq((0L, mix(1.0f, 0.0f)), (1L, mix(0.99f, 0.141f)),
+        (2L, mix(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.hybridRrf(spark, tmp)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def rrf(rs: Int*): Double = {
+      val s = rs.map(r => 1.0 / (Similarity.RrfK0 + r)).sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // doc 1: dense rank 1 AND lexical rank 1; doc 2: dense rank 2 only
+    assert(got((0L, 1L)) == ((rrf(1, 1), 1)), s"got ${got.get((0L, 1L))}")
+    assert(got((0L, 2L)) == ((rrf(2), 2)), s"got ${got.get((0L, 2L))}")
+  }
+
   test("rolling ingest: appended batches become historical for the next probe") {
     import spark.implicits._
     // --- minhash side ---
