@@ -85,10 +85,24 @@ object Pq {
         .orderBy(xxhash64($"vec_id"), $"vec_id")
         .limit(sampleSize)
         .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-    val effSample = math.min(n, sampleSize.toLong)
+    trainCodebooksOn(s, sampleDs, math.min(n, sampleSize.toLong),
+      maxDriverFlops, codewords)
+  }
+
+  /** The Lloyd trainer over a GIVEN bounded sample relation — shared
+    * by the raw-vector path ([[trainCodebooks]]) and the residual path
+    * ([[resPqIndex]], which feeds x − centroid[cell] rows) so the two
+    * codebook families can never diverge in init/tie/empty-cell rules.
+    * `effSample` is the sample's row count (it prices the
+    * driver-vs-distributed guard, the trainCodebooks contract).
+    */
+  private[operators] def trainCodebooksOn(s: SparkSession,
+      sampleDs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      effSample: Long, maxDriverFlops: Double,
+      codewords: Int): Array[Array[Array[Float]]] = {
     if (Similarity.trainFlops(effSample, codewords) <= maxDriverFlops) {
       val sample = sampleDs.collect().map(_._2)
-      require(sample.nonEmpty, s"cannot train PQ codebooks on an empty corpus: $d")
+      require(sample.nonEmpty, "cannot train PQ codebooks on an empty sample")
       Array.tabulate(PqSubvectors) { sub =>
         val off = sub * SubDim
         val xs = sample.map(subvOf(_, off))
@@ -118,7 +132,7 @@ object Pq {
       // per iteration covers every subspace, over the deterministic
       // (id-partitioned, id-sorted) sample layout
       val init = sampleDs.take(codewords).map(_._2)
-      require(init.nonEmpty, s"cannot train PQ codebooks on an empty corpus: $d")
+      require(init.nonEmpty, "cannot train PQ codebooks on an empty sample")
       val rdd = Similarity.deterministicSampleRdd(sampleDs,
           s.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -191,6 +205,31 @@ object Pq {
       while (i < SubDim) {
         val x = if (off + i < v.length) v(off + i).toDouble else 0.0
         val dd = x - cents(c)(i).toDouble
+        dist += dd * dd
+        i += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** [[nearestCode]] over a DOUBLE vector — the residual-encoding
+    * kernel. Residuals are computed in double on both engines
+    * (emb[i] − centroid[i], each float exactly widened), so the
+    * argmin-L2 comparison is bit-identical to the oracle's; rounding
+    * the residual to float before encoding would diverge them.
+    */
+  private def nearestCodeD(v: Array[Double], off: Int,
+      cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var dist = 0.0
+      var i = 0
+      while (i < SubDim) {
+        val dd = v(off + i) - cents(c)(i).toDouble
         dist += dd * dd
         i += 1
       }
@@ -448,6 +487,173 @@ object Pq {
     rerankTail(s, d, scored, candidates, k)
   }
 
+  /** Per-cell L2 means of the RAW member vectors — the residual
+    * family's reconstruction centroids. The IVF centroids themselves
+    * are SPHERICAL (means of unit-normalized vectors, cosine-assigned:
+    * they minimize angular error, not L2 error to the raw x), and
+    * residuals against them measured WORSE than raw PQ on the fixture
+    * (MSE 0.67 vs 0.55 — the norm spread lands in the residual plus a
+    * scale mismatch). The L2 cell mean minimizes within-cell ‖x−m‖²
+    * by definition, so the residual the PQ must encode carries only
+    * the within-cell variance. Computed deterministically: each cell
+    * hash-partitions wholly into one partition, members accumulate in
+    * (cell, id)-sorted order — bit-reproducible across runs, the
+    * deterministicSampleRdd discipline. Bounded k×Dim driver state,
+    * same class as the centroid matrix; the one corpus-sized shuffle
+    * is a build cost of the same class as the IVF assignment pass.
+    * Empty cells get the zero vector (they have no members to encode
+    * and contribute dot 0 if probed).
+    */
+  private[operators] def cellMeans(s: SparkSession, d: String,
+      ivf: Similarity.IvfIndex): Array[Array[Double]] = {
+    import s.implicits._
+    val k = ivf.cents.length
+    val joined = Tables.embeddings(s, d)
+      .join(ivf.assigned.select($"vec_id", $"cell"), Seq("vec_id"))
+      .select($"cell", $"vec_id", $"embedding")
+      .as[(Long, Long, Array[Float])]
+    val parts = s.sparkContext.defaultParallelism
+    val partials = joined.rdd
+      .map { case (cell, id, v) => (cell, (id, v)) }
+      .partitionBy(new org.apache.spark.HashPartitioner(parts))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy { case (cell, (id, _)) => (cell, id) }
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[Long, (Array[Double], Long)]
+        rows.foreach { case (cell, (_, v)) =>
+          val (sum, cnt) = acc.getOrElseUpdate(cell,
+            (new Array[Double](Similarity.Dim), 0L))
+          var i = 0
+          while (i < Similarity.Dim) {
+            sum(i) += (if (v != null && i < v.length) v(i).toDouble else 0.0)
+            i += 1
+          }
+          acc(cell) = (sum, cnt + 1)
+        }
+        acc.iterator.map { case (cell, (sum, cnt)) => (cell, sum, cnt) }
+      }.collect()
+    val means = Array.fill(k)(new Array[Double](Similarity.Dim))
+    // disjoint cells across partitions (hash partitioner on the cell),
+    // so this is a plain scatter, not an order-sensitive reduce
+    partials.foreach { case (cell, sum, cnt) =>
+      means(cell.toInt) = sum.map(_ / cnt)
+    }
+    means
+  }
+
+  /** The reconstruction means as a bounded (cell, mvec) relation —
+    * k ≤ 4096 rows, broadcast at every use; the join form keeps the
+    * residual subtraction and the per-cell query dot inside the
+    * executors.
+    */
+  private def meansDf(s: SparkSession,
+      means: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    means.zipWithIndex.toSeq.map { case (v, cell) => (cell.toLong, v.toSeq) }
+      .toDF("cell", "mvec")
+  }
+
+  /** A residual IVF-PQ index: PQ codebooks trained on RESIDUALS
+    * (x − mean[assigned cell]) instead of raw vectors — the
+    * FAISS-default `IVFx,PQy` encoding (Jégou §IV-B: quantize the
+    * coarse quantizer's error, whose energy is a fraction of the
+    * vector's, so the same code budget buys much finer resolution).
+    * The reconstruction anchor is the per-cell L2 mean of the raw
+    * members ([[cellMeans]]), not the spherical IVF centroid — see
+    * that method's note for the measured reason. The codes relation
+    * carries the cell so the stored layout is the deployment shape: a
+    * cell-partitioned codes table; reconstruction is mean[cell] +
+    * codebook[sub][code], so the ADC score decomposes as
+    * dot(q, mean) — one term per (query, probed cell) — plus the
+    * residual LUT sum per row.
+    */
+  final case class ResPqIndex(means: Array[Array[Double]],
+      codebooks: Array[Array[Array[Float]]], codes: DataFrame)
+
+  private val resCache = new SessionCache[ResPqIndex](idx =>
+    scala.util.Try(idx.codes.unpersist(blocking = false)))
+
+  /** Build (or fetch the session-cached) residual index for corpus
+    * `d`. Training sees FLOAT-rounded residuals (so both trainer
+    * branches reuse [[trainCodebooksOn]] verbatim — trained state
+    * need only be deterministic, not SQL-restated); ENCODING computes
+    * the residual in double (bit-matching the oracle's
+    * COALESCE(emb[i],0) − cv[cell][i]). The sample is always the
+    * hash-ordered prefix: the residual relation is a JOIN, whose
+    * collect order — unlike the bare parquet scan trainCodebooks
+    * leans on below the cap — is not stable across runs.
+    */
+  def resPqIndex(s: SparkSession, d: String,
+      codewords: Int = PqCodewords): ResPqIndex =
+    resCache.getOrBuild(s, s"$codewords#$d") {
+      import s.implicits._
+      val ivf = Similarity.ivfIndex(s, d)
+      val means = cellMeans(s, d, ivf)
+      val mdf = meansDf(s, means)
+      val resRel = Tables.embeddings(s, d)
+        .join(ivf.assigned.select($"vec_id", $"cell"), Seq("vec_id"))
+        .join(broadcast(mdf), Seq("cell"))
+      val resF = udf { (emb: Seq[Float], mvec: Seq[Double]) =>
+        Array.tabulate(Similarity.Dim) { i =>
+          ((if (emb != null && i < emb.length) emb(i).toDouble else 0.0)
+            - mvec(i)).toFloat
+        }
+      }
+      val n = Similarity.rowCount(s, Tables.embeddings(s, d))
+      val cap = Similarity.IvfSampleCap
+      val sampleDs = resRel
+        .select($"vec_id", resF($"embedding", $"mvec").as("res"))
+        .orderBy(xxhash64($"vec_id"), $"vec_id")
+        .limit(cap)
+        .select($"vec_id", $"res").as[(Long, Array[Float])]
+      val cb = trainCodebooksOn(s, sampleDs, math.min(n, cap.toLong),
+        Similarity.DriverTrainFlopsCap, codewords)
+      val enc = udf { (emb: Seq[Float], mvec: Seq[Double]) =>
+        val r = Array.tabulate(Similarity.Dim) { i =>
+          (if (emb != null && i < emb.length) emb(i).toDouble else 0.0) -
+            mvec(i)
+        }
+        Array.tabulate(PqSubvectors)(sub => nearestCodeD(r, sub * SubDim, cb(sub)))
+      }
+      val codes = resRel
+        .select($"vec_id", $"cell", enc($"embedding", $"mvec").as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ResPqIndex(means, cb, codes)
+    }
+
+  /** Residual IVF-PQ probe: probed cells bound WHICH rows are scored
+    * (the shared occupancy-aware policy), residual codes bound what
+    * each costs, and the coarse score is exactly
+    * dot(q, mean[cell]) + Σ_sub LUT[sub][code] — the reconstruction-
+    * mean dot computed ONCE per (query, probed cell) on the
+    * |Q|·nprobe-row broadcast side, never per candidate. Tail is the
+    * shared [[rerankTail]], so the output contract cannot fork from
+    * the other PQ probes.
+    */
+  def topkIvfPqRes(s: SparkSession, d: String, k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val ivf = Similarity.ivfIndex(s, d)
+    val idx = resPqIndex(s, d)
+    val np = Similarity.defaultNProbe(ivf.cents.length, ivf.cellCounts)
+    val adc = adcScore(idx.codebooks) _
+    val qCells = queryRelation(s, d)
+      .select($"q_id", $"q_emb",
+        explode(Similarity.nearestCellsCol(ivf.cents, np)($"q_emb")).as("cell"))
+      .join(broadcast(meansDf(s, idx.means)), Seq("cell"))
+      .select($"q_id", $"q_emb", $"cell",
+        VectorFunctions.dot($"q_emb".cast("array<double>"), $"mvec").as("cdot"))
+    // single assignment ⇒ no candidate dedup exchange (the
+    // sim_ann_ivf plan property), same as the raw IVF-PQ probe
+    val scored = broadcast(qCells)
+      .join(idx.codes, Seq("cell"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        ($"cdot" + adc($"q_emb", $"codes")).as("adc"))
+    rerankTail(s, d, scored, candidates, k)
+  }
+
   /** Write the built PQ index — the stored-index half of the
     * build-once contract (see Similarity.writeIvfIndex): the codes
     * relation (the index body — 8 small ints per vector, the 32×
@@ -541,7 +747,19 @@ object Pq {
       writePqIndex(s, d, dir)
       topkPqStored(s, d, dir)
     },
-    "sim_ann_ivfpq" -> ((s, d) => topkIvfPq(s, d)))
+    "sim_ann_ivfpq" -> ((s, d) => topkIvfPq(s, d)),
+    // the residual codes relation, exploded like pq_build, with the
+    // cell column (it is part of the stored layout: reconstruction
+    // needs centroid[cell] + codeword) — the encode pass gets its own
+    // oracle row instead of being verified only through the probe
+    "pq_res_build" -> { (s, d) =>
+      import s.implicits._
+      resPqIndex(s, d).codes
+        .select($"vec_id", $"cell", posexplode($"codes").as(Seq("sub", "code")))
+        .select($"vec_id", $"cell", $"sub".cast("int").as("sub"),
+          $"code".cast("int").as("code"))
+    },
+    "sim_ann_ivfpq_res" -> ((s, d) => topkIvfPqRes(s, d)))
 
   // static oracles: none — both queries embed TRAINED state and are
   // rendered at Verify time (dynamicOracles below)
@@ -552,8 +770,10 @@ object Pq {
     * centroid-literal precedent).
     */
   def codebookSql(s: SparkSession, d: String): String =
-    pqIndex(s, d).codebooks
-      .map(_.map(_.map(_.toDouble.toString).mkString("[", ", ", "]"))
+    renderCodebooks(pqIndex(s, d).codebooks)
+
+  private def renderCodebooks(cb: Array[Array[Array[Float]]]): String =
+    cb.map(_.map(_.map(_.toDouble.toString).mkString("[", ", ", "]"))
         .mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
 
@@ -602,10 +822,16 @@ object Pq {
     * order, each inner dot left-to-right (the kernel's exact grouping).
     */
   private[operators] def sqlAdc(q: String, x: String): String =
+    sqlAdcOn(q, x, "pqm")
+
+  /** [[sqlAdc]] against an arbitrary codebook CTE alias — shared by
+    * the raw (`pqm`) and residual (`rpqm`) oracle families.
+    */
+  private[operators] def sqlAdcOn(q: String, x: String, cb: String): String =
     s"""list_sum(list_transform(generate_series(1, $PqSubvectors), s ->
         list_sum(list_transform(generate_series(1, $SubDim), i ->
           COALESCE($q.embedding[(s - 1) * $SubDim + i]::DOUBLE, 0.0) *
-          pqm.cb[s][$x.codes[s] + 1][i]))))"""
+          $cb.cb[s][$x.codes[s] + 1][i]))))"""
 
   /** The shared SQL tail after an `adc(q_id, n_id, score)` CTE: top-C
     * coarse cut, exact rounded-cosine re-rank, final top-k — the SQL
@@ -627,6 +853,50 @@ object Pq {
           SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
             PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
           FROM scored) WHERE rank <= ${Similarity.TopK}"""
+
+  /** Residual-family oracle CTEs. Assumes the IVF CTEs (`m`, `asg`)
+    * are already in scope — the caller concatenates
+    * [[Similarity.ivfOracleCtes]] first. `rres` restates the
+    * double-precision residual (COALESCE zero-pad − centroid, the
+    * encode kernel's exact arithmetic; the list always has Dim
+    * entries, so the subvector indexing below needs no COALESCE);
+    * `rcodes`/`rcodesarr` mirror the raw family's argmin-L2 with the
+    * residual codebook literal.
+    */
+  private def resOracleCtes(s: SparkSession, d: String): String = {
+    val idx = resPqIndex(s, d)
+    val cb = renderCodebooks(idx.codebooks)
+    // the reconstruction means as a double literal [cell][Dim] —
+    // Double.toString round-trips exactly, the centroid-literal
+    // precedent widened to trained double state
+    val mv = idx.means
+      .map(_.map(_.toString).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    s"""rpqm AS (SELECT $cb AS cb),
+        rm AS (SELECT $mv AS mv),
+        rres AS (
+          SELECT e.vec_id, a.cell,
+            list_transform(generate_series(1, ${Similarity.Dim}), i ->
+              COALESCE(e.embedding[i]::DOUBLE, 0.0) - rm.mv[a.cell + 1][i]) AS res
+          FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, rm),
+        rdists AS (
+          SELECT r.vec_id, g.s, c.c,
+            list_sum(list_transform(generate_series(1, $SubDim), i ->
+              (r.res[(g.s - 1) * $SubDim + i] - rpqm.cb[g.s][c.c][i])
+            * (r.res[(g.s - 1) * $SubDim + i] - rpqm.cb[g.s][c.c][i]))) AS dist
+          FROM rres r, rpqm,
+            generate_series(1, $PqSubvectors) AS g(s),
+            generate_series(1, $PqCodewords) AS c(c)),
+        rcodes AS (
+          SELECT vec_id, s, CAST(c - 1 AS INT) AS code FROM (
+            SELECT vec_id, s, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+            FROM rdists)
+          WHERE rn = 1),
+        rcodesarr AS (
+          SELECT vec_id, list(code ORDER BY s) AS codes
+          FROM rcodes GROUP BY vec_id)"""
+  }
 
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
     val codesCte = pqOracleCtes(s, d)
@@ -673,6 +943,44 @@ object Pq {
               FROM cand c
                 JOIN embeddings q ON q.vec_id = c.q_id
                 JOIN codesarr x ON x.vec_id = c.n_id, pqm),
+            $sqlRerankTail"""
+      },
+      // Residual-encoded codes: the IVF CTEs pin the assignment, the
+      // residual CTEs the double-precision residual + argmin-L2 codes.
+      "pq_res_build" -> {
+        val (ivfCtes, _) = Similarity.ivfOracleCtes(s, d)
+        s"""WITH $ivfCtes,
+            ${resOracleCtes(s, d)}
+            SELECT r.vec_id, a.cell, CAST(r.s - 1 AS INT) AS sub, r.code
+            FROM rcodes r JOIN asg a ON a.vec_id = r.vec_id"""
+      },
+      // Residual IVF-PQ: probe + candidates as in sim_ann_ivfpq, but
+      // the coarse score is the decomposed reconstruction dot —
+      // dot(q, mean[cell]) + residual ADC — exactly the kernel's
+      // cdot + LUT sum, then the shared tail.
+      "sim_ann_ivfpq_res" -> {
+        val (ivfCtes, k) = Similarity.ivfOracleCtes(s, d)
+        val np = Similarity.defaultNProbe(k, Similarity.ivfIndex(s, d).cellCounts)
+        s"""WITH $ivfCtes,
+            ${resOracleCtes(s, d)},
+            qprobe AS (
+              SELECT vec_id AS q_id, CAST(c - 1 AS BIGINT) AS cell FROM (
+                SELECT vec_id, c, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, c ASC) AS rn
+                FROM sims WHERE vec_id % ${Similarity.QueryStride} = 0)
+              WHERE rn <= $np),
+            cand AS (
+              SELECT q.q_id, q.cell, a.vec_id AS n_id
+              FROM qprobe q JOIN asg a ON q.cell = a.cell
+              WHERE q.q_id <> a.vec_id),
+            adc AS (
+              SELECT c.q_id, c.n_id,
+                list_sum(list_transform(generate_series(1, ${Similarity.Dim}), i ->
+                  COALESCE(q.embedding[i]::DOUBLE, 0.0) * rm.mv[c.cell + 1][i]))
+                + ${sqlAdcOn("q", "x", "rpqm")} AS score
+              FROM cand c
+                JOIN embeddings q ON q.vec_id = c.q_id
+                JOIN rcodesarr x ON x.vec_id = c.n_id, rm, rpqm),
             $sqlRerankTail"""
       })
     // stored probe shares the session-path oracle verbatim (the
