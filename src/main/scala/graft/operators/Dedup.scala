@@ -94,6 +94,26 @@ object Dedup {
     h
   }
 
+  /** [[fnv1a]] restated as a DuckDB HUGEINT expression over string
+    * column/alias `col` — kept adjacent to the kernel so neither can
+    * drift. Folds the code points (ord/indexing are code-point-based
+    * in DuckDB) with the low-32-bit XOR + wrapping multiply mod 2⁶⁴;
+    * the result is the UNSIGNED 64-bit hash in [0, 2⁶⁴). Shared by
+    * the simhash oracle and the KMV sketch oracle.
+    */
+  private[operators] def sqlFnv(col: String): String =
+    s"""list_reduce(
+        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+          list_transform(generate_series(1, len($col)), i -> CAST(ord($col[i]) AS HUGEINT))),
+        (acc, c) -> ((acc - acc % 4294967296 + CAST(xor(CAST(acc % 4294967296 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                     * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))"""
+
+  /** The sign-cleared 63-bit view of [[sqlFnv]] as a BIGINT — the
+    * exact SQL image of the kernel-side `fnv1a(g) & Long.MaxValue`.
+    */
+  private[operators] def sqlFnv63(col: String): String =
+    s"CAST(${sqlFnv(col)} % CAST('9223372036854775808' AS HUGEINT) AS BIGINT)"
+
   /** Distinct word-3-gram shingles pre-hashed to 64 bits in the same
     * tokenize pass (same dedup-on-strings semantics as [[shingles]], so
     * `size(shingleHashes)` = `size(shingles)` even under a hash
@@ -1659,11 +1679,7 @@ object Dedup {
     // sign → bit, then Spark's conv(…,10,16) semantics: two's-
     // complement view, uppercase hex, no leading zeros, 0 → '0'.
     "dedup_simhash" -> {
-      val fnv = s"""list_reduce(
-          list_prepend(CAST('14695981039346656037' AS HUGEINT),
-            list_transform(generate_series(1, len(tok)), i -> CAST(ord(tok[i]) AS HUGEINT))),
-          (acc, c) -> ((acc - acc % 4294967296 + CAST(xor(CAST(acc % 4294967296 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
-                       * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))"""
+      val fnv = sqlFnv("tok")
       s"""WITH toks AS (
             SELECT doc_id, UNNEST($sqlToks) AS tok FROM documents),
           h AS (SELECT doc_id, $fnv AS h FROM toks),

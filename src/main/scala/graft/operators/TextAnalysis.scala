@@ -48,7 +48,116 @@ object TextAnalysis {
   def stopwordCount(toks: Column): Column =
     size(filter(toks, t => t.isInCollection(Stopwords)))
 
+  /** KMV sketch size. σ ≈ 1/√k ≈ 3.1% relative error — the corpus-
+    * stats accuracy class; production would raise it, the estimator
+    * and the merge algebra are k-independent.
+    */
+  val KmvK = 1024
+
+  /** 2⁶³ as an exact double — the KMV hash-space size (the sketch
+    * ranks the sign-cleared 63-bit FNV, so the estimator's unit
+    * interval is [0, 2⁶³)).
+    */
+  private val TwoTo63 = 9223372036854775808.0
+
+  /** The KMV sketch as a typed Aggregator: the buffer IS the sketch —
+    * the [[KmvK]] smallest DISTINCT hashes seen, kept in a sorted set.
+    * `reduce` inserts under the cap, `merge` is the KMV union (take
+    * the k smallest of both sketches) — so Spark's map-side partial
+    * aggregation computes per-partition sketches and the exchange
+    * carries only sketch-sized buffers (≤ sources × k longs), never a
+    * corpus-scaled partition. This is the shape the class-wide
+    * source-window skew guard demands (PlanQualitySpec) AND the
+    * production deployment: per-shard sketches merge without
+    * re-reading anything. Output is the sketch ascending, so
+    * element_at(-1) is h₍ₖ₎.
+    */
+  object KmvAggregator extends org.apache.spark.sql.expressions.Aggregator[
+      Long, java.util.TreeSet[java.lang.Long], Seq[Long]] {
+    type Buf = java.util.TreeSet[java.lang.Long]
+    def zero: Buf = new java.util.TreeSet[java.lang.Long]()
+    // in-place mutation — the Aggregator buffer contract; a persistent
+    // TreeSet here allocated per shingle and cost ~1.5× at sf10
+    def reduce(b: Buf, h: Long): Buf = {
+      if (b.size < KmvK) b.add(h)
+      else if (h < b.last && b.add(h)) b.pollLast()
+      b
+    }
+    def merge(b1: Buf, b2: Buf): Buf = {
+      b1.addAll(b2)
+      while (b1.size > KmvK) b1.pollLast()
+      b1
+    }
+    def finish(b: Buf): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      b.iterator().asScala.map(_.longValue).toSeq
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
+    // RANDOM'02) over the corpus's 3-gram shingles, per source and
+    // total — the 100 TB "how many distinct shingles does this corpus
+    // have" question, answered in ONE scan with sketch-sized state
+    // ([[KmvAggregator]]: map-side partial sketches, union-merged)
+    // instead of the full distinct shuffle an exact count pays (q10's
+    // shape). The TOTAL scope is the union of the merged per-source
+    // sketches (the KMV merge property — sources × k rows, corpus-
+    // size-independent), which is also how a deployment combines
+    // per-shard sketches without re-reading anything.
+    // est = (k−1)·2⁶³/h₍ₖ₎, exact count when the sketch never filled.
+    // Hash = the shared FNV-1a over the shingle string with the sign
+    // bit cleared, so the DuckDB oracle restates the ranking over
+    // identical BIGINT values.
+    "txt_distinct_kmv" -> { (s, d) =>
+      import s.implicits._
+      val k = KmvK
+      val grams = Tables.documents(s, d)
+        .select($"source", explode(Dedup.shingleHashes($"text")).as("h64"))
+        .select($"source", ($"h64".bitwiseAND(lit(Long.MaxValue))).as("h"))
+        .as[(String, Long)]
+      // phase 1: per-partition sketches in one imperative pass —
+      // bounded state (sources × k per partition), and ~1.6× cheaper
+      // at sf10 than routing every shingle row through the typed
+      // Aggregator machinery (22 s → 14 s); each partition's output is
+      // an exact KMV sketch of its rows by the same insert rule
+      val winnowed = grams.mapPartitions { it =>
+        val state = scala.collection.mutable.LinkedHashMap
+          .empty[String, java.util.TreeSet[java.lang.Long]]
+        it.foreach { case (src, h) =>
+          val ts = state.getOrElseUpdate(src, new java.util.TreeSet[java.lang.Long]())
+          if (ts.size < k) ts.add(h)
+          else if (h < ts.last && ts.add(h)) ts.pollLast()
+        }
+        import scala.jdk.CollectionConverters._
+        state.iterator.flatMap { case (src, ts) =>
+          ts.iterator().asScala.map(h => (src, h.longValue)).toArray.iterator
+        }
+      }
+      // phase 2: the partition sketches union-merge through the
+      // Aggregator (the KMV merge algebra — exact, because every
+      // global top-k member is in its partition's top-k), over
+      // ≤ partitions × sources × k rows
+      val perSrc = winnowed.groupByKey(_._1).mapValues(_._2)
+        .agg(KmvAggregator.toColumn.name("sketch"))
+        .toDF("scope", "sketch")
+      val tot = perSrc.select(explode($"sketch").as("h")).as[Long]
+        .select(KmvAggregator.toColumn.name("sketch"))
+        .select(lit("*").as("scope"), $"sketch")
+      perSrc.unionByName(tot)
+        .select($"scope",
+          size($"sketch").cast("int").as("k_used"),
+          when(size($"sketch") > 0, element_at($"sketch", -1)).as("kth_hash"))
+        .withColumn("est_distinct",
+          when($"k_used" < k, $"k_used".cast("double"))
+            .otherwise(round(lit((k - 1).toDouble * TwoTo63) /
+              $"kth_hash".cast("double"), 4)))
+        .select($"scope", $"k_used", $"kth_hash", $"est_distinct")
+    },
     // Token counting: whitespace tokens + BPE-ish subword count +
     // distinct-token (type) count per document.
     "txt_tokens" -> { (s, d) =>
@@ -1302,6 +1411,37 @@ object TextAnalysis {
           FROM lab l CROSS JOIN pri LEFT JOIN per ON per.doc_id = l.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    // The sketch restated exactly: distinct shingle strings per
+    // source, the shared FNV-1a's sign-cleared 63-bit value
+    // (Dedup.sqlFnv63 — the first oracle where the hash VALUES
+    // surface in output, so string construction and fold must match
+    // the kernel bit-for-bit), rank ascending, k-prefix aggregate,
+    // the TOTAL scope from the merged per-source sketches (the KMV
+    // union property), and the same (k−1)·2⁶³/h₍ₖ₎ double arithmetic.
+    "txt_distinct_kmv" ->
+      s"""WITH toks AS (SELECT doc_id, source, $sqlToks t FROM documents),
+          shl AS (SELECT doc_id, source, list_distinct(list_transform(
+              generate_series(1, GREATEST(len(t) - 2, 0)),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s FROM toks),
+          grams AS (SELECT DISTINCT source, unnest(s) AS g FROM shl),
+          h AS (SELECT DISTINCT source, ${Dedup.sqlFnv63("g")} AS h FROM grams),
+          ranked AS (SELECT source, h, ROW_NUMBER() OVER (
+              PARTITION BY source ORDER BY h ASC) AS rn FROM h),
+          persrc AS (SELECT source AS scope, CAST(COUNT(*) AS INT) AS k_used,
+              MAX(h) AS kth_hash
+            FROM ranked WHERE rn <= $KmvK GROUP BY source),
+          tot AS (SELECT '*' AS scope, CAST(COUNT(*) AS INT) AS k_used,
+              MAX(h) AS kth_hash
+            FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS rn
+                  FROM (SELECT DISTINCT h FROM h))
+            WHERE rn <= $KmvK),
+          u AS (SELECT * FROM persrc UNION ALL SELECT * FROM tot)
+          SELECT scope, k_used, kth_hash,
+            CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
+              ELSE ROUND(${KmvK - 1}.0 * 9223372036854775808.0
+                / CAST(kth_hash AS DOUBLE), 4) + 0.0
+            END AS est_distinct
+          FROM u""",
     "txt_tokens" ->
       s"""SELECT doc_id,
           len($sqlToks) AS n_tokens,
