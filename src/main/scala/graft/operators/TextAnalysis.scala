@@ -1343,14 +1343,30 @@ object TextAnalysis {
   def scoreWithNbModel(s: SparkSession, d: String, w: DataFrame,
       prior: Double): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
+    nbLabels(s, d)
+      .join(scoreDocsWithNbModel(Tables.documents(s, d), w, prior),
+        Seq("doc_id"))
+      .select($"doc_id", $"label", $"nb_score")
+  }
+
+  /** The scoring core over a GIVEN docs relation — row set is every
+    * input document, score = prior + Σ tf·w over the model's
+    * vocabulary. Shared by the declared queries (via
+    * [[scoreWithNbModel]], which joins the training labels back) and
+    * the streaming scorer ([[graft.streaming.DocStream.scoreStream]]),
+    * whose micro-batches are exactly this batch kernel's input.
+    */
+  def scoreDocsWithNbModel(docs: DataFrame, w: DataFrame,
+      prior: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
     val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
     val per = tf.join(w, Seq("tok"))
       .groupBy($"doc_id").agg(sum($"tf" * $"w").as("sw"))
-    nbLabels(s, d)
+    docs.select($"doc_id")
       .join(per, Seq("doc_id"), "left")
-      .select($"doc_id", $"label",
+      .select($"doc_id",
         round(lit(prior) + coalesce($"sw", lit(0.0)), 5).as("nb_score"))
   }
 

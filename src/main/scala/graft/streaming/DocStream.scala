@@ -90,4 +90,28 @@ object DocStream {
       case None      => curated
     }
   }
+
+  /** Score a stream of documents with a STORED NB quality model
+    * (written by [[TextAnalysis.writeNbModel]]) — the classifier's
+    * serving mode: train once in batch, then every arriving document
+    * gets its quality score as it lands. `foreachBatch` over the
+    * shared batch kernel ([[TextAnalysis.scoreDocsWithNbModel]]), the
+    * [[VecStream]] convention: a micro-batch of independent documents
+    * is exactly the batch that kernel was built for, so streaming adds
+    * scheduling, not a second scorer that could drift. The model is
+    * read ONCE at stream start (the curateStream evalGrams
+    * convention — the model version is pinned for the stream's
+    * lifetime; a retrain is a new stream). Per-trigger cost: tokenize
+    * the batch + the tok-keyed join against the vocabulary-sized
+    * weight relation — batch-proportional, never corpus-proportional.
+    */
+  def scoreStream(docs: DataFrame, modelDir: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val s = docs.sparkSession
+    val (w, prior) = TextAnalysis.readNbModel(s, modelDir)
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(TextAnalysis.scoreDocsWithNbModel(batch.toDF(), w, prior))
+      }.start()
+  }
 }

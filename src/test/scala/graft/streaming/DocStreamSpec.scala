@@ -154,4 +154,49 @@ class DocStreamSpec extends AnyFunSuite {
       assert(got == Set(ids(1)), s"got $got")
     } finally q.stop()
   }
+
+  test("streamed NB scoring equals the stored-model batch scores, split across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = "/root/testdata/sf0.001"
+    val modelDir = java.nio.file.Files.createTempDirectory("nbstream")
+      .toString + "/nbmodel"
+    TextAnalysis.writeNbModel(spark, dir, modelDir)
+
+    // the batch truth: every fixture doc scored from the same stored
+    // model (the txt_quality_classifier_stored scoring half)
+    val (w, prior) = TextAnalysis.readNbModel(spark, modelDir)
+    val expected = TextAnalysis.scoreDocsWithNbModel(
+        spark.read.parquet(s"$dir/documents.parquet"), w, prior)
+      .as[(Long, Double)].collect().toMap
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .withColumn("ingest_ts", lit(ts(0)))
+      .as[IngestDoc].collect().toSeq
+
+    val got = scala.collection.mutable.Map.empty[Long, Double]
+    val mem = MemoryStream[IngestDoc]
+    val q = DocStream.scoreStream(mem.toDF(), modelDir) { scored =>
+      got.synchronized {
+        scored.as[(Long, Double)].collect().foreach { case (id, sc) =>
+          // append-only serving log: a doc scores once per arrival
+          assert(!got.contains(id), s"doc $id scored twice")
+          got(id) = sc
+        }
+      }
+    }
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(got.size == expected.size)
+      assert(got.toMap == expected,
+        s"first diff: ${(got.toMap.toSet diff expected.toSet).take(3)}")
+    } finally q.stop()
+  }
 }
