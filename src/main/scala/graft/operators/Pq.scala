@@ -608,17 +608,26 @@ object Pq {
         .select($"vec_id", $"res").as[(Long, Array[Float])]
       val cb = trainCodebooksOn(s, sampleDs, math.min(n, cap.toLong),
         Similarity.DriverTrainFlopsCap, codewords)
-      val enc = udf { (emb: Seq[Float], mvec: Seq[Double]) =>
-        val r = Array.tabulate(Similarity.Dim) { i =>
-          (if (emb != null && i < emb.length) emb(i).toDouble else 0.0) -
-            mvec(i)
-        }
-        Array.tabulate(PqSubvectors)(sub => nearestCodeD(r, sub * SubDim, cb(sub)))
-      }
       val codes = resRel
-        .select($"vec_id", $"cell", enc($"embedding", $"mvec").as("codes"))
+        .select($"vec_id", $"cell",
+          resEncodeUdf(cb)($"embedding", $"mvec").as("codes"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ResPqIndex(means, cb, codes)
+    }
+
+  /** The residual encode kernel — ONE body for the build and the
+    * frozen-quantizer append ([[appendToResPqIndex]]), the encodeWith
+    * convention: double-precision residual against the cell's
+    * reconstruction mean, argmin-L2 against the given codebooks.
+    */
+  private def resEncodeUdf(cb: Array[Array[Array[Float]]]):
+      org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (emb: Seq[Float], mvec: Seq[Double]) =>
+      val r = Array.tabulate(Similarity.Dim) { i =>
+        (if (emb != null && i < emb.length) emb(i).toDouble else 0.0) -
+          mvec(i)
+      }
+      Array.tabulate(cb.length)(sub => nearestCodeD(r, sub * SubDim, cb(sub)))
     }
 
   /** Residual IVF-PQ probe: probed cells bound WHICH rows are scored
@@ -631,11 +640,23 @@ object Pq {
     * the other PQ probes.
     */
   def topkIvfPqRes(s: SparkSession, d: String, k: Int = Similarity.TopK,
-      candidates: Int = PqCandidates): DataFrame = {
+      candidates: Int = PqCandidates): DataFrame =
+    resProbe(s, d, Similarity.ivfIndex(s, d), resPqIndex(s, d), k, candidates)
+
+  /** The composed stored path (the topkIvfPqStored convention): both
+    * halves written by one build job, read + composed by a later one.
+    */
+  def topkIvfPqResStored(s: SparkSession, d: String, ivfDir: String,
+      resDir: String, k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame =
+    resProbe(s, d, Similarity.readIvfIndex(s, ivfDir),
+      readResPqIndex(s, resDir), k, candidates)
+
+  private def resProbe(s: SparkSession, d: String,
+      ivf: Similarity.IvfIndex, idx: ResPqIndex, k: Int,
+      candidates: Int): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
-    val ivf = Similarity.ivfIndex(s, d)
-    val idx = resPqIndex(s, d)
     val np = Similarity.defaultNProbe(ivf.cents.length, ivf.cellCounts)
     val adc = adcScore(idx.codebooks) _
     val qCells = queryRelation(s, d)
@@ -663,14 +684,44 @@ object Pq {
     */
   def writePqIndex(s: SparkSession, d: String, outDir: String,
       codewords: Int = PqCodewords): Unit = {
-    import s.implicits._
     val idx = pqIndex(s, d, codewords)
     idx.codes.write.mode("overwrite").parquet(s"$outDir/codes")
-    idx.codebooks.zipWithIndex.toSeq
-      .flatMap { case (cb, sub) => cb.zipWithIndex.map { case (v, code) =>
-        (sub, code, v.toSeq) } }
+    writeCodebooks(s, idx.codebooks, s"$outDir/codebooks")
+  }
+
+  /** The trained codebooks flattened to (sub, code, vector) rows —
+    * bounded: subspaces × codewords. Shared by the raw and residual
+    * stored layouts.
+    */
+  private def writeCodebooks(s: SparkSession,
+      cb: Array[Array[Array[Float]]], path: String): Unit = {
+    import s.implicits._
+    cb.zipWithIndex.toSeq
+      .flatMap { case (sub, si) => sub.zipWithIndex.map { case (v, code) =>
+        (si, code, v.toSeq) } }
       .toDF("sub", "code", "vector")
-      .write.mode("overwrite").parquet(s"$outDir/codebooks")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a stored codebooks table back into the [sub][code][SubDim]
+    * tensor; dimensions come from the DATA (the readPqIndex contract —
+    * any codeword width round-trips, sparse tables fail loudly).
+    */
+  private def readCodebooks(s: SparkSession,
+      path: String): Array[Array[Array[Float]]] = {
+    import s.implicits._
+    val flat = s.read.parquet(path)
+      .select($"sub", $"code", $"vector")
+      .as[(Int, Int, Seq[Float])].collect()
+    require(flat.nonEmpty, s"empty PQ codebooks table under $path")
+    val nSub = flat.map(_._1).max + 1
+    val nCode = flat.map(_._2).max + 1
+    require(flat.length == nSub * nCode,
+      s"sparse PQ codebooks table under $path: " +
+        s"${flat.length} rows for $nSub x $nCode")
+    val cb = Array.fill(nSub, nCode)(Array.empty[Float])
+    flat.foreach { case (sub, code, v) => cb(sub)(code) = v.toArray }
+    cb
   }
 
   /** Read a stored PQ index back into the probe-side shape. The
@@ -680,21 +731,9 @@ object Pq {
     * trips; a sparse/corrupt codebooks table fails loudly instead of
     * silently ADC-scoring against empty codewords.
     */
-  def readPqIndex(s: SparkSession, indexDir: String): PqIndex = {
-    import s.implicits._
-    val flat = s.read.parquet(s"$indexDir/codebooks")
-      .select($"sub", $"code", $"vector")
-      .as[(Int, Int, Seq[Float])].collect()
-    require(flat.nonEmpty, s"empty PQ codebooks table under $indexDir")
-    val nSub = flat.map(_._1).max + 1
-    val nCode = flat.map(_._2).max + 1
-    require(flat.length == nSub * nCode,
-      s"sparse PQ codebooks table under $indexDir: " +
-        s"${flat.length} rows for $nSub x $nCode")
-    val cb = Array.fill(nSub, nCode)(Array.empty[Float])
-    flat.foreach { case (sub, code, v) => cb(sub)(code) = v.toArray }
-    PqIndex(cb, s.read.parquet(s"$indexDir/codes"))
-  }
+  def readPqIndex(s: SparkSession, indexDir: String): PqIndex =
+    PqIndex(readCodebooks(s, s"$indexDir/codebooks"),
+      s.read.parquet(s"$indexDir/codes"))
 
   /** Probe a STORED PQ index (written by [[writePqIndex]]) through the
     * same probe core as the session-cached path.
@@ -723,6 +762,68 @@ object Pq {
     }
     batch.select($"vec_id", enc($"embedding").as("codes"))
       .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
+  /** Write the residual index — the stored layout is the deployment
+    * shape: cell-carrying codes (reconstruction needs mean[cell] +
+    * codeword), the residual codebooks, and the per-cell
+    * reconstruction means (k × Dim doubles — trained state, same
+    * class as the IVF centroid matrix).
+    */
+  def writeResPqIndex(s: SparkSession, d: String, outDir: String,
+      codewords: Int = PqCodewords): Unit = {
+    import s.implicits._
+    val idx = resPqIndex(s, d, codewords)
+    idx.codes.write.mode("overwrite").parquet(s"$outDir/codes")
+    writeCodebooks(s, idx.codebooks, s"$outDir/codebooks")
+    idx.means.zipWithIndex.toSeq
+      .map { case (v, cell) => (cell.toLong, v.toSeq) }
+      .toDF("cell", "mvec")
+      .write.mode("overwrite").parquet(s"$outDir/means")
+  }
+
+  /** Read a stored residual index back into the probe-side shape; a
+    * sparse means table fails loudly (every cell 0..k−1 must be
+    * present — empty cells were written as zero vectors).
+    */
+  def readResPqIndex(s: SparkSession, indexDir: String): ResPqIndex = {
+    import s.implicits._
+    val rows = s.read.parquet(s"$indexDir/means")
+      .select($"cell", $"mvec").as[(Long, Seq[Double])].collect()
+    require(rows.nonEmpty, s"empty means table under $indexDir")
+    val k = rows.map(_._1).max.toInt + 1
+    require(rows.length == k,
+      s"sparse means table under $indexDir: ${rows.length} rows for $k cells")
+    val means = new Array[Array[Double]](k)
+    rows.foreach { case (cell, v) => means(cell.toInt) = v.toArray }
+    ResPqIndex(means, readCodebooks(s, s"$indexDir/codebooks"),
+      s.read.parquet(s"$indexDir/codes"))
+  }
+
+  /** Append NEW vectors to a STORED residual index WITHOUT
+    * retraining: the batch assigns to the FROZEN coarse quantizer
+    * (the stored IVF centroids — same single-assignment kernel the
+    * build's cells came from), subtracts the FROZEN cell means, and
+    * encodes through the same argmin-L2 body the build used
+    * ([[resEncodeUdf]]) — so an appended vector lands on exactly the
+    * codes a full rebuild with this quantizer state would give it.
+    * Only the bounded means/codebooks tables are read back, never the
+    * stored codes. Single-writer, disjoint ids, retrain = new index
+    * version — the shared append conventions.
+    */
+  def appendToResPqIndex(s: SparkSession, ivfDir: String, resDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val ivf = Similarity.readIvfIndex(s, ivfDir)
+    val idx = readResPqIndex(s, resDir)
+    batch
+      .select($"vec_id", $"embedding",
+        Similarity.nearestCellsCol(ivf.cents, 1)($"embedding")
+          .getItem(0).as("cell"))
+      .join(broadcast(meansDf(s, idx.means)), Seq("cell"))
+      .select($"vec_id", $"cell",
+        resEncodeUdf(idx.codebooks)($"embedding", $"mvec").as("codes"))
+      .write.mode("append").parquet(s"$resDir/codes")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -388,6 +388,60 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("residual IVF-PQ stored composition: both halves written, composed in a fresh session") {
+    // the residual family's deployment shape: coarse quantizer layout
+    // + (codes, codebooks, reconstruction means) written by one job,
+    // composed bit-identically by a later one (parquet round-trips
+    // the double means and float codebooks exactly)
+    val ivfDir = java.nio.file.Files.createTempDirectory("respq_ivf").toString
+    val resDir = java.nio.file.Files.createTempDirectory("respq_res").toString
+    Similarity.writeIvfIndex(spark, sf, ivfDir)
+    Pq.writeResPqIndex(spark, sf, resDir)
+    val expect = rows(Pq.topkIvfPqRes(spark, sf))
+    assert(expect.nonEmpty)
+
+    val s2 = spark.newSession()
+    val stored = Pq.topkIvfPqResStored(s2, sf, ivfDir, resDir)
+    assert(rows(stored) == expect,
+      "stored residual IVF-PQ composition diverged from the build-session probe")
+  }
+
+  test("residual append: frozen quantizer state reproduces the build's codes; clones probe-visible") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ivfDir = java.nio.file.Files.createTempDirectory("resapp_ivf").toString
+    val resDir = java.nio.file.Files.createTempDirectory("resapp_res").toString
+    Similarity.writeIvfIndex(spark, sf, ivfDir)
+    Pq.writeResPqIndex(spark, sf, resDir)
+    val batch = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Pq.appendToResPqIndex(spark, ivfDir, resDir, batch)
+    // clones must land in the SAME cell with byte-identical codes —
+    // frozen centroids, frozen means, frozen codebooks
+    val codes = spark.read.parquet(s"$resDir/codes")
+      .as[(Long, Long, Array[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3.toSeq))).toMap
+    (0L until 20L).foreach { id =>
+      assert(codes(id + 1000000L) == codes(id),
+        s"residual append (cell, codes) for clone of $id diverged")
+    }
+    // appended clones are probe-visible once the corpus carries their
+    // vectors too (ingest lands vectors AND codes — the shared
+    // append invariant)
+    val corpus = java.nio.file.Files.createTempDirectory("rescorpus").toString
+    graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .union(batch.select("vec_id", "embedding"))
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val probed = Pq.topkIvfPqResStored(spark, corpus, ivfDir, resDir)
+      .as[(Long, Long, Double, Int)].collect()
+    (0L until 20L).filter(_ % Similarity.QueryStride == 0).foreach { q =>
+      val hit = probed.find(r => r._1 == q && r._2 == q + 1000000L)
+      assert(hit.exists(_._3 == 1.0),
+        s"query $q: appended clone not a cos-1.0 neighbor ($hit)")
+    }
+  }
+
   test("PQ stored index: fresh-session probe parity (codes + codebooks round-trip)") {
     val dir = java.nio.file.Files.createTempDirectory("pqstore").toString
     Pq.writePqIndex(spark, sf, dir)
