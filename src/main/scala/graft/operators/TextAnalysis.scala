@@ -98,6 +98,41 @@ object TextAnalysis {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** KMV sketches per scope over a keyed hash stream — shared by
+    * txt_distinct_kmv and txt_overlap_kmv. Phase 1: per-partition
+    * sketches in one imperative pass (scopes × k TreeSets; each
+    * partition's output is an exact KMV sketch of its rows by the
+    * same insert rule — and ~1.6× cheaper at sf10 than routing every
+    * hash row through the typed Aggregator machinery, 22 s → 14 s).
+    * Phase 2: the partition sketches union-merge through
+    * [[KmvAggregator]] (exact, because every global top-k member is
+    * in its partition's top-k), over ≤ partitions × scopes × k rows.
+    * Output: (scope, sketch ascending); scopes with no hashes are
+    * absent.
+    */
+  private def kmvSketches(
+      hs: org.apache.spark.sql.Dataset[(String, Long)]): DataFrame = {
+    val s = hs.sparkSession
+    import s.implicits._
+    val k = KmvK
+    val winnowed = hs.mapPartitions { it =>
+      val state = scala.collection.mutable.LinkedHashMap
+        .empty[String, java.util.TreeSet[java.lang.Long]]
+      it.foreach { case (src, h) =>
+        val ts = state.getOrElseUpdate(src, new java.util.TreeSet[java.lang.Long]())
+        if (ts.size < k) ts.add(h)
+        else if (h < ts.last && ts.add(h)) ts.pollLast()
+      }
+      import scala.jdk.CollectionConverters._
+      state.iterator.flatMap { case (src, ts) =>
+        ts.iterator().asScala.map(h => (src, h.longValue)).toArray.iterator
+      }
+    }
+    winnowed.groupByKey(_._1).mapValues(_._2)
+      .agg(KmvAggregator.toColumn.name("sketch"))
+      .toDF("scope", "sketch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
     // RANDOM'02) over the corpus's 3-gram shingles, per source and
@@ -120,31 +155,7 @@ object TextAnalysis {
         .select($"source", explode(Dedup.shingleHashes($"text")).as("h64"))
         .select($"source", ($"h64".bitwiseAND(lit(Long.MaxValue))).as("h"))
         .as[(String, Long)]
-      // phase 1: per-partition sketches in one imperative pass —
-      // bounded state (sources × k per partition), and ~1.6× cheaper
-      // at sf10 than routing every shingle row through the typed
-      // Aggregator machinery (22 s → 14 s); each partition's output is
-      // an exact KMV sketch of its rows by the same insert rule
-      val winnowed = grams.mapPartitions { it =>
-        val state = scala.collection.mutable.LinkedHashMap
-          .empty[String, java.util.TreeSet[java.lang.Long]]
-        it.foreach { case (src, h) =>
-          val ts = state.getOrElseUpdate(src, new java.util.TreeSet[java.lang.Long]())
-          if (ts.size < k) ts.add(h)
-          else if (h < ts.last && ts.add(h)) ts.pollLast()
-        }
-        import scala.jdk.CollectionConverters._
-        state.iterator.flatMap { case (src, ts) =>
-          ts.iterator().asScala.map(h => (src, h.longValue)).toArray.iterator
-        }
-      }
-      // phase 2: the partition sketches union-merge through the
-      // Aggregator (the KMV merge algebra — exact, because every
-      // global top-k member is in its partition's top-k), over
-      // ≤ partitions × sources × k rows
-      val perSrc = winnowed.groupByKey(_._1).mapValues(_._2)
-        .agg(KmvAggregator.toColumn.name("sketch"))
-        .toDF("scope", "sketch")
+      val perSrc = kmvSketches(grams)
       val tot = perSrc.select(explode($"sketch").as("h")).as[Long]
         .select(KmvAggregator.toColumn.name("sketch"))
         .select(lit("*").as("scope"), $"sketch")
@@ -157,6 +168,52 @@ object TextAnalysis {
             .otherwise(round(lit((k - 1).toDouble * TwoTo63) /
               $"kth_hash".cast("double"), 4)))
         .select($"scope", $"k_used", $"kth_hash", $"est_distinct")
+    },
+
+    // Sketch SET OPERATIONS — the theta-sketch intersection over the
+    // KMV sketches: per source, how much of its TRAIN-split shingle
+    // set leaks from the EVAL split (the decontamination-exposure
+    // question, answered from two sketch passes instead of an exact
+    // gram join — the txt_decontaminate shape without touching the
+    // gram relation twice). θ = min of the two sketches' thresholds
+    // (an unfilled sketch keeps everything: θ = 2⁶³−1); both sketches
+    // cut to < θ are uniform samples of their sets at rate θ/2⁶³, so
+    // |∩cut|·2⁶³/θ estimates the true intersection and the count
+    // ratio estimates Jaccard (θ cancels). When both sketches are
+    // unfilled the counts — and the estimates — are EXACT. Each
+    // source joins one broadcast eval-sketch row: the set algebra
+    // runs on k-sized arrays, never on the gram relation.
+    "txt_overlap_kmv" -> { (s, d) =>
+      import s.implicits._
+      val k = KmvK
+      val base = Tables.documents(s, d)
+        .select($"source", splitPrefix($"doc_id").as("split"),
+          explode(Dedup.shingleHashes($"text")).as("h64"))
+        .select($"source", $"split",
+          ($"h64".bitwiseAND(lit(Long.MaxValue))).as("h"))
+      val trainSk = kmvSketches(base
+        .filter($"split" >= EvalSplitThreshold)
+        .select($"source", $"h").as[(String, Long)])
+        .select($"scope".as("source"), $"sketch")
+      val evalSk = kmvSketches(base
+        .filter($"split" < EvalSplitThreshold)
+        .select(lit("eval").as("source"), $"h").as[(String, Long)])
+        .select($"sketch".as("esk"))
+      def thetaOf(c: Column): Column =
+        when(size(c) < k, lit(Long.MaxValue)).otherwise(element_at(c, -1))
+      trainSk.crossJoin(broadcast(evalSk))
+        .withColumn("theta", least(thetaOf($"sketch"), thetaOf($"esk")))
+        .withColumn("acut", filter($"sketch", x => x < $"theta"))
+        .withColumn("bcut", filter($"esk", x => x < $"theta"))
+        .withColumn("n_inter", size(array_intersect($"acut", $"bcut")).cast("int"))
+        .withColumn("n_union",
+          (size($"acut") + size($"bcut") - $"n_inter").cast("int"))
+        .select($"source", $"n_inter", $"n_union",
+          round($"n_inter".cast("double") * lit(TwoTo63) /
+            $"theta".cast("double"), 4).as("est_inter"),
+          when($"n_union" === 0, lit(0.0))
+            .otherwise(round($"n_inter".cast("double") / $"n_union", 6))
+            .as("jaccard_est"))
     },
     // Token counting: whitespace tokens + BPE-ish subword count +
     // distinct-token (type) count per document.
@@ -1458,6 +1515,52 @@ object TextAnalysis {
                 / CAST(kth_hash AS DOUBLE), 4) + 0.0
             END AS est_distinct
           FROM u""",
+    // The theta-intersection restated on the same ranked-sketch CTEs:
+    // list-built sketches (ascending), θ via the unfilled→2⁶³−1 rule,
+    // cuts, list_intersect counts, and the identical double
+    // arithmetic. The eval sketch aggregates under GROUP BY so an
+    // empty eval split yields NO row (matching the engine's empty
+    // relation), not a NULL-sketch row.
+    "txt_overlap_kmv" ->
+      s"""WITH toks AS (SELECT doc_id, source,
+              substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS split,
+              $sqlToks t FROM documents),
+          shl AS (SELECT doc_id, source, split, list_distinct(list_transform(
+              generate_series(1, GREATEST(len(t) - 2, 0)),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s FROM toks),
+          tg AS (SELECT DISTINCT source, unnest(s) AS g FROM shl
+            WHERE split >= '$EvalSplitThreshold'),
+          th AS (SELECT DISTINCT source, ${Dedup.sqlFnv63("g")} AS h FROM tg),
+          tranked AS (SELECT source, h, ROW_NUMBER() OVER (
+              PARTITION BY source ORDER BY h ASC) AS rn FROM th),
+          tsk AS (SELECT source, list(h ORDER BY h) AS sk
+            FROM tranked WHERE rn <= $KmvK GROUP BY source),
+          eg AS (SELECT DISTINCT unnest(s) AS g FROM shl
+            WHERE split < '$EvalSplitThreshold'),
+          eh AS (SELECT DISTINCT ${Dedup.sqlFnv63("g")} AS h FROM eg),
+          eranked AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS rn FROM eh),
+          esk AS (SELECT 1 AS k1, list(h ORDER BY h) AS esk
+            FROM eranked WHERE rn <= $KmvK GROUP BY 1),
+          j AS (SELECT t.source, t.sk, e.esk,
+              LEAST(
+                CASE WHEN len(t.sk) < $KmvK THEN 9223372036854775807
+                     ELSE t.sk[len(t.sk)] END,
+                CASE WHEN len(e.esk) < $KmvK THEN 9223372036854775807
+                     ELSE e.esk[len(e.esk)] END) AS theta
+            FROM tsk t CROSS JOIN esk e),
+          c AS (SELECT source, theta,
+              list_filter(sk, x -> x < theta) AS acut,
+              list_filter(esk, x -> x < theta) AS bcut FROM j),
+          n AS (SELECT source, theta,
+              len(list_intersect(acut, bcut)) AS ni,
+              len(acut) + len(bcut) - len(list_intersect(acut, bcut)) AS nu
+            FROM c)
+          SELECT source, CAST(ni AS INT) AS n_inter, CAST(nu AS INT) AS n_union,
+            ROUND(CAST(ni AS DOUBLE) * 9223372036854775808.0
+              / CAST(theta AS DOUBLE), 4) + 0.0 AS est_inter,
+            CASE WHEN nu = 0 THEN 0.0
+              ELSE ROUND(CAST(ni AS DOUBLE) / nu, 6) + 0.0 END AS jaccard_est
+          FROM n""",
     "txt_tokens" ->
       s"""SELECT doc_id,
           len($sqlToks) AS n_tokens,

@@ -68,6 +68,70 @@ class KmvSpec extends AnyFunSuite {
     }
   }
 
+  /** First two hex chars of md5(id.toString) — the DocStreamSpec
+    * restatement of [[TextAnalysis.splitPrefix]], used to PICK ids.
+    */
+  private def md5Prefix(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).take(1)
+      .map("%02x".format(_)).mkString
+
+  private def isEval(id: Long): Boolean =
+    md5Prefix(id) < TextAnalysis.EvalSplitThreshold
+
+  test("unfilled theta-intersection is EXACT: overlap estimates equal true set algebra") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a controlled corpus small enough that every sketch is unfilled:
+    // theta = 2^63-1, the cuts are the full sets, and the estimator
+    // must reduce to exact set algebra — engineered partial overlap
+    // between each source's train docs and the eval split
+    val ids = (1L to 400L)
+    val evalIds = ids.filter(isEval).take(2)
+    val trainIds = ids.filterNot(isEval).take(4)
+    def words(a: Int, b: Int): String = (a until b).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (trainIds(0), words(0, 40), "en", "srcA", 0L),   // shares 0..20 with eval1
+      (trainIds(1), words(100, 140), "en", "srcA", 0L), // disjoint from eval
+      (trainIds(2), words(10, 30), "en", "srcB", 0L),  // inside eval1's range
+      (trainIds(3), words(200, 240), "en", "srcB", 0L),
+      (evalIds(0), words(0, 21), "en", "srcA", 0L),
+      (evalIds(1), words(220, 230), "en", "srcB", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("kmvov").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val base = graft.Tables.documents(spark, dir)
+      .select($"source", TextAnalysis.splitPrefix($"doc_id").as("split"),
+        explode(Dedup.shingleHashes($"text")).as("h64"))
+      .select($"source", $"split",
+        ($"h64".bitwiseAND(lit(Long.MaxValue))).as("h"))
+    val train = base.filter($"split" >= TextAnalysis.EvalSplitThreshold)
+      .select($"source", $"h").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, r) => s -> r.map(_._2).toSet }
+    val eval = base.filter($"split" < TextAnalysis.EvalSplitThreshold)
+      .select($"h").as[Long].collect().toSet
+    assert(eval.nonEmpty && train.size == 2)
+    assert(eval.size < TextAnalysis.KmvK &&
+      train.values.forall(_.size < TextAnalysis.KmvK))
+    val res = TextAnalysis.queries("txt_overlap_kmv")(spark, dir)
+      .as[(String, Int, Int, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(res.keySet == train.keySet)
+    train.foreach { case (src, set) =>
+      val (_, nInter, nUnion, estInter, jac) = res(src)
+      val trueI = (set & eval).size
+      val trueU = (set | eval).size
+      assert(trueI > 0, s"$src: fixture lost its engineered overlap")
+      assert(nInter == trueI && nUnion == trueU,
+        s"$src: ($nInter,$nUnion) != exact ($trueI,$trueU)")
+      assert(estInter == trueI.toDouble, s"$src est_inter $estInter != $trueI")
+      val trueJ = BigDecimal(trueI.toDouble / trueU)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(jac - trueJ) < 1e-9, s"$src jaccard $jac != $trueJ")
+    }
+  }
+
   test("TOTAL scope equals the sketch of the union (KMV merge property)") {
     val exact = exactSets()
     val res = result()
