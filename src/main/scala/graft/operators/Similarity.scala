@@ -1130,7 +1130,7 @@ object Similarity {
     * an object store without rename versions whole index dirs instead,
     * the note on [[appendToIvfIndex]].)
     */
-  private def swapDirInto(s: SparkSession,
+  private[operators] def swapDirInto(s: SparkSession,
       fresh: org.apache.hadoop.fs.Path,
       target: org.apache.hadoop.fs.Path): Unit = {
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)

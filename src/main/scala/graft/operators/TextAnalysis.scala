@@ -133,6 +133,78 @@ object TextAnalysis {
       .toDF("scope", "sketch")
   }
 
+  /** The corpus's (source, sign-cleared shingle hash) stream — the
+    * input every KMV surface sketches.
+    */
+  private def kmvHashes(
+      docs: DataFrame): org.apache.spark.sql.Dataset[(String, Long)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"source", explode(Dedup.shingleHashes($"text")).as("h64"))
+      .select($"source", ($"h64".bitwiseAND(lit(Long.MaxValue))).as("h"))
+      .as[(String, Long)]
+  }
+
+  /** The TOTAL scope from merged per-source sketches — exact by the
+    * KMV merge property (every global top-k member is in its source's
+    * top-k).
+    */
+  private def totalKmvSketch(perSrc: DataFrame): DataFrame = {
+    val s = perSrc.sparkSession
+    import s.implicits._
+    perSrc.select(explode($"sketch").as("h")).as[Long]
+      .select(KmvAggregator.toColumn.name("sketch"))
+      .select(lit("*").as("scope"), $"sketch")
+  }
+
+  /** The estimator over a (scope, sketch) relation — the shared tail
+    * of the session and stored distinct-count queries.
+    */
+  private def kmvEstimates(sketches: DataFrame): DataFrame = {
+    val s = sketches.sparkSession
+    import s.implicits._
+    val k = KmvK
+    sketches
+      .select($"scope",
+        size($"sketch").cast("int").as("k_used"),
+        when(size($"sketch") > 0, element_at($"sketch", -1)).as("kth_hash"))
+      .withColumn("est_distinct",
+        when($"k_used" < k, $"k_used".cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * TwoTo63) /
+            $"kth_hash".cast("double"), 4)))
+      .select($"scope", $"k_used", $"kth_hash", $"est_distinct")
+  }
+
+  /** Persist the corpus's per-source KMV sketches as a (scope, sketch)
+    * relation — sources × k longs; the TOTAL scope is derivable (the
+    * merge property), so only per-source sketches are stored.
+    */
+  def writeKmvSketch(s: SparkSession, d: String, outDir: String): Unit =
+    kmvSketches(kmvHashes(Tables.documents(s, d)))
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Merge a document batch into a STORED sketch — incremental corpus
+    * stats: a nightly/streaming ingest scans only the BATCH (one
+    * sketch pass), rereads the sketch-sized stored relation, union-
+    * merges by the aggregator algebra (sketch(A ∪ B) = sketch(
+    * sketch(A) ∪ sketch(B)) — exact, order-independent), and promotes
+    * the rewrite with the crash-safe two-rename swap. Single-writer
+    * per sketch dir, the stored-index discipline.
+    */
+  def mergeIntoKmvSketch(s: SparkSession, sketchDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val stored = s.read.parquet(sketchDir).select($"scope", $"sketch")
+    val merged = kmvSketches(stored
+      .unionByName(kmvSketches(kmvHashes(batch)))
+      .select($"scope", explode($"sketch").as("h"))
+      .as[(String, Long)])
+    val tmp = new org.apache.hadoop.fs.Path(sketchDir + "_fresh")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    Similarity.swapDirInto(s, tmp, new org.apache.hadoop.fs.Path(sketchDir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
     // RANDOM'02) over the corpus's 3-gram shingles, per source and
@@ -149,25 +221,22 @@ object TextAnalysis {
     // bit cleared, so the DuckDB oracle restates the ranking over
     // identical BIGINT values.
     "txt_distinct_kmv" -> { (s, d) =>
+      val perSrc = kmvSketches(kmvHashes(Tables.documents(s, d)))
+      kmvEstimates(perSrc.unionByName(totalKmvSketch(perSrc)))
+    },
+
+    // The stored-sketch round trip (the *_stored convention): persist
+    // the per-source sketches, read them back, estimate from the
+    // stored relation — the incremental-corpus-stats deployment shape
+    // (mergeIntoKmvSketch keeps the same relation current batch by
+    // batch). Long arrays round-trip parquet exactly, so this shares
+    // txt_distinct_kmv's oracle verbatim.
+    "txt_distinct_kmv_stored" -> { (s, d) =>
       import s.implicits._
-      val k = KmvK
-      val grams = Tables.documents(s, d)
-        .select($"source", explode(Dedup.shingleHashes($"text")).as("h64"))
-        .select($"source", ($"h64".bitwiseAND(lit(Long.MaxValue))).as("h"))
-        .as[(String, Long)]
-      val perSrc = kmvSketches(grams)
-      val tot = perSrc.select(explode($"sketch").as("h")).as[Long]
-        .select(KmvAggregator.toColumn.name("sketch"))
-        .select(lit("*").as("scope"), $"sketch")
-      perSrc.unionByName(tot)
-        .select($"scope",
-          size($"sketch").cast("int").as("k_used"),
-          when(size($"sketch") > 0, element_at($"sketch", -1)).as("kth_hash"))
-        .withColumn("est_distinct",
-          when($"k_used" < k, $"k_used".cast("double"))
-            .otherwise(round(lit((k - 1).toDouble * TwoTo63) /
-              $"kth_hash".cast("double"), 4)))
-        .select($"scope", $"k_used", $"kth_hash", $"est_distinct")
+      val dir = Similarity.storedQueryDir("kmv", d)
+      writeKmvSketch(s, d, dir)
+      val perSrc = s.read.parquet(dir).select($"scope", $"sketch")
+      kmvEstimates(perSrc.unionByName(totalKmvSketch(perSrc)))
     },
 
     // Sketch SET OPERATIONS — the theta-sketch intersection over the
@@ -1483,7 +1552,7 @@ object TextAnalysis {
               + COALESCE(per.sw, 0.0), 5) + 0.0 AS nb_score
           FROM lab l CROSS JOIN pri LEFT JOIN per ON per.doc_id = l.doc_id"""
 
-  val oracles: Map[String, String] = Map(
+  private lazy val oraclesBase: Map[String, String] = Map(
     // The sketch restated exactly: distinct shingle strings per
     // source, the shared FNV-1a's sign-cleared 63-bit value
     // (Dedup.sqlFnv63 — the first oracle where the hash VALUES
@@ -1706,6 +1775,9 @@ object TextAnalysis {
     // round-trips the double weights/prior exactly)
     "txt_quality_classifier" -> nbClassifierOracle,
     "txt_quality_classifier_stored" -> nbClassifierOracle,
+    // stored-sketch round trip: long arrays round-trip parquet
+    // exactly, so the stored query shares the session oracle STRING
+    // (the sim_ann_pq_stored convention) — appended post-Map below
     "txt_tfidf_top" ->
       s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
           tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
@@ -1914,4 +1986,10 @@ object TextAnalysis {
               AND NOT COALESCE(contains(text, '{'), FALSE)
               THEN 1 ELSE 0 END::BIGINT AS keep
           FROM m""")
+
+  /** The base map plus the stored round trips that share a session
+    * oracle STRING verbatim (the sim_ann_pq_stored convention).
+    */
+  lazy val oracles: Map[String, String] =
+    oraclesBase + ("txt_distinct_kmv_stored" -> oraclesBase("txt_distinct_kmv"))
 }

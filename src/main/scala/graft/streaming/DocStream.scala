@@ -114,4 +114,22 @@ object DocStream {
         sink(TextAnalysis.scoreDocsWithNbModel(batch.toDF(), w, prior))
       }.start()
   }
+
+  /** Maintain a STORED KMV sketch (written by
+    * [[TextAnalysis.writeKmvSketch]]) from a document stream —
+    * continuously-current corpus stats: each micro-batch pays ONE
+    * sketch pass over the batch plus a sketch-sized reread/merge
+    * ([[TextAnalysis.mergeIntoKmvSketch]] — exact by the KMV merge
+    * algebra, order-independent, crash-safe swap). State lives in the
+    * stored relation, not the stream: the query restarts with nothing
+    * to rebuild. Single-writer per sketch dir, as every stored-index
+    * maintainer here.
+    */
+  def distinctStream(docs: DataFrame,
+      sketchDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextAnalysis.mergeIntoKmvSketch(batch.sparkSession, sketchDir,
+          batch.toDF())
+      }.start()
 }

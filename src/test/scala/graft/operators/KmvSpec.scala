@@ -3,6 +3,10 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Minimal document row for the KMV streaming tests. */
+case class KmvDoc(doc_id: Long, text: String, lang: String, source: String,
+    n_chars: Long)
+
 /** txt_distinct_kmv — the KMV sketch's estimator and algebra: accuracy
   * against the exact distinct count, the exact small-sketch branch,
   * and the union property the TOTAL scope is read from.
@@ -130,6 +134,75 @@ class KmvSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(jac - trueJ) < 1e-9, s"$src jaccard $jac != $trueJ")
     }
+  }
+
+  test("stored sketch + batch merges equal the one-shot sketch of the union") {
+    import spark.implicits._
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"m${seed}w$i").mkString(" ")
+    val a = (1L to 30L).map(i => KmvDoc(i, words(i.toInt, 20), "en",
+      s"src${i % 3}", 0L))
+    val b = (31L to 60L).map(i => KmvDoc(i, words(i.toInt / 2, 25), "en",
+      s"src${i % 3}", 0L))
+    val dirA = java.nio.file.Files.createTempDirectory("kmvA").toString
+    val dirAB = java.nio.file.Files.createTempDirectory("kmvAB").toString
+    a.toDF().write.parquet(s"$dirA/documents.parquet")
+    (a ++ b).toDF().write.parquet(s"$dirAB/documents.parquet")
+
+    val sketchDir = java.nio.file.Files.createTempDirectory("kmvsk")
+      .toString + "/sketch"
+    TextAnalysis.writeKmvSketch(spark, dirA, sketchDir)
+    TextAnalysis.mergeIntoKmvSketch(spark, sketchDir, b.toDF())
+
+    def sk(dir: String) = spark.read.parquet(dir)
+      .as[(String, Seq[Long])].collect().toMap
+    val oneShotDir = java.nio.file.Files.createTempDirectory("kmv1")
+      .toString + "/sketch"
+    TextAnalysis.writeKmvSketch(spark, dirAB, oneShotDir)
+    assert(sk(sketchDir) == sk(oneShotDir),
+      "incremental merge diverged from the one-shot sketch")
+    // and the declared stored query agrees with the session query
+    val session = TextAnalysis.queries("txt_distinct_kmv")(spark, dirAB)
+      .as[(String, Int, java.lang.Long, Double)].collect().toSet
+    val stored = TextAnalysis.queries("txt_distinct_kmv_stored")(spark, dirAB)
+      .as[(String, Int, java.lang.Long, Double)].collect().toSet
+    assert(session.nonEmpty && stored == session)
+  }
+
+  test("streamed sketch maintenance equals the one-shot sketch (two-batch replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"s${seed}w$i").mkString(" ")
+    val docs = (1L to 40L).map(i => KmvDoc(i, words(i.toInt % 7, 22), "en",
+      s"src${i % 2}", 0L))
+    val sketchDir = java.nio.file.Files.createTempDirectory("kmvstream")
+      .toString + "/sketch"
+    // seed the stored relation (empty corpus) so the first merge reads it
+    val emptyDir = java.nio.file.Files.createTempDirectory("kmvempty").toString
+    Seq.empty[KmvDoc].toDF().write.parquet(s"$emptyDir/documents.parquet")
+    TextAnalysis.writeKmvSketch(spark, emptyDir, sketchDir)
+
+    val mem = MemoryStream[KmvDoc]
+    val q = graft.streaming.DocStream.distinctStream(mem.toDF(), sketchDir)
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val oneShotDir = java.nio.file.Files.createTempDirectory("kmvall").toString
+    docs.toDF().write.parquet(s"$oneShotDir/documents.parquet")
+    val expectDir = java.nio.file.Files.createTempDirectory("kmvexp")
+      .toString + "/sketch"
+    TextAnalysis.writeKmvSketch(spark, oneShotDir, expectDir)
+    def sk(dir: String) = spark.read.parquet(dir)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(sk(sketchDir) == sk(expectDir),
+      "streamed sketch diverged from the one-shot sketch")
   }
 
   test("TOTAL scope equals the sketch of the union (KMV merge property)") {
