@@ -304,7 +304,8 @@ object Pq {
     * so a contract change (rounding, tie-break, k) cannot fork them.
     */
   private[operators] def rerankTail(s: SparkSession, d: String,
-      scored: DataFrame, candidates: Int, k: Int): DataFrame = {
+      scored: DataFrame, candidates: Int, k: Int,
+      queries: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     // winnow the ADC stream per partition before the rank window
     // (Similarity.winnowTopPerKey: output-invariant, kills the full
@@ -315,16 +316,18 @@ object Pq {
         Window.partitionBy($"q_id").orderBy($"adc".desc, $"n_id".asc)))
       .filter($"crank" <= candidates)
       .select($"q_id", $"n_id")
-    fineRerank(s, d, coarse, k)
+    fineRerank(s, d, coarse, k, queries)
   }
 
   /** The exact full-width re-rank of a coarse candidate set — shared
     * by both coarse front-ends (the ADC join winnow above and the LUT
     * scan in [[pqProbe]]) so the contract (rounding, tie-break, k)
-    * cannot fork.
+    * cannot fork. `queries` defaults to the declared corpus query set
+    * (the serving entry points pass their own (q_id, q_emb, q_nrm)
+    * relation — the topkLshStoredFor convention).
     */
   private[graft] def fineRerank(s: SparkSession, d: String, coarse: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, queries: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
     val full = Tables.embeddings(s, d)
@@ -332,7 +335,8 @@ object Pq {
         VectorFunctions.norm($"embedding").as("nrm"))
     coarse
       .join(full, Seq("n_id"))
-      .join(broadcast(queryRelation(s, d)), Seq("q_id"))
+      .join(broadcast(queries.getOrElse(queryRelation(s, d))
+        .select($"q_id", $"q_emb", $"q_nrm")), Seq("q_id"))
       .select($"q_id", $"n_id",
         round(VectorFunctions.cosineFrom(
           VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
@@ -357,7 +361,7 @@ object Pq {
     * two can never drift (the lshProbe/ivfProbe convention).
     */
   private def pqProbe(s: SparkSession, d: String, idx: PqIndex, k: Int,
-      candidates: Int): DataFrame = {
+      candidates: Int, queries: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     // The FAISS ADC trick done relationally: per query, the dot of
     // its sub-slices against every codeword is precomputed ONCE into
@@ -371,7 +375,7 @@ object Pq {
     // subspace order, so scores are bit-identical; per-partition
     // TopBuf winnowing under the rank window's exact comparator keeps
     // the output invariant (the coarseScanTopC argument).
-    val qRows = queryRelation(s, d)
+    val qRows = queries.getOrElse(queryRelation(s, d))
       .select($"q_id", $"q_emb")
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val cb = idx.codebooks
@@ -438,7 +442,7 @@ object Pq {
         Window.partitionBy($"q_id").orderBy($"adc".desc, $"n_id".asc)))
       .filter($"crank" <= candidates)
       .select($"q_id", $"n_id")
-    fineRerank(s, d, coarse, k)
+    fineRerank(s, d, coarse, k, queries)
   }
 
   /** IVF-PQ composition — the FAISS deployment shape: the IVF coarse
@@ -468,12 +472,13 @@ object Pq {
 
   private def ivfPqProbe(s: SparkSession, d: String,
       ivf: Similarity.IvfIndex, pq: PqIndex, k: Int,
-      candidates: Int): DataFrame = {
+      candidates: Int, queries: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val np = Similarity.defaultNProbe(ivf.cents.length, ivf.cellCounts)
     val adc = adcScore(pq.codebooks) _
-    val qCells = queryRelation(s, d).select($"q_id", $"q_emb",
-      explode(Similarity.nearestCellsCol(ivf.cents, np)($"q_emb")).as("cell"))
+    val qCells = queries.getOrElse(queryRelation(s, d))
+      .select($"q_id", $"q_emb",
+        explode(Similarity.nearestCellsCol(ivf.cents, np)($"q_emb")).as("cell"))
     // the stored IVF-PQ relation: cell + codes, no vectors
     val members = ivf.assigned.select($"vec_id", $"cell")
       .join(pq.codes, Seq("vec_id"))
@@ -484,7 +489,7 @@ object Pq {
       .join(members, Seq("cell"))
       .filter($"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id".as("n_id"), adc($"q_emb", $"codes").as("adc"))
-    rerankTail(s, d, scored, candidates, k)
+    rerankTail(s, d, scored, candidates, k, queries)
   }
 
   /** Per-cell L2 means of the RAW member vectors — the residual
@@ -654,12 +659,12 @@ object Pq {
 
   private def resProbe(s: SparkSession, d: String,
       ivf: Similarity.IvfIndex, idx: ResPqIndex, k: Int,
-      candidates: Int): DataFrame = {
+      candidates: Int, queries: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
     val np = Similarity.defaultNProbe(ivf.cents.length, ivf.cellCounts)
     val adc = adcScore(idx.codebooks) _
-    val qCells = queryRelation(s, d)
+    val qCells = queries.getOrElse(queryRelation(s, d))
       .select($"q_id", $"q_emb",
         explode(Similarity.nearestCellsCol(ivf.cents, np)($"q_emb")).as("cell"))
       .join(broadcast(meansDf(s, idx.means)), Seq("cell"))
@@ -672,8 +677,27 @@ object Pq {
       .filter($"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id".as("n_id"),
         ($"cdot" + adc($"q_emb", $"codes")).as("adc"))
-    rerankTail(s, d, scored, candidates, k)
+    rerankTail(s, d, scored, candidates, k, queries)
   }
+
+  /** Serving entry points (the topkLshStoredFor convention): probe a
+    * stored composition with an ARBITRARY (q_id, q_emb, q_nrm) query
+    * relation — a streaming micro-batch of live queries is exactly
+    * this shape ([[graft.streaming.VecStream]]). `d` stays the corpus
+    * the exact re-rank pages full vectors from.
+    */
+  def topkIvfPqStoredFor(s: SparkSession, queries: DataFrame, d: String,
+      ivfDir: String, pqDir: String, k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame =
+    ivfPqProbe(s, d, Similarity.readIvfIndex(s, ivfDir),
+      readPqIndex(s, pqDir), k, candidates, Some(queries))
+
+  /** [[topkIvfPqStoredFor]] for the residual composition. */
+  def topkIvfPqResStoredFor(s: SparkSession, queries: DataFrame, d: String,
+      ivfDir: String, resDir: String, k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame =
+    resProbe(s, d, Similarity.readIvfIndex(s, ivfDir),
+      readResPqIndex(s, resDir), k, candidates, Some(queries))
 
   /** Write the built PQ index — the stored-index half of the
     * build-once contract (see Similarity.writeIvfIndex): the codes

@@ -316,12 +316,13 @@ object Sq {
     */
   private def ivfSqProbe(s: SparkSession, d: String,
       ivf: Similarity.IvfIndex, sq: SqIndex, k: Int,
-      candidates: Int): DataFrame = {
+      candidates: Int, queries: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val np = Similarity.defaultNProbe(ivf.cents.length, ivf.cellCounts)
     val dd = sqDecodeDot(sq.decodeTable) _
-    val qCells = Pq.queryRelation(s, d).select($"q_id", $"q_emb", $"q_nrm",
-      explode(Similarity.nearestCellsCol(ivf.cents, np)($"q_emb")).as("cell"))
+    val qCells = queries.getOrElse(Pq.queryRelation(s, d))
+      .select($"q_id", $"q_emb", $"q_nrm",
+        explode(Similarity.nearestCellsCol(ivf.cents, np)($"q_emb")).as("cell"))
     // the stored IVF-SQ relation: cell + codes + decoded norm, no vectors
     val members = ivf.assigned.select($"vec_id", $"cell")
       .join(sq.codes, Seq("vec_id"))
@@ -333,8 +334,19 @@ object Sq {
       .filter($"q_id" =!= $"vec_id")
       .select($"q_id", $"vec_id".as("n_id"),
         (dd($"q_emb", $"codes") / $"q_nrm" / $"dnrm").as("adc"))
-    Pq.rerankTail(s, d, scored, candidates, k)
+    Pq.rerankTail(s, d, scored, candidates, k, queries)
   }
+
+  /** Serving entry point (the topkLshStoredFor convention): probe the
+    * stored IVF-SQ composition with an ARBITRARY (q_id, q_emb, q_nrm)
+    * query relation — a streaming micro-batch of live queries is
+    * exactly this shape ([[graft.streaming.VecStream]]).
+    */
+  def topkIvfSqStoredFor(s: SparkSession, queries: DataFrame, d: String,
+      ivfDir: String, sqDir: String, k: Int = Similarity.TopK,
+      candidates: Int = SqCandidates): DataFrame =
+    ivfSqProbe(s, d, Similarity.readIvfIndex(s, ivfDir),
+      readSqIndex(s, sqDir), k, candidates, Some(queries))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the codes relation as exploded scalar rows (the pq_build

@@ -82,4 +82,52 @@ object VecStream {
         Similarity.appendToIvfIndex(batch.sparkSession, indexDir,
           batch.toDF())
       }.start()
+
+  /** [[probeStream]] against the stored COMPRESSED compositions — the
+    * serving shapes where the scan reads codes, not vectors (the exact
+    * re-rank pages full vectors from the corpus at `d`, the shared
+    * stored-codes contract). Per-trigger cost: the batch's probed
+    * cells at code bandwidth + a batch-sized re-rank.
+    */
+  def probeStreamIvfPq(queries: DataFrame, d: String, ivfDir: String,
+      pqDir: String, k: Int = Similarity.TopK)(
+      sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(graft.operators.Pq.topkIvfPqStoredFor(batch.sparkSession,
+          batch.toDF(), d, ivfDir, pqDir, k))
+      }.start()
+
+  /** [[probeStreamIvfPq]] for the residual composition. */
+  def probeStreamIvfPqRes(queries: DataFrame, d: String, ivfDir: String,
+      resDir: String, k: Int = Similarity.TopK)(
+      sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(graft.operators.Pq.topkIvfPqResStoredFor(batch.sparkSession,
+          batch.toDF(), d, ivfDir, resDir, k))
+      }.start()
+
+  /** [[probeStreamIvfPq]] for the SQ8 composition. */
+  def probeStreamIvfSq(queries: DataFrame, d: String, ivfDir: String,
+      sqDir: String, k: Int = Similarity.TopK)(
+      sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(graft.operators.Sq.topkIvfSqStoredFor(batch.sparkSession,
+          batch.toDF(), d, ivfDir, sqDir, k))
+      }.start()
+
+  /** Maintain the stored residual-PQ codes from a stream of new
+    * vectors: frozen coarse quantizer + frozen means + frozen
+    * codebooks ([[graft.operators.Pq.appendToResPqIndex]]); the IVF
+    * half appends through [[appendStreamIvf]] as usual.
+    */
+  def appendStreamRes(vectors: DataFrame, ivfDir: String,
+      resDir: String): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.Pq.appendToResPqIndex(batch.sparkSession, ivfDir,
+          resDir, batch.toDF())
+      }.start()
 }

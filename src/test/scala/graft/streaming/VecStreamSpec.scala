@@ -168,4 +168,86 @@ class VecStreamSpec extends AnyFunSuite {
     assert(clone.isDefined, s"appended clone not found in ${after.toSeq}")
     assert(clone.get._3 == 1.0, s"clone cosine ${clone.get._3}")
   }
+
+  test("compressed compositions: streamed probe micro-batches union to the stored probes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Pq, Sq}
+    val base = java.nio.file.Files.createTempDirectory("vecstreamc").toString
+    val (ivfDir, pqDir, resDir, sqDir) =
+      (s"$base/ivf", s"$base/pq", s"$base/res", s"$base/sq")
+    Similarity.writeIvfIndex(spark, fixture, ivfDir)
+    Pq.writePqIndex(spark, fixture, pqDir)
+    Pq.writeResPqIndex(spark, fixture, resDir)
+    Sq.writeSqIndex(spark, fixture, sqDir)
+
+    def run(label: String,
+        start: org.apache.spark.sql.DataFrame => (
+          org.apache.spark.sql.DataFrame => Unit) =>
+          org.apache.spark.sql.streaming.StreamingQuery,
+        expected: Set[(Long, Long, Double, Int)]): Unit = {
+      assert(expected.nonEmpty, s"$label: empty expectation")
+      val results =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double, Int)]
+      val mem = MemoryStream[QVec]
+      val q = start(withNorm(mem.toDF())) { batchTopk =>
+        batchTopk.as[(Long, Long, Double, Int)].collect().foreach(results.add)
+      }
+      try {
+        val qs = fixtureQueries
+        val (a, b) = qs.splitAt(qs.length / 2)
+        mem.addData(a.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(b.toSeq: _*)
+        q.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(results.asScala.toSet == expected,
+          s"$label: stream ${results.size} rows != batch ${expected.size}")
+      } finally q.stop()
+    }
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    run("ivfpq",
+      qs => VecStream.probeStreamIvfPq(qs, fixture, ivfDir, pqDir),
+      rows(Pq.topkIvfPqStored(spark, fixture, ivfDir, pqDir)))
+    run("ivfpq_res",
+      qs => VecStream.probeStreamIvfPqRes(qs, fixture, ivfDir, resDir),
+      rows(Pq.topkIvfPqResStored(spark, fixture, ivfDir, resDir)))
+    run("ivfsq",
+      qs => VecStream.probeStreamIvfSq(qs, fixture, ivfDir, sqDir),
+      rows(Sq.topkIvfSqStored(spark, fixture, ivfDir, sqDir)))
+  }
+
+  test("residual append stream: streamed codes equal the build's for clones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pq
+    val base = java.nio.file.Files.createTempDirectory("vecstreamr").toString
+    val (ivfDir, resDir) = (s"$base/ivf", s"$base/res")
+    Similarity.writeIvfIndex(spark, fixture, ivfDir)
+    Pq.writeResPqIndex(spark, fixture, resDir)
+
+    val clones = graft.Tables.embeddings(spark, fixture)
+      .filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val mem = MemoryStream[NVec]
+    val q = VecStream.appendStreamRes(mem.toDF(), ivfDir, resDir)
+    try {
+      val (a, b) = clones.splitAt(clones.length / 2)
+      mem.addData(a.map { case (id, e) => NVec(id + 1000000L, e) }.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.map { case (id, e) => NVec(id + 1000000L, e) }.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val codes = spark.read.parquet(s"$resDir/codes")
+      .as[(Long, Long, Array[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3.toSeq))).toMap
+    clones.foreach { case (id, _) =>
+      assert(codes(id + 1000000L) == codes(id),
+        s"streamed residual append (cell, codes) for clone of $id diverged")
+    }
+  }
 }
