@@ -69,6 +69,16 @@ object AnnCompare {
       val recall = (truth & got).size.toDouble / truth.size
       println(f"$name%-17s $recall%8.3f    $warm%8.2f   (first ${cold}%.2f)")
     }
+
+    // C-sweep for the coarse-projection probes: is the recall dilution
+    // the constant budget C failing to cover a neighborhood that GREW
+    // (the duplicated-copy fixture property), or the projection itself?
+    Seq(100, 400, 1600).foreach { c =>
+      val (gp, tp) = timed(pairs(Similarity.topkProjected(spark, sf,
+        candidates = c)))
+      val rp = (truth & gp).size.toDouble / truth.size
+      println(f"[csweep] sim_ann_proj C=$c%-5d recall=$rp%.3f warm=$tp%.2f s")
+    }
     spark.stop()
   }
 }
