@@ -333,6 +333,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"coarse pass ships corpus vectors:\n$p")
   }
 
+  test("residual IVF-PQ coarse pass ships codes, not corpus vectors") {
+    // same contract as the raw composition: the cell-keyed candidate
+    // join carries (vec_id, cell, codes) — the 256-byte embeddings
+    // only reach the exact re-rank
+    val p = plan("sim_ann_ivfpq_res")
+    val cellScans = p.split('\n')
+      .filter(l => l.contains("InMemoryTableScan") && l.contains("codes"))
+    assert(cellScans.nonEmpty, s"expected a cached residual-codes scan:\n$p")
+    assert(cellScans.forall(l => !l.contains("embedding") && !l.contains("nrm")),
+      s"residual coarse pass ships corpus vectors:\n$p")
+  }
+
   test("no declared query windows over bare `source` (class-wide skew guard)") {
     // A Window whose ONLY partition key is `source` routes every
     // document of a source through one task and buffers the partition
