@@ -963,12 +963,18 @@ object Pq {
     * mirror of [[rerankTail]], defined once so kernel and oracle
     * contracts change together.
     */
-  private def sqlRerankTail: String =
+  private def sqlRerankTail: String = sqlRerankTailC(PqCandidates)
+
+  /** The tail at an explicit candidate budget — shared with the
+    * binary-quantization oracle ([[Bq]]), whose probe ends in the same
+    * [[rerankTail]] kernel.
+    */
+  private[operators] def sqlRerankTailC(candidates: Int): String =
     s"""coarse AS (
           SELECT q_id, n_id FROM (
             SELECT q_id, n_id, ROW_NUMBER() OVER (
               PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS crank
-            FROM adc) WHERE crank <= $PqCandidates),
+            FROM adc) WHERE crank <= $candidates),
         scored AS (
           SELECT c.q_id, c.n_id,
             ROUND(${Similarity.sqlCos("q.embedding", "n.embedding")}, 4) + 0.0 AS cos_sim

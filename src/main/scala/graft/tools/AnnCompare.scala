@@ -59,6 +59,7 @@ object AnnCompare {
       "sim_ann_pq" -> (() => Pq.queries("sim_ann_pq")(spark, sf)),
       "sim_ann_ivfpq" -> (() => Pq.queries("sim_ann_ivfpq")(spark, sf)),
       "sim_ann_ivfpq_res" -> (() => Pq.queries("sim_ann_ivfpq_res")(spark, sf)),
+      "sim_ann_bq" -> (() => graft.operators.Bq.queries("sim_ann_bq")(spark, sf)),
       "sim_ann_sq" -> (() => Sq.queries("sim_ann_sq")(spark, sf)),
       "sim_ann_ivfsq" -> (() => Sq.queries("sim_ann_ivfsq")(spark, sf)))
 
