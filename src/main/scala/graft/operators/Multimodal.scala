@@ -109,6 +109,111 @@ object Multimodal {
     v
   }
 
+  /** pHash geometry: the content grid is average-pooled to
+    * [[PhashN]]×[[PhashN]] block means, DCT-II'd, and the 63 non-DC
+    * coefficients threshold at their median — the classic perceptual
+    * hash (pHash/Zauner 2010). 64 bits = one BIGINT; near-dup =
+    * hamming ≤ [[PhashThreshold]], found at scale by exact-match
+    * banding: [[PhashBands]] 16-bit bands, lossless at ≤ 3 differing
+    * bits by pigeonhole (3 bad bits can dirty at most 3 of 4 bands).
+    */
+  val PhashN = 8
+  val PhashThreshold = 3
+  val PhashBands = 4
+
+  /** DCT-II basis C[u][i] = cos(π(2i+1)u/(2N)), computed ONCE and
+    * rendered into the oracle as double literals — libm cos is not
+    * guaranteed identically rounded across engines; a shared literal
+    * table is, so coefficient comparisons can never straddle an ulp.
+    */
+  val PhashDct: Array[Array[Double]] = Array.tabulate(PhashN, PhashN)(
+    (u, i) => math.cos(math.Pi * (2 * i + 1) * u / (2.0 * PhashN)))
+
+  @inline private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+  /** The grid pHash over a (w × h) row-major luminance stream:
+    * integer block sums over the REAL bytes (pixels past the stream's
+    * length read as 0 — the zero-pad contract), closed-form block
+    * pixel counts (so padding never needs enumerating), means as
+    * exact int/int doubles, the literal-table DCT accumulated in
+    * block-linear order, median threshold over the 63 non-DC
+    * coefficients (the 32nd order statistic — tie-safe: the VALUE at
+    * the sorted position is deterministic under any tie order).
+    * Every step is integer or order-pinned double arithmetic, so the
+    * DuckDB oracle reproduces the hash bit-for-bit.
+    */
+  private[operators] def phashGrid(w: Int, h: Int, cb: Array[Byte]): Long = {
+    val n = PhashN
+    if (w <= 0 || h <= 0) return 0L
+    val sums = new Array[Long](n * n)
+    val total = math.min(if (cb == null) 0L else cb.length.toLong,
+      w.toLong * h)
+    var p = 0L
+    while (p < total) {
+      val x = (p % w).toInt
+      val y = (p / w).toInt
+      sums((y * n / h) * n + (x * n / w)) += (cb(p.toInt) & 0xff)
+      p += 1
+    }
+    val m = new Array[Double](n * n)
+    var bj = 0
+    while (bj < n) {
+      val ch = ceilDiv((bj + 1).toLong * h, n) - ceilDiv(bj.toLong * h, n)
+      var bi = 0
+      while (bi < n) {
+        val cw = ceilDiv((bi + 1).toLong * w, n) - ceilDiv(bi.toLong * w, n)
+        val cnt = cw * ch
+        m(bj * n + bi) = if (cnt == 0) 0.0 else sums(bj * n + bi).toDouble / cnt
+        bi += 1
+      }
+      bj += 1
+    }
+    val f = new Array[Double](n * n)
+    var u = 0
+    while (u < n) {
+      var v = 0
+      while (v < n) {
+        var acc = 0.0
+        var q = 0
+        while (q < n * n) {
+          acc += m(q) * PhashDct(u)(q % n) * PhashDct(v)(q / n)
+          q += 1
+        }
+        // round(6): the float dust of Σcos ≈ 0 (the basis rows only
+        // sum to zero in exact arithmetic) must not mint bits — a
+        // CONSTANT image would otherwise hash to a deterministic
+        // noise pattern instead of 0. Same HALF_UP semantics as the
+        // oracle's ROUND(...,6).
+        f(u * n + v) = BigDecimal(acc)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = java.util.Arrays.copyOfRange(f, 1, n * n)
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var sig = 0L
+    var l = 1
+    while (l < n * n) {
+      if (f(l) > med) sig |= 1L << (l - 1)
+      l += 1
+    }
+    sig
+  }
+
+  /** pHash through the decode seam: the decoder's dims shape the grid
+    * and its canonical content stream fills it — so the hash sees
+    * what the payload DEPICTS (container-invariant, and with real
+    * decoders resize-tolerant: pooling + low-frequency DCT absorb
+    * rescaling, which the byte-4-gram [[contentSketch]] cannot).
+    * None when the payload doesn't decode.
+    */
+  def phashOf(dec: MediaDecoder)(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    dec.dims(bytes).map { case (w, h) =>
+      (w, h, phashGrid(w, h, dec.contentBytes(bytes)))
+    }
+
   /** STUB: deterministic stand-in for an image/audio decoder — derives
     * "dimensions" and "pixels" from the payload bytes, so every stage
     * around it is oracle-checkable in a container with no media
@@ -788,7 +893,92 @@ object Multimodal {
       }.toDF("media_id", "frame_idx", "frame")
   }
 
+  /** The (media_id, width, height, phash) relation through the
+    * hermetic decoder — row-local (one grid pass per payload), shared
+    * by mm_phash and dedup_phash.
+    */
+  private def phashRelation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaRelation(s, d).select($"media_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val ph = phashOf(FakeDecoder) _
+        it.map { case (id, b) =>
+          val (w, h, sig) = ph(b).get // the hermetic decoder is total
+          (id, w, h, sig)
+        }
+      }.toDF("media_id", "width", "height", "phash")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Perceptual hash (pHash): block-mean pooling → literal-table DCT
+    // → median-threshold bits, through the decode seam — the
+    // container- AND (with real decoders) resize-invariant media
+    // fingerprint the byte-gram signature can't be. Row-local.
+    "mm_phash" -> ((s, d) => phashRelation(s, d)),
+
+    // pHash near-dup: hamming ≤ PhashThreshold via exact-match
+    // banding — PhashBands 16-bit bands, LOSSLESS at ≤ 3 differing
+    // bits by pigeonhole (3 bad bits dirty at most 3 of 4 bands), so
+    // the one (band, value) equi-join exchange replaces the all-pairs
+    // scan with zero recall loss; band rows carry both hashes so the
+    // verify is join-local. Zero hashes (undecodable/empty content)
+    // are excluded, the zero-norm signature convention.
+    "dedup_phash" -> { (s, d) =>
+      import s.implicits._
+      val rel = phashRelation(s, d)
+        .filter($"phash" =!= 0L).select($"media_id", $"phash")
+      val bands = rel.select($"media_id", $"phash",
+          explode(array((0 until PhashBands).map { k =>
+            struct(lit(k).as("band"),
+              shiftright($"phash", 16 * k).bitwiseAND(lit(0xffffL)).as("bval"))
+          }: _*)).as("bs"))
+        .select($"media_id", $"phash",
+          $"bs.band".as("band"), $"bs.bval".as("bval"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          col("a.phash").bitwiseXOR(col("b.phash")).as("x"))
+        .select($"id_a", $"id_b",
+          expr("bit_count(x)").cast("int").as("hamming"))
+        .filter($"hamming" <= PhashThreshold)
+        .distinct()
+    },
+
+    // Collapse-first pHash dedup (the dedup_media_collapsed ordering,
+    // for the duplication-dense corpora a pair report is quadratic
+    // on): hamming is a pure function of the hash, so identical-hash
+    // media are interchangeable — group them (one exchange), run the
+    // banded pair join over ONE representative per distinct hash, and
+    // report rep pairs with each side's collapsed multiplicity. At
+    // sf1 the plain report is 10.4M rows (≈100-way copies squared);
+    // this one is distinct-hash-pairs sized.
+    "dedup_phash_collapsed" -> { (s, d) =>
+      import s.implicits._
+      val groups = phashRelation(s, d)
+        .filter($"phash" =!= 0L)
+        .groupBy($"phash")
+        .agg(min($"media_id").as("rep"), count(lit(1)).as("n"))
+      val bands = groups.select($"rep", $"phash", $"n",
+          explode(array((0 until PhashBands).map { k =>
+            struct(lit(k).as("band"),
+              shiftright($"phash", 16 * k).bitwiseAND(lit(0xffffL)).as("bval"))
+          }: _*)).as("bs"))
+        .select($"rep", $"phash", $"n",
+          $"bs.band".as("band"), $"bs.bval".as("bval"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.rep") < col("b.rep"))
+        .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+          col("a.phash").bitwiseXOR(col("b.phash")).as("x"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+        .select($"rep_a", $"rep_b",
+          expr("bit_count(x)").cast("int").as("hamming"), $"n_a", $"n_b")
+        .filter($"hamming" <= PhashThreshold)
+        .distinct()
+    },
+
     // Metadata projection: must never deserialize payload bytes —
     // column pruning reads only the meta struct at the scan.
     "mm_meta" -> { (s, d) =>
@@ -994,7 +1184,92 @@ object Multimodal {
           mgrp AS (SELECT m.doc_id, g.g_rep, g.g_size
             FROM msnz m JOIN mgrp0 g ON m.sig = g.sig)"""
 
+  /** The pHash restated: byte lists → block-linear integer sums over
+    * the real bytes + closed-form block counts (ceil-div integer
+    * arithmetic, so the zero-padding never enumerates) → exact
+    * int/int means → the DCT against the SAME literal basis table the
+    * kernel uses (libm cos is not cross-engine reproducible; a shared
+    * literal is) accumulated in block-linear order → the 32nd order
+    * statistic of the 63 non-DC coefficients → strict-greater bits.
+    */
+  private def phashCte: String = {
+    val enc = "encode(COALESCE(text, ''))"
+    val n = PhashN
+    val cTab = PhashDct
+      .map(_.map(_.toString).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    s"""pbytes AS (SELECT doc_id,
+          CAST(octet_length($enc) AS BIGINT) AS n,
+          CAST(octet_length($enc) % 640 + 1 AS BIGINT) AS w,
+          CAST(CAST(octet_length($enc) AS BIGINT) * 7 % 480 + 1 AS BIGINT) AS h,
+          list_transform(generate_series(1, octet_length($enc)),
+            i -> instr('0123456789ABCDEF', substring(hex($enc), 2*i - 1, 1)) * 16
+               + instr('0123456789ABCDEF', substring(hex($enc), 2*i, 1)) - 17) AS bs
+        FROM documents),
+        ppix AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, CAST(LEAST(n, w * h) AS INT)),
+            p -> {'bj': (((p - 1) // w) * $n) // h,
+                  'bi': (((p - 1) % w) * $n) // w,
+                  'v': bs[p]})) AS px
+          FROM pbytes),
+        psum AS (SELECT doc_id, px.bj AS bj, px.bi AS bi, SUM(px.v) AS sv
+          FROM ppix GROUP BY 1, 2, 3),
+        pmc AS (SELECT b.doc_id, g.q,
+            (((g.q % $n) + 1) * b.w + ${n - 1}) // $n
+              - ((g.q % $n) * b.w + ${n - 1}) // $n AS cw,
+            (((g.q // $n) + 1) * b.h + ${n - 1}) // $n
+              - ((g.q // $n) * b.h + ${n - 1}) // $n AS chh,
+            COALESCE(ps.sv, 0) AS sv
+          FROM pbytes b
+          CROSS JOIN generate_series(0, ${n * n - 1}) AS g(q)
+          LEFT JOIN psum ps ON ps.doc_id = b.doc_id
+            AND ps.bj = g.q // $n AND ps.bi = g.q % $n),
+        pml AS (SELECT doc_id, list(
+            CASE WHEN cw * chh = 0 THEN 0.0
+              ELSE sv::DOUBLE / (cw * chh) END ORDER BY q) AS ml
+          FROM pmc GROUP BY doc_id),
+        pf AS (SELECT doc_id, l.l AS l,
+            ROUND(list_sum(list_transform(generate_series(1, ${n * n}), q ->
+              ml[q] * pc.c[(l.l // $n) + 1][((q - 1) % $n) + 1]
+                    * pc.c[(l.l % $n) + 1][((q - 1) // $n) + 1])), 6) + 0.0 AS f
+          FROM pml, (SELECT $cTab AS c) pc,
+            generate_series(0, ${n * n - 1}) AS l(l)),
+        pmed AS (SELECT doc_id, f AS med FROM (
+            SELECT doc_id, f, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY f ASC) AS rn
+            FROM pf WHERE l >= 1) WHERE rn = 32),
+        pph AS (SELECT pf.doc_id,
+            CAST(COALESCE(SUM(CASE WHEN pf.l >= 1 AND pf.f > pmed.med
+              THEN CAST(1 AS BIGINT) << CAST(pf.l - 1 AS INT)
+              ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS phash
+          FROM pf JOIN pmed ON pmed.doc_id = pf.doc_id
+          GROUP BY pf.doc_id)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_phash" ->
+      s"""WITH ${phashCte}
+          SELECT b.doc_id AS media_id, CAST(b.w AS INT) AS width,
+            CAST(b.h AS INT) AS height, p.phash
+          FROM pbytes b JOIN pph p USING (doc_id)""",
+    // the quadratic restatement — value-identical to the banded join
+    // because 4×16-bit banding is lossless at hamming ≤ 3
+    "dedup_phash" ->
+      s"""WITH ${phashCte}
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+          FROM pph a JOIN pph b ON a.doc_id < b.doc_id
+          WHERE a.phash <> 0 AND b.phash <> 0
+            AND bit_count(xor(a.phash, b.phash)) <= $PhashThreshold""",
+    "dedup_phash_collapsed" ->
+      s"""WITH ${phashCte},
+          pg AS (SELECT phash, MIN(doc_id) AS rep, COUNT(*) AS n
+            FROM pph WHERE phash <> 0 GROUP BY phash)
+          SELECT a.rep AS rep_a, b.rep AS rep_b,
+            CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+            a.n AS n_a, b.n AS n_b
+          FROM pg a JOIN pg b ON a.rep < b.rep
+          WHERE bit_count(xor(a.phash, b.phash)) <= $PhashThreshold""",
     "dedup_media" ->
       s"""WITH $mediaLshCte
           SELECT id_a, id_b, cos_sim FROM mpairs""",
