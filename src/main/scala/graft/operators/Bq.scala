@@ -81,9 +81,9 @@ object Bq {
     * on n_id in the shared tail).
     */
   private def bqProbe(s: SparkSession, d: String, idx: DataFrame, k: Int,
-      candidates: Int): DataFrame = {
+      candidates: Int, queries: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val qRows = Pq.queryRelation(s, d)
+    val qRows = queries.getOrElse(Pq.queryRelation(s, d))
       .select($"q_id", $"q_emb")
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val qIds = qRows.map(_._1)
@@ -116,8 +116,18 @@ object Bq {
         Window.partitionBy($"q_id").orderBy($"adc".desc, $"n_id".asc)))
       .filter($"crank" <= candidates)
       .select($"q_id", $"n_id")
-    Pq.fineRerank(s, d, coarse, k)
+    Pq.fineRerank(s, d, coarse, k, queries)
   }
+
+  /** Serving entry point (the topkLshStoredFor convention): probe the
+    * stored signatures with an ARBITRARY (q_id, q_emb, q_nrm) query
+    * relation — the streaming micro-batch shape.
+    */
+  def topkBqStoredFor(s: SparkSession, queries: DataFrame, d: String,
+      indexDir: String, k: Int = Similarity.TopK,
+      candidates: Int = BqCandidates): DataFrame =
+    bqProbe(s, d, s.read.parquet(s"$indexDir/sigs"), k, candidates,
+      Some(queries))
 
   /** Store the signature relation — no quantizer state to persist
     * (the threshold is literal zero), so the index is ONE parquet

@@ -118,6 +118,28 @@ object VecStream {
           batch.toDF(), d, ivfDir, sqDir, k))
       }.start()
 
+  /** [[probeStream]] against a stored binary-quantization index — the
+    * cheapest serving scan there is (one BIGINT per row, xor+popcount
+    * scoring) plus the batch-sized exact re-rank.
+    */
+  def probeStreamBq(queries: DataFrame, d: String, indexDir: String,
+      k: Int = Similarity.TopK)(sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(graft.operators.Bq.topkBqStoredFor(batch.sparkSession,
+          batch.toDF(), d, indexDir, k))
+      }.start()
+
+  /** Maintain the stored BQ signatures from a stream of new vectors —
+    * stateless encode, pure append.
+    */
+  def appendStreamBq(vectors: DataFrame, indexDir: String): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.Bq.appendToBqIndex(batch.sparkSession, indexDir,
+          batch.toDF())
+      }.start()
+
   /** Maintain the stored residual-PQ codes from a stream of new
     * vectors: frozen coarse quantizer + frozen means + frozen
     * codebooks ([[graft.operators.Pq.appendToResPqIndex]]); the IVF

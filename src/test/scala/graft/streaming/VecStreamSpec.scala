@@ -217,6 +217,12 @@ class VecStreamSpec extends AnyFunSuite {
     run("ivfsq",
       qs => VecStream.probeStreamIvfSq(qs, fixture, ivfDir, sqDir),
       rows(Sq.topkIvfSqStored(spark, fixture, ivfDir, sqDir)))
+
+    val bqDir = s"$base/bq"
+    graft.operators.Bq.writeBqIndex(spark, fixture, bqDir)
+    run("bq",
+      qs => VecStream.probeStreamBq(qs, fixture, bqDir),
+      rows(graft.operators.Bq.topkBqStored(spark, fixture, bqDir)))
   }
 
   test("residual append stream: streamed codes equal the build's for clones") {
