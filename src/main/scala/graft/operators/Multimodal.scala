@@ -121,6 +121,13 @@ object Multimodal {
   val PhashThreshold = 3
   val PhashBands = 4
 
+  /** Static pointer-jumping rounds in the cluster oracle — min-label
+    * with jumping converges in ≤ log₂(diameter) rounds, so 24 covers
+    * any rep graph up to ~2²⁰ nodes with margin (sf1's giant chained
+    * component: ~2×10⁴).
+    */
+  val PhashCcRounds = 24
+
   /** DCT-II basis C[u][i] = cos(π(2i+1)u/(2N)), computed ONCE and
     * rendered into the oracle as double literals — libm cos is not
     * guaranteed identically rounded across engines; a shared literal
@@ -910,6 +917,44 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "phash")
   }
 
+  /** One group per distinct nonzero hash: its min-id representative
+    * and multiplicity — one exchange, the collapse-first head shared
+    * by dedup_phash_collapsed and dedup_phash_cluster.
+    */
+  private def phashGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    phashRelation(s, d)
+      .filter($"phash" =!= 0L)
+      .groupBy($"phash")
+      .agg(min($"media_id").as("rep"), count(lit(1)).as("n"))
+  }
+
+  /** Banded rep-rep near-dup pairs over a (phash, rep, n) group
+    * relation: the pigeonhole-lossless (band, value) equi-join, both
+    * hashes carried so the hamming verify is join-local.
+    */
+  private def phashRepPairs(groups: DataFrame): DataFrame = {
+    val s = groups.sparkSession
+    import s.implicits._
+    val bands = groups.select($"rep", $"phash", $"n",
+        explode(array((0 until PhashBands).map { k =>
+          struct(lit(k).as("band"),
+            shiftright($"phash", 16 * k).bitwiseAND(lit(0xffffL)).as("bval"))
+        }: _*)).as("bs"))
+      .select($"rep", $"phash", $"n",
+        $"bs.band".as("band"), $"bs.bval".as("bval"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+        col("a.phash").bitwiseXOR(col("b.phash")).as("x"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .select($"rep_a", $"rep_b",
+        expr("bit_count(x)").cast("int").as("hamming"), $"n_a", $"n_b")
+      .filter($"hamming" <= PhashThreshold)
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Perceptual hash (pHash): block-mean pooling → literal-table DCT
     // → median-threshold bits, through the decode seam — the
@@ -955,28 +1000,29 @@ object Multimodal {
     // sf1 the plain report is 10.4M rows (≈100-way copies squared);
     // this one is distinct-hash-pairs sized.
     "dedup_phash_collapsed" -> { (s, d) =>
+      phashRepPairs(phashGroups(s, d))
+    },
+
+    // Cluster collapse over the pHash near-dup graph — the
+    // dedup_media_cluster role for the perceptual family, built
+    // collapse-FIRST (the blow-up argument: hamming is a pure
+    // function of the hash, so a hash group's members all carry their
+    // rep's edges verbatim): exact-hash groups → banded rep-rep
+    // edges → the shared CC kernel over reps only → labels blown back
+    // through the member→rep map. A node is emitted iff its group has
+    // ≥2 members or its rep has a rep-graph edge.
+    "dedup_phash_cluster" -> { (s, d) =>
       import s.implicits._
-      val groups = phashRelation(s, d)
-        .filter($"phash" =!= 0L)
-        .groupBy($"phash")
-        .agg(min($"media_id").as("rep"), count(lit(1)).as("n"))
-      val bands = groups.select($"rep", $"phash", $"n",
-          explode(array((0 until PhashBands).map { k =>
-            struct(lit(k).as("band"),
-              shiftright($"phash", 16 * k).bitwiseAND(lit(0xffffL)).as("bval"))
-          }: _*)).as("bs"))
-        .select($"rep", $"phash", $"n",
-          $"bs.band".as("band"), $"bs.bval".as("bval"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-            col("a.rep") < col("b.rep"))
-        .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
-          col("a.phash").bitwiseXOR(col("b.phash")).as("x"),
-          col("a.n").as("n_a"), col("b.n").as("n_b"))
-        .select($"rep_a", $"rep_b",
-          expr("bit_count(x)").cast("int").as("hamming"), $"n_a", $"n_b")
-        .filter($"hamming" <= PhashThreshold)
-        .distinct()
+      val groups = phashGroups(s, d)
+      val edges = phashRepPairs(groups)
+        .select($"rep_a".as("id_a"), $"rep_b".as("id_b"))
+      val cc = Dedup.connectedComponents(edges)
+        .select($"doc_id".as("g_rep"), $"rep_id".as("cc_rep"))
+      phashRelation(s, d).filter($"phash" =!= 0L)
+        .join(groups.select($"phash", $"rep".as("g_rep"), $"n"), Seq("phash"))
+        .join(cc, Seq("g_rep"), "left")
+        .filter($"cc_rep".isNotNull || $"n" >= 2)
+        .select($"media_id", coalesce($"cc_rep", $"g_rep").as("rep_id"))
     },
 
     // Metadata projection: must never deserialize payload bytes —
@@ -1270,6 +1316,43 @@ object Multimodal {
             a.n AS n_a, b.n AS n_b
           FROM pg a JOIN pg b ON a.rep < b.rep
           WHERE bit_count(xor(a.phash, b.phash)) <= $PhashThreshold""",
+    // star contraction + UNROLLED min-label pointer jumping — the
+    // recursive reach closure the media-cluster oracle uses
+    // materializes |component|² pairs and OOM'd DuckDB on this
+    // family's sf1 rep graph (one giant hamming-chained component of
+    // ~20k reps). This restates the Spark CC kernel's OWN algorithm
+    // instead: each round every node takes the min label among
+    // itself, its neighbors, and its label's label, which converges
+    // in ≤ log₂(diameter) rounds; [[PhashCcRounds]] static rounds
+    // cover any ≤ 2²⁰-node graph with margin, at |nodes|-sized
+    // relations per round instead of reach pairs.
+    "dedup_phash_cluster" ->
+      s"""WITH ${phashCte},
+          pg AS MATERIALIZED (SELECT phash, MIN(doc_id) AS g_rep,
+              COUNT(*) AS g_size
+            FROM pph WHERE phash <> 0 GROUP BY phash),
+          pe0 AS MATERIALIZED (SELECT a.g_rep AS u, b.g_rep AS v
+            FROM pg a JOIN pg b ON a.g_rep < b.g_rep
+            WHERE bit_count(xor(a.phash, b.phash)) <= $PhashThreshold),
+          pe AS MATERIALIZED (SELECT u, v FROM pe0 UNION SELECT v, u FROM pe0),
+          lab0 AS MATERIALIZED (SELECT DISTINCT u, u AS l FROM pe),
+          ${(1 to PhashCcRounds).map { k =>
+        s"""lab$k AS MATERIALIZED (SELECT u, MIN(l) AS l FROM (
+              SELECT u, l FROM lab${k - 1}
+              UNION ALL
+              SELECT e.u AS u, t.l AS l
+              FROM pe e JOIN lab${k - 1} t ON t.u = e.v
+              UNION ALL
+              SELECT s.u AS u, t.l AS l
+              FROM lab${k - 1} s JOIN lab${k - 1} t ON t.u = s.l
+            ) GROUP BY u)"""
+      }.mkString(",\n")},
+          prc AS (SELECT u, l AS rep FROM lab$PhashCcRounds)
+          SELECT m.doc_id AS media_id, COALESCE(prc.rep, m.g_rep) AS rep_id
+          FROM (SELECT p.doc_id, g.g_rep, g.g_size
+                FROM pph p JOIN pg g USING (phash)) m
+          LEFT JOIN prc ON prc.u = m.g_rep
+          WHERE prc.rep IS NOT NULL OR m.g_size >= 2""",
     "dedup_media" ->
       s"""WITH $mediaLshCte
           SELECT id_a, id_b, cos_sim FROM mpairs""",

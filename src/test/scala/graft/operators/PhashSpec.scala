@@ -61,6 +61,30 @@ class PhashSpec extends AnyFunSuite {
     }
   }
 
+  test("collapse-first cluster equals CC over the full pair graph (blow-up argument)") {
+    import org.apache.spark.sql.functions.col
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val full = Dedup.connectedComponents(
+        Multimodal.queries("dedup_phash")(spark, sf)
+          .select(col("id_a"), col("id_b")))
+      .as[(Long, Long)].collect().toMap
+    // identical-hash members carry hamming-0 edges, so the full graph
+    // already contains every node the collapsed form emits — the two
+    // labelings must be EQUAL, not just consistent
+    val collapsed = Multimodal.queries("dedup_phash_cluster")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(collapsed.nonEmpty)
+    assert(collapsed == full,
+      s"diff: ${(collapsed.toSet diff full.toSet).take(3)} / " +
+        s"${(full.toSet diff collapsed.toSet).take(3)}")
+  }
+
   test("real decoder: container-invariant (PNG == BMP), resize- and luminance-tolerant, unrelated separates") {
     val base = img(64, 64, "png")(scene(64, 64))
     val bmp = img(64, 64, "bmp")(scene(64, 64))
