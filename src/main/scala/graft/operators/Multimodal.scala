@@ -1362,16 +1362,33 @@ object Multimodal {
     "dedup_media_stored" ->
       s"""WITH $mediaLshCte
           SELECT id_a, id_b, cos_sim FROM mpairs""",
+    // UNROLLED min-label pointer jumping over the verified pair set —
+    // the same restatement of the Spark CC kernel's own algorithm the
+    // phash-cluster oracle uses (see that oracle's note). The earlier
+    // recursive reach closure materialized |component|² pairs and
+    // OOM'd DuckDB (>50 GB) on sf1's merged components (NOTES'
+    // r13-era gap); per-round relations here are |nodes|-sized, so
+    // the media CC path now has DIRECT big-SF oracle coverage instead
+    // of the chain argument. Label after convergence = component min
+    // = exactly LEAST(u, MIN(reachable v)); node set (DISTINCT u of
+    // the symmetrized edges) is identical to the reach closure's.
     "dedup_media_cluster" ->
-      s"""WITH RECURSIVE $mediaLshCte,
-          medges AS (SELECT id_a AS u, id_b AS v FROM mpairs
+      s"""WITH $mediaLshCte,
+          medges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM mpairs
             UNION SELECT id_b, id_a FROM mpairs),
-          mreach(u, v) AS (
-            SELECT u, v FROM medges
-            UNION
-            SELECT r.u, e.v FROM mreach r JOIN medges e ON r.v = e.u)
-          SELECT u AS media_id, LEAST(u, MIN(v)) AS rep_id
-          FROM mreach GROUP BY u""",
+          mlab0 AS MATERIALIZED (SELECT DISTINCT u, u AS l FROM medges),
+          ${(1 to PhashCcRounds).map { k =>
+        s"""mlab$k AS MATERIALIZED (SELECT u, MIN(l) AS l FROM (
+              SELECT u, l FROM mlab${k - 1}
+              UNION ALL
+              SELECT e.u AS u, t.l AS l
+              FROM medges e JOIN mlab${k - 1} t ON t.u = e.v
+              UNION ALL
+              SELECT s.u AS u, t.l AS l
+              FROM mlab${k - 1} s JOIN mlab${k - 1} t ON t.u = s.l
+            ) GROUP BY u)"""
+      }.mkString(",\n")}
+          SELECT u AS media_id, l AS rep_id FROM mlab$PhashCcRounds""",
     // Star-contraction restatement of the cluster closure (exact by
     // the blow-up argument — see mediaCollapsedClusters), applied at
     // the BUCKET stage: members of a signature group land in exactly
