@@ -205,6 +205,167 @@ object TextAnalysis {
     Similarity.swapDirInto(s, tmp, new org.apache.hadoop.fs.Path(sketchDir))
   }
 
+  /** Count-min sketch geometry (Cormode & Muthukrishnan, J.Alg'05).
+    * Per-query overcount ≤ (e/width)·N with prob 1−e^−depth; at width
+    * 16384 that is ~1.7·10⁻⁴·N — an order under [[HhPhi]], so the CMS
+    * cull admits only tokens within a thin fringe of the threshold
+    * while candidates stay O(1/φ). Correctness never depends on the
+    * geometry: CMS never UNDERcounts (every true heavy hitter
+    * survives the cull) and the exact verify pass removes every false
+    * positive — the txt_bloom_decontaminate discipline.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 16384
+
+  /** Heavy-hitter threshold as a corpus fraction: a token is heavy
+    * when its occurrence count ≥ max(1, ⌈φ·N⌉) over N total tokens.
+    */
+  val HhPhi = 0.002
+
+  /** Second hash of the Kirsch–Mitzenmacher family g_j = h₁ + j·h₂
+    * (two independent hashes simulate the pairwise-independent family
+    * the CMS bounds assume): the splitmix64 finalizer over the shared
+    * FNV-1a, forced odd so no row degenerates into a copy of row 0.
+    */
+  @inline private def cmsH2(h1: Long): Long = {
+    var z = h1 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) | 1L
+  }
+
+  /** The CMS point estimate: min over the depth rows' cells. */
+  @inline private[graft] def cmsMin(tab: Array[Long], t: String): Long = {
+    val h1 = Dedup.fnv1a(t); val h2 = cmsH2(h1)
+    var est = Long.MaxValue
+    var j = 0
+    while (j < CmsDepth) {
+      val c = tab(j * CmsWidth + (((h1 + j * h2) & Long.MaxValue) % CmsWidth).toInt)
+      if (c < est) est = c
+      j += 1
+    }
+    est
+  }
+
+  /** The corpus token stream every CMS surface counts — txt_vocab's
+    * explode, typed.
+    */
+  private def hhTokens(docs: DataFrame): org.apache.spark.sql.Dataset[String] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(explode(tokens($"text")).as("token")).as[String]
+  }
+
+  /** One-pass distributed CMS build: each partition folds its tokens
+    * into a LOCAL depth×width table in one imperative scan (the
+    * kmvSketches phase-1 shape), and the partials element-wise ADD
+    * through one reduce — CMS is LINEAR (cms(A ⊎ B) = cms(A) +
+    * cms(B)), so the combine carries ≤ partitions × 512 KB sketch
+    * rows, never token-scaled state. Returns (table, total tokens N).
+    */
+  private[graft] def buildCms(
+      toks: org.apache.spark.sql.Dataset[String]): (Array[Long], Long) = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val (depth, width) = (CmsDepth, CmsWidth)
+    toks.mapPartitions { it =>
+      val tab = new Array[Long](depth * width)
+      var n = 0L
+      it.foreach { t =>
+        val h1 = Dedup.fnv1a(t); val h2 = cmsH2(h1)
+        var j = 0
+        while (j < depth) {
+          tab(j * width + (((h1 + j * h2) & Long.MaxValue) % width).toInt) += 1
+          j += 1
+        }
+        n += 1
+      }
+      Iterator.single((tab, n))
+    }.reduce { (a, b) =>
+      var i = 0
+      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+  }
+
+  /** The cull → exact-verify tail shared by the session and stored
+    * heavy-hitter queries: broadcast the sketch, keep only tokens
+    * whose CMS estimate clears the threshold (no false negatives —
+    * CMS only overcounts), then count the SURVIVORS exactly and gate
+    * on the true count. The exact groupBy shuffles candidate-scaled
+    * occurrences (O(1/φ) tokens plus the collision fringe), never the
+    * full vocabulary — the shape that makes "what dominates this
+    * corpus" a sketch-state question at 100 TB instead of txt_vocab's
+    * vocabulary-wide exchange.
+    */
+  private def heavyHittersFrom(toks: org.apache.spark.sql.Dataset[String],
+      tab: Array[Long], total: Long): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val thresh = math.max(1L, math.ceil(HhPhi * total).toLong)
+    val bc = s.sparkContext.broadcast(tab)
+    toks.mapPartitions { it =>
+      val t0 = bc.value
+      it.filter(t => cmsMin(t0, t) >= thresh)
+    }.toDF("token")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= thresh)
+      .select($"token", $"cnt",
+        round($"cnt".cast("double") / lit(total.toDouble), 6).as("share"))
+  }
+
+  /** The CMS as a SPARSE (row, bucket, cnt) cell relation — ≤
+    * depth×width rows regardless of corpus size (driver-built by
+    * design: the sketch IS driver-sized). The token total N is
+    * derivable as the sum of row 0's cells (every token increments
+    * exactly one bucket per row), so it is not stored separately.
+    */
+  private def cmsCells(s: SparkSession, tab: Array[Long]): DataFrame = {
+    import s.implicits._
+    val rows = for {
+      j <- 0 until CmsDepth
+      b <- 0 until CmsWidth
+      if tab(j * CmsWidth + b) != 0L
+    } yield (j, b, tab(j * CmsWidth + b))
+    rows.toDF("row", "bucket", "cnt").repartition(1)
+  }
+
+  private def readCms(s: SparkSession, dir: String): (Array[Long], Long) = {
+    import s.implicits._
+    val tab = new Array[Long](CmsDepth * CmsWidth)
+    // sketch-sized collect (≤ depth×width cells) — the stored-model
+    // read shape, corpus-size-independent
+    s.read.parquet(dir).select($"row", $"bucket", $"cnt")
+      .as[(Int, Int, Long)].collect()
+      .foreach { case (j, b, c) => tab(j * CmsWidth + b) = c }
+    var total = 0L
+    var b = 0
+    while (b < CmsWidth) { total += tab(b); b += 1 }
+    (tab, total)
+  }
+
+  /** Persist the corpus CMS (see [[cmsCells]]). */
+  def writeCmsSketch(s: SparkSession, d: String, outDir: String): Unit =
+    cmsCells(s, buildCms(hhTokens(Tables.documents(s, d)))._1)
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Merge a document batch into a STORED CMS — incremental corpus
+    * stats: one sketch pass over the BATCH, a sketch-sized reread,
+    * element-wise ADD (linearity makes the merge exact and order-
+    * independent), crash-safe two-rename promotion. Single-writer per
+    * sketch dir, the stored-index discipline.
+    */
+  def mergeIntoCmsSketch(s: SparkSession, sketchDir: String,
+      batch: DataFrame): Unit = {
+    val (stored, _) = readCms(s, sketchDir)
+    val (fresh, _) = buildCms(hhTokens(batch))
+    var i = 0
+    while (i < fresh.length) { fresh(i) += stored(i); i += 1 }
+    val tmp = new org.apache.hadoop.fs.Path(sketchDir + "_fresh")
+    cmsCells(s, fresh).write.mode("overwrite").parquet(tmp.toString)
+    Similarity.swapDirInto(s, tmp, new org.apache.hadoop.fs.Path(sketchDir))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
     // RANDOM'02) over the corpus's 3-gram shingles, per source and
@@ -237,6 +398,36 @@ object TextAnalysis {
       writeKmvSketch(s, d, dir)
       val perSrc = s.read.parquet(dir).select($"scope", $"sketch")
       kmvEstimates(perSrc.unionByName(totalKmvSketch(perSrc)))
+    },
+
+    // Corpus heavy hitters — the "which tokens dominate this corpus"
+    // question (boilerplate detection, stopword inventories,
+    // tokenizer sanity) answered WITHOUT the full-vocabulary shuffle
+    // txt_vocab pays: a count-min sketch built in one scan with
+    // sketch-sized merged state ([[buildCms]] — linear, so map-side
+    // partials element-wise add), broadcast back as a cull, then an
+    // EXACT count of the O(1/φ) survivors gated on the true count.
+    // Output is exact — threshold ⌈φ·N⌉ over total tokens N — so the
+    // oracle is the plain GROUP BY … HAVING restatement and the
+    // sketch geometry can never desynchronize it.
+    "txt_heavy_hitters" -> { (s, d) =>
+      val toks = hhTokens(Tables.documents(s, d))
+      val (tab, total) = buildCms(toks)
+      heavyHittersFrom(toks, tab, total)
+    },
+
+    // The stored-sketch round trip (the *_stored convention): persist
+    // the sparse cell relation, read it back, cull+verify from the
+    // STORED sketch — the nightly-ingest deployment shape
+    // (mergeIntoCmsSketch keeps the same relation current batch by
+    // batch; streamed by DocStream.heavyHittersStream). Exact output
+    // ⇒ shares the session oracle string verbatim.
+    "txt_heavy_hitters_stored" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("cms", d)
+      writeCmsSketch(s, d, dir)
+      val toks = hhTokens(Tables.documents(s, d))
+      val (tab, total) = readCms(s, dir)
+      heavyHittersFrom(toks, tab, total)
     },
 
     // Sketch SET OPERATIONS — the theta-sketch intersection over the
@@ -1584,6 +1775,19 @@ object TextAnalysis {
                 / CAST(kth_hash AS DOUBLE), 4) + 0.0
             END AS est_distinct
           FROM u""",
+    // Exact restatement — the CMS is a prefilter, never a correctness
+    // dependency (the txt_bloom_decontaminate convention), so the
+    // oracle is tokens → counts → the fraction-threshold gate. The φ·N
+    // product is forced through DOUBLE so both sides ceil the same
+    // IEEE value (DuckDB's decimal-literal multiply would round
+    // exact-boundary corpora differently than the kernel's double).
+    "txt_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($sqlToks) AS token FROM documents),
+          tot AS (SELECT COUNT(*) AS n FROM toks),
+          cnt AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+          SELECT token, cnt, ROUND(cnt::DOUBLE / tot.n, 6) AS share
+          FROM cnt, tot
+          WHERE cnt >= GREATEST(CEIL(CAST($HhPhi AS DOUBLE) * tot.n), 1)""",
     // The theta-intersection restated on the same ranked-sketch CTEs:
     // list-built sketches (ascending), θ via the unfilled→2⁶³−1 rule,
     // cuts, list_intersect counts, and the identical double
@@ -1991,5 +2195,7 @@ object TextAnalysis {
     * oracle STRING verbatim (the sim_ann_pq_stored convention).
     */
   lazy val oracles: Map[String, String] =
-    oraclesBase + ("txt_distinct_kmv_stored" -> oraclesBase("txt_distinct_kmv"))
+    oraclesBase +
+      ("txt_distinct_kmv_stored" -> oraclesBase("txt_distinct_kmv")) +
+      ("txt_heavy_hitters_stored" -> oraclesBase("txt_heavy_hitters"))
 }

@@ -132,4 +132,20 @@ object DocStream {
         TextAnalysis.mergeIntoKmvSketch(batch.sparkSession, sketchDir,
           batch.toDF())
       }.start()
+
+  /** Streamed heavy-hitter sketch maintenance — the CMS twin of
+    * [[distinctStream]]: each micro-batch pays one sketch pass over
+    * the batch plus a sketch-sized reread and element-wise add
+    * ([[TextAnalysis.mergeIntoCmsSketch]] — exact by CMS linearity,
+    * order-independent, crash-safe swap). State lives in the stored
+    * cell relation; txt_heavy_hitters_stored's cull+verify reads the
+    * continuously-current sketch.
+    */
+  def heavyHittersStream(docs: DataFrame,
+      sketchDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextAnalysis.mergeIntoCmsSketch(batch.sparkSession, sketchDir,
+          batch.toDF())
+      }.start()
 }
