@@ -24,6 +24,15 @@ object Similarity {
   /** Queries = every 100th vector; small, broadcastable. */
   val QueryStride = 100
 
+  /** Deterministic purge slice for the *_purged queries: ids ≡
+    * [[PurgeRes]] (mod [[PurgeMod]]) are DELETED from the stored index
+    * before probing — ~6% of the corpus, coprime with [[QueryStride]]
+    * so some purged ids are also queries (a deleted vector must stop
+    * appearing as a NEIGHBOR while still being allowed to ask).
+    */
+  val PurgeMod = 17L
+  val PurgeRes = 3L
+
   /** Multi-table random-hyperplane LSH (seed 42): `NumTables`
     * independent tables of an OCCUPANCY-ADAPTIVE number of sign bits
     * each. More tables → higher recall; more planes/table → smaller
@@ -112,6 +121,15 @@ object Similarity {
     import s.implicits._
     corpus(s, d).filter($"vec_id" % QueryStride === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+  }
+
+  /** The declared purge slice (see [[PurgeMod]]) — id-only, the shape
+    * a takedown feed delivers.
+    */
+  private def purgeIds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d).select($"vec_id")
+      .filter($"vec_id" % PurgeMod === PurgeRes)
   }
 
   /** Packed (table << 32 | bucket) signature longs per embedding — one
@@ -1024,30 +1042,33 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$outDir/centroids")
   }
 
-  /** Read a stored IVF index. The assignments schema is passed
-    * explicitly so the `cell` partition column comes back as the
-    * original LONG (directory-value inference would make it INT, and
-    * the resulting join-side cast would defeat partition pruning).
+  /** The stored-assignments schema, passed explicitly so the `cell`
+    * partition column comes back as the original LONG
+    * (directory-value inference would make it INT, and the resulting
+    * join-side cast would defeat partition pruning).
     */
+  private val ivfAssignmentsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Read a stored IVF index, minus any tombstoned ids. */
   def readIvfIndex(s: SparkSession, indexDir: String): IvfIndex = {
     import s.implicits._
     val cents = s.read.parquet(s"$indexDir/centroids")
       .select($"cell", $"centroid", $"cnrm", $"occupancy")
       .as[(Long, Seq[Float], Double, Long)].collect()
       .sortBy(_._1)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("vec_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("embedding",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType)),
-      org.apache.spark.sql.types.StructField("nrm",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("cell",
-        org.apache.spark.sql.types.LongType)))
     IvfIndex(
       cents.map { case (cid, cv, cn, _) => (cid, cv.toArray, cn) },
-      s.read.schema(schema).parquet(s"$indexDir/assignments"),
+      minusTombstones(s, indexDir,
+        s.read.schema(ivfAssignmentsSchema).parquet(s"$indexDir/assignments")),
       cents.map(_._4))
   }
 
@@ -1142,12 +1163,70 @@ object Similarity {
     fs.delete(old, true)
   }
 
-  /** Defragment a stored IVF index after appends: rewrite the
-    * assignments one file per cell (each [[appendToIvfIndex]] batch
-    * adds files inside the cell directories; probes pay per-file
-    * footer/open cost, so periodic compaction is the deployment's
-    * maintenance job — the counterpart of a log-structured store's
-    * merge). Content and occupancy are unchanged; single-writer like
+  /** Tombstone relation of a stored index — an underscore-prefixed
+    * CHILD of the index dir (Spark's parquet listing ignores hidden
+    * paths, the `_graft_lsh_planes` sidecar mechanism), so it can live
+    * inside the LSH layout's parquet root as well as the IVF dir
+    * without ever surfacing as data rows.
+    */
+  private def tombstonesPath(indexDir: String): String =
+    s"$indexDir/_graft_tombstones"
+
+  private def hasTombstones(s: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath(indexDir))
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Delete ids from a STORED index (IVF or LSH layout) WITHOUT
+    * rewriting it — the takedown/right-to-erasure half of the index
+    * lifecycle, and at 100 TB the only affordable one: the op appends
+    * the ids to a tombstone relation (id-sized) and every stored
+    * reader anti-joins it, so a deleted vector stops appearing as a
+    * NEIGHBOR immediately, across every probe family sharing the
+    * layout, while the multi-TB assignments stay untouched. The
+    * physical purge is [[compactIvfIndex]]/[[compactLshIndex]], which
+    * fold the tombstones into the rewrite and clear them — the
+    * log-structured-merge discipline. Deletes are idempotent (the
+    * anti-join doesn't care how many times an id is listed); an id may
+    * be RE-ingested via append only after a compaction has folded its
+    * tombstone, else the tombstone would suppress the new row (ids are
+    * content-addressed upstream, the tracking-table convention, so
+    * reuse-before-compaction does not occur). Single-writer like the
+    * appends. Occupancy/sidecar metadata is NOT touched: probe pricing
+    * reads the pre-delete counts until compaction refreshes them — a
+    * stale-performance, never-correctness trade, stated.
+    */
+  def deleteFromIndex(s: SparkSession, indexDir: String,
+      ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("vec_id"))
+      .coalesce(1)
+      .write.mode("append").parquet(tombstonesPath(indexDir))
+
+  /** The tombstone anti-join every stored reader applies — absent
+    * tombstones cost one driver-side existence check and zero plan
+    * nodes. The anti-join is on the scan side of the probes' pruning
+    * filters, which push through a LEFT ANTI join's left side, so
+    * bucket/cell pruning survives deletion (IndexDeleteSpec pins the
+    * pushed filter).
+    */
+  private def minusTombstones(s: SparkSession, indexDir: String,
+      rows: DataFrame): DataFrame =
+    if (!hasTombstones(s, indexDir)) rows
+    else rows.join(
+      s.read.schema("vec_id BIGINT").parquet(tombstonesPath(indexDir)),
+      Seq("vec_id"), "left_anti")
+
+  /** Defragment a stored IVF index after appends AND physically purge
+    * tombstoned rows: rewrite the assignments one file per cell (each
+    * [[appendToIvfIndex]] batch adds files inside the cell
+    * directories; probes pay per-file footer/open cost, so periodic
+    * compaction is the deployment's maintenance job — the counterpart
+    * of a log-structured store's merge), minus any tombstoned ids
+    * (the read path already anti-joins them), then refresh the
+    * occupancy column from the compacted layout and clear the
+    * tombstones LAST — a crash anywhere leaves tombstones in place
+    * over already-purged rows, which the anti-join re-applies
+    * idempotently (deletes can never resurrect). Single-writer like
     * the append (version the index dir for atomic cutover).
     */
   def compactIvfIndex(s: SparkSession, indexDir: String): Unit = {
@@ -1161,7 +1240,26 @@ object Similarity {
       .select($"vec_id", $"embedding", $"nrm", $"cell")
       .repartition($"cell")
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    // refresh occupancy (k rows) from the compacted data so probe
+    // pricing reflects folded deletes; centroid VECTORS are untouched
+    // (never overwrite the trained quantizer in place — sibling+swap,
+    // the appendToIvfIndex discipline)
+    val counts = s.read.schema(ivfAssignmentsSchema).parquet(tmp.toString)
+      .groupBy($"cell").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val centRows = s.read.parquet(s"$indexDir/centroids")
+      .select($"cell", $"centroid", $"cnrm")
+      .as[(Long, Seq[Float], Double)].collect().sortBy(_._1)
     swapDirInto(s, tmp, src)
+    val ctmp = new org.apache.hadoop.fs.Path(s"$indexDir/centroids_updating")
+    centRows.toSeq
+      .map { case (cid, cv, cn) => (cid, cv, cn, counts.getOrElse(cid, 0L)) }
+      .toDF("cell", "centroid", "cnrm", "occupancy")
+      .write.mode("overwrite").parquet(ctmp.toString)
+    swapDirInto(s, ctmp,
+      new org.apache.hadoop.fs.Path(s"$indexDir/centroids"))
+    val tp = new org.apache.hadoop.fs.Path(tombstonesPath(indexDir))
+    tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
   }
 
   /** Write the built LSH index partitioned by table, each table's
@@ -1254,9 +1352,12 @@ object Similarity {
     * sidecar-less index. Crash-safe via the same [[swapDirInto]]
     * two-rename (target → `_old`, fresh → target): a crash leaves a
     * complete copy under one of the two names, never a
-    * deleted-only state. Content is unchanged; single-writer
-    * maintenance op like the append (version the index dir for
-    * atomic cutover).
+    * deleted-only state. Tombstoned rows are physically purged by the
+    * rewrite (readLshIndex anti-joins them) and the tombstone
+    * relation vanishes WITH the retired root — the whole-dir swap is
+    * what makes LSH compaction fold deletes with no extra step;
+    * otherwise content is unchanged. Single-writer maintenance op
+    * like the append (version the index dir for atomic cutover).
     */
   def compactLshIndex(s: SparkSession, indexDir: String): Unit = {
     import s.implicits._
@@ -1303,7 +1404,7 @@ object Similarity {
         org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("table",
         org.apache.spark.sql.types.IntegerType)))
-    s.read.schema(schema).parquet(indexDir)
+    minusTombstones(s, indexDir, s.read.schema(schema).parquet(indexDir))
   }
 
   /** A probe GROUP's distinct (table, bucket) set is pushed to the
@@ -1439,6 +1540,19 @@ object Similarity {
       writeLshIndex(s, d, dir)
       topkLshStored(s, d, dir)
     },
+    // The DELETE half of the stored lifecycle as a declared query
+    // (takedown/right-to-erasure): build the index, tombstone the
+    // deterministic purge slice, probe THROUGH the tombstones — a
+    // deleted vector never surfaces as a neighbor, the multi-TB
+    // layout is untouched, and the probe keeps its bucket pushdown
+    // (the anti-join sits above the pruned scan). Physical purge =
+    // compactLshIndex; IndexDeleteSpec pins tombstoned ≡ compacted.
+    "sim_ann_lsh_purged" -> { (s, d) =>
+      val dir = storedQueryDir("lshpurge", d)
+      writeLshIndex(s, d, dir)
+      deleteFromIndex(s, dir, purgeIds(s, d))
+      topkLshStored(s, d, dir)
+    },
     "lsh_build" -> { (s, d) =>
       import s.implicits._
       lshIndex(s, d).select($"vec_id", $"table", $"bucket")
@@ -1465,6 +1579,17 @@ object Similarity {
     "sim_ann_ivf_stored" -> { (s, d) =>
       val dir = storedIvfDir(d)
       writeIvfIndex(s, d, dir)
+      topkIvfStored(s, d, dir)
+    },
+    // IVF twin of sim_ann_lsh_purged: same tombstone relation, same
+    // reader-side anti-join, cell pruning preserved. Occupancy (and
+    // so the probe's nprobe pricing) reads the PRE-delete counts until
+    // compaction refreshes them — stated, and exactly what keeps this
+    // oracle-exact against the session-trained nprobe.
+    "sim_ann_ivf_purged" -> { (s, d) =>
+      val dir = storedQueryDir("ivfpurge", d)
+      writeIvfIndex(s, d, dir)
+      deleteFromIndex(s, dir, purgeIds(s, d))
       topkIvfStored(s, d, dir)
     },
     // Coarse-to-fine ANN over the JL projection: score EVERY corpus
@@ -1603,6 +1728,41 @@ object Similarity {
       / SQRT(list_sum(list_transform(generate_series(1, len($b)),
         i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
 
+  /** The LSH probe pipeline restated in SQL, parameterized by an
+    * extra predicate on the INDEX side of the candidate join
+    * (`b` = the bucketed corpus rows) — "" for the plain probe, the
+    * purge-slice exclusion for sim_ann_lsh_purged. Queries are never
+    * filtered: deletion removes a vector from the index, not from the
+    * set of askers.
+    */
+  private def lshOracleSql(indexPred: String): String =
+    s"""WITH prm AS (SELECT ${planesPrmSql()} AS np),
+          buck AS (
+            SELECT vec_id, embedding, CAST(g.t - 1 AS INT) AS tbl,
+              CAST(COALESCE(list_sum(list_transform(generate_series(1, prm.np),
+                p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, $Dim),
+                  i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
+                THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
+            FROM embeddings, (SELECT $planesSql AS pl) m, prm,
+              generate_series(1, $NumTables) AS g(t)),
+          qprobe AS (
+            SELECT vec_id AS q_id, tbl,
+              CASE WHEN f.fl = -1 THEN bucket ELSE xor(bucket, 1 << f.fl) END AS bucket
+            FROM buck, prm, generate_series(-1, ${MaxPlanes - 1}) AS f(fl)
+            WHERE f.fl < prm.np AND vec_id % $QueryStride = 0),
+          cand AS (
+            SELECT DISTINCT q.q_id, b.vec_id AS n_id
+            FROM qprobe q JOIN buck b ON q.tbl = b.tbl AND q.bucket = b.bucket
+            WHERE q.q_id <> b.vec_id $indexPred),
+          scored AS (
+            SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) + 0.0 AS cos_sim
+            FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
+                       JOIN embeddings n ON n.vec_id = c.n_id)
+          SELECT q_id, n_id, cos_sim, rank FROM (
+            SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+            FROM scored) WHERE rank <= $TopK"""
+
   private val baseOracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
       s"""WITH scored AS (
@@ -1692,33 +1852,7 @@ object Similarity {
     // candidates deduped across tables, exact cosine re-rank — the
     // literal planes make the whole approximate operator
     // deterministic, hence hash-checkable.
-    "sim_ann_lsh" ->
-      s"""WITH prm AS (SELECT ${planesPrmSql()} AS np),
-          buck AS (
-            SELECT vec_id, embedding, CAST(g.t - 1 AS INT) AS tbl,
-              CAST(COALESCE(list_sum(list_transform(generate_series(1, prm.np),
-                p -> CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, $Dim),
-                  i -> embedding[i]::DOUBLE * m.pl[g.t][p][i])), 0.0) >= 0
-                THEN 1 << (p - 1) ELSE 0 END)), 0) AS INT) AS bucket
-            FROM embeddings, (SELECT $planesSql AS pl) m, prm,
-              generate_series(1, $NumTables) AS g(t)),
-          qprobe AS (
-            SELECT vec_id AS q_id, tbl,
-              CASE WHEN f.fl = -1 THEN bucket ELSE xor(bucket, 1 << f.fl) END AS bucket
-            FROM buck, prm, generate_series(-1, ${MaxPlanes - 1}) AS f(fl)
-            WHERE f.fl < prm.np AND vec_id % $QueryStride = 0),
-          cand AS (
-            SELECT DISTINCT q.q_id, b.vec_id AS n_id
-            FROM qprobe q JOIN buck b ON q.tbl = b.tbl AND q.bucket = b.bucket
-            WHERE q.q_id <> b.vec_id),
-          scored AS (
-            SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) + 0.0 AS cos_sim
-            FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
-                       JOIN embeddings n ON n.vec_id = c.n_id)
-          SELECT q_id, n_id, cos_sim, rank FROM (
-            SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
-              PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
-            FROM scored) WHERE rank <= $TopK""",
+    "sim_ann_lsh" -> lshOracleSql(""),
     // Coarse-to-fine projected ANN restated in SQL: identical JL
     // projection (literal matrix, REAL cast), unrounded projected
     // cosine picks the top-C candidates per query (bit-equal doubles →
@@ -1751,7 +1885,12 @@ object Similarity {
     * as a stored-path bug, exactly what the gate should catch.
     */
   val oracles: Map[String, String] =
-    baseOracles + ("sim_ann_lsh_stored" -> baseOracles("sim_ann_lsh"))
+    baseOracles +
+      ("sim_ann_lsh_stored" -> baseOracles("sim_ann_lsh")) +
+      // the purge slice excluded on the INDEX side only — queries
+      // still ask, deleted ids never answer
+      ("sim_ann_lsh_purged" ->
+        lshOracleSql(s"AND b.vec_id % $PurgeMod <> $PurgeRes"))
 
   // ----- dynamic (trained-state) oracles ------------------------------
   //
@@ -1823,7 +1962,7 @@ object Similarity {
     // same similarity kernel, candidates from the probed cells'
     // assignments, exact rounded-cosine re-rank (the sim_ann_lsh
     // oracle pattern; IvfAssign=1 → no cross-cell dedup needed).
-    val ivfSql =
+    def ivfSqlFor(indexPred: String): String =
       s"""WITH $ctes,
           qprobe AS (
             SELECT vec_id AS q_id, CAST(c - 1 AS BIGINT) AS cell FROM (
@@ -1834,7 +1973,7 @@ object Similarity {
           cand AS (
             SELECT q.q_id, a.vec_id AS n_id
             FROM qprobe q JOIN asg a ON q.cell = a.cell
-            WHERE q.q_id <> a.vec_id),
+            WHERE q.q_id <> a.vec_id $indexPred),
           scored AS (
             SELECT c.q_id, c.n_id, ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) + 0.0 AS cos_sim
             FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
@@ -1843,6 +1982,7 @@ object Similarity {
             SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
               PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
             FROM scored) WHERE rank <= $TopK"""
+    val ivfSql = ivfSqlFor("")
     Map(
       "ivf_build" ->
         s"""WITH $ctes
@@ -1853,6 +1993,12 @@ object Similarity {
       // exactly what the in-session probe returns, so it shares the
       // oracle STRING, not a restatement
       "sim_ann_ivf_stored" -> ivfSql,
+      // purge slice excluded on the INDEX side only (the lsh_purged
+      // convention); nprobe pricing is the PRE-delete occupancy on
+      // both sides — the stored index's counts are untouched until
+      // compaction, and this np came from the same full corpus
+      "sim_ann_ivf_purged" ->
+        ivfSqlFor(s"AND a.vec_id % $PurgeMod <> $PurgeRes"),
       // The ivf and brute-force pipelines verbatim as nested
       // subqueries (DuckDB allows WITH inside a parenthesized CTE
       // body), joined on (q_id, n_id); COUNT(ivf.n_id) counts only

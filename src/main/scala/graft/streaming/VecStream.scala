@@ -57,6 +57,21 @@ object VecStream {
           batch.toDF())
       }.start()
 
+  /** Apply a stream of takedown ids (vec_id) to a stored index — LSH
+    * or IVF layout, the tombstone relation is shared: each micro-batch
+    * appends id-sized tombstones ([[Similarity.deleteFromIndex]]), so
+    * every probe from the next trigger on — streaming or batch — stops
+    * surfacing the deleted ids, with the multi-TB layout untouched.
+    * Physical purge stays a periodic compaction, exactly like the
+    * append streams' defrag.
+    */
+  def deleteStream(ids: DataFrame, indexDir: String): StreamingQuery =
+    ids.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Similarity.deleteFromIndex(batch.sparkSession, indexDir,
+          batch.toDF())
+      }.start()
+
   /** [[probeStream]] against a stored IVF index: same serving shape,
     * the per-batch cost is the occupancy-priced cell-pruned scan
     * instead of the bucket pushdown.

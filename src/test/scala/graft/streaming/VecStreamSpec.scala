@@ -169,6 +169,36 @@ class VecStreamSpec extends AnyFunSuite {
     assert(clone.get._3 == 1.0, s"clone cosine ${clone.get._3}")
   }
 
+  test("delete stream: takedown ids vanish from the next probe on") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vecstreamd")
+      .toString + "/lsh"
+    Similarity.writeLshIndex(spark, fixture, dir)
+
+    val probeQ = withNorm(Seq(
+      QVec(999999L, fixtureQueries.head.q_emb)).toDF("q_id", "q_emb"))
+    def hits(): Seq[Long] = Similarity.topkLshStoredFor(spark, probeQ, dir)
+      .select($"n_id").as[Long].collect().toSeq
+    val before = hits()
+    assert(before.size >= 2, "fixture probe returned too few neighbors")
+
+    val mem = MemoryStream[Long]
+    val q = VecStream.deleteStream(mem.toDF(), dir)
+    try {
+      // two micro-batches, one takedown each — both must be folded
+      mem.addData(before.head)
+      q.processAllAvailable()
+      mem.addData(before(1))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val after = hits()
+    assert(!after.contains(before.head) && !after.contains(before(1)),
+      s"deleted ids still served: $after")
+    assert(after.nonEmpty, "deletion emptied the probe — anti-join too broad")
+  }
+
   test("compressed compositions: streamed probe micro-batches union to the stored probes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
