@@ -69,9 +69,17 @@ object Pq {
     */
   def trainCodebooks(s: SparkSession, d: String,
       maxDriverFlops: Double = Similarity.DriverTrainFlopsCap,
+      codewords: Int = PqCodewords): Array[Array[Array[Float]]] =
+    trainCodebooksOver(s, Tables.embeddings(s, d), maxDriverFlops, codewords)
+
+  /** [[trainCodebooks]] over a GIVEN (vec_id, embedding) relation —
+    * shared with the OPQ path, which feeds the PERMUTED view so the
+    * two families train through identical sampling/guard machinery.
+    */
+  private def trainCodebooksOver(s: SparkSession, emb: DataFrame,
+      maxDriverFlops: Double = Similarity.DriverTrainFlopsCap,
       codewords: Int = PqCodewords): Array[Array[Array[Float]]] = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
     val sampleSize = Similarity.IvfSampleCap
     // when the corpus fits the cap the sample IS the corpus: a bare
     // columnar scan, no hash-order sort (the trainCentroids shape);
@@ -267,6 +275,119 @@ object Pq {
       PqIndex(cb, codes)
     }
 
+  // ----- OPQ (permutation form) ---------------------------------------
+
+  /** OPQ-P: optimized product quantization by dimension PERMUTATION —
+    * the parametric initialization of Ge et al. ("Optimized Product
+    * Quantization", CVPR 2013) without the iterative rotation, because
+    * a permutation is the orthogonal transform a relational engine
+    * applies for FREE on both sides (a column re-index at encode and
+    * query time — no matrix multiply in the scan, no new kernel).
+    * Plain PQ slices CONSECUTIVE dims into subspaces, so a variance-
+    * skewed corpus concentrates its signal in a few subspaces and
+    * spends the rest of the code budget quantizing noise; OPQ-P ranks
+    * dims by corpus variance and deals them SERPENTINE across the
+    * subspaces, balancing per-subspace variance (the paper's
+    * eigenvalue-allocation objective, applied to the diagonal). The
+    * exact re-rank is on ORIGINAL vectors (cosine is permutation-
+    * invariant), so only the coarse ADC sees permuted coordinates.
+    */
+  final case class OpqIndex(perm: Array[Int], pq: PqIndex)
+
+  private val opqCache = new SessionCache[OpqIndex](idx =>
+    scala.util.Try(idx.pq.codes.unpersist(blocking = false)))
+
+  /** Per-dim variance ranking → serpentine deal: one imperative pass
+    * per partition (dim-sized partials, the buildCms shape), partials
+    * added through one reduce. perm(sub·SubDim + slot) = original dim
+    * (0-based). Short rows zero-pad, the shared kernel contract.
+    */
+  private def opqPermutation(s: SparkSession, d: String): Array[Int] = {
+    import s.implicits._
+    val dim = Similarity.Dim
+    val (sx, sxx, n) = Tables.embeddings(s, d).select($"embedding")
+      .as[Array[Float]].mapPartitions { it =>
+        val sx = new Array[Double](dim)
+        val sxx = new Array[Double](dim)
+        var n = 0L
+        it.foreach { v =>
+          var i = 0
+          while (i < dim) {
+            val x = if (v != null && i < v.length) v(i).toDouble else 0.0
+            sx(i) += x; sxx(i) += x * x; i += 1
+          }
+          n += 1
+        }
+        Iterator.single((sx, sxx, n))
+      }.reduce { (a, b) =>
+        var i = 0
+        while (i < dim) { a._1(i) += b._1(i); a._2(i) += b._2(i); i += 1 }
+        (a._1, a._2, a._3 + b._3)
+      }
+    val vars = Array.tabulate(dim) { i =>
+      if (n == 0) 0.0 else sxx(i) / n - (sx(i) / n) * (sx(i) / n)
+    }
+    val ranked = (0 until dim).sortBy(i => (-vars(i), i))
+    val slots = Array.fill(PqSubvectors)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    ranked.zipWithIndex.foreach { case (dimIdx, r) =>
+      val block = r / PqSubvectors
+      val pos = r % PqSubvectors
+      val sub = if (block % 2 == 0) pos else PqSubvectors - 1 - pos
+      slots(sub) += dimIdx
+    }
+    slots.flatMap(_.iterator).toArray
+  }
+
+  /** The permuted view of an embedding column — a pure Column
+    * expression (Dim element_at's, codegen'd), nulls zero-padded to
+    * the kernel contract.
+    */
+  private def permutedCol(perm: Array[Int], emb: Column): Column =
+    array(perm.toIndexedSeq.map(i =>
+      coalesce(element_at(emb, i + 1), lit(0.0f))): _*)
+
+  /** Build = variance pass → permutation → the UNCHANGED PQ trainer
+    * and encoder over the permuted view: everything downstream of the
+    * column re-index is byte-for-byte the PQ machinery, which is the
+    * operational argument for the permutation form at 100 TB.
+    */
+  def opqIndex(s: SparkSession, d: String): OpqIndex =
+    opqCache.getOrBuild(s, d) {
+      import s.implicits._
+      val perm = opqPermutation(s, d)
+      val permEmb = Tables.embeddings(s, d)
+        .select($"vec_id", permutedCol(perm, $"embedding").as("embedding"))
+      val cb = trainCodebooksOver(s, permEmb)
+      val enc = udf { (emb: Seq[Float]) =>
+        val v = emb.toArray
+        Array.tabulate(PqSubvectors)(sub =>
+          nearestCode(v, sub * SubDim, cb(sub)))
+      }
+      val codes = permEmb
+        .select($"vec_id", enc($"embedding").as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      OpqIndex(perm, PqIndex(cb, codes))
+    }
+
+  /** The OPQ probe: the PQ probe with PERMUTED query coordinates (the
+    * LUTs dot permuted q-slices against codewords trained in permuted
+    * space); candidates re-rank by exact cosine on ORIGINAL vectors.
+    */
+  def topkOpq(s: SparkSession, d: String, k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val idx = opqIndex(s, d)
+    val permQueries = Tables.embeddings(s, d)
+      .filter($"vec_id" % Similarity.QueryStride === 0)
+      .select($"vec_id".as("q_id"),
+        permutedCol(idx.perm, $"embedding").as("q_emb"),
+        VectorFunctions.norm($"embedding").as("q_nrm"))
+    pqProbe(s, d, idx.pq, k, candidates, Some(permQueries),
+      rerankQueries = Some(queryRelation(s, d)))
+  }
+
   /** ADC (asymmetric distance computation) coarse score: the query
     * stays full-precision, the corpus vector is its reconstruction
     * Σ_sub dot(q_sub, codeword[sub][code_sub]) — subspaces summed
@@ -361,7 +482,12 @@ object Pq {
     * two can never drift (the lshProbe/ivfProbe convention).
     */
   private def pqProbe(s: SparkSession, d: String, idx: PqIndex, k: Int,
-      candidates: Int, queries: Option[DataFrame] = None): DataFrame = {
+      candidates: Int, queries: Option[DataFrame] = None,
+      rerankQueries: Option[DataFrame] = None): DataFrame = {
+    // `queries` feeds the coarse LUTs (codebook space — PERMUTED for
+    // OPQ); the exact re-rank dots ORIGINAL coordinates, so a caller
+    // probing in a transformed space passes the untransformed relation
+    // here (defaults to `queries`: for raw PQ the two coincide)
     import s.implicits._
     // The FAISS ADC trick done relationally: per query, the dot of
     // its sub-slices against every codeword is precomputed ONCE into
@@ -442,7 +568,7 @@ object Pq {
         Window.partitionBy($"q_id").orderBy($"adc".desc, $"n_id".asc)))
       .filter($"crank" <= candidates)
       .select($"q_id", $"n_id")
-    fineRerank(s, d, coarse, k, queries)
+    fineRerank(s, d, coarse, k, rerankQueries.orElse(queries))
   }
 
   /** IVF-PQ composition — the FAISS deployment shape: the IVF coarse
@@ -861,6 +987,18 @@ object Pq {
           $"code".cast("int").as("code"))
     },
     "sim_ann_pq" -> ((s, d) => topkPq(s, d)),
+    // OPQ-P build: the permuted codes relation, exploded like
+    // pq_build. The permutation itself is trained state, rendered as
+    // a literal in the dynamic oracle (the codebook convention); the
+    // codes are recomputed independently by DuckDB from it.
+    "opq_build" -> { (s, d) =>
+      import s.implicits._
+      opqIndex(s, d).pq.codes
+        .select($"vec_id", posexplode($"codes").as(Seq("sub", "code")))
+        .select($"vec_id", $"sub".cast("int").as("sub"),
+          $"code".cast("int").as("code"))
+    },
+    "sim_ann_opq" -> ((s, d) => topkOpq(s, d)),
     // The STORED-path form of sim_ann_pq (the sim_ann_ivf_stored
     // pattern): write codes + codebooks, read them back, ADC-probe —
     // the compressed-index lifecycle (store 8 bytes/vector, probe
@@ -1029,9 +1167,69 @@ object Pq {
           FROM rcodes GROUP BY vec_id)"""
   }
 
+  /** OPQ oracle CTEs: permutation + codebook literals, the permuted
+    * embedding view, argmin codes over it — `o`-prefixed names so they
+    * compose beside the raw-PQ CTEs if ever needed.
+    */
+  private def opqOracleCtes(s: SparkSession, d: String): String = {
+    val idx = opqIndex(s, d)
+    val cbSql = renderCodebooks(idx.pq.codebooks)
+    // 1-based dim indices for DuckDB list indexing
+    val permSql = idx.perm.map(i => (i + 1).toString)
+      .mkString("[", ", ", "]")
+    val dist =
+      s"""list_sum(list_transform(generate_series(1, $SubDim),
+          i -> (e.pe[(g.s - 1) * $SubDim + i] - opqm.cb[g.s][c.c][i])
+             * (e.pe[(g.s - 1) * $SubDim + i] - opqm.cb[g.s][c.c][i])))"""
+    s"""opqm AS (SELECT $cbSql AS cb, $permSql AS p),
+        pemb AS (
+          SELECT vec_id, list_transform(generate_series(1, ${Similarity.Dim}),
+            j -> COALESCE(embedding[opqm.p[j]]::DOUBLE, 0.0)) AS pe
+          FROM embeddings, opqm),
+        odists AS (
+          SELECT e.vec_id, g.s, c.c, $dist AS dist
+          FROM pemb e, opqm,
+            generate_series(1, $PqSubvectors) AS g(s),
+            generate_series(1, $PqCodewords) AS c(c)),
+        ocodes AS (
+          SELECT vec_id, s, CAST(c - 1 AS INT) AS code FROM (
+            SELECT vec_id, s, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+            FROM odists)
+          WHERE rn = 1),
+        ocodesarr AS (
+          SELECT vec_id, list(code ORDER BY s) AS codes
+          FROM ocodes GROUP BY vec_id)"""
+  }
+
+  /** The OPQ ADC: permuted query coordinates against the permuted-
+    * space codewords — the kernel's LUT partials exactly.
+    */
+  private def sqlAdcOpq(q: String, x: String): String =
+    s"""list_sum(list_transform(generate_series(1, $PqSubvectors), s ->
+        list_sum(list_transform(generate_series(1, $SubDim), i ->
+          COALESCE($q.embedding[opqm.p[(s - 1) * $SubDim + i]]::DOUBLE, 0.0) *
+          opqm.cb[s][$x.codes[s] + 1][i]))))"""
+
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
     val codesCte = pqOracleCtes(s, d)
+    val opqCte = opqOracleCtes(s, d)
     val base = Map(
+      "opq_build" ->
+        s"""WITH $opqCte
+            SELECT vec_id, CAST(s - 1 AS INT) AS sub, code FROM ocodes""",
+      // the sim_ann_pq oracle shape in permuted coordinates: permuted
+      // ADC coarse ranking, then the SHARED exact-re-rank tail on the
+      // original vectors (cosine is permutation-invariant)
+      "sim_ann_opq" ->
+        s"""WITH $opqCte,
+            adc AS (
+              SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+                ${sqlAdcOpq("q", "x")} AS score
+              FROM embeddings q, ocodesarr x, opqm
+              WHERE q.vec_id % ${Similarity.QueryStride} = 0
+                AND q.vec_id <> x.vec_id),
+            $sqlRerankTail""",
       "pq_build" ->
         s"""WITH $codesCte
             SELECT vec_id, CAST(s - 1 AS INT) AS sub, code FROM codes""",

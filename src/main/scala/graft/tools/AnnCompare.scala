@@ -57,6 +57,7 @@ object AnnCompare {
       "sim_ann_proj" -> (() => Similarity.queries("sim_ann_proj")(spark, sf)),
       "sim_ann_pca" -> (() => Pca.queries("sim_ann_pca")(spark, sf)),
       "sim_ann_pq" -> (() => Pq.queries("sim_ann_pq")(spark, sf)),
+      "sim_ann_opq" -> (() => Pq.queries("sim_ann_opq")(spark, sf)),
       "sim_ann_ivfpq" -> (() => Pq.queries("sim_ann_ivfpq")(spark, sf)),
       "sim_ann_ivfpq_res" -> (() => Pq.queries("sim_ann_ivfpq_res")(spark, sf)),
       "sim_ann_bq" -> (() => graft.operators.Bq.queries("sim_ann_bq")(spark, sf)),
