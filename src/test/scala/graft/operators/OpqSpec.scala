@@ -65,6 +65,40 @@ class OpqSpec extends AnyFunSuite {
       s"serpentine deal did not balance variance: $opq > $plain")
   }
 
+  test("variance-skewed corpus: OPQ recall beats consecutive-slice PQ") {
+    import spark.implicits._
+    // the corpus OPQ exists for: per-dim variance decays across the
+    // dims, so plain PQ's consecutive slices put all the signal in the
+    // first subspaces and spend the rest of the code budget on noise;
+    // the serpentine deal spreads it. Deterministic LCG vectors.
+    val dim = Similarity.Dim
+    def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+    val rows = (0L until 2000L).map { id =>
+      var s0 = lcg(id + 7)
+      val v = Array.tabulate(dim) { i =>
+        s0 = lcg(s0)
+        val u = ((s0 >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+        (u / (1.0 + i * 0.35)).toFloat // strong variance decay over dims
+      }
+      (id, v)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("opqskew").toString
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val truth = Similarity.topkBruteForce(spark, dir)
+        .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+      val got = df.select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+      assert(truth.nonEmpty)
+      (truth & got).size.toDouble / truth.size
+    }
+    val rPq = recallOf(Pq.topkPq(spark, dir))
+    val rOpq = recallOf(Pq.topkOpq(spark, dir))
+    info(f"skewed-corpus recall: pq=$rPq%.3f opq=$rOpq%.3f")
+    assert(rOpq >= rPq,
+      f"OPQ ($rOpq%.3f) did not beat plain PQ ($rPq%.3f) on the skewed corpus")
+  }
+
   test("probe contract: k rows per query, no self-neighbors, exact-cosine ranked") {
     import spark.implicits._
     val res = Pq.queries("sim_ann_opq")(spark, sf)
