@@ -126,8 +126,16 @@ object Bq {
   def topkBqStoredFor(s: SparkSession, queries: DataFrame, d: String,
       indexDir: String, k: Int = Similarity.TopK,
       candidates: Int = BqCandidates): DataFrame =
-    bqProbe(s, d, s.read.parquet(s"$indexDir/sigs"), k, candidates,
+    bqProbe(s, d, readBqSigs(s, indexDir), k, candidates,
       Some(queries))
+
+  /** The stored signature relation, minus any tombstoned ids — the
+    * shared takedown seam (Similarity.deleteFromIndex /
+    * compactCodesIndex with dataSubdir = "sigs").
+    */
+  private def readBqSigs(s: SparkSession, indexDir: String): DataFrame =
+    Similarity.minusTombstones(s, indexDir,
+      s.read.parquet(s"$indexDir/sigs"))
 
   /** Store the signature relation — no quantizer state to persist
     * (the threshold is literal zero), so the index is ONE parquet
@@ -138,7 +146,7 @@ object Bq {
 
   def topkBqStored(s: SparkSession, d: String, indexDir: String,
       k: Int = Similarity.TopK, candidates: Int = BqCandidates): DataFrame =
-    bqProbe(s, d, s.read.parquet(s"$indexDir/sigs"), k, candidates)
+    bqProbe(s, d, readBqSigs(s, indexDir), k, candidates)
 
   /** Append new vectors' signatures — stateless encode, pure append
     * (single-writer, disjoint ids, the shared append conventions).

@@ -883,7 +883,8 @@ object Pq {
     */
   def readPqIndex(s: SparkSession, indexDir: String): PqIndex =
     PqIndex(readCodebooks(s, s"$indexDir/codebooks"),
-      s.read.parquet(s"$indexDir/codes"))
+      Similarity.minusTombstones(s, indexDir,
+        s.read.parquet(s"$indexDir/codes")))
 
   /** Probe a STORED PQ index (written by [[writePqIndex]]) through the
     * same probe core as the session-cached path.
@@ -947,7 +948,8 @@ object Pq {
     val means = new Array[Array[Double]](k)
     rows.foreach { case (cell, v) => means(cell.toInt) = v.toArray }
     ResPqIndex(means, readCodebooks(s, s"$indexDir/codebooks"),
-      s.read.parquet(s"$indexDir/codes"))
+      Similarity.minusTombstones(s, indexDir,
+        s.read.parquet(s"$indexDir/codes")))
   }
 
   /** Append NEW vectors to a STORED residual index WITHOUT

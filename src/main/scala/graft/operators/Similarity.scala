@@ -1209,12 +1209,33 @@ object Similarity {
     * bucket/cell pruning survives deletion (IndexDeleteSpec pins the
     * pushed filter).
     */
-  private def minusTombstones(s: SparkSession, indexDir: String,
+  private[operators] def minusTombstones(s: SparkSession, indexDir: String,
       rows: DataFrame): DataFrame =
     if (!hasTombstones(s, indexDir)) rows
     else rows.join(
       s.read.schema("vec_id BIGINT").parquet(tombstonesPath(indexDir)),
       Seq("vec_id"), "left_anti")
+
+  /** Physically purge tombstones from a CODE index (PQ/SQ/BQ/residual
+    * — any layout whose row data is one `<dir>/<sub>` parquet table
+    * keyed by vec_id, with trained state in sibling tables the purge
+    * never touches): rewrite the data subdir minus tombstoned rows
+    * (schema-agnostic — the reader's anti-join already defines the
+    * surviving set), swap, clear tombstones LAST (the compactIvfIndex
+    * crash discipline: a crash leaves tombstones over already-purged
+    * rows, re-applied idempotently).
+    */
+  def compactCodesIndex(s: SparkSession, indexDir: String,
+      dataSubdir: String = "codes"): Unit = {
+    val src = new org.apache.hadoop.fs.Path(s"$indexDir/$dataSubdir")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexDir/${dataSubdir}_compacting")
+    minusTombstones(s, indexDir, s.read.parquet(src.toString))
+      .write.mode("overwrite").parquet(tmp.toString)
+    swapDirInto(s, tmp, src)
+    val tp = new org.apache.hadoop.fs.Path(tombstonesPath(indexDir))
+    tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
+  }
 
   /** Defragment a stored IVF index after appends AND physically purge
     * tombstoned rows: rewrite the assignments one file per cell (each

@@ -261,7 +261,8 @@ object Sq {
     val mins = new Array[Double](SqDim)
     val maxs = new Array[Double](SqDim)
     rows.foreach { case (dim, mn, mx) => mins(dim) = mn; maxs(dim) = mx }
-    SqIndex(mins, maxs, s.read.parquet(s"$indexDir/codes"))
+    SqIndex(mins, maxs, Similarity.minusTombstones(s, indexDir,
+      s.read.parquet(s"$indexDir/codes")))
   }
 
   /** Probe a STORED SQ index (written by [[writeSqIndex]]) through the

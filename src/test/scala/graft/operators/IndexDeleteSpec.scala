@@ -113,6 +113,36 @@ class IndexDeleteSpec extends AnyFunSuite {
       "compacted occupancy diverged from the physical counts")
   }
 
+  test("code indexes (PQ/SQ/BQ): same tombstone seam, compactCodesIndex purges") {
+    import spark.implicits._
+    val ids = graft.Tables.embeddings(spark, sf).select($"vec_id")
+      .filter($"vec_id" % Similarity.PurgeMod === Similarity.PurgeRes)
+    val cases: Seq[(String, String => Unit, String => org.apache.spark.sql.DataFrame, String)] = Seq(
+      ("pq", dir => Pq.writePqIndex(spark, sf, dir),
+        dir => Pq.topkPqStored(spark, sf, dir), "codes"),
+      ("sq", dir => Sq.writeSqIndex(spark, sf, dir),
+        dir => Sq.topkSqStored(spark, sf, dir), "codes"),
+      ("bq", dir => Bq.writeBqIndex(spark, sf, dir),
+        dir => Bq.topkBqStored(spark, sf, dir), "sigs"))
+    cases.foreach { case (name, write, probe, sub) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"${name}del")
+        .toString + "/idx"
+      write(dir)
+      Similarity.deleteFromIndex(spark, dir, ids)
+      val tombstoned = rows(probe(dir))
+      assert(tombstoned.nonEmpty && !tombstoned.exists(r => purged(r._2)),
+        s"$name: deleted id still served")
+      Similarity.compactCodesIndex(spark, dir, sub)
+      assert(rows(probe(dir)) == tombstoned,
+        s"$name: compaction changed the probe answer")
+      assert(!new java.io.File(s"$dir/_graft_tombstones").exists)
+      val raw = spark.read.parquet(s"$dir/$sub").select($"vec_id")
+        .as[Long].collect()
+      assert(raw.nonEmpty && !raw.exists(purged),
+        s"$name: compacted layout still holds deleted rows")
+    }
+  }
+
   test("purged IVF probe keeps its dynamic cell pruning above the anti-join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivfpd").toString + "/idx"
