@@ -370,21 +370,72 @@ object Pq {
       OpqIndex(perm, PqIndex(cb, codes))
     }
 
+  /** The declared query set with PERMUTED coordinates (norms from the
+    * originals — permutation preserves them, and the exact re-rank
+    * wants the original-space convention).
+    */
+  private def opqQueries(s: SparkSession, d: String,
+      perm: Array[Int]): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    Tables.embeddings(s, d)
+      .filter($"vec_id" % Similarity.QueryStride === 0)
+      .select($"vec_id".as("q_id"),
+        permutedCol(perm, $"embedding").as("q_emb"),
+        VectorFunctions.norm($"embedding").as("q_nrm"))
+  }
+
   /** The OPQ probe: the PQ probe with PERMUTED query coordinates (the
     * LUTs dot permuted q-slices against codewords trained in permuted
     * space); candidates re-rank by exact cosine on ORIGINAL vectors.
     */
   def topkOpq(s: SparkSession, d: String, k: Int = Similarity.TopK,
       candidates: Int = PqCandidates): DataFrame = {
-    import s.implicits._
-    import graft.functions.VectorFunctions
     val idx = opqIndex(s, d)
-    val permQueries = Tables.embeddings(s, d)
-      .filter($"vec_id" % Similarity.QueryStride === 0)
-      .select($"vec_id".as("q_id"),
-        permutedCol(idx.perm, $"embedding").as("q_emb"),
-        VectorFunctions.norm($"embedding").as("q_nrm"))
-    pqProbe(s, d, idx.pq, k, candidates, Some(permQueries),
+    pqProbe(s, d, idx.pq, k, candidates, Some(opqQueries(s, d, idx.perm)),
+      rerankQueries = Some(queryRelation(s, d)))
+  }
+
+  /** Store the OPQ index: codes + codebooks (the PQ layout) plus the
+    * permutation as a (pos, dim) table — trained state, the same
+    * class as the codebooks. The tombstone/compaction seam is shared
+    * (codes subdir, [[Similarity.compactCodesIndex]]).
+    */
+  def writeOpqIndex(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    val idx = opqIndex(s, d)
+    idx.pq.codes.write.mode("overwrite").parquet(s"$outDir/codes")
+    writeCodebooks(s, idx.pq.codebooks, s"$outDir/codebooks")
+    idx.perm.zipWithIndex.toSeq.map { case (dim, pos) => (pos, dim) }
+      .toDF("pos", "dim").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/perm")
+  }
+
+  /** Read a stored OPQ index; a perm table that is not a bijection of
+    * the dims fails loudly (probing through a corrupt permutation
+    * would silently score garbage coordinates).
+    */
+  def readOpqIndex(s: SparkSession, indexDir: String): OpqIndex = {
+    import s.implicits._
+    val rows = s.read.parquet(s"$indexDir/perm")
+      .select($"pos", $"dim").as[(Int, Int)].collect()
+    require(rows.length == Similarity.Dim &&
+        rows.map(_._2).sorted.sameElements(0 until Similarity.Dim),
+      s"opq perm table under $indexDir is not a bijection of the dims")
+    val perm = new Array[Int](Similarity.Dim)
+    rows.foreach { case (pos, dim) => perm(pos) = dim }
+    OpqIndex(perm, readPqIndex(s, indexDir))
+  }
+
+  /** Probe a STORED OPQ index — queries permuted with the INDEX's
+    * recorded permutation (never the current corpus's retrained one,
+    * the planes-sidecar discipline), through the same probe core.
+    */
+  def topkOpqStored(s: SparkSession, d: String, indexDir: String,
+      k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame = {
+    val idx = readOpqIndex(s, indexDir)
+    pqProbe(s, d, idx.pq, k, candidates, Some(opqQueries(s, d, idx.perm)),
       rerankQueries = Some(queryRelation(s, d)))
   }
 
@@ -1001,6 +1052,15 @@ object Pq {
           $"code".cast("int").as("code"))
     },
     "sim_ann_opq" -> ((s, d) => topkOpq(s, d)),
+    // The STORED-path form (the sim_ann_pq_stored convention): write
+    // codes + codebooks + permutation, read back, probe with the
+    // INDEX's recorded permutation. Same answer as sim_ann_opq by
+    // construction, so it shares that oracle verbatim.
+    "sim_ann_opq_stored" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("opq", d)
+      writeOpqIndex(s, d, dir)
+      topkOpqStored(s, d, dir)
+    },
     // The STORED-path form of sim_ann_pq (the sim_ann_ivf_stored
     // pattern): write codes + codebooks, read them back, ADC-probe —
     // the compressed-index lifecycle (store 8 bytes/vector, probe
@@ -1316,6 +1376,8 @@ object Pq {
       })
     // stored probe shares the session-path oracle verbatim (the
     // Similarity.oracles sim_ann_lsh_stored convention)
-    base + ("sim_ann_pq_stored" -> base("sim_ann_pq"))
+    base +
+      ("sim_ann_pq_stored" -> base("sim_ann_pq")) +
+      ("sim_ann_opq_stored" -> base("sim_ann_opq"))
   }
 }

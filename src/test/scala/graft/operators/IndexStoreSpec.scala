@@ -453,6 +453,20 @@ class IndexStoreSpec extends AnyFunSuite {
       "stored-PQ probe diverged from the build-session probe")
   }
 
+  test("OPQ stored index: fresh-session probe parity (perm + codes + codebooks round-trip)") {
+    val dir = java.nio.file.Files.createTempDirectory("opqstore").toString
+    Pq.writeOpqIndex(spark, sf, dir)
+    val expect = rows(Pq.topkOpq(spark, sf))
+    assert(expect.nonEmpty)
+
+    val s2 = spark.newSession()
+    assert(rows(Pq.topkOpqStored(s2, sf, dir)) == expect,
+      "stored-OPQ probe diverged from the build-session probe")
+    // the recorded permutation is what the stored probe uses
+    assert(Pq.readOpqIndex(s2, dir).perm.toSeq ==
+      Pq.opqIndex(spark, sf).perm.toSeq)
+  }
+
   test("PCA stored model: fresh-session projection parity (doubles round-trip)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pcastore").toString
