@@ -963,6 +963,41 @@ object TextAnalysis {
           round(expr("percentile(nt, 0.9)"), 4).as("p90_tokens"))
     },
 
+    // Exact length quantiles at histogram cost — the 100 TB-safe form
+    // of txt_len_stats' percentile() (whose aggregation buffer holds
+    // EVERY group value, corpus-scaled state per source): token
+    // lengths live on a bounded domain, so one groupBy(source, len)
+    // histogram (the exchange carries source × distinct-lengths rows,
+    // corpus-size-independent) plus a histogram-sized cumulative
+    // window yields EXACT quantiles — qth = smallest len with
+    // cumulative count ≥ ⌈q·n⌉, the percentile_disc convention. The
+    // TOTAL scope re-aggregates the per-source histogram (histogram-
+    // sized, the KMV merge-property trick), so the corpus is scanned
+    // once. Context-window planning: p50/p90/p99 sequence lengths per
+    // source decide packing and truncation budgets.
+    "txt_len_quantiles" -> { (s, d) =>
+      import s.implicits._
+      val perSrc = Tables.documents(s, d)
+        .select($"source",
+          size(tokens(coalesce($"text", lit("")))).cast("long").as("len"))
+        .groupBy($"source", $"len").agg(count(lit(1)).as("c"))
+      val hist = perSrc.unionByName(
+        perSrc.groupBy($"len").agg(sum($"c").as("c"))
+          .select(lit("*").as("source"), $"len", $"c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"len")
+      val cum = hist
+        .withColumn("cum", sum($"c").over(w))
+        .withColumn("n", sum($"c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      def pick(q: Double) =
+        min(when($"cum" >= ceil(lit(q) * $"n"), $"len"))
+      cum.groupBy($"source")
+        .agg(max($"n").as("n_docs"), pick(0.5).as("p50"),
+          pick(0.9).as("p90"), pick(0.99).as("p99"))
+        .select($"source", $"n_docs", $"p50", $"p90", $"p99")
+    },
+
     // PII-style pattern scrub over the event property payloads: count
     // and redact emails, IPv4s, and digit runs. Pure per-row regex
     // column expressions — no shuffle, codegen'd, linear at any scale.
@@ -1775,6 +1810,31 @@ object TextAnalysis {
                 / CAST(kth_hash AS DOUBLE), 4) + 0.0
             END AS est_distinct
           FROM u""",
+    // Histogram → cumulative window → smallest len with cum ≥ ⌈q·n⌉,
+    // exactly the kernel's pick; the q·n products forced through
+    // DOUBLE (the txt_heavy_hitters ceil-parity note). Empty/null
+    // text counts as length 0 on both sides (COALESCE to '').
+    "txt_len_quantiles" ->
+      s"""WITH lens AS (
+            SELECT source, CAST(len(list_filter(
+              regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+              t -> len(t) > 0)) AS BIGINT) AS len
+            FROM documents),
+          persrc AS (SELECT source, len, COUNT(*) AS c
+            FROM lens GROUP BY source, len),
+          hist AS (SELECT * FROM persrc
+            UNION ALL
+            SELECT '*' AS source, len, SUM(c) AS c
+            FROM persrc GROUP BY len),
+          cum AS (SELECT source, len,
+              SUM(c) OVER (PARTITION BY source ORDER BY len) AS cum,
+              SUM(c) OVER (PARTITION BY source) AS n
+            FROM hist)
+          SELECT source, MAX(n) AS n_docs,
+            MIN(CASE WHEN cum >= CEIL(CAST(0.5 AS DOUBLE) * n) THEN len END) AS p50,
+            MIN(CASE WHEN cum >= CEIL(CAST(0.9 AS DOUBLE) * n) THEN len END) AS p90,
+            MIN(CASE WHEN cum >= CEIL(CAST(0.99 AS DOUBLE) * n) THEN len END) AS p99
+          FROM cum GROUP BY source""",
     // Exact restatement — the CMS is a prefilter, never a correctness
     // dependency (the txt_bloom_decontaminate convention), so the
     // oracle is tokens → counts → the fraction-threshold gate. The φ·N
