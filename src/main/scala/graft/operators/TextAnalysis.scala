@@ -977,13 +977,19 @@ object TextAnalysis {
     // source decide packing and truncation budgets.
     "txt_len_quantiles" -> { (s, d) =>
       import s.implicits._
-      val perSrc = Tables.documents(s, d)
+      // GROUPING SETS ((source, len), (len)) — ONE scan+tokenize pass
+      // feeds both scopes (a naive per-source histogram re-aggregated
+      // for the TOTAL row duplicates the corpus scan in the DAG;
+      // measured by ExplainAudit, two FileScans → one); grouping()
+      // marks the all-sources rows, surfaced as the '*' scope
+      val hist = Tables.documents(s, d)
         .select($"source",
           size(tokens(coalesce($"text", lit("")))).cast("long").as("len"))
-        .groupBy($"source", $"len").agg(count(lit(1)).as("c"))
-      val hist = perSrc.unionByName(
-        perSrc.groupBy($"len").agg(sum($"c").as("c"))
-          .select(lit("*").as("source"), $"len", $"c"))
+        .groupingSets(Seq(Seq($"source", $"len"), Seq($"len")),
+          $"source", $"len")
+        .agg(count(lit(1)).as("c"), grouping($"source").as("g"))
+        .select(when($"g" === 1, lit("*"))
+          .otherwise($"source").as("source"), $"len", $"c")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"source").orderBy($"len")
       val cum = hist
