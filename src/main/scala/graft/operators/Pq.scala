@@ -439,6 +439,23 @@ object Pq {
       rerankQueries = Some(queryRelation(s, d)))
   }
 
+  /** The stored-OPQ probe for an ARBITRARY query relation in ORIGINAL
+    * coordinates (q_id, q_emb, q_nrm) — the serving entry point (the
+    * topkLshStoredFor convention): queries are permuted INSIDE with
+    * the index's recorded permutation, so callers never handle
+    * transformed coordinates.
+    */
+  def topkOpqStoredFor(s: SparkSession, queries: DataFrame, d: String,
+      indexDir: String, k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame = {
+    import s.implicits._
+    val idx = readOpqIndex(s, indexDir)
+    val permuted = queries.select($"q_id",
+      permutedCol(idx.perm, $"q_emb").as("q_emb"), $"q_nrm")
+    pqProbe(s, d, idx.pq, k, candidates, Some(permuted),
+      rerankQueries = Some(queries))
+  }
+
   /** ADC (asymmetric distance computation) coarse score: the query
     * stays full-precision, the corpus vector is its reconstruction
     * Σ_sub dot(q_sub, codeword[sub][code_sub]) — subspaces summed

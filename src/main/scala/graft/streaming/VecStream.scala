@@ -113,6 +113,19 @@ object VecStream {
           batch.toDF(), d, ivfDir, pqDir, k))
       }.start()
 
+  /** [[probeStreamIvfPq]] against a stored OPQ index — queries arrive
+    * in ORIGINAL coordinates and are permuted inside with the index's
+    * recorded permutation.
+    */
+  def probeStreamOpq(queries: DataFrame, d: String, indexDir: String,
+      k: Int = Similarity.TopK)(
+      sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(graft.operators.Pq.topkOpqStoredFor(batch.sparkSession,
+          batch.toDF(), d, indexDir, k))
+      }.start()
+
   /** [[probeStreamIvfPq]] for the residual composition. */
   def probeStreamIvfPqRes(queries: DataFrame, d: String, ivfDir: String,
       resDir: String, k: Int = Similarity.TopK)(

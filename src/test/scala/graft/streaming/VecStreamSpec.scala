@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Similarity
+import graft.operators.{Pq, Similarity}
 
 /** Live-query row for [[VecStream.probeStream]] tests. */
 case class QVec(q_id: Long, q_emb: Array[Float])
@@ -167,6 +167,33 @@ class VecStreamSpec extends AnyFunSuite {
     val clone = after.find(_._2 == 1000000L)
     assert(clone.isDefined, s"appended clone not found in ${after.toSeq}")
     assert(clone.get._3 == 1.0, s"clone cosine ${clone.get._3}")
+  }
+
+  test("OPQ: streamed probe micro-batches union to the declared stored probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vecstreamopq")
+      .toString + "/opq"
+    Pq.writeOpqIndex(spark, fixture, dir)
+    val expect = Pq.topkOpqStored(spark, fixture, dir)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(expect.nonEmpty)
+
+    val mem = MemoryStream[QVec]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double, Int)]
+    val q = VecStream.probeStreamOpq(withNorm(mem.toDF()), fixture, dir) {
+      batch => got ++= batch.as[(Long, Long, Double, Int)].collect()
+    }
+    try {
+      val qs = fixtureQueries
+      val (b1, b2) = qs.splitAt(qs.length / 2)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expect,
+      "streamed OPQ probe diverged from the declared stored probe")
   }
 
   test("delete stream: takedown ids vanish from the next probe on") {
