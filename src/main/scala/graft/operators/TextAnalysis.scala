@@ -430,6 +430,47 @@ object TextAnalysis {
       heavyHittersFrom(toks, tab, total)
     },
 
+    // Per-source heavy hitters — boilerplate detection per DOMAIN (the
+    // C4/Gopher cleaning question: which tokens dominate within each
+    // source, not the corpus): the same CMS machinery over the
+    // (source ⊕ token) composite key, per-source totals from one
+    // sources-sized aggregate, per-source thresholds ⌈φ·N_src⌉ culled
+    // at the scan and exact-verified — output exact, oracle the plain
+    // per-source GROUP BY … HAVING.
+    "txt_heavy_hitters_by_source" -> { (s, d) =>
+      import s.implicits._
+      val pairs = Tables.documents(s, d)
+        .select($"source", explode(tokens($"text")).as("token"))
+        .as[(String, String)]
+      val keyed = pairs.map { case (src, t) => src + " " + t }
+      val (tab, _) = buildCms(keyed)
+      // per-source token totals: one sources-sized aggregate (the
+      // driver map is |sources|, bounded by the catalog, not the data)
+      val totals = pairs.toDF("source", "token")
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val thresh = totals.map { case (src, n) =>
+        src -> math.max(1L, math.ceil(HhPhi * n).toLong) }
+      val bcTab = s.sparkContext.broadcast(tab)
+      val bcThresh = s.sparkContext.broadcast(thresh)
+      // the (source, total, threshold) gate relation — sources-sized,
+      // broadcast into the exact-verify tail
+      val gates = totals.toSeq
+        .map { case (src, n) => (src, n, thresh(src)) }
+        .toDF("source", "n", "th")
+      pairs.mapPartitions { it =>
+        val (t0, th) = (bcTab.value, bcThresh.value)
+        it.filter { case (src, t) =>
+          cmsMin(t0, src + " " + t) >= th.getOrElse(src, Long.MaxValue)
+        }
+      }.toDF("source", "token")
+        .groupBy($"source", $"token").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(gates), Seq("source"))
+        .filter($"cnt" >= $"th")
+        .select($"source", $"token", $"cnt",
+          round($"cnt".cast("double") / $"n".cast("double"), 6).as("share"))
+    },
+
     // Sketch SET OPERATIONS — the theta-sketch intersection over the
     // KMV sketches: per source, how much of its TRAIN-split shingle
     // set leaks from the EVAL split (the decontamination-exposure
@@ -1841,6 +1882,17 @@ object TextAnalysis {
             MIN(CASE WHEN cum >= CEIL(CAST(0.9 AS DOUBLE) * n) THEN len END) AS p90,
             MIN(CASE WHEN cum >= CEIL(CAST(0.99 AS DOUBLE) * n) THEN len END) AS p99
           FROM cum GROUP BY source""",
+    // The per-source gate restated exactly: per-source totals, counts,
+    // threshold ⌈φ·N_src⌉ (DOUBLE-forced, the ceil-parity note).
+    "txt_heavy_hitters_by_source" ->
+      s"""WITH toks AS (SELECT source, unnest($sqlToks) AS token FROM documents),
+          tot AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source),
+          cnt AS (SELECT source, token, COUNT(*) AS cnt
+            FROM toks GROUP BY source, token)
+          SELECT c.source, c.token, c.cnt,
+            ROUND(c.cnt::DOUBLE / t.n, 6) AS share
+          FROM cnt c JOIN tot t USING (source)
+          WHERE c.cnt >= GREATEST(CEIL(CAST($HhPhi AS DOUBLE) * t.n), 1)""",
     // Exact restatement — the CMS is a prefilter, never a correctness
     // dependency (the txt_bloom_decontaminate convention), so the
     // oracle is tokens → counts → the fraction-threshold gate. The φ·N
