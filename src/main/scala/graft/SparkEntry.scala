@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Bpe, Bq, Dedup, DnaPipeline, Embeddings, Multimodal, Pca, Pq, Relational, Similarity, Sq, TextAnalysis}
+import graft.operators.{Bpe, Bq, Dedup, DnaPipeline, Embeddings, Lexical, Multimodal, Pca, Pq, Relational, Similarity, Sq, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,14 +20,15 @@ object SparkEntry {
     Relational.queries ++ DnaPipeline.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Embeddings.queries ++ Pq.queries ++ Sq.queries ++ Pca.queries ++
-      Bpe.queries ++ Bq.queries
+      Bpe.queries ++ Bq.queries ++ Lexical.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ DnaPipeline.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Embeddings.oracles ++ Pq.oracles ++ Sq.oracles ++ Bq.oracles
+      Multimodal.oracles ++ Embeddings.oracles ++ Pq.oracles ++ Sq.oracles ++ Bq.oracles ++
+      Lexical.oracles
 
   /** Oracles whose SQL embeds deterministically-TRAINED state (the IVF
     * centroids) as literals, so they must be rendered against the

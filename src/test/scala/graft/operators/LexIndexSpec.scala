@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stored lexical (postings) index contract: a fresh session
+  * probing the written layout answers exactly like the raw-text scan,
+  * the probe's postings read is partition-pruned to the query terms'
+  * buckets, doc lengths denormalized into postings agree with the
+  * doclen relation, and an append behaves as if the batch had been in
+  * the original build.
+  */
+class LexIndexSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] = {
+    import df.sparkSession.implicits._
+    df.as[(Long, Double)].collect().toSeq
+  }
+
+  test("stored probe parity: fresh session equals the raw-text scan") {
+    val dir = java.nio.file.Files.createTempDirectory("lexstore").toString
+    Lexical.writeLexIndex(spark, sf, dir)
+    val expect = topk(TextAnalysis.queries("txt_bm25_topk")(spark, sf))
+    assert(expect.nonEmpty)
+    val s2 = spark.newSession()
+    assert(topk(Lexical.topkBm25Stored(s2, dir)) == expect)
+  }
+
+  test("postings probe scan is partition-pruned and term-pushed") {
+    val dir = java.nio.file.Files.createTempDirectory("lexplan").toString
+    Lexical.writeLexIndex(spark, sf, dir)
+    val probe = Lexical.topkBm25Stored(spark, dir)
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.toString.split('\n')
+      .filter(_.contains("FileScan parquet"))
+      .find(_.contains("postings"))
+      .getOrElse(fail("no FileScan over postings in the plan"))
+    assert(scan.contains("PartitionFilters") && scan.contains("pbucket"),
+      s"postings scan not partition-pruned: $scan")
+    assert(scan.contains("PushedFilters") && scan.contains("term"),
+      s"term predicate not pushed to the postings scan: $scan")
+  }
+
+  test("denormalized dl in postings matches the doclen relation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lexdl").toString
+    Lexical.writeLexIndex(spark, sf, dir)
+    val fromPost = spark.read.parquet(s"$dir/postings")
+      .select($"doc_id", $"dl").distinct()
+    val fromDl = spark.read.parquet(s"$dir/doclen")
+      .join(fromPost.select($"doc_id"), Seq("doc_id"), "left_semi")
+    assert(fromPost.count() == fromDl.count())
+    assert(fromPost.except(fromDl).isEmpty && fromDl.except(fromPost).isEmpty)
+  }
+
+  test("append equals having built on the full corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lexappend").toString
+    val full = java.nio.file.Files.createTempDirectory("lexfull").toString
+    val docs = graft.Tables.documents(spark, sf)
+
+    // build on the even half, append the odd half
+    val stagedSf = java.nio.file.Files.createTempDirectory("lexhalf").toString
+    docs.filter($"doc_id" % 2 === 0).write.mode("overwrite")
+      .parquet(s"$stagedSf/documents.parquet")
+    Lexical.writeLexIndex(spark, stagedSf, dir)
+    Lexical.appendToLexIndex(spark, dir, docs.filter($"doc_id" % 2 === 1))
+
+    Lexical.writeLexIndex(spark, sf, full)
+    assert(topk(Lexical.topkBm25Stored(spark, dir)) ==
+      topk(Lexical.topkBm25Stored(spark, full)))
+    val stA = spark.read.parquet(s"$dir/stats").as[(Long, Double)].head()
+    val stF = spark.read.parquet(s"$full/stats").as[(Long, Double)].head()
+    assert(stA._1 == stF._1)
+    assert(math.abs(stA._2 - stF._2) < 1e-9)
+  }
+
+  test("probe on terms absent from the corpus returns no rows") {
+    val dir = java.nio.file.Files.createTempDirectory("lexmiss").toString
+    Lexical.writeLexIndex(spark, sf, dir)
+    assert(Lexical.topkBm25Stored(spark, dir,
+      Seq("zz_no_such_token_zz")).isEmpty)
+  }
+}

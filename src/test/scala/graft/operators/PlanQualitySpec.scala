@@ -360,6 +360,15 @@ class PlanQualitySpec extends AnyFunSuite {
     // rank, not a corpus-scaled partition. Pinned below: exactly one
     // source-only window, and the salted phase-1 window must exist.
     val boundedFinalRank = Set("txt_stratified_sample")
+    // the other principled exception: txt_len_quantiles' cum-sum /
+    // total windows run over the GROUPING SETS histogram — at most
+    // sources × distinct-token-lengths rows, a bounded domain that is
+    // corpus-size-INDEPENDENT (the whole point of the query). Pinned
+    // structurally: every source-only window must sit above an
+    // Aggregate keyed on `len` (the histogram collapse), so a refactor
+    // that windows raw documents again trips the guard.
+    val boundedHistogram = Set("txt_len_quantiles")
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
       val wins = lp.collect { case w: LWindow => w }
@@ -369,6 +378,12 @@ class PlanQualitySpec extends AnyFunSuite {
         assert(bad.length == 1 && wins.exists(
           _.partitionSpec.flatMap(_.references.toSeq).map(_.name).contains("salt")),
           s"$name lost its bounded two-phase rank shape:\n$lp")
+      } else if (boundedHistogram(name)) {
+        assert(bad.nonEmpty && bad.forall(_.child.collectFirst {
+          case a: Aggregate
+            if a.groupingExpressions.exists(_.references.exists(_.name == "len")) => a
+        }.nonEmpty),
+          s"$name's source windows no longer read the bounded (source, len) histogram:\n$lp")
       } else assert(bad.isEmpty,
         s"$name has a Window partitioned solely by `source`:\n${bad.mkString("\n")}")
     }
