@@ -1133,6 +1133,37 @@ object TextAnalysis {
           round(coalesce($"nll", lit(0.0)), 5).as("nll"))
     },
 
+    // Per-source distribution drift — the mixture-monitoring question
+    // ("which domain's unigram distribution moved away from the
+    // corpus"; run per snapshot/day in deployment, scoped per source
+    // here): KL(P_source ‖ P_corpus) over whitespace-token unigrams,
+    // decomposed so every corpus-scaled row needs only ITS OWN counts:
+    // KL_s = (Σ_t c_st·ln(c_st/c_t))/n_s − ln(n_s/N). One tokenize
+    // pass: term totals derive FROM the (source, term) aggregate (its
+    // exchange is shared between the join's branches, the tfidf
+    // shape), and n_s/N live on the final sources-sized relation — N
+    // as a window over ≤|sources| rows, never a second corpus scan.
+    // Each source's terms are a subset of the corpus's, so ln's
+    // argument is always finite and KL ≥ 0. Float sums round(6) after
+    // the n_s division (drift ≪ rounding, the txt_unigram_nll note).
+    "txt_drift_kl" -> { (s, d) =>
+      import s.implicits._
+      val st = Tables.documents(s, d)
+        .select($"source", explode(tokens($"text")).as("term"))
+        .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+      val ct = st.groupBy($"term").agg(sum($"c").as("ct"))
+      val per = st.join(ct, Seq("term"))
+        .groupBy($"source")
+        .agg(sum($"c").cast("long").as("n_tokens"),
+          sum($"c" * log($"c".cast("double") / $"ct")).as("ssum"))
+      per
+        .withColumn("total", sum($"n_tokens").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select($"source", $"n_tokens",
+          round($"ssum" / $"n_tokens" -
+            log($"n_tokens".cast("double") / $"total"), 6).as("kl"))
+    },
+
     // Bigram-LM cross-entropy — the stronger perplexity-filter proxy
     // (the unigram NLL's conditional sibling; the KenLM-filter shape
     // without the external LM): per doc, the mean NLL of each token
@@ -2193,6 +2224,21 @@ object TextAnalysis {
             COALESCE(per.n, 0) AS n_tokens,
             ROUND(COALESCE(per.nll, 0.0), 5) AS nll
           FROM documents d LEFT JOIN per USING (doc_id)""",
+    // the same decomposition restated: (source, term) counts, term
+    // totals rolled up from them, the window-N over the per-source
+    // relation; identical ln arithmetic, round(6) after the division
+    "txt_drift_kl" ->
+      s"""WITH st AS (SELECT source, term, COUNT(*) AS c FROM (
+            SELECT source, unnest($sqlToks) AS term FROM documents)
+            GROUP BY source, term),
+          ct AS (SELECT term, SUM(c) AS ct FROM st GROUP BY term),
+          per AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+              SUM(c * ln(c::DOUBLE / ct)) AS ssum
+            FROM st JOIN ct USING (term) GROUP BY source)
+          SELECT source, n_tokens,
+            ROUND(ssum / n_tokens -
+              ln(n_tokens::DOUBLE / (SUM(n_tokens) OVER ())), 6) AS kl
+          FROM per""",
     // the same model restated: row-local bigram lists, two count
     // CTEs (the second rolls up the first), V from the distinct token
     // stream; identical add-one arithmetic, round(5) like the unigram

@@ -551,4 +551,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"),
       s"fuzzy decontamination re-built the pair relation instead of reading the cache:\n$p")
   }
+
+  test("txt_drift_kl: term totals reuse the (source, term) exchange — one tokenize") {
+    // the join's right branch rolls term totals up FROM the left's
+    // (source, term) aggregate; both branches share one canonicalized
+    // shuffle, so AQE must serve the second from the first (a reused
+    // stage), never re-tokenize the corpus. Static plans print both
+    // branches — the contract is the RUNTIME reuse, asserted on the
+    // final adaptive plan.
+    val df = SparkEntry.queries("txt_drift_kl")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"),
+      s"no reused stage — the corpus is tokenized twice:\n$p")
+  }
 }
