@@ -1151,7 +1151,7 @@ object Similarity {
     * an object store without rename versions whole index dirs instead,
     * the note on [[appendToIvfIndex]].)
     */
-  private[operators] def swapDirInto(s: SparkSession,
+  private[graft] def swapDirInto(s: SparkSession,
       fresh: org.apache.hadoop.fs.Path,
       target: org.apache.hadoop.fs.Path): Unit = {
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1644,7 +1644,7 @@ object Similarity {
     * one directory's overwrite against the other's read). Residue is
     * temp-dir-reclaimed, ≤ a few MB per fixture per process.
     */
-  private[operators] def storedQueryDir(kind: String, d: String): String =
+  private[graft] def storedQueryDir(kind: String, d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_stored_${kind}_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       java.lang.Integer.toHexString(d.hashCode) + "_p" +

@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Z-order-clustered parquet layout with a per-file min/max manifest —
+  * manifest-based DATA SKIPPING, the Delta/Iceberg/Hudi scan
+  * optimization, built from plain parquet + a hidden sidecar. At
+  * 100 TB the dominant cost of any selective query is the files it
+  * has to OPEN; directory partitioning only prunes one column and
+  * explodes into small files past a few thousand values. Clustering
+  * sorts rows by the Morton (Z-order) interleave of two columns'
+  * normalized ranks, so every file covers a small RECTANGLE of the
+  * (c1, c2) value space, and a box predicate on EITHER or BOTH
+  * columns skips most files by consulting a manifest of per-file
+  * min/max stats — file-count-sized, read on the driver, exactly the
+  * Iceberg manifest / Delta checkpoint-stats mechanism.
+  *
+  * Layout under one parquet root (readable as a normal parquet dir —
+  * the `_graft_manifest` child is underscore-hidden, the LSH planes-
+  * sidecar mechanism):
+  *
+  *   dir/part-*.parquet        rows, z-sorted; row groups inherit the
+  *                             clustering, so the residual predicate
+  *                             ALSO prunes row groups inside kept files
+  *   dir/_graft_manifest/      (file, min/max per clustered col, rows)
+  *
+  * The manifest is derived FROM the written files (`_metadata
+  * .file_path` group-by), never from the writer's intent, so it cannot
+  * desynchronize from the data; writes stage into a sibling and
+  * promote via [[Similarity.swapDirInto]] (crash-safe). Pruning is
+  * EXACT by construction: a file is kept iff its [min,max] interval
+  * overlaps the query box on every queried column, and the residual
+  * predicate re-applies the box to the kept rows — a wrong manifest
+  * could only over-read, never drop a matching row, and the parity
+  * spec pins even that against the unclustered scan.
+  *
+  * Normalization for the Morton code is linear min-max to 16 bits per
+  * dimension (the corpus min/max from one aggregate). On heavily
+  * skewed columns linear scaling concentrates rows in few cells —
+  * the deployment upgrade is rank-based (quantile) normalization;
+  * pruning EXACTNESS never depends on it, only skip ratios.
+  *
+  * Reference behavior: the reference pipeline has no layout surface;
+  * design follows the published Delta data-skipping / Iceberg
+  * manifest mechanism and Morton-order clustering.
+  */
+object ClusteredLayout {
+
+  /** Target file count for a clustered write. At deployment this is
+    * sized so files land near the parquet sweet spot (~128 MB-1 GB);
+    * at bench SF it just needs enough files for skipping to measure.
+    */
+  val LayoutFiles = 64
+
+  /** Spread a 16-bit value's bits to even positions (Morton half). */
+  private def spread16(c: Column): Column = {
+    val m1 = lit(0x00FF00FFL); val m2 = lit(0x0F0F0F0FL)
+    val m3 = lit(0x33333333L); val m4 = lit(0x55555555L)
+    val x0 = c.cast("long")
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(m1)
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(m2)
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(m3)
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(m4)
+  }
+
+  /** Linear min-max rank of `v` into [0, 65535] (constant columns →
+    * 0 via the greatest() guard).
+    */
+  private def n16(v: Column, mn: Column, mx: Column): Column =
+    least(greatest(floor((v - mn).cast("double") * 65535.0 /
+      greatest((mx - mn).cast("double"), lit(1.0))), lit(0.0)), lit(65535.0))
+      .cast("long")
+
+  /** 32-bit Morton code of two 16-bit ranks. All builtins — the z
+    * computation rides whole-stage codegen, no UDF.
+    */
+  private def zval(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Write `df` clustered on (c1, c2) — z-order when `zorder`, plain
+    * lexicographic range clustering otherwise (the contrast case: a
+    * linear sort prunes only its leading column) — and derive the
+    * per-file manifest from what landed on disk.
+    */
+  def writeClustered(df: DataFrame, dir: String, c1: String, c2: String,
+      files: Int = LayoutFiles, zorder: Boolean = true): Unit = {
+    val s = df.sparkSession
+    val staging = new org.apache.hadoop.fs.Path(dir + "_staging")
+    val fs = staging.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    val cols = df.columns.map(col)
+    val clustered =
+      if (zorder) {
+        val stats = df.agg(
+          min(col(c1)).as("__mn1"), max(col(c1)).as("__mx1"),
+          min(col(c2)).as("__mn2"), max(col(c2)).as("__mx2"))
+        df.crossJoin(broadcast(stats))
+          .withColumn("__z", zval(
+            n16(col(c1), col("__mn1"), col("__mx1")),
+            n16(col(c2), col("__mn2"), col("__mx2"))))
+          .repartitionByRange(files, col("__z"))
+          .sortWithinPartitions("__z")
+          .select(cols: _*)
+      } else {
+        df.repartitionByRange(files, col(c1), col(c2))
+          .sortWithinPartitions(c1, c2)
+      }
+    clustered.write.parquet(staging.toString)
+    s.read.parquet(staging.toString)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(c1)).as("mn1"), max(col(c1)).as("mx1"),
+        min(col(c2)).as("mn2"), max(col(c2)).as("mx2"),
+        count(lit(1)).as("rows"))
+      // rewrite to layout-relative names so the manifest survives the
+      // staging→final rename (and any future dir move)
+      .withColumn("file", element_at(split(col("file"), "/"), -1))
+      .write.parquet(s"$staging/_graft_manifest")
+    Similarity.swapDirInto(s, staging, new org.apache.hadoop.fs.Path(dir))
+  }
+
+  /** The manifest cut: file names whose stats rectangle overlaps the
+    * box, plus the layout's total file count (for skip-ratio
+    * reporting / specs). Manifest is file-count-sized — a driver read
+    * by design, like an Iceberg planning pass.
+    */
+  def selectFiles(s: SparkSession, dir: String,
+      r1: (Long, Long), r2: (Long, Long)): (Seq[String], Int) = {
+    import s.implicits._
+    val m = s.read.parquet(s"$dir/_graft_manifest")
+      .select($"file", $"mn1".cast("long"), $"mx1".cast("long"),
+        $"mn2".cast("long"), $"mx2".cast("long"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val kept = m.collect { case (f, mn1, mx1, mn2, mx2)
+      if mx1 >= r1._1 && mn1 <= r1._2 && mx2 >= r2._1 && mn2 <= r2._2 => f }
+    (kept.toSeq.map(f => s"$dir/$f"), m.length)
+  }
+
+  /** Box query over a clustered layout: manifest-select the files,
+    * read ONLY those, re-apply the box as the residual predicate
+    * (which parquet also pushes into row-group stats — the kept files
+    * are z-sorted, so both levels of skipping engage). Exact
+    * regardless of manifest quality; the manifest only bounds I/O.
+    */
+  def scanBox(s: SparkSession, dir: String, c1: String, c2: String,
+      r1: (Long, Long), r2: (Long, Long)): DataFrame = {
+    val (kept, _) = selectFiles(s, dir, r1, r2)
+    val residual = (df: DataFrame) => df.filter(
+      col(c1).between(r1._1, r1._2) && col(c2).between(r2._1, r2._2))
+    if (kept.isEmpty)
+      // empty cut: keep the schema without opening any data file
+      residual(s.read.parquet(dir)).limit(0)
+    else residual(s.read.parquet(kept: _*))
+  }
+
+  /** The declared events slice served from the layout: user 3-6 over
+    * 2024-01-10 .. 2024-01-15 (valid at every fixture SF; epoch-ms
+    * literals, the evt_* ts convention).
+    */
+  val BoxUsers: (Long, Long) = (3L, 6L)
+  val BoxTsMs: (Long, Long) = (1704844800000L, 1705276800000L)
+
+  private def eventsNarrow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d).select($"event_id", $"user_id", $"event_type",
+      $"value", expr("unix_micros(ts) div 1000").as("ts_ms"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // build the z-layout, then serve the 2-D box from it: manifest cut
+    // + residual. One line carries build+probe (the stored-query
+    // convention); LayoutSpec pins that the cut actually skips files
+    // on user-only, ts-only, and combined boxes, and that a linear
+    // user-sorted layout does NOT skip on the ts-only box.
+    "evt_zorder_scan" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("zorder", d)
+      writeClustered(eventsNarrow(s, d), dir, "user_id", "ts_ms")
+      scanBox(s, dir, "user_id", "ts_ms", BoxUsers, BoxTsMs)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "evt_zorder_scan" ->
+      s"""SELECT event_id, user_id, event_type, value,
+            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
+          FROM events
+          WHERE user_id BETWEEN ${BoxUsers._1} AND ${BoxUsers._2}
+            AND epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP))
+              BETWEEN ${BoxTsMs._1} AND ${BoxTsMs._2}"""
+  )
+}

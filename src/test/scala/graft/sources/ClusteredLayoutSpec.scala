@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The data-skipping contract: the manifest cut never changes the
+  * answer (parity with the unclustered scan), and it actually SKIPS —
+  * a z-ordered layout prunes files on user-only, ts-only, and combined
+  * boxes, while a linear (user, ts)-sorted layout cannot prune a
+  * ts-only box (every file spans the full ts range of its user slice).
+  */
+class ClusteredLayoutSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.01"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def events = {
+    import spark.implicits._
+    graft.Tables.events(spark, sf).select($"event_id", $"user_id",
+      $"event_type", $"value", expr("unix_micros(ts) div 1000").as("ts_ms"))
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+    import spark.implicits._
+    df.select($"event_id").as[Long].collect().toSet
+  }
+
+  // the full (user, ts) envelope of the fixture, for one-sided boxes
+  private lazy val env = {
+    import spark.implicits._
+    events.agg(min($"user_id"), max($"user_id"), min($"ts_ms"), max($"ts_ms"))
+      .as[(Long, Long, Long, Long)].head()
+  }
+
+  private def buildZ(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("zlay").toString + "/z"
+    ClusteredLayout.writeClustered(events, dir, "user_id", "ts_ms")
+    dir
+  }
+
+  test("box scan parity with the unclustered filter (exactness)") {
+    val dir = buildZ()
+    val got = ids(ClusteredLayout.scanBox(spark, dir, "user_id", "ts_ms",
+      ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs))
+    val want = ids(events.filter(
+      col("user_id").between(ClusteredLayout.BoxUsers._1, ClusteredLayout.BoxUsers._2) &&
+      col("ts_ms").between(ClusteredLayout.BoxTsMs._1, ClusteredLayout.BoxTsMs._2)))
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("z layout skips files on combined, user-only, AND ts-only boxes") {
+    val dir = buildZ()
+    val (mnU, mxU, mnT, mxT) = env
+    val (kBoth, total) = ClusteredLayout.selectFiles(spark, dir,
+      ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs)
+    val (kUser, _) = ClusteredLayout.selectFiles(spark, dir,
+      ClusteredLayout.BoxUsers, (mnT, mxT))
+    val (kTs, _) = ClusteredLayout.selectFiles(spark, dir,
+      (mnU, mxU), ClusteredLayout.BoxTsMs)
+    assert(total == ClusteredLayout.LayoutFiles)
+    assert(kBoth.size < kUser.size && kBoth.size < kTs.size,
+      s"combined box should cut deeper: both=${kBoth.size} user=${kUser.size} ts=${kTs.size}")
+    assert(kUser.size < total, s"user-only box did not skip: ${kUser.size}/$total")
+    assert(kTs.size < total, s"ts-only box did not skip: ${kTs.size}/$total")
+  }
+
+  test("linear user-sorted layout cannot skip a ts-only box (the contrast)") {
+    val dir = java.nio.file.Files.createTempDirectory("llay").toString + "/l"
+    ClusteredLayout.writeClustered(events, dir, "user_id", "ts_ms", zorder = false)
+    val (mnU, mxU, _, _) = env
+    val (kTs, total) = ClusteredLayout.selectFiles(spark, dir,
+      (mnU, mxU), ClusteredLayout.BoxTsMs)
+    assert(kTs.size == total,
+      s"a user-leading sort should span ts in every file: ${kTs.size}/$total")
+    // while its leading column still prunes
+    val (kUser, _) = ClusteredLayout.selectFiles(spark, dir,
+      ClusteredLayout.BoxUsers, (Long.MinValue, Long.MaxValue))
+    assert(kUser.size < total)
+    // and the answer is layout-invariant
+    assert(ids(ClusteredLayout.scanBox(spark, dir, "user_id", "ts_ms",
+        ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs)) ==
+      ids(ClusteredLayout.scanBox(spark, buildZ(), "user_id", "ts_ms",
+        ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs)))
+  }
+
+  test("disjoint box returns empty without opening data files") {
+    val dir = buildZ()
+    val (kept, _) = ClusteredLayout.selectFiles(spark, dir,
+      (-100L, -50L), ClusteredLayout.BoxTsMs)
+    assert(kept.isEmpty)
+    assert(ClusteredLayout.scanBox(spark, dir, "user_id", "ts_ms",
+      (-100L, -50L), ClusteredLayout.BoxTsMs).isEmpty)
+  }
+
+  test("manifest rows cover every data file and all rows") {
+    import spark.implicits._
+    val dir = buildZ()
+    val m = spark.read.parquet(s"$dir/_graft_manifest")
+    val dataFiles = spark.read.parquet(dir)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1))
+      .distinct().as[String].collect().toSet
+    assert(m.select($"file").as[String].collect().toSet == dataFiles)
+    assert(m.agg(sum($"rows")).as[Long].head() == events.count())
+  }
+}
