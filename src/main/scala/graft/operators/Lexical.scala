@@ -130,12 +130,74 @@ object Lexical {
       new org.apache.hadoop.fs.Path(s"$indexDir/stats"))
   }
 
+  /** Document tombstones — the takedown half of the lexical lifecycle
+    * (the ANN deleteFromIndex mechanism, keyed by doc_id): an
+    * underscore-hidden child of the index root, anti-joined by every
+    * probe so a deleted document stops ANSWERING from the next read,
+    * while the multi-TB postings stay untouched. Semantics are
+    * Lucene's segment deletes: df / corpus stats / doc lengths remain
+    * BUILD-time until [[compactLexIndex]] folds the tombstones — a
+    * stated, oracle-restatable contract (the purged oracle scores
+    * with full-corpus stats and excludes deleted ids from results).
+    */
+  private def docTombstonesPath(indexDir: String): String =
+    s"$indexDir/_graft_doc_tombstones"
+
+  def deleteFromLexIndex(s: SparkSession, indexDir: String,
+      docIds: DataFrame): Unit =
+    docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .coalesce(1)
+      .write.mode("append").parquet(docTombstonesPath(indexDir))
+
+  private def minusDocTombstones(s: SparkSession, indexDir: String,
+      rows: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(docTombstonesPath(indexDir))
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) rows
+    else rows.join(s.read.schema("doc_id BIGINT").parquet(p.toString),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Physically purge tombstoned documents: rewrite postings (bucket
+    * layout preserved) and doclen minus the tombstones, REFRESH stats
+    * from the surviving doclen (after compaction the index is
+    * byte-equivalent to a fresh build on the surviving corpus — the
+    * Lucene merge semantics, spec-pinned), clear tombstones LAST so a
+    * crash leaves them over already-purged rows, re-applied
+    * idempotently by the anti-join.
+    */
+  def compactLexIndex(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pTmp = new org.apache.hadoop.fs.Path(s"$indexDir/postings_compacting")
+    minusDocTombstones(s, indexDir, s.read.parquet(s"$indexDir/postings"))
+      .repartition($"pbucket")
+      .sortWithinPartitions($"term", $"doc_id")
+      .write.partitionBy("pbucket").parquet(pTmp.toString)
+    Similarity.swapDirInto(s, pTmp,
+      new org.apache.hadoop.fs.Path(s"$indexDir/postings"))
+    val dTmp = new org.apache.hadoop.fs.Path(s"$indexDir/doclen_compacting")
+    minusDocTombstones(s, indexDir, s.read.parquet(s"$indexDir/doclen"))
+      .write.parquet(dTmp.toString)
+    Similarity.swapDirInto(s, dTmp,
+      new org.apache.hadoop.fs.Path(s"$indexDir/doclen"))
+    val sTmp = new org.apache.hadoop.fs.Path(s"$indexDir/stats_compacting")
+    s.read.parquet(s"$indexDir/doclen")
+      .agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      .write.parquet(sTmp.toString)
+    Similarity.swapDirInto(s, sTmp,
+      new org.apache.hadoop.fs.Path(s"$indexDir/stats"))
+    fs.delete(new org.apache.hadoop.fs.Path(docTombstonesPath(indexDir)), true)
+  }
+
   /** Top-[[TextAnalysis.Bm25K]] BM25 over the STORED index: partition-
     * pruned postings scan → df from the pruned rows → row-local score
     * contributions → one doc_id aggregate over matching rows only.
     * Identical output to `txt_bm25_topk` by construction (same math,
     * same rounding, same ordering), which is what lets the stored
-    * query share that oracle string verbatim.
+    * query share that oracle string verbatim. Tombstoned documents are
+    * anti-joined out AFTER the df aggregate (build-time df, the
+    * Lucene-deletes contract above).
     */
   def topkBm25Stored(s: SparkSession, indexDir: String,
       terms: Seq[String] = TextAnalysis.Bm25QueryTerms): DataFrame = {
@@ -150,13 +212,78 @@ object Lexical {
     val idf = log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0))
     val denom = $"tf" + lit(Bm25K1) *
       (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl")
-    post.join(broadcast(dfr), Seq("term"))
+    minusDocTombstones(s, indexDir, post)
+      .join(broadcast(dfr), Seq("term"))
       .crossJoin(broadcast(stats))
       .select($"doc_id", (idf * ($"tf" * lit(Bm25K1 + 1.0)) / denom).as("c"))
       .groupBy($"doc_id").agg(round(sum($"c"), 6).as("score"))
       .orderBy($"score".desc, $"doc_id".asc)
       .limit(Bm25K)
   }
+
+  /** Driver-side bound on a serve batch's DISTINCT term set — the
+    * LshProbePushdownCap discipline: the bucket cut is a driver
+    * literal, so it must be provably small; a bigger batch is split
+    * by the caller (terms are independent across queries).
+    */
+  val ServeTermCap = 4096
+
+  /** Serve an ARBITRARY relation of (query_id, term) rows — a search
+    * API batch, a streaming micro-batch — from the stored index:
+    * ONE partition-pruned postings scan for the batch's whole term
+    * set, df per term computed once and shared across queries, score
+    * rows fanned out by a broadcast join to the query relation, then
+    * per-query top-k via the winnow (per-partition bounded buffers —
+    * no |batch|·postings rank-window sort; the coarse-ANN lesson).
+    * Per-batch cost ∝ the batch's matching postings, never index
+    * size.
+    */
+  def bm25For(s: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int = TextAnalysis.Bm25K): DataFrame = {
+    import s.implicits._
+    import TextAnalysis.{Bm25B, Bm25K1}
+    val qt = queries
+      .select(col(queries.columns.head).cast("long").as("query_id"),
+        col(queries.columns(1)).as("term"))
+      .distinct()
+    val terms = qt.select($"term").distinct().limit(ServeTermCap + 1)
+      .as[String].collect().toSeq
+    require(terms.length <= ServeTermCap,
+      s"serve batch has >$ServeTermCap distinct terms — split the batch")
+    val qb = bucketsFor(s, terms)
+    val post = s.read.parquet(s"$indexDir/postings")
+      .filter($"pbucket".isin(qb: _*) && $"term".isin(terms: _*))
+      .select($"term", $"doc_id", $"tf", $"dl")
+    val dfr = post.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = s.read.parquet(s"$indexDir/stats")
+    val idf = log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0))
+    val denom = $"tf" + lit(Bm25K1) *
+      (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl")
+    val scored = minusDocTombstones(s, indexDir, post)
+      .join(broadcast(dfr), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), Seq("term"))
+      .select($"query_id", $"doc_id",
+        (idf * ($"tf" * lit(Bm25K1 + 1.0)) / denom).as("c"))
+      .groupBy($"query_id", $"doc_id").agg(round(sum($"c"), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    Similarity.winnowTopPerKey(
+        scored.select($"query_id", $"doc_id", $"score"), k)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"query_id", $"doc_id", $"score", $"rk".cast("long").as("rk"))
+  }
+
+  /** The declared serve batch: term overlap across queries (df work
+    * shared), a single-term query, and a query carrying a term absent
+    * from every fixture corpus (contributes nothing, never NaNs).
+    */
+  val ServeQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join", 1L -> "filter",
+    2L -> "spark",
+    3L -> "join", 3L -> "filter",
+    4L -> "spark", 4L -> "zz_absent_term_zz")
 
   private def storedLexDir(d: String): String =
     Similarity.storedQueryDir("bm25", d)
@@ -185,6 +312,27 @@ object Lexical {
       val dir = storedLexDir(d)
       writeLexIndex(s, d, dir)
       topkBm25Stored(s, dir)
+    },
+    // Takedown-under-serving: delete a doc slice (doc_id ≡ 3 mod 7 —
+    // guaranteed to intersect every fixture's top-20), probe without
+    // compaction. The oracle restates the Lucene-deletes contract
+    // exactly: full-corpus stats/df, deleted ids excluded from
+    // RESULTS before the top-k cut.
+    "txt_bm25_topk_purged" -> { (s, d) =>
+      import s.implicits._
+      val dir = storedLexDir(d) + "_purged"
+      writeLexIndex(s, d, dir)
+      deleteFromLexIndex(s, dir,
+        Tables.documents(s, d).select($"doc_id").filter($"doc_id" % 7 === 3))
+      topkBm25Stored(s, dir)
+    },
+    // Arbitrary-query serving: one pruned scan for the batch's term
+    // set, shared df, winnowed per-query top-k.
+    "txt_bm25_serve" -> { (s, d) =>
+      import s.implicits._
+      val dir = storedLexDir(d)
+      writeLexIndex(s, d, dir)
+      bm25For(s, dir, ServeQueries.toDF("query_id", "term"))
     }
   )
 
@@ -196,6 +344,56 @@ object Lexical {
           SELECT term, COUNT(*) AS df,
             CAST(SUM(tf) AS BIGINT) AS tf_total
           FROM tf GROUP BY term""",
-    "txt_bm25_topk_stored" -> TextAnalysis.oracles("txt_bm25_topk")
+    "txt_bm25_topk_stored" -> TextAnalysis.oracles("txt_bm25_topk"),
+    // the stored chain with the purge slice excluded AFTER scoring
+    // (full-corpus dl/stats/df — the stated Lucene-deletes contract),
+    // before the top-k cut
+    "txt_bm25_topk_purged" -> {
+      import TextAnalysis.{Bm25B, Bm25K, Bm25K1, Bm25QueryTerms, sqlToks}
+      val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH dl AS (SELECT doc_id, len($sqlToks) AS dl FROM documents),
+          stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+              SELECT doc_id, unnest($sqlToks) AS term FROM documents)
+            WHERE term IN ($terms) GROUP BY doc_id, term),
+          dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          contrib AS (SELECT t.doc_id,
+              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                (tf * ${Bm25K1 + 1.0}) /
+                (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)) AS c
+            FROM tf t JOIN dfx USING (term)
+            JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN stats)
+          SELECT doc_id, ROUND(SUM(c), 6) AS score
+          FROM contrib WHERE doc_id % 7 <> 3 GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT $Bm25K"""
+    },
+    // the serve batch as a VALUES relation; one shared tf/df chain,
+    // per-query fan-out, rank on the ROUNDED score like the engine
+    "txt_bm25_serve" -> {
+      import TextAnalysis.{Bm25B, Bm25K, Bm25K1, sqlToks}
+      val qvals = ServeQueries
+        .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
+      val terms = ServeQueries.map(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $qvals)),
+          dl AS (SELECT doc_id, len($sqlToks) AS dl FROM documents),
+          stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+              SELECT doc_id, unnest($sqlToks) AS term FROM documents)
+            WHERE term IN ($terms) GROUP BY doc_id, term),
+          dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          contrib AS (SELECT q.query_id, t.doc_id,
+              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                (tf * ${Bm25K1 + 1.0}) /
+                (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)) AS c
+            FROM tf t JOIN dfx USING (term) JOIN q USING (term)
+            JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN stats),
+          scored AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS score
+            FROM contrib GROUP BY query_id, doc_id)
+          SELECT query_id, doc_id, score, rk FROM (
+            SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+            FROM scored) WHERE rk <= $Bm25K"""
+    }
   )
 }

@@ -148,4 +148,22 @@ object DocStream {
         TextAnalysis.mergeIntoCmsSketch(batch.sparkSession, sketchDir,
           batch.toDF())
       }.start()
+
+  /** Serve a stream of (query_id, term) search requests from the
+    * stored lexical index (the VecStream.probeStream convention on
+    * the lexical side): each micro-batch runs [[graft.operators
+    * .Lexical.bm25For]] — one partition-pruned postings scan for the
+    * batch's term set, shared df, winnowed per-query top-k — and
+    * hands the result relation to `sink`. Queries are independent
+    * rows, so any batching of them answers identically (union
+    * parity, spec-pinned); per-trigger cost ∝ the batch's matching
+    * postings, never index size.
+    */
+  def bm25ServeStream(queries: DataFrame, indexDir: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(graft.operators.Lexical.bm25For(batch.sparkSession,
+          indexDir, batch.toDF()))
+      }.start()
 }

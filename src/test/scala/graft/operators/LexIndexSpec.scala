@@ -90,4 +90,82 @@ class LexIndexSpec extends AnyFunSuite {
     assert(Lexical.topkBm25Stored(spark, dir,
       Seq("zz_no_such_token_zz")).isEmpty)
   }
+
+  test("delete: tombstoned docs stop answering; stats/df stay build-time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lexdel").toString
+    Lexical.writeLexIndex(spark, sf, dir)
+    val before = topk(Lexical.topkBm25Stored(spark, dir))
+    val victims = before.take(2).map(_._1)
+    Lexical.deleteFromLexIndex(spark, dir, victims.toDF("doc_id"))
+    val after = topk(Lexical.topkBm25Stored(spark, dir))
+    assert(victims.forall(v => !after.exists(_._1 == v)))
+    // Lucene-deletes contract: surviving docs keep their BUILD-time
+    // scores (df/stats unchanged by the delete)
+    val beforeScores = before.toMap
+    assert(after.filter(r => beforeScores.contains(r._1))
+      .forall(r => beforeScores(r._1) == r._2))
+    // idempotent double delete
+    Lexical.deleteFromLexIndex(spark, dir, victims.toDF("doc_id"))
+    assert(topk(Lexical.topkBm25Stored(spark, dir)) == after)
+  }
+
+  test("compaction equals a fresh build on the surviving corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lexcomp").toString
+    Lexical.writeLexIndex(spark, sf, dir)
+    Lexical.deleteFromLexIndex(spark, dir,
+      graft.Tables.documents(spark, sf).select($"doc_id")
+        .filter($"doc_id" % 3 === 0))
+    Lexical.compactLexIndex(spark, dir)
+
+    val survivors = java.nio.file.Files.createTempDirectory("lexsurv").toString
+    graft.Tables.documents(spark, sf).filter($"doc_id" % 3 =!= 0)
+      .write.mode("overwrite").parquet(s"$survivors/documents.parquet")
+    val fresh = java.nio.file.Files.createTempDirectory("lexfresh").toString
+    Lexical.writeLexIndex(spark, survivors, fresh)
+
+    // post-compaction stats ARE the survivors' stats (scores shift —
+    // the stated merge semantics) and the probes agree exactly
+    assert(topk(Lexical.topkBm25Stored(spark, dir)) ==
+      topk(Lexical.topkBm25Stored(spark, fresh)))
+    val stC = spark.read.parquet(s"$dir/stats").as[(Long, Double)].head()
+    val stF = spark.read.parquet(s"$fresh/stats").as[(Long, Double)].head()
+    assert(stC == stF)
+    // tombstones cleared
+    assert(!new java.io.File(s"$dir/_graft_doc_tombstones").exists())
+  }
+
+  test("bm25For: the fixed-terms query served through the batch API matches the probe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lexserve").toString
+    Lexical.writeLexIndex(spark, sf, dir)
+    val q = TextAnalysis.Bm25QueryTerms.map(t => (7L, t)).toDF("query_id", "term")
+    val served = Lexical.bm25For(spark, dir, q)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toSeq
+    assert(served == topk(Lexical.topkBm25Stored(spark, dir)))
+  }
+
+  test("streamed serving: two micro-batches equal the one-batch answers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("lexstream").toString
+    Lexical.writeLexIndex(spark, sf, dir)
+    val batch = Lexical.bm25For(spark, dir,
+        Lexical.ServeQueries.toDF("query_id", "term"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double, Long)]
+    val q = graft.streaming.DocStream.bm25ServeStream(
+      mem.toDF().toDF("query_id", "term"), dir) { out =>
+      got ++= out.as[(Long, Long, Double, Long)].collect()
+    }
+    val (b1, b2) = Lexical.ServeQueries.partition(_._1 <= 2)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == batch)
+  }
 }
