@@ -122,6 +122,87 @@ object ClusteredLayout {
     Similarity.swapDirInto(s, staging, new org.apache.hadoop.fs.Path(dir))
   }
 
+  /** Append a batch to an existing layout: the batch is z-sorted
+    * WITHIN ITSELF (its own min-max ranks — the build's normalization
+    * constants are irrelevant to pruning, which reads only the raw
+    * min/max manifest; batch-local ranks just keep the new files'
+    * rectangles tight), staged as uniquely-named files inside a hidden
+    * child, its manifest rows computed against the FINAL names, then
+    * files are renamed into the root and the manifest rows appended.
+    * Crash window: files renamed but manifest rows not yet appended →
+    * those rows are INVISIBLE to [[scanBox]] (never wrong, never
+    * partial-read) until [[repairLayout]] rebuilds the manifest from
+    * what is actually on disk — the single-writer + repair discipline
+    * of the ANN appends. Periodic [[compactLayout]] is the defrag
+    * once appended files accumulate.
+    */
+  def appendToLayout(batch: DataFrame, dir: String,
+      c1: String, c2: String, files: Int = 4): Unit = {
+    val s = batch.sparkSession
+    val stagingName = s"_graft_append_${java.util.UUID.randomUUID().toString.take(8)}"
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/$stagingName")
+    val fs = staging.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cols = batch.columns.map(col)
+    val stats = batch.agg(
+      min(col(c1)).as("__mn1"), max(col(c1)).as("__mx1"),
+      min(col(c2)).as("__mn2"), max(col(c2)).as("__mx2"))
+    batch.crossJoin(broadcast(stats))
+      .withColumn("__z", zval(
+        n16(col(c1), col("__mn1"), col("__mx1")),
+        n16(col(c2), col("__mn2"), col("__mx2"))))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .select(cols: _*)
+      .write.parquet(staging.toString)
+    // final names first, so the manifest rows are correct on arrival
+    val parts = fs.listStatus(staging)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath)
+    val renamed = parts.map { p =>
+      // no leading underscore: that would HIDE the data file from
+      // whole-dir reads (repair/compact) while the manifest still
+      // serves it — the two paths must see the same files
+      val fin = s"append${stagingName.stripPrefix("_graft_append")}-${p.getName}"
+      require(fs.rename(p, new org.apache.hadoop.fs.Path(s"$dir/$fin")),
+        s"append: could not promote $p")
+      fin
+    }.toSet
+    val manifestRows = s.read
+      .parquet(renamed.map(f => s"$dir/$f").toSeq: _*)
+      .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1).as("file"))
+      .agg(min(col(c1)).as("mn1"), max(col(c1)).as("mx1"),
+        min(col(c2)).as("mn2"), max(col(c2)).as("mx2"),
+        count(lit(1)).as("rows"))
+    manifestRows.write.mode("append").parquet(s"$dir/_graft_manifest")
+    fs.delete(staging, true)
+  }
+
+  /** Rebuild the manifest from the files actually on disk — the
+    * recovery op for a crash between an append's rename and its
+    * manifest write, and the proof that the manifest is always
+    * DERIVABLE state, never the source of truth.
+    */
+  def repairLayout(s: SparkSession, dir: String,
+      c1: String, c2: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest_repair")
+    s.read.parquet(dir)
+      .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1).as("file"))
+      .agg(min(col(c1)).as("mn1"), max(col(c1)).as("mx1"),
+        min(col(c2)).as("mn2"), max(col(c2)).as("mx2"),
+        count(lit(1)).as("rows"))
+      .write.parquet(tmp.toString)
+    graft.operators.Similarity.swapDirInto(s, tmp,
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest"))
+  }
+
+  /** Re-cluster the whole layout (reads the current root, rewrites it
+    * z-sorted through the staging+swap path) — the periodic defrag
+    * that restores build-quality skip ratios after appends.
+    */
+  def compactLayout(s: SparkSession, dir: String, c1: String, c2: String,
+      files: Int = LayoutFiles): Unit =
+    writeClustered(s.read.parquet(dir), dir, c1, c2, files)
+
   /** The manifest cut: file names whose stats rectangle overlaps the
     * box, plus the layout's total file count (for skip-ratio
     * reporting / specs). Manifest is file-count-sized — a driver read

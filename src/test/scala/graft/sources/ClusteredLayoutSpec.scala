@@ -99,6 +99,57 @@ class ClusteredLayoutSpec extends AnyFunSuite {
       (-100L, -50L), ClusteredLayout.BoxTsMs).isEmpty)
   }
 
+  test("append: box answers include the batch; manifest covers the new files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("alay").toString + "/a"
+    val (old, batch) = (events.filter($"event_id" % 5 =!= 0),
+      events.filter($"event_id" % 5 === 0))
+    ClusteredLayout.writeClustered(old, dir, "user_id", "ts_ms")
+    ClusteredLayout.appendToLayout(batch, dir, "user_id", "ts_ms")
+    val got = ids(ClusteredLayout.scanBox(spark, dir, "user_id", "ts_ms",
+      ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs))
+    val want = ids(events.filter(
+      col("user_id").between(ClusteredLayout.BoxUsers._1, ClusteredLayout.BoxUsers._2) &&
+      col("ts_ms").between(ClusteredLayout.BoxTsMs._1, ClusteredLayout.BoxTsMs._2)))
+    assert(got == want)
+    // manifest row count = build files + append files; still skips
+    val (kept, total) = ClusteredLayout.selectFiles(spark, dir,
+      ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs)
+    assert(total == ClusteredLayout.LayoutFiles + 4)
+    assert(kept.size < total)
+  }
+
+  test("repair rebuilds the manifest equal to what the writers left") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rlay").toString + "/r"
+    ClusteredLayout.writeClustered(events, dir, "user_id", "ts_ms")
+    ClusteredLayout.appendToLayout(events.limit(500), dir, "user_id", "ts_ms")
+    val before = spark.read.parquet(s"$dir/_graft_manifest")
+      .orderBy("file").collect().toSeq
+    ClusteredLayout.repairLayout(spark, dir, "user_id", "ts_ms")
+    val after = spark.read.parquet(s"$dir/_graft_manifest")
+      .orderBy("file").collect().toSeq
+    assert(after == before)
+  }
+
+  test("compaction restores the single-layout file count, answers unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("clay").toString + "/c"
+    ClusteredLayout.writeClustered(events.filter($"event_id" % 2 === 0),
+      dir, "user_id", "ts_ms")
+    ClusteredLayout.appendToLayout(events.filter($"event_id" % 2 === 1),
+      dir, "user_id", "ts_ms")
+    val before = ids(ClusteredLayout.scanBox(spark, dir, "user_id", "ts_ms",
+      ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs))
+    ClusteredLayout.compactLayout(spark, dir, "user_id", "ts_ms")
+    val (_, total) = ClusteredLayout.selectFiles(spark, dir,
+      ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs)
+    assert(total == ClusteredLayout.LayoutFiles)
+    assert(ids(ClusteredLayout.scanBox(spark, dir, "user_id", "ts_ms",
+      ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs)) == before)
+    assert(spark.read.parquet(dir).count() == events.count())
+  }
+
   test("manifest rows cover every data file and all rows") {
     import spark.implicits._
     val dir = buildZ()
