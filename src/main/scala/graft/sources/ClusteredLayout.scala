@@ -154,6 +154,7 @@ object ClusteredLayout {
       .sortWithinPartitions("__z")
       .select(cols: _*)
       .write.parquet(staging.toString)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
     // final names first, so the manifest rows are correct on arrival
     val parts = fs.listStatus(staging)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
@@ -202,6 +203,22 @@ object ClusteredLayout {
   def compactLayout(s: SparkSession, dir: String, c1: String, c2: String,
       files: Int = LayoutFiles): Unit =
     writeClustered(s.read.parquet(dir), dir, c1, c2, files)
+
+  /** Continuous clustered ingestion: each micro-batch goes through the
+    * batch append path (same z-sort, same stage-rename-manifest
+    * order), so a layout under live ingest answers box queries
+    * correctly at every trigger — streaming adds scheduling, not a
+    * second writer that could drift (the VecStream convention).
+    * Per-trigger file growth is the append's; [[compactLayout]] is
+    * the periodic defrag. Single-writer per layout, as all
+    * maintenance ops here.
+    */
+  def ingestStream(rows: DataFrame, dir: String, c1: String, c2: String,
+      files: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendToLayout(batch.toDF(), dir, c1, c2, files)
+      }.start()
 
   /** The manifest cut: file names whose stats rectangle overlaps the
     * box, plus the layout's total file count (for skip-ratio

@@ -150,6 +150,32 @@ class ClusteredLayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == events.count())
   }
 
+  test("streamed ingest: two micro-batches answer like the batch layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("slay").toString + "/s"
+    val rows = events.select($"event_id", $"user_id", $"ts_ms")
+      .as[(Long, Long, Long)].collect().toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = ClusteredLayout.ingestStream(
+      mem.toDF().toDF("event_id", "user_id", "ts_ms"), dir, "user_id", "ts_ms")
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = ids(ClusteredLayout.scanBox(spark, dir, "user_id", "ts_ms",
+      ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs))
+    val want = ids(events.filter(
+      col("user_id").between(ClusteredLayout.BoxUsers._1, ClusteredLayout.BoxUsers._2) &&
+      col("ts_ms").between(ClusteredLayout.BoxTsMs._1, ClusteredLayout.BoxTsMs._2)))
+    assert(got == want)
+    // and compaction over the streamed layout behaves like the batch one
+    ClusteredLayout.compactLayout(spark, dir, "user_id", "ts_ms")
+    assert(ids(ClusteredLayout.scanBox(spark, dir, "user_id", "ts_ms",
+      ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs)) == want)
+  }
+
   test("manifest rows cover every data file and all rows") {
     import spark.implicits._
     val dir = buildZ()
