@@ -481,7 +481,115 @@ object Relational {
             .otherwise(($"cnt".cast("double") - mu) / sd).as("z"))
         .withColumn("is_anomaly",
           when(abs($"z") > ZScoreThreshold, 1L).otherwise(0L))
+    },
+
+    // Exact order-statistic quantiles over a CONTINUOUS value domain —
+    // the companion to txt_len_quantiles' bounded-domain histogram:
+    // events.value has corpus-many distinct doubles, so no one-shot
+    // histogram is exact and percentile()'s hold-every-value buffer is
+    // the 100 TB anti-pattern. Iterated histogram bisection instead
+    // (the classic distributed exact-quantile algorithm): each level
+    // bins only the rows inside the active (type, q) ranges, the
+    // driver walks the bounded (types × qs × bins) counts to pick each
+    // target's bin, and the child range is the bin's ACTUAL
+    // [min, max] — so bookkeeping is exact by construction, immune to
+    // float edge effects in the bin formula (bin assignment is
+    // monotone in value, so a bin's value interval selects exactly its
+    // rows). min < max ⇒ bins 0 and B−1 both nonempty ⇒ strict
+    // shrink every level; min = max ⇒ all remaining values equal ⇒
+    // done. Levels = log_B(n/cap) ≈ 2 at 100 TB; the final ≤cap
+    // in-range slice is fetched and indexed. All driver state is
+    // bounded: types × qs targets, bins-sized histograms, cap-sized
+    // final slices (the BPE capped-driver-merge discipline).
+    "evt_value_quantiles" -> { (s, d) =>
+      import s.implicits._
+      exactValueQuantiles(
+        Tables.events(s, d).select($"event_type", $"value"),
+        ValueQuantileQs)
     })
+
+  /** Quantile targets for evt_value_quantiles (k = ⌈q·n⌉-th smallest,
+    * q·n through IEEE doubles on BOTH engines — the ceil-parity note).
+    */
+  val ValueQuantileQs: Seq[Double] = Seq(0.5, 0.95, 0.99)
+  val QuantileBins = 1024
+  /** A target stops refining once its range holds ≤ this many rows;
+    * the final slice is collected and indexed (cap × targets doubles
+    * of driver memory, bounded).
+    */
+  val QuantileCap = 65536
+  private val QuantileMaxLevels = 64
+
+  /** See the evt_value_quantiles scaladoc. `ev` must be
+    * (key STRING, value DOUBLE); returns (event_type, q, value) with
+    * value = the exact ⌈q·n⌉-th smallest per key (nulls excluded).
+    */
+  private[operators] def exactValueQuantiles(ev0: DataFrame,
+      qs: Seq[Double], cap: Int = QuantileCap): DataFrame = {
+    val s = ev0.sparkSession
+    import s.implicits._
+    val ev = ev0.toDF("event_type", "value").filter($"value".isNotNull)
+    final class Target(val tpe: String, val q: Double, var k: Long,
+      var lo: Double, var hi: Double, var cnt: Long,
+      var done: Boolean, var ans: Double)
+    val targets: Seq[Target] = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"value").as("mn"),
+        max($"value").as("mx"))
+      .as[(String, Long, Double, Double)].collect().toSeq
+      .flatMap { case (tpe, n, mn, mx) =>
+        qs.map { q =>
+          val t = new Target(tpe, q, math.max(1L, math.ceil(q * n).toLong),
+            mn, mx, n, false, mn)
+          if (mn == mx) { t.done = true; t.ans = mn }
+          t
+        }
+      }
+    def activeBig = targets.filter(t => !t.done && t.cnt > cap)
+    var level = 0
+    while (activeBig.nonEmpty && level < QuantileMaxLevels) {
+      level += 1
+      val act = activeBig
+      val ranges = broadcast(act.map(t => (t.tpe, t.q, t.lo, t.hi))
+        .toDF("tpe", "q", "lo", "hi"))
+      val hists = ev
+        .join(ranges, $"event_type" === $"tpe" &&
+          $"value" >= $"lo" && $"value" <= $"hi")
+        .withColumn("bin", least(floor(($"value" - $"lo") *
+          lit(QuantileBins.toDouble) / ($"hi" - $"lo")),
+          lit((QuantileBins - 1).toDouble)).cast("long"))
+        .groupBy($"tpe", $"q", $"bin")
+        .agg(count(lit(1)).as("c"), min($"value").as("bmn"),
+          max($"value").as("bmx"))
+        .as[(String, Double, Long, Long, Double, Double)].collect()
+        .groupBy(r => (r._1, r._2))
+      for (t <- act) {
+        val bins = hists((t.tpe, t.q)).sortBy(_._3)
+        var cum = 0L
+        var i = 0
+        while (cum + bins(i)._4 < t.k) { cum += bins(i)._4; i += 1 }
+        val (_, _, _, c, bmn, bmx) = bins(i)
+        t.k -= cum; t.lo = bmn; t.hi = bmx; t.cnt = c
+        if (bmn == bmx) { t.done = true; t.ans = bmn }
+      }
+    }
+    require(activeBig.isEmpty,
+      s"quantile bisection did not converge in $QuantileMaxLevels levels")
+    val rem = targets.filter(!_.done)
+    if (rem.nonEmpty) {
+      val ranges = broadcast(rem.map(t => (t.tpe, t.q, t.lo, t.hi))
+        .toDF("tpe", "q", "lo", "hi"))
+      val slices = ev
+        .join(ranges, $"event_type" === $"tpe" &&
+          $"value" >= $"lo" && $"value" <= $"hi")
+        .groupBy($"tpe", $"q")
+        .agg(sort_array(collect_list($"value")).as("vs"))
+        .as[(String, Double, Seq[Double])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      for (t <- rem) { t.ans = slices((t.tpe, t.q))(t.k.toInt - 1); t.done = true }
+    }
+    targets.map(t => (t.tpe, t.q, t.ans))
+      .toDF("event_type", "q", "value")
+  }
 
   /** Session gap bound for evt_sessions (the reference DAG's 30-minute
     * cadence, `dags/dag.py:39-40`, reused as the session timeout).
@@ -814,6 +922,21 @@ object Relational {
             CASE WHEN ABS(z) > $ZScoreThreshold::DOUBLE THEN 1 ELSE 0 END::BIGINT
               AS is_anomaly
           FROM z""",
+    // the rank restated directly: ROW_NUMBER over value per type,
+    // k = ⌈q·n⌉ through the same IEEE double multiply (any tie order
+    // yields the same VALUE at rank k, so the oracle is deterministic
+    // on the output column even though rn itself is not)
+    "evt_value_quantiles" -> {
+      val qvals = ValueQuantileQs
+        .map(q => s"(CAST($q AS DOUBLE))").mkString(", ")
+      s"""WITH ranked AS (SELECT event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events WHERE value IS NOT NULL),
+          qs(q) AS (SELECT * FROM (VALUES $qvals))
+          SELECT event_type, q, value FROM ranked JOIN qs
+            ON rn = GREATEST(1, CAST(CEIL(q * n) AS BIGINT))"""
+    },
     // the same shrinking staged shape with the per-stage deadline
     // ANDed on; CAST around the lag sum keeps HUGEINT out of the
     // compared schema
