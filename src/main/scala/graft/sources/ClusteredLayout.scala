@@ -220,6 +220,94 @@ object ClusteredLayout {
         appendToLayout(batch.toDF(), dir, c1, c2, files)
       }.start()
 
+  /** Per-file BLOOM sidecar — equality-lookup skipping for a column
+    * the clustering does NOT cover (Delta's bloom index mechanism):
+    * min/max manifests prune range boxes on the clustered columns;
+    * a point lookup on an unrelated key (the takedown / "fetch this
+    * id" shape) would open every file. One pass builds a bloom per
+    * file over the key column; the lookup deserializes the
+    * file-count-sized sidecar on the driver and opens only files
+    * whose bloom might contain a probed key. False positives cost an
+    * extra file read; false negatives are impossible (the sketch
+    * contract), and files the sidecar does not cover (appended after
+    * the build) are ALWAYS scanned — skipping degrades, correctness
+    * never (compaction rebuilds full coverage). Long keys only;
+    * hash strings to 64 bits first.
+    */
+  val BloomFpp = 0.01
+
+  private final class BloomAgg(expected: Long) extends
+      org.apache.spark.sql.expressions.Aggregator[Long,
+        org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    import org.apache.spark.util.sketch.BloomFilter
+    def zero: BloomFilter = BloomFilter.create(expected, BloomFpp)
+    def reduce(b: BloomFilter, a: Long): BloomFilter = { b.putLong(a); b }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+      { a.mergeInPlace(b); a }
+    def finish(b: BloomFilter): Array[Byte] = {
+      val os = new java.io.ByteArrayOutputStream()
+      b.writeTo(os); os.toByteArray
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
+      org.apache.spark.sql.Encoders.kryo[BloomFilter]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Build (or rebuild) the bloom sidecar over `keyCol` for every data
+    * file currently in the layout: one scan, one bloom per file, sized
+    * by the manifest's max rows-per-file.
+    */
+  def buildBloomSidecar(s: SparkSession, dir: String, keyCol: String): Unit = {
+    import s.implicits._
+    val maxRows = s.read.parquet(s"$dir/_graft_manifest")
+      .agg(max(col("rows"))).as[Long].head()
+    val agg = udaf(new BloomAgg(math.max(1024L, maxRows)),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_blooms_building")
+    s.read.parquet(dir)
+      .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1).as("file"))
+      .agg(agg(col(keyCol).cast("long")).as("bloom"))
+      .withColumn("key_col", lit(keyCol))
+      .write.parquet(tmp.toString)
+    graft.operators.Similarity.swapDirInto(s, tmp,
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_blooms"))
+  }
+
+  /** The bloom cut: files whose bloom might contain ANY probed key,
+    * plus every manifest file the sidecar does not cover (appended
+    * since the bloom build — always scanned, never missed). Returns
+    * (paths, totalFiles).
+    */
+  def selectFilesByKey(s: SparkSession, dir: String,
+      keys: Seq[Long]): (Seq[String], Int) = {
+    import s.implicits._
+    val blooms = s.read.parquet(s"$dir/_graft_blooms")
+      .select($"file", $"bloom").as[(String, Array[Byte])].collect()
+    val all = s.read.parquet(s"$dir/_graft_manifest")
+      .select($"file").as[String].collect()
+    val kept = blooms.collect { case (f, bytes)
+      if {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        keys.exists(bf.mightContainLong)
+      } => f }.toSet
+    val uncovered = all.toSet -- blooms.map(_._1).toSet
+    ((kept ++ uncovered).toSeq.sorted.map(f => s"$dir/$f"), all.length)
+  }
+
+  /** Point lookup on the bloom-indexed key: open only the bloom-kept
+    * (plus uncovered) files, re-apply the key set as the residual —
+    * exact regardless of bloom quality.
+    */
+  def lookupByKey(s: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Long]): DataFrame = {
+    val (kept, _) = selectFilesByKey(s, dir, keys)
+    if (kept.isEmpty)
+      s.read.parquet(dir).filter(col(keyCol).isin(keys: _*)).limit(0)
+    else s.read.parquet(kept: _*).filter(col(keyCol).isin(keys: _*))
+  }
+
   /** The manifest cut: file names whose stats rectangle overlaps the
     * box, plus the layout's total file count (for skip-ratio
     * reporting / specs). Manifest is file-count-sized — a driver read
@@ -267,7 +355,25 @@ object ClusteredLayout {
       $"value", expr("unix_micros(ts) div 1000").as("ts_ms"))
   }
 
+  /** Probed ids for evt_id_lookup: three present at every fixture SF
+    * plus one absent everywhere (the bloom must not open files for
+    * it beyond its false-positive rate).
+    */
+  val LookupIds: Seq[Long] = Seq(11L, 257L, 901L, 10000019L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // point lookup on a NON-clustered key through the bloom sidecar:
+    // the layout is clustered on (user_id, ts) — useless for an
+    // event_id equality probe — so skipping comes entirely from the
+    // per-file blooms; the residual IN re-applies the keys (exact
+    // regardless of bloom quality). The takedown / "fetch this id"
+    // access path.
+    "evt_id_lookup" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("bloomlay", d)
+      writeClustered(eventsNarrow(s, d), dir, "user_id", "ts_ms")
+      buildBloomSidecar(s, dir, "event_id")
+      lookupByKey(s, dir, "event_id", LookupIds)
+    },
     // build the z-layout, then serve the 2-D box from it: manifest cut
     // + residual. One line carries build+probe (the stored-query
     // convention); LayoutSpec pins that the cut actually skips files
@@ -281,6 +387,10 @@ object ClusteredLayout {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_id_lookup" ->
+      s"""SELECT event_id, user_id, event_type, value,
+            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
+          FROM events WHERE event_id IN (${LookupIds.mkString(", ")})""",
     "evt_zorder_scan" ->
       s"""SELECT event_id, user_id, event_type, value,
             epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms

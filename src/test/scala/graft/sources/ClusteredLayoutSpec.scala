@@ -176,6 +176,40 @@ class ClusteredLayoutSpec extends AnyFunSuite {
       ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs)) == want)
   }
 
+  test("bloom lookup: parity, file skipping, and append-uncovered safety") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("blay").toString + "/b"
+    ClusteredLayout.writeClustered(events.filter($"event_id" % 4 =!= 0),
+      dir, "user_id", "ts_ms")
+    ClusteredLayout.buildBloomSidecar(spark, dir, "event_id")
+    // present keys: parity with the raw filter, and files skipped
+    val keys = Seq(11L, 257L, 901L)
+    val got = ids(ClusteredLayout.lookupByKey(spark, dir, "event_id", keys))
+    assert(got == keys.filter(_ % 4 != 0).toSet)
+    val (kept, total) = ClusteredLayout.selectFilesByKey(spark, dir, keys)
+    assert(kept.size < total, s"bloom cut kept ${kept.size}/$total")
+    // absent key: ≤ fpp·total files opened, zero rows
+    val (keptAbs, _) = ClusteredLayout.selectFilesByKey(spark, dir,
+      Seq(987654321L))
+    assert(keptAbs.size <= math.max(2, (total * 0.05).toInt))
+    assert(ClusteredLayout.lookupByKey(spark, dir, "event_id",
+      Seq(987654321L)).isEmpty)
+    // appended files are NOT in the sidecar → always scanned, so a
+    // key that only exists in the append is still found
+    ClusteredLayout.appendToLayout(events.filter($"event_id" % 4 === 0),
+      dir, "user_id", "ts_ms")
+    val gotAll = ids(ClusteredLayout.lookupByKey(spark, dir, "event_id",
+      Seq(12L, 257L)))
+    assert(gotAll == Set(12L, 257L))
+    // rebuilding the sidecar restores full-coverage skipping
+    ClusteredLayout.buildBloomSidecar(spark, dir, "event_id")
+    val (kept2, total2) = ClusteredLayout.selectFilesByKey(spark, dir,
+      Seq(12L, 257L))
+    assert(total2 == total + 4 && kept2.size < total2)
+    assert(ids(ClusteredLayout.lookupByKey(spark, dir, "event_id",
+      Seq(12L, 257L))) == Set(12L, 257L))
+  }
+
   test("manifest rows cover every data file and all rows") {
     import spark.implicits._
     val dir = buildZ()
