@@ -483,6 +483,48 @@ object Relational {
           when(abs($"z") > ZScoreThreshold, 1L).otherwise(0L))
     },
 
+    // Declarative data-quality audit (the Deequ/dbt-tests shape): the
+    // constraint suite a pipeline runs before trusting a snapshot —
+    // key uniqueness, referential integrity, domain ranges, payload
+    // sanity — as ONE union of independent 1-row aggregates, each a
+    // map-side-combinable agg or a broadcast anti-join on its own
+    // table, so the audit costs one narrow pass per (table, check)
+    // and parallelizes across checks. Output is (chk, metric, pass):
+    // metric = violation COUNT (not a boolean — the triage number),
+    // pass = metric == 0.
+    "pipe_data_audit" -> { (s, d) =>
+      import s.implicits._
+      val orders = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val li = Tables.lineitem(s, d)
+      def one(chk: String, m: DataFrame): DataFrame =
+        m.select(lit(chk).as("chk"), col(m.columns.head).cast("long").as("metric"))
+      val checks = Seq(
+        one("pk_dup_orders", orders.agg(
+          (count(lit(1)) - countDistinct($"o_orderkey")).as("m"))),
+        one("pk_dup_customer", cust.agg(
+          (count(lit(1)) - countDistinct($"c_custkey")).as("m"))),
+        one("fk_orphan_orders", orders
+          .join(cust, $"o_custkey" === $"c_custkey", "left_anti")
+          .agg(count(lit(1)).as("m"))),
+        one("fk_orphan_lineitem", li
+          .join(orders, $"l_orderkey" === $"o_orderkey", "left_anti")
+          .agg(count(lit(1)).as("m"))),
+        one("range_bad_quantity", li.filter($"l_quantity" <= 0)
+          .agg(count(lit(1)).as("m"))),
+        one("events_bad_value", Tables.events(s, d)
+          .filter($"value".isNull || isnan($"value"))
+          .agg(count(lit(1)).as("m"))),
+        one("docs_empty_text", Tables.documents(s, d)
+          .filter($"text".isNull || length($"text") === 0)
+          .agg(count(lit(1)).as("m"))),
+        one("docs_dup_text", Tables.documents(s, d).agg(
+          (count(lit(1)) - countDistinct(md5(coalesce($"text", lit("")))))
+            .as("m"))))
+      checks.reduce(_.unionByName(_))
+        .withColumn("pass", when($"metric" === 0, 1L).otherwise(0L))
+    },
+
     // Exact order-statistic quantiles over a CONTINUOUS value domain —
     // the companion to txt_len_quantiles' bounded-domain histogram:
     // events.value has corpus-many distinct doubles, so no one-shot
@@ -922,6 +964,28 @@ object Relational {
             CASE WHEN ABS(z) > $ZScoreThreshold::DOUBLE THEN 1 ELSE 0 END::BIGINT
               AS is_anomaly
           FROM z""",
+    "pipe_data_audit" ->
+      s"""WITH m AS (
+            SELECT 'pk_dup_orders' AS chk,
+              COUNT(*) - COUNT(DISTINCT o_orderkey) AS metric FROM orders
+            UNION ALL SELECT 'pk_dup_customer',
+              COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+            UNION ALL SELECT 'fk_orphan_orders', COUNT(*) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            UNION ALL SELECT 'fk_orphan_lineitem', COUNT(*) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            UNION ALL SELECT 'range_bad_quantity', COUNT(*) FROM lineitem
+              WHERE l_quantity <= 0
+            UNION ALL SELECT 'events_bad_value', COUNT(*) FROM events
+              WHERE value IS NULL OR isnan(value)
+            UNION ALL SELECT 'docs_empty_text', COUNT(*) FROM documents
+              WHERE text IS NULL OR LENGTH(text) = 0
+            UNION ALL SELECT 'docs_dup_text',
+              COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, '')))
+              FROM documents)
+          SELECT chk, CAST(metric AS BIGINT) AS metric,
+            CAST(CASE WHEN metric = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+          FROM m""",
     // the rank restated directly: ROW_NUMBER over value per type,
     // k = ⌈q·n⌉ through the same IEEE double multiply (any tie order
     // yields the same VALUE at rank k, so the oracle is deterministic
