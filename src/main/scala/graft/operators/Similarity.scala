@@ -328,6 +328,49 @@ object Similarity {
       .select($"q_id", $"n_id", $"cos_sim", $"rank".cast("int").as("rank"))
   }
 
+  /** Negatives per anchor for [[hardNegatives]] — the contrastive-
+    * training convention of a handful of hard negatives per positive.
+    */
+  val HardNegK = 10
+
+  /** Hard-negative mining for contrastive training (the retrieval /
+    * embedding-finetune pipeline step): for each anchor in the query
+    * slice, the [[HardNegK]] highest-cosine corpus vectors whose LABEL
+    * differs — near the anchor in embedding space but semantically
+    * wrong, exactly the negatives a contrastive loss learns most from
+    * (the in-batch-negatives upgrade every dense-retrieval recipe
+    * ships). Same scale shape as [[topkBruteForce]]: broadcast anchor
+    * set × one corpus scan, label inequality applied AT the scan (no
+    * post-rank refill — the top-k is over the already-filtered
+    * stream), winnowed per-anchor top-k, labels rejoined onto the
+    * |Q|·k result afterwards so the scored stream stays 3 columns
+    * wide. Exact (rounded-cosine + id total order), oracle-restated.
+    */
+  def hardNegatives(s: SparkSession, d: String, k: Int = HardNegK): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+      VectorFunctions.norm($"embedding").as("nrm"), $"label")
+    val q = emb.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        $"nrm".as("q_nrm"), $"label".as("q_label"))
+    val scored = broadcast(q)
+      .join(emb, $"q_id" =!= $"vec_id" && $"q_label" =!= $"label")
+      .select($"q_id", $"vec_id".as("n_id"),
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
+          4).as("cos_sim"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)
+    val ranked = winnowTopPerKey(scored, k)
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+    val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
+    ranked
+      .join(labels.select($"vec_id".as("q_id"), $"label".as("q_label")), Seq("q_id"))
+      .join(labels.select($"vec_id".as("n_id"), $"label".as("n_label")), Seq("n_id"))
+      .select($"q_id", $"q_label", $"n_id", $"n_label", $"cos_sim",
+        $"rank".cast("int").as("rank"))
+  }
+
   /** RRF fusion constant (Cormack et al., SIGIR'09 — the standard 60). */
   val RrfK0 = 60
 
@@ -1522,6 +1565,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topkBruteForce(s, d)),
+    "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "sim_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "sim_range" -> ((s, d) => rangeSearch(s, d)),
     // ANN quality audit — recall@k of the IVF probe against the
@@ -1795,6 +1839,23 @@ object Similarity {
             SELECT q_id, n_id, cos_sim, CAST(ROW_NUMBER() OVER (
               PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
             FROM scored) WHERE rank <= $TopK""",
+    // the brute-force restatement with the label inequality AT the
+    // join, labels carried through (the engine rejoins them post-rank;
+    // same rows either way since labels are functionally dependent on
+    // the ids)
+    "sim_hard_negatives" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS q_id, q.label AS q_label,
+              c.vec_id AS n_id, c.label AS n_label,
+              ROUND(${sqlCos("q.embedding", "c.embedding")}, 4) + 0.0 AS cos_sim
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id <> c.vec_id AND q.label <> c.label
+            WHERE q.vec_id % $QueryStride = 0)
+          SELECT q_id, q_label, n_id, n_label, cos_sim, rank FROM (
+            SELECT q_id, q_label, n_id, n_label, cos_sim,
+              CAST(ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+            FROM scored) WHERE rank <= $HardNegK""",
     // Hybrid RRF restated end-to-end: the lexical leg is the shared
     // DF-bounded jaccardCte (Dedup's pair relation verbatim), the
     // dense leg the brute-force rounded-cosine ranking, fusion the
