@@ -21,7 +21,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Embeddings.queries ++ Pq.queries ++ Sq.queries ++ Pca.queries ++
       Bpe.queries ++ Bq.queries ++ Lexical.queries ++
-      graft.sources.ClusteredLayout.queries
+      graft.sources.ClusteredLayout.queries ++ graft.sources.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,7 +29,8 @@ object SparkEntry {
     Relational.oracles ++ DnaPipeline.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Embeddings.oracles ++ Pq.oracles ++ Sq.oracles ++ Bq.oracles ++
-      Lexical.oracles ++ graft.sources.ClusteredLayout.oracles
+      Lexical.oracles ++ graft.sources.ClusteredLayout.oracles ++
+      graft.sources.Formats.oracles
 
   /** Oracles whose SQL embeds deterministically-TRAINED state (the IVF
     * centroids) as literals, so they must be rendered against the
