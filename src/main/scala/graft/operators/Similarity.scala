@@ -354,8 +354,15 @@ object Similarity {
     val q = emb.filter($"vec_id" % QueryStride === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
         $"nrm".as("q_nrm"), $"label".as("q_label"))
+    // the topkBruteForce row-group-starvation widen: the |Q|·n scored
+    // stream must run as wide as the machine, not as wide as the
+    // parquet's row-group count (measured: without it the sf10 scan
+    // sat on a handful of tasks — 485 s vs 34 s widened)
+    val n = rowCount(s, Tables.embeddings(s, d))
     val scored = broadcast(q)
-      .join(emb, $"q_id" =!= $"vec_id" && $"q_label" =!= $"label")
+      .join(widenIfStarved(s, emb,
+        (n.toDouble / QueryStride) * n * Dim, $"vec_id"),
+        $"q_id" =!= $"vec_id" && $"q_label" =!= $"label")
       .select($"q_id", $"vec_id".as("n_id"),
         round(VectorFunctions.cosineFrom(
           VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
