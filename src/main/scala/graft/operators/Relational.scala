@@ -548,12 +548,39 @@ object Relational {
       exactValueQuantiles(
         Tables.events(s, d).select($"event_type", $"value"),
         ValueQuantileQs)
+    },
+
+    // the stored/served form: the level-1 histogram is a bounded
+    // persisted relation (see writeQuantileHist), the probe walks it
+    // driver-side and touches the raw table only for its chosen bins'
+    // rows — same answers by construction, oracle shared verbatim;
+    // EventStream.quantileHistStream maintains it under live ingest
+    "evt_value_quantiles_stored" -> { (s, d) =>
+      import s.implicits._
+      val dir = graft.operators.Similarity.storedQueryDir("qhist", d)
+      val ev = Tables.events(s, d).select($"event_type", $"value")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      writeQuantileHist(ev, dir)
+      quantilesFromStoredHist(s, dir, ev, ValueQuantileQs)
     })
 
   /** Quantile targets for evt_value_quantiles (k = ⌈q·n⌉-th smallest,
     * q·n through IEEE doubles on BOTH engines — the ceil-parity note).
     */
   val ValueQuantileQs: Seq[Double] = Seq(0.5, 0.95, 0.99)
+
+  private lazy val quantileOracleSql: String = {
+    val qvals = ValueQuantileQs
+      .map(q => s"(CAST($q AS DOUBLE))").mkString(", ")
+    s"""WITH ranked AS (SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events WHERE value IS NOT NULL),
+        qs(q) AS (SELECT * FROM (VALUES $qvals))
+        SELECT event_type, q, value FROM ranked JOIN qs
+          ON rn = GREATEST(1, CAST(CEIL(q * n) AS BIGINT))"""
+  }
   val QuantileBins = 1024
   /** A target stops refining once its range holds ≤ this many rows;
     * the final slice is collected and indexed (cap × targets doubles
@@ -561,6 +588,17 @@ object Relational {
     */
   val QuantileCap = 65536
   private val QuantileMaxLevels = 64
+
+  private final class QTarget(val tpe: String, val q: Double, var k: Long,
+    var lo: Double, var hi: Double, var cnt: Long,
+    var done: Boolean, var ans: Double)
+
+  private def mkTarget(tpe: String, q: Double, k: Long,
+      lo: Double, hi: Double, cnt: Long): QTarget = {
+    val t = new QTarget(tpe, q, k, lo, hi, cnt, false, lo)
+    if (lo == hi) { t.done = true; t.ans = lo }
+    t
+  }
 
   /** See the evt_value_quantiles scaladoc. `ev` must be
     * (key STRING, value DOUBLE); returns (event_type, q, value) with
@@ -571,21 +609,25 @@ object Relational {
     val s = ev0.sparkSession
     import s.implicits._
     val ev = ev0.toDF("event_type", "value").filter($"value".isNotNull)
-    final class Target(val tpe: String, val q: Double, var k: Long,
-      var lo: Double, var hi: Double, var cnt: Long,
-      var done: Boolean, var ans: Double)
-    val targets: Seq[Target] = ev.groupBy($"event_type")
+    val targets: Seq[QTarget] = ev.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), min($"value").as("mn"),
         max($"value").as("mx"))
       .as[(String, Long, Double, Double)].collect().toSeq
       .flatMap { case (tpe, n, mn, mx) =>
-        qs.map { q =>
-          val t = new Target(tpe, q, math.max(1L, math.ceil(q * n).toLong),
-            mn, mx, n, false, mn)
-          if (mn == mx) { t.done = true; t.ans = mn }
-          t
-        }
+        qs.map(q => mkTarget(tpe, q,
+          math.max(1L, math.ceil(q * n).toLong), mn, mx, n))
       }
+    refineTargets(ev, targets, cap)
+  }
+
+  /** The shared bisection kernel: refine every target to ≤cap rows
+    * (or a constant range), fetch and index the final slices. See the
+    * evt_value_quantiles scaladoc for the exactness argument.
+    */
+  private def refineTargets(ev: DataFrame, targets: Seq[QTarget],
+      cap: Int): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
     def activeBig = targets.filter(t => !t.done && t.cnt > cap)
     var level = 0
     while (activeBig.nonEmpty && level < QuantileMaxLevels) {
@@ -631,6 +673,114 @@ object Relational {
     }
     targets.map(t => (t.tpe, t.q, t.ans))
       .toDF("event_type", "q", "value")
+  }
+
+  /** Stored level-1 quantile histogram — the SERVING form of
+    * evt_value_quantiles: the full-corpus scan that seeds the
+    * bisection is prepaid at build time as a bounded
+    * (type, bin, cnt, bmn, bmx) relation plus a per-type stats row
+    * (n, mn, mx, emn, emx — emn/emx are the FROZEN bin edges, the
+    * frozen-quantizer discipline), so a probe starts one level in and
+    * touches the raw table only for its chosen bins' rows. Exact: the
+    * stored bins are the same partition of the multiset the session
+    * path's first level would build, so the probe's answers are
+    * identical and the stored query shares the oracle verbatim.
+    *
+    * Merges keep exactness under streaming ingest: a batch bins
+    * against the FROZEN edges with out-of-range values CLAMPED into
+    * the edge bins — bins remain value-ordered disjoint intervals
+    * whose [bmn, bmx] reflect actual values (interval selection stays
+    * exact); counts add, bmn/bmx min/max — the CMS/KMV merge-algebra
+    * discipline, order-independent. New types freeze their own edges
+    * on first sight. Both relations stage into one sibling dir and
+    * swap atomically (a crash can never leave stats counting rows the
+    * histogram does not).
+    */
+  def writeQuantileHist(ev0: DataFrame, dir: String): Unit =
+    mergeIntoQuantileHist(ev0, dir)
+
+  def mergeIntoQuantileHist(batch0: DataFrame, dir: String): Unit = {
+    val s = batch0.sparkSession
+    import s.implicits._
+    val batch = batch0.toDF("event_type", "value").filter($"value".isNotNull)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stored: Map[String, (Long, Double, Double, Double, Double)] =
+      if (!fs.exists(statsPath)) Map.empty
+      else s.read.parquet(statsPath.toString)
+        .as[(String, Long, Double, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val bStats = batch.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"value").as("mn"),
+        max($"value").as("mx"))
+      .as[(String, Long, Double, Double)].collect()
+    val mergedStats = {
+      val m = scala.collection.mutable.Map(stored.toSeq: _*)
+      for ((tpe, n, mn, mx) <- bStats) m.get(tpe) match {
+        case Some((n0, mn0, mx0, emn, emx)) =>
+          m(tpe) = (n0 + n, math.min(mn0, mn), math.max(mx0, mx), emn, emx)
+        case None => m(tpe) = (n, mn, mx, mn, mx)
+      }
+      m.toMap
+    }
+    // batch histogram against the FROZEN edges, clamped both ends
+    val edges = broadcast(mergedStats.toSeq
+      .map { case (tpe, (_, _, _, emn, emx)) => (tpe, emn, emx) }
+      .toDF("tpe", "emn", "emx"))
+    val bHist = batch.join(edges, $"event_type" === $"tpe")
+      .withColumn("bin", least(greatest(floor(($"value" - $"emn") *
+        lit(QuantileBins.toDouble) /
+        greatest($"emx" - $"emn", lit(java.lang.Double.MIN_VALUE))),
+        lit(0.0)), lit((QuantileBins - 1).toDouble)).cast("long"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("cnt"), min($"value").as("bmn"),
+        max($"value").as("bmx"))
+    val histPath = s"$dir/hist"
+    val merged =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(histPath))) bHist
+      else s.read.parquet(histPath).unionByName(bHist)
+        .groupBy($"event_type", $"bin")
+        .agg(sum($"cnt").as("cnt"), min($"bmn").as("bmn"),
+          max($"bmx").as("bmx"))
+    val staging = new org.apache.hadoop.fs.Path(dir + "_staging")
+    fs.delete(staging, true)
+    merged.write.parquet(s"$staging/hist")
+    mergedStats.toSeq
+      .map { case (tpe, (n, mn, mx, emn, emx)) => (tpe, n, mn, mx, emn, emx) }
+      .toDF("event_type", "n", "mn", "mx", "emn", "emx")
+      .write.parquet(s"$staging/stats")
+    graft.operators.Similarity.swapDirInto(s, staging,
+      new org.apache.hadoop.fs.Path(dir))
+  }
+
+  /** Probe the stored histogram: walk the bounded stored bins to one
+    * level in, then refine on the raw relation exactly like the
+    * session path. Same answers by construction (shared oracle).
+    */
+  def quantilesFromStoredHist(s: SparkSession, dir: String, ev0: DataFrame,
+      qs: Seq[Double], cap: Int = QuantileCap): DataFrame = {
+    import s.implicits._
+    val ev = ev0.toDF("event_type", "value").filter($"value".isNotNull)
+    val stats = s.read.parquet(s"$dir/stats")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    val hist = s.read.parquet(s"$dir/hist")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    val targets = stats.toSeq.flatMap { case (tpe, n, mn, mx, _, _) =>
+      qs.map { q =>
+        val k0 = math.max(1L, math.ceil(q * n).toLong)
+        if (mn == mx) mkTarget(tpe, q, k0, mn, mx, n)
+        else {
+          val bins = hist(tpe)
+          var cum = 0L
+          var i = 0
+          while (cum + bins(i)._3 < k0) { cum += bins(i)._3; i += 1 }
+          val (_, _, c, bmn, bmx) = bins(i)
+          mkTarget(tpe, q, k0 - cum, bmn, bmx, c)
+        }
+      }
+    }
+    refineTargets(ev, targets, cap)
   }
 
   /** Session gap bound for evt_sessions (the reference DAG's 30-minute
@@ -990,17 +1140,11 @@ object Relational {
     // k = ⌈q·n⌉ through the same IEEE double multiply (any tie order
     // yields the same VALUE at rank k, so the oracle is deterministic
     // on the output column even though rn itself is not)
-    "evt_value_quantiles" -> {
-      val qvals = ValueQuantileQs
-        .map(q => s"(CAST($q AS DOUBLE))").mkString(", ")
-      s"""WITH ranked AS (SELECT event_type, value,
-            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-            COUNT(*) OVER (PARTITION BY event_type) AS n
-            FROM events WHERE value IS NOT NULL),
-          qs(q) AS (SELECT * FROM (VALUES $qvals))
-          SELECT event_type, q, value FROM ranked JOIN qs
-            ON rn = GREATEST(1, CAST(CEIL(q * n) AS BIGINT))"""
-    },
+    "evt_value_quantiles" -> quantileOracleSql,
+    // the stored probe starts one level into the same bisection from
+    // the same partition of the same multiset — identical answers,
+    // oracle shared verbatim
+    "evt_value_quantiles_stored" -> quantileOracleSql,
     // the same shrinking staged shape with the per-stage deadline
     // ANDed on; CAST around the lag sum keeps HUGEINT out of the
     // compared schema

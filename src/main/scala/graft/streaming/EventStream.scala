@@ -309,4 +309,22 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Maintain the stored level-1 quantile histogram
+    * ([[graft.operators.Relational.writeQuantileHist]]) from a stream
+    * of (event_type, value) rows — continuously-current exact
+    * quantiles: each micro-batch pays one batch-sized histogram pass
+    * plus a bounded (types × bins) reread/merge, exact by the
+    * counts-add / min-min / max-max merge algebra against the FROZEN
+    * bin edges (out-of-range values clamp into the edge bins — the
+    * bins stay a value-ordered partition, so probes stay exact).
+    * State lives in the stored relation, not the stream (the
+    * distinctStream convention); single-writer per histogram dir.
+    */
+  def quantileHistStream(rows: DataFrame,
+      histDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Relational.mergeIntoQuantileHist(batch.toDF(), histDir)
+      }.start()
 }

@@ -74,6 +74,48 @@ class QuantileBisectionSpec extends AnyFunSuite {
     }
   }
 
+  test("stored histogram probe equals the session path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val ev = (Seq.fill(3000)(("a", rnd.nextGaussian() * 50)) ++
+      Seq.fill(2000)(("b", rnd.nextDouble()))).toDF("event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("qhist").toString + "/h"
+    Relational.writeQuantileHist(ev, dir)
+    val got = Relational.quantilesFromStoredHist(spark, dir, ev, qs, cap = 64)
+      .as[(String, Double, Double)].collect().toSet
+    val want = Relational.exactValueQuantiles(ev, qs, cap = 64)
+      .as[(String, Double, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("streamed merges: out-of-range extremes and a new type stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(9)
+    // batch 1 freezes edges on [0, 100]; batch 2 lands far outside
+    // them AND introduces a type batch 1 never saw
+    val b1 = Seq.fill(2000)(("a", rnd.nextDouble() * 100))
+    val b2 = Seq.fill(1000)(("a", rnd.nextDouble() * 1e6 - 5e5)) ++
+      Seq.fill(500)(("fresh", rnd.nextGaussian()))
+    val dir = java.nio.file.Files.createTempDirectory("qstream").toString + "/h"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = graft.streaming.EventStream.quantileHistStream(
+      mem.toDF().toDF("event_type", "value"), dir)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val all = (b1 ++ b2).toDF("event_type", "value")
+    val got = Relational.quantilesFromStoredHist(spark, dir, all, qs, cap = 32)
+      .as[(String, Double, Double)].collect().toSet
+    val want = Relational.exactValueQuantiles(all, qs, cap = 32)
+      .as[(String, Double, Double)].collect().toSet
+    assert(got == want)
+    // the stored relation stays bounded: ≤ types × bins rows
+    assert(spark.read.parquet(s"$dir/hist").count() <=
+      2L * Relational.QuantileBins)
+  }
+
   test("nulls are excluded from the order statistics") {
     import spark.implicits._
     val df = (Seq.fill(50)(Some(5.0)) ++ Seq.fill(50)(None) ++
