@@ -552,6 +552,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"fuzzy decontamination re-built the pair relation instead of reading the cache:\n$p")
   }
 
+  test("pipe_data_audit: FK checks run as broadcast anti-joins, never sort-merge") {
+    // at bench SF the dim sides broadcast; the guard is that no check
+    // degenerates into a sort-merge (which would mean a full exchange
+    // of the fact table per constraint)
+    val p = plan("pipe_data_audit")
+    assert(count(p, "BroadcastHashJoin") >= 2 &&
+      p.contains("LeftAnti") && count(p, "SortMergeJoin") == 0,
+      s"audit anti-joins lost their broadcast shape:\n$p")
+  }
+
   test("txt_drift_kl: term totals reuse the (source, term) exchange — one tokenize") {
     // the join's right branch rolls term totals up FROM the left's
     // (source, term) aggregate; both branches share one canonicalized
