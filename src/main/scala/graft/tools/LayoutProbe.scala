@@ -42,6 +42,18 @@ object LayoutProbe {
         s"both=${cut(ClusteredLayout.BoxUsers, ClusteredLayout.BoxTsMs)} " +
         s"userOnly=${cut(ClusteredLayout.BoxUsers, (mnT, mxT))} " +
         s"tsOnly=${cut((mnU, mxU), ClusteredLayout.BoxTsMs)}")
+      if (zo) {
+        val t1 = System.nanoTime()
+        ClusteredLayout.buildBloomSidecar(spark, dir, "event_id")
+        val bloomS = (System.nanoTime() - t1) / 1e9
+        val (kPresent, tot) = ClusteredLayout.selectFilesByKey(spark, dir,
+          ClusteredLayout.LookupIds)
+        val (kAbsent, _) = ClusteredLayout.selectFilesByKey(spark, dir,
+          Seq(987654321L))
+        println(f"  bloom build=$bloomS%.2fs " +
+          s"lookup(${ClusteredLayout.LookupIds.length} ids)=${kPresent.size}/$tot " +
+          s"absent=${kAbsent.size}/$tot")
+      }
     }
     spark.stop()
   }
