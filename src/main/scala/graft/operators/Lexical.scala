@@ -83,8 +83,9 @@ object Lexical {
       .withColumn("pbucket", bucketCol($"term"))
     // RANGE-partition on (pbucket, term), never hash on pbucket alone:
     // 64 distinct bucket values would cap the write at 64 tasks and
-    // make each bucket one straggler task at scale (measured: the
-    // hash form drove bm25_build to 84 s at sf10; range form 28 s).
+    // make each bucket one straggler task at scale (measured at sf10:
+    // 84 s hash-on-bucket vs 73.5 s ranged for the full bm25_build —
+    // the residual is the tokenize pass, which is the honest floor).
     // Every task covers a contiguous (bucket, term) slice, so files
     // stay term-sorted AND range-disjoint — row-group pruning keeps
     // its tight per-file term intervals, writes scale with the
