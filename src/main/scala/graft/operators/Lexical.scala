@@ -111,6 +111,15 @@ object Lexical {
     * the batch aggregate, O(batch), then swapped in crash-safe. Batch
     * doc_ids must be disjoint from the stored ones (content-addressed
     * upstream, the tracking-table convention). Single-writer.
+    *
+    * CRASH WINDOW — wrong scores, not missing rows: a crash after the
+    * postings append but before the stats swap leaves the new
+    * postings VISIBLE to probes while n_docs/avgdl (and possibly
+    * doclen) are still the pre-batch values — every score computed in
+    * that state uses a stale IDF denominator, silently. This differs
+    * from the ANN appends (whose crash window only hides rows).
+    * [[repairLexIndex]] restores consistency: run it after any
+    * interrupted append before trusting scores again.
     */
   def appendToLexIndex(s: SparkSession, indexDir: String,
       docs: DataFrame): Unit = {
@@ -132,6 +141,42 @@ object Lexical {
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/stats_updating")
     Seq((n1, avg1)).toDF("n_docs", "avgdl")
       .write.mode("overwrite").parquet(tmp.toString)
+    Similarity.swapDirInto(s, tmp,
+      new org.apache.hadoop.fs.Path(s"$indexDir/stats"))
+  }
+
+  /** Recover consistency after an interrupted [[appendToLexIndex]] —
+    * the lexical twin of ClusteredLayout.repairLayout, restoring the
+    * invariant that stats/doclen are DERIVABLE from the postings on
+    * disk, never trusted state:
+    *
+    *  1. doclen ← postings: any doc_id present in postings but absent
+    *     from doclen (crash between the two appends) gets its dl row
+    *     back from the denormalized postings copy — one column-pruned
+    *     postings scan. Zero-token docs from the crashed batch have no
+    *     postings to recover from; they also contribute no scores, so
+    *     stats derived from the recovered doclen are exact for every
+    *     row the index can return.
+    *  2. stats ← doclen: recomputed the fresh-build way and swapped
+    *     crash-safe, closing the stale-n_docs/avgdl window the append
+    *     scaladoc names.
+    *
+    * Idempotent; safe to run on a healthy index (no-op append, same
+    * stats). Single-writer, like all maintenance ops here.
+    */
+  def repairLexIndex(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val fromPost = s.read.parquet(s"$indexDir/postings")
+      .groupBy($"doc_id").agg(first($"dl").as("dl"))
+    val missing = fromPost
+      .join(s.read.parquet(s"$indexDir/doclen"), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"dl".cast("int").as("dl"))
+    if (!missing.isEmpty)
+      missing.write.mode("append").parquet(s"$indexDir/doclen")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/stats_repairing")
+    s.read.parquet(s"$indexDir/doclen")
+      .agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      .write.parquet(tmp.toString)
     Similarity.swapDirInto(s, tmp,
       new org.apache.hadoop.fs.Path(s"$indexDir/stats"))
   }
@@ -227,10 +272,17 @@ object Lexical {
       .limit(Bm25K)
   }
 
-  /** Driver-side bound on a serve batch's DISTINCT term set — the
-    * LshProbePushdownCap discipline: the bucket cut is a driver
-    * literal, so it must be provably small; a bigger batch is split
-    * by the caller (terms are independent across queries).
+  /** Per-SCAN bound on the pushed term set — the LshProbePushdownCap
+    * discipline: the term/bucket cut is a driver literal, so each
+    * scan's filter must be provably small. A batch with more distinct
+    * terms is no longer rejected (the old `require` pushed the split
+    * to the caller): [[bm25For]] packs the sorted term set into
+    * cap-sized groups and unions the per-group PRUNED scans — every
+    * term lands in exactly one group, every group keeps its
+    * partition + row-group pruning, and the per-(query, doc) score
+    * sum happens AFTER the union so cross-group term contributions
+    * combine exactly as in the unsplit plan (LexIndexSpec pins the
+    * equality under a forced tiny cap).
     */
   val ServeTermCap = 4096
 
@@ -245,32 +297,44 @@ object Lexical {
     * size.
     */
   def bm25For(s: SparkSession, indexDir: String, queries: DataFrame,
-      k: Int = TextAnalysis.Bm25K): DataFrame = {
+      k: Int = TextAnalysis.Bm25K,
+      termCap: Int = ServeTermCap): DataFrame = {
     import s.implicits._
     import TextAnalysis.{Bm25B, Bm25K1}
     val qt = queries
       .select(col(queries.columns.head).cast("long").as("query_id"),
         col(queries.columns(1)).as("term"))
       .distinct()
-    val terms = qt.select($"term").distinct().limit(ServeTermCap + 1)
-      .as[String].collect().toSeq
-    require(terms.length <= ServeTermCap,
-      s"serve batch has >$ServeTermCap distinct terms — split the batch")
-    val qb = bucketsFor(s, terms)
-    val post = s.read.parquet(s"$indexDir/postings")
-      .filter($"pbucket".isin(qb: _*) && $"term".isin(terms: _*))
-      .select($"term", $"doc_id", $"tf", $"dl")
-    val dfr = post.groupBy($"term").agg(count(lit(1)).as("df"))
+    // the batch's distinct terms become driver literals (the pushdown
+    // requires it) — request-vocabulary-sized by definition of a
+    // serve batch, and the LSH probe's collected bucket relation
+    // precedent; sorted so groups cover contiguous term ranges and
+    // each group's row-group cut stays tight in the term-sorted files
+    val terms = qt.select($"term").distinct()
+      .as[String].collect().toSeq.sorted
     val stats = s.read.parquet(s"$indexDir/stats")
     val idf = log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0))
     val denom = $"tf" + lit(Bm25K1) *
       (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl")
-    val scored = minusDocTombstones(s, indexDir, post)
-      .join(broadcast(dfr), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .join(broadcast(qt), Seq("term"))
-      .select($"query_id", $"doc_id",
-        (idf * ($"tf" * lit(Bm25K1 + 1.0)) / denom).as("c"))
+    // per-group: ONE pruned postings scan; df derived inside the group
+    // is exact because a term's postings are never split across groups
+    def contrib(group: Seq[String]): DataFrame = {
+      val qb = bucketsFor(s, group)
+      val post = s.read.parquet(s"$indexDir/postings")
+        .filter($"pbucket".isin(qb: _*) && $"term".isin(group: _*))
+        .select($"term", $"doc_id", $"tf", $"dl")
+      val dfr = post.groupBy($"term").agg(count(lit(1)).as("df"))
+      minusDocTombstones(s, indexDir, post)
+        .join(broadcast(dfr), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .join(broadcast(qt.filter($"term".isin(group: _*))), Seq("term"))
+        .select($"query_id", $"doc_id",
+          (idf * ($"tf" * lit(Bm25K1 + 1.0)) / denom).as("c"))
+    }
+    val groups =
+      if (terms.isEmpty) Seq(terms) else terms.grouped(termCap).toSeq
+    // (query, doc) contributions may span groups — sum AFTER the union
+    val scored = groups.map(contrib).reduce(_.union(_))
       .groupBy($"query_id", $"doc_id").agg(round(sum($"c"), 6).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)

@@ -504,11 +504,21 @@ object Relational {
           (count(lit(1)) - countDistinct($"o_orderkey")).as("m"))),
         one("pk_dup_customer", cust.agg(
           (count(lit(1)) - countDistinct($"c_custkey")).as("m"))),
+        // left_anti counts NULL-key rows as orphans (a null key can
+        // never match) — the oracle restates this with NOT EXISTS,
+        // whose three-valued logic agrees with left_anti, where NOT IN
+        // would silently drop every row once the subquery sees a NULL.
+        // The null keys themselves also get their own explicit check
+        // (a null FK is a data bug distinct from a dangling one).
         one("fk_orphan_orders", orders
           .join(cust, $"o_custkey" === $"c_custkey", "left_anti")
           .agg(count(lit(1)).as("m"))),
         one("fk_orphan_lineitem", li
           .join(orders, $"l_orderkey" === $"o_orderkey", "left_anti")
+          .agg(count(lit(1)).as("m"))),
+        one("fk_null_orders", orders.filter($"o_custkey".isNull)
+          .agg(count(lit(1)).as("m"))),
+        one("fk_null_lineitem", li.filter($"l_orderkey".isNull)
           .agg(count(lit(1)).as("m"))),
         one("range_bad_quantity", li.filter($"l_quantity" <= 0)
           .agg(count(lit(1)).as("m"))),
@@ -1120,10 +1130,16 @@ object Relational {
               COUNT(*) - COUNT(DISTINCT o_orderkey) AS metric FROM orders
             UNION ALL SELECT 'pk_dup_customer',
               COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
-            UNION ALL SELECT 'fk_orphan_orders', COUNT(*) FROM orders
-              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
-            UNION ALL SELECT 'fk_orphan_lineitem', COUNT(*) FROM lineitem
-              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            UNION ALL SELECT 'fk_orphan_orders', COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey)
+            UNION ALL SELECT 'fk_orphan_lineitem', COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL SELECT 'fk_null_orders', COUNT(*) FROM orders
+              WHERE o_custkey IS NULL
+            UNION ALL SELECT 'fk_null_lineitem', COUNT(*) FROM lineitem
+              WHERE l_orderkey IS NULL
             UNION ALL SELECT 'range_bad_quantity', COUNT(*) FROM lineitem
               WHERE l_quantity <= 0
             UNION ALL SELECT 'events_bad_value', COUNT(*) FROM events

@@ -378,6 +378,124 @@ object Similarity {
         $"rank".cast("int").as("rank"))
   }
 
+  /** ANN-probed hard-negative mining — the deployment form of
+    * [[hardNegatives]]: the exact miner is O(n²/stride) by
+    * construction (measured 5.7×/decade — correct, honestly priced,
+    * and not runnable at 100 TB), while every real contrastive
+    * pipeline mines from the ANN index it already maintains (the DPR /
+    * sentence-transformers recipe). Anchors probe a STORED IVF index
+    * whose assignments carry the LABEL column, so the label-inequality
+    * filter runs AT the cell-pruned scan — the top-k ranks the
+    * already-filtered candidate stream (no post-rank refill), exactly
+    * like the exact miner, just over the probed cells instead of the
+    * whole corpus. Scores on returned pairs are EXACT rounded cosines
+    * (approximation affects candidate coverage only); per-anchor cost
+    * is nprobe cells' occupancy, not n — the same probe economics as
+    * `sim_ann_ivf_stored`, whose quantizer/probe policy this shares
+    * verbatim (one oracle restatement serves both). Recall vs the
+    * exact miner is a NOTES table, the sim_recall_eval discipline.
+    */
+  def hardNegativesAnn(s: SparkSession, d: String,
+      k: Int = HardNegK): DataFrame = {
+    val dir = storedQueryDir("hardneg", d)
+    writeHardNegIndex(s, d, dir)
+    hardNegativesAnnStored(s, d, dir, k)
+  }
+
+  /** Mining probes 2× wider than serving: a missed near-neighbor in
+    * search costs one result row; a missed hard negative costs
+    * training signal, and mining is an offline batch job where the
+    * extra cells are cheap (probe cost stays ∝ probed occupancy,
+    * corpus-size-independent). Shared with the dynamic oracle so the
+    * two cannot drift — measured recall vs the exact miner: 0.74 →
+    * 1.00 (sf0.001), 0.72 → 0.98 (sf0.01) at 2× (NOTES r15 table).
+    */
+  val HardNegProbeBoost = 2
+
+  def hardNegNProbe(k: Int, cellCounts: Array[Long]): Int =
+    math.min(k, defaultNProbe(k, cellCounts) * HardNegProbeBoost)
+
+  /** Write the label-carrying IVF index for [[hardNegativesAnn]]:
+    * the shared session quantizer's assignments (identical cells to
+    * `ivf_build` — same centroids, same kernel) joined with the
+    * corpus labels ONCE at build time, partitioned by cell. Paying
+    * the corpus-sized label join here is the point: probes filter on
+    * a stored column instead of re-joining labels per batch.
+    */
+  def writeHardNegIndex(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    val idx = ivfIndex(s, d)
+    idx.assigned.select($"vec_id", $"embedding", $"nrm", $"cell")
+      .join(Tables.embeddings(s, d).select($"vec_id", $"label"), Seq("vec_id"))
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/assignments")
+    idx.cents.toSeq
+      .map { case (cid, cv, cn) =>
+        (cid, cv.toSeq, cn, idx.cellCounts(cid.toInt)) }
+      .toDF("cell", "centroid", "cnrm", "occupancy")
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+  }
+
+  private val hardNegAssignmentsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("label",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Mine from a stored label-carrying index (the steady-state job):
+    * cell-pruned scan → label filter at the scan → exact cosine →
+    * winnowed per-anchor top-k; tombstoned ids anti-joined like every
+    * stored reader. Output schema matches [[hardNegatives]] exactly
+    * (labels rejoined onto the |Q|·k result, keeping the scored
+    * stream 3 columns wide).
+    */
+  def hardNegativesAnnStored(s: SparkSession, d: String, indexDir: String,
+      k: Int = HardNegK): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val centRows = s.read.parquet(s"$indexDir/centroids")
+      .select($"cell", $"centroid", $"cnrm", $"occupancy")
+      .as[(Long, Seq[Float], Double, Long)].collect().sortBy(_._1)
+    val cents = centRows.map { case (cid, cv, cn, _) => (cid, cv.toArray, cn) }
+    val np = hardNegNProbe(cents.length, centRows.map(_._4))
+    val assigned = minusTombstones(s, indexDir,
+      s.read.schema(hardNegAssignmentsSchema)
+        .parquet(s"$indexDir/assignments"))
+    val anchors = Tables.embeddings(s, d)
+      .filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        VectorFunctions.norm($"embedding").as("q_nrm"),
+        $"label".as("q_label"))
+    val probe = nearestCellsCol(cents, np) _
+    val qCells = anchors.select($"q_id", $"q_emb", $"q_nrm", $"q_label",
+      explode(probe($"q_emb")).as("cell"))
+    val scored = broadcast(qCells)
+      .join(assigned, Seq("cell"))
+      .filter($"q_id" =!= $"vec_id" && $"q_label" =!= $"label")
+      .select($"q_id", $"vec_id".as("n_id"),
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"),
+          4).as("cos_sim"))
+    val ranked = winnowTopPerKey(scored, k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)))
+      .filter($"rank" <= k)
+    val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
+    ranked
+      .join(labels.select($"vec_id".as("q_id"), $"label".as("q_label")), Seq("q_id"))
+      .join(labels.select($"vec_id".as("n_id"), $"label".as("n_label")), Seq("n_id"))
+      .select($"q_id", $"q_label", $"n_id", $"n_label", $"cos_sim",
+        $"rank".cast("int").as("rank"))
+  }
+
   /** RRF fusion constant (Cormack et al., SIGIR'09 — the standard 60). */
   val RrfK0 = 60
 
@@ -1573,6 +1691,10 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topkBruteForce(s, d)),
     "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
+    // the deployment-scale miner: stored label-carrying IVF, probed —
+    // see hardNegativesAnn; oracle is the full probe restated with
+    // trained centroid literals (dynamicOracles)
+    "sim_hard_negatives_ann" -> ((s, d) => hardNegativesAnn(s, d)),
     "sim_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "sim_range" -> ((s, d) => rangeSearch(s, d)),
     // ANN quality audit — recall@k of the IVF probe against the
@@ -2088,6 +2210,37 @@ object Similarity {
       // compaction, and this np came from the same full corpus
       "sim_ann_ivf_purged" ->
         ivfSqlFor(s"AND a.vec_id % $PurgeMod <> $PurgeRes"),
+      // The ANN miner restated end-to-end: same quantizer CTEs with
+      // the miner's own 2×-boosted probe width (hardNegNProbe, shared
+      // so the two cannot drift), candidates label-filtered AT the
+      // candidate join (the stored index carries the label; the
+      // oracle reads it off embeddings — functionally dependent on
+      // vec_id, so identical rows), exact rounded-cosine rank to
+      // HardNegK with labels carried through.
+      "sim_hard_negatives_ann" ->
+        s"""WITH $ctes,
+            qprobe AS (
+              SELECT vec_id AS q_id, CAST(c - 1 AS BIGINT) AS cell FROM (
+                SELECT vec_id, c, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, c ASC) AS rn
+                FROM sims WHERE vec_id % $QueryStride = 0)
+              WHERE rn <= ${hardNegNProbe(k, ivfIndex(s, d).cellCounts)}),
+            cand AS (
+              SELECT q.q_id, a.vec_id AS n_id
+              FROM qprobe q JOIN asg a ON q.cell = a.cell
+              JOIN embeddings eq ON eq.vec_id = q.q_id
+              JOIN embeddings en ON en.vec_id = a.vec_id
+              WHERE q.q_id <> a.vec_id AND eq.label <> en.label),
+            scored AS (
+              SELECT c.q_id, q.label AS q_label, c.n_id, n.label AS n_label,
+                ROUND(${sqlCos("q.embedding", "n.embedding")}, 4) + 0.0 AS cos_sim
+              FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
+                         JOIN embeddings n ON n.vec_id = c.n_id)
+            SELECT q_id, q_label, n_id, n_label, cos_sim, rank FROM (
+              SELECT q_id, q_label, n_id, n_label, cos_sim,
+                CAST(ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS INT) AS rank
+              FROM scored) WHERE rank <= $HardNegK""",
       // The ivf and brute-force pipelines verbatim as nested
       // subqueries (DuckDB allows WITH inside a parenthesized CTE
       // body), joined on (q_id, n_id); COUNT(ivf.n_id) counts only

@@ -1902,11 +1902,11 @@ object TextAnalysis {
             FROM lens GROUP BY source, len),
           hist AS (SELECT * FROM persrc
             UNION ALL
-            SELECT '*' AS source, len, SUM(c) AS c
+            SELECT '*' AS source, len, CAST(SUM(c) AS BIGINT) AS c
             FROM persrc GROUP BY len),
           cum AS (SELECT source, len,
               SUM(c) OVER (PARTITION BY source ORDER BY len) AS cum,
-              SUM(c) OVER (PARTITION BY source) AS n
+              CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
             FROM hist)
           SELECT source, MAX(n) AS n_docs,
             MIN(CASE WHEN cum >= CEIL(CAST(0.5 AS DOUBLE) * n) THEN len END) AS p50,

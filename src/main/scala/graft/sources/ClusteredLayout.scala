@@ -201,8 +201,20 @@ object ClusteredLayout {
     * that restores build-quality skip ratios after appends.
     */
   def compactLayout(s: SparkSession, dir: String, c1: String, c2: String,
-      files: Int = LayoutFiles): Unit =
+      files: Int = LayoutFiles): Unit = {
+    // The rewrite's staging swap deletes the whole old dir, sidecar
+    // included — capture the bloom key first and rebuild after, so
+    // "compaction rebuilds full coverage" holds for the bloom index
+    // too, not just the manifest. A compaction without a sidecar
+    // stays sidecar-free (lookupByKey degrades to a full scan).
+    import s.implicits._
+    val bloomKey =
+      if (!bloomSidecarExists(s, dir)) None
+      else s.read.parquet(s"$dir/_graft_blooms")
+        .select($"key_col").as[String].limit(1).collect().headOption
     writeClustered(s.read.parquet(dir), dir, c1, c2, files)
+    bloomKey.foreach(k => buildBloomSidecar(s, dir, k))
+  }
 
   /** Continuous clustered ingestion: each micro-batch goes through the
     * batch append path (same z-sort, same stage-rename-manifest
@@ -235,6 +247,11 @@ object ClusteredLayout {
     * hash strings to 64 bits first.
     */
   val BloomFpp = 0.01
+
+  private def bloomSidecarExists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_blooms")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   private final class BloomAgg(expected: Long) extends
       org.apache.spark.sql.expressions.Aggregator[Long,
@@ -282,8 +299,13 @@ object ClusteredLayout {
   def selectFilesByKey(s: SparkSession, dir: String,
       keys: Seq[Long]): (Seq[String], Int) = {
     import s.implicits._
-    val blooms = s.read.parquet(s"$dir/_graft_blooms")
-      .select($"file", $"bloom").as[(String, Array[Byte])].collect()
+    // No sidecar at all (never built, or dropped by an old-format
+    // compaction) = zero coverage: every manifest file is "uncovered"
+    // and scanned — skipping degrades, correctness never.
+    val blooms =
+      if (!bloomSidecarExists(s, dir)) Array.empty[(String, Array[Byte])]
+      else s.read.parquet(s"$dir/_graft_blooms")
+        .select($"file", $"bloom").as[(String, Array[Byte])].collect()
     val all = s.read.parquet(s"$dir/_graft_manifest")
       .select($"file").as[String].collect()
     val kept = blooms.collect { case (f, bytes)

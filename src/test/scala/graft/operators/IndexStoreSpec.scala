@@ -57,6 +57,46 @@ class IndexStoreSpec extends AnyFunSuite {
       s"stored probe scan is not partition-pruned: $scan")
   }
 
+  test("hard-negative ANN miner: label filter at the scan, exact pair scores, pruned probe") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val dir = java.nio.file.Files.createTempDirectory("hnstore").toString
+    Similarity.writeHardNegIndex(spark, sf, dir)
+    // stored assignments carry the label column (the point of the
+    // dedicated index: no per-probe corpus label join)
+    assert(spark.read.parquet(s"$dir/assignments").columns.contains("label"))
+
+    val s2 = spark.newSession()
+    val mined = Similarity.hardNegativesAnnStored(s2, sf, dir)
+    val got = mined.as[(Long, Int, Long, Int, Double, Int)].collect()
+    assert(got.nonEmpty)
+    // every returned pair: different labels, exact rounded cosine
+    assert(got.forall { case (_, ql, _, nl, _, _) => ql != nl })
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / na / nb).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(got.forall { case (q, _, n, _, sc, _) =>
+      cos(emb(q), emb(n)) == sc })
+    // the probe scan is cell-partition-pruned, like every stored probe
+    val scan = storedScanLine(mined, "assignments")
+    val pf = scan.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+    assert(pf.contains("cell") && pf.contains("dynamicpruning"),
+      s"miner probe scan is not partition-pruned: $scan")
+    // tombstoned ids stop being minable without a rebuild
+    val victims = got.map(_._3).distinct.take(2)
+    Similarity.deleteFromIndex(spark, dir, victims.toSeq.toDF("vec_id"))
+    val after = Similarity.hardNegativesAnnStored(spark, sf, dir)
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    assert(victims.forall(v => !after.exists(_._3 == v)))
+  }
+
   test("LSH stored probe batches past the pushdown cap without changing the answer") {
     // r13 verdict item 3: an over-cap probe batch must split into
     // cap-sized groups (each keeping its pushdown) and union — not

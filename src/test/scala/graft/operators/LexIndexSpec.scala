@@ -146,6 +146,71 @@ class LexIndexSpec extends AnyFunSuite {
     assert(served == topk(Lexical.topkBm25Stored(spark, dir)))
   }
 
+  test("bm25For: over-cap batches auto-split into pruned groups, answers unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lexsplit").toString
+    Lexical.writeLexIndex(spark, sf, dir)
+    // a batch whose per-query term sets straddle ANY group boundary:
+    // real corpus terms mixed with absent ones, shared across queries
+    val extra = (1 to 40).map(i => s"zz_absent_$i")
+    val rows = Lexical.ServeQueries ++ extra.zipWithIndex.map {
+      case (t, i) => (5L + i % 3) -> t
+    }
+    val q = rows.toDF("query_id", "term")
+    val unsplit = Lexical.bm25For(spark, dir, q)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // cap=2 forces ~20 groups; every (query, doc) score must still sum
+    // its cross-group term contributions to the unsplit value exactly
+    val split = Lexical.bm25For(spark, dir, q, termCap = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(split == unsplit)
+    // and a >cap batch no longer throws through the declared entry
+    assert(Lexical.bm25For(spark, dir, q, termCap = 3).count() ==
+      unsplit.size)
+  }
+
+  test("repair restores stats/doclen after an interrupted append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lexcrash").toString
+    val full = java.nio.file.Files.createTempDirectory("lexcrashfull").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val stagedSf = java.nio.file.Files.createTempDirectory("lexcrashhalf").toString
+    docs.filter($"doc_id" % 2 === 0).write.mode("overwrite")
+      .parquet(s"$stagedSf/documents.parquet")
+    Lexical.writeLexIndex(spark, stagedSf, dir)
+    val preStats = spark.read.parquet(s"$dir/stats")
+      .as[(Long, Double)].head()
+    val preDoclen = spark.read.parquet(s"$dir/doclen").collect()
+    Lexical.appendToLexIndex(spark, dir, docs.filter($"doc_id" % 2 === 1))
+    // simulate the crash window: postings landed, doclen/stats did not
+    // (rewrite both back to their pre-append contents)
+    val dlTmp = new org.apache.hadoop.fs.Path(s"$dir/doclen_rewind")
+    spark.createDataFrame(java.util.Arrays.asList(preDoclen: _*),
+        spark.read.parquet(s"$dir/doclen").schema)
+      .write.parquet(dlTmp.toString)
+    Similarity.swapDirInto(spark, dlTmp,
+      new org.apache.hadoop.fs.Path(s"$dir/doclen"))
+    val stTmp = new org.apache.hadoop.fs.Path(s"$dir/stats_rewind")
+    Seq(preStats).toDF("n_docs", "avgdl").write.parquet(stTmp.toString)
+    Similarity.swapDirInto(spark, stTmp,
+      new org.apache.hadoop.fs.Path(s"$dir/stats"))
+    // the named failure mode: new postings visible, stale stats →
+    // scores in this state are NOT the full-corpus scores
+    Lexical.repairLexIndex(spark, dir)
+    Lexical.writeLexIndex(spark, sf, full)
+    val stR = spark.read.parquet(s"$dir/stats").as[(Long, Double)].head()
+    val stF = spark.read.parquet(s"$full/stats").as[(Long, Double)].head()
+    assert(stR._1 == stF._1 && math.abs(stR._2 - stF._2) < 1e-9)
+    assert(spark.read.parquet(s"$dir/doclen").count() ==
+      spark.read.parquet(s"$full/doclen").count())
+    assert(topk(Lexical.topkBm25Stored(spark, dir)) ==
+      topk(Lexical.topkBm25Stored(spark, full)))
+    // idempotent on a healthy index
+    Lexical.repairLexIndex(spark, dir)
+    assert(topk(Lexical.topkBm25Stored(spark, dir)) ==
+      topk(Lexical.topkBm25Stored(spark, full)))
+  }
+
   test("streamed serving: two micro-batches equal the one-batch answers") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -565,14 +565,24 @@ class PlanQualitySpec extends AnyFunSuite {
   test("txt_drift_kl: term totals reuse the (source, term) exchange — one tokenize") {
     // the join's right branch rolls term totals up FROM the left's
     // (source, term) aggregate; both branches share one canonicalized
-    // shuffle, so AQE must serve the second from the first (a reused
-    // stage), never re-tokenize the corpus. Static plans print both
-    // branches — the contract is the RUNTIME reuse, asserted on the
-    // final adaptive plan.
+    // shuffle, so the RUNTIME plan must tokenize the corpus ONCE. The
+    // contract is single-tokenize, not the optimizer's spelling of it:
+    // exchange/stage reuse is best-effort across Spark versions, so
+    // the reuse markers are accepted as evidence but the stable
+    // assertion is the documents-scan count in the final adaptive plan
+    // (a reused branch prints a ReusedQueryStage stub, not a second
+    // FileScan). The configs the behavior depends on are pinned here
+    // rather than assumed from defaults.
+    spark.conf.set("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     val df = SparkEntry.queries("txt_drift_kl")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"),
-      s"no reused stage — the corpus is tokenized twice:\n$p")
+    val reused = p.contains("ReusedQueryStage") || p.contains("ReusedExchange")
+    val docScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(reused || docScans <= 1,
+      s"no reused stage and $docScans documents scans — " +
+        s"the corpus is tokenized twice:\n$p")
   }
 }

@@ -210,6 +210,36 @@ class ClusteredLayoutSpec extends AnyFunSuite {
       Seq(12L, 257L))) == Set(12L, 257L))
   }
 
+  test("compaction rebuilds the bloom sidecar; no sidecar degrades to full scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("clay").toString + "/c"
+    ClusteredLayout.writeClustered(events, dir, "user_id", "ts_ms")
+    // never built → every manifest file scanned, lookups still exact
+    val keys = Seq(11L, 257L, 901L)
+    val (keptNone, totalNone) = ClusteredLayout.selectFilesByKey(spark, dir, keys)
+    assert(keptNone.size == totalNone, "missing sidecar must mean zero coverage")
+    assert(ids(ClusteredLayout.lookupByKey(spark, dir, "event_id", keys)) ==
+      keys.toSet)
+    // built, then compacted: the rewrite swaps the whole dir — the
+    // sidecar must come back (rebuilt over the same key), still skipping
+    ClusteredLayout.buildBloomSidecar(spark, dir, "event_id")
+    ClusteredLayout.compactLayout(spark, dir, "user_id", "ts_ms")
+    val (kept, total) = ClusteredLayout.selectFilesByKey(spark, dir, keys)
+    assert(kept.size < total, s"post-compaction bloom cut kept ${kept.size}/$total")
+    assert(ids(ClusteredLayout.lookupByKey(spark, dir, "event_id", keys)) ==
+      keys.toSet)
+    assert(spark.read.parquet(s"$dir/_graft_blooms")
+      .select($"key_col").distinct().as[String].collect().toSeq == Seq("event_id"))
+    // sidecar-free compaction stays sidecar-free (and keeps degrading)
+    val dir2 = java.nio.file.Files.createTempDirectory("clay2").toString + "/c"
+    ClusteredLayout.writeClustered(events, dir2, "user_id", "ts_ms")
+    ClusteredLayout.compactLayout(spark, dir2, "user_id", "ts_ms")
+    val (kept2, total2) = ClusteredLayout.selectFilesByKey(spark, dir2, keys)
+    assert(kept2.size == total2)
+    assert(ids(ClusteredLayout.lookupByKey(spark, dir2, "event_id", keys)) ==
+      keys.toSet)
+  }
+
   test("manifest rows cover every data file and all rows") {
     import spark.implicits._
     val dir = buildZ()

@@ -29,6 +29,41 @@ def canon(rows, names):
     out.sort()
     return [names[i] for i in order], out
 
+def type_key(t):
+    """Canonical type-class string for an Arrow type, loose enough that
+    width-only differences pass but the driver-hash-breaking classes
+    (decimal128/hugeint vs int64, decimal vs float) FAIL."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_key(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{type_key(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+def type_parity(spark_tbl, duck_tbl):
+    """Column-name-keyed type-class compare; returns list of
+    (col, spark_type, duck_type) mismatches."""
+    s = {f.name: type_key(f.type) for f in spark_tbl.schema}
+    d = {f.name: type_key(f.type) for f in duck_tbl.schema}
+    return [(c, s[c], d[c]) for c in sorted(set(s) & set(d)) if s[c] != d[c]]
+
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     # in-memory connections get no spill dir by default — big-SF media
@@ -51,15 +86,18 @@ def main(sf_dir, out_dir, only=None):
         s_names = tbl.column_names
         s_rows = [tuple(d[c] for c in s_names) for d in tbl.to_pylist()]
         try:
-            cur = con.execute(sql)
-            d_names = [c[0] for c in cur.description]
-            d_rows = cur.fetchall()
+            d_tbl = con.execute(sql).fetch_arrow_table()
+            d_names = d_tbl.column_names
+            d_rows = [tuple(r[c] for c in d_names) for r in d_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}"); n_fail += 1; continue
         sc, sr = canon(s_rows, s_names)
         dc, dr = canon(d_rows, d_names)
         if sc != dc:
             print(f"FAIL {name}: schema {sc} != {dc}"); n_fail += 1; continue
+        tmis = type_parity(tbl, d_tbl)
+        if tmis:
+            print(f"FAIL {name}: type mismatch {tmis}"); n_fail += 1; continue
         if len(sr) != len(dr):
             print(f"FAIL {name}: rows {len(sr)} != {len(dr)}"); n_fail += 1; continue
         if sr != dr:
