@@ -456,6 +456,321 @@ object Pq {
       rerankQueries = Some(queries))
   }
 
+  // ----- OPQ (full-rotation form) --------------------------------------
+
+  /** OPQ-R: the non-parametric alternation of Ge et al. §4 behind the
+    * permutation init — [[OpqRotIters]] passes of (train codebooks in
+    * the rotated space → encode → Procrustes-update R toward the
+    * reconstructions), R₀ = the OPQ-P permutation matrix. Each update
+    * solves min_R Σ‖Rx − x̂‖² over orthogonal R exactly (R = VUᵀ from
+    * the SVD of M = Σ x x̂ᵀ, computed via the shared deterministic
+    * Jacobi eigensolve on MᵀM), so the quantization error is
+    * monotone non-increasing across passes by construction. The whole
+    * alternation runs on the bounded deterministic training sample
+    * (the trainCodebooksOver prefix — model-sized driver state, the
+    * BPE/PCA discipline); only the FINAL R touches the corpus: one
+    * rotate-and-encode pass, exactly the PQ build's cost shape plus a
+    * d² matvec per row. Rotated coordinates are rounded to FLOAT
+    * before quantization (the permuted view's dtype), which is what
+    * lets the oracle restate the rotation exactly
+    * (CAST(Σ R[r][i]·x[i] AS FLOAT) — both engines IEEE-round the
+    * same double). Exact re-rank stays on ORIGINAL vectors (cosine is
+    * rotation-invariant).
+    */
+  final case class OpqRotIndex(rot: Array[Array[Double]], pq: PqIndex)
+
+  /** Alternating refinement passes. Per-pass gains roughly halve on
+    * the fixtures (0.545 → 0.506 → 0.488 → 0.480 over 4; an 8-pass
+    * trace recovers <½ of the 4-pass gain beyond this horizon —
+    * OpqSpec pins it), and each pass is a bounded driver job, so 4
+    * buys ~90% of the asymptotic improvement at seconds of cost.
+    */
+  val OpqRotIters = 4
+
+  private val opqRotCache = new SessionCache[OpqRotIndex](idx =>
+    scala.util.Try(idx.pq.codes.unpersist(blocking = false)))
+
+  /** Apply a rotation row-wise to a (possibly short) float vector:
+    * out(r) = Σ_i R(r)(i)·x(i) accumulated left-to-right in double,
+    * rounded to float — the dtype contract of the quantizer's input
+    * and the oracle's CAST(... AS FLOAT) restatement.
+    */
+  private[operators] def rotateF(rot: Array[Array[Double]],
+      v: Array[Float]): Array[Float] = {
+    val dim = rot.length
+    val out = new Array[Float](dim)
+    var r = 0
+    while (r < dim) {
+      val row = rot(r)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        if (v != null && i < v.length) acc += row(i) * v(i).toDouble
+        i += 1
+      }
+      out(r) = acc.toFloat
+      r += 1
+    }
+    out
+  }
+
+  /** Orthogonal Procrustes solution max_R tr(RM): R = VUᵀ from
+    * M = UΣVᵀ. V and Σ² come from the Jacobi eigensolve of MᵀM
+    * (deterministic, the PCA solver); U's columns are Mv_i/σ_i, with
+    * a modified-Gram-Schmidt completion for any σ_i ≈ 0 column
+    * (rank-deficient M — e.g. a zero-variance dim) so R stays exactly
+    * orthogonal instead of blowing up on the division.
+    */
+  private[operators] def procrustesRotation(
+      m: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m.length
+    val mtm = Array.tabulate(d, d) { (i, j) =>
+      var acc = 0.0; var k = 0
+      while (k < d) { acc += m(k)(i) * m(k)(j); k += 1 }
+      acc
+    }
+    val (eig, v) = Pca.jacobiEigen(mtm)
+    val sigMax = math.sqrt(math.max(eig.max, 0.0))
+    val u = Array.ofDim[Double](d, d) // columns u(_)(c)
+    var c = 0
+    while (c < d) {
+      val sig = math.sqrt(math.max(eig(c), 0.0))
+      if (sig > 1e-12 * math.max(sigMax, 1e-300)) {
+        var r = 0
+        while (r < d) {
+          var acc = 0.0; var k = 0
+          while (k < d) { acc += m(r)(k) * v(k)(c); k += 1 }
+          u(r)(c) = acc / sig
+          r += 1
+        }
+      } else {
+        // null-space column: seed from v's column; the MGS pass below
+        // orthogonalizes it against every better-conditioned column
+        var r = 0
+        while (r < d) { u(r)(c) = v(r)(c); r += 1 }
+      }
+      c += 1
+    }
+    // One modified-Gram-Schmidt pass over U's columns in DESCENDING-σ
+    // order: Mv/σ columns are only orthonormal to ~σmin/σmax·ε on
+    // ill-conditioned M (a near-isotropic corpus sent the deviation to
+    // 2.7e-6 — over the reader's orthogonality gate), and R = VUᵀ
+    // inherits every defect. Well-conditioned directions anchor the
+    // basis; near-degenerate ones are re-projected onto what remains.
+    // Deterministic: fixed order, pure arithmetic.
+    val order = (0 until d).sortBy(i => (-eig(i), i))
+    var oi = 0
+    while (oi < d) {
+      val c1 = order(oi)
+      var oj = 0
+      while (oj < oi) {
+        val c0 = order(oj)
+        var dot = 0.0; var k = 0
+        while (k < d) { dot += u(k)(c1) * u(k)(c0); k += 1 }
+        k = 0
+        while (k < d) { u(k)(c1) -= dot * u(k)(c0); k += 1 }
+        oj += 1
+      }
+      var nrm = 0.0; var k = 0
+      while (k < d) { nrm += u(k)(c1) * u(k)(c1); k += 1 }
+      nrm = math.sqrt(nrm)
+      require(nrm > 1e-9, "procrustes: degenerate column after MGS")
+      k = 0
+      while (k < d) { u(k)(c1) /= nrm; k += 1 }
+      oi += 1
+    }
+    // R = VUᵀ: R(a)(b) = Σ_i v(a)(i)·u(b)(i)
+    val rot = Array.tabulate(d, d) { (a, b) =>
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += v(a)(i) * u(b)(i); i += 1 }
+      acc
+    }
+    // loud orthogonality check — a silently skewed R would score
+    // garbage coordinates forever
+    var worst = 0.0
+    var a = 0
+    while (a < d) {
+      var b = 0
+      while (b < d) {
+        var acc = 0.0; var i = 0
+        while (i < d) { acc += rot(a)(i) * rot(b)(i); i += 1 }
+        val target = if (a == b) 1.0 else 0.0
+        worst = math.max(worst, math.abs(acc - target))
+        b += 1
+      }
+      a += 1
+    }
+    require(worst < 1e-8, f"procrustes: RRᵀ deviates from I by $worst%.2e")
+    rot
+  }
+
+  /** The alternation over the bounded deterministic sample. Returns
+    * (R, per-pass mean quantization error in rotated space) — the
+    * error trace is what the monotonicity spec pins.
+    */
+  private[operators] def trainRotation(s: SparkSession, d: String,
+      iters: Int = OpqRotIters): (Array[Array[Double]], Array[Double]) = {
+    import s.implicits._
+    val dim = Similarity.Dim
+    val emb = Tables.embeddings(s, d)
+    val n = Similarity.rowCount(s, emb)
+    val cap = Similarity.IvfSampleCap
+    val sample: Array[Array[Float]] =
+      (if (n <= cap) emb.select($"embedding")
+       else emb.select($"vec_id", $"embedding")
+         .orderBy(xxhash64($"vec_id"), $"vec_id").limit(cap)
+         .select($"embedding"))
+        .as[Array[Float]].collect()
+    val perm = opqPermutation(s, d)
+    var rot: Array[Array[Double]] = Array.tabulate(dim, dim) { (r, i) =>
+      if (perm(r) == i) 1.0 else 0.0
+    }
+    val errs = new Array[Double](iters)
+    var t = 0
+    while (t < iters) {
+      val rotated = sample.map(v => rotateF(rot, v))
+      val cb = trainCodebooksOn(s,
+        s.createDataset(rotated.zipWithIndex.toSeq
+          .map { case (v, i) => (i.toLong, v) }),
+        rotated.length.toLong, Similarity.DriverTrainFlopsCap, PqCodewords)
+      // encode, reconstruct, accumulate M = Σ x x̂ᵀ and the error trace
+      val m = Array.ofDim[Double](dim, dim)
+      var err = 0.0
+      var j = 0
+      while (j < sample.length) {
+        val x = sample(j)
+        val y = rotated(j)
+        val xhat = new Array[Double](dim)
+        var sub = 0
+        while (sub < PqSubvectors) {
+          val code = nearestCode(y, sub * SubDim, cb(sub))
+          var i = 0
+          while (i < SubDim) {
+            xhat(sub * SubDim + i) = cb(sub)(code)(i).toDouble
+            i += 1
+          }
+          sub += 1
+        }
+        var r = 0
+        while (r < dim) {
+          val e = y(r).toDouble - xhat(r)
+          err += e * e
+          val xr = if (r < x.length) x(r).toDouble else 0.0
+          var i = 0
+          while (i < dim) { m(r)(i) += xr * xhat(i); i += 1 }
+          r += 1
+        }
+        j += 1
+      }
+      errs(t) = if (sample.isEmpty) 0.0 else err / sample.length
+      rot = procrustesRotation(m)
+      t += 1
+    }
+    (rot, errs)
+  }
+
+  def opqRotIndex(s: SparkSession, d: String): OpqRotIndex =
+    opqRotCache.getOrBuild(s, d) {
+      import s.implicits._
+      val (rot, _) = trainRotation(s, d)
+      val rotUdf = udf { (emb: Seq[Float]) =>
+        rotateF(rot, if (emb == null) Array.empty[Float] else emb.toArray)
+      }
+      val rotEmb = Tables.embeddings(s, d)
+        .select($"vec_id", rotUdf($"embedding").as("embedding"))
+      val cb = trainCodebooksOver(s, rotEmb)
+      val enc = udf { (emb: Seq[Float]) =>
+        val v = emb.toArray
+        Array.tabulate(PqSubvectors)(sub =>
+          nearestCode(v, sub * SubDim, cb(sub)))
+      }
+      val codes = rotEmb
+        .select($"vec_id", enc($"embedding").as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      OpqRotIndex(rot, PqIndex(cb, codes))
+    }
+
+  /** The declared query set rotated with the index's R (norms from
+    * the originals — rotation preserves them exactly in real
+    * arithmetic, and the exact re-rank wants the original-space
+    * convention, the opqQueries contract).
+    */
+  private def opqRotQueries(s: SparkSession, d: String,
+      rot: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val rotUdf = udf { (emb: Seq[Float]) =>
+      rotateF(rot, if (emb == null) Array.empty[Float] else emb.toArray)
+    }
+    Tables.embeddings(s, d)
+      .filter($"vec_id" % Similarity.QueryStride === 0)
+      .select($"vec_id".as("q_id"), rotUdf($"embedding").as("q_emb"),
+        VectorFunctions.norm($"embedding").as("q_nrm"))
+  }
+
+  def topkOpqRot(s: SparkSession, d: String, k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame = {
+    val idx = opqRotIndex(s, d)
+    pqProbe(s, d, idx.pq, k, candidates,
+      Some(opqRotQueries(s, d, idx.rot)),
+      rerankQueries = Some(queryRelation(s, d)))
+  }
+
+  /** Store the OPQ-R index: codes + codebooks (the PQ layout) plus R
+    * as a (r, vals) table — trained state, the perm-table class.
+    */
+  def writeOpqRotIndex(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    val idx = opqRotIndex(s, d)
+    idx.pq.codes.write.mode("overwrite").parquet(s"$outDir/codes")
+    writeCodebooks(s, idx.pq.codebooks, s"$outDir/codebooks")
+    idx.rot.zipWithIndex.toSeq.map { case (row, r) => (r, row.toSeq) }
+      .toDF("r", "vals").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/rot")
+  }
+
+  /** Read a stored OPQ-R index; a rot table that is not a Dim×Dim
+    * orthogonal matrix fails loudly (the perm-bijection discipline).
+    */
+  def readOpqRotIndex(s: SparkSession, indexDir: String): OpqRotIndex = {
+    import s.implicits._
+    val dim = Similarity.Dim
+    val rows = s.read.parquet(s"$indexDir/rot")
+      .select($"r", $"vals").as[(Int, Seq[Double])].collect()
+    require(rows.length == dim && rows.forall(_._2.length == dim),
+      s"opq rot table under $indexDir is not $dim x $dim")
+    val rot = new Array[Array[Double]](dim)
+    rows.foreach { case (r, vals) => rot(r) = vals.toArray }
+    var worst = 0.0
+    var a = 0
+    while (a < dim) {
+      var b = 0
+      while (b < dim) {
+        var acc = 0.0; var i = 0
+        while (i < dim) { acc += rot(a)(i) * rot(b)(i); i += 1 }
+        worst = math.max(worst,
+          math.abs(acc - (if (a == b) 1.0 else 0.0)))
+        b += 1
+      }
+      a += 1
+    }
+    require(worst < 1e-6,
+      s"opq rot table under $indexDir is not orthogonal (dev $worst)")
+    OpqRotIndex(rot, readPqIndex(s, indexDir))
+  }
+
+  /** Probe a STORED OPQ-R index — queries rotated with the INDEX's
+    * recorded R (the planes-sidecar discipline).
+    */
+  def topkOpqRotStored(s: SparkSession, d: String, indexDir: String,
+      k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame = {
+    val idx = readOpqRotIndex(s, indexDir)
+    pqProbe(s, d, idx.pq, k, candidates,
+      Some(opqRotQueries(s, d, idx.rot)),
+      rerankQueries = Some(queryRelation(s, d)))
+  }
+
   /** ADC (asymmetric distance computation) coarse score: the query
     * stays full-precision, the corpus vector is its reconstruction
     * Σ_sub dot(q_sub, codeword[sub][code_sub]) — subspaces summed
@@ -1078,6 +1393,27 @@ object Pq {
       writeOpqIndex(s, d, dir)
       topkOpqStored(s, d, dir)
     },
+    // OPQ-R build: the rotated-space codes, exploded like opq_build.
+    // R is trained state (Procrustes alternation over the bounded
+    // sample), rendered as a 64×64 double literal in the dynamic
+    // oracle; DuckDB recomputes the rotation, the float rounding, and
+    // the argmin codes independently from it.
+    "opq_rot_build" -> { (s, d) =>
+      import s.implicits._
+      opqRotIndex(s, d).pq.codes
+        .select($"vec_id", posexplode($"codes").as(Seq("sub", "code")))
+        .select($"vec_id", $"sub".cast("int").as("sub"),
+          $"code".cast("int").as("code"))
+    },
+    "sim_ann_opq_rot" -> ((s, d) => topkOpqRot(s, d)),
+    // stored round trip: write codes + codebooks + R, read back,
+    // probe with the INDEX's recorded R. Same answer by construction,
+    // shares the oracle verbatim.
+    "sim_ann_opq_rot_stored" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("opqrot", d)
+      writeOpqRotIndex(s, d, dir)
+      topkOpqRotStored(s, d, dir)
+    },
     // The STORED-path form of sim_ann_pq (the sim_ann_ivf_stored
     // pattern): write codes + codebooks, read them back, ADC-probe —
     // the compressed-index lifecycle (store 8 bytes/vector, probe
@@ -1281,6 +1617,54 @@ object Pq {
           FROM ocodes GROUP BY vec_id)"""
   }
 
+  /** OPQ-R oracle CTEs: rotation + codebook literals, the rotated
+    * embedding view (Σ R[r][i]·x[i] in double, CAST to FLOAT then
+    * back — the rotateF dtype contract exactly), argmin codes over
+    * it — `ro`-prefixed names, clash-free beside the other families.
+    */
+  private def opqRotOracleCtes(s: SparkSession, d: String): String = {
+    val idx = opqRotIndex(s, d)
+    val cbSql = renderCodebooks(idx.pq.codebooks)
+    val rotSql = idx.rot
+      .map(_.map(_.toString).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val dist =
+      s"""list_sum(list_transform(generate_series(1, $SubDim),
+          i -> (e.pe[(g.s - 1) * $SubDim + i] - ropqm.cb[g.s][c.c][i])
+             * (e.pe[(g.s - 1) * $SubDim + i] - ropqm.cb[g.s][c.c][i])))"""
+    s"""ropqm AS (SELECT $cbSql AS cb, $rotSql AS rt),
+        remb AS (
+          SELECT vec_id, list_transform(generate_series(1, ${Similarity.Dim}),
+            r -> CAST(CAST(list_sum(list_transform(
+                   generate_series(1, ${Similarity.Dim}),
+                   i -> ropqm.rt[r][i] * COALESCE(embedding[i]::DOUBLE, 0.0)))
+                 AS FLOAT) AS DOUBLE)) AS pe
+          FROM embeddings, ropqm),
+        rodists AS (
+          SELECT e.vec_id, g.s, c.c, $dist AS dist
+          FROM remb e, ropqm,
+            generate_series(1, $PqSubvectors) AS g(s),
+            generate_series(1, $PqCodewords) AS c(c)),
+        rocodes AS (
+          SELECT vec_id, s, CAST(c - 1 AS INT) AS code FROM (
+            SELECT vec_id, s, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+            FROM rodists)
+          WHERE rn = 1),
+        rocodesarr AS (
+          SELECT vec_id, list(code ORDER BY s) AS codes
+          FROM rocodes GROUP BY vec_id)"""
+  }
+
+  /** The OPQ-R ADC: rotated query coordinates (the remb view — float-
+    * rounded like the kernel's) against the rotated-space codewords.
+    */
+  private def sqlAdcOpqRot(rq: String, x: String): String =
+    s"""list_sum(list_transform(generate_series(1, $PqSubvectors), s ->
+        list_sum(list_transform(generate_series(1, $SubDim), i ->
+          $rq.pe[(s - 1) * $SubDim + i] *
+          ropqm.cb[s][$x.codes[s] + 1][i]))))"""
+
   /** The OPQ ADC: permuted query coordinates against the permuted-
     * space codewords — the kernel's LUT partials exactly.
     */
@@ -1293,10 +1677,26 @@ object Pq {
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
     val codesCte = pqOracleCtes(s, d)
     val opqCte = opqOracleCtes(s, d)
+    val opqRotCte = opqRotOracleCtes(s, d)
     val base = Map(
       "opq_build" ->
         s"""WITH $opqCte
             SELECT vec_id, CAST(s - 1 AS INT) AS sub, code FROM ocodes""",
+      "opq_rot_build" ->
+        s"""WITH $opqRotCte
+            SELECT vec_id, CAST(s - 1 AS INT) AS sub, code FROM rocodes""",
+      // the sim_ann_opq oracle shape with the ROTATED views: rotated
+      // ADC coarse ranking, then the SHARED exact-re-rank tail on the
+      // original vectors (cosine is rotation-invariant)
+      "sim_ann_opq_rot" ->
+        s"""WITH $opqRotCte,
+            adc AS (
+              SELECT rq.vec_id AS q_id, x.vec_id AS n_id,
+                ${sqlAdcOpqRot("rq", "x")} AS score
+              FROM remb rq, rocodesarr x, ropqm
+              WHERE rq.vec_id % ${Similarity.QueryStride} = 0
+                AND rq.vec_id <> x.vec_id),
+            $sqlRerankTail""",
       // the sim_ann_pq oracle shape in permuted coordinates: permuted
       // ADC coarse ranking, then the SHARED exact-re-rank tail on the
       // original vectors (cosine is permutation-invariant)
@@ -1395,6 +1795,7 @@ object Pq {
     // Similarity.oracles sim_ann_lsh_stored convention)
     base +
       ("sim_ann_pq_stored" -> base("sim_ann_pq")) +
-      ("sim_ann_opq_stored" -> base("sim_ann_opq"))
+      ("sim_ann_opq_stored" -> base("sim_ann_opq")) +
+      ("sim_ann_opq_rot_stored" -> base("sim_ann_opq_rot"))
   }
 }
