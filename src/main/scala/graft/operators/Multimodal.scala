@@ -692,6 +692,14 @@ object Multimodal {
     */
   val MediaCosineThreshold = 0.85
 
+  /** Keep threshold for cross-modal pair curation (`mm_caption_score`):
+    * pairs scoring under it are flagged mismatched. 0.0 splits the
+    * stubbed-signature fixture informatively; a real CLIP deployment
+    * sets the published ~0.28 (LAION) — a parameter, not a plan
+    * change.
+    */
+  val CaptionKeepThreshold = 0.0
+
   /** pipe_media_curate's size gate: media under this many payload
     * bytes are dropped before dedup (decode-free — the gate reads the
     * metadata projection only). 64 is non-vacuous on every fixture
@@ -1061,6 +1069,38 @@ object Multimodal {
           .as("mass"))
     },
 
+    // Cross-modal PAIR curation — the CLIP-filter deployment shape
+    // (LAION's pipeline: score every (image, caption) pair in a
+    // shared embedding space, drop pairs under threshold before
+    // training). The media side is the decode-seam content signature
+    // (SigDim = text-embedding dim by fixture contract; a real
+    // deployment swaps the stubbed signature for a CLIP image tower
+    // behind the same MediaDecoder seam), the caption side the
+    // embeddings table (vec_id ≡ doc_id, the TESTDATA id-space
+    // contract). ONE id-keyed equi-join of two corpus-sized
+    // relations — co-partitioned shuffle join at scale, no broadcast,
+    // no candidate explosion: pair scoring is linear in pairs by
+    // construction. Zero-norm rows on either side are excluded (no
+    // cosine exists), the msnz oracle convention.
+    "mm_caption_score" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.VectorFunctions
+      val sigs = mediaSignatures(s, d)
+        .select($"vec_id".as("media_id"), $"embedding".as("sig"),
+          $"nrm".as("s_nrm"))
+      val caps = Tables.embeddings(s, d)
+        .select($"vec_id".as("media_id"), $"embedding",
+          VectorFunctions.norm($"embedding").as("e_nrm"))
+        .filter($"e_nrm" > 0)
+      sigs.join(caps, Seq("media_id"))
+        .select($"media_id",
+          round(VectorFunctions.cosineFrom(
+            VectorFunctions.dot($"sig", $"embedding"),
+            $"s_nrm", $"e_nrm"), 4).as("clip_sim"))
+        .withColumn("mismatch",
+          when($"clip_sim" < CaptionKeepThreshold, 1L).otherwise(0L))
+    },
+
     // Media near-dup: decode-seam signatures through the adaptive-LSH
     // pair build + exact verify (the embedding family's plan shape).
     "dedup_media" -> { (s, d) =>
@@ -1356,6 +1396,20 @@ object Multimodal {
     "dedup_media" ->
       s"""WITH $mediaLshCte
           SELECT id_a, id_b, cos_sim FROM mpairs""",
+    // cross-modal pair scoring restated: the signature CTE chain
+    // (shared with the dedup_media oracles — one definition of the
+    // decode stub) against the raw embeddings table, nonzero-norm
+    // rows only on BOTH sides, exact rounded cosine, threshold flag.
+    "mm_caption_score" ->
+      s"""WITH $mediaSigCte
+          SELECT m.doc_id AS media_id,
+            ROUND(${Similarity.sqlCos("m.sig", "e.embedding")}, 4) + 0.0
+              AS clip_sim,
+            CAST(CASE WHEN ROUND(${Similarity.sqlCos("m.sig", "e.embedding")}, 4)
+              < $CaptionKeepThreshold THEN 1 ELSE 0 END AS BIGINT) AS mismatch
+          FROM msnz m JOIN embeddings e ON e.vec_id = m.doc_id
+          WHERE list_sum(list_transform(e.embedding,
+            x -> x::DOUBLE * x::DOUBLE)) > 0""",
     // byte-identical answer contract for the stored round trip — the
     // oracle STRING is shared, not restated (dedup_cluster_stored
     // convention)
