@@ -720,6 +720,31 @@ object Multimodal {
       signaturesWith(s, mediaRelation(s, d), FakeDecoder)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Cross-modal pair scores (see the `mm_caption_score` declaration
+    * for the deployment framing): one id-keyed equi-join of the
+    * decode-seam signatures against the caption embeddings, exact
+    * rounded cosine, threshold flag. Shared by the declared query and
+    * the pair-curation pipeline.
+    */
+  def captionScores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val sigs = mediaSignatures(s, d)
+      .select($"vec_id".as("media_id"), $"embedding".as("sig"),
+        $"nrm".as("s_nrm"))
+    val caps = Tables.embeddings(s, d)
+      .select($"vec_id".as("media_id"), $"embedding",
+        VectorFunctions.norm($"embedding").as("e_nrm"))
+      .filter($"e_nrm" > 0)
+    sigs.join(caps, Seq("media_id"))
+      .select($"media_id",
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"sig", $"embedding"),
+          $"s_nrm", $"e_nrm"), 4).as("clip_sim"))
+      .withColumn("mismatch",
+        when($"clip_sim" < CaptionKeepThreshold, 1L).otherwise(0L))
+  }
+
   /** Media near-duplicate pair relation — multimodal columns as a
     * USER of the dedup scale machinery (r12 verdict item 3): content
     * signatures from the decode seam ride the same occupancy-adaptive
@@ -1082,23 +1107,30 @@ object Multimodal {
     // no candidate explosion: pair scoring is linear in pairs by
     // construction. Zero-norm rows on either side are excluded (no
     // cosine exists), the msnz oracle convention.
-    "mm_caption_score" -> { (s, d) =>
+    "mm_caption_score" -> ((s, d) => captionScores(s, d)),
+
+    // The pair-curation pipeline end-to-end as ONE declarative plan
+    // (pipe_media_curate's shape at the PAIR level): size gate on the
+    // metadata projection, caption-match gate from the cross-modal
+    // scores, one representative per near-dup cluster — the LAION
+    // recipe (filter by clip-sim, dedup, keep survivors) as a single
+    // oracle-gated query. All three legs are narrow id-keyed joins;
+    // the quadratic collapse stage is the session-cached build shared
+    // with the media dedup family.
+    "pipe_mm_pair_curate" -> { (s, d) =>
       import s.implicits._
-      import graft.functions.VectorFunctions
-      val sigs = mediaSignatures(s, d)
-        .select($"vec_id".as("media_id"), $"embedding".as("sig"),
-          $"nrm".as("s_nrm"))
-      val caps = Tables.embeddings(s, d)
-        .select($"vec_id".as("media_id"), $"embedding",
-          VectorFunctions.norm($"embedding").as("e_nrm"))
-        .filter($"e_nrm" > 0)
-      sigs.join(caps, Seq("media_id"))
-        .select($"media_id",
-          round(VectorFunctions.cosineFrom(
-            VectorFunctions.dot($"sig", $"embedding"),
-            $"s_nrm", $"e_nrm"), 4).as("clip_sim"))
-        .withColumn("mismatch",
-          when($"clip_sim" < CaptionKeepThreshold, 1L).otherwise(0L))
+      val gated = mediaRelation(s, d)
+        .filter($"meta.n_bytes" >= CurateMinBytes)
+        .select($"media_id", $"meta.n_bytes".as("n_bytes"))
+      val matched = captionScores(s, d)
+        .filter($"mismatch" === 0L)
+        .select($"media_id", $"clip_sim")
+      val dupMembers = mediaCollapsedClusters(s, d)
+        .filter($"media_id" =!= $"rep_id")
+      gated
+        .join(matched, Seq("media_id"))
+        .join(dupMembers.select($"media_id"), Seq("media_id"), "left_anti")
+        .select($"media_id", $"clip_sim", $"n_bytes")
     },
 
     // Media near-dup: decode-seam signatures through the adaptive-LSH
@@ -1410,6 +1442,31 @@ object Multimodal {
           FROM msnz m JOIN embeddings e ON e.vec_id = m.doc_id
           WHERE list_sum(list_transform(e.embedding,
             x -> x::DOUBLE * x::DOUBLE)) > 0""",
+    // the pipeline restated as the composition of its legs: the
+    // collapse chain's duplicate-member set (pipe_media_curate's
+    // mdups verbatim), the caption-match gate over msnz × embeddings,
+    // the byte-length size gate — NOT IN is safe here (mdups derives
+    // from doc_id, never null; the data-audit FK note)
+    "pipe_mm_pair_curate" ->
+      s"""WITH RECURSIVE $mediaCollapseCte,
+          mdups AS (SELECT m.doc_id
+            FROM mgrp m LEFT JOIN rcc ON rcc.u = m.g_rep
+            WHERE (rcc.rep IS NOT NULL OR m.g_size >= 2)
+              AND COALESCE(rcc.rep, m.g_rep) <> m.doc_id),
+          matched AS (SELECT m.doc_id,
+              ROUND(${Similarity.sqlCos("m.sig", "e.embedding")}, 4) + 0.0
+                AS clip_sim
+            FROM msnz m JOIN embeddings e ON e.vec_id = m.doc_id
+            WHERE list_sum(list_transform(e.embedding,
+                x -> x::DOUBLE * x::DOUBLE)) > 0
+              AND ROUND(${Similarity.sqlCos("m.sig", "e.embedding")}, 4)
+                >= $CaptionKeepThreshold)
+          SELECT d.doc_id AS media_id, matched.clip_sim,
+            CAST(octet_length(encode(COALESCE(d.text, ''))) AS BIGINT)
+              AS n_bytes
+          FROM documents d JOIN matched ON matched.doc_id = d.doc_id
+          WHERE octet_length(encode(COALESCE(d.text, ''))) >= $CurateMinBytes
+            AND d.doc_id NOT IN (SELECT doc_id FROM mdups)""",
     // byte-identical answer contract for the stored round trip — the
     // oracle STRING is shared, not restated (dedup_cluster_stored
     // convention)

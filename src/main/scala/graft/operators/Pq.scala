@@ -771,6 +771,27 @@ object Pq {
       rerankQueries = Some(queryRelation(s, d)))
   }
 
+  /** The stored-OPQ-R probe for an ARBITRARY query relation in
+    * ORIGINAL coordinates (q_id, q_emb, q_nrm) — the serving entry
+    * point (the topkOpqStoredFor convention): queries are rotated
+    * INSIDE with the index's recorded R, so callers never handle
+    * transformed coordinates.
+    */
+  def topkOpqRotStoredFor(s: SparkSession, queries: DataFrame, d: String,
+      indexDir: String, k: Int = Similarity.TopK,
+      candidates: Int = PqCandidates): DataFrame = {
+    import s.implicits._
+    val idx = readOpqRotIndex(s, indexDir)
+    val rot = idx.rot
+    val rotUdf = udf { (emb: Seq[Float]) =>
+      rotateF(rot, if (emb == null) Array.empty[Float] else emb.toArray)
+    }
+    val rotated = queries.select($"q_id",
+      rotUdf($"q_emb").as("q_emb"), $"q_nrm")
+    pqProbe(s, d, idx.pq, k, candidates, Some(rotated),
+      rerankQueries = Some(queries))
+  }
+
   /** ADC (asymmetric distance computation) coarse score: the query
     * stays full-precision, the corpus vector is its reconstruction
     * Σ_sub dot(q_sub, codeword[sub][code_sub]) — subspaces summed

@@ -402,6 +402,45 @@ object Similarity {
     hardNegativesAnnStored(s, d, dir, k)
   }
 
+  /** Append NEW labeled vectors to a stored hard-negative index
+    * WITHOUT retraining — the nightly-ingest half of its lifecycle,
+    * the [[appendToIvfIndex]] contract verbatim (frozen coarse
+    * quantizer, appended cell files, occupancy refreshed crash-safe)
+    * with the label riding each assignment row. Batch schema:
+    * (vec_id, embedding, label); ids disjoint from stored ones.
+    */
+  def appendToHardNegIndex(s: SparkSession, indexDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val centRows = s.read.parquet(s"$indexDir/centroids")
+      .select($"cell", $"centroid", $"cnrm", $"occupancy")
+      .as[(Long, Seq[Float], Double, Long)].collect().sortBy(_._1)
+    val cents = centRows.map { case (cid, cv, cn, _) => (cid, cv.toArray, cn) }
+    val cells = nearestCellsCol(cents, 1) _
+    val assigned = batch
+      .select($"vec_id", $"embedding",
+        graft.functions.VectorFunctions.norm($"embedding").as("nrm"),
+        $"label".cast("int").as("label"))
+      .withColumn("cell", explode(cells($"embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val delta = assigned.groupBy($"cell").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assigned.select($"vec_id", $"embedding", $"nrm", $"label", $"cell")
+        .repartition($"cell")
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$indexDir/assignments")
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/centroids_updating")
+      centRows.toSeq
+        .map { case (cid, cv, cn, occ) =>
+          (cid, cv, cn, occ + delta.getOrElse(cid, 0L)) }
+        .toDF("cell", "centroid", "cnrm", "occupancy")
+        .write.mode("overwrite").parquet(tmp.toString)
+      swapDirInto(s, tmp,
+        new org.apache.hadoop.fs.Path(s"$indexDir/centroids"))
+    } finally assigned.unpersist(blocking = false)
+  }
+
   /** Mining probes 2× wider than serving: a missed near-neighbor in
     * search costs one result row; a missed hard negative costs
     * training signal, and mining is an offline batch job where the
@@ -461,6 +500,25 @@ object Similarity {
       k: Int = HardNegK): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
+    val anchors = Tables.embeddings(s, d)
+      .filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        VectorFunctions.norm($"embedding").as("q_nrm"),
+        $"label".as("q_label"))
+    hardNegativesAnnFor(s, d, indexDir, anchors, k)
+  }
+
+  /** The miner for an ARBITRARY anchor relation
+    * (q_id, q_emb, q_nrm, q_label) — the serving entry point (the
+    * topkLshStoredFor convention): a micro-batch of fresh training
+    * anchors, a backfill slice, a different stride — all probe the
+    * same stored index through the same cell-pruned, label-filtered
+    * scan.
+    */
+  def hardNegativesAnnFor(s: SparkSession, d: String, indexDir: String,
+      anchors: DataFrame, k: Int = HardNegK): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
     val centRows = s.read.parquet(s"$indexDir/centroids")
       .select($"cell", $"centroid", $"cnrm", $"occupancy")
       .as[(Long, Seq[Float], Double, Long)].collect().sortBy(_._1)
@@ -469,11 +527,6 @@ object Similarity {
     val assigned = minusTombstones(s, indexDir,
       s.read.schema(hardNegAssignmentsSchema)
         .parquet(s"$indexDir/assignments"))
-    val anchors = Tables.embeddings(s, d)
-      .filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-        VectorFunctions.norm($"embedding").as("q_nrm"),
-        $"label".as("q_label"))
     val probe = nearestCellsCol(cents, np) _
     val qCells = anchors.select($"q_id", $"q_emb", $"q_nrm", $"q_label",
       explode(probe($"q_emb")).as("cell"))
@@ -488,10 +541,17 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"n_id".asc)))
       .filter($"rank" <= k)
-    val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
+    // q_label comes from the ANCHOR relation (anchors need not be
+    // corpus rows — the serving contract); n_label from the INDEX
+    // itself (a 2-column pruned read of the assignments), so appended
+    // vectors — index rows with no corpus counterpart — keep their
+    // labels in the output too
     ranked
-      .join(labels.select($"vec_id".as("q_id"), $"label".as("q_label")), Seq("q_id"))
-      .join(labels.select($"vec_id".as("n_id"), $"label".as("n_label")), Seq("n_id"))
+      .join(broadcast(anchors.select($"q_id", $"q_label").distinct()),
+        Seq("q_id"))
+      .join(s.read.schema(hardNegAssignmentsSchema)
+        .parquet(s"$indexDir/assignments")
+        .select($"vec_id".as("n_id"), $"label".as("n_label")), Seq("n_id"))
       .select($"q_id", $"q_label", $"n_id", $"n_label", $"cos_sim",
         $"rank".cast("int").as("rank"))
   }

@@ -126,6 +126,47 @@ object VecStream {
           batch.toDF(), d, indexDir, k))
       }.start()
 
+  /** [[probeStreamOpq]] for the full-rotation index — queries arrive
+    * in ORIGINAL coordinates and are rotated inside with the index's
+    * recorded R.
+    */
+  def probeStreamOpqRot(queries: DataFrame, d: String, indexDir: String,
+      k: Int = Similarity.TopK)(
+      sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(graft.operators.Pq.topkOpqRotStoredFor(batch.sparkSession,
+          batch.toDF(), d, indexDir, k))
+      }.start()
+
+  /** Hard-negative mining as a serving loop: a stream of anchors
+    * (q_id, q_emb, q_nrm, q_label) — fresh training examples — mines
+    * each micro-batch from the stored label-carrying index
+    * ([[Similarity.hardNegativesAnnFor]]): per-trigger cost is the
+    * batch's probed cells, the nightly-contrastive-refresh shape.
+    */
+  def mineStream(anchors: DataFrame, d: String, indexDir: String,
+      k: Int = Similarity.HardNegK)(
+      sink: DataFrame => Unit): StreamingQuery =
+    anchors.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(Similarity.hardNegativesAnnFor(batch.sparkSession, d,
+          indexDir, batch.toDF(), k))
+      }.start()
+
+  /** [[appendStreamIvf]] for the label-carrying hard-negative index:
+    * each micro-batch of (vec_id, embedding, label) rows is assigned
+    * against the frozen quantizer and appended with its label
+    * ([[Similarity.appendToHardNegIndex]]).
+    */
+  def appendStreamHardNeg(vectors: DataFrame,
+      indexDir: String): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Similarity.appendToHardNegIndex(batch.sparkSession, indexDir,
+          batch.toDF())
+      }.start()
+
   /** [[probeStreamIvfPq]] for the residual composition. */
   def probeStreamIvfPqRes(queries: DataFrame, d: String, ivfDir: String,
       resDir: String, k: Int = Similarity.TopK)(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Cross-modal pair curation (`mm_caption_score`) — the CLIP-filter
@@ -66,6 +67,32 @@ class CaptionScoreSpec extends AnyFunSuite {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(want == s, s"pair $id: $want != $s")
     }
+  }
+
+  test("pipe_mm_pair_curate composes its three gates exactly") {
+    import spark.implicits._
+    val kept = Multimodal.queries("pipe_mm_pair_curate")(spark, sf)
+      .as[(Long, Double, Long)].collect()
+    assert(kept.nonEmpty)
+    val scores = Multimodal.queries("mm_caption_score")(spark, sf)
+      .as[(Long, Double, Long)].collect()
+    val matched = scores.filter(_._3 == 0L).map(r => r._1 -> r._2).toMap
+    val bigEnough = Multimodal.mediaRelation(spark, sf)
+      .filter(col("meta.n_bytes") >= Multimodal.CurateMinBytes)
+      .select($"media_id").as[Long].collect().toSet
+    val dups = Multimodal.queries("dedup_media_cluster")(spark, sf)
+      .filter($"media_id" =!= $"rep_id")
+      .select($"media_id").as[Long].collect().toSet
+    val expect = (matched.keySet & bigEnough) -- dups
+    assert(kept.map(_._1).toSet == expect,
+      s"pipeline membership diverged: missing ${(expect -- kept.map(_._1).toSet).take(3)}")
+    assert(kept.forall { case (id, s, n) =>
+      matched(id) == s && n >= Multimodal.CurateMinBytes })
+    // each gate bites on the fixture — a pipeline whose stages are
+    // all no-ops wouldn't be testing the composition
+    assert(kept.length < scores.count(_._3 == 0L),
+      "size/dup gates removed nothing — fixture too weak")
+    assert(scores.exists(_._3 == 1L), "caption gate removed nothing")
   }
 
   test("plan: one equi-join, no cartesian, no driver collect") {

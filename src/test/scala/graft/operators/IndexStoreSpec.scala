@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The stored-index contract — the actual 100 TB deployment shape:
@@ -95,6 +96,58 @@ class IndexStoreSpec extends AnyFunSuite {
     val after = Similarity.hardNegativesAnnStored(spark, sf, dir)
       .as[(Long, Int, Long, Int, Double, Int)].collect()
     assert(victims.forall(v => !after.exists(_._3 == v)))
+  }
+
+  test("hard-negative index append + arbitrary-anchor serving") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // frozen-quantizer append parity: build on one slice, append the
+    // rest — probes equal the full build's exactly (same centroids:
+    // writeHardNegIndex derives them from the SHARED session ivfIndex,
+    // so both dirs carry the identical quantizer)
+    val half = java.nio.file.Files.createTempDirectory("hnhalf").toString
+    val full = java.nio.file.Files.createTempDirectory("hnfull").toString
+    Similarity.writeHardNegIndex(spark, sf, full)
+    val emb = graft.Tables.embeddings(spark, sf)
+    // rebuild the half index by filtering the full one's assignments
+    // is cheating — write the full index, then construct the half dir
+    // from a filtered copy of its layout plus an append of the rest
+    val fullAsg = spark.read.parquet(s"$full/assignments")
+    val keep = fullAsg.filter($"vec_id" % 2 === 0)
+    keep.select($"vec_id", $"embedding", $"nrm", $"label", $"cell")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$half/assignments")
+    val occ = keep.groupBy($"cell").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    spark.read.parquet(s"$full/centroids")
+      .as[(Long, Seq[Float], Double, Long)].collect()
+      .map { case (c, cv, cn, _) => (c, cv, cn, occ.getOrElse(c, 0L)) }
+      .toSeq.toDF("cell", "centroid", "cnrm", "occupancy")
+      .write.parquet(s"$half/centroids")
+    Similarity.appendToHardNegIndex(spark, half,
+      emb.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding", $"label"))
+    val a = Similarity.hardNegativesAnnStored(spark, sf, half)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    val b = Similarity.hardNegativesAnnStored(spark, sf, full)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    assert(a == b, "append-built index diverged from the full build")
+    // occupancy restored to the full counts
+    assert(spark.read.parquet(s"$half/centroids")
+      .agg(sum($"occupancy")).as[Long].head() ==
+      spark.read.parquet(s"$full/centroids")
+        .agg(sum($"occupancy")).as[Long].head())
+    // arbitrary anchors NOT in the corpus (fresh ids, synthetic label)
+    // serve through the same path; q_label comes from the anchor row
+    val anchors = emb.filter($"vec_id" % 100 === 50).limit(3)
+      .select(($"vec_id" + 1000000L).as("q_id"), $"embedding".as("q_emb"),
+        VectorFunctions.norm($"embedding").as("q_nrm"),
+        lit(-7).cast("int").as("q_label"))
+    val served = Similarity.hardNegativesAnnFor(spark, sf, full, anchors)
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    assert(served.nonEmpty)
+    assert(served.forall(_._2 == -7), "q_label must come from the anchor relation")
+    assert(served.forall(r => r._4 != -7))
+    assert(served.groupBy(_._1).forall(_._2.length == Similarity.HardNegK))
   }
 
   test("LSH stored probe batches past the pushdown cap without changing the answer") {

@@ -117,7 +117,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val sim = Similarity.dynamicOracles(spark, sf)
     val ded = Dedup.dynamicOracles(spark, sf)
     assert(sim.keySet == Set("ivf_build", "sim_ann_ivf", "sim_ann_ivf_stored",
-      "sim_ann_ivf_purged", "sim_recall_eval"))
+      "sim_ann_ivf_purged", "sim_recall_eval", "sim_hard_negatives_ann"))
     assert(ded.keySet == Set("dedup_semantic"))
     val static = graft.SparkEntry.oracleSql.keySet
     assert((sim.keySet ++ ded.keySet).forall(!static.contains(_)))

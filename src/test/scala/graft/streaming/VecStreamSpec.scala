@@ -313,4 +313,79 @@ class VecStreamSpec extends AnyFunSuite {
         s"streamed residual append (cell, codes) for clone of $id diverged")
     }
   }
+
+  test("OPQ-R: streamed probe micro-batches union to the declared stored probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vecstreamor")
+      .toString + "/opqrot"
+    Pq.writeOpqRotIndex(spark, fixture, dir)
+    val expect = Pq.topkOpqRotStored(spark, fixture, dir)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(expect.nonEmpty)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double, Int)]
+    val mem = MemoryStream[QVec]
+    val q = VecStream.probeStreamOpqRot(withNorm(mem.toDF()), fixture, dir) {
+      batch => got ++= batch.as[(Long, Long, Double, Int)].collect()
+    }
+    try {
+      val qs = fixtureQueries
+      val (b1, b2) = qs.splitAt(qs.length / 2)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expect,
+      "streamed OPQ-R probe diverged from the declared stored probe")
+  }
+
+  test("hard-negative mining: streamed anchors union to the batch miner; streamed labeled appends are minable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vecstreamhn")
+      .toString + "/hn"
+    Similarity.writeHardNegIndex(spark, fixture, dir)
+    val expect = Similarity.hardNegativesAnnStored(spark, fixture, dir)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet
+    assert(expect.nonEmpty)
+    // anchors = the declared stride with labels, streamed in two batches
+    val anchors = graft.Tables.embeddings(spark, fixture)
+      .filter($"vec_id" % 100 === 0)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    val got = scala.collection.mutable.Set.empty[(Long, Int, Long, Int, Double, Int)]
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val withN = mem.toDF().toDF("q_id", "q_emb", "q_label")
+      .select($"q_id", $"q_emb",
+        graft.functions.VectorFunctions.norm($"q_emb").as("q_nrm"), $"q_label")
+    val q = VecStream.mineStream(withN, fixture, dir) { batch =>
+      got ++= batch.as[(Long, Int, Long, Int, Double, Int)].collect()
+    }
+    try {
+      val (b1, b2) = anchors.splitAt(anchors.length / 2)
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expect,
+      "streamed mining diverged from the batch miner")
+    // streamed labeled append: a fresh-id clone of a corpus vector with
+    // a unique label becomes a minable negative from the next trigger
+    val (cid, cemb, _) = anchors.head
+    val memA = MemoryStream[(Long, Array[Float], Int)]
+    val qa = VecStream.appendStreamHardNeg(
+      memA.toDF().toDF("vec_id", "embedding", "label"), dir)
+    try {
+      memA.addData((cid + 5000000L, cemb, 999))
+      qa.processAllAvailable()
+    } finally qa.stop()
+    val after = Similarity.hardNegativesAnnStored(spark, fixture, dir)
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    // the clone is cosine-1.0 to its source anchor and label-distinct,
+    // so it must now appear among that anchor's negatives
+    assert(after.exists(r => r._1 == cid && r._3 == cid + 5000000L),
+      "appended labeled vector did not become minable")
+  }
 }
