@@ -441,6 +441,41 @@ object Similarity {
     } finally assigned.unpersist(blocking = false)
   }
 
+  /** Physically purge tombstoned ids from a stored hard-negative
+    * index — [[compactIvfIndex]]'s contract with the label column
+    * carried through the rewrite: distributed sibling rewrite minus
+    * tombstones, occupancy refreshed, trained centroids untouched,
+    * tombstones cleared LAST (idempotent under crash).
+    */
+  def compactHardNegIndex(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val src = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/assignments_compacting")
+    minusTombstones(s, indexDir,
+        s.read.schema(hardNegAssignmentsSchema)
+          .parquet(s"$indexDir/assignments"))
+      .select($"vec_id", $"embedding", $"nrm", $"label", $"cell")
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    val counts = s.read.schema(hardNegAssignmentsSchema)
+      .parquet(tmp.toString)
+      .groupBy($"cell").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val centRows = s.read.parquet(s"$indexDir/centroids")
+      .select($"cell", $"centroid", $"cnrm")
+      .as[(Long, Seq[Float], Double)].collect().sortBy(_._1)
+    swapDirInto(s, tmp, src)
+    val ctmp = new org.apache.hadoop.fs.Path(s"$indexDir/centroids_updating")
+    centRows.toSeq
+      .map { case (cid, cv, cn) => (cid, cv, cn, counts.getOrElse(cid, 0L)) }
+      .toDF("cell", "centroid", "cnrm", "occupancy")
+      .write.mode("overwrite").parquet(ctmp.toString)
+    swapDirInto(s, ctmp,
+      new org.apache.hadoop.fs.Path(s"$indexDir/centroids"))
+    val tp = new org.apache.hadoop.fs.Path(tombstonesPath(indexDir))
+    tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
+  }
+
   /** Mining probes 2× wider than serving: a missed near-neighbor in
     * search costs one result row; a missed hard negative costs
     * training signal, and mining is an offline batch job where the
@@ -579,16 +614,34 @@ object Similarity {
     import s.implicits._
     val dense = topkBruteForce(s, d, k)
       .select($"q_id", $"n_id", $"rank".as("r_dense"))
-    val pairs = Dedup.jaccardPairs(s, d)
-    val oriented = pairs
+    rrfFuse(s, dense, lexRanked(s, Dedup.jaccardPairs(s, d), k), k)
+  }
+
+  /** The lexical leg: the (undirected) verified-jaccard pair relation
+    * oriented both ways, query-strided, ranked per query. Shared by
+    * the session and stored hybrid paths so the leg semantics cannot
+    * fork.
+    */
+  private def lexRanked(s: SparkSession, pairs: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
+    pairs
       .select($"id_a".as("q_id"), $"id_b".as("n_id"), $"jaccard")
       .union(pairs.select($"id_b".as("q_id"), $"id_a".as("n_id"), $"jaccard"))
       .filter($"q_id" % QueryStride === 0)
-    val lex = oriented
       .withColumn("r_lex", row_number().over(Window.partitionBy($"q_id")
         .orderBy(round($"jaccard", 6).desc, $"n_id".asc)))
       .filter($"r_lex" <= k)
       .select($"q_id", $"n_id", $"r_lex")
+  }
+
+  /** The RRF fusion tail — one definition (the rerankTail discipline):
+    * full-outer join of the two bounded |Q|·k leg rankings, a missing
+    * side contributes 0, rounded(6) before the final rank.
+    */
+  private def rrfFuse(s: SparkSession, dense: DataFrame, lex: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
     dense.join(lex, Seq("q_id", "n_id"), "full_outer")
       .select($"q_id", $"n_id",
         round(coalesce(lit(1.0) / (lit(RrfK0) + $"r_dense"), lit(0.0)) +
@@ -598,6 +651,25 @@ object Similarity {
         .orderBy($"rrf".desc, $"n_id".asc)))
       .filter($"rank" <= k)
       .select($"q_id", $"n_id", $"rrf", $"rank".cast("int").as("rank"))
+  }
+
+  /** Hybrid retrieval served from STORED artifacts — the RAG
+    * deployment form of [[hybridRrf]] (indexes built by one nightly
+    * job, fused at query time by another): the dense leg is the
+    * stored-LSH probe — APPROXIMATE, the latency/recall trade every
+    * hybrid deployment makes, and the reason this is a separate
+    * declared query with its own oracle (the session query's exact
+    * brute-force leg stays the reference) — the lexical leg the
+    * stored verified-jaccard pair relation, both through the shared
+    * leg/fusion definitions above. Per-query cost: one bucket-pushed
+    * probe + a shard-pruned pair read + two |Q|·k-bounded joins.
+    */
+  def hybridRrfStored(s: SparkSession, d: String, lshDir: String,
+      pairsDir: String, k: Int = TopK): DataFrame = {
+    import s.implicits._
+    val dense = topkLshStored(s, d, lshDir, k)
+      .select($"q_id", $"n_id", $"rank".cast("int").as("r_dense"))
+    rrfFuse(s, dense, lexRanked(s, Dedup.readJaccardPairs(s, pairsDir), k), k)
   }
 
   /** LSH-bucketed ANN: bucket corpus + queries, probe only the query's
@@ -1756,6 +1828,16 @@ object Similarity {
     // trained centroid literals (dynamicOracles)
     "sim_hard_negatives_ann" -> ((s, d) => hardNegativesAnn(s, d)),
     "sim_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
+    // hybrid retrieval from stored artifacts (dense = stored-LSH
+    // probe, lex = stored pair relation) — own oracle: the dense leg
+    // is approximate by design, so it is NOT sim_hybrid_rrf's answer
+    "sim_hybrid_stored" -> { (s, d) =>
+      val lshDir = storedQueryDir("hyblsh", d)
+      writeLshIndex(s, d, lshDir)
+      val pairsDir = storedQueryDir("hybpairs", d)
+      Dedup.writeJaccardPairs(s, d, pairsDir)
+      hybridRrfStored(s, d, lshDir, pairsDir)
+    },
     "sim_range" -> ((s, d) => rangeSearch(s, d)),
     // ANN quality audit — recall@k of the IVF probe against the
     // brute-force truth, the metric every ANN deployment tracks
@@ -2062,6 +2144,30 @@ object Similarity {
             SELECT q_id, n_id, ROW_NUMBER() OVER (
               PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS r_dense
             FROM dense0) WHERE r_dense <= $TopK),
+          lex0 AS (SELECT id_a AS q_id, id_b AS n_id, j FROM pairs
+            UNION ALL SELECT id_b, id_a, j FROM pairs),
+          lex AS (SELECT q_id, n_id, r_lex FROM (
+            SELECT q_id, n_id, ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY ROUND(j, 6) DESC, n_id ASC) AS r_lex
+            FROM lex0 WHERE q_id % $QueryStride = 0) WHERE r_lex <= $TopK),
+          fused AS (SELECT
+              COALESCE(d.q_id, l.q_id) AS q_id,
+              COALESCE(d.n_id, l.n_id) AS n_id,
+              ROUND(COALESCE(1.0::DOUBLE / ($RrfK0 + d.r_dense), 0.0)
+                + COALESCE(1.0::DOUBLE / ($RrfK0 + l.r_lex), 0.0), 6) + 0.0 AS rrf
+            FROM dense d FULL OUTER JOIN lex l
+              ON d.q_id = l.q_id AND d.n_id = l.n_id)
+          SELECT q_id, n_id, rrf, rank FROM (
+            SELECT q_id, n_id, rrf, CAST(ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY rrf DESC, n_id ASC) AS INT) AS rank
+            FROM fused) WHERE rank <= $TopK""",
+    // The stored hybrid: the LSH probe pipeline (nested WITH — the
+    // sim_recall_eval parenthesized-CTE-body trick) as the dense leg,
+    // the shared jaccard CTEs as the lexical leg, the same RRF tail.
+    "sim_hybrid_stored" ->
+      s"""WITH dense1 AS (${lshOracleSql("")}),
+          ${graft.operators.Dedup.jaccardCte.replaceFirst("WITH ", "")},
+          dense AS (SELECT q_id, n_id, rank AS r_dense FROM dense1),
           lex0 AS (SELECT id_a AS q_id, id_b AS n_id, j FROM pairs
             UNION ALL SELECT id_b, id_a, j FROM pairs),
           lex AS (SELECT q_id, n_id, r_lex FROM (

@@ -96,6 +96,19 @@ class IndexStoreSpec extends AnyFunSuite {
     val after = Similarity.hardNegativesAnnStored(spark, sf, dir)
       .as[(Long, Int, Long, Int, Double, Int)].collect()
     assert(victims.forall(v => !after.exists(_._3 == v)))
+    // compaction folds the tombstones physically: same answers, label
+    // column survives the rewrite, occupancy drops, tombstones gone
+    val occBefore = spark.read.parquet(s"$dir/centroids")
+      .agg(sum($"occupancy")).as[Long].head()
+    Similarity.compactHardNegIndex(spark, dir)
+    assert(Similarity.hardNegativesAnnStored(spark, sf, dir)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSet ==
+      after.toSet, "compaction changed the mined set")
+    assert(spark.read.parquet(s"$dir/assignments").columns.contains("label"))
+    assert(spark.read.parquet(s"$dir/centroids")
+      .agg(sum($"occupancy")).as[Long].head() ==
+      occBefore - victims.length)
+    assert(!new java.io.File(s"$dir/_graft_tombstones").exists())
   }
 
   test("hard-negative index append + arbitrary-anchor serving") {
