@@ -1838,6 +1838,27 @@ object Similarity {
       Dedup.writeJaccardPairs(s, d, pairsDir)
       hybridRrfStored(s, d, lshDir, pairsDir)
     },
+    // fusion-level quality audit (the sim_recall_eval convention one
+    // level up): per query, how much of the EXACT hybrid ranking the
+    // stored/approximate serving path retains — the number a
+    // deployment tracks when it trades the brute-force leg for the
+    // LSH probe
+    "sim_hybrid_recall_eval" -> { (s, d) =>
+      import s.implicits._
+      val lshDir = storedQueryDir("hyblsh", d)
+      writeLshIndex(s, d, lshDir)
+      val pairsDir = storedQueryDir("hybpairs", d)
+      Dedup.writeJaccardPairs(s, d, pairsDir)
+      val exact = hybridRrf(s, d).select($"q_id", $"n_id")
+      val stored = hybridRrfStored(s, d, lshDir, pairsDir)
+        .select($"q_id", $"n_id", lit(1).as("hit"))
+      exact.join(stored, Seq("q_id", "n_id"), "left_outer")
+        .groupBy($"q_id")
+        .agg(count(lit(1)).as("n_true"),
+          count($"hit").as("n_hits"),
+          round(count($"hit").cast("double") / count(lit(1)), 6)
+            .as("recall"))
+    },
     "sim_range" -> ((s, d) => rangeSearch(s, d)),
     // ANN quality audit — recall@k of the IVF probe against the
     // brute-force truth, the metric every ANN deployment tracks
@@ -2263,6 +2284,19 @@ object Similarity {
     */
   val oracles: Map[String, String] =
     baseOracles +
+      // exact-vs-stored hybrid overlap: both pipelines verbatim as
+      // nested CTE bodies, joined on (q_id, n_id) — COUNT(st.n_id)
+      // counts only matched rows under the LEFT JOIN (the
+      // sim_recall_eval shape; lives OUTSIDE baseOracles because it
+      // composes two of its entries)
+      ("sim_hybrid_recall_eval" ->
+        s"""WITH ex AS (${baseOracles("sim_hybrid_rrf")}),
+            st AS (${baseOracles("sim_hybrid_stored")})
+            SELECT ex.q_id, COUNT(*) AS n_true, COUNT(st.n_id) AS n_hits,
+              ROUND(COUNT(st.n_id)::DOUBLE / COUNT(*), 6) AS recall
+            FROM ex LEFT JOIN st
+              ON ex.q_id = st.q_id AND ex.n_id = st.n_id
+            GROUP BY ex.q_id""") +
       ("sim_ann_lsh_stored" -> baseOracles("sim_ann_lsh")) +
       // the purge slice excluded on the INDEX side only — queries
       // still ask, deleted ids never answer
