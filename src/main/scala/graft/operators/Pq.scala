@@ -771,6 +771,49 @@ object Pq {
       rerankQueries = Some(queryRelation(s, d)))
   }
 
+  /** [[appendToPqIndex]] for the OPQ layout: the batch is PERMUTED
+    * with the index's recorded permutation, then encoded through the
+    * same frozen-codebook argmin kernel — appended vectors get
+    * exactly the codes a rebuild with this trained state would give.
+    */
+  def appendToOpqIndex(s: SparkSession, indexDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val idx = readOpqIndex(s, indexDir)
+    val cb = idx.pq.codebooks
+    val enc = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray
+      Array.tabulate(cb.length)(sub => nearestCode(v, sub * SubDim, cb(sub)))
+    }
+    batch
+      .select($"vec_id", permutedCol(idx.perm, $"embedding").as("embedding"))
+      .select($"vec_id", enc($"embedding").as("codes"))
+      .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
+  /** [[appendToOpqIndex]] for the full-rotation layout: the batch is
+    * rotated with the index's recorded R (same float-rounding the
+    * build used), then frozen-codebook encoded.
+    */
+  def appendToOpqRotIndex(s: SparkSession, indexDir: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val idx = readOpqRotIndex(s, indexDir)
+    val rot = idx.rot
+    val cb = idx.pq.codebooks
+    val rotUdf = udf { (emb: Seq[Float]) =>
+      rotateF(rot, if (emb == null) Array.empty[Float] else emb.toArray)
+    }
+    val enc = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray
+      Array.tabulate(cb.length)(sub => nearestCode(v, sub * SubDim, cb(sub)))
+    }
+    batch
+      .select($"vec_id", rotUdf($"embedding").as("embedding"))
+      .select($"vec_id", enc($"embedding").as("codes"))
+      .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
   /** The stored-OPQ-R probe for an ARBITRARY query relation in
     * ORIGINAL coordinates (q_id, q_emb, q_nrm) — the serving entry
     * point (the topkOpqStoredFor convention): queries are rotated

@@ -492,6 +492,27 @@ class IndexStoreSpec extends AnyFunSuite {
       assert(hit.exists(_._3 == 1.0),
         s"query $q: appended clone not a cos-1.0 neighbor ($hit)")
     }
+    // OPQ (perm) and OPQ-R: same frozen-trained-state contract — the
+    // batch transforms through the INDEX's recorded perm/R before the
+    // frozen-codebook encode, so clones get the originals' codes
+    val opqDir = java.nio.file.Files.createTempDirectory("opqappend").toString
+    Pq.writeOpqIndex(spark, sf, opqDir)
+    Pq.appendToOpqIndex(spark, opqDir, batch)
+    val opqCodes = spark.read.parquet(s"$opqDir/codes")
+      .as[(Long, Array[Int])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    (0L until 20L).foreach { id =>
+      assert(opqCodes(id + 1000000L) == opqCodes(id),
+        s"opq append codes for clone of $id diverged from the build's")
+    }
+    val rotDir = java.nio.file.Files.createTempDirectory("opqrotappend").toString
+    Pq.writeOpqRotIndex(spark, sf, rotDir)
+    Pq.appendToOpqRotIndex(spark, rotDir, batch)
+    val rotCodes = spark.read.parquet(s"$rotDir/codes")
+      .as[(Long, Array[Int])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    (0L until 20L).foreach { id =>
+      assert(rotCodes(id + 1000000L) == rotCodes(id),
+        s"opq-rot append codes for clone of $id diverged from the build's")
+    }
   }
 
   test("residual IVF-PQ stored composition: both halves written, composed in a fresh session") {
