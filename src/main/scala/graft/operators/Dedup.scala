@@ -190,6 +190,79 @@ object Dedup {
   private val posShingleRelCache = new SessionCache[DataFrame](df =>
     scala.util.Try(df.unpersist(blocking = false)))
 
+  /** Rolling-hash window (code points) for content-defined chunking:
+    * a cut decision looks at exactly the last [[CdcWindow]] code
+    * points, so boundaries depend only on LOCAL content.
+    */
+  private[graft] val CdcWindow = 16
+
+  /** Expected CDC chunk length (code points). MUST stay a power of
+    * two: the kernel tests `h & (D−1) == 0` on the SIGNED 64-bit
+    * FNV-1a while the oracle tests the UNSIGNED HUGEINT `% D == 0` —
+    * the two agree on the low bits only when D divides 2⁶⁴.
+    */
+  private[graft] val CdcDivisor = 64
+
+  /** Content-defined chunking (the rsync/LBFS mechanism, FastCDC's
+    * deployment shape): a cut falls AFTER 1-based code-point position
+    * p (p ≥ [[CdcWindow]]) whenever the FNV-1a hash of the window-gram
+    * ending at p is ≡ 0 mod [[CdcDivisor]]. Boundaries depend only on
+    * local content, so an edit re-chunks O(1) chunks instead of
+    * shifting every downstream boundary — the property fixed-width
+    * chunking lacks, and the reason CDC is how sub-document dedup
+    * survives insertions at corpus scale. Returns (chunk FNV-1a hash,
+    * chunk length) per positional chunk, in order; text shorter than
+    * the window is one chunk, empty text none. Chunk identity is
+    * [[fnv1a]] over the chunk's code points (the family base hash;
+    * the oracle groups chunk STRINGS — equivalent modulo a 2⁻⁶⁴
+    * collision, the documented family convention).
+    */
+  private[graft] def cdcChunks(text: String): Seq[(Long, Int)] = {
+    val t = Option(text).getOrElse("")
+    if (t.isEmpty) return Seq.empty
+    val cps = t.codePoints().toArray
+    val n = cps.length
+    @inline def fnvRange(a: Int, b: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = a
+      while (i < b) { h ^= cps(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var p = CdcWindow
+    while (p <= n) {
+      if ((fnvRange(p - CdcWindow, p) & (CdcDivisor - 1)) == 0L) cuts += p
+      p += 1
+    }
+    if (cuts.isEmpty || cuts.last != n) cuts += n
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Int)](cuts.length)
+    var a = 0
+    cuts.foreach { b =>
+      out += ((fnvRange(a, b), b - a))
+      a = b
+    }
+    out.toSeq
+  }
+
+  private val cdcChunksUdf = udf { (text: String) => cdcChunks(text) }
+
+  /** doc_id → positional CDC (hash, len) chunk array, built once per
+    * (session, corpus) and persisted: the chunker is the family's
+    * dominant scan cost here and the query reads it from two branches
+    * (the cross-doc df aggregate and the positional probe) — the
+    * [[posShingleRelation]] discipline.
+    */
+  private def cdcRelation(s: SparkSession, d: String): DataFrame =
+    cdcRelCache.getOrBuild(s, d) {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", cdcChunksUdf($"text").as("ch"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val cdcRelCache = new SessionCache[DataFrame](df =>
+    scala.util.Try(df.unpersist(blocking = false)))
+
   /** dedup_substring core: maximal runs of consecutive shingle
     * positions whose shingle occurs in ≥2 distinct documents.
     * Positions are 0-based token indices; consecutive duplicated
@@ -724,6 +797,47 @@ object Dedup {
     // shingle key, the run grouping one shuffle on doc_id — no pair
     // join at all, so this is the cheapest member of the family.
     "dedup_substring" -> ((s, d) => duplicatedSpans(s, d)),
+
+    // Content-defined-chunk dedup mass — dedup_substring's character-
+    // level, edit-resilient sibling (rsync/LBFS boundaries, the
+    // FastCDC deployment shape): each document splits at rolling-hash
+    // cut points ([[cdcChunks]]), and a chunk is duplicated when its
+    // content occurs in ≥2 DISTINCT documents — same-doc repeats are
+    // txt_repetition's domain, the dedup_substring convention. Per
+    // doc: chunk count, duplicated-chunk count, duplicated code-point
+    // mass — the numbers a curation pipeline thresholds to route docs
+    // into "drop", "trim shared boilerplate", or "keep". Scale shape:
+    // chunking is row-local and linear in bytes; the df aggregate
+    // collapses row-locally distinct hashes map-side on an 8-byte key
+    // (the dedup_substring discipline); the positional probe joins the
+    // df≥2 set on the hash key — both sides already narrow — and the
+    // final per-doc rollup is one doc_id exchange. No pair join, no
+    // text on any shuffle.
+    "dedup_cdc" -> { (s, d) =>
+      import s.implicits._
+      val rel = cdcRelation(s, d)
+      val dup = rel
+        .select(explode(array_distinct(expr("transform(ch, x -> x._1)")))
+          .as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2)
+        .select($"h", lit(1).as("isdup"))
+      val pos = rel
+        .select($"doc_id", explode($"ch").as("c"))
+        .select($"doc_id", $"c._1".as("h"), $"c._2".as("l"))
+      val per = pos.join(dup, Seq("h"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when($"isdup" === 1, 1L).otherwise(0L)).as("dup_chunks"),
+          sum(when($"isdup" === 1, $"l".cast("long")).otherwise(0L))
+            .as("dup_chars"))
+      Tables.documents(s, d).select($"doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_chunks", lit(0L)).as("n_chunks"),
+          coalesce($"dup_chunks", lit(0L)).as("dup_chunks"),
+          coalesce($"dup_chars", lit(0L)).as("dup_chars"))
+    },
 
     // C4-style line-level dedup (Raffel et al. 2020 §2.2: "we
     // discarded all but one of any three-sentence span occurring more
@@ -1758,6 +1872,45 @@ object Dedup {
           SELECT doc_id, MIN(pos) AS run_start, MAX(pos) AS run_end,
             COUNT(*) AS n_shingles
           FROM runs GROUP BY doc_id, grp""",
+    // The chunker restated positionally: every window-end position's
+    // FNV (the shared sqlFnv HUGEINT form) elects cut points, the
+    // length sentinel closes the final chunk, lag-over-cuts rebuilds
+    // the segments, and the dup election groups chunk STRINGS where
+    // the engine groups their FNV hashes (equal modulo a 2⁻⁶⁴
+    // collision, the family convention). D = $CdcDivisor divides 2⁶⁴,
+    // so unsigned % D here ≡ the kernel's signed low-bit test.
+    "dedup_cdc" ->
+      s"""WITH d AS (SELECT doc_id, text, len(text) AS ln FROM documents),
+          cuts AS (SELECT doc_id, p
+            FROM d, UNNEST(generate_series($CdcWindow, ln)) AS u(p)
+            WHERE ${sqlFnv(s"substr(text, p - ${CdcWindow - 1}, $CdcWindow)")}
+              % $CdcDivisor = 0),
+          bounds AS (SELECT doc_id, p FROM cuts
+            UNION
+            SELECT doc_id, ln FROM d WHERE ln > 0),
+          seg AS (SELECT doc_id,
+              COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) AS a,
+              p AS b
+            FROM bounds),
+          chunks AS (SELECT s.doc_id, substr(d.text, a + 1, b - a) AS chunk
+            FROM seg s JOIN d USING (doc_id) WHERE b > a),
+          dup AS (SELECT chunk FROM (
+              SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks
+              GROUP BY chunk)
+            WHERE nd >= 2),
+          per AS (SELECT c.doc_id,
+              COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN f.chunk IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_chunks,
+              CAST(SUM(CASE WHEN f.chunk IS NOT NULL THEN len(c.chunk)
+                ELSE 0 END) AS BIGINT) AS dup_chars
+            FROM chunks c LEFT JOIN dup f USING (chunk)
+            GROUP BY c.doc_id)
+          SELECT d.doc_id,
+            COALESCE(per.n_chunks, 0) AS n_chunks,
+            COALESCE(per.dup_chunks, 0) AS dup_chunks,
+            COALESCE(per.dup_chars, 0) AS dup_chars
+          FROM d LEFT JOIN per USING (doc_id)""",
     // Same election restated quadratically: parallel-unnest positions,
     // blank = trim-to-empty (both engines trim the ASCII space only),
     // keeper = min packed (doc_id, pos). The oracle elects on line

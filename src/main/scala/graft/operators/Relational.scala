@@ -253,6 +253,81 @@ object Relational {
           (max($"ts_ms") - min($"ts_ms")).as("dur_ms"))
     },
 
+    // Interval-overlap join WITHOUT an equi key — the operator class
+    // (point-in-interval, both sides corpus-scaled) that naive plans
+    // turn into a broadcast-nested-loop: for every session, the count
+    // of events from OTHER users falling inside [start, end] — the
+    // "how loaded was the system while this user was active"
+    // concurrency question. Scale shape: the time axis is cut into
+    // [[ConcurrencyBucketMs]] buckets and the bucket id becomes the
+    // shuffle key. Each session fragments into its overlapped
+    // buckets, split into INTERIOR buckets (fully covered by the
+    // interval — proof in the fragment builder) and the ≤2 EDGE
+    // buckets. Interior buckets never touch event rows: they join two
+    // pre-aggregated relations (per-bucket counts, per-(bucket, user)
+    // counts for the self-exclusion) that are orders of magnitude
+    // below the event count. Only edge fragments meet raw events, on
+    // the bucket equi key with the residual range re-applied — so the
+    // event-row join degree is ≤2 buckets per session regardless of
+    // session length. A globally hot hour is a salting/AQE-skew
+    // candidate; the aggregates are map-side combinable either way.
+    "evt_concurrency" -> { (s, d) =>
+      import s.implicits._
+      val B = ConcurrencyBucketMs
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id",
+          expr("unix_micros(ts) div 1000").as("ts_ms"))
+      val sess = ev
+        .withColumn("prev", lag($"ts_ms", 1).over(byUser))
+        .withColumn("brk",
+          when($"prev".isNull || $"ts_ms" - $"prev" > SessionGapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum($"brk").over(byUser.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(min($"ts_ms").as("s_ms"), max($"ts_ms").as("e_ms"))
+      val evb = ev.select($"user_id", $"ts_ms",
+        expr(s"ts_ms div $B").as("bkt"))
+      // per-bucket and per-(bucket, user) event counts — the
+      // pre-aggregated relations interior fragments join instead of
+      // event rows (an interior bucket's events are in range BY
+      // CONSTRUCTION: bkt ≥ b0+1 ⇒ bucket_lo ≥ (b0+1)·B > s_ms, and
+      // bkt ≤ b1−1 ⇒ bucket_hi ≤ b1·B ≤ e_ms)
+      val cb = evb.groupBy($"bkt").agg(count(lit(1)).as("cb"))
+      val cbu = evb.groupBy($"bkt", $"user_id").agg(count(lit(1)).as("cbu"))
+      val bounds = sess
+        .withColumn("b0", expr(s"s_ms div $B"))
+        .withColumn("b1", expr(s"e_ms div $B"))
+      val interior = bounds
+        .select($"user_id", $"session_idx",
+          explode(when($"b1" - $"b0" >= 2, sequence($"b0" + 1, $"b1" - 1))
+            .otherwise(expr("array()"))).as("bkt"))
+        .join(cb, Seq("bkt"), "left")
+        .join(cbu, Seq("bkt", "user_id"), "left")
+        .groupBy($"user_id", $"session_idx")
+        .agg(sum(coalesce($"cb", lit(0L)) - coalesce($"cbu", lit(0L)))
+          .as("part"))
+      val edge = bounds
+        .select($"user_id", $"session_idx", $"s_ms", $"e_ms",
+          explode(array_distinct(array($"b0", $"b1"))).as("bkt"))
+        .join(evb.select($"bkt", $"ts_ms", $"user_id".as("e_user")),
+          Seq("bkt"))
+        .filter($"ts_ms" >= $"s_ms" && $"ts_ms" <= $"e_ms" &&
+          $"e_user" =!= $"user_id")
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("part"))
+      val parts = interior.union(edge)
+        .groupBy($"user_id", $"session_idx")
+        .agg(sum($"part").as("n_concurrent"))
+      sess.select($"user_id", $"session_idx")
+        .join(parts, Seq("user_id", "session_idx"), "left")
+        .select($"user_id", $"session_idx",
+          coalesce($"n_concurrent", lit(0L)).as("n_concurrent"))
+    },
+
     // Cohort retention — the other event-analytics staple: users
     // cohorted by first active day, counted per (cohort day, day
     // offset). The raw event stream collapses MAP-SIDE to distinct
@@ -801,6 +876,14 @@ object Relational {
   /** Result size for evt_topk_paths. */
   val PathTopK = 20
 
+  /** Time-bucket width for evt_concurrency's interval-overlap join
+    * (1 hour). The bucket is the shuffle key that makes a no-equi-key
+    * interval join shuffle-bounded; a session fans out to
+    * (duration / bucket) fragments, and the gap rule bounds duration
+    * by the session's own event count — never the corpus.
+    */
+  val ConcurrencyBucketMs = 3600000L
+
   /** Trailing attribution window for evt_attrib_window (7 days — the
     * conventional click-attribution lookback; also the bin width for
     * the range-join bucketing, so each click lands in exactly two
@@ -1055,6 +1138,32 @@ object Relational {
             COUNT(*) AS n_events, MIN(ts_ms) AS start_ms,
             MAX(ts_ms) - MIN(ts_ms) AS dur_ms
           FROM sx GROUP BY user_id, session_idx""",
+    // the bucket decomposition restated as the naive point-in-interval
+    // join it computes: same sessionization chain, then a BETWEEN
+    // predicate with the self-exclusion — DuckDB's IEJoin does at
+    // oracle scale what the engine's interior/edge split does at 100 TB
+    "evt_concurrency" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
+            FROM events),
+          b AS (SELECT user_id, event_id, ts_ms,
+            CASE WHEN lag(ts_ms) OVER w IS NULL
+              OR ts_ms - lag(ts_ms) OVER w > $SessionGapMs
+            THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+          sx AS (SELECT user_id, ts_ms,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM b),
+          sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+            MIN(ts_ms) AS s_ms, MAX(ts_ms) AS e_ms
+            FROM sx GROUP BY user_id, session_idx)
+          SELECT s.user_id, s.session_idx,
+            COUNT(e2.ts_ms) AS n_concurrent
+          FROM sess s LEFT JOIN e e2
+            ON e2.ts_ms BETWEEN s.s_ms AND s.e_ms
+            AND e2.user_id <> s.user_id
+          GROUP BY s.user_id, s.session_idx""",
     "q17_corr_subquery" ->
       """WITH pc AS (SELECT p_brand,
            CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents

@@ -37,6 +37,47 @@ object TextAnalysis {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpeishPattern), lit(0))
 
+  /** Per-doc bigram-LM cross-entropy under the corpus model with
+    * add-one smoothing, p(w|prev) = (C(prev,w)+1)/(C(prev,·)+V) —
+    * ONE definition consumed by both txt_bigram_nll and
+    * txt_ppl_buckets (the classifier must bucket the exact score it
+    * publishes). Bigram emission is ROW-LOCAL (a transform over the
+    * token array — no positional self-join); the model is two keyed
+    * count aggs (bigram, then prev — the second a rollup of the
+    * first, never a second corpus pass) and V rides as a 1-row
+    * broadcast. Counts are exact integers; ln products round(5) like
+    * txt_unigram_nll. Docs with <2 tokens carry zero bigrams → 0.0
+    * (the LEFT-JOIN pin). Output: (doc_id, n_bigrams, nll).
+    */
+  private def bigramNllPerDoc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+    val pairs = docs.select($"doc_id", explode(when(size($"toks") >= 2,
+      expr("""transform(sequence(2, size(toks)),
+              i -> struct(element_at(toks, i - 1) AS prev,
+                          element_at(toks, i) AS cur))"""))
+      .otherwise(expr("array()"))).as("bg"))
+      .select($"doc_id", $"bg.prev".as("prev"), $"bg.cur".as("cur"))
+    val tf = pairs.groupBy($"doc_id", $"prev", $"cur")
+      .agg(count(lit(1)).as("tf"))
+    val bc = tf.groupBy($"prev", $"cur").agg(sum($"tf").as("cbg"))
+    val pc = bc.groupBy($"prev").agg(sum($"cbg").as("cprev"))
+    val vocab = docs.select(explode($"toks").as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    val per = tf.join(bc, Seq("prev", "cur")).join(pc, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_bigrams"),
+        (-sum($"tf" * log(($"cbg" + 1).cast("double") /
+          ($"cprev" + $"v").cast("double"))) / sum($"tf")).as("nll"))
+    Tables.documents(s, d).select($"doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        round(coalesce($"nll", lit(0.0)), 5).as("nll"))
+  }
+
   /** English stopword set used by the language-ID heuristic and the
     * quality score's stopword ratio. Small and closed on purpose —
     * the heuristic must be reproducible in ANSI SQL for the oracle.
@@ -1166,43 +1207,38 @@ object TextAnalysis {
 
     // Bigram-LM cross-entropy — the stronger perplexity-filter proxy
     // (the unigram NLL's conditional sibling; the KenLM-filter shape
-    // without the external LM): per doc, the mean NLL of each token
-    // given its predecessor under the corpus bigram model with
-    // add-one smoothing over the corpus vocabulary,
-    // p(w|prev) = (C(prev,w) + 1) / (C(prev,·) + V). Bigram emission
-    // is ROW-LOCAL (a transform over the token array — no positional
-    // self-join); the model is two keyed count aggs (bigram, then
-    // prev — the second a rollup of the first, never a second corpus
-    // pass) and V rides as a 1-row broadcast. Counts are exact
-    // integers; ln products round(5) like txt_unigram_nll. Docs with
-    // <2 tokens carry zero bigrams → 0.0 (the LEFT-JOIN pin).
-    "txt_bigram_nll" -> { (s, d) =>
+    // without the external LM). The whole chain lives in
+    // [[bigramNllPerDoc]], shared with txt_ppl_buckets.
+    "txt_bigram_nll" -> ((s, d) => bigramNllPerDoc(s, d)),
+
+    // CCNet-style perplexity buckets (Wenzek et al., "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data"): documents split per source into head / middle / tail
+    // terciles of the bigram-LM cross-entropy — the deployment
+    // artifact a curation pipeline mixes by (keep head, downsample
+    // middle, drop tail). The score is the SHARED [[bigramNllPerDoc]]
+    // relation (one definition with txt_bigram_nll, so the classifier
+    // and its score can never drift); ranking is over the ROUNDED
+    // nll + doc_id (total order, engine-independent — full-precision
+    // floats could flip rank on a last-ulp divergence) inside ONE
+    // source-keyed exchange, and the tercile cuts are the exact
+    // integer forms ⌈n/3⌉ = (n+2) div 3, ⌈2n/3⌉ = (2n+2) div 3 on the
+    // per-source row count. At 100 TB the window partitions by
+    // source — per-source history bounds the sort, never the corpus.
+    "txt_ppl_buckets" -> { (s, d) =>
       import s.implicits._
-      val docs = Tables.documents(s, d)
-        .select($"doc_id", tokens($"text").as("toks"))
-      val pairs = docs.select($"doc_id", explode(when(size($"toks") >= 2,
-        expr("""transform(sequence(2, size(toks)),
-                i -> struct(element_at(toks, i - 1) AS prev,
-                            element_at(toks, i) AS cur))"""))
-        .otherwise(expr("array()"))).as("bg"))
-        .select($"doc_id", $"bg.prev".as("prev"), $"bg.cur".as("cur"))
-      val tf = pairs.groupBy($"doc_id", $"prev", $"cur")
-        .agg(count(lit(1)).as("tf"))
-      val bc = tf.groupBy($"prev", $"cur").agg(sum($"tf").as("cbg"))
-      val pc = bc.groupBy($"prev").agg(sum($"cbg").as("cprev"))
-      val vocab = docs.select(explode($"toks").as("tok"))
-        .agg(countDistinct($"tok").as("v"))
-      val per = tf.join(bc, Seq("prev", "cur")).join(pc, Seq("prev"))
-        .crossJoin(broadcast(vocab))
-        .groupBy($"doc_id")
-        .agg(sum($"tf").as("n_bigrams"),
-          (-sum($"tf" * log(($"cbg" + 1).cast("double") /
-            ($"cprev" + $"v").cast("double"))) / sum($"tf")).as("nll"))
-      Tables.documents(s, d).select($"doc_id")
-        .join(per, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
-          round(coalesce($"nll", lit(0.0)), 5).as("nll"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"nll", $"doc_id")
+      bigramNllPerDoc(s, d)
+        .join(Tables.documents(s, d).select($"doc_id", $"source"),
+          Seq("doc_id"))
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+        .select($"doc_id", $"source", $"nll",
+          when($"r" <= expr("(n + 2) div 3"), lit("head"))
+            .when($"r" <= expr("(2 * n + 2) div 3"), lit("middle"))
+            .otherwise(lit("tail")).as("ppl_bucket"))
     },
 
     // Deterministic training-shard layout audit: route each document
@@ -1659,6 +1695,33 @@ object TextAnalysis {
     (0 until 8).map { i =>
       s"(strpos('0123456789abcdef', substr($md5Expr, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
     }.mkString("(", " + ", ")")
+
+  /** The bigram-NLL CTE chain (through the per-doc `per` relation),
+    * shared verbatim by the `txt_bigram_nll` oracle and the
+    * `txt_ppl_buckets` oracle that ranks over it — the SQL image of
+    * [[bigramNllPerDoc]].
+    */
+  private lazy val bigramNllCtes: String =
+    s"""toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(2, len(t)),
+                i -> t[i-1])) AS prev,
+              unnest(list_transform(generate_series(2, len(t)),
+                i -> t[i])) AS cur
+            FROM toks WHERE len(t) >= 2),
+          tf AS (SELECT doc_id, prev, cur, COUNT(*) AS tf FROM bg
+            GROUP BY doc_id, prev, cur),
+          bc AS (SELECT prev, cur, SUM(tf) AS cbg FROM tf
+            GROUP BY prev, cur),
+          pc AS (SELECT prev, SUM(cbg) AS cprev FROM bc GROUP BY prev),
+          voc AS (SELECT COUNT(DISTINCT tok) AS v FROM
+            (SELECT unnest($sqlToks) AS tok FROM documents)),
+          per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n,
+              -SUM(tf * ln((cbg + 1)::DOUBLE / (cprev + v)::DOUBLE))
+                / SUM(tf) AS nll
+            FROM tf JOIN bc USING (prev, cur) JOIN pc USING (prev)
+              CROSS JOIN voc
+            GROUP BY doc_id)"""
 
   /** The pipe_curate CTE chain, shared verbatim by the `pipe_curate`
     * oracle and the `pipe_train_manifest` oracle that nests it.
@@ -2243,30 +2306,29 @@ object TextAnalysis {
     // CTEs (the second rolls up the first), V from the distinct token
     // stream; identical add-one arithmetic, round(5) like the unigram
     "txt_bigram_nll" ->
-      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
-          bg AS (SELECT doc_id,
-              unnest(list_transform(generate_series(2, len(t)),
-                i -> t[i-1])) AS prev,
-              unnest(list_transform(generate_series(2, len(t)),
-                i -> t[i])) AS cur
-            FROM toks WHERE len(t) >= 2),
-          tf AS (SELECT doc_id, prev, cur, COUNT(*) AS tf FROM bg
-            GROUP BY doc_id, prev, cur),
-          bc AS (SELECT prev, cur, SUM(tf) AS cbg FROM tf
-            GROUP BY prev, cur),
-          pc AS (SELECT prev, SUM(cbg) AS cprev FROM bc GROUP BY prev),
-          voc AS (SELECT COUNT(DISTINCT tok) AS v FROM
-            (SELECT unnest($sqlToks) AS tok FROM documents)),
-          per AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n,
-              -SUM(tf * ln((cbg + 1)::DOUBLE / (cprev + v)::DOUBLE))
-                / SUM(tf) AS nll
-            FROM tf JOIN bc USING (prev, cur) JOIN pc USING (prev)
-              CROSS JOIN voc
-            GROUP BY doc_id)
+      s"""WITH $bigramNllCtes
           SELECT d.doc_id,
             COALESCE(per.n, 0) AS n_bigrams,
             ROUND(COALESCE(per.nll, 0.0), 5) AS nll
           FROM documents d LEFT JOIN per USING (doc_id)""",
+    // the SHARED bigram chain (one definition with txt_bigram_nll),
+    // then the ranking restated: ROW_NUMBER over the ROUNDED nll +
+    // doc_id tiebreak, the exact integer tercile cuts
+    "txt_ppl_buckets" ->
+      s"""WITH $bigramNllCtes,
+          score AS (SELECT d.doc_id, d.source,
+              ROUND(COALESCE(per.nll, 0.0), 5) AS nll
+            FROM documents d LEFT JOIN per USING (doc_id)),
+          rk AS (SELECT doc_id, source, nll,
+              ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY nll, doc_id) AS r,
+              COUNT(*) OVER (PARTITION BY source) AS n
+            FROM score)
+          SELECT doc_id, source, nll,
+            CASE WHEN r <= (n + 2) // 3 THEN 'head'
+                 WHEN r <= (2 * n + 2) // 3 THEN 'middle'
+                 ELSE 'tail' END AS ppl_bucket
+          FROM rk""",
     "txt_shard" ->
       s"""WITH b AS (SELECT
             strpos('0123456789abcdef',

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the round-15 additions the DuckDB oracle states only
+  * end-to-end: the CDC chunker's kernel laws (tiling, edit locality —
+  * the property that makes content-defined boundaries the scale answer
+  * to sub-document dedup), evt_concurrency's interior/edge bucket
+  * decomposition against the naive point-in-interval join (including a
+  * directed multi-hour session that forces the interior path), and
+  * txt_ppl_buckets' tercile arithmetic over the shared bigram score.
+  */
+class CdcConcurrencySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // --- cdcChunks kernel laws ---------------------------------------
+
+  test("cdc chunks tile the text exactly: lengths sum, hashes match slices") {
+    val text = "The quick brown fox jumps over the lazy dog. " * 20
+    val chunks = Dedup.cdcChunks(text)
+    val cps = text.codePoints().toArray
+    assert(chunks.map(_._2).sum == cps.length, "chunk lengths must tile the text")
+    assert(chunks.forall(_._2 > 0), "no empty chunks")
+    // each chunk's hash is fnv1a of the corresponding code-point slice
+    var off = 0
+    chunks.foreach { case (h, l) =>
+      val slice = new String(cps, off, l)
+      assert(Dedup.fnv1a(slice) == h, s"chunk at $off hashes its slice")
+      off += l
+    }
+  }
+
+  test("cdc edge cases: empty none, sub-window one chunk, astral code points") {
+    assert(Dedup.cdcChunks("").isEmpty)
+    assert(Dedup.cdcChunks(null).isEmpty)
+    val short = "hello world!" // 12 cps < window 16
+    assert(Dedup.cdcChunks(short) == Seq((Dedup.fnv1a(short), 12)))
+    // astral-plane text: lengths count CODE POINTS (what DuckDB's
+    // len/substr state), never UTF-16 units
+    val emoji = new String(Character.toChars(0x1F600)) * 40
+    val ch = Dedup.cdcChunks(emoji)
+    assert(ch.map(_._2).sum == 40)
+  }
+
+  test("cdc edit locality: a 1-char edit far from both ends disturbs O(1) chunks") {
+    val rnd = new scala.util.Random(42)
+    def rndText(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val a = rndText(600)
+    val b = rndText(600)
+    val orig = a + "x" + b
+    val edit = a + "y" + b
+    val co = Dedup.cdcChunks(orig)
+    val ce = Dedup.cdcChunks(edit)
+    // boundary decisions whose window excludes the edited position are
+    // identical, so all but the chunks overlapping the edit's window
+    // neighborhood survive — the multiset symmetric difference is a
+    // handful of chunks, never proportional to the text
+    val mo = co.groupBy(identity).view.mapValues(_.size).toMap
+    val me = ce.groupBy(identity).view.mapValues(_.size).toMap
+    val diff = (mo.keySet ++ me.keySet).toSeq
+      .map(k => math.abs(mo.getOrElse(k, 0) - me.getOrElse(k, 0))).sum
+    assert(diff <= 6, s"edit disturbed $diff chunk instances (expected O(1))")
+    // a fixed-width chunker would shift EVERY boundary after the edit;
+    // sanity-check the property is non-trivial: the texts do differ
+    assert(co != ce)
+  }
+
+  test("dedup_cdc: shared spans are duplicated mass, unique docs carry none") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cdcdocs").toString
+    val shared = ("content defined chunking splits documents at rolling " +
+      "hash cut points so shared passages land in identical chunks " +
+      "regardless of their offset within the carrying document. ") * 3
+    val docs = Seq(
+      (1L, "PREFIX ALPHA " * 10 + shared, "en", "a", 0L),
+      (2L, "completely different lead-in text " * 8 + shared, "en", "a", 0L),
+      (3L, "ZZZZ 9999 @@@@ unique untiled content 0123456789 " * 12, "en", "a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.queries("dedup_cdc")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // both carriers of the shared passage see duplicated chunk mass
+    assert(out(1L)._2 > 0 && out(1L)._3 > 200, s"doc 1 dup mass: ${out(1L)}")
+    assert(out(2L)._2 > 0 && out(2L)._3 > 200, s"doc 2 dup mass: ${out(2L)}")
+    // the unique doc shares nothing
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0, s"doc 3 should be clean: ${out(3L)}")
+    // totals are sane: dup counts bounded by totals
+    out.values.foreach { case (n, dn, _) => assert(dn <= n) }
+  }
+
+  // --- evt_concurrency ----------------------------------------------
+
+  /** Naive point-in-interval reference computed in-test: sessions by
+    * the same gap rule, then a BETWEEN join — what the bucket
+    * decomposition must equal exactly.
+    */
+  private def naiveConcurrency(dir: String) = {
+    import spark.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", expr("unix_micros(ts) div 1000").as("ts_ms"))
+    val sess = ev
+      .withColumn("prev", lag($"ts_ms", 1).over(byUser))
+      .withColumn("brk", when($"prev".isNull || $"ts_ms" - $"prev" > Relational.SessionGapMs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum($"brk").over(byUser.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(min($"ts_ms").as("s_ms"), max($"ts_ms").as("e_ms"))
+    val other = ev.select($"user_id".as("e_user"), $"ts_ms")
+    sess.join(other,
+        $"ts_ms" >= $"s_ms" && $"ts_ms" <= $"e_ms" && $"e_user" =!= $"user_id",
+        "left")
+      .groupBy($"user_id", $"session_idx")
+      .agg(count($"ts_ms").as("n_concurrent"))
+  }
+
+  test("evt_concurrency equals the naive interval join on the real corpus") {
+    val fast = Relational.queries("evt_concurrency")(spark, sf)
+    val naive = naiveConcurrency(sf)
+    assert(fast.count() == naive.count())
+    assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0,
+      "bucket decomposition diverged from the naive interval join")
+  }
+
+  test("evt_concurrency interior path: a multi-hour session counts interior-bucket events exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("concfix").toString
+    val base = 1700000000000L // ms epoch
+    // user 1: one 6-hour session (events every 20 min — never breaks
+    // the 30-min gap), guaranteeing interior buckets (b1-b0 >= 2)
+    val longSession = (0 to 18).map(i =>
+      (100L + i, base + i * 1200000L, 1L, "view", 1.0, "{}"))
+    // user 2: events scattered across those hours — some inside
+    // interior buckets of user 1's session, some outside the session
+    val scattered = Seq(
+      (200L, base + 90 * 60000L, 2L, "click", 1.0, "{}"),   // h1.5: interior
+      (201L, base + 150 * 60000L, 2L, "click", 1.0, "{}"),  // h2.5: interior
+      (202L, base + 10 * 60000L, 2L, "click", 1.0, "{}"),   // h0: edge bucket, in range
+      (203L, base - 3600000L, 2L, "click", 1.0, "{}"),      // before: out of range
+      (204L, base + 9 * 3600000L, 2L, "click", 1.0, "{}"))  // after: out of range
+    val df = (longSession ++ scattered)
+      .toDF("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_millis($"ts_ms").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val fast = Relational.queries("evt_concurrency")(spark, tmp)
+    val naive = naiveConcurrency(tmp)
+    assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0)
+    // and the directed expectation: user 1's long session sees exactly
+    // the three in-range user-2 events
+    val u1 = fast.filter($"user_id" === 1L).collect()
+    assert(u1.length == 1 && u1.head.getAs[Long]("n_concurrent") == 3L,
+      s"expected 3 concurrent events, got ${u1.mkString(",")}")
+  }
+
+  // --- txt_ppl_buckets ----------------------------------------------
+
+  test("txt_ppl_buckets: tercile sizes match the exact cut formulas; buckets order by nll") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("txt_ppl_buckets")(spark, sf)
+    val sizes = out.groupBy($"source", $"ppl_bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = out.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, n) =>
+      val head = (n + 2) / 3
+      val middle = (2 * n + 2) / 3 - head
+      val tail = n - head - middle
+      assert(sizes.getOrElse((src, "head"), 0L) == head, s"$src head")
+      assert(sizes.getOrElse((src, "middle"), 0L) == middle, s"$src middle")
+      assert(sizes.getOrElse((src, "tail"), 0L) == tail, s"$src tail")
+    }
+    // rank cuts respect the score: within a source, every head nll <=
+    // every middle nll <= every tail nll (ties may straddle — hence <=)
+    val byBucket = out.groupBy($"source", $"ppl_bucket")
+      .agg(min($"nll").as("mn"), max($"nll").as("mx")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    totals.keys.foreach { src =>
+      for ((lo, hi) <- Seq(("head", "middle"), ("middle", "tail")))
+        (byBucket.get((src, lo)), byBucket.get((src, hi))) match {
+          case (Some((_, loMax)), Some((hiMin, _))) =>
+            assert(loMax <= hiMin, s"$src: $lo max > $hi min")
+          case _ => ()
+        }
+    }
+    // the published score IS txt_bigram_nll's (shared definition)
+    val nll = TextAnalysis.queries("txt_bigram_nll")(spark, sf)
+      .select($"doc_id", $"nll".as("ref"))
+    assert(out.join(nll, "doc_id").filter($"nll" =!= $"ref").count() == 0)
+  }
+}
