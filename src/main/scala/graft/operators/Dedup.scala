@@ -423,8 +423,12 @@ object Dedup {
     inter
       .join(sizes.select($"doc_id".as("id_a"), $"n_shingles".as("n_a")), "id_a")
       .join(sizes.select($"doc_id".as("id_b"), $"n_shingles".as("n_b")), "id_b")
-      .select($"id_a", $"id_b",
-        ($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common")).as("jaccard"))
+      .select($"id_a", $"id_b", $"n_a", $"n_b",
+        ($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common")).as("jaccard"),
+        // asymmetric overlap of the SMALLER set — carried on the same
+        // build-once relation so dedup_containment costs no new wide
+        // work (n_common is already here; least() is row-local)
+        ($"n_common".cast("double") / least($"n_a", $"n_b")).as("containment"))
   }
 
   // MinHash parameters: 64 hashes = 32 bands × 2 rows.
@@ -688,6 +692,13 @@ object Dedup {
   val JaccardThreshold = 0.6
   val CosineThreshold = 0.45
 
+  /** Containment threshold for dedup_containment: the fraction of the
+    * SMALLER document's shingle set that the pair shares. 0.8 is the
+    * "one doc is essentially inside the other" operating point —
+    * pairs Jaccard misses whenever the carrier is much larger.
+    */
+  val ContainmentThreshold = 0.8
+
   /** Lines-per-document bound for dedup_lines' packed keeper key
     * (doc_id·cap + pos): 2²¹ lines/doc leaves 2⁴² doc ids in 63 bits.
     */
@@ -754,6 +765,27 @@ object Dedup {
       jaccardPairs(s, d)
         .filter(round($"jaccard", 6) >= JaccardThreshold)
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    },
+
+    // Asymmetric containment dedup — the quote-inclusion / boilerplate-
+    // envelope case Jaccard structurally misses: a short document
+    // pasted inside a much longer one has j = |small|/|big| → 0 no
+    // matter how completely it is contained, but containment
+    // |A∩B| / min(|A|,|B|) → 1 (Broder'97 distinguishes resemblance
+    // from containment for exactly this). Rides the SAME build-once
+    // DF-bounded pair relation as the Jaccard family — n_common is
+    // already on it, so this is a row-local rescale + filter, no new
+    // wide work at any corpus size. contained_id names the smaller
+    // shingle set (ties → id_a, restated in the oracle).
+    "dedup_containment" -> { (s, d) =>
+      import s.implicits._
+      jaccardPairs(s, d)
+        .filter(round($"containment", 6) >= ContainmentThreshold)
+        .select($"id_a", $"id_b",
+          when($"n_a" <= $"n_b", $"id_a").otherwise($"id_b")
+            .as("contained_id"),
+          round($"containment", 6).as("containment"),
+          round($"jaccard", 6).as("jaccard"))
     },
 
     // Fuzzy benchmark decontamination — the NEAR-duplicate form of
@@ -1740,8 +1772,9 @@ object Dedup {
           FROM okrows a JOIN okrows b
             ON a.g = b.g AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id),
-        pairs AS (SELECT id_a, id_b,
-            n_common::DOUBLE / (sa.n + sb.n - n_common) AS j
+        pairs AS (SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b,
+            n_common::DOUBLE / (sa.n + sb.n - n_common) AS j,
+            n_common::DOUBLE / LEAST(sa.n, sb.n) AS cont
           FROM inter
           JOIN (SELECT doc_id, len(s) AS n FROM sh) sa ON sa.doc_id = id_a
           JOIN (SELECT doc_id, len(s) AS n FROM sh) sb ON sb.doc_id = id_b)"""
@@ -1785,6 +1818,14 @@ object Dedup {
     "pairs_build" ->
       s"""$jaccardCte
           SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs""",
+    // the same pair relation rescaled to the smaller side's set size;
+    // contained_id ties resolve to id_a in both engines
+    "dedup_containment" ->
+      s"""$jaccardCte
+          SELECT id_a, id_b,
+            CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id,
+            ROUND(cont, 6) AS containment, ROUND(j, 6) AS jaccard
+          FROM pairs WHERE ROUND(cont, 6) >= $ContainmentThreshold""",
     // SimHash restated in HUGEINT arithmetic mod 2⁶⁴: FNV-1a folds over
     // each token's Unicode CODE POINTS (ord/len are code-point-based in
     // DuckDB, matching the kernel's codePointAt loop) — a code point is

@@ -99,6 +99,33 @@ class CdcConcurrencySpec extends AnyFunSuite {
     out.values.foreach { case (n, dn, _) => assert(dn <= n) }
   }
 
+  test("dedup_containment catches a small doc pasted inside a big one; jaccard misses it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("contdocs").toString
+    // doc 1: a short notice. doc 2: the same notice embedded in a much
+    // longer carrier — containment(1→2) ≈ 1 while jaccard = |A|/|B| ≪ 0.6.
+    val notice = "this material is licensed under the creative commons " +
+      "attribution share alike license version four point zero " +
+      "as published by the creative commons foundation"
+    val filler = (1 to 40).map(i =>
+      s"paragraph $i discusses entirely unrelated subject matter " +
+        s"number $i with vocabulary specific to section $i").mkString(" ")
+    val docs = Seq(
+      (1L, notice, "en", "a", 0L),
+      (2L, filler + " " + notice + " " + filler.replace("paragraph", "chapter"), "en", "a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cont = Dedup.queries("dedup_containment")(spark, tmp).collect()
+    assert(cont.length == 1, s"expected the embedded pair, got ${cont.mkString(";")}")
+    val r = cont.head
+    assert(r.getAs[Long]("contained_id") == 1L)
+    assert(r.getAs[Double]("containment") >= 0.95)
+    assert(r.getAs[Double]("jaccard") < Dedup.JaccardThreshold,
+      "fixture must be a pair jaccard rejects — otherwise the test proves nothing")
+    val jac = Dedup.queries("dedup_ngram_jaccard")(spark, tmp).collect()
+    assert(jac.isEmpty, s"jaccard should miss the asymmetric pair: ${jac.mkString(";")}")
+  }
+
   // --- evt_concurrency ----------------------------------------------
 
   /** Naive point-in-interval reference computed in-test: sessions by
