@@ -263,6 +263,107 @@ object Dedup {
   private val cdcRelCache = new SessionCache[DataFrame](df =>
     scala.util.Try(df.unpersist(blocking = false)))
 
+  /** Partition-bucket count for the stored CDC chunk-hash index
+    * (pmod of the 64-bit chunk hash). The bucket DOMAIN is the bound
+    * that makes the probe's partition pushdown driver-literal-safe:
+    * a batch's touched-bucket set can never exceed it.
+    */
+  private[graft] val CdcIndexBuckets = 64
+
+  /** Write the HISTORICAL CDC chunk-hash index — the snapshot half of
+    * the sub-document incremental-dedup lifecycle: the distinct chunk
+    * hashes of every historical document, bucket-partitioned by
+    * pmod(h) and h-sorted within files. What the lifecycle amortizes
+    * at 100 TB is the dominant cost of [[queries dedup_cdc]]: the
+    * nightly probe never re-chunks or even re-reads historical TEXT —
+    * it meets the past only as this 8-byte-per-distinct-chunk
+    * relation. Identity is the same [[fnv1a]]-over-code-points chunk
+    * hash the session kernel emits, so an appended doc lands exactly
+    * where a full rebuild would place it.
+    */
+  def writeCdcIndex(s: SparkSession, d: String, outDir: String,
+      pred: Column): Unit = {
+    import s.implicits._
+    cdcRelation(s, d).filter(pred)
+      .select(explode(expr("transform(ch, x -> x._1)")).as("h"))
+      .distinct()
+      .withColumn("bkt", pmod($"h", lit(CdcIndexBuckets.toLong)).cast("int"))
+      .repartition($"bkt")
+      .sortWithinPartitions($"bkt", $"h")
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$outDir/chunks")
+  }
+
+  /** Append a batch's distinct chunk hashes to a stored CDC index —
+    * the rolling-ingest half: after a batch probes
+    * ([[incrementalCdcMass]]) it is appended so the next batch sees it
+    * as historical. Hashes are deduped within the batch only;
+    * cross-file repeats of one hash are harmless to the probe (the
+    * dup flag is an existence test) and a periodic rewrite
+    * ([[writeCdcIndex]] over the union) is the defrag path — the
+    * appendToMinhashIndex convention.
+    */
+  def appendToCdcIndex(s: SparkSession, d: String, indexDir: String,
+      pred: Column): Unit = {
+    import s.implicits._
+    cdcRelation(s, d).filter(pred)
+      .select(explode(expr("transform(ch, x -> x._1)")).as("h"))
+      .distinct()
+      .withColumn("bkt", pmod($"h", lit(CdcIndexBuckets.toLong)).cast("int"))
+      .repartition($"bkt")
+      .sortWithinPartitions($"bkt", $"h")
+      .write.mode("append").partitionBy("bkt")
+      .parquet(s"$indexDir/chunks")
+  }
+
+  /** Incremental CDC duplicated-mass: the NEW batch's chunks probed
+    * against a STORED historical chunk-hash index — same per-doc
+    * output contract as [[queries dedup_cdc]] restricted to the batch,
+    * with "duplicated" meaning the chunk content exists anywhere in
+    * the ingested past. Only the batch is chunked; the stored side is
+    * an 8-byte-hash relation orders of magnitude below the corpus
+    * text, read under a pushed touched-bucket partition filter
+    * (bounded by the [[CdcIndexBuckets]] domain, so the driver
+    * collect can never exceed 64 rows — no cap guard needed), then
+    * distinct-folded (append files may repeat a hash) and joined on
+    * the 8-byte key. Within-batch duplication is the ordinary
+    * dedup_cdc over the batch, the incrementalMinhashPairs convention.
+    */
+  def incrementalCdcMass(s: SparkSession, d: String, indexDir: String,
+      batchPred: Column = col("doc_id") % IncrementalMod === 0): DataFrame = {
+    import s.implicits._
+    val pos = cdcRelation(s, d).filter(batchPred)
+      .select($"doc_id", explode($"ch").as("c"))
+      .select($"doc_id", $"c._1".as("h"), $"c._2".as("l"))
+    // partition-column type pinned via explicit schema (the
+    // readIvfIndex note: inferred dir values defeat pruning)
+    val chunksSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bkt",
+        org.apache.spark.sql.types.IntegerType)))
+    val stored = s.read.schema(chunksSchema).parquet(s"$indexDir/chunks")
+    val bkts = pos
+      .select(pmod($"h", lit(CdcIndexBuckets.toLong)).cast("int").as("bkt"))
+      .distinct().collect().map(_.getInt(0))
+    val pruned =
+      if (bkts.isEmpty) stored.filter(lit(false))
+      else stored.filter($"bkt".isin(bkts.map(Integer.valueOf): _*))
+    val oldH = pruned.select($"h").distinct().withColumn("isdup", lit(1))
+    val per = pos.join(oldH, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"isdup" === 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when($"isdup" === 1, $"l".cast("long")).otherwise(0L))
+          .as("dup_chars"))
+    Tables.documents(s, d).select($"doc_id").filter(batchPred)
+      .join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_chunks", lit(0L)).as("n_chunks"),
+        coalesce($"dup_chunks", lit(0L)).as("dup_chunks"),
+        coalesce($"dup_chars", lit(0L)).as("dup_chars"))
+  }
+
   /** dedup_substring core: maximal runs of consecutive shingle
     * positions whose shingle occurs in ≥2 distinct documents.
     * Positions are 0-based token indices; consecutive duplicated
@@ -959,6 +1060,17 @@ object Dedup {
       val dir = Similarity.storedQueryDir("emb_incr", d)
       writeEmbIncrIndex(s, d, dir)
       incrementalEmbeddingPairs(s, d, dir)
+    },
+
+    // The sub-document incremental form: historical CDC chunk hashes
+    // as a stored bucket-partitioned index, the new batch's chunks
+    // probed for duplicated mass against the ingested past — the
+    // nightly shape where neither historical text nor historical
+    // chunking is ever recomputed.
+    "dedup_cdc_incremental" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("cdc_incr", d)
+      writeCdcIndex(s, d, dir, col("doc_id") % IncrementalMod =!= 0)
+      incrementalCdcMass(s, d, dir)
     },
 
     // are restated in DuckDB HUGEINT mod-2⁶⁴ arithmetic (see oracles),
@@ -1758,6 +1870,29 @@ object Dedup {
     * formulations are value-identical, and this one is also far
     * cheaper for DuckDB at sf0.1.
     */
+  /** The CDC chunking chain (through the per-doc positional `chunks`
+    * relation, plus the `d` base), shared verbatim by the dedup_cdc
+    * oracle and the dedup_cdc_incremental oracle — the SQL image of
+    * [[cdcChunks]]: every window-end position's FNV elects cut
+    * points, the length sentinel closes the final chunk,
+    * lag-over-cuts rebuilds the segments.
+    */
+  private[operators] lazy val cdcChunkCtes: String =
+    s"""d AS (SELECT doc_id, text, len(text) AS ln FROM documents),
+          cuts AS (SELECT doc_id, p
+            FROM d, UNNEST(generate_series($CdcWindow, ln)) AS u(p)
+            WHERE ${sqlFnv(s"substr(text, p - ${CdcWindow - 1}, $CdcWindow)")}
+              % $CdcDivisor = 0),
+          bounds AS (SELECT doc_id, p FROM cuts
+            UNION
+            SELECT doc_id, ln FROM d WHERE ln > 0),
+          seg AS (SELECT doc_id,
+              COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) AS a,
+              p AS b
+            FROM bounds),
+          chunks AS (SELECT s.doc_id, substr(d.text, a + 1, b - a) AS chunk
+            FROM seg s JOIN d USING (doc_id) WHERE b > a)"""
+
   private[operators] val jaccardCte =
     s"""WITH toks AS (SELECT doc_id, $sqlToks t FROM documents),
         sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -1921,20 +2056,7 @@ object Dedup {
     // collision, the family convention). D = $CdcDivisor divides 2⁶⁴,
     // so unsigned % D here ≡ the kernel's signed low-bit test.
     "dedup_cdc" ->
-      s"""WITH d AS (SELECT doc_id, text, len(text) AS ln FROM documents),
-          cuts AS (SELECT doc_id, p
-            FROM d, UNNEST(generate_series($CdcWindow, ln)) AS u(p)
-            WHERE ${sqlFnv(s"substr(text, p - ${CdcWindow - 1}, $CdcWindow)")}
-              % $CdcDivisor = 0),
-          bounds AS (SELECT doc_id, p FROM cuts
-            UNION
-            SELECT doc_id, ln FROM d WHERE ln > 0),
-          seg AS (SELECT doc_id,
-              COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) AS a,
-              p AS b
-            FROM bounds),
-          chunks AS (SELECT s.doc_id, substr(d.text, a + 1, b - a) AS chunk
-            FROM seg s JOIN d USING (doc_id) WHERE b > a),
+      s"""WITH $cdcChunkCtes,
           dup AS (SELECT chunk FROM (
               SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks
               GROUP BY chunk)
@@ -1952,6 +2074,29 @@ object Dedup {
             COALESCE(per.dup_chunks, 0) AS dup_chunks,
             COALESCE(per.dup_chars, 0) AS dup_chars
           FROM d LEFT JOIN per USING (doc_id)""",
+    // the same chunk chain, with "duplicated" = the chunk string
+    // exists in ANY historical (doc_id % mod <> 0) document — the
+    // stored-index probe restated as the split it implements
+    "dedup_cdc_incremental" ->
+      s"""WITH $cdcChunkCtes,
+          newc AS (SELECT doc_id, chunk FROM chunks
+            WHERE doc_id % $IncrementalMod = 0),
+          oldc AS (SELECT DISTINCT chunk FROM chunks
+            WHERE doc_id % $IncrementalMod <> 0),
+          per AS (SELECT n.doc_id,
+              COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN o.chunk IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_chunks,
+              CAST(SUM(CASE WHEN o.chunk IS NOT NULL THEN len(n.chunk)
+                ELSE 0 END) AS BIGINT) AS dup_chars
+            FROM newc n LEFT JOIN oldc o USING (chunk)
+            GROUP BY n.doc_id)
+          SELECT d.doc_id,
+            COALESCE(per.n_chunks, 0) AS n_chunks,
+            COALESCE(per.dup_chunks, 0) AS dup_chunks,
+            COALESCE(per.dup_chars, 0) AS dup_chars
+          FROM d LEFT JOIN per USING (doc_id)
+          WHERE d.doc_id % $IncrementalMod = 0""",
     // Same election restated quadratically: parallel-unnest positions,
     // blank = trim-to-empty (both engines trim the ASCII space only),
     // keeper = min packed (doc_id, pos). The oracle elects on line

@@ -126,6 +126,36 @@ class CdcConcurrencySpec extends AnyFunSuite {
     assert(jac.isEmpty, s"jaccard should miss the asymmetric pair: ${jac.mkString(";")}")
   }
 
+  test("dedup_cdc_incremental: probe equals the kernel reference; append ≡ rebuild") {
+    import org.apache.spark.sql.functions.col
+    val dirA = java.nio.file.Files.createTempDirectory("cdcidxA").toString
+    Dedup.writeCdcIndex(spark, sf, dirA, col("doc_id") % Dedup.IncrementalMod =!= 0)
+    val out = Dedup.incrementalCdcMass(spark, sf, dirA).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // driver-recomputed reference straight from the kernel (500 docs)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val oldH = docs.filter(_._1 % Dedup.IncrementalMod != 0)
+      .flatMap(kv => Dedup.cdcChunks(kv._2).map(_._1)).toSet
+    val expect = docs.filter(_._1 % Dedup.IncrementalMod == 0).map { case (id, t) =>
+      val ch = Dedup.cdcChunks(t)
+      id -> ((ch.size.toLong,
+        ch.count(c => oldH(c._1)).toLong,
+        ch.filter(c => oldH(c._1)).map(_._2.toLong).sum))
+    }.toMap
+    assert(out == expect)
+    // append parity: half the history at build, the rest appended —
+    // the probe must not be able to tell
+    val dirB = java.nio.file.Files.createTempDirectory("cdcidxB").toString
+    val old = col("doc_id") % Dedup.IncrementalMod =!= 0
+    Dedup.writeCdcIndex(spark, sf, dirB, old && col("doc_id") % 2 === 0)
+    Dedup.appendToCdcIndex(spark, sf, dirB, old && col("doc_id") % 2 =!= 0)
+    val appended = Dedup.incrementalCdcMass(spark, sf, dirB).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(appended == out, "append+probe diverged from rebuild+probe")
+  }
+
   // --- evt_concurrency ----------------------------------------------
 
   /** Naive point-in-interval reference computed in-test: sessions by
