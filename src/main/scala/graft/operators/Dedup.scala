@@ -332,7 +332,22 @@ object Dedup {
   def incrementalCdcMass(s: SparkSession, d: String, indexDir: String,
       batchPred: Column = col("doc_id") % IncrementalMod === 0): DataFrame = {
     import s.implicits._
-    val pos = cdcRelation(s, d).filter(batchPred)
+    cdcMassFor(s, indexDir,
+      Tables.documents(s, d).filter(batchPred).select($"doc_id", $"text"))
+  }
+
+  /** [[incrementalCdcMass]] for an ARBITRARY (doc_id, text) batch
+    * relation — the serving form [[graft.streaming.DocStream
+    * .cdcMassStream]] probes per micro-batch. Only the batch is
+    * chunked (never the corpus the index summarizes); everything
+    * downstream is byte-for-byte the declared query's probe, so the
+    * stream and batch forms cannot drift.
+    */
+  def cdcMassFor(s: SparkSession, indexDir: String,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val pos = docs
+      .select($"doc_id", cdcChunksUdf($"text").as("ch"))
       .select($"doc_id", explode($"ch").as("c"))
       .select($"doc_id", $"c._1".as("h"), $"c._2".as("l"))
     // partition-column type pinned via explicit schema (the
@@ -356,12 +371,30 @@ object Dedup {
         sum(when($"isdup" === 1, 1L).otherwise(0L)).as("dup_chunks"),
         sum(when($"isdup" === 1, $"l".cast("long")).otherwise(0L))
           .as("dup_chars"))
-    Tables.documents(s, d).select($"doc_id").filter(batchPred)
+    docs.select($"doc_id")
       .join(per, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_chunks", lit(0L)).as("n_chunks"),
         coalesce($"dup_chunks", lit(0L)).as("dup_chunks"),
         coalesce($"dup_chars", lit(0L)).as("dup_chars"))
+  }
+
+  /** Append an arbitrary (doc_id, text) batch's distinct chunk hashes
+    * to a stored CDC index — [[appendToCdcIndex]] for the streamed
+    * ingest path, sharing its layout exactly.
+    */
+  def appendChunkHashesFor(s: SparkSession, indexDir: String,
+      docs: DataFrame): Unit = {
+    import s.implicits._
+    docs
+      .select(cdcChunksUdf($"text").as("ch"))
+      .select(explode(expr("transform(ch, x -> x._1)")).as("h"))
+      .distinct()
+      .withColumn("bkt", pmod($"h", lit(CdcIndexBuckets.toLong)).cast("int"))
+      .repartition($"bkt")
+      .sortWithinPartitions($"bkt", $"h")
+      .write.mode("append").partitionBy("bkt")
+      .parquet(s"$indexDir/chunks")
   }
 
   /** dedup_substring core: maximal runs of consecutive shingle

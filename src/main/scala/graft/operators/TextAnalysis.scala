@@ -1218,26 +1218,37 @@ object TextAnalysis {
     // artifact a curation pipeline mixes by (keep head, downsample
     // middle, drop tail). The score is the SHARED [[bigramNllPerDoc]]
     // relation (one definition with txt_bigram_nll, so the classifier
-    // and its score can never drift); ranking is over the ROUNDED
-    // nll + doc_id (total order, engine-independent — full-precision
-    // floats could flip rank on a last-ulp divergence) inside ONE
-    // source-keyed exchange, and the tercile cuts are the exact
-    // integer forms ⌈n/3⌉ = (n+2) div 3, ⌈2n/3⌉ = (2n+2) div 3 on the
-    // per-source row count. At 100 TB the window partitions by
-    // source — per-source history bounds the sort, never the corpus.
+    // and its score can never drift). Tercile CUTOFF VALUES come from
+    // the txt_len_quantiles histogram discipline — NOT a per-source
+    // rank over documents, which would route a source's every doc
+    // through one window task (the class-wide skew guard): counts
+    // collapse map-side to (source, nll) histogram rows (bounded by
+    // the ROUNDED-score domain, corpus-size-independent), the cum-sum
+    // window runs over that bounded relation, t_q = smallest nll with
+    // cum ≥ ⌈q·n⌉ (exact integer forms (n+2) div 3, (2n+2) div 3),
+    // and docs classify by a broadcast sources-sized cut join. Ties
+    // AT a cutoff land in the lower bucket — quantile-threshold
+    // semantics, the family convention.
     "txt_ppl_buckets" -> { (s, d) =>
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"nll", $"doc_id")
-      bigramNllPerDoc(s, d)
+      val W = org.apache.spark.sql.expressions.Window
+      val score = bigramNllPerDoc(s, d)
         .join(Tables.documents(s, d).select($"doc_id", $"source"),
           Seq("doc_id"))
-        .withColumn("r", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+        .select($"doc_id", $"source", $"nll")
+      val hist = score.groupBy($"source", $"nll").agg(count(lit(1)).as("c"))
+      val cuts = hist
+        .withColumn("cum", sum($"c").over(W.partitionBy($"source")
+          .orderBy($"nll")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("n", sum($"c").over(W.partitionBy($"source")))
+        .groupBy($"source")
+        .agg(min(when($"cum" >= expr("(n + 2) div 3"), $"nll")).as("t1"),
+          min(when($"cum" >= expr("(2 * n + 2) div 3"), $"nll")).as("t2"))
+      score.join(broadcast(cuts), Seq("source"))
         .select($"doc_id", $"source", $"nll",
-          when($"r" <= expr("(n + 2) div 3"), lit("head"))
-            .when($"r" <= expr("(2 * n + 2) div 3"), lit("middle"))
+          when($"nll" <= $"t1", lit("head"))
+            .when($"nll" <= $"t2", lit("middle"))
             .otherwise(lit("tail")).as("ppl_bucket"))
     },
 
@@ -2312,23 +2323,30 @@ object TextAnalysis {
             ROUND(COALESCE(per.nll, 0.0), 5) AS nll
           FROM documents d LEFT JOIN per USING (doc_id)""",
     // the SHARED bigram chain (one definition with txt_bigram_nll),
-    // then the ranking restated: ROW_NUMBER over the ROUNDED nll +
-    // doc_id tiebreak, the exact integer tercile cuts
+    // then the histogram cut restated: (source, nll) counts, cum-sum
+    // over the bounded histogram, t_q = smallest nll with cum ≥ ⌈q·n⌉,
+    // threshold classification (ties at a cutoff → the lower bucket)
     "txt_ppl_buckets" ->
       s"""WITH $bigramNllCtes,
           score AS (SELECT d.doc_id, d.source,
               ROUND(COALESCE(per.nll, 0.0), 5) AS nll
             FROM documents d LEFT JOIN per USING (doc_id)),
-          rk AS (SELECT doc_id, source, nll,
-              ROW_NUMBER() OVER (PARTITION BY source
-                ORDER BY nll, doc_id) AS r,
-              COUNT(*) OVER (PARTITION BY source) AS n
-            FROM score)
-          SELECT doc_id, source, nll,
-            CASE WHEN r <= (n + 2) // 3 THEN 'head'
-                 WHEN r <= (2 * n + 2) // 3 THEN 'middle'
+          hist AS (SELECT source, nll, COUNT(*) AS c FROM score
+            GROUP BY source, nll),
+          cm AS (SELECT source, nll,
+              SUM(c) OVER (PARTITION BY source ORDER BY nll
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              SUM(c) OVER (PARTITION BY source) AS n
+            FROM hist),
+          cuts AS (SELECT source,
+              MIN(CASE WHEN cum >= (n + 2) // 3 THEN nll END) AS t1,
+              MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN nll END) AS t2
+            FROM cm GROUP BY source)
+          SELECT s.doc_id, s.source, s.nll,
+            CASE WHEN s.nll <= c.t1 THEN 'head'
+                 WHEN s.nll <= c.t2 THEN 'middle'
                  ELSE 'tail' END AS ppl_bucket
-          FROM rk""",
+          FROM score s JOIN cuts c USING (source)""",
     "txt_shard" ->
       s"""WITH b AS (SELECT
             strpos('0123456789abcdef',

@@ -166,4 +166,25 @@ object DocStream {
         sink(graft.operators.Lexical.bm25For(batch.sparkSession,
           indexDir, batch.toDF()))
       }.start()
+
+  /** Streamed sub-document dedup — the CDC chunk-index lifecycle at
+    * micro-batch cadence: each batch of (doc_id, text) documents is
+    * first PROBED for duplicated chunk mass against the stored
+    * historical index ([[graft.operators.Dedup.cdcMassFor]] — the
+    * declared dedup_cdc_incremental probe, shared code), results
+    * handed to `sink`, and THEN its distinct chunk hashes are appended
+    * so the next batch sees it as historical — probe-before-append is
+    * what keeps a batch from being compared against itself, the
+    * new×old contract. State lives entirely in the stored index (8
+    * bytes per distinct chunk, never text); per-trigger cost is the
+    * batch's chunking plus an index-sized hash join.
+    */
+  def cdcMassStream(docs: DataFrame, indexDir: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        sink(graft.operators.Dedup.cdcMassFor(s, indexDir, batch.toDF()))
+        graft.operators.Dedup.appendChunkHashesFor(s, indexDir, batch.toDF())
+      }.start()
 }

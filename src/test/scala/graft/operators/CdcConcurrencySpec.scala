@@ -225,33 +225,34 @@ class CdcConcurrencySpec extends AnyFunSuite {
 
   // --- txt_ppl_buckets ----------------------------------------------
 
-  test("txt_ppl_buckets: tercile sizes match the exact cut formulas; buckets order by nll") {
+  test("txt_ppl_buckets: threshold cuts honor the tercile counts modulo ties; buckets order by nll") {
     import spark.implicits._
     val out = TextAnalysis.queries("txt_ppl_buckets")(spark, sf)
-    val sizes = out.groupBy($"source", $"ppl_bucket").count().collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val totals = out.groupBy($"source").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    totals.foreach { case (src, n) =>
-      val head = (n + 2) / 3
-      val middle = (2 * n + 2) / 3 - head
-      val tail = n - head - middle
-      assert(sizes.getOrElse((src, "head"), 0L) == head, s"$src head")
-      assert(sizes.getOrElse((src, "middle"), 0L) == middle, s"$src middle")
-      assert(sizes.getOrElse((src, "tail"), 0L) == tail, s"$src tail")
-    }
-    // rank cuts respect the score: within a source, every head nll <=
-    // every middle nll <= every tail nll (ties may straddle — hence <=)
-    val byBucket = out.groupBy($"source", $"ppl_bucket")
-      .agg(min($"nll").as("mn"), max($"nll").as("mx")).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
-    totals.keys.foreach { src =>
-      for ((lo, hi) <- Seq(("head", "middle"), ("middle", "tail")))
-        (byBucket.get((src, lo)), byBucket.get((src, hi))) match {
-          case (Some((_, loMax)), Some((hiMin, _))) =>
-            assert(loMax <= hiMin, s"$src: $lo max > $hi min")
-          case _ => ()
-        }
+    val rows = out.collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val n = rs.length.toLong
+      val cut1 = (n + 2) / 3
+      val cut2 = (2 * n + 2) / 3
+      val head = rs.filter(_._3 == "head")
+      val headMid = rs.filter(r => r._3 == "head" || r._3 == "middle")
+      // quantile-threshold semantics: the bucket reaches its tercile
+      // count, overshooting only by ties AT the cutoff value
+      assert(head.length >= cut1, s"$src: head ${head.length} < $cut1")
+      val t1Ties = head.count(_._2 == head.map(_._2).max)
+      assert(head.length - t1Ties < cut1,
+        s"$src: head overshoots beyond its cutoff ties")
+      assert(headMid.length >= cut2, s"$src: head+middle < $cut2")
+      val t2Ties = headMid.count(_._2 == headMid.map(_._2).max)
+      assert(headMid.length - t2Ties < cut2,
+        s"$src: middle overshoots beyond its cutoff ties")
+      // buckets respect the score ordering strictly at the boundaries
+      val midVals = rs.filter(_._3 == "middle").map(_._2)
+      val tailVals = rs.filter(_._3 == "tail").map(_._2)
+      if (midVals.nonEmpty)
+        assert(head.map(_._2).max < midVals.min, s"$src: head/middle overlap")
+      if (midVals.nonEmpty && tailVals.nonEmpty)
+        assert(midVals.max < tailVals.min, s"$src: middle/tail overlap")
     }
     // the published score IS txt_bigram_nll's (shared definition)
     val nll = TextAnalysis.queries("txt_bigram_nll")(spark, sf)

@@ -360,14 +360,17 @@ class PlanQualitySpec extends AnyFunSuite {
     // rank, not a corpus-scaled partition. Pinned below: exactly one
     // source-only window, and the salted phase-1 window must exist.
     val boundedFinalRank = Set("txt_stratified_sample")
-    // the other principled exception: txt_len_quantiles' cum-sum /
-    // total windows run over the GROUPING SETS histogram — at most
-    // sources × distinct-token-lengths rows, a bounded domain that is
-    // corpus-size-INDEPENDENT (the whole point of the query). Pinned
-    // structurally: every source-only window must sit above an
-    // Aggregate keyed on `len` (the histogram collapse), so a refactor
-    // that windows raw documents again trips the guard.
-    val boundedHistogram = Set("txt_len_quantiles")
+    // the other principled exception: cum-sum / total windows that run
+    // over a HISTOGRAM aggregate — at most sources × distinct-value
+    // rows, a bounded domain that is corpus-size-INDEPENDENT (the
+    // whole point of those queries). Pinned structurally per query:
+    // every source-only window must sit above an Aggregate keyed on
+    // the named histogram value column, so a refactor that windows raw
+    // documents again trips the guard. txt_len_quantiles buckets on
+    // token length; txt_ppl_buckets on the ROUNDED bigram nll (domain
+    // bounded by value range × 10⁵, never the corpus).
+    val boundedHistogram = Map(
+      "txt_len_quantiles" -> "len", "txt_ppl_buckets" -> "nll")
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
@@ -378,12 +381,13 @@ class PlanQualitySpec extends AnyFunSuite {
         assert(bad.length == 1 && wins.exists(
           _.partitionSpec.flatMap(_.references.toSeq).map(_.name).contains("salt")),
           s"$name lost its bounded two-phase rank shape:\n$lp")
-      } else if (boundedHistogram(name)) {
+      } else if (boundedHistogram.contains(name)) {
+        val key = boundedHistogram(name)
         assert(bad.nonEmpty && bad.forall(_.child.collectFirst {
           case a: Aggregate
-            if a.groupingExpressions.exists(_.references.exists(_.name == "len")) => a
+            if a.groupingExpressions.exists(_.references.exists(_.name == key)) => a
         }.nonEmpty),
-          s"$name's source windows no longer read the bounded (source, len) histogram:\n$lp")
+          s"$name's source windows no longer read the bounded (source, $key) histogram:\n$lp")
       } else assert(bad.isEmpty,
         s"$name has a Window partitioned solely by `source`:\n${bad.mkString("\n")}")
     }
@@ -486,6 +490,39 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(l.contains("In(bucket") || l.contains("bucket#"),
         s"$name: bucket set not pushed: $l")
     }
+  }
+
+  test("evt_concurrency: bucket equi-joins only — never a theta join") {
+    // the whole point of the interior/edge decomposition: a
+    // point-in-interval join with no equi key must NOT fall back to
+    // BroadcastNestedLoopJoin/CartesianProduct — the bucket id is the
+    // equi key and the range predicate rides as a residual
+    val p = plan("evt_concurrency")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0 &&
+      count(p, "CartesianProduct") == 0, p)
+    // event scans prune to the 3 used columns
+    val evScan = p.split('\n').find(l =>
+      l.contains("FileScan parquet") && l.contains("events")).get
+    assert(!evScan.contains("props"), s"unused columns not pruned: $evScan")
+  }
+
+  test("dedup_cdc: shuffles key on the 8-byte chunk hash, never chunk text") {
+    val p = plan("dedup_cdc")
+    // df aggregate + probe join exchange on the hash column; document
+    // text never becomes a shuffle key (chunks travel as (h, l) pairs)
+    assert(p.contains("hashpartitioning(h"), p)
+    assert(!p.split('\n').exists(_.contains("hashpartitioning(text")),
+      s"text became a shuffle key:\n$p")
+  }
+
+  test("dedup_cdc_incremental: touched buckets are pushed into the stored chunk scan") {
+    val p = plan("dedup_cdc_incremental")
+    val idxScan = p.split('\n').find { l =>
+      val i = l.indexOf("PartitionFilters: [")
+      l.contains("FileScan parquet") && i >= 0 && l.substring(i).contains("bkt#")
+    }
+    assert(idxScan.isDefined,
+      s"no stored scan with a bkt partition filter:\n$p")
   }
 
   test("dedup_embedding_window: the id cap is a pushed scan predicate") {

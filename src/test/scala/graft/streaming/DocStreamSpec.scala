@@ -199,4 +199,60 @@ class DocStreamSpec extends AnyFunSuite {
         s"first diff: ${(got.toMap.toSet diff expected.toSet).take(3)}")
     } finally q.stop()
   }
+
+  test("cdcMassStream: probe-before-append — batch 2 sees batch 1 as historical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val sf = "/root/testdata/sf0.001"
+    val idxDir = java.nio.file.Files.createTempDirectory("cdcstream").toString
+    Dedup.writeCdcIndex(spark, sf, idxDir,
+      col("doc_id") % Dedup.IncrementalMod =!= 0)
+    // driver-side kernel reference: per arriving doc, dup mass vs the
+    // hashes historical AT ITS ARRIVAL (old corpus for batch 1, old ∪
+    // batch 1 for batch 2 — the append-visibility contract)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val oldH = scala.collection.mutable.Set.empty[Long]
+    docs.filter(_._1 % Dedup.IncrementalMod != 0)
+      .foreach(kv => oldH ++= Dedup.cdcChunks(kv._2).map(_._1))
+    val batch = docs.filter(_._1 % Dedup.IncrementalMod == 0)
+      .sortBy(_._1)
+    val (b1, b2) = batch.splitAt(batch.length / 2)
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    for (half <- Seq(b1, b2)) {
+      for ((id, t) <- half) {
+        val ch = Dedup.cdcChunks(t)
+        expected(id) = ((ch.size.toLong,
+          ch.count(c => oldH(c._1)).toLong,
+          ch.filter(c => oldH(c._1)).map(_._2.toLong).sum))
+      }
+      // the whole half appends AFTER the half probes (micro-batch
+      // granularity, not per-doc)
+      half.foreach { case (_, t) => oldH ++= Dedup.cdcChunks(t).map(_._1) }
+    }
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val mem = MemoryStream[IngestDoc]
+    val q = DocStream.cdcMassStream(mem.toDF(), idxDir) { out =>
+      got.synchronized {
+        out.collect().foreach { r =>
+          val id = r.getLong(0)
+          assert(!got.contains(id), s"doc $id reported twice")
+          got(id) = ((r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+      }
+    }
+    def row(id: Long, t: String) =
+      IngestDoc(id, t, "en", "a", t.length.toLong, ts(0))
+    try {
+      mem.addData(b1.map { case (id, t) => row(id, t) }: _*)
+      q.processAllAvailable()
+      mem.addData(b2.map { case (id, t) => row(id, t) }: _*)
+      q.processAllAvailable()
+      assert(got.size == expected.size)
+      assert(got.toMap == expected.toMap,
+        s"first diff: ${(got.toSet diff expected.toSet).take(3)}")
+    } finally q.stop()
+  }
 }
