@@ -949,6 +949,36 @@ object Dedup {
           max($"jaccard").as("max_jaccard"))
     },
 
+    // The duplication-profile report a curation run publishes — the
+    // dedup family's capstone (the pipe_data_audit convention): ONE
+    // union of independent 1-row aggregates over the family's
+    // session-cached relations, so the dashboard costs aggregates,
+    // not rebuilds — exact-dup doc count, near-dup and containment
+    // pair counts off the build-once pair relation, CDC duplicated-
+    // chunk share, duplicated-span count. The numbers an operator
+    // reads before choosing which dedup passes to run at what
+    // thresholds. (metric, value) rows; counts ride as exact doubles
+    // (≪ 2⁵³), the share rounds like its source query.
+    "pipe_dedup_audit" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      def leg(name: String, v: DataFrame): DataFrame =
+        v.select(lit(name).as("metric"), $"value")
+      leg("docs", docs.agg(count(lit(1)).cast("double").as("value")))
+        .union(leg("exact_dup_docs", docs.agg(
+          (count(lit(1)) - countDistinct(md5($"text")))
+            .cast("double").as("value"))))
+        .union(leg("neardup_pairs", queries("dedup_ngram_jaccard")(s, d)
+          .agg(count(lit(1)).cast("double").as("value"))))
+        .union(leg("containment_pairs", queries("dedup_containment")(s, d)
+          .agg(count(lit(1)).cast("double").as("value"))))
+        .union(leg("cdc_dup_chunk_share", queries("dedup_cdc")(s, d)
+          .agg(round(sum($"dup_chunks").cast("double") /
+            sum($"n_chunks"), 6).as("value"))))
+        .union(leg("dup_spans", queries("dedup_substring")(s, d)
+          .agg(count(lit(1)).cast("double").as("value"))))
+    },
+
     // ExactSubstr-style duplicated-span detection (the removal
     // counterpart of txt_dup_mass's measurement; Lee et al. ACL'22
     // "Deduplicating Training Data Makes Language Models Better"): a
@@ -1986,6 +2016,47 @@ object Dedup {
     "pairs_build" ->
       s"""$jaccardCte
           SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs""",
+    // the dashboard restated leg by leg over the SHARED CTE chains
+    // (jaccard pairs, CDC chunks, positional 3-grams off the same
+    // toks) — every leg is the corresponding query's own aggregate
+    "pipe_dedup_audit" ->
+      s"""$jaccardCte,
+          $cdcChunkCtes,
+          prows AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, GREATEST(len(t) - 2, 0)),
+                i -> i - 1)) AS pos,
+              unnest(list_transform(generate_series(1, GREATEST(len(t) - 2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+            FROM toks),
+          pdup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM prows)
+            GROUP BY g HAVING COUNT(*) >= 2),
+          spanruns AS (SELECT doc_id,
+              pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM prows WHERE g IN (SELECT g FROM pdup)),
+          cdcdup AS (SELECT chunk FROM (
+              SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks
+              GROUP BY chunk)
+            WHERE nd >= 2)
+          SELECT 'docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+            FROM documents
+          UNION ALL
+          SELECT 'exact_dup_docs',
+            CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+            FROM documents
+          UNION ALL
+          SELECT 'neardup_pairs', CAST(COUNT(*) AS DOUBLE)
+            FROM pairs WHERE ROUND(j, 6) >= $JaccardThreshold
+          UNION ALL
+          SELECT 'containment_pairs', CAST(COUNT(*) AS DOUBLE)
+            FROM pairs WHERE ROUND(cont, 6) >= $ContainmentThreshold
+          UNION ALL
+          SELECT 'cdc_dup_chunk_share',
+            ROUND(SUM(CASE WHEN f.chunk IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+              / COUNT(*), 6)
+            FROM chunks c LEFT JOIN cdcdup f USING (chunk)
+          UNION ALL
+          SELECT 'dup_spans', CAST(COUNT(*) AS DOUBLE)
+            FROM (SELECT DISTINCT doc_id, grp FROM spanruns)""",
     // the same pair relation rescaled to the smaller side's set size;
     // contained_id ties resolve to id_a in both engines
     "dedup_containment" ->
