@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1006,13 +1006,7 @@ object Multimodal {
       import s.implicits._
       val rel = phashRelation(s, d)
         .filter($"phash" =!= 0L).select($"media_id", $"phash")
-      val bands = rel.select($"media_id", $"phash",
-          explode(array((0 until PhashBands).map { k =>
-            struct(lit(k).as("band"),
-              shiftright($"phash", 16 * k).bitwiseAND(lit(0xffffL)).as("bval"))
-          }: _*)).as("bs"))
-        .select($"media_id", $"phash",
-          $"bs.band".as("band"), $"bs.bval".as("bval"))
+      val bands = phashBandRows(rel)
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
             col("a.media_id") < col("b.media_id"))
@@ -1186,7 +1180,109 @@ object Multimodal {
       val dir = Similarity.storedQueryDir("mediapairs", d)
       writeMediaPairs(s, d, dir)
       Dedup.readEmbPairs(s, dir).select($"id_a", $"id_b", $"cos_sim")
+    },
+
+    // The perceptual family's incremental form (the
+    // dedup_minhash_incremental convention on media): historical
+    // nonzero pHashes stored as a band-partitioned, band-value-sorted
+    // relation; the nightly batch's band values probe it under a
+    // pushed (band, bval IN …) filter — directory-pruned by band,
+    // row-group-pruned by the sorted value — and the ≤3-bit banding
+    // stays pigeonhole-LOSSLESS, so the probe's pair set is exactly
+    // the semantic new×old hamming ≤ threshold set (which is what the
+    // oracle states, quadratically).
+    "dedup_phash_incremental" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("ph_incr", d)
+      writePhashIndex(s, d, dir,
+        col("media_id") % Dedup.IncrementalMod =!= 0)
+      incrementalPhashPairs(s, d, dir)
     })
+
+  /** (media_id, phash, band, bval) rows of a nonzero-phash relation —
+    * ONE band-explosion definition shared by dedup_phash's self-join,
+    * the stored index writer, and the incremental probe, so the three
+    * can never band differently.
+    */
+  private def phashBandRows(rel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rel.select(col("media_id"), col("phash"),
+        explode(array((0 until PhashBands).map { k =>
+          struct(lit(k).as("band"),
+            shiftright(col("phash"), 16 * k).bitwiseAND(lit(0xffffL)).as("bval"))
+        }: _*)).as("bs"))
+      .select(col("media_id"), col("phash"),
+        col("bs.band").as("band"), col("bs.bval").as("bval"))
+  }
+
+  /** Write the HISTORICAL pHash band index — the media snapshot half
+    * of the incremental lifecycle ([[graft.operators.Dedup
+    * .writeMinhashIndex]]'s layout discipline): band rows carry the
+    * full hash (verify is join-local, never a second lookup),
+    * partitioned by band, value-sorted within files for row-group
+    * pruning under the probe's pushed filter.
+    */
+  def writePhashIndex(s: SparkSession, d: String, outDir: String,
+      pred: Column): Unit = {
+    import s.implicits._
+    val rel = phashRelation(s, d).filter(pred)
+      .filter($"phash" =!= 0L).select($"media_id", $"phash")
+    phashBandRows(rel)
+      .repartition($"band")
+      .sortWithinPartitions($"band", $"bval")
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$outDir/bands")
+  }
+
+  /** Incremental perceptual near-dup: the NEW batch's band values
+    * probed against a STORED band index — (new_id, old_id, hamming ≤
+    * [[PhashThreshold]]) pairs only, exact by the pigeonhole
+    * losslessness of 4×16-bit banding at ≤3 differing bits. The
+    * batch's (band, bval) set is pushed into the stored scan below
+    * [[graft.operators.Dedup.MinhashPushdownCap]] (directory-pruned
+    * by band, row-group-pruned by the sorted value), degrading to the
+    * ordinary distributed equi-join above it — the
+    * incrementalMinhashPairs contract verbatim.
+    */
+  def incrementalPhashPairs(s: SparkSession, d: String, indexDir: String,
+      pushdownCap: Int = Dedup.MinhashPushdownCap,
+      batchPred: Column = col("media_id") % Dedup.IncrementalMod === 0): DataFrame = {
+    import s.implicits._
+    val newRel = phashRelation(s, d).filter(batchPred)
+      .filter($"phash" =!= 0L).select($"media_id", $"phash")
+    val nb = phashBandRows(newRel)
+      .select($"media_id".as("new_id"), $"phash".as("new_ph"),
+        $"band", $"bval")
+    val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("phash",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bval",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType)))
+    val stored = s.read.schema(bandsSchema).parquet(s"$indexDir/bands")
+      .select($"media_id".as("old_id"), $"phash".as("old_ph"),
+        $"band", $"bval")
+    val probePairs = nb.select($"band", $"bval").distinct()
+      .limit(pushdownCap + 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val ob =
+      if (probePairs.length > pushdownCap) stored
+      else if (probePairs.isEmpty) stored.filter(lit(false))
+      else stored.filter(probePairs.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, ps) =>
+          col("band") === b &&
+            col("bval").isin(ps.map(p => java.lang.Long.valueOf(p._2)): _*)
+        }.reduce(_ || _))
+    nb.join(ob, Seq("band", "bval"))
+      .select($"new_id", $"old_id",
+        $"new_ph".bitwiseXOR($"old_ph").as("x"))
+      .select($"new_id", $"old_id",
+        expr("bit_count(x)").cast("int").as("hamming"))
+      .filter($"hamming" <= PhashThreshold)
+      .distinct()
+  }
 
   /** Write the verified media pair relation shard-partitioned
     * ([[Dedup.writeEmbPairs]]'s layout verbatim — same schema, same
@@ -1379,6 +1475,18 @@ object Multimodal {
           FROM pph a JOIN pph b ON a.doc_id < b.doc_id
           WHERE a.phash <> 0 AND b.phash <> 0
             AND bit_count(xor(a.phash, b.phash)) <= $PhashThreshold""",
+    // the banded stored probe restated SEMANTICALLY (new×old hamming
+    // ≤ threshold) — value-identical because 4×16-bit banding is
+    // pigeonhole-lossless at ≤3 differing bits
+    "dedup_phash_incremental" ->
+      s"""WITH ${phashCte}
+          SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+            CAST(bit_count(xor(n.phash, o.phash)) AS INT) AS hamming
+          FROM pph n JOIN pph o
+            ON n.doc_id % ${Dedup.IncrementalMod} = 0
+            AND o.doc_id % ${Dedup.IncrementalMod} <> 0
+          WHERE n.phash <> 0 AND o.phash <> 0
+            AND bit_count(xor(n.phash, o.phash)) <= $PhashThreshold""",
     "dedup_phash_collapsed" ->
       s"""WITH ${phashCte},
           pg AS (SELECT phash, MIN(doc_id) AS rep, COUNT(*) AS n

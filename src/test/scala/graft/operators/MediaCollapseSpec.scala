@@ -38,6 +38,28 @@ class MediaCollapseSpec extends AnyFunSuite {
     assert(full.nonEmpty, "fixture produced no media clusters — vacuous test")
   }
 
+  test("dedup_phash_incremental equals dedup_phash restricted to new×old") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    // expected: the session pair report's (id_a<id_b) pairs with
+    // exactly one NEW side, re-oriented (new, old)
+    val full = Multimodal.queries("dedup_phash")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val m = graft.operators.Dedup.IncrementalMod
+    val expected = full.flatMap { case (a, b, h) =>
+      (a % m == 0, b % m == 0) match {
+        case (true, false) => Some((a, b, h))
+        case (false, true) => Some((b, a, h))
+        case _ => None
+      }
+    }.toSet
+    val inc = Multimodal.queries("dedup_phash_incremental")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc == expected,
+      s"only-expected=${(expected -- inc).take(5)} only-inc=${(inc -- expected).take(5)}")
+    assert(expected.nonEmpty, "fixture produced no cross-split phash pairs — vacuous test")
+  }
+
   test("collapsed composition equals the full cluster on a duplicates-dense corpus") {
     import spark.implicits._
     // documents with engineered duplication: ids 1..6 share text A

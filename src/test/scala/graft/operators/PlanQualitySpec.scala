@@ -473,8 +473,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // relation is read under the batch's (band/table, bucket) filter —
     // partition pruning on the directory column plus a pushed bucket
     // predicate — never scanned in full below the cap
-    for ((name, part) <- Seq(("dedup_minhash_incremental", "band"),
-        ("dedup_embedding_incremental", "table"))) {
+    for ((name, part, bucketCol) <- Seq(
+        ("dedup_minhash_incremental", "band", "bucket"),
+        ("dedup_embedding_incremental", "table", "bucket"),
+        ("dedup_phash_incremental", "band", "bval"))) {
       val p = plan(name)
       // identify the stored-band scan by its non-empty partition
       // filter on the directory column (paths truncate in the plan
@@ -487,7 +489,7 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(bandScan.isDefined,
         s"$name: no stored scan with a $part partition filter:\n$p")
       val l = bandScan.get
-      assert(l.contains("In(bucket") || l.contains("bucket#"),
+      assert(l.contains(s"In($bucketCol") || l.contains(s"$bucketCol#"),
         s"$name: bucket set not pushed: $l")
     }
   }
