@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -274,22 +274,8 @@ object Relational {
     "evt_concurrency" -> { (s, d) =>
       import s.implicits._
       val B = ConcurrencyBucketMs
-      val byUser = org.apache.spark.sql.expressions.Window
-        .partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
-      val ev = Tables.events(s, d)
-        .select($"user_id", $"event_id",
-          expr("unix_micros(ts) div 1000").as("ts_ms"))
-      val sess = ev
-        .withColumn("prev", lag($"ts_ms", 1).over(byUser))
-        .withColumn("brk",
-          when($"prev".isNull || $"ts_ms" - $"prev" > SessionGapMs, 1L)
-            .otherwise(0L))
-        .withColumn("session_idx", sum($"brk").over(byUser.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
-        .groupBy($"user_id", $"session_idx")
-        .agg(min($"ts_ms").as("s_ms"), max($"ts_ms").as("e_ms"))
-      val evb = ev.select($"user_id", $"ts_ms",
+      val sess = sessionSpans(s, d)
+      val evb = eventsMs(s, d).select($"user_id", $"ts_ms",
         expr(s"ts_ms div $B").as("bkt"))
       // per-bucket and per-(bucket, user) event counts — the
       // pre-aggregated relations interior fragments join instead of
@@ -326,6 +312,27 @@ object Relational {
         .join(parts, Seq("user_id", "session_idx"), "left")
         .select($"user_id", $"session_idx",
           coalesce($"n_concurrent", lit(0L)).as("n_concurrent"))
+    },
+
+    // The stored/served form of evt_concurrency (the
+    // evt_value_quantiles_stored convention): the layout is written
+    // once (bucket-clustered events under day directories + the two
+    // count sidecars), and a SERVE-SLICE of sessions (users ≡ 0 mod
+    // ConcServeMod — the shape where a caller asks for a few
+    // sessions' concurrency, which is what the layout's pruning
+    // exists for) answers from stored artifacts: interior legs from
+    // the sidecars without touching an event row, edge legs from the
+    // clustered events under a pushed (day, bkt) filter — directory-
+    // pruned by day, row-group-pruned by the sorted bucket. Same
+    // numbers as evt_concurrency restricted to the slice (the oracle
+    // states exactly that); EventStream.concurrencyLayoutStream
+    // maintains the layout under live ingest.
+    "evt_concurrency_stored" -> { (s, d) =>
+      val dir = graft.operators.Similarity.storedQueryDir("conc", d)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      writeConcurrencyLayout(s, d, dir)
+      concurrencyFromStored(s, d, dir)
     },
 
     // Cohort retention — the other event-analytics staple: users
@@ -655,6 +662,34 @@ object Relational {
     */
   val ValueQuantileQs: Seq[Double] = Seq(0.5, 0.95, 0.99)
 
+  /** The concurrency restatement (sessionization chain + naive
+    * point-in-interval LEFT JOIN), shared by the session and stored
+    * oracles — `where` slices the served sessions.
+    */
+  private def concurrencySql(where: String): String =
+    s"""WITH e AS (SELECT user_id, event_id,
+          epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
+          FROM events),
+        b AS (SELECT user_id, event_id, ts_ms,
+          CASE WHEN lag(ts_ms) OVER w IS NULL
+            OR ts_ms - lag(ts_ms) OVER w > $SessionGapMs
+          THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        sx AS (SELECT user_id, ts_ms,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM b),
+        sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          MIN(ts_ms) AS s_ms, MAX(ts_ms) AS e_ms
+          FROM sx GROUP BY user_id, session_idx)
+        SELECT s.user_id, s.session_idx,
+          COUNT(e2.ts_ms) AS n_concurrent
+        FROM sess s LEFT JOIN e e2
+          ON e2.ts_ms BETWEEN s.s_ms AND s.e_ms
+          AND e2.user_id <> s.user_id
+        $where
+        GROUP BY s.user_id, s.session_idx"""
+
   private lazy val quantileOracleSql: String = {
     val qvals = ValueQuantileQs
       .map(q => s"(CAST($q AS DOUBLE))").mkString(", ")
@@ -883,6 +918,202 @@ object Relational {
     * by the session's own event count — never the corpus.
     */
   val ConcurrencyBucketMs = 3600000L
+
+  /** Serve-slice modulus for evt_concurrency_stored: sessions of
+    * users ≡ 0 (mod this) are the probe batch — the serving shape
+    * where a caller asks for a FEW sessions' concurrency, which is
+    * what the stored layout's pruning exists for.
+    */
+  val ConcServeMod = 11L
+
+  /** (day, bkt) literal-pushdown cap for the stored concurrency
+    * probe's edge scan (the MinhashPushdownCap convention).
+    */
+  val ConcPushdownCap = 65536
+
+  /** (user_id, event_id, ts_ms) projection of the events table — the
+    * shared scan entry of the session/concurrency family.
+    */
+  private def eventsMs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d).select($"user_id", $"event_id",
+      expr("unix_micros(ts) div 1000").as("ts_ms"))
+  }
+
+  /** Session intervals (user_id, session_idx, s_ms, e_ms) under the
+    * evt_sessions gap rule — ONE derivation shared by evt_concurrency
+    * and its stored/served form, so the two can never sessionize
+    * differently. `pred` pre-filters users BEFORE the window (session
+    * membership depends only on the same user's events, so a user
+    * slice commutes with the derivation).
+    */
+  private[operators] def sessionSpans(s: SparkSession, d: String,
+      pred: Column = lit(true)): DataFrame = {
+    import s.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    eventsMs(s, d).filter(pred)
+      .withColumn("prev", lag($"ts_ms", 1).over(byUser))
+      .withColumn("brk",
+        when($"prev".isNull || $"ts_ms" - $"prev" > SessionGapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum($"brk").over(byUser.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(min($"ts_ms").as("s_ms"), max($"ts_ms").as("e_ms"))
+  }
+
+  /** Write the stored concurrency layout fresh: bucket-clustered
+    * events (day directories, bucket-sorted files — the probe's edge
+    * scan prunes directories by day and row groups by the sorted
+    * bucket) plus the two count sidecars interior fragments read
+    * instead of event rows. One definition with the append path.
+    */
+  def writeConcurrencyLayout(s: SparkSession, d: String, dir: String): Unit =
+    appendToConcurrencyLayout(s,
+      eventsMs(s, d).select(col("user_id"), col("ts_ms")), dir)
+
+  /** Append a batch of (user_id, ts_ms) events to a stored
+    * concurrency layout — the live-ingest half
+    * ([[graft.streaming.EventStream.concurrencyLayoutStream]]):
+    * events land FIRST (day-partitioned, bucket-sorted files), then
+    * the count sidecars merge by the counts-add algebra under a
+    * crash-safe staging swap. A crash BETWEEN the two leaves the
+    * sidecars stale-low for the appended buckets — interior legs
+    * UNDERCOUNT until [[repairConcurrencyLayout]] recomputes counts
+    * from the stored events (the repairLexIndex convention; the
+    * append order makes the window under-count, never double-count).
+    * `mergeCounts = false` is the spec's crash-window hook.
+    */
+  def appendToConcurrencyLayout(s: SparkSession, batch0: DataFrame,
+      dir: String, mergeCounts: Boolean = true): Unit = {
+    import s.implicits._
+    val B = ConcurrencyBucketMs
+    val batch = batch0.select(col("user_id"), col("ts_ms"))
+      .withColumn("bkt", expr(s"ts_ms div $B"))
+      .withColumn("day", expr("bkt div 24").cast("int"))
+    batch.repartition($"day").sortWithinPartitions($"day", $"bkt")
+      .write.mode("append").partitionBy("day").parquet(s"$dir/events")
+    if (mergeCounts) mergeConcurrencyCounts(s, batch, dir)
+  }
+
+  private def mergeConcurrencyCounts(s: SparkSession, batch: DataFrame,
+      dir: String): Unit = {
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val countsPath = new org.apache.hadoop.fs.Path(s"$dir/counts")
+    val bcb = batch.groupBy($"bkt").agg(count(lit(1)).as("cb"))
+    val bcbu = batch.groupBy($"bkt", $"user_id").agg(count(lit(1)).as("cbu"))
+    val (mcb, mcbu) =
+      if (!fs.exists(countsPath)) (bcb, bcbu)
+      else (
+        s.read.parquet(s"$countsPath/cb").unionByName(bcb)
+          .groupBy($"bkt").agg(sum($"cb").as("cb")),
+        s.read.parquet(s"$countsPath/cbu").unionByName(bcbu)
+          .groupBy($"bkt", $"user_id").agg(sum($"cbu").as("cbu")))
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/counts_staging")
+    fs.delete(staging, true)
+    mcb.write.parquet(s"$staging/cb")
+    mcbu.write.parquet(s"$staging/cbu")
+    graft.operators.Similarity.swapDirInto(s, staging, countsPath)
+  }
+
+  /** Rebuild the count sidecars FROM the stored events — restores
+    * consistency after an append crash (stale-low counts), exactly as
+    * a fresh [[writeConcurrencyLayout]] over the same events would
+    * have written them.
+    */
+  def repairConcurrencyLayout(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val ev = storedConcEvents(s, dir).select($"user_id", $"ts_ms", $"bkt")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/counts_staging")
+    fs.delete(staging, true)
+    ev.groupBy($"bkt").agg(count(lit(1)).as("cb"))
+      .write.parquet(s"$staging/cb")
+    ev.groupBy($"bkt", $"user_id").agg(count(lit(1)).as("cbu"))
+      .write.parquet(s"$staging/cbu")
+    graft.operators.Similarity.swapDirInto(s, staging,
+      new org.apache.hadoop.fs.Path(s"$dir/counts"))
+  }
+
+  /** The clustered event relation with its partition-column type
+    * pinned (the readIvfIndex note: inferred dir values defeat
+    * pruning).
+    */
+  private def storedConcEvents(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_ms",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bkt",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.IntegerType)))
+    s.read.schema(schema).parquet(s"$dir/events")
+  }
+
+  /** Serve a session slice's concurrency from the STORED layout:
+    * interior fragments join the count sidecars (never an event row),
+    * edge fragments read the clustered events under the slice's
+    * pushed (day IN …, bkt IN …) filter — directory + row-group
+    * pruned — degrading to the full distributed join above
+    * [[ConcPushdownCap]]. Same numbers as evt_concurrency restricted
+    * to the slice (the shared [[sessionSpans]] + the same
+    * interior/edge algebra; the oracle states exactly that).
+    */
+  def concurrencyFromStored(s: SparkSession, d: String, dir: String,
+      serveMod: Long = ConcServeMod,
+      pushdownCap: Int = ConcPushdownCap): DataFrame = {
+    import s.implicits._
+    val B = ConcurrencyBucketMs
+    val sess = sessionSpans(s, d, col("user_id") % serveMod === 0)
+    val bounds = sess
+      .withColumn("b0", expr(s"s_ms div $B"))
+      .withColumn("b1", expr(s"e_ms div $B"))
+    val cb = s.read.parquet(s"$dir/counts/cb")
+    val cbu = s.read.parquet(s"$dir/counts/cbu")
+    val interior = bounds
+      .select($"user_id", $"session_idx",
+        explode(when($"b1" - $"b0" >= 2, sequence($"b0" + 1, $"b1" - 1))
+          .otherwise(expr("array()"))).as("bkt"))
+      .join(cb, Seq("bkt"), "left")
+      .join(cbu, Seq("bkt", "user_id"), "left")
+      .groupBy($"user_id", $"session_idx")
+      .agg(sum(coalesce($"cb", lit(0L)) - coalesce($"cbu", lit(0L)))
+        .as("part"))
+    val edgeFrag = bounds
+      .select($"user_id", $"session_idx", $"s_ms", $"e_ms",
+        explode(array_distinct(array($"b0", $"b1"))).as("bkt"))
+    val probeBkts = edgeFrag.select($"bkt").distinct()
+      .limit(pushdownCap + 1).collect().map(_.getLong(0))
+    val stored = storedConcEvents(s, dir)
+    val pruned =
+      if (probeBkts.length > pushdownCap) stored
+      else if (probeBkts.isEmpty) stored.filter(lit(false))
+      else stored.filter(
+        col("day").isin(probeBkts.map(b => Integer.valueOf((b / 24).toInt))
+          .distinct: _*) &&
+          col("bkt").isin(probeBkts.map(java.lang.Long.valueOf): _*))
+    val edge = edgeFrag
+      .join(pruned.select($"bkt", $"ts_ms", $"user_id".as("e_user")),
+        Seq("bkt"))
+      .filter($"ts_ms" >= $"s_ms" && $"ts_ms" <= $"e_ms" &&
+        $"e_user" =!= $"user_id")
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("part"))
+    val parts = interior.union(edge)
+      .groupBy($"user_id", $"session_idx")
+      .agg(sum($"part").as("n_concurrent"))
+    sess.select($"user_id", $"session_idx")
+      .join(parts, Seq("user_id", "session_idx"), "left")
+      .select($"user_id", $"session_idx",
+        coalesce($"n_concurrent", lit(0L)).as("n_concurrent"))
+  }
 
   /** Trailing attribution window for evt_attrib_window (7 days — the
     * conventional click-attribution lookback; also the bin width for
@@ -1142,28 +1373,11 @@ object Relational {
     // join it computes: same sessionization chain, then a BETWEEN
     // predicate with the self-exclusion — DuckDB's IEJoin does at
     // oracle scale what the engine's interior/edge split does at 100 TB
-    "evt_concurrency" ->
-      s"""WITH e AS (SELECT user_id, event_id,
-            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
-            FROM events),
-          b AS (SELECT user_id, event_id, ts_ms,
-            CASE WHEN lag(ts_ms) OVER w IS NULL
-              OR ts_ms - lag(ts_ms) OVER w > $SessionGapMs
-            THEN 1 ELSE 0 END AS brk
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
-          sx AS (SELECT user_id, ts_ms,
-            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-            FROM b),
-          sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-            MIN(ts_ms) AS s_ms, MAX(ts_ms) AS e_ms
-            FROM sx GROUP BY user_id, session_idx)
-          SELECT s.user_id, s.session_idx,
-            COUNT(e2.ts_ms) AS n_concurrent
-          FROM sess s LEFT JOIN e e2
-            ON e2.ts_ms BETWEEN s.s_ms AND s.e_ms
-            AND e2.user_id <> s.user_id
-          GROUP BY s.user_id, s.session_idx""",
+    "evt_concurrency" -> concurrencySql(""),
+    // the stored probe answers the SAME question for the serve slice —
+    // one shared restatement, sliced
+    "evt_concurrency_stored" ->
+      concurrencySql(s"WHERE s.user_id % $ConcServeMod = 0"),
     "q17_corr_subquery" ->
       """WITH pc AS (SELECT p_brand,
            CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents

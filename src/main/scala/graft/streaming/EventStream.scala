@@ -327,4 +327,26 @@ object EventStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.Relational.mergeIntoQuantileHist(batch.toDF(), histDir)
       }.start()
+
+  /** Maintain the stored concurrency layout
+    * ([[graft.operators.Relational.writeConcurrencyLayout]]) from a
+    * live event stream: each micro-batch appends its events to the
+    * bucket-clustered relation and merges the count sidecars by the
+    * counts-add algebra — order-independent and exact, so serves from
+    * [[graft.operators.Relational.concurrencyFromStored]] see every
+    * ingested event (the append-order crash window and its repair are
+    * documented on the append op). State lives in the layout, not the
+    * stream; single-writer per layout dir.
+    */
+  def concurrencyLayoutStream(events: DataFrame,
+      layoutDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        import org.apache.spark.sql.functions._
+        graft.operators.Relational.appendToConcurrencyLayout(s,
+          batch.toDF().select(col("user_id"),
+            expr("unix_micros(ts) div 1000").as("ts_ms")),
+          layoutDir)
+      }.start()
 }

@@ -223,6 +223,52 @@ class CdcConcurrencySpec extends AnyFunSuite {
       s"expected 3 concurrent events, got ${u1.mkString(",")}")
   }
 
+  test("evt_concurrency_stored: serve slice equals the session query's slice") {
+    import spark.implicits._
+    val stored = Relational.queries("evt_concurrency_stored")(spark, sf)
+    val slice = Relational.queries("evt_concurrency")(spark, sf)
+      .filter($"user_id" % Relational.ConcServeMod === 0)
+    assert(stored.count() == slice.count())
+    assert(stored.except(slice).count() == 0 && slice.except(stored).count() == 0,
+      "stored serve diverged from the session query's slice")
+    assert(stored.count() > 0, "serve slice empty — vacuous test")
+  }
+
+  test("concurrency layout: append ≡ rebuild; crash window undercounts; repair restores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ms(s: org.apache.spark.sql.SparkSession, pred: org.apache.spark.sql.Column) =
+      graft.Tables.events(s, sf)
+        .select($"user_id", expr("unix_micros(ts) div 1000").as("ts_ms"))
+        .filter(pred)
+    // full build vs two appends split by user parity
+    val dirA = java.nio.file.Files.createTempDirectory("concA").toString
+    Relational.writeConcurrencyLayout(spark, sf, dirA)
+    val full = Relational.concurrencyFromStored(spark, sf, dirA).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dirB = java.nio.file.Files.createTempDirectory("concB").toString
+    Relational.appendToConcurrencyLayout(spark, ms(spark, col("user_id") % 2 === 0), dirB)
+    Relational.appendToConcurrencyLayout(spark, ms(spark, col("user_id") % 2 =!= 0), dirB)
+    val appended = Relational.concurrencyFromStored(spark, sf, dirB).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(appended == full, "append+probe diverged from rebuild+probe")
+    // crash window: second append lands events but not counts —
+    // interior legs undercount (never overcount); repair restores
+    val dirC = java.nio.file.Files.createTempDirectory("concC").toString
+    Relational.appendToConcurrencyLayout(spark, ms(spark, col("user_id") % 2 === 0), dirC)
+    Relational.appendToConcurrencyLayout(spark, ms(spark, col("user_id") % 2 =!= 0), dirC,
+      mergeCounts = false)
+    val crashed = Relational.concurrencyFromStored(spark, sf, dirC).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(crashed.keySet == full.keySet)
+    assert(crashed.forall { case (k, v) => v <= full(k) },
+      "crash window must never OVERcount")
+    Relational.repairConcurrencyLayout(spark, dirC)
+    val repaired = Relational.concurrencyFromStored(spark, sf, dirC).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(repaired == full, "repair did not restore the full-build answers")
+  }
+
   // --- txt_ppl_buckets ----------------------------------------------
 
   test("txt_ppl_buckets: threshold cuts honor the tercile counts modulo ties; buckets order by nll") {
