@@ -1196,6 +1196,18 @@ object Multimodal {
       writePhashIndex(s, d, dir,
         col("media_id") % Dedup.IncrementalMod =!= 0)
       incrementalPhashPairs(s, d, dir)
+    },
+
+    // ...and its collapse-first scale form: distinct hashes with
+    // multiplicities on both sides, distinct-pair-sized output — the
+    // shape that stays flat where the exact pair report above is
+    // duplication²-bound (measured: 14.1 s → 710 s across the sf1→sf10
+    // decade for the exact form on the duplication-dense fixture).
+    "dedup_phash_incremental_collapsed" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("ph_incr_c", d)
+      writePhashGroupsIndex(s, d, dir,
+        col("media_id") % Dedup.IncrementalMod =!= 0)
+      incrementalPhashCollapsed(s, d, dir)
     })
 
   /** (media_id, phash, band, bval) rows of a nonzero-phash relation —
@@ -1280,6 +1292,88 @@ object Multimodal {
         $"new_ph".bitwiseXOR($"old_ph").as("x"))
       .select($"new_id", $"old_id",
         expr("bit_count(x)").cast("int").as("hamming"))
+      .filter($"hamming" <= PhashThreshold)
+      .distinct()
+  }
+
+  /** Write the COLLAPSED historical pHash index: one row per DISTINCT
+    * nonzero hash — (band, bval, phash, rep = min media_id, n =
+    * multiplicity) — band-partitioned, value-sorted. Duplication-dense
+    * corpora (exactly where media dedup matters) make the per-media
+    * index's probe candidate set ∝ dup² per shared hash; this layout
+    * bounds probe work by DISTINCT-hash band collisions, the
+    * collapse-first argument ([[queries dedup_phash_collapsed]])
+    * applied to the incremental lifecycle.
+    */
+  def writePhashGroupsIndex(s: SparkSession, d: String, outDir: String,
+      pred: Column): Unit = {
+    import s.implicits._
+    val groups = phashRelation(s, d).filter(pred)
+      .filter($"phash" =!= 0L)
+      .groupBy($"phash")
+      .agg(min($"media_id").as("rep"), count(lit(1)).as("n"))
+    phashBandRows(groups.select($"rep".as("media_id"), $"phash"))
+      .join(groups.select($"phash", $"rep", $"n"), Seq("phash"))
+      .select($"band", $"bval", $"phash", $"rep", $"n")
+      .repartition($"band")
+      .sortWithinPartitions($"band", $"bval")
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$outDir/groups")
+  }
+
+  /** Collapsed incremental perceptual near-dup — the scale path of
+    * [[incrementalPhashPairs]] (whose exact per-media pair report is
+    * output-bound under duplication, the dedup_media vs _collapsed
+    * trade): the new batch collapses to distinct hashes with
+    * multiplicities, band values probe the stored GROUP index under
+    * the same pushed filter, and the report is (rep_new, rep_old,
+    * hamming, n_new, n_old) — distinct-hash-pairs sized regardless of
+    * how duplicated either side is. Banding stays pigeonhole-lossless,
+    * so the oracle states the semantic distinct-hash join.
+    */
+  def incrementalPhashCollapsed(s: SparkSession, d: String,
+      indexDir: String, pushdownCap: Int = Dedup.MinhashPushdownCap,
+      batchPred: Column = col("media_id") % Dedup.IncrementalMod === 0): DataFrame = {
+    import s.implicits._
+    val ng = phashRelation(s, d).filter(batchPred)
+      .filter($"phash" =!= 0L)
+      .groupBy($"phash")
+      .agg(min($"media_id").as("rep"), count(lit(1)).as("n"))
+    val nb = phashBandRows(ng.select($"rep".as("media_id"), $"phash"))
+      .join(ng.select($"phash", $"rep", $"n"), Seq("phash"))
+      .select($"band", $"bval", $"phash".as("new_ph"),
+        $"rep".as("rep_new"), $"n".as("n_new"))
+    val groupsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bval",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("phash",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rep",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType)))
+    val stored = s.read.schema(groupsSchema).parquet(s"$indexDir/groups")
+      .select($"band", $"bval", $"phash".as("old_ph"),
+        $"rep".as("rep_old"), $"n".as("n_old"))
+    val probePairs = nb.select($"band", $"bval").distinct()
+      .limit(pushdownCap + 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val ob =
+      if (probePairs.length > pushdownCap) stored
+      else if (probePairs.isEmpty) stored.filter(lit(false))
+      else stored.filter(probePairs.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, ps) =>
+          col("band") === b &&
+            col("bval").isin(ps.map(p => java.lang.Long.valueOf(p._2)): _*)
+        }.reduce(_ || _))
+    nb.join(ob, Seq("band", "bval"))
+      .select($"rep_new", $"rep_old", $"n_new", $"n_old",
+        $"new_ph".bitwiseXOR($"old_ph").as("x"))
+      .select($"rep_new", $"rep_old",
+        expr("bit_count(x)").cast("int").as("hamming"),
+        $"n_new", $"n_old")
       .filter($"hamming" <= PhashThreshold)
       .distinct()
   }
@@ -1487,6 +1581,20 @@ object Multimodal {
             AND o.doc_id % ${Dedup.IncrementalMod} <> 0
           WHERE n.phash <> 0 AND o.phash <> 0
             AND bit_count(xor(n.phash, o.phash)) <= $PhashThreshold""",
+    // the collapsed probe restated semantically over distinct hashes
+    "dedup_phash_incremental_collapsed" ->
+      s"""WITH ${phashCte},
+          ng AS (SELECT phash, MIN(doc_id) AS rep, COUNT(*) AS n
+            FROM pph WHERE phash <> 0
+              AND doc_id % ${Dedup.IncrementalMod} = 0 GROUP BY phash),
+          og AS (SELECT phash, MIN(doc_id) AS rep, COUNT(*) AS n
+            FROM pph WHERE phash <> 0
+              AND doc_id % ${Dedup.IncrementalMod} <> 0 GROUP BY phash)
+          SELECT n.rep AS rep_new, o.rep AS rep_old,
+            CAST(bit_count(xor(n.phash, o.phash)) AS INT) AS hamming,
+            n.n AS n_new, o.n AS n_old
+          FROM ng n JOIN og o
+            ON bit_count(xor(n.phash, o.phash)) <= $PhashThreshold""",
     "dedup_phash_collapsed" ->
       s"""WITH ${phashCte},
           pg AS (SELECT phash, MIN(doc_id) AS rep, COUNT(*) AS n

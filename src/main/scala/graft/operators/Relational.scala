@@ -335,6 +335,32 @@ object Relational {
       concurrencyFromStored(s, d, dir)
     },
 
+    // First-order behavior model — the Markov transition matrix over
+    // event types (the user-journey modeling staple; evt_topk_paths'
+    // distributional sibling): P(next = cur | prev), estimated from
+    // every consecutive same-user event pair. The lag window and the
+    // (prev, cur) count share the user-keyed exchange shape of
+    // evt_sessions (per-user history bounds the sort, never the
+    // corpus); the per-prev normalizer rolls up FROM the pair counts
+    // (types² rows — no second corpus pass) and joins back on the
+    // types-sized relation. round(6) on the ratio of exact integers.
+    "evt_markov_transitions" -> { (s, d) =>
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      val pairs = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts) div 1000").as("ts_ms"))
+        .withColumn("prev", lag($"event_type", 1).over(byUser))
+        .filter($"prev".isNotNull)
+      val cnt = pairs.groupBy($"prev", $"event_type".as("cur"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy($"prev").agg(sum($"n").as("n_prev"))
+      cnt.join(tot, Seq("prev"))
+        .select($"prev", $"cur", $"n",
+          round($"n".cast("double") / $"n_prev", 6).as("p"))
+    },
+
     // Cohort retention — the other event-analytics staple: users
     // cohorted by first active day, counted per (cohort day, day
     // offset). The raw event stream collapses MAP-SIDE to distinct
@@ -1378,6 +1404,22 @@ object Relational {
     // one shared restatement, sliced
     "evt_concurrency_stored" ->
       concurrencySql(s"WHERE s.user_id % $ConcServeMod = 0"),
+    // the same lag chain; counts are exact integers, the ratio rounds
+    "evt_markov_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
+            FROM events),
+          pr AS (SELECT event_type AS cur,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts_ms, event_id) AS prev
+            FROM e),
+          cnt AS (SELECT prev, cur, COUNT(*) AS n FROM pr
+            WHERE prev IS NOT NULL GROUP BY prev, cur),
+          tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS n_prev
+            FROM cnt GROUP BY prev)
+          SELECT c.prev, c.cur, c.n,
+            ROUND(c.n::DOUBLE / t.n_prev, 6) AS p
+          FROM cnt c JOIN tot t USING (prev)""",
     "q17_corr_subquery" ->
       """WITH pc AS (SELECT p_brand,
            CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents

@@ -60,6 +60,30 @@ class MediaCollapseSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture produced no cross-split phash pairs — vacuous test")
   }
 
+  test("dedup_phash_incremental_collapsed equals the driver-computed distinct-hash join") {
+    val d = "/root/testdata/sf0.001"
+    val m = graft.operators.Dedup.IncrementalMod
+    val ph = Multimodal.queries("mm_phash")(spark, d).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("phash"))
+      .filter(_._2 != 0L)
+    def groups(pred: Long => Boolean) = ph.filter(kv => pred(kv._1))
+      .groupBy(_._2).map { case (h, xs) =>
+        (h, xs.map(_._1).min, xs.length.toLong) }.toSeq
+    val expected = (for {
+      (nh, nrep, nn) <- groups(_ % m == 0)
+      (oh, orep, on) <- groups(_ % m != 0)
+      hm = java.lang.Long.bitCount(nh ^ oh)
+      if hm <= Multimodal.PhashThreshold
+    } yield (nrep, orep, hm, nn, on)).toSet
+    val got = Multimodal.queries("dedup_phash_incremental_collapsed")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected,
+      s"only-expected=${(expected -- got).take(3)} only-got=${(got -- expected).take(3)}")
+    assert(expected.nonEmpty, "no cross-split distinct-hash pairs — vacuous test")
+  }
+
   test("collapsed composition equals the full cluster on a duplicates-dense corpus") {
     import spark.implicits._
     // documents with engineered duplication: ids 1..6 share text A

@@ -527,6 +527,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no stored scan with a bkt partition filter:\n$p")
   }
 
+  test("evt_concurrency_stored: the edge scan is day-pruned and bucket-pushed") {
+    val p = plan("evt_concurrency_stored")
+    val edgeScan = p.split('\n').find { l =>
+      val i = l.indexOf("PartitionFilters: [")
+      l.contains("FileScan parquet") && i >= 0 && l.substring(i).contains("day#")
+    }
+    assert(edgeScan.isDefined,
+      s"no stored scan with a day partition filter:\n$p")
+    assert(edgeScan.get.contains("bkt#") || edgeScan.get.contains("In(bkt"),
+      s"bucket set not pushed: ${edgeScan.get}")
+  }
+
   test("dedup_embedding_window: the id cap is a pushed scan predicate") {
     // the window query's whole point is O(K²) cost at any corpus
     // scale — that holds only if vec_id < K reaches the parquet scan
