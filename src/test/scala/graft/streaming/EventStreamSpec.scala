@@ -555,6 +555,36 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("concurrencyLayoutStream: micro-batch-maintained layout serves the full-build answers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    import graft.operators.Relational
+    // reference: one-shot layout over the full corpus
+    val dirA = java.nio.file.Files.createTempDirectory("clsA").toString
+    Relational.writeConcurrencyLayout(spark, sf, dirA)
+    val full = Relational.concurrencyFromStored(spark, sf, dirA).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the same events replayed through the stream in two micro-batches
+    val dirB = java.nio.file.Files.createTempDirectory("clsB").toString
+    val evRows = graft.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+      .as[Event].collect().sortBy(_.event_id)
+    val (b1, b2) = evRows.splitAt(evRows.length / 2)
+    val mem = MemoryStream[Event]
+    val q = EventStream.concurrencyLayoutStream(mem.toDF(), dirB)
+    try {
+      mem.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Relational.concurrencyFromStored(spark, sf, dirB).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == full,
+      "stream-maintained layout diverged from the one-shot build")
+  }
+
   test("streaming as-of: late OLD clicks cannot clobber state; a late purchase never sees a FUTURE click") {
     // the r12-advice orderings: both outputs below were impossible
     // under the batch contract but the old fold emitted them — (a) a
