@@ -1252,6 +1252,39 @@ object TextAnalysis {
             .otherwise(lit("tail")).as("ppl_bucket"))
     },
 
+    // Token-budget curation — the data-mixing question at the TOKEN
+    // level (a training run buys token mass, not document count):
+    // per source, keep the lowest-perplexity documents until HALF the
+    // source's token mass is selected. Same bounded-histogram
+    // discipline as txt_ppl_buckets (never a per-document window over
+    // bare source): token mass collapses map-side to (source, ROUNDED
+    // nll) rows, the cum-sum window runs over that bounded relation,
+    // the cut is the smallest nll whose cumulative token mass reaches
+    // ⌈T/2⌉ = (T+1) div 2, and docs classify by a broadcast
+    // sources-sized cut join. Ties at the cut keep (threshold
+    // semantics — the budget is met, overshooting only by the
+    // boundary score bin). Output = the kept manifest rows.
+    "txt_token_budget" -> { (s, d) =>
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val score = bigramNllPerDoc(s, d)
+        .join(Tables.documents(s, d).select($"doc_id", $"source",
+          size(tokens($"text")).cast("long").as("n_tokens")), Seq("doc_id"))
+        .select($"doc_id", $"source", $"n_tokens", $"nll")
+      val hist = score.groupBy($"source", $"nll")
+        .agg(sum($"n_tokens").as("tm"))
+      val cuts = hist
+        .withColumn("cum", sum($"tm").over(W.partitionBy($"source")
+          .orderBy($"nll")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("t", sum($"tm").over(W.partitionBy($"source")))
+        .groupBy($"source")
+        .agg(min(when($"cum" >= expr("(t + 1) div 2"), $"nll")).as("cut"))
+      score.join(broadcast(cuts), Seq("source"))
+        .filter($"nll" <= $"cut")
+        .select($"doc_id", $"source", $"n_tokens", $"nll")
+    },
+
     // Deterministic training-shard layout audit: route each document
     // to one of 16 shards by a stable id hash (the first md5 nibble —
     // content-free, so shard membership survives text edits), then
@@ -2347,6 +2380,28 @@ object TextAnalysis {
                  WHEN s.nll <= c.t2 THEN 'middle'
                  ELSE 'tail' END AS ppl_bucket
           FROM score s JOIN cuts c USING (source)""",
+    // the token-mass histogram cut restated: (source, nll) token
+    // sums, cum over the bounded histogram, cut = smallest nll with
+    // cumulative mass ≥ ⌈T/2⌉, keep rows at or under the cut
+    "txt_token_budget" ->
+      s"""WITH $bigramNllCtes,
+          score AS (SELECT d.doc_id, d.source,
+              CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+              ROUND(COALESCE(per.nll, 0.0), 5) AS nll
+            FROM documents d LEFT JOIN per USING (doc_id)),
+          hist AS (SELECT source, nll, SUM(n_tokens) AS tm FROM score
+            GROUP BY source, nll),
+          cm AS (SELECT source, nll,
+              SUM(tm) OVER (PARTITION BY source ORDER BY nll
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              SUM(tm) OVER (PARTITION BY source) AS t
+            FROM hist),
+          cuts AS (SELECT source,
+              MIN(CASE WHEN cum >= (t + 1) // 2 THEN nll END) AS cut
+            FROM cm GROUP BY source)
+          SELECT s.doc_id, s.source, s.n_tokens, s.nll
+          FROM score s JOIN cuts c USING (source)
+          WHERE s.nll <= c.cut""",
     "txt_shard" ->
       s"""WITH b AS (SELECT
             strpos('0123456789abcdef',

@@ -305,4 +305,36 @@ class CdcConcurrencySpec extends AnyFunSuite {
       .select($"doc_id", $"nll".as("ref"))
     assert(out.join(nll, "doc_id").filter($"nll" =!= $"ref").count() == 0)
   }
+
+  test("txt_token_budget: kept mass reaches half the source's tokens, overshooting only by the cut bin") {
+    import spark.implicits._
+    val kept = TextAnalysis.queries("txt_token_budget")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // totals from the corpus itself (same token class as the query)
+    val all = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source",
+        size(TextAnalysis.tokens($"text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val totals = all.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._3).sum }
+    kept.groupBy(_._2).foreach { case (src, rs) =>
+      val budget = (totals(src) + 1) / 2
+      val mass = rs.map(_._3).sum
+      assert(mass >= budget, s"$src: kept mass $mass < budget $budget")
+      val cut = rs.map(_._4).max
+      val cutBinMass = rs.filter(_._4 == cut).map(_._3).sum
+      assert(mass - cutBinMass < budget,
+        s"$src: kept mass overshoots beyond the boundary score bin")
+      // every kept doc scores at or under every dropped doc
+      val keptIds = rs.map(_._1).toSet
+      val dropped = all.filter(x => x._2 == src && !keptIds(x._1)).map(_._1).toSet
+      if (dropped.nonEmpty) {
+        val nll = TextAnalysis.queries("txt_bigram_nll")(spark, sf)
+          .select($"doc_id", $"nll").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(dropped.forall(id => nll(id) > cut),
+          s"$src: a dropped doc scores at/under the cut")
+      }
+    }
+    assert(kept.nonEmpty)
+  }
 }

@@ -370,7 +370,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // token length; txt_ppl_buckets on the ROUNDED bigram nll (domain
     // bounded by value range × 10⁵, never the corpus).
     val boundedHistogram = Map(
-      "txt_len_quantiles" -> "len", "txt_ppl_buckets" -> "nll")
+      "txt_len_quantiles" -> "len", "txt_ppl_buckets" -> "nll",
+      "txt_token_budget" -> "nll")
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
