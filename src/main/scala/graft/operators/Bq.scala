@@ -87,7 +87,7 @@ object Bq {
       .select($"q_id", $"q_emb")
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val qIds = qRows.map(_._1)
-    val qSigs = qRows.map(r => signature(r._2))
+    val qSigs = qRows.map(r => signature(scala.collection.immutable.ArraySeq.unsafeWrapArray(r._2)))
     val bc = s.sparkContext.broadcast((qIds, qSigs))
     val coarse = idx.select($"vec_id", $"sig")
       .as[(Long, Long)].mapPartitions { it =>

@@ -363,7 +363,7 @@ object Dedup {
       .distinct().collect().map(_.getInt(0))
     val pruned =
       if (bkts.isEmpty) stored.filter(lit(false))
-      else stored.filter($"bkt".isin(bkts.map(Integer.valueOf): _*))
+      else stored.filter($"bkt".isin(bkts.map(Integer.valueOf).toIndexedSeq: _*))
     val oldH = pruned.select($"h").distinct().withColumn("isdup", lit(1))
     val per = pos.join(oldH, Seq("h"), "left")
       .groupBy($"doc_id")
@@ -756,7 +756,7 @@ object Dedup {
       else stored.filter(probePairs.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (b, ps) =>
           col("band") === b &&
-            col("bucket").isin(ps.map(p => java.lang.Long.valueOf(p._2)): _*)
+            col("bucket").isin(ps.map(p => java.lang.Long.valueOf(p._2)).toIndexedSeq: _*)
         }.reduce(_ || _))
     val cands = newBands.join(oldBands, Seq("band", "bucket"))
       .select($"new_id", $"old_id").distinct()
@@ -1869,7 +1869,7 @@ object Dedup {
       else stored.filter(probePairs.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (t, ps) =>
           col("table") === t &&
-            col("bucket").isin(ps.map(p => Integer.valueOf(p._2)): _*)
+            col("bucket").isin(ps.map(p => Integer.valueOf(p._2)).toIndexedSeq: _*)
         }.reduce(_ || _))
     newB.join(oldB, Seq("table", "bucket"))
       .select($"new_id", $"old_id",

@@ -1285,7 +1285,7 @@ object Multimodal {
       else stored.filter(probePairs.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (b, ps) =>
           col("band") === b &&
-            col("bval").isin(ps.map(p => java.lang.Long.valueOf(p._2)): _*)
+            col("bval").isin(ps.map(p => java.lang.Long.valueOf(p._2)).toIndexedSeq: _*)
         }.reduce(_ || _))
     nb.join(ob, Seq("band", "bval"))
       .select($"new_id", $"old_id",
@@ -1366,7 +1366,7 @@ object Multimodal {
       else stored.filter(probePairs.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (b, ps) =>
           col("band") === b &&
-            col("bval").isin(ps.map(p => java.lang.Long.valueOf(p._2)): _*)
+            col("bval").isin(ps.map(p => java.lang.Long.valueOf(p._2)).toIndexedSeq: _*)
         }.reduce(_ || _))
     nb.join(ob, Seq("band", "bval"))
       .select($"rep_new", $"rep_old", $"n_new", $"n_old",

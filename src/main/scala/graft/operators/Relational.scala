@@ -1123,8 +1123,9 @@ object Relational {
       else if (probeBkts.isEmpty) stored.filter(lit(false))
       else stored.filter(
         col("day").isin(probeBkts.map(b => Integer.valueOf((b / 24).toInt))
-          .distinct: _*) &&
-          col("bkt").isin(probeBkts.map(java.lang.Long.valueOf): _*))
+          .distinct.toIndexedSeq: _*) &&
+          col("bkt").isin(probeBkts.map(java.lang.Long.valueOf)
+            .toIndexedSeq: _*))
     val edge = edgeFrag
       .join(pruned.select($"bkt", $"ts_ms", $"user_id".as("e_user")),
         Seq("bkt"))

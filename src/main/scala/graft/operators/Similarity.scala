@@ -252,7 +252,7 @@ object Similarity {
       val out = Vector.newBuilder[(Long, Long, Double)]
       heaps.forEach((q, buf) => buf.foreach((sc, i) => out += ((q, i, sc))))
       out.result().iterator
-    }.toDF(cols: _*)
+    }.toDF(cols.toIndexedSeq: _*)
   }
 
   /** The coarse projected scan behind [[coarseFineTopk]]: every

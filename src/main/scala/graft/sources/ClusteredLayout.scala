@@ -104,7 +104,7 @@ object ClusteredLayout {
             n16(col(c2), col("__mn2"), col("__mx2"))))
           .repartitionByRange(files, col("__z"))
           .sortWithinPartitions("__z")
-          .select(cols: _*)
+          .select(cols.toIndexedSeq: _*)
       } else {
         df.repartitionByRange(files, col(c1), col(c2))
           .sortWithinPartitions(c1, c2)
@@ -152,7 +152,7 @@ object ClusteredLayout {
         n16(col(c2), col("__mn2"), col("__mx2"))))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
-      .select(cols: _*)
+      .select(cols.toIndexedSeq: _*)
       .write.parquet(staging.toString)
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
     // final names first, so the manifest rows are correct on arrival
