@@ -263,6 +263,19 @@ object Dedup {
   private val cdcRelCache = new SessionCache[DataFrame](df =>
     scala.util.Try(df.unpersist(blocking = false)))
 
+  /** Shared-duplicated-mass threshold (code points) for
+    * dedup_cdc_cluster edges: two docs sharing at least this much
+    * chunk content are the same-passage family.
+    */
+  private[graft] val CdcClusterMinChars = 100
+
+  /** Chunk document-frequency bound for the CDC pair index (the
+    * MaxShingleDf argument: a chunk present in every doc is
+    * boilerplate skew, not a duplication signal — and its bucket
+    * would be quadratic).
+    */
+  private[graft] val MaxCdcDf = 1024
+
   /** Partition-bucket count for the stored CDC chunk-hash index
     * (pmod of the 64-bit chunk hash). The bucket DOMAIN is the bound
     * that makes the probe's partition pushdown driver-literal-safe:
@@ -1134,6 +1147,32 @@ object Dedup {
       val dir = Similarity.storedQueryDir("cdc_incr", d)
       writeCdcIndex(s, d, dir, col("doc_id") % IncrementalMod =!= 0)
       incrementalCdcMass(s, d, dir)
+    },
+
+    // The CDC family's cluster form (every near-dup family collapses
+    // to one representative — minhash, embedding, media, phash; this
+    // is sub-document sharing's): docs joined by ≥ CdcClusterMinChars
+    // of SHARED duplicated chunk mass, components collapsed by the
+    // shared CC kernel. Pair generation is the inverted-index shape:
+    // DF-bounded chunk buckets (a boilerplate chunk in every doc is
+    // skew, not signal — the MaxShingleDf argument), packed 8-byte
+    // pair keys, per-pair mass one map-side-combinable exchange.
+    "dedup_cdc_cluster" -> { (s, d) =>
+      import s.implicits._
+      val dch = cdcRelation(s, d)
+        .select($"doc_id", explode($"ch").as("c"))
+        .select($"doc_id", $"c._1".as("h"), $"c._2".as("l"))
+        .distinct()
+      val pairRows = dch.groupBy($"h", $"l")
+        .agg(collect_list($"doc_id").as("ids"))
+        .filter(size($"ids") > 1 && size($"ids") <= MaxCdcDf)
+        .select($"l", explode(bucketPairs($"ids")).as("p"))
+      val edges = pairRows.groupBy($"p")
+        .agg(sum($"l".cast("long")).as("shared_chars"))
+        .filter($"shared_chars" >= CdcClusterMinChars)
+        .select(shiftrightunsigned($"p", 32).as("id_a"),
+          $"p".bitwiseAND(lit(0xffffffffL)).as("id_b"))
+      connectedComponents(edges).select($"doc_id", $"rep_id")
     },
 
     // are restated in DuckDB HUGEINT mod-2⁶⁴ arithmetic (see oracles),
@@ -2178,6 +2217,31 @@ object Dedup {
             COALESCE(per.dup_chunks, 0) AS dup_chunks,
             COALESCE(per.dup_chars, 0) AS dup_chars
           FROM d LEFT JOIN per USING (doc_id)""",
+    // the pair mass + transitive closure restated over the shared
+    // chunk chain (the clusterOracle shape; chunk identity by STRING
+    // where the engine uses the FNV hash — the family convention)
+    "dedup_cdc_cluster" ->
+      s"""WITH RECURSIVE $cdcChunkCtes,
+          dch AS (SELECT DISTINCT doc_id, chunk FROM chunks),
+          cdf AS (SELECT chunk FROM (
+              SELECT chunk, COUNT(*) AS c FROM dch GROUP BY chunk)
+            WHERE c BETWEEN 2 AND $MaxCdcDf),
+          pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(SUM(len(a.chunk)) AS BIGINT) AS shared_chars
+            FROM dch a JOIN dch b
+              ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+            WHERE a.chunk IN (SELECT chunk FROM cdf)
+            GROUP BY a.doc_id, b.doc_id),
+          dup AS (SELECT id_a, id_b FROM pr
+            WHERE shared_chars >= $CdcClusterMinChars),
+          edges AS (SELECT id_a AS u, id_b AS v FROM dup
+            UNION SELECT id_b, id_a FROM dup),
+          reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep_id
+          FROM reach GROUP BY u""",
     // the same chunk chain, with "duplicated" = the chunk string
     // exists in ANY historical (doc_id % mod <> 0) document — the
     // stored-index probe restated as the split it implements
