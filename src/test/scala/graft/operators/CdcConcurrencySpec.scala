@@ -126,6 +126,23 @@ class CdcConcurrencySpec extends AnyFunSuite {
     assert(jac.isEmpty, s"jaccard should miss the asymmetric pair: ${jac.mkString(";")}")
   }
 
+  test("dedup_cdc_cluster: shared-passage carriers cluster; the unique doc stays out") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cdcclu").toString
+    val shared = ("a passage long enough to clear the shared-mass threshold " +
+      "when both carriers chunk it at identical content-defined cuts ") * 4
+    val docs = Seq(
+      (1L, "LEAD ONE " * 12 + shared, "en", "a", 0L),
+      (2L, "totally different opener text " * 9 + shared, "en", "a", 0L),
+      (3L, "XQZV 77 unrelated filler content with private vocabulary " * 10, "en", "a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cc = Dedup.queries("dedup_cdc_cluster")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.keySet == Set(1L, 2L), s"unexpected membership: $cc")
+    assert(cc(1L) == 1L && cc(2L) == 1L, s"wrong representative: $cc")
+  }
+
   test("dedup_cdc_incremental: probe equals the kernel reference; append ≡ rebuild") {
     import org.apache.spark.sql.functions.col
     val dirA = java.nio.file.Files.createTempDirectory("cdcidxA").toString
