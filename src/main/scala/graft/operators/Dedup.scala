@@ -295,17 +295,25 @@ object Dedup {
     * where a full rebuild would place it.
     */
   def writeCdcIndex(s: SparkSession, d: String, outDir: String,
-      pred: Column): Unit = {
-    import s.implicits._
-    cdcRelation(s, d).filter(pred)
+      pred: Column): Unit =
+    writeChunkHashes(cdcRelation(s, d).filter(pred), outDir, "overwrite")
+
+  /** The one layout writer all three CDC index entry points share
+    * (full build from the cached relation, corpus-slice append,
+    * arbitrary-batch append): distinct hashes, pmod-bucket partition
+    * dirs, h-sorted files. One definition so the layouts cannot
+    * drift.
+    */
+  private def writeChunkHashes(rel: DataFrame, dir: String,
+      saveMode: String): Unit =
+    rel
       .select(explode(expr("transform(ch, x -> x._1)")).as("h"))
       .distinct()
-      .withColumn("bkt", pmod($"h", lit(CdcIndexBuckets.toLong)).cast("int"))
-      .repartition($"bkt")
-      .sortWithinPartitions($"bkt", $"h")
-      .write.mode("overwrite").partitionBy("bkt")
-      .parquet(s"$outDir/chunks")
-  }
+      .withColumn("bkt", pmod(col("h"), lit(CdcIndexBuckets.toLong)).cast("int"))
+      .repartition(col("bkt"))
+      .sortWithinPartitions(col("bkt"), col("h"))
+      .write.mode(saveMode).partitionBy("bkt")
+      .parquet(s"$dir/chunks")
 
   /** Append a batch's distinct chunk hashes to a stored CDC index —
     * the rolling-ingest half: after a batch probes
@@ -317,17 +325,8 @@ object Dedup {
     * appendToMinhashIndex convention.
     */
   def appendToCdcIndex(s: SparkSession, d: String, indexDir: String,
-      pred: Column): Unit = {
-    import s.implicits._
-    cdcRelation(s, d).filter(pred)
-      .select(explode(expr("transform(ch, x -> x._1)")).as("h"))
-      .distinct()
-      .withColumn("bkt", pmod($"h", lit(CdcIndexBuckets.toLong)).cast("int"))
-      .repartition($"bkt")
-      .sortWithinPartitions($"bkt", $"h")
-      .write.mode("append").partitionBy("bkt")
-      .parquet(s"$indexDir/chunks")
-  }
+      pred: Column): Unit =
+    writeChunkHashes(cdcRelation(s, d).filter(pred), indexDir, "append")
 
   /** Incremental CDC duplicated-mass: the NEW batch's chunks probed
     * against a STORED historical chunk-hash index — same per-doc
@@ -399,15 +398,8 @@ object Dedup {
   def appendChunkHashesFor(s: SparkSession, indexDir: String,
       docs: DataFrame): Unit = {
     import s.implicits._
-    docs
-      .select(cdcChunksUdf($"text").as("ch"))
-      .select(explode(expr("transform(ch, x -> x._1)")).as("h"))
-      .distinct()
-      .withColumn("bkt", pmod($"h", lit(CdcIndexBuckets.toLong)).cast("int"))
-      .repartition($"bkt")
-      .sortWithinPartitions($"bkt", $"h")
-      .write.mode("append").partitionBy("bkt")
-      .parquet(s"$indexDir/chunks")
+    writeChunkHashes(docs.select(cdcChunksUdf($"text").as("ch")),
+      indexDir, "append")
   }
 
   /** dedup_substring core: maximal runs of consecutive shingle

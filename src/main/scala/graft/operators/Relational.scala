@@ -996,9 +996,14 @@ object Relational {
     * bucket) plus the two count sidecars interior fragments read
     * instead of event rows. One definition with the append path.
     */
-  def writeConcurrencyLayout(s: SparkSession, d: String, dir: String): Unit =
+  def writeConcurrencyLayout(s: SparkSession, d: String, dir: String): Unit = {
+    // self-cleaning: "write" means a FRESH layout — a leftover dir
+    // under append semantics would silently double every event
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     appendToConcurrencyLayout(s,
       eventsMs(s, d).select(col("user_id"), col("ts_ms")), dir)
+  }
 
   /** Append a batch of (user_id, ts_ms) events to a stored
     * concurrency layout — the live-ingest half
