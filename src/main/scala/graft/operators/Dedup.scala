@@ -276,6 +276,37 @@ object Dedup {
     */
   private[graft] val MaxCdcDf = 1024
 
+  /** dedup_cdc_cluster's edge relation: doc pairs joined by ≥
+    * [[CdcClusterMinChars]] code points of shared duplicated chunk
+    * mass. Pair generation is the inverted-index shape with the
+    * two-pass DF cull (the [[jaccardPairs]] discipline): count
+    * first — map-side combinable, no per-chunk doc-list buffer —
+    * then semi-join the chunk rows against the 2 ≤ df ≤ [[MaxCdcDf]]
+    * keeplist so collect_list is bounded at MaxCdcDf BY CONSTRUCTION;
+    * a boilerplate chunk carried by every doc can never materialize a
+    * corpus-sized array in one aggregation buffer. Same (h, l) key on
+    * all three exchanges; pairs ride packed 8-byte keys.
+    */
+  private[graft] def cdcClusterEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dch = cdcRelation(s, d)
+      .select($"doc_id", explode($"ch").as("c"))
+      .select($"doc_id", $"c._1".as("h"), $"c._2".as("l"))
+      .distinct()
+    val keep = dch.groupBy($"h", $"l").agg(count(lit(1)).as("df"))
+      .filter($"df" > 1 && $"df" <= MaxCdcDf)
+      .select($"h", $"l")
+    val pairRows = dch.join(keep, Seq("h", "l"), "left_semi")
+      .groupBy($"h", $"l")
+      .agg(collect_list($"doc_id").as("ids"))
+      .select($"l", explode(bucketPairs($"ids")).as("p"))
+    pairRows.groupBy($"p")
+      .agg(sum($"l".cast("long")).as("shared_chars"))
+      .filter($"shared_chars" >= CdcClusterMinChars)
+      .select(shiftrightunsigned($"p", 32).as("id_a"),
+        $"p".bitwiseAND(lit(0xffffffffL)).as("id_b"))
+  }
+
   /** Partition-bucket count for the stored CDC chunk-hash index
     * (pmod of the 64-bit chunk hash). The bucket DOMAIN is the bound
     * that makes the probe's partition pushdown driver-literal-safe:
@@ -358,10 +389,16 @@ object Dedup {
   def cdcMassFor(s: SparkSession, indexDir: String,
       docs: DataFrame): DataFrame = {
     import s.implicits._
+    // PERSISTED: two consumers below (the touched-bucket collect and
+    // the probe join) would otherwise each re-run the CDC chunker —
+    // the dominant per-batch cost — over the batch. The bucket
+    // collect materializes the cache; unpersisted after the probe
+    // result is checkpointed.
     val pos = docs
       .select($"doc_id", cdcChunksUdf($"text").as("ch"))
       .select($"doc_id", explode($"ch").as("c"))
       .select($"doc_id", $"c._1".as("h"), $"c._2".as("l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // partition-column type pinned via explicit schema (the
     // readIvfIndex note: inferred dir values defeat pruning)
     val chunksSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -383,12 +420,24 @@ object Dedup {
         sum(when($"isdup" === 1, 1L).otherwise(0L)).as("dup_chunks"),
         sum(when($"isdup" === 1, $"l".cast("long")).otherwise(0L))
           .as("dup_chars"))
-    docs.select($"doc_id")
+    val out = docs.select($"doc_id")
       .join(per, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_chunks", lit(0L)).as("n_chunks"),
         coalesce($"dup_chunks", lit(0L)).as("dup_chunks"),
         coalesce($"dup_chars", lit(0L)).as("dup_chars"))
+    // EAGERLY materialized (localCheckpoint cuts the lineage to the
+    // stored scan): the probe result must be pinned BEFORE any caller
+    // appends this batch's hashes to the same index — a lazy plan
+    // re-evaluated after the append would scan the just-appended
+    // files and compare the batch against itself, silently breaking
+    // the new×old contract ([[graft.streaming.DocStream
+    // .cdcMassStream]] appends right after this returns, and a public
+    // caller's sink may defer consumption arbitrarily). Batch-sized
+    // relation (per-doc rows), so the pinned copy is small.
+    val mat = out.localCheckpoint(true)
+    pos.unpersist(blocking = false)
+    mat
   }
 
   /** Append an arbitrary (doc_id, text) batch's distinct chunk hashes
@@ -552,9 +601,25 @@ object Dedup {
     import s.implicits._
     val sizes = shingleRelation(s, d)
       .select($"doc_id", size($"sh").as("n_shingles"))
-    val inter = shingleRows(s, d)
+    val rows = shingleRows(s, d)
+    // Two-pass DF cull: the count aggregate is map-side combinable
+    // (a boilerplate shingle in 10⁸ documents contributes one partial
+    // count per task, never a growing buffer), and the semi-join
+    // against the 2 ≤ df ≤ maxDf keeplist bounds every collect_list
+    // array at maxDf BY CONSTRUCTION — the single-pass form
+    // materialized the hot shingle's full doc list in ONE aggregation
+    // buffer before its filter could drop it (executor OOM on exactly
+    // the boilerplate-heavy corpora the DF bound exists for). Both
+    // passes and the post-join collect shuffle on the same shingle
+    // key, so the join and the second aggregate reuse the
+    // partitioning; output is unchanged (the DF bound was already the
+    // stated semantics — see [[MaxShingleDf]]).
+    val keep = rows.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" > 1 && $"df" <= maxDf)
+      .select($"shingle")
+    val inter = rows
+      .join(keep, Seq("shingle"), "left_semi")
       .groupBy($"shingle").agg(collect_list($"doc_id").as("ids"))
-      .filter(size($"ids") > 1 && size($"ids") <= maxDf)
       .select(explode(bucketPairs($"ids")).as("p"))
       .groupBy($"p").agg(count(lit(1)).as("n_common"))
       .select(shiftrightunsigned($"p", 32).as("id_a"),
@@ -1151,20 +1216,7 @@ object Dedup {
     // pair keys, per-pair mass one map-side-combinable exchange.
     "dedup_cdc_cluster" -> { (s, d) =>
       import s.implicits._
-      val dch = cdcRelation(s, d)
-        .select($"doc_id", explode($"ch").as("c"))
-        .select($"doc_id", $"c._1".as("h"), $"c._2".as("l"))
-        .distinct()
-      val pairRows = dch.groupBy($"h", $"l")
-        .agg(collect_list($"doc_id").as("ids"))
-        .filter(size($"ids") > 1 && size($"ids") <= MaxCdcDf)
-        .select($"l", explode(bucketPairs($"ids")).as("p"))
-      val edges = pairRows.groupBy($"p")
-        .agg(sum($"l".cast("long")).as("shared_chars"))
-        .filter($"shared_chars" >= CdcClusterMinChars)
-        .select(shiftrightunsigned($"p", 32).as("id_a"),
-          $"p".bitwiseAND(lit(0xffffffffL)).as("id_b"))
-      connectedComponents(edges).select($"doc_id", $"rep_id")
+      connectedComponents(cdcClusterEdges(s, d)).select($"doc_id", $"rep_id")
     },
 
     // are restated in DuckDB HUGEINT mod-2⁶⁴ arithmetic (see oracles),

@@ -276,7 +276,7 @@ object Relational {
       val B = ConcurrencyBucketMs
       val sess = sessionSpans(s, d)
       val evb = eventsMs(s, d).select($"user_id", $"ts_ms",
-        expr(s"ts_ms div $B").as("bkt"))
+        expr(floorDivSql("ts_ms", B)).as("bkt"))
       // per-bucket and per-(bucket, user) event counts — the
       // pre-aggregated relations interior fragments join instead of
       // event rows (an interior bucket's events are in range BY
@@ -285,8 +285,8 @@ object Relational {
       val cb = evb.groupBy($"bkt").agg(count(lit(1)).as("cb"))
       val cbu = evb.groupBy($"bkt", $"user_id").agg(count(lit(1)).as("cbu"))
       val bounds = sess
-        .withColumn("b0", expr(s"s_ms div $B"))
-        .withColumn("b1", expr(s"e_ms div $B"))
+        .withColumn("b0", expr(floorDivSql("s_ms", B)))
+        .withColumn("b1", expr(floorDivSql("e_ms", B)))
       val interior = bounds
         .select($"user_id", $"session_idx",
           explode(when($"b1" - $"b0" >= 2, sequence($"b0" + 1, $"b1" - 1))
@@ -547,11 +547,12 @@ object Relational {
           expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"))
       val p = e.filter($"event_type" === "purchase")
         .select($"user_id", $"event_id", $"ts_ms",
-          expr(s"ts_ms div ${AttribWindowMs}L").as("bkt"))
+          expr(floorDivSql("ts_ms", AttribWindowMs)).as("bkt"))
       val c = e.filter($"event_type" === "click")
         .select($"user_id".as("c_user"), $"ts_ms".as("c_ts"), $"cents",
-          explode(array(expr(s"ts_ms div ${AttribWindowMs}L"),
-            expr(s"ts_ms div ${AttribWindowMs}L + 1L"))).as("c_bkt"))
+          explode(array(expr(floorDivSql("ts_ms", AttribWindowMs)),
+            expr(s"${floorDivSql("ts_ms", AttribWindowMs)} + 1L")))
+            .as("c_bkt"))
       p.join(c, $"user_id" === $"c_user" && $"bkt" === $"c_bkt" &&
           $"c_ts" >= $"ts_ms" - AttribWindowMs && $"c_ts" < $"ts_ms", "left")
         .groupBy($"user_id", $"event_id", $"ts_ms")
@@ -945,6 +946,19 @@ object Relational {
     */
   val ConcurrencyBucketMs = 3600000L
 
+  /** Floor-division SQL fragment for bucket/day assignment. SQL `div`
+    * truncates TOWARD ZERO, which for negative (pre-1970) epochs
+    * breaks the containment invariant the interval decompositions
+    * rest on (ts ≥ bkt·B no longer holds once bkt rounds up) and
+    * makes bucket 0 span 2B−1 ms — interior/binned legs would
+    * mis-count relative to the naive range-predicate oracle. The
+    * double-mod form is exact integer floor division for any sign of
+    * the dividend (divisor positive); for nonnegative epochs it
+    * agrees with `div`, so fixture outputs are unchanged.
+    */
+  private[operators] def floorDivSql(x: String, b: Long): String =
+    s"(($x) - ((($x) % $b) + $b) % $b) div $b"
+
   /** Serve-slice modulus for evt_concurrency_stored: sessions of
     * users ≡ 0 (mod this) are the probe batch — the serving shape
     * where a caller asks for a FEW sessions' concurrency, which is
@@ -1022,8 +1036,8 @@ object Relational {
     import s.implicits._
     val B = ConcurrencyBucketMs
     val batch = batch0.select(col("user_id"), col("ts_ms"))
-      .withColumn("bkt", expr(s"ts_ms div $B"))
-      .withColumn("day", expr("bkt div 24").cast("int"))
+      .withColumn("bkt", expr(floorDivSql("ts_ms", B)))
+      .withColumn("day", expr(floorDivSql("bkt", 24L)).cast("int"))
     batch.repartition($"day").sortWithinPartitions($"day", $"bkt")
       .write.mode("append").partitionBy("day").parquet(s"$dir/events")
     if (mergeCounts) mergeConcurrencyCounts(s, batch, dir)
@@ -1104,8 +1118,8 @@ object Relational {
     val B = ConcurrencyBucketMs
     val sess = sessionSpans(s, d, col("user_id") % serveMod === 0)
     val bounds = sess
-      .withColumn("b0", expr(s"s_ms div $B"))
-      .withColumn("b1", expr(s"e_ms div $B"))
+      .withColumn("b0", expr(floorDivSql("s_ms", B)))
+      .withColumn("b1", expr(floorDivSql("e_ms", B)))
     val cb = s.read.parquet(s"$dir/counts/cb")
     val cbu = s.read.parquet(s"$dir/counts/cbu")
     val interior = bounds
@@ -1127,7 +1141,8 @@ object Relational {
       if (probeBkts.length > pushdownCap) stored
       else if (probeBkts.isEmpty) stored.filter(lit(false))
       else stored.filter(
-        col("day").isin(probeBkts.map(b => Integer.valueOf((b / 24).toInt))
+        col("day").isin(probeBkts.map(b =>
+            Integer.valueOf(Math.floorDiv(b, 24L).toInt))
           .distinct.toIndexedSeq: _*) &&
           col("bkt").isin(probeBkts.map(java.lang.Long.valueOf)
             .toIndexedSeq: _*))

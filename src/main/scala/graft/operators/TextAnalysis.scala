@@ -39,44 +39,62 @@ object TextAnalysis {
 
   /** Per-doc bigram-LM cross-entropy under the corpus model with
     * add-one smoothing, p(w|prev) = (C(prev,w)+1)/(C(prev,·)+V) —
-    * ONE definition consumed by both txt_bigram_nll and
-    * txt_ppl_buckets (the classifier must bucket the exact score it
+    * ONE definition consumed by txt_bigram_nll, txt_ppl_buckets AND
+    * txt_token_budget (the classifier must bucket the exact score it
     * publishes). Bigram emission is ROW-LOCAL (a transform over the
     * token array — no positional self-join); the model is two keyed
     * count aggs (bigram, then prev — the second a rollup of the
     * first, never a second corpus pass) and V rides as a 1-row
     * broadcast. Counts are exact integers; ln products round(5) like
     * txt_unigram_nll. Docs with <2 tokens carry zero bigrams → 0.0
-    * (the LEFT-JOIN pin). Output: (doc_id, n_bigrams, nll).
+    * (the LEFT-JOIN pin).
+    *
+    * Built ONCE per (session, corpus) and PERSISTED, like
+    * [[graft.operators.Dedup.shingleRelation]]: three declared
+    * consumers read it, and two of them (the bucket/budget
+    * classifiers) reference it from BOTH sides of their
+    * cutoff-histogram/probe split — uncached, the LM would retrain
+    * and the corpus re-tokenize once per subtree (the r15
+    * txt_token_budget budget violation). The persisted relation is
+    * per-doc-narrow (five scalar columns), and `n_tokens` /
+    * `source` ride along from the SAME tokenize pass so the budget
+    * classifier never re-scans documents for them.
+    * Output: (doc_id, source, n_tokens, n_bigrams, nll).
     */
-  private def bigramNllPerDoc(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-      .select($"doc_id", tokens($"text").as("toks"))
-    val pairs = docs.select($"doc_id", explode(when(size($"toks") >= 2,
-      expr("""transform(sequence(2, size(toks)),
-              i -> struct(element_at(toks, i - 1) AS prev,
-                          element_at(toks, i) AS cur))"""))
-      .otherwise(expr("array()"))).as("bg"))
-      .select($"doc_id", $"bg.prev".as("prev"), $"bg.cur".as("cur"))
-    val tf = pairs.groupBy($"doc_id", $"prev", $"cur")
-      .agg(count(lit(1)).as("tf"))
-    val bc = tf.groupBy($"prev", $"cur").agg(sum($"tf").as("cbg"))
-    val pc = bc.groupBy($"prev").agg(sum($"cbg").as("cprev"))
-    val vocab = docs.select(explode($"toks").as("tok"))
-      .agg(countDistinct($"tok").as("v"))
-    val per = tf.join(bc, Seq("prev", "cur")).join(pc, Seq("prev"))
-      .crossJoin(broadcast(vocab))
-      .groupBy($"doc_id")
-      .agg(sum($"tf").as("n_bigrams"),
-        (-sum($"tf" * log(($"cbg" + 1).cast("double") /
-          ($"cprev" + $"v").cast("double"))) / sum($"tf")).as("nll"))
-    Tables.documents(s, d).select($"doc_id")
-      .join(per, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
-        round(coalesce($"nll", lit(0.0)), 5).as("nll"))
-  }
+  private def bigramScoreRelation(s: SparkSession, d: String): DataFrame =
+    bigramScoreCache.getOrBuild(s, d) {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source", tokens($"text").as("toks"))
+      val pairs = docs.select($"doc_id", explode(when(size($"toks") >= 2,
+        expr("""transform(sequence(2, size(toks)),
+                i -> struct(element_at(toks, i - 1) AS prev,
+                            element_at(toks, i) AS cur))"""))
+        .otherwise(expr("array()"))).as("bg"))
+        .select($"doc_id", $"bg.prev".as("prev"), $"bg.cur".as("cur"))
+      val tf = pairs.groupBy($"doc_id", $"prev", $"cur")
+        .agg(count(lit(1)).as("tf"))
+      val bc = tf.groupBy($"prev", $"cur").agg(sum($"tf").as("cbg"))
+      val pc = bc.groupBy($"prev").agg(sum($"cbg").as("cprev"))
+      val vocab = docs.select(explode($"toks").as("tok"))
+        .agg(countDistinct($"tok").as("v"))
+      val per = tf.join(bc, Seq("prev", "cur")).join(pc, Seq("prev"))
+        .crossJoin(broadcast(vocab))
+        .groupBy($"doc_id")
+        .agg(sum($"tf").as("n_bigrams"),
+          (-sum($"tf" * log(($"cbg" + 1).cast("double") /
+            ($"cprev" + $"v").cast("double"))) / sum($"tf")).as("nll"))
+      docs.select($"doc_id", $"source",
+          size($"toks").cast("long").as("n_tokens"))
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id", $"source", $"n_tokens",
+          coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+          round(coalesce($"nll", lit(0.0)), 5).as("nll"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val bigramScoreCache = new SessionCache[DataFrame](df =>
+    scala.util.Try(df.unpersist(blocking = false)))
 
   /** English stopword set used by the language-ID heuristic and the
     * quality score's stopword ratio. Small and closed on purpose —
@@ -1208,17 +1226,32 @@ object TextAnalysis {
     // Bigram-LM cross-entropy — the stronger perplexity-filter proxy
     // (the unigram NLL's conditional sibling; the KenLM-filter shape
     // without the external LM). The whole chain lives in
-    // [[bigramNllPerDoc]], shared with txt_ppl_buckets.
-    "txt_bigram_nll" -> ((s, d) => bigramNllPerDoc(s, d)),
+    // The LM-build line (the pairs_build convention): training the
+    // corpus bigram model + materializing the per-doc score relation
+    // is the family's dominant cost, amortized across three declared
+    // consumers — so the bench reports it on its own *_build line and
+    // the consumers measure steady-state probes of the session-cached
+    // relation. Declared output IS the full score relation.
+    "bigram_lm_build" -> ((s, d) => bigramScoreRelation(s, d)),
+
+    // [[bigramScoreRelation]], shared with txt_ppl_buckets and
+    // txt_token_budget (declared output is the score triple; the
+    // relation's classifier columns project away).
+    "txt_bigram_nll" -> { (s, d) =>
+      bigramScoreRelation(s, d).select(col("doc_id"), col("n_bigrams"),
+        col("nll"))
+    },
 
     // CCNet-style perplexity buckets (Wenzek et al., "CCNet:
     // Extracting High Quality Monolingual Datasets from Web Crawl
     // Data"): documents split per source into head / middle / tail
     // terciles of the bigram-LM cross-entropy — the deployment
     // artifact a curation pipeline mixes by (keep head, downsample
-    // middle, drop tail). The score is the SHARED [[bigramNllPerDoc]]
-    // relation (one definition with txt_bigram_nll, so the classifier
-    // and its score can never drift). Tercile CUTOFF VALUES come from
+    // middle, drop tail). The score is the SHARED persisted
+    // [[bigramScoreRelation]] (one definition with txt_bigram_nll, so
+    // the classifier and its score can never drift — and the LM
+    // trains once per session, not once per consumer subtree).
+    // Tercile CUTOFF VALUES come from
     // the txt_len_quantiles histogram discipline — NOT a per-source
     // rank over documents, which would route a source's every doc
     // through one window task (the class-wide skew guard): counts
@@ -1232,9 +1265,7 @@ object TextAnalysis {
     "txt_ppl_buckets" -> { (s, d) =>
       import s.implicits._
       val W = org.apache.spark.sql.expressions.Window
-      val score = bigramNllPerDoc(s, d)
-        .join(Tables.documents(s, d).select($"doc_id", $"source"),
-          Seq("doc_id"))
+      val score = bigramScoreRelation(s, d)
         .select($"doc_id", $"source", $"nll")
       val hist = score.groupBy($"source", $"nll").agg(count(lit(1)).as("c"))
       val cuts = hist
@@ -1267,9 +1298,7 @@ object TextAnalysis {
     "txt_token_budget" -> { (s, d) =>
       import s.implicits._
       val W = org.apache.spark.sql.expressions.Window
-      val score = bigramNllPerDoc(s, d)
-        .join(Tables.documents(s, d).select($"doc_id", $"source",
-          size(tokens($"text")).cast("long").as("n_tokens")), Seq("doc_id"))
+      val score = bigramScoreRelation(s, d)
         .select($"doc_id", $"source", $"n_tokens", $"nll")
       val hist = score.groupBy($"source", $"nll")
         .agg(sum($"n_tokens").as("tm"))
@@ -1743,7 +1772,7 @@ object TextAnalysis {
   /** The bigram-NLL CTE chain (through the per-doc `per` relation),
     * shared verbatim by the `txt_bigram_nll` oracle and the
     * `txt_ppl_buckets` oracle that ranks over it — the SQL image of
-    * [[bigramNllPerDoc]].
+    * [[bigramScoreRelation]].
     */
   private lazy val bigramNllCtes: String =
     s"""toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
@@ -2352,6 +2381,16 @@ object TextAnalysis {
     "txt_bigram_nll" ->
       s"""WITH $bigramNllCtes
           SELECT d.doc_id,
+            COALESCE(per.n, 0) AS n_bigrams,
+            ROUND(COALESCE(per.nll, 0.0), 5) AS nll
+          FROM documents d LEFT JOIN per USING (doc_id)""",
+    // the full score relation the build line materializes: the
+    // bigram chain plus the source/token-mass columns carried from
+    // the same tokenize pass
+    "bigram_lm_build" ->
+      s"""WITH $bigramNllCtes
+          SELECT d.doc_id, d.source,
+            CAST(len($sqlToks) AS BIGINT) AS n_tokens,
             COALESCE(per.n, 0) AS n_bigrams,
             ROUND(COALESCE(per.nll, 0.0), 5) AS nll
           FROM documents d LEFT JOIN per USING (doc_id)""",

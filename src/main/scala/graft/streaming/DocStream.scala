@@ -175,7 +175,12 @@ object DocStream {
     * handed to `sink`, and THEN its distinct chunk hashes are appended
     * so the next batch sees it as historical — probe-before-append is
     * what keeps a batch from being compared against itself, the
-    * new×old contract. State lives entirely in the stored index (8
+    * new×old contract. The probe result is EAGERLY MATERIALIZED
+    * inside cdcMassFor (localCheckpoint, lineage cut from the index
+    * scan), so the contract holds even for a sink that stores the
+    * DataFrame and consumes it after this trigger returns — a lazy
+    * plan re-read after the append would have seen the batch's own
+    * hashes as historical. State lives entirely in the stored index (8
     * bytes per distinct chunk, never text); per-trigger cost is the
     * batch's chunking plus an index-sized hash join.
     */

@@ -901,6 +901,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.MaxShingleDf > 25 * 4)
   }
 
+  test("DF cull runs BEFORE collect_list: hot key never reaches an aggregation buffer") {
+    import spark.implicits._
+    // One boilerplate shingle in 80 docs with maxDf = 10: the
+    // single-pass form would materialize the hot bucket's 80-element
+    // doc list in ONE aggregation buffer before its filter dropped it
+    // (the executor-OOM shape at 10⁸ docs). The two-pass form must
+    // (a) keep moderate-DF pairs intact, (b) drop the hot bucket, and
+    // (c) show the cull in the PLAN: a LeftSemi join upstream of the
+    // collect_list aggregate, and a count-style partial aggregate —
+    // never a collect_list — on the relation that sees unbounded DF.
+    val hot = (0 until 80).map(i =>
+      (i.toLong, s"common boiler plate unique$i filler$i word$i"))
+    // two exact near-dup docs sharing a moderate shingle set
+    val dup = Seq((100L, "alpha beta gamma delta"),
+      (101L, "alpha beta gamma delta"))
+    val tmp = java.nio.file.Files.createTempDirectory("hotcull").toString
+    (hot ++ dup).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.jaccardPairs(spark, tmp, maxDf = 10)
+    val got = pairs.collect()
+    assert(got.length == 1 && got(0).getAs[Long]("id_a") == 100L &&
+      got(0).getAs[Long]("id_b") == 101L &&
+      got(0).getAs[Double]("jaccard") == 1.0)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"expected the DF-cull semi-join in the plan:\n$plan")
+    // collect_list appears exactly once (the bounded post-cull
+    // aggregate); the unbounded pre-cull pass is a count aggregate
+    val nCollect = "collect_list".r.findAllIn(plan).length
+    assert(nCollect >= 1 && plan.indexOf("LeftSemi") >= 0 &&
+      plan.indexOf("collect_list") < plan.indexOf("LeftSemi"),
+      // executedPlan prints top-down: the collect_list aggregate must
+      // sit ABOVE (before, in print order) the semi-join feeding it
+      s"collect_list must consume the culled relation:\n$plan")
+  }
+
+  test("dedup_cdc_cluster plan carries the same pre-collect DF cull") {
+    // the edge relation, not the declared query: connectedComponents
+    // materializes the (tiny) component map, so the query's own plan
+    // is a LocalTableScan that hides the upstream shape
+    val df = Dedup.cdcClusterEdges(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"expected the chunk-DF cull semi-join in the plan:\n$plan")
+    assert(plan.indexOf("collect_list") < plan.indexOf("LeftSemi"),
+      s"collect_list must consume the culled relation:\n$plan")
+  }
+
   test("empty-shingle docs are excluded from LSH banding (no sentinel pair blowup)") {
     import spark.implicits._
     // 50 short docs (<3 tokens) share the sentinel signature; before the
