@@ -36,7 +36,14 @@ object Bench {
     // consumer silently absorbs its dependency's build cost and the
     // dependency's own line measures a warm no-op (r9 verdict: lsh_build
     // read 0.14 s against its 0.82 line because emb_pairs_build < l).
-    val derivedBuilds = Set("emb_pairs_build", "pairs_build")
+    // build ordering tiers: plain builds (tier 0) run first, builds
+    // derived from a session-cached relation (tier 1) after it, and
+    // builds that CONSUME another build's cache (tier 2 —
+    // hybrid_build writes the pairs_build relation + lsh_build index
+    // to their stored dirs) last, so each build line measures its own
+    // work and never steals an upstream build's attribution
+    val buildTier = Map(
+      "emb_pairs_build" -> 1, "pairs_build" -> 1, "hybrid_build" -> 2)
     // a failed query must be LOUD: recording a ~0s time would sail
     // under the budget tripwire and read as a clean fast pass
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -69,8 +76,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .sortBy { case (name, _) =>
-        (if (!name.endsWith("_build")) 2
-         else if (derivedBuilds(name)) 1 else 0, name) }
+        (if (!name.endsWith("_build")) 3
+         else buildTier.getOrElse(name, 0), name) }
       .map { case (name, fn) =>
       def once(): Double = {
         System.gc()

@@ -1503,6 +1503,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got((0L, 2L)) == ((rrf(2), 2)), s"got ${got.get((0L, 2L))}")
   }
 
+  test("sim_hybrid_serve ≡ sim_hybrid_stored restricted to the serve slice") {
+    import spark.implicits._
+    // per-query independence is the serve oracle's whole argument:
+    // restricting the query set must commute with both legs and the
+    // fusion, so the serve slice's rows are exactly the stored
+    // query's rows for those q_ids — pinned here on the real corpus
+    val stored = graft.SparkEntry.queries("sim_hybrid_stored")(spark, sf)
+      .filter($"q_id" % Similarity.HybridServeMod === 0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val serve = graft.SparkEntry.queries("sim_hybrid_serve")(spark, sf)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(serve.nonEmpty, "serve slice must be non-empty at sf0.001")
+    assert(serve == stored, s"serve diverged: ${serve.diff(stored).take(3)}")
+    // the slice is strict: a multiple of the query stride, so every
+    // served query is a declared query — and not all of them
+    assert(Similarity.HybridServeMod % Similarity.QueryStride == 0)
+  }
+
   test("rolling ingest: appended batches become historical for the next probe") {
     import spark.implicits._
     // --- minhash side ---
