@@ -320,44 +320,124 @@ object Dedup {
     * pmod(h) and h-sorted within files. What the lifecycle amortizes
     * at 100 TB is the dominant cost of [[queries dedup_cdc]]: the
     * nightly probe never re-chunks or even re-reads historical TEXT —
-    * it meets the past only as this 8-byte-per-distinct-chunk
-    * relation. Identity is the same [[fnv1a]]-over-code-points chunk
-    * hash the session kernel emits, so an appended doc lands exactly
-    * where a full rebuild would place it.
+    * it meets the past only as this per-distinct-chunk (hash, carrier
+    * count) relation. Identity is the same [[fnv1a]]-over-code-points
+    * chunk hash the session kernel emits, so an appended doc lands
+    * exactly where a full rebuild would place it; the carrier count
+    * is what makes doc-level takedown ([[deleteFromCdcIndex]])
+    * subtractive instead of a full rebuild.
     */
   def writeCdcIndex(s: SparkSession, d: String, outDir: String,
       pred: Column): Unit =
     writeChunkHashes(cdcRelation(s, d).filter(pred), outDir, "overwrite")
 
-  /** The one layout writer all three CDC index entry points share
-    * (full build from the cached relation, corpus-slice append,
-    * arbitrary-batch append): distinct hashes, pmod-bucket partition
-    * dirs, h-sorted files. One definition so the layouts cannot
-    * drift.
+  /** The one layout writer all CDC index entry points share (full
+    * build from the cached relation, corpus-slice append,
+    * arbitrary-batch append, takedown): per-hash NET CARRIER COUNTS
+    * (`cnt` = number of distinct batch documents carrying the chunk,
+    * negated for deletes), pmod-bucket partition dirs, h-sorted
+    * files. The counts-add algebra (the concurrency-sidecar
+    * convention) is what makes doc-level takedown possible on an
+    * 8-bytes-per-chunk index: a hash is historical iff its summed
+    * count is positive, so deleting a doc decrements exactly the
+    * chunks it carried and a chunk whose ONLY carriers are deleted
+    * stops answering, while a chunk shared with surviving docs keeps
+    * counting. Order-independent and exact under the single-writer /
+    * exactly-once-ingest contract every stored maintainer here
+    * assumes (appending the same doc twice would double its counts —
+    * the content-hash idempotence layer lives in the ingest pipeline,
+    * FilePipeline's anti-join, not in this layout). One definition so
+    * the layouts cannot drift.
     */
   private def writeChunkHashes(rel: DataFrame, dir: String,
-      saveMode: String): Unit =
+      saveMode: String, sign: Int = 1): Unit =
     rel
-      .select(explode(expr("transform(ch, x -> x._1)")).as("h"))
+      .select(col("doc_id"), explode(expr("transform(ch, x -> x._1)")).as("h"))
       .distinct()
+      .groupBy(col("h")).agg((count(lit(1)) * sign).as("cnt"))
       .withColumn("bkt", pmod(col("h"), lit(CdcIndexBuckets.toLong)).cast("int"))
       .repartition(col("bkt"))
       .sortWithinPartitions(col("bkt"), col("h"))
       .write.mode(saveMode).partitionBy("bkt")
       .parquet(s"$dir/chunks")
 
-  /** Append a batch's distinct chunk hashes to a stored CDC index —
+  /** Append a batch's per-hash carrier counts to a stored CDC index —
     * the rolling-ingest half: after a batch probes
     * ([[incrementalCdcMass]]) it is appended so the next batch sees it
-    * as historical. Hashes are deduped within the batch only;
-    * cross-file repeats of one hash are harmless to the probe (the
-    * dup flag is an existence test) and a periodic rewrite
-    * ([[writeCdcIndex]] over the union) is the defrag path — the
-    * appendToMinhashIndex convention.
+    * as historical. Counts are per-batch (distinct docs in the batch
+    * carrying the hash); cross-file rows of one hash SUM under the
+    * counts-add algebra — exactly what lets [[deleteFromCdcIndex]]
+    * subtract later — and [[compactCdcIndex]] is the periodic defrag,
+    * the appendToMinhashIndex convention.
     */
   def appendToCdcIndex(s: SparkSession, d: String, indexDir: String,
       pred: Column): Unit =
     writeChunkHashes(cdcRelation(s, d).filter(pred), indexDir, "append")
+
+  /** Doc-level takedown against a stored CDC index (the
+    * deleteFromIndex convention on the sub-document side): the
+    * deleted documents — a slice of the corpus the index ingested —
+    * are re-chunked (the request's doc set is batch-sized; historical
+    * TEXT beyond it is still never touched) and their per-hash
+    * carrier counts appended NEGATED. From the next probe on, a chunk
+    * whose only carriers were deleted stops counting as historical
+    * mass; a chunk shared with surviving docs keeps answering.
+    * Contract: delete only docs previously ingested (the standard
+    * takedown flow) — the counts-add algebra has no way to know a
+    * negative row arrived before its positive twin. Physical purge of
+    * the cancelled rows is [[compactCdcIndex]], the periodic defrag.
+    */
+  def deleteFromCdcIndex(s: SparkSession, d: String, indexDir: String,
+      pred: Column): Unit =
+    writeChunkHashes(cdcRelation(s, d).filter(pred), indexDir, "append",
+      sign = -1)
+
+  /** [[deleteFromCdcIndex]] for an ARBITRARY (doc_id, text) batch —
+    * the takedown-stream entry point, mirroring
+    * [[appendChunkHashesFor]].
+    */
+  def deleteChunkHashesFor(s: SparkSession, indexDir: String,
+      docs: DataFrame): Unit = {
+    import s.implicits._
+    writeChunkHashes(docs.select($"doc_id", cdcChunksUdf($"text").as("ch")),
+      indexDir, "append", sign = -1)
+  }
+
+  /** Rewrite a stored CDC index with its count algebra folded: one
+    * row per (bkt, h) with the summed net carrier count, rows at ≤ 0
+    * dropped — so takedown tombstone rows stop occupying scan space
+    * and append fragmentation defrags, without changing any probe's
+    * answer (the probe already sums; CdcLifecycleSpec pins
+    * compacted ≡ uncompacted). Staging + atomic-ish dir swap (the
+    * Similarity convention): a crash before the swap leaves the old
+    * layout fully intact.
+    */
+  def compactCdcIndex(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val folded = s.read.schema(cdcChunksSchema).parquet(s"$indexDir/chunks")
+      .groupBy($"bkt", $"h").agg(sum($"cnt").as("cnt"))
+      .filter($"cnt" > 0)
+      .repartition($"bkt")
+      .sortWithinPartitions($"bkt", $"h")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$indexDir/chunks_staging")
+    fs.delete(staging, true)
+    folded.write.partitionBy("bkt").parquet(staging.toString)
+    graft.operators.Similarity.swapDirInto(s, staging,
+      new org.apache.hadoop.fs.Path(s"$indexDir/chunks"))
+  }
+
+  /** The stored chunk relation's schema, pinned (partition-column
+    * inference defeats pruning — the readIvfIndex note).
+    */
+  private val cdcChunksSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("h",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cnt",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bkt",
+      org.apache.spark.sql.types.IntegerType)))
 
   /** Incremental CDC duplicated-mass: the NEW batch's chunks probed
     * against a STORED historical chunk-hash index — same per-doc
@@ -399,21 +479,20 @@ object Dedup {
       .select($"doc_id", explode($"ch").as("c"))
       .select($"doc_id", $"c._1".as("h"), $"c._2".as("l"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // partition-column type pinned via explicit schema (the
-    // readIvfIndex note: inferred dir values defeat pruning)
-    val chunksSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("h",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("bkt",
-        org.apache.spark.sql.types.IntegerType)))
-    val stored = s.read.schema(chunksSchema).parquet(s"$indexDir/chunks")
+    val stored = s.read.schema(cdcChunksSchema).parquet(s"$indexDir/chunks")
     val bkts = pos
       .select(pmod($"h", lit(CdcIndexBuckets.toLong)).cast("int").as("bkt"))
       .distinct().collect().map(_.getInt(0))
     val pruned =
       if (bkts.isEmpty) stored.filter(lit(false))
       else stored.filter($"bkt".isin(bkts.map(Integer.valueOf).toIndexedSeq: _*))
-    val oldH = pruned.select($"h").distinct().withColumn("isdup", lit(1))
+    // historical = net carrier count positive: append rows add,
+    // takedown rows subtract ([[deleteFromCdcIndex]]), so a chunk
+    // whose only carriers were deleted drops out here — same
+    // map-side-combinable aggregate the old distinct fold was
+    val oldH = pruned.groupBy($"h").agg(sum($"cnt").as("c"))
+      .filter($"c" > 0)
+      .select($"h").withColumn("isdup", lit(1))
     val per = pos.join(oldH, Seq("h"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_chunks"),
@@ -447,7 +526,7 @@ object Dedup {
   def appendChunkHashesFor(s: SparkSession, indexDir: String,
       docs: DataFrame): Unit = {
     import s.implicits._
-    writeChunkHashes(docs.select(cdcChunksUdf($"text").as("ch")),
+    writeChunkHashes(docs.select($"doc_id", cdcChunksUdf($"text").as("ch")),
       indexDir, "append")
   }
 
@@ -1203,6 +1282,22 @@ object Dedup {
     "dedup_cdc_incremental" -> { (s, d) =>
       val dir = Similarity.storedQueryDir("cdc_incr", d)
       writeCdcIndex(s, d, dir, col("doc_id") % IncrementalMod =!= 0)
+      incrementalCdcMass(s, d, dir)
+    },
+
+    // The takedown round trip (the sim_ann_*_purged convention on the
+    // sub-document side): build the historical index, DELETE a slice
+    // of ingested docs (doc_id ≡ PurgeRes mod PurgeMod — negative
+    // carrier counts, the multi-TB layout untouched), probe the new
+    // batch. Chunks whose only carriers were deleted stop counting as
+    // historical mass; chunks shared with surviving docs keep
+    // answering — the oracle restates exactly that set difference.
+    "dedup_cdc_purged" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("cdc_purge", d)
+      writeCdcIndex(s, d, dir, col("doc_id") % IncrementalMod =!= 0)
+      deleteFromCdcIndex(s, d, dir,
+        col("doc_id") % IncrementalMod =!= 0 &&
+          col("doc_id") % Similarity.PurgeMod === Similarity.PurgeRes)
       incrementalCdcMass(s, d, dir)
     },
 
@@ -2295,6 +2390,30 @@ object Dedup {
             WHERE doc_id % $IncrementalMod = 0),
           oldc AS (SELECT DISTINCT chunk FROM chunks
             WHERE doc_id % $IncrementalMod <> 0),
+          per AS (SELECT n.doc_id,
+              COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN o.chunk IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_chunks,
+              CAST(SUM(CASE WHEN o.chunk IS NOT NULL THEN len(n.chunk)
+                ELSE 0 END) AS BIGINT) AS dup_chars
+            FROM newc n LEFT JOIN oldc o USING (chunk)
+            GROUP BY n.doc_id)
+          SELECT d.doc_id,
+            COALESCE(per.n_chunks, 0) AS n_chunks,
+            COALESCE(per.dup_chunks, 0) AS dup_chunks,
+            COALESCE(per.dup_chars, 0) AS dup_chars
+          FROM d LEFT JOIN per USING (doc_id)
+          WHERE d.doc_id % $IncrementalMod = 0""",
+    // the takedown restated as the set difference the carrier-count
+    // algebra implements: historical = ingested docs MINUS the purge
+    // slice; everything else is the incremental probe verbatim
+    "dedup_cdc_purged" ->
+      s"""WITH $cdcChunkCtes,
+          newc AS (SELECT doc_id, chunk FROM chunks
+            WHERE doc_id % $IncrementalMod = 0),
+          oldc AS (SELECT DISTINCT chunk FROM chunks
+            WHERE doc_id % $IncrementalMod <> 0
+              AND NOT (doc_id % ${Similarity.PurgeMod} = ${Similarity.PurgeRes})),
           per AS (SELECT n.doc_id,
               COUNT(*) AS n_chunks,
               CAST(SUM(CASE WHEN o.chunk IS NOT NULL THEN 1 ELSE 0 END)
