@@ -1198,6 +1198,24 @@ object Multimodal {
       incrementalPhashPairs(s, d, dir)
     },
 
+    // The perceptual takedown round trip (the dedup_cdc_purged /
+    // sim_ann_*_purged convention): build the historical band index,
+    // tombstone a slice of ingested media (id-sized delete, the
+    // multi-TB layout untouched), probe the new batch — deleted media
+    // stop appearing as historical neighbors immediately.
+    "dedup_phash_purged" -> { (s, d) =>
+      import s.implicits._
+      val dir = Similarity.storedQueryDir("ph_purge", d)
+      writePhashIndex(s, d, dir,
+        col("media_id") % Dedup.IncrementalMod =!= 0)
+      deleteFromPhashIndex(s, dir,
+        phashRelation(s, d)
+          .filter($"media_id" % Dedup.IncrementalMod =!= 0 &&
+            $"media_id" % Similarity.PurgeMod === Similarity.PurgeRes)
+          .select($"media_id"))
+      incrementalPhashPairs(s, d, dir)
+    },
+
     // ...and its collapse-first scale form: distinct hashes with
     // multiplicities on both sides, distinct-pair-sized output — the
     // shape that stays flat where the exact pair report above is
@@ -1245,6 +1263,96 @@ object Multimodal {
       .parquet(s"$outDir/bands")
   }
 
+  /** Append a nightly batch's band rows to a stored pHash index — the
+    * rolling-ingest half the perceptual lifecycle was missing (the
+    * appendToMinhashIndex convention): rows are per-media, so append
+    * is plain row union and append ≡ rebuild holds by construction
+    * (PhashLifecycleSpec pins it). Same single-writer /
+    * exactly-once-ingest contract as every stored maintainer here.
+    */
+  def appendToPhashIndex(s: SparkSession, d: String, outDir: String,
+      pred: Column): Unit = {
+    import s.implicits._
+    val rel = phashRelation(s, d).filter(pred)
+      .filter($"phash" =!= 0L).select($"media_id", $"phash")
+    phashBandRows(rel)
+      .repartition($"band")
+      .sortWithinPartitions($"band", $"bval")
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$outDir/bands")
+  }
+
+  /** Media-level takedown against a stored pHash index — the
+    * [[graft.operators.Similarity.deleteFromIndex]] convention
+    * verbatim on the media side: append the ids to an id-sized
+    * tombstone relation; every probe anti-joins it, so a deleted
+    * media stops appearing as a historical neighbor immediately while
+    * the multi-TB band layout stays untouched. Physical purge is
+    * [[compactPhashIndex]]. Idempotent; re-ingest of a deleted id
+    * only after compaction folds its tombstone (ids are
+    * content-addressed upstream, so reuse-before-compaction does not
+    * occur).
+    */
+  def deleteFromPhashIndex(s: SparkSession, indexDir: String,
+      ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("media_id"))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/_graft_tombstones")
+
+  /** The tombstone anti-join the pHash probes apply — absent
+    * tombstones cost one existence check and zero plan nodes; the
+    * anti-join sits on the scan side of the pushed (band, bval)
+    * filter, which pushes through a LEFT ANTI join's left side, so
+    * pruning survives deletion.
+    */
+  private def phashMinusTombstones(s: SparkSession, indexDir: String,
+      rows: DataFrame): DataFrame = {
+    val tp = new org.apache.hadoop.fs.Path(s"$indexDir/_graft_tombstones")
+    if (!tp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(tp)) rows
+    else rows.join(
+      s.read.schema("media_id BIGINT").parquet(tp.toString),
+      Seq("media_id"), "left_anti")
+  }
+
+  /** Physically purge tombstones and defrag append fragmentation from
+    * a stored pHash index: rewrite the band rows minus the tombstoned
+    * ids (staging + dir swap — a crash before the swap leaves the old
+    * layout intact), then clear the tombstones LAST (the
+    * compactIvfIndex crash discipline: a crash between swap and clear
+    * leaves tombstones over already-purged rows — the anti-join is
+    * simply a no-op, never a wrong answer).
+    */
+  def compactPhashIndex(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val survivors = phashMinusTombstones(s, indexDir,
+      s.read.schema(phashBandsSchema).parquet(s"$indexDir/bands"))
+      .repartition($"band")
+      .sortWithinPartitions($"band", $"bval")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$indexDir/bands_staging")
+    fs.delete(staging, true)
+    survivors.write.partitionBy("band").parquet(staging.toString)
+    graft.operators.Similarity.swapDirInto(s, staging,
+      new org.apache.hadoop.fs.Path(s"$indexDir/bands"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/_graft_tombstones"),
+      true)
+  }
+
+  /** The stored band relation's schema, pinned (partition-column
+    * inference defeats pruning — the readIvfIndex note). Shared by
+    * the probe and the compactor so the two cannot read differently.
+    */
+  private val phashBandsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("media_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("phash",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bval",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType)))
+
   /** Incremental perceptual near-dup: the NEW batch's band values
     * probed against a STORED band index — (new_id, old_id, hamming ≤
     * [[PhashThreshold]]) pairs only, exact by the pigeonhole
@@ -1264,16 +1372,11 @@ object Multimodal {
     val nb = phashBandRows(newRel)
       .select($"media_id".as("new_id"), $"phash".as("new_ph"),
         $"band", $"bval")
-    val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("media_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("phash",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("bval",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("band",
-        org.apache.spark.sql.types.IntegerType)))
-    val stored = s.read.schema(bandsSchema).parquet(s"$indexDir/bands")
+    // tombstoned ids drop at the scan (takedown visibility is
+    // immediate); the pushed (band, bval) filter below still prunes —
+    // it pushes through the anti-join's left side
+    val stored = phashMinusTombstones(s, indexDir,
+        s.read.schema(phashBandsSchema).parquet(s"$indexDir/bands"))
       .select($"media_id".as("old_id"), $"phash".as("old_ph"),
         $"band", $"bval")
     val probePairs = nb.select($"band", $"bval").distinct()
@@ -1306,7 +1409,28 @@ object Multimodal {
     * applied to the incremental lifecycle.
     */
   def writePhashGroupsIndex(s: SparkSession, d: String, outDir: String,
-      pred: Column): Unit = {
+      pred: Column): Unit =
+    writePhashGroups(s, d, outDir, pred, "overwrite")
+
+  /** Append a nightly batch's COLLAPSED groups to a stored group
+    * index: the batch's own (phash, rep, n) delta rows land as new
+    * files, and the probe folds rows per hash (rep = min, n = sum —
+    * both associative), so append ≡ rebuild exactly
+    * (PhashLifecycleSpec pins it). [[compactPhashGroupsIndex]] folds
+    * physically. TAKEDOWN is deliberately NOT offered on this layout:
+    * the collapse discards per-media ids, so the index cannot name a
+    * surviving representative once the stored rep is deleted — a
+    * takedown routes through the per-media index
+    * ([[deleteFromPhashIndex]]) or a rebuild over survivors (the
+    * collapse trades id resolution for the duplication²→distinct²
+    * probe bound; this is the price, stated).
+    */
+  def appendToPhashGroupsIndex(s: SparkSession, d: String, outDir: String,
+      pred: Column): Unit =
+    writePhashGroups(s, d, outDir, pred, "append")
+
+  private def writePhashGroups(s: SparkSession, d: String, outDir: String,
+      pred: Column, saveMode: String): Unit = {
     import s.implicits._
     val groups = phashRelation(s, d).filter(pred)
       .filter($"phash" =!= 0L)
@@ -1317,9 +1441,43 @@ object Multimodal {
       .select($"band", $"bval", $"phash", $"rep", $"n")
       .repartition($"band")
       .sortWithinPartitions($"band", $"bval")
-      .write.mode("overwrite").partitionBy("band")
+      .write.mode(saveMode).partitionBy("band")
       .parquet(s"$outDir/groups")
   }
+
+  /** Fold a stored group index physically — one row per hash (rep =
+    * min, n = sum across append deltas), staging + dir swap. No
+    * probe's answer changes (the probe already folds); this is the
+    * append-fragmentation defrag.
+    */
+  def compactPhashGroupsIndex(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val folded = s.read.schema(phashGroupsSchema).parquet(s"$indexDir/groups")
+      .groupBy($"band", $"bval", $"phash")
+      .agg(min($"rep").as("rep"), sum($"n").as("n"))
+      .select($"band", $"bval", $"phash", $"rep", $"n")
+      .repartition($"band")
+      .sortWithinPartitions($"band", $"bval")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$indexDir/groups_staging")
+    fs.delete(staging, true)
+    folded.write.partitionBy("band").parquet(staging.toString)
+    graft.operators.Similarity.swapDirInto(s, staging,
+      new org.apache.hadoop.fs.Path(s"$indexDir/groups"))
+  }
+
+  private val phashGroupsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bval",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("phash",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("rep",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType)))
 
   /** Collapsed incremental perceptual near-dup — the scale path of
     * [[incrementalPhashPairs]] (whose exact per-media pair report is
@@ -1343,18 +1501,12 @@ object Multimodal {
       .join(ng.select($"phash", $"rep", $"n"), Seq("phash"))
       .select($"band", $"bval", $"phash".as("new_ph"),
         $"rep".as("rep_new"), $"n".as("n_new"))
-    val groupsSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("bval",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("phash",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("rep",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("n",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("band",
-        org.apache.spark.sql.types.IntegerType)))
-    val stored = s.read.schema(groupsSchema).parquet(s"$indexDir/groups")
+    // fold append deltas per hash (rep = min, n = sum — associative),
+    // AFTER the pushed (band, bval) pruning below narrows the scan:
+    // the fold is over probed row groups only, and append ≡ rebuild
+    // holds exactly because the write-time collapse uses the same
+    // min/sum algebra
+    val stored = s.read.schema(phashGroupsSchema).parquet(s"$indexDir/groups")
       .select($"band", $"bval", $"phash".as("old_ph"),
         $"rep".as("rep_old"), $"n".as("n_old"))
     val probePairs = nb.select($"band", $"bval").distinct()
@@ -1368,7 +1520,9 @@ object Multimodal {
           col("band") === b &&
             col("bval").isin(ps.map(p => java.lang.Long.valueOf(p._2)).toIndexedSeq: _*)
         }.reduce(_ || _))
-    nb.join(ob, Seq("band", "bval"))
+    val obf = ob.groupBy($"band", $"bval", $"old_ph")
+      .agg(min($"rep_old").as("rep_old"), sum($"n_old").as("n_old"))
+    nb.join(obf, Seq("band", "bval"))
       .select($"rep_new", $"rep_old", $"n_new", $"n_old",
         $"new_ph".bitwiseXOR($"old_ph").as("x"))
       .select($"rep_new", $"rep_old",
@@ -1579,6 +1733,19 @@ object Multimodal {
           FROM pph n JOIN pph o
             ON n.doc_id % ${Dedup.IncrementalMod} = 0
             AND o.doc_id % ${Dedup.IncrementalMod} <> 0
+          WHERE n.phash <> 0 AND o.phash <> 0
+            AND bit_count(xor(n.phash, o.phash)) <= $PhashThreshold""",
+    // the takedown restated as the set difference the tombstone
+    // anti-join implements: historical = ingested media MINUS the
+    // purge slice; everything else is the incremental probe verbatim
+    "dedup_phash_purged" ->
+      s"""WITH ${phashCte}
+          SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+            CAST(bit_count(xor(n.phash, o.phash)) AS INT) AS hamming
+          FROM pph n JOIN pph o
+            ON n.doc_id % ${Dedup.IncrementalMod} = 0
+            AND o.doc_id % ${Dedup.IncrementalMod} <> 0
+            AND NOT (o.doc_id % ${Similarity.PurgeMod} = ${Similarity.PurgeRes})
           WHERE n.phash <> 0 AND o.phash <> 0
             AND bit_count(xor(n.phash, o.phash)) <= $PhashThreshold""",
     // the collapsed probe restated semantically over distinct hashes
