@@ -124,6 +124,16 @@ object Lexical {
   def appendToLexIndex(s: SparkSession, indexDir: String,
       docs: DataFrame): Unit = {
     import s.implicits._
+    // append-pending marker, written BEFORE the postings land and
+    // removed only after the stats swap: its presence is the exact
+    // "a crash may have left this index inconsistent" signal, and its
+    // mtime lower-bounds every file the crashed batch wrote — which
+    // is what lets [[repairLexIndex]] scan the crashed BATCH's
+    // postings files instead of the corpus
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(appendPendingPath(indexDir))
+    fs.create(marker, true).close()
     postingsOf(docs)
       .withColumn("pbucket", bucketCol($"term"))
       .repartitionByRange(col("pbucket"), col("term"))
@@ -143,42 +153,85 @@ object Lexical {
       .write.mode("overwrite").parquet(tmp.toString)
     Similarity.swapDirInto(s, tmp,
       new org.apache.hadoop.fs.Path(s"$indexDir/stats"))
+    fs.delete(marker, false)
   }
+
+  private def appendPendingPath(indexDir: String): String =
+    s"$indexDir/_graft_append_pending"
 
   /** Recover consistency after an interrupted [[appendToLexIndex]] —
     * the lexical twin of ClusteredLayout.repairLayout, restoring the
     * invariant that stats/doclen are DERIVABLE from the postings on
-    * disk, never trusted state:
+    * disk, never trusted state. BOUNDED by the crashed batch, not the
+    * corpus (the r15 verdict item): the append-pending marker tells
+    * repair whether a crash window is even possible — no marker means
+    * the last append completed its stats swap, the index is
+    * consistent, and repair is a no-op — and when one exists, only
+    * postings FILES at or after the marker's timestamp can belong to
+    * the crashed batch (the marker is created before the batch's
+    * first postings byte, single-writer), so the doclen recovery
+    * reads those files alone:
     *
-    *  1. doclen ← postings: any doc_id present in postings but absent
-    *     from doclen (crash between the two appends) gets its dl row
-    *     back from the denormalized postings copy — one column-pruned
-    *     postings scan. Zero-token docs from the crashed batch have no
-    *     postings to recover from; they also contribute no scores, so
-    *     stats derived from the recovered doclen are exact for every
-    *     row the index can return.
-    *  2. stats ← doclen: recomputed the fresh-build way and swapped
-    *     crash-safe, closing the stale-n_docs/avgdl window the append
-    *     scaladoc names.
+    *  1. doclen ← recent postings: any doc_id present in the crashed
+    *     batch's postings but absent from doclen gets its dl row back
+    *     from the denormalized postings copy. Zero-token docs from
+    *     the crashed batch have no postings to recover from; they
+    *     also contribute no scores, so stats derived from the
+    *     recovered doclen are exact for every row the index can
+    *     return.
+    *  2. stats ← doclen: recomputed the fresh-build way over the
+    *     doc-count-sized doclen relation and swapped crash-safe,
+    *     closing the stale-n_docs/avgdl window the append scaladoc
+    *     names; the marker is cleared LAST (a crash mid-repair leaves
+    *     it, and repair is idempotent).
     *
-    * Idempotent; safe to run on a healthy index (no-op append, same
-    * stats). Single-writer, like all maintenance ops here.
+    * `force = true` runs the full-corpus recovery scan regardless of
+    * the marker — the belt-and-suspenders path for an index whose
+    * files were touched outside the append protocol. Returns the
+    * number of postings files the recovery scanned (0 = no-op), so
+    * callers and specs can see the bound. Single-writer, like all
+    * maintenance ops here.
     */
-  def repairLexIndex(s: SparkSession, indexDir: String): Unit = {
+  def repairLexIndex(s: SparkSession, indexDir: String,
+      force: Boolean = false): Long = {
     import s.implicits._
-    val fromPost = s.read.parquet(s"$indexDir/postings")
-      .groupBy($"doc_id").agg(first($"dl").as("dl"))
-    val missing = fromPost
-      .join(s.read.parquet(s"$indexDir/doclen"), Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"dl".cast("int").as("dl"))
-    if (!missing.isEmpty)
-      missing.write.mode("append").parquet(s"$indexDir/doclen")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(appendPendingPath(indexDir))
+    val pending = fs.exists(marker)
+    if (!pending && !force) return 0L
+    // files the crashed batch could have written: everything at or
+    // after the marker's creation (1 s grace for coarse-mtime
+    // filesystems); force scans all
+    val cutoff =
+      if (force || !pending) Long.MinValue
+      else fs.getFileStatus(marker).getModificationTime - 1000L
+    val it = fs.listFiles(
+      new org.apache.hadoop.fs.Path(s"$indexDir/postings"), true)
+    val recent = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !f.getPath.getName.startsWith("_") &&
+          f.getModificationTime >= cutoff)
+        recent += f.getPath.toString
+    }
+    if (recent.nonEmpty) {
+      val fromPost = s.read.parquet(recent.toSeq: _*)
+        .groupBy($"doc_id").agg(first($"dl").as("dl"))
+      val missing = fromPost
+        .join(s.read.parquet(s"$indexDir/doclen"), Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"dl".cast("int").as("dl"))
+      if (!missing.isEmpty)
+        missing.write.mode("append").parquet(s"$indexDir/doclen")
+    }
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/stats_repairing")
     s.read.parquet(s"$indexDir/doclen")
       .agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
       .write.parquet(tmp.toString)
     Similarity.swapDirInto(s, tmp,
       new org.apache.hadoop.fs.Path(s"$indexDir/stats"))
+    fs.delete(marker, false)
+    recent.length.toLong
   }
 
   /** Document tombstones — the takedown half of the lexical lifecycle

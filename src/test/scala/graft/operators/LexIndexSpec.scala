@@ -194,9 +194,33 @@ class LexIndexSpec extends AnyFunSuite {
     Seq(preStats).toDF("n_docs", "avgdl").write.parquet(stTmp.toString)
     Similarity.swapDirInto(spark, stTmp,
       new org.apache.hadoop.fs.Path(s"$dir/stats"))
+    // a crashed append leaves its pending marker (the successful
+    // append above deleted it): re-create it dated just before the
+    // batch's postings files, exactly as the real crash leaves it —
+    // and age the PRE-append postings far into the past so the
+    // bounded-scan assertion below is meaningful
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val postFiles = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) { val f = it.next(); if (f.isFile) buf += f }
+      buf.toSeq
+    }
+    val batchTime = postFiles.map(_.getModificationTime).max
+    val batchFiles = postFiles.count(_.getModificationTime >= batchTime - 1500)
+    postFiles.filter(_.getModificationTime < batchTime - 1500)
+      .foreach(f => fs.setTimes(f.getPath, 1000000L, -1))
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_append_pending")
+    fs.create(marker, true).close()
+    fs.setTimes(marker, batchTime - 500, -1)
     // the named failure mode: new postings visible, stale stats →
     // scores in this state are NOT the full-corpus scores
-    Lexical.repairLexIndex(spark, dir)
+    val scanned = Lexical.repairLexIndex(spark, dir)
+    assert(scanned > 0 && scanned <= batchFiles,
+      s"recovery must scan the crashed batch's files only: $scanned of ${postFiles.size} total, batch $batchFiles")
+    assert(!fs.exists(marker), "repair clears the pending marker last")
     Lexical.writeLexIndex(spark, sf, full)
     val stR = spark.read.parquet(s"$dir/stats").as[(Long, Double)].head()
     val stF = spark.read.parquet(s"$full/stats").as[(Long, Double)].head()
