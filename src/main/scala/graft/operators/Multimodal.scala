@@ -726,13 +726,23 @@ object Multimodal {
     * rounded cosine, threshold flag. Shared by the declared query and
     * the pair-curation pipeline.
     */
-  def captionScores(s: SparkSession, d: String): DataFrame = {
+  def captionScores(s: SparkSession, d: String): DataFrame =
+    captionScoresFor(s, mediaSignatures(s, d), Tables.embeddings(s, d))
+
+  /** The cross-modal scorer for ARBITRARY signature (vec_id,
+    * embedding, nrm) and caption-embedding (vec_id, embedding)
+    * relations — ONE definition consumed by the declared query and
+    * the real-decoder/serving composition ([[mmPairCurateFor]]), so
+    * the two cannot score differently.
+    */
+  def captionScoresFor(s: SparkSession, sigRel: DataFrame,
+      captions: DataFrame): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions
-    val sigs = mediaSignatures(s, d)
+    val sigs = sigRel
       .select($"vec_id".as("media_id"), $"embedding".as("sig"),
         $"nrm".as("s_nrm"))
-    val caps = Tables.embeddings(s, d)
+    val caps = captions
       .select($"vec_id".as("media_id"), $"embedding",
         VectorFunctions.norm($"embedding").as("e_nrm"))
       .filter($"e_nrm" > 0)
@@ -743,6 +753,45 @@ object Multimodal {
           $"s_nrm", $"e_nrm"), 4).as("clip_sim"))
       .withColumn("mismatch",
         when($"clip_sim" < CaptionKeepThreshold, 1L).otherwise(0L))
+  }
+
+  /** The pair-curation pipeline for an ARBITRARY (media_id, payload)
+    * relation, caption-embedding relation and DECODER — the
+    * real-decoder/serving entry point the declared
+    * [[queries pipe_mm_pair_curate]] is the fixture instance of
+    * (hermetic decoder, fixture tables; PipeCurateParity pins the two
+    * row-identical there). Legs are the composed query's own kernels:
+    * payload-size gate computed from the payload bytes (identical to
+    * the metadata projection — n_bytes IS octet_length(payload)),
+    * caption-match gate through [[captionScoresFor]], one
+    * representative per near-dup cluster via [[lshVerifiedPairs]] +
+    * the shared CC kernel (MediaCollapseSpec pins collapse-first ≡
+    * full-cluster, so the anti-join set is the same either way).
+    * Decode runs once: the signature relation is persisted across its
+    * three consumers and dropped once the result is pinned.
+    */
+  def mmPairCurateFor(s: SparkSession, media: DataFrame,
+      captions: DataFrame, decoder: MediaDecoder): DataFrame = {
+    import s.implicits._
+    val gated = media.select($"media_id",
+        octet_length($"payload").cast("long").as("n_bytes"))
+      .filter($"n_bytes" >= CurateMinBytes)
+    val sigs = signaturesWith(s, media, decoder)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matched = captionScoresFor(s, sigs, captions)
+      .filter($"mismatch" === 0L)
+      .select($"media_id", $"clip_sim")
+    val np = Similarity.adaptivePlanes(Similarity.rowCount(s, media))
+    val dupMembers = Dedup.connectedComponents(lshVerifiedPairs(s, sigs, np))
+      .filter($"doc_id" =!= $"rep_id")
+      .select($"doc_id".as("media_id"))
+    val out = gated
+      .join(matched, Seq("media_id"))
+      .join(dupMembers, Seq("media_id"), "left_anti")
+      .select($"media_id", $"clip_sim", $"n_bytes")
+      .localCheckpoint(true)
+    sigs.unpersist(blocking = false)
+    out
   }
 
   /** Media near-duplicate pair relation — multimodal columns as a

@@ -142,4 +142,59 @@ class MediaGoldenSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L), "unrelated audio paired")
     assert(!got.exists(p => p._1 == 5L || p._2 == 5L), "undecodable payload paired")
   }
+
+  test("real decoders drive the COMPOSED pair-curation pipeline (the LAION shape end-to-end)") {
+    assume(Multimodal.JdkImageDecoder.available)
+    import spark.implicits._
+    def p1(x: Int, y: Int): Int = (x * 3 + y * 7) % 251
+    // ids 1/2: PNG≡BMP exact dup — curation must keep exactly ONE;
+    // 3: near-dup of 1 (collapses into the same cluster);
+    // 4: unrelated, well-captioned — must survive;
+    // 5: undecodable (zero-norm signature → no caption score → out);
+    // 6: unrelated, MIS-captioned — caption gate must drop it;
+    // 7: a tiny payload under the size gate
+    val payloads = Seq(
+      1L -> img(64, 64, "png")(p1),
+      2L -> img(64, 64, "bmp")(p1),
+      3L -> img(64, 64, "png")((x, y) =>
+        if (y >= 60) (x * 11) % 241 else p1(x, y)),
+      4L -> img(64, 64, "png")((x, y) => (x * x + 5 * y) % 239),
+      5L -> "not an image at all".getBytes("UTF-8"),
+      6L -> img(64, 64, "png")((x, y) => (7 * x + y * y) % 233),
+      7L -> Array.fill[Byte](8)(1))
+    val media = payloads.toDF("media_id", "payload")
+    // captions in the signature space (the fixture contract — a real
+    // deployment's CLIP towers share the space by construction):
+    // aligned caption = the media's own signature (clip_sim 1.0);
+    // misaligned = its negation (clip_sim −1 < keep threshold)
+    val sigs = Multimodal.signaturesWith(spark, media,
+        Multimodal.JdkImageDecoder)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val captions = sigs.map { case (id, v) =>
+      (id, if (id == 6L) v.map(x => -x) else v)
+    }.toSeq.toDF("vec_id", "embedding")
+    val kept = Multimodal.mmPairCurateFor(spark, media, captions,
+        Multimodal.JdkImageDecoder)
+      .select($"media_id", $"clip_sim").as[(Long, Double)].collect().toMap
+    // exactly one survivor of the {1,2,3} duplicate cluster (the CC
+    // rep = min id = 1), the well-captioned unrelated image, and
+    // nothing else
+    assert(kept.keySet == Set(1L, 4L), s"curated set: $kept")
+    assert(kept(1L) == 1.0 && kept(4L) == 1.0, s"aligned captions score 1.0: $kept")
+  }
+
+  test("pipe_mm_pair_curate ≡ mmPairCurateFor on the fixture relations (no composition drift)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val declared = graft.SparkEntry.queries("pipe_mm_pair_curate")(spark, sf)
+      .as[(Long, Double, Long)].collect().toSet
+    val composed = Multimodal.mmPairCurateFor(spark,
+        Multimodal.mediaRelation(spark, sf).select($"media_id", $"payload"),
+        graft.Tables.embeddings(spark, sf).select($"vec_id", $"embedding"),
+        Multimodal.FakeDecoder)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(declared.nonEmpty, "fixture produced an empty curated set — vacuous")
+    assert(composed == declared,
+      s"For-form drifted from the declared query: ${composed.diff(declared).take(3)} / ${declared.diff(composed).take(3)}")
+  }
 }
