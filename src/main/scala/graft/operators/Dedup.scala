@@ -455,30 +455,50 @@ object Dedup {
   def incrementalCdcMass(s: SparkSession, d: String, indexDir: String,
       batchPred: Column = col("doc_id") % IncrementalMod === 0): DataFrame = {
     import s.implicits._
-    cdcMassFor(s, indexDir,
-      Tables.documents(s, d).filter(batchPred).select($"doc_id", $"text"))
+    // the LAZY form: a declared query's plan stays inspectable (the
+    // PlanQualitySpec pushdown pins and any .explain read the real
+    // probe plan), and no append follows the probe here
+    cdcMassBuild(s, indexDir,
+      Tables.documents(s, d).filter(batchPred).select($"doc_id", $"text"),
+      eager = false)
   }
 
   /** [[incrementalCdcMass]] for an ARBITRARY (doc_id, text) batch
-    * relation — the serving form [[graft.streaming.DocStream
+    * relation — the SERVING form [[graft.streaming.DocStream
     * .cdcMassStream]] probes per micro-batch. Only the batch is
-    * chunked (never the corpus the index summarizes); everything
-    * downstream is byte-for-byte the declared query's probe, so the
-    * stream and batch forms cannot drift.
+    * chunked (never the corpus the index summarizes), exactly ONCE
+    * (the batch's chunk positions are cached across the
+    * touched-bucket collect and the probe join, then dropped), and
+    * the result is EAGERLY MATERIALIZED (localCheckpoint, lineage cut
+    * from the index scan): the probe is pinned BEFORE any caller
+    * appends this batch's hashes to the same index — a lazy plan
+    * re-evaluated after the append would scan the just-appended files
+    * and compare the batch against itself, silently breaking the
+    * new×old contract (a public sink may defer consumption
+    * arbitrarily). Everything else is byte-for-byte the declared
+    * query's probe, so the stream and batch forms cannot drift.
     */
   def cdcMassFor(s: SparkSession, indexDir: String,
-      docs: DataFrame): DataFrame = {
+      docs: DataFrame): DataFrame =
+    cdcMassBuild(s, indexDir, docs, eager = true)
+
+  private def cdcMassBuild(s: SparkSession, indexDir: String,
+      docs: DataFrame, eager: Boolean): DataFrame = {
     import s.implicits._
-    // PERSISTED: two consumers below (the touched-bucket collect and
-    // the probe join) would otherwise each re-run the CDC chunker —
-    // the dominant per-batch cost — over the batch. The bucket
-    // collect materializes the cache; unpersisted after the probe
-    // result is checkpointed.
-    val pos = docs
+    val pos0 = docs
       .select($"doc_id", cdcChunksUdf($"text").as("ch"))
       .select($"doc_id", explode($"ch").as("c"))
       .select($"doc_id", $"c._1".as("h"), $"c._2".as("l"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: cache the chunk positions across their two consumers
+    // (the touched-bucket collect below materializes the cache, the
+    // probe join reads it) so the chunker — the dominant per-batch
+    // cost — runs once; dropped after the checkpoint. The lazy form
+    // trades one extra chunker pass at action time for a fully
+    // inspectable plan with no cache residue.
+    val pos =
+      if (eager)
+        pos0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pos0
     val stored = s.read.schema(cdcChunksSchema).parquet(s"$indexDir/chunks")
     val bkts = pos
       .select(pmod($"h", lit(CdcIndexBuckets.toLong)).cast("int").as("bkt"))
@@ -505,18 +525,14 @@ object Dedup {
         coalesce($"n_chunks", lit(0L)).as("n_chunks"),
         coalesce($"dup_chunks", lit(0L)).as("dup_chunks"),
         coalesce($"dup_chars", lit(0L)).as("dup_chars"))
-    // EAGERLY materialized (localCheckpoint cuts the lineage to the
-    // stored scan): the probe result must be pinned BEFORE any caller
-    // appends this batch's hashes to the same index — a lazy plan
-    // re-evaluated after the append would scan the just-appended
-    // files and compare the batch against itself, silently breaking
-    // the new×old contract ([[graft.streaming.DocStream
-    // .cdcMassStream]] appends right after this returns, and a public
-    // caller's sink may defer consumption arbitrarily). Batch-sized
-    // relation (per-doc rows), so the pinned copy is small.
-    val mat = out.localCheckpoint(true)
-    pos.unpersist(blocking = false)
-    mat
+    if (!eager) out
+    else {
+      // batch-sized relation (per-doc rows), so the pinned copy is
+      // small; see the cdcMassFor scaladoc for why it must be pinned
+      val mat = out.localCheckpoint(true)
+      pos.unpersist(blocking = false)
+      mat
+    }
   }
 
   /** Append an arbitrary (doc_id, text) batch's distinct chunk hashes
