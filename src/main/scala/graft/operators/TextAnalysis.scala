@@ -64,33 +64,54 @@ object TextAnalysis {
   private def bigramScoreRelation(s: SparkSession, d: String): DataFrame =
     bigramScoreCache.getOrBuild(s, d) {
       import s.implicits._
+      // NOT persisted, measured: three subtrees read `docs` (the
+      // bigram explode, the vocabulary count, the per-doc base), but
+      // caching the token arrays across them changed nothing at sf10
+      // (60.0 s vs 59.3) — the build's cost is the ~100M-row bigram
+      // aggregate itself, not the repeated tokenize, and the cache
+      // would pin corpus-sized arrays for no win.
       val docs = Tables.documents(s, d)
         .select($"doc_id", $"source", tokens($"text").as("toks"))
+      // Bigram identity travels as 8-byte xxhash64 keys from the
+      // moment of emission — the hashing happens INSIDE the row-local
+      // transform, so token strings never leave their row, let alone
+      // reach an exchange: every model shuffle below (the per-doc tf,
+      // the two count rollups, the tf⋈bc⋈pc probe joins) moves
+      // fixed-width longs. The shingleHashes convention: equal to
+      // string grouping modulo a 2⁻⁶⁴ collision (the oracle groups
+      // the STRINGS, so the hash-exact gate would catch one). kb =
+      // hash(prev, cur) determines kp = hash(prev) (same kb ⇒ same
+      // prev), so kp rides the tf aggregate as max() instead of a
+      // second key column.
       val pairs = docs.select($"doc_id", explode(when(size($"toks") >= 2,
         expr("""transform(sequence(2, size(toks)),
-                i -> struct(element_at(toks, i - 1) AS prev,
-                            element_at(toks, i) AS cur))"""))
+                i -> struct(xxhash64(element_at(toks, i - 1),
+                              element_at(toks, i)) AS kb,
+                            xxhash64(element_at(toks, i - 1)) AS kp))"""))
         .otherwise(expr("array()"))).as("bg"))
-        .select($"doc_id", $"bg.prev".as("prev"), $"bg.cur".as("cur"))
-      val tf = pairs.groupBy($"doc_id", $"prev", $"cur")
-        .agg(count(lit(1)).as("tf"))
-      val bc = tf.groupBy($"prev", $"cur").agg(sum($"tf").as("cbg"))
-      val pc = bc.groupBy($"prev").agg(sum($"cbg").as("cprev"))
+        .select($"doc_id", $"bg.kb".as("kb"), $"bg.kp".as("kp"))
+      val tf = pairs.groupBy($"doc_id", $"kb")
+        .agg(count(lit(1)).as("tf"), max($"kp").as("kp"))
+      val bc = tf.groupBy($"kb")
+        .agg(sum($"tf").as("cbg"), max($"kp").as("kp"))
+      val pc = bc.groupBy($"kp").agg(sum($"cbg").as("cprev"))
       val vocab = docs.select(explode($"toks").as("tok"))
-        .agg(countDistinct($"tok").as("v"))
-      val per = tf.join(bc, Seq("prev", "cur")).join(pc, Seq("prev"))
+        .agg(countDistinct(xxhash64($"tok")).as("v"))
+      val per = tf.join(bc.select($"kb", $"cbg"), Seq("kb"))
+        .join(pc, Seq("kp"))
         .crossJoin(broadcast(vocab))
         .groupBy($"doc_id")
         .agg(sum($"tf").as("n_bigrams"),
           (-sum($"tf" * log(($"cbg" + 1).cast("double") /
             ($"cprev" + $"v").cast("double"))) / sum($"tf")).as("nll"))
-      docs.select($"doc_id", $"source",
+      val out = docs.select($"doc_id", $"source",
           size($"toks").cast("long").as("n_tokens"))
         .join(per, Seq("doc_id"), "left")
         .select($"doc_id", $"source", $"n_tokens",
           coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
           round(coalesce($"nll", lit(0.0)), 5).as("nll"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out
     }
 
   private val bigramScoreCache = new SessionCache[DataFrame](df =>
