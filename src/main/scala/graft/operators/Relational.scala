@@ -335,6 +335,27 @@ object Relational {
       concurrencyFromStored(s, d, dir)
     },
 
+    // The events family's takedown round trip (the *_purged
+    // convention; the GDPR user-erasure shape): write the layout,
+    // DELETE a user slice (edge legs via tombstones, interior legs
+    // via the sidecar count subtraction — no event row read), serve —
+    // deleted users' events count toward NOBODY's concurrency and
+    // deleted users are not served. Oracle = the naive BETWEEN join
+    // with both exclusions stated.
+    "evt_concurrency_purged" -> { (s, d) =>
+      import s.implicits._
+      val dir = graft.operators.Similarity.storedQueryDir("conc_purge", d)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      writeConcurrencyLayout(s, d, dir)
+      val purge = Similarity.PurgeMod
+      deleteFromConcurrencyLayout(s, dir,
+        eventsMs(s, d).select($"user_id")
+          .filter($"user_id" % purge === Similarity.PurgeRes).distinct())
+      concurrencyFromStored(s, d, dir,
+        ownerPred = col("user_id") % purge =!= Similarity.PurgeRes)
+    },
+
     // First-order behavior model — the Markov transition matrix over
     // event types (the user-journey modeling staple; evt_topk_paths'
     // distributional sibling): P(next = cur | prev), estimated from
@@ -694,6 +715,9 @@ object Relational {
     * oracles — `where` slices the served sessions.
     */
   private def concurrencySql(where: String): String =
+    concurrencySql(where, "")
+
+  private def concurrencySql(where: String, countedPred: String): String =
     s"""WITH e AS (SELECT user_id, event_id,
           epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
           FROM events),
@@ -714,6 +738,7 @@ object Relational {
         FROM sess s LEFT JOIN e e2
           ON e2.ts_ms BETWEEN s.s_ms AND s.e_ms
           AND e2.user_id <> s.user_id
+          $countedPred
         $where
         GROUP BY s.user_id, s.session_idx"""
 
@@ -1087,7 +1112,11 @@ object Relational {
 
   /** The clustered event relation with its partition-column type
     * pinned (the readIvfIndex note: inferred dir values defeat
-    * pruning).
+    * pruning), MINUS any user tombstones — applied centrally so every
+    * reader of the stored events (edge scans, sidecar repair,
+    * compaction) sees the same post-takedown relation. The anti-join
+    * sits on the scan side of the pushed (day, bkt) filters, which
+    * push through its left side, so pruning survives deletion.
     */
   private def storedConcEvents(s: SparkSession, dir: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1099,7 +1128,87 @@ object Relational {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("day",
         org.apache.spark.sql.types.IntegerType)))
-    s.read.schema(schema).parquet(s"$dir/events")
+    val rows = s.read.schema(schema).parquet(s"$dir/events")
+    val tp = new org.apache.hadoop.fs.Path(concUserTombstonesPath(dir))
+    if (!tp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(tp)) rows
+    else rows.join(
+      s.read.schema("user_id BIGINT").parquet(tp.toString),
+      Seq("user_id"), "left_anti")
+  }
+
+  private def concUserTombstonesPath(dir: String): String =
+    s"$dir/_graft_user_tombstones"
+
+  /** USER-level takedown against a stored concurrency layout — the
+    * GDPR shape for the events family (the deleteFromIndex convention
+    * with a twist: the layout's derived state is count algebra, not
+    * rows, so the sidecars SUBTRACT instead of anti-joining): the
+    * deleted users' per-bucket event counts are exactly their cbu
+    * sidecar rows, so the cb decrement costs one sidecar-sized merge —
+    * no event row is read. Edge scans drop the users via the central
+    * tombstone anti-join in [[storedConcEvents]]. From the next serve
+    * on, a deleted user's events count toward NOBODY's concurrency.
+    *
+    * Ordering + crash window: tombstones land FIRST (edge legs stop
+    * answering immediately), then both sidecars swap crash-safe. A
+    * crash between the two leaves interior legs stale-HIGH for the
+    * deleted users' contributions; RE-RUNNING the delete converges
+    * (the users' cbu rows are gone after the first completed swap, so
+    * the subtraction is naturally idempotent), and
+    * [[repairConcurrencyLayout]] — which recomputes sidecars from the
+    * tombstone-filtered events — is the full-rebuild fallback.
+    * Physical purge of the tombstoned event rows is
+    * [[compactConcurrencyLayout]]. Single-writer, like every stored
+    * maintainer here.
+    */
+  def deleteFromConcurrencyLayout(s: SparkSession, dir: String,
+      userIds: DataFrame): Unit = {
+    import s.implicits._
+    val ids = userIds
+      .select(col(userIds.columns.head).cast("long").as("user_id"))
+      .distinct()
+    ids.coalesce(1).write.mode("append")
+      .parquet(concUserTombstonesPath(dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cbu = s.read.parquet(s"$dir/counts/cbu")
+    val deleted = cbu.join(ids, Seq("user_id"), "left_semi")
+    val newCb = s.read.parquet(s"$dir/counts/cb")
+      .join(deleted.groupBy($"bkt").agg(sum($"cbu").as("dcnt")),
+        Seq("bkt"), "left")
+      .select($"bkt", ($"cb" - coalesce($"dcnt", lit(0L))).as("cb"))
+      .filter($"cb" > 0)
+    val newCbu = cbu.join(ids, Seq("user_id"), "left_anti")
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/counts_staging")
+    fs.delete(staging, true)
+    newCb.write.parquet(s"$staging/cb")
+    newCbu.write.parquet(s"$staging/cbu")
+    graft.operators.Similarity.swapDirInto(s, staging,
+      new org.apache.hadoop.fs.Path(s"$dir/counts"))
+  }
+
+  /** Physically purge tombstoned users' event rows from a stored
+    * concurrency layout: rewrite the day-partitioned, bucket-sorted
+    * events minus the tombstones (staging + dir swap — a crash before
+    * the swap leaves the old layout intact; the tombstone anti-join
+    * keeps answers right either way), then clear the tombstones LAST.
+    * Sidecars are already post-delete ([[deleteFromConcurrencyLayout]]
+    * swapped them), so compaction changes no answer.
+    */
+  def compactConcurrencyLayout(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val survivors = storedConcEvents(s, dir)
+      .repartition($"day").sortWithinPartitions($"day", $"bkt")
+      .select($"user_id", $"ts_ms", $"bkt", $"day")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/events_staging")
+    fs.delete(staging, true)
+    survivors.write.partitionBy("day").parquet(staging.toString)
+    graft.operators.Similarity.swapDirInto(s, staging,
+      new org.apache.hadoop.fs.Path(s"$dir/events"))
+    fs.delete(new org.apache.hadoop.fs.Path(concUserTombstonesPath(dir)),
+      true)
   }
 
   /** Serve a session slice's concurrency from the STORED layout:
@@ -1113,10 +1222,12 @@ object Relational {
     */
   def concurrencyFromStored(s: SparkSession, d: String, dir: String,
       serveMod: Long = ConcServeMod,
-      pushdownCap: Int = ConcPushdownCap): DataFrame = {
+      pushdownCap: Int = ConcPushdownCap,
+      ownerPred: Column = lit(true)): DataFrame = {
     import s.implicits._
     val B = ConcurrencyBucketMs
-    val sess = sessionSpans(s, d, col("user_id") % serveMod === 0)
+    val sess = sessionSpans(s, d,
+      col("user_id") % serveMod === 0 && ownerPred)
     val bounds = sess
       .withColumn("b0", expr(floorDivSql("s_ms", B)))
       .withColumn("b1", expr(floorDivSql("e_ms", B)))
@@ -1425,6 +1536,14 @@ object Relational {
     // one shared restatement, sliced
     "evt_concurrency_stored" ->
       concurrencySql(s"WHERE s.user_id % $ConcServeMod = 0"),
+    // the takedown restated on the naive join: deleted users excluded
+    // from the COUNTED side (their events answer for nobody) and from
+    // the served session owners
+    "evt_concurrency_purged" ->
+      concurrencySql(
+        s"""WHERE s.user_id % $ConcServeMod = 0
+            AND NOT (s.user_id % ${Similarity.PurgeMod} = ${Similarity.PurgeRes})""",
+        s"AND NOT (e2.user_id % ${Similarity.PurgeMod} = ${Similarity.PurgeRes})"),
     // the same lag chain; counts are exact integers, the ratio rounds
     "evt_markov_transitions" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,

@@ -286,6 +286,59 @@ class CdcConcurrencySpec extends AnyFunSuite {
     assert(repaired == full, "repair did not restore the full-build answers")
   }
 
+  test("concurrency takedown: deleted users answer for nobody; delete is idempotent; compact/repair invisible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("concDel").toString
+    Relational.writeConcurrencyLayout(spark, sf, dir)
+    val purge = graft.operators.Similarity.PurgeMod
+    val res = graft.operators.Similarity.PurgeRes
+    val delIds = graft.Tables.events(spark, sf)
+      .select($"user_id").filter($"user_id" % purge === res).distinct()
+    Relational.deleteFromConcurrencyLayout(spark, dir, delIds)
+    val ownerPred = col("user_id") % purge =!= res
+    // serveMod = 1: every surviving user is served, so the deleted
+    // users' contributions are guaranteed to be exercised at sf0.001
+    def serve(): Map[(Long, Long), Long] =
+      Relational.concurrencyFromStored(spark, sf, dir, serveMod = 1L,
+          ownerPred = ownerPred)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = serve()
+    // ground truth: a fresh layout over the SURVIVING users' events
+    val survivorsDir = java.nio.file.Files.createTempDirectory("concSurv").toString
+    Relational.appendToConcurrencyLayout(spark,
+      graft.Tables.events(spark, sf)
+        .select($"user_id", expr("unix_micros(ts) div 1000").as("ts_ms"))
+        .filter(ownerPred), survivorsDir)
+    val want = Relational.concurrencyFromStored(spark, sf, survivorsDir,
+        serveMod = 1L, ownerPred = ownerPred)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty, "takedown serve empty — vacuous test")
+    assert(got == want, "takedown must answer like a rebuild over survivors")
+    // the deletion was non-vacuous: the pre-delete layout answers MORE
+    val preDir = java.nio.file.Files.createTempDirectory("concPre").toString
+    Relational.writeConcurrencyLayout(spark, sf, preDir)
+    val pre = Relational.concurrencyFromStored(spark, sf, preDir,
+        serveMod = 1L, ownerPred = ownerPred)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pre.exists { case (k, v) => v > want(k) },
+      "fixture never exercised the deleted users' contributions")
+    // idempotent: re-running the same delete changes nothing (the
+    // users' cbu rows are gone, so the subtraction is zero)
+    Relational.deleteFromConcurrencyLayout(spark, dir, delIds)
+    assert(serve() == want, "re-delete must be a no-op")
+    // compaction purges rows without changing answers, clears tombstones
+    Relational.compactConcurrencyLayout(spark, dir)
+    assert(serve() == want, "compaction must not change answers")
+    assert(!new java.io.File(s"$dir/_graft_user_tombstones").exists())
+    assert(spark.read.parquet(s"$dir/events")
+      .filter($"user_id" % purge === res).count() == 0,
+      "tombstoned users' rows must be physically purged")
+    // repair (sidecars from tombstone-filtered events) is also invisible
+    Relational.repairConcurrencyLayout(spark, dir)
+    assert(serve() == want, "repair after takedown must preserve answers")
+  }
+
   // --- txt_ppl_buckets ----------------------------------------------
 
   test("txt_ppl_buckets: threshold cuts honor the tercile counts modulo ties; buckets order by nll") {
