@@ -192,4 +192,37 @@ object DocStream {
         sink(graft.operators.Dedup.cdcMassFor(s, indexDir, batch.toDF()))
         graft.operators.Dedup.appendChunkHashesFor(s, indexDir, batch.toDF())
       }.start()
+
+  /** Apply a stream of takedown documents (doc_id, text) to a stored
+    * CDC chunk index — the [[graft.streaming.VecStream.deleteStream]]
+    * convention on the sub-document side: each micro-batch re-chunks
+    * ONLY the deleted docs and appends their carrier counts negated
+    * ([[graft.operators.Dedup.deleteChunkHashesFor]]), so from the
+    * next trigger on a chunk whose only carriers are deleted stops
+    * counting as historical mass — batch and stream takedowns share
+    * one kernel and cannot drift. Physical purge stays the periodic
+    * [[graft.operators.Dedup.compactCdcIndex]].
+    */
+  def cdcDeleteStream(docs: DataFrame,
+      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.deleteChunkHashesFor(batch.sparkSession,
+          indexDir, batch.toDF())
+      }.start()
+
+  /** Apply a stream of document takedown ids to a stored lexical
+    * index: each micro-batch appends id-sized tombstones
+    * ([[graft.operators.Lexical.deleteFromLexIndex]]), so every probe
+    * from the next trigger on stops returning the deleted documents —
+    * Lucene-delete semantics (stats stay build-time until
+    * compaction), the stored-index takedown convention.
+    */
+  def bm25DeleteStream(ids: DataFrame,
+      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Lexical.deleteFromLexIndex(batch.sparkSession,
+          indexDir, batch.toDF())
+      }.start()
 }

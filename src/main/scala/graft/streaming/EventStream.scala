@@ -349,4 +349,22 @@ object EventStream {
             expr("unix_micros(ts) div 1000").as("ts_ms")),
           layoutDir)
       }.start()
+
+  /** Apply a stream of user-erasure requests (user_id rows) to a
+    * stored concurrency layout — each micro-batch runs the full
+    * takedown ([[graft.operators.Relational
+    * .deleteFromConcurrencyLayout]]: tombstones for the edge legs,
+    * sidecar count subtraction for the interior legs), so from the
+    * next trigger on the deleted users' events count toward nobody's
+    * concurrency. Same single-writer-per-layout contract as the
+    * append stream; physical purge stays the periodic
+    * [[graft.operators.Relational.compactConcurrencyLayout]].
+    */
+  def concurrencyDeleteStream(userIds: DataFrame,
+      layoutDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    userIds.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Relational.deleteFromConcurrencyLayout(
+          batch.sparkSession, layoutDir, batch.toDF())
+      }.start()
 }

@@ -115,4 +115,21 @@ object MediaStream {
         }
       }.toDF("media_id", "dkey")
   }
+
+  /** Apply a stream of media takedown ids to a stored pHash band
+    * index — the [[graft.streaming.VecStream.deleteStream]] convention
+    * on the perceptual side: each micro-batch appends id-sized
+    * tombstones ([[Multimodal.deleteFromPhashIndex]]), so deleted
+    * media stop appearing as historical neighbors from the next
+    * trigger on while the multi-TB band layout stays untouched;
+    * physical purge stays the periodic
+    * [[Multimodal.compactPhashIndex]].
+    */
+  def phashDeleteStream(ids: DataFrame,
+      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Multimodal.deleteFromPhashIndex(batch.sparkSession, indexDir,
+          batch.toDF())
+      }.start()
 }

@@ -255,4 +255,65 @@ class DocStreamSpec extends AnyFunSuite {
         s"first diff: ${(got.toSet diff expected.toSet).take(3)}")
     } finally q.stop()
   }
+
+  test("cdcDeleteStream: streamed takedowns equal the batch delete") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    def passage(seed: String): String =
+      (0 until 40).map(i => s"$seed$i tok$i w${i * 7 % 13}").mkString(" ")
+    val a = passage("alpha"); val b = passage("bravo")
+    val tmp = java.nio.file.Files.createTempDirectory("cdcdelstream").toString
+    Seq((1L, a), (2L, s"intro $a"), (3L, b), (10L, s"$a mid $b"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val streamed = s"$tmp/s"; val batch = s"$tmp/b"
+    for (d <- Seq(streamed, batch))
+      Dedup.writeCdcIndex(spark, tmp, d, col("doc_id") % 10 =!= 0)
+    Dedup.deleteFromCdcIndex(spark, tmp, batch, col("doc_id") === 3L)
+    Dedup.deleteFromCdcIndex(spark, tmp, batch, col("doc_id") === 1L)
+    val mem = MemoryStream[IngestDoc]
+    val q = DocStream.cdcDeleteStream(mem.toDF(), streamed)
+    try {
+      mem.addData(IngestDoc(3L, b, "en", "spec", b.length.toLong, ts(0)))
+      q.processAllAvailable()
+      mem.addData(IngestDoc(1L, a, "en", "spec", a.length.toLong, ts(0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def probe(d: String) = Dedup.incrementalCdcMass(spark, tmp, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(probe(streamed) == probe(batch),
+      "streamed takedown diverged from the batch delete")
+    // and the takedown bit: B's sole carrier is gone, A survives via 2
+    val r = probe(streamed).find(_._1 == 10L).get
+    assert(r._3 > 0 && r._3 < r._2,
+      s"expected partial dup mass after takedown: $r")
+  }
+
+  test("bm25DeleteStream: streamed doc takedowns vanish from the next probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Lexical
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("lexdelstream").toString
+    Lexical.writeLexIndex(spark, sf, dir)
+    val before = Lexical.topkBm25Stored(spark, dir)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(before.size >= 2, "fixture probe returned too few docs")
+    val mem = MemoryStream[Long]
+    val q = DocStream.bm25DeleteStream(mem.toDF(), dir)
+    try {
+      mem.addData(before.head)
+      q.processAllAvailable()
+      mem.addData(before(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = Lexical.topkBm25Stored(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!after.contains(before.head) && !after.contains(before(1)),
+      s"deleted docs still served: $after")
+    assert(after.nonEmpty, "deletion emptied the probe — anti-join too broad")
+  }
 }

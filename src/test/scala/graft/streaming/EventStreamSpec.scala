@@ -629,4 +629,45 @@ class EventStreamSpec extends AnyFunSuite {
       assert(got.values.forall(r => r._6 >= 0 || r._6 == -1L))
     } finally q.stop()
   }
+
+  test("concurrencyDeleteStream: streamed user erasures equal the batch takedown") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    val sf = "/root/testdata/sf0.001"
+    val streamed = java.nio.file.Files.createTempDirectory("concdelS").toString
+    val batch = java.nio.file.Files.createTempDirectory("concdelB").toString
+    Relational.writeConcurrencyLayout(spark, sf, streamed)
+    Relational.writeConcurrencyLayout(spark, sf, batch)
+    // an in-test erasure slice wide enough to split into two
+    // micro-batches at sf0.001 (the declared query's PurgeMod slice
+    // has a single user there)
+    val purge = 3L
+    val res = 1L
+    val delIds = graft.Tables.events(spark, sf)
+      .select($"user_id").filter($"user_id" % purge === res)
+      .distinct().as[Long].collect().sorted
+    assert(delIds.length >= 2, "purge slice too small to split into batches")
+    Relational.deleteFromConcurrencyLayout(spark, batch,
+      delIds.toSeq.toDF("user_id"))
+    val mem = MemoryStream[Long]
+    val q = EventStream.concurrencyDeleteStream(mem.toDF(), streamed)
+    try {
+      val (h1, h2) = delIds.splitAt(delIds.length / 2)
+      mem.addData(h1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(h2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ownerPred = col("user_id") % purge =!= res
+    def serve(dir: String) =
+      Relational.concurrencyFromStored(spark, sf, dir, serveMod = 1L,
+          ownerPred = ownerPred)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = serve(streamed)
+    assert(got.nonEmpty, "takedown serve empty — vacuous test")
+    assert(got == serve(batch),
+      "streamed erasure diverged from the batch takedown")
+  }
 }

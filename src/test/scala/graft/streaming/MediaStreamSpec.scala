@@ -155,4 +155,38 @@ class MediaStreamSpec extends AnyFunSuite {
         s"stream must keep both near-dups (the stated gap), got $got")
     } finally q.stop()
   }
+
+  test("phashDeleteStream: streamed media takedowns vanish from the next probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val a = (0 until 60).map(i => s"alpha$i beta${i * 3} gm$i").mkString(" ")
+    val b = (0 until 60).map(i => s"delta$i zeta${i * 5} qq$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("phdelstream").toString
+    Seq((1L, a), (2L, a), (3L, b), (10L, a), (20L, b))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val dir = s"$tmp/idx"
+    Multimodal.writePhashIndex(spark, tmp, dir, col("media_id") % 10 =!= 0)
+    def pairs(): Set[(Long, Long)] =
+      Multimodal.incrementalPhashPairs(spark, tmp, dir)
+        .select($"new_id", $"old_id").as[(Long, Long)].collect().toSet
+    assert(pairs().exists(_._2 == 3L), "fixture must pair with media 3")
+    val mem = MemoryStream[Long]
+    val q = MediaStream.phashDeleteStream(mem.toDF(), dir)
+    try {
+      mem.addData(3L)
+      q.processAllAvailable()
+      mem.addData(1L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = pairs()
+    assert(!after.exists(p => p._2 == 3L || p._2 == 1L),
+      s"deleted media still answer: $after")
+    assert(after.contains((10L, 2L)),
+      "the surviving carrier must still answer")
+  }
 }
