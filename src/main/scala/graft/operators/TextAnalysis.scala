@@ -259,6 +259,15 @@ object TextAnalysis {
   /** Persist the corpus's per-source KMV sketches as a (scope, sketch)
     * relation — sources × k longs; the TOTAL scope is derivable (the
     * merge property), so only per-source sketches are stored.
+    *
+    * TAKEDOWN contract, stated: KMV cannot unmerge — the sketch keeps
+    * the k smallest hashes, and removing a document cannot recover the
+    * hashes it displaced. Erasure against a stored KMV is therefore a
+    * REBUILD over survivors (this writer), unlike the CMS
+    * ([[subtractFromCmsSketch]] — linear, subtracts exactly) and the
+    * counts-add layouts. A deployment needing deletable distinct
+    * counts keeps per-shard/per-day sketches and rebuilds only the
+    * affected shard.
     */
   def writeKmvSketch(s: SparkSession, d: String, outDir: String): Unit =
     kmvSketches(kmvHashes(Tables.documents(s, d)))
@@ -436,11 +445,29 @@ object TextAnalysis {
     * sketch dir, the stored-index discipline.
     */
   def mergeIntoCmsSketch(s: SparkSession, sketchDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame): Unit =
+    applyToCmsSketch(s, sketchDir, batch, sign = 1L)
+
+  /** Subtract a document batch FROM a stored CMS — the takedown half
+    * CMS linearity buys for free (KMV, by contrast, cannot unmerge —
+    * its takedown is a rebuild, stated on [[writeKmvSketch]]): one
+    * sketch pass over the DELETED docs, element-wise subtract, same
+    * crash-safe swap. Exact, not approximate: subtracting the batch's
+    * own cell counts leaves the table bit-identical to a fresh sketch
+    * over the surviving docs, by linearity. Contract: subtract only
+    * batches previously merged (the counts-add layouts' takedown
+    * contract — negative cells would otherwise under-count forever).
+    */
+  def subtractFromCmsSketch(s: SparkSession, sketchDir: String,
+      batch: DataFrame): Unit =
+    applyToCmsSketch(s, sketchDir, batch, sign = -1L)
+
+  private def applyToCmsSketch(s: SparkSession, sketchDir: String,
+      batch: DataFrame, sign: Long): Unit = {
     val (stored, _) = readCms(s, sketchDir)
     val (fresh, _) = buildCms(hhTokens(batch))
     var i = 0
-    while (i < fresh.length) { fresh(i) += stored(i); i += 1 }
+    while (i < fresh.length) { fresh(i) = stored(i) + sign * fresh(i); i += 1 }
     val tmp = new org.apache.hadoop.fs.Path(sketchDir + "_fresh")
     cmsCells(s, fresh).write.mode("overwrite").parquet(tmp.toString)
     Similarity.swapDirInto(s, tmp, new org.apache.hadoop.fs.Path(sketchDir))
@@ -508,6 +535,25 @@ object TextAnalysis {
       val toks = hhTokens(Tables.documents(s, d))
       val (tab, total) = readCms(s, dir)
       heavyHittersFrom(toks, tab, total)
+    },
+
+    // The sketch-state takedown round trip (the *_purged convention on
+    // the CMS side): sketch the full corpus, SUBTRACT the purge
+    // slice's own counts (exact by CMS linearity — the table ends
+    // bit-identical to a fresh sketch over the survivors), cull+verify
+    // over the surviving docs. N rederives from row 0 post-subtract,
+    // so the threshold moves with the erasure; oracle = the plain
+    // GROUP BY … HAVING over surviving documents.
+    "txt_heavy_hitters_purged" -> { (s, d) =>
+      import s.implicits._
+      val dir = Similarity.storedQueryDir("cms_purge", d)
+      writeCmsSketch(s, d, dir)
+      subtractFromCmsSketch(s, dir, Tables.documents(s, d)
+        .filter($"doc_id" % Similarity.PurgeMod === Similarity.PurgeRes))
+      val survivors = hhTokens(Tables.documents(s, d)
+        .filter($"doc_id" % Similarity.PurgeMod =!= Similarity.PurgeRes))
+      val (tab, total) = readCms(s, dir)
+      heavyHittersFrom(survivors, tab, total)
     },
 
     // Per-source heavy hitters — boilerplate detection per DOMAIN (the
@@ -2089,6 +2135,17 @@ object TextAnalysis {
     // exact-boundary corpora differently than the kernel's double).
     "txt_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest($sqlToks) AS token FROM documents),
+          tot AS (SELECT COUNT(*) AS n FROM toks),
+          cnt AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+          SELECT token, cnt, ROUND(cnt::DOUBLE / tot.n, 6) AS share
+          FROM cnt, tot
+          WHERE cnt >= GREATEST(CEIL(CAST($HhPhi AS DOUBLE) * tot.n), 1)""",
+    // the takedown restated over the surviving documents only — the
+    // subtraction's linearity argument made checkable
+    "txt_heavy_hitters_purged" ->
+      s"""WITH surv AS (SELECT * FROM documents
+            WHERE NOT (doc_id % ${Similarity.PurgeMod} = ${Similarity.PurgeRes})),
+          toks AS (SELECT unnest($sqlToks) AS token FROM surv),
           tot AS (SELECT COUNT(*) AS n FROM toks),
           cnt AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
           SELECT token, cnt, ROUND(cnt::DOUBLE / tot.n, 6) AS share

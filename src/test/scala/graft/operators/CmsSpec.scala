@@ -134,4 +134,37 @@ class CmsSpec extends AnyFunSuite {
     assert(cells(sketchDir) == cells(expectDir),
       "streamed sketch diverged from the one-shot sketch")
   }
+
+  test("takedown: subtracting a merged batch leaves the sketch bit-identical to the survivors'") {
+    import spark.implicits._
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"t${seed}w${i % 13}").mkString(" ")
+    val keep = (1L to 25L).map(i => CmsDoc(i, words(i.toInt % 4, 18), "en",
+      s"src${i % 2}", 0L))
+    val gone = (26L to 45L).map(i => CmsDoc(i, words(i.toInt % 6, 22), "en",
+      s"src${i % 2}", 0L))
+    val dirAll = java.nio.file.Files.createTempDirectory("cmsDall").toString
+    val dirKeep = java.nio.file.Files.createTempDirectory("cmsDkeep").toString
+    (keep ++ gone).toDF().write.parquet(s"$dirAll/documents.parquet")
+    keep.toDF().write.parquet(s"$dirKeep/documents.parquet")
+    val sk = java.nio.file.Files.createTempDirectory("cmsDsk")
+      .toString + "/sketch"
+    TextAnalysis.writeCmsSketch(spark, dirAll, sk)
+    TextAnalysis.subtractFromCmsSketch(spark, sk, gone.toDF())
+    val want = java.nio.file.Files.createTempDirectory("cmsDw")
+      .toString + "/sketch"
+    TextAnalysis.writeCmsSketch(spark, dirKeep, want)
+    def cells(dir: String) = spark.read.parquet(dir)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(cells(sk) == cells(want),
+      "subtraction must equal the survivors' fresh sketch (linearity)")
+    // the erasure was non-vacuous: the full sketch differs
+    val full = java.nio.file.Files.createTempDirectory("cmsDf")
+      .toString + "/sketch"
+    TextAnalysis.writeCmsSketch(spark, dirAll, full)
+    assert(cells(full) != cells(want), "fixture never exercised the subtraction")
+    // subtract-then-re-merge round-trips (linearity both ways)
+    TextAnalysis.mergeIntoCmsSketch(spark, sk, gone.toDF())
+    assert(cells(sk) == cells(full), "re-merge must restore the full sketch")
+  }
 }
