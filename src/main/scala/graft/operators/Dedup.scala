@@ -1447,6 +1447,23 @@ object Dedup {
       clusterStored(s, dir)
     },
 
+    // The pair-relation takedown round trip (the *_purged convention
+    // on the stored pair layout every collapse/serve consumer reads):
+    // write the pairs, tombstone a doc slice (a pair dies when EITHER
+    // endpoint is deleted — it is evidence about two documents),
+    // collapse — deleted docs stop clustering and components they
+    // bridged SPLIT, which is what the closure-over-surviving-edges
+    // oracle states. PairLifecycle spec pins the bridge split and
+    // compaction invisibility.
+    "dedup_cluster_purged" -> { (s, d) =>
+      import s.implicits._
+      val dir = storedPairsDir(d) + "_purge"
+      writeJaccardPairs(s, d, dir)
+      deleteFromPairsDir(s, dir, Tables.documents(s, d).select($"doc_id")
+        .filter($"doc_id" % Similarity.PurgeMod === Similarity.PurgeRes))
+      clusterStored(s, dir)
+    },
+
     // The embedding-side counterpart of dedup_cluster_stored: write
     // the verified LSH pair relation shard-partitioned, read it back
     // through the explicit-schema stored reader, collapse components —
@@ -1938,9 +1955,78 @@ object Dedup {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
-  /** Read a stored Jaccard pair relation (all shards). */
+  /** Read a stored Jaccard pair relation (all shards), minus any doc
+    * tombstones ([[deleteFromPairsDir]]) — applied centrally so every
+    * stored-pair consumer (the cluster collapse, the containment
+    * rescale, the hybrid lexical leg) honors takedowns identically.
+    */
   def readJaccardPairs(s: SparkSession, pairsDir: String): DataFrame =
-    s.read.schema(pairSchema("jaccard")).parquet(pairsDir)
+    minusPairTombstones(s, pairsDir,
+      s.read.schema(pairSchema("jaccard")).parquet(pairsDir))
+
+  /** Doc-level takedown against a stored pair relation (Jaccard,
+    * embedding or media layout — the tombstone relation is shared):
+    * append the ids to an id-sized tombstone file; every stored
+    * reader drops pairs with a deleted ENDPOINT (either side — a pair
+    * is evidence about two documents, and erasing one invalidates the
+    * pair), so the deleted doc stops clustering, stops serving as a
+    * lexical-leg neighbor, and stops rescaling containment from the
+    * next read, while the multi-TB shard layout stays untouched.
+    * Physical purge is [[compactPairsDir]]. Idempotent; the
+    * deleteFromIndex contract otherwise (single-writer, re-ingest
+    * only after compaction).
+    */
+  def deleteFromPairsDir(s: SparkSession, pairsDir: String,
+      docIds: DataFrame): Unit =
+    docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$pairsDir/_graft_doc_tombstones")
+
+  /** The tombstone anti-join the stored-pair readers apply — one
+    * existence check and zero plan nodes when absent; BOTH endpoints
+    * are checked (two anti-joins on the id-sized relation). Shard
+    * pruning ([[readPairShard]]'s static predicate) pushes through
+    * the anti-joins' left side.
+    */
+  private def minusPairTombstones(s: SparkSession, pairsDir: String,
+      rows: DataFrame): DataFrame = {
+    val tp = new org.apache.hadoop.fs.Path(s"$pairsDir/_graft_doc_tombstones")
+    if (!tp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(tp)) rows
+    else {
+      val ts = s.read.schema("doc_id BIGINT").parquet(tp.toString)
+      rows
+        .join(ts.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+        .join(ts.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+    }
+  }
+
+  /** Physically purge tombstoned pairs from a stored pair relation:
+    * rewrite the shards minus pairs touching a deleted endpoint
+    * (staging + dir swap — a crash before the swap leaves the old
+    * layout AND its tombstones intact, so the anti-join stays
+    * correct; the swap replaces the whole dir, retiring the purged
+    * rows and their tombstones in one promote — the trailing delete
+    * only covers the swap's `_old` retirement never containing a
+    * fresher tombstone append, single-writer). `simCol` names the
+    * layout's score column ("jaccard" for the text pairs, "cos_sim"
+    * for the embedding/media pairs).
+    */
+  def compactPairsDir(s: SparkSession, pairsDir: String,
+      simCol: String = "jaccard"): Unit = {
+    import s.implicits._
+    val survivors = minusPairTombstones(s, pairsDir,
+      s.read.schema(pairSchema(simCol)).parquet(pairsDir))
+      .repartition($"shard")
+    val fs = new org.apache.hadoop.fs.Path(pairsDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"${pairsDir}_staging")
+    fs.delete(staging, true)
+    survivors.write.partitionBy("shard").parquet(staging.toString)
+    graft.operators.Similarity.swapDirInto(s, staging,
+      new org.apache.hadoop.fs.Path(pairsDir))
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$pairsDir/_graft_doc_tombstones"), true)
+  }
 
   /** One shard of a stored pair relation — the incremental/resumable
     * consumer's read; the filter is a static partition predicate, so
@@ -1978,9 +2064,13 @@ object Dedup {
       .repartition(col("shard")) // see writeJaccardPairs: one file per shard
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
-  /** Read a stored embedding pair relation (all shards). */
+  /** Read a stored embedding pair relation (all shards), minus any
+    * doc tombstones — the [[readJaccardPairs]] takedown contract on
+    * the embedding/media layout.
+    */
   def readEmbPairs(s: SparkSession, pairsDir: String): DataFrame =
-    s.read.schema(pairSchema("cos_sim")).parquet(pairsDir)
+    minusPairTombstones(s, pairsDir,
+      s.read.schema(pairSchema("cos_sim")).parquet(pairsDir))
 
   /** `dedup_embedding_lsh` from a stored pair relation. */
   def embeddingLshStored(s: SparkSession, pairsDir: String): DataFrame = {
@@ -2175,10 +2265,18 @@ object Dedup {
     * dedup_cluster and dedup_cluster_stored (the stored round trip may
     * not change the answer).
     */
-  private lazy val clusterOracle: String =
+  private lazy val clusterOracle: String = clusterOracleWith("")
+
+  /** The transitive-closure cluster oracle with an optional extra
+    * edge predicate — shared by dedup_cluster(_stored) (empty
+    * predicate) and dedup_cluster_purged (both endpoints outside the
+    * purge slice: exactly the pair set the tombstone anti-join
+    * leaves).
+    */
+  private def clusterOracleWith(edgePred: String): String =
     s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
         dup AS (SELECT id_a, id_b FROM pairs
-          WHERE ROUND(j, 6) >= $JaccardThreshold),
+          WHERE ROUND(j, 6) >= $JaccardThreshold $edgePred),
         edges AS (SELECT id_a AS u, id_b AS v FROM dup
           UNION SELECT id_b, id_a FROM dup),
         reach(u, v) AS (
@@ -2485,6 +2583,11 @@ object Dedup {
     // stored path must collapse exactly the components the in-session
     // path does, so it shares the oracle STRING, not a restatement
     "dedup_cluster_stored" -> clusterOracle,
+    // the takedown restated: the closure runs over pairs whose BOTH
+    // endpoints survive — exactly the tombstone anti-join's pair set
+    "dedup_cluster_purged" -> clusterOracleWith(
+      s"""AND NOT (id_a % ${Similarity.PurgeMod} = ${Similarity.PurgeRes})
+          AND NOT (id_b % ${Similarity.PurgeMod} = ${Similarity.PurgeRes})"""),
     "dedup_embedding" -> exactPairOracle(""),
     // the same exact-pair statement restricted to the id window — the
     // slice is a WHERE on the join sides, so the oracle's cost is

@@ -1521,6 +1521,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Similarity.HybridServeMod % Similarity.QueryStride == 0)
   }
 
+  test("pair-relation takedown: deleting a bridge doc splits its cluster; compact is invisible") {
+    import spark.implicits._
+    def words(p: String, n: Int): String =
+      (0 until n).map(i => s"$p$i").mkString(" ")
+    // doc 2 bridges: it contains doc 1 (A+C) and doc 3 (C+B) as
+    // spans, so pairs (1,2) and (2,3) clear the 0.6 threshold while
+    // (1,3) — sharing only the C interior — does not
+    val a = words("aa", 30); val c = words("cc", 50); val b = words("bb", 30)
+    val tmp = java.nio.file.Files.createTempDirectory("pairdel").toString
+    Seq((1L, s"$a $c"), (2L, s"$a $c $b"), (3L, s"$c $b"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val dir = s"$tmp/pairs"
+    Dedup.writeJaccardPairs(spark, tmp, dir)
+    def thresholded(): Set[(Long, Long)] =
+      Dedup.readJaccardPairs(spark, dir)
+        .filter(round($"jaccard", 6) >= Dedup.JaccardThreshold)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // the fixture is what the test needs it to be — fail loudly if not
+    assert(thresholded() == Set((1L, 2L), (2L, 3L)),
+      s"bridge fixture drifted: ${thresholded()}")
+    val before = Dedup.clusterStored(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(before == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"bridge must co-cluster all three: $before")
+    // takedown the bridge: both its pairs die, 1 and 3 fall apart
+    Dedup.deleteFromPairsDir(spark, dir, Seq(2L).toDF("doc_id"))
+    assert(Dedup.clusterStored(spark, dir).count() == 0,
+      "deleting the bridge must dissolve the cluster")
+    assert(thresholded().isEmpty, "no pair may survive a deleted endpoint")
+    // compaction: same answers, tombstoned pairs physically gone
+    Dedup.compactPairsDir(spark, dir)
+    assert(Dedup.clusterStored(spark, dir).count() == 0)
+    assert(spark.read.parquet(dir).filter($"id_a" === 2L || $"id_b" === 2L)
+      .count() == 0, "purged pairs must be physically gone")
+    assert(!new java.io.File(s"$dir/_graft_doc_tombstones").exists())
+  }
+
   test("rolling ingest: appended batches become historical for the next probe") {
     import spark.implicits._
     // --- minhash side ---

@@ -528,6 +528,37 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no stored scan with a bkt partition filter:\n$p")
   }
 
+  test("takedown probes keep their pruning THROUGH the tombstone anti-join") {
+    // the scaladoc claim made checkable: a LEFT ANTI join's left side
+    // passes partition/pushed filters through, so a tombstoned layout
+    // probes exactly the row groups the un-tombstoned one did. Checked
+    // on the two r16 tombstone families (the ANN families are pinned
+    // by IndexDeleteSpec).
+    val pp = plan("dedup_phash_purged")
+    assert(pp.split('\n').exists(_.contains("LeftAnti")),
+      s"phash purged probe lost its tombstone anti-join:\n$pp")
+    val ppScan = pp.split('\n').find { l =>
+      val i = l.indexOf("PartitionFilters: [")
+      l.contains("FileScan parquet") && i >= 0 && l.substring(i).contains("band#")
+    }
+    assert(ppScan.isDefined,
+      s"phash purged: no stored scan with a band partition filter:\n$pp")
+    assert(ppScan.get.contains("bval#") || ppScan.get.contains("In(bval"),
+      s"phash purged: bucket set not pushed: ${ppScan.get}")
+
+    val cp = plan("evt_concurrency_purged")
+    assert(cp.split('\n').exists(_.contains("LeftAnti")),
+      s"concurrency purged serve lost its tombstone anti-join:\n$cp")
+    val cpScan = cp.split('\n').find { l =>
+      val i = l.indexOf("PartitionFilters: [")
+      l.contains("FileScan parquet") && i >= 0 && l.substring(i).contains("day#")
+    }
+    assert(cpScan.isDefined,
+      s"concurrency purged: no stored scan with a day partition filter:\n$cp")
+    assert(cpScan.get.contains("bkt#") || cpScan.get.contains("In(bkt"),
+      s"concurrency purged: bucket set not pushed: ${cpScan.get}")
+  }
+
   test("evt_concurrency_stored: the edge scan is day-pruned and bucket-pushed") {
     val p = plan("evt_concurrency_stored")
     val edgeScan = p.split('\n').find { l =>
