@@ -240,6 +240,47 @@ class CdcConcurrencySpec extends AnyFunSuite {
       s"expected 3 concurrent events, got ${u1.mkString(",")}")
   }
 
+  test("evt_concurrency: pre-1970 timestamps keep the bucket containment invariant (floor division)") {
+    import spark.implicits._
+    // truncating `div` rounds NEGATIVE epochs toward zero, breaking
+    // ts ≥ bkt·B (an interior bucket could then claim events outside
+    // the session); the floor-division fix must make the decomposed
+    // join agree with the naive BETWEEN join on a corpus whose
+    // sessions straddle the epoch. Long sessions (events every 20 min
+    // across 6 h) force the interior path on the negative side.
+    val tmp = java.nio.file.Files.createTempDirectory("negepoch").toString
+    val base = -86400000L * 3 + 1800000L // ~3 days before the epoch
+    val u1 = (0 to 18).map(i =>
+      (100L + i, base + i * 1200000L, 1L, "view", 1.0, "{}"))
+    val u2 = Seq(
+      (200L, base + 90 * 60000L, 2L, "click", 1.0, "{}"),  // interior, in range
+      (201L, base + 150 * 60000L, 2L, "click", 1.0, "{}"), // interior, in range
+      (202L, base - 3600000L, 2L, "click", 1.0, "{}"),     // before the session
+      (203L, base + 9 * 3600000L, 2L, "click", 1.0, "{}")) // after the session
+    // a third user whose whole session straddles ts = 0 exactly
+    val u3 = (0 to 6).map(i =>
+      (300L + i, -3600000L + i * 1200000L, 3L, "view", 1.0, "{}"))
+    (u1 ++ u2 ++ u3)
+      .toDF("event_id", "ts_ms", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_millis($"ts_ms").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val fast = Relational.queries("evt_concurrency")(spark, tmp)
+    val naive = naiveConcurrency(tmp)
+    assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0,
+      s"decomposed ≠ naive on negative epochs:\n${fast.collect().mkString("\n")}\nvs\n${naive.collect().mkString("\n")}")
+    val u1row = fast.filter($"user_id" === 1L).collect()
+    assert(u1row.length == 1 && u1row.head.getAs[Long]("n_concurrent") == 2L,
+      s"expected the 2 in-range user-2 events: ${u1row.mkString(",")}")
+    // the stored layout agrees too (floor-div day/bucket assignment)
+    val dir = java.nio.file.Files.createTempDirectory("negepochL").toString
+    Relational.writeConcurrencyLayout(spark, tmp, dir)
+    val served = Relational.concurrencyFromStored(spark, tmp, dir, serveMod = 1L)
+    assert(served.except(naive).count() == 0 &&
+      naive.except(served).count() == 0,
+      "stored serve diverged from the naive join on negative epochs")
+  }
+
   test("evt_concurrency_stored: serve slice equals the session query's slice") {
     import spark.implicits._
     val stored = Relational.queries("evt_concurrency_stored")(spark, sf)
