@@ -388,9 +388,26 @@ object Dedup {
     * the cancelled rows is [[compactCdcIndex]], the periodic defrag.
     */
   def deleteFromCdcIndex(s: SparkSession, d: String, indexDir: String,
-      pred: Column): Unit =
+      pred: Column): Unit = {
+    requireCountedCdcLayout(s, indexDir)
     writeChunkHashes(cdcRelation(s, d).filter(pred), indexDir, "append",
       sign = -1)
+  }
+
+  /** The subtractive ops' layout gate: a LEGACY (h-only) CDC index
+    * stores existence, not carrier counts — subtracting against it
+    * would zero a hash the moment ONE of its legacy carriers is
+    * deleted, silently dropping chunks other historical docs still
+    * carry. Probes stay back-compatible (legacy rows count as one
+    * carrier — see the probe's coalesce); deletes and compaction
+    * demand the counted layout and say how to get it.
+    */
+  private def requireCountedCdcLayout(s: SparkSession, indexDir: String): Unit =
+    require(
+      s.read.parquet(s"$indexDir/chunks").schema.fieldNames.contains("cnt"),
+      s"$indexDir/chunks is a legacy h-only CDC index (no carrier counts): " +
+        "takedown/compaction need per-hash carrier counts to subtract " +
+        "correctly - rebuild it with writeCdcIndex before deleting")
 
   /** [[deleteFromCdcIndex]] for an ARBITRARY (doc_id, text) batch —
     * the takedown-stream entry point, mirroring
@@ -399,6 +416,7 @@ object Dedup {
   def deleteChunkHashesFor(s: SparkSession, indexDir: String,
       docs: DataFrame): Unit = {
     import s.implicits._
+    requireCountedCdcLayout(s, indexDir)
     writeChunkHashes(docs.select($"doc_id", cdcChunksUdf($"text").as("ch")),
       indexDir, "append", sign = -1)
   }
@@ -414,6 +432,7 @@ object Dedup {
     */
   def compactCdcIndex(s: SparkSession, indexDir: String): Unit = {
     import s.implicits._
+    requireCountedCdcLayout(s, indexDir)
     val folded = s.read.schema(cdcChunksSchema).parquet(s"$indexDir/chunks")
       .groupBy($"bkt", $"h").agg(sum($"cnt").as("cnt"))
       .filter($"cnt" > 0)
@@ -509,8 +528,16 @@ object Dedup {
     // historical = net carrier count positive: append rows add,
     // takedown rows subtract ([[deleteFromCdcIndex]]), so a chunk
     // whose only carriers were deleted drops out here — same
-    // map-side-combinable aggregate the old distinct fold was
-    val oldH = pruned.groupBy($"h").agg(sum($"cnt").as("c"))
+    // map-side-combinable aggregate the old distinct fold was.
+    // coalesce(cnt, 1): a row from a LEGACY (pre-carrier-count,
+    // h-only) index file reads as null under the explicit schema;
+    // counting it as one carrier preserves the old existence
+    // semantics exactly (sum ≥ 1 iff the hash is present), so probes
+    // keep answering across an un-rebuilt index — while the
+    // SUBTRACTIVE ops, whose arithmetic legacy rows would corrupt,
+    // refuse such layouts loudly ([[requireCountedCdcLayout]]).
+    val oldH = pruned
+      .groupBy($"h").agg(sum(coalesce($"cnt", lit(1L))).as("c"))
       .filter($"c" > 0)
       .select($"h").withColumn("isdup", lit(1))
     val per = pos.join(oldH, Seq("h"), "left")
@@ -2007,13 +2034,23 @@ object Dedup {
     * correct; the swap replaces the whole dir, retiring the purged
     * rows and their tombstones in one promote — the trailing delete
     * only covers the swap's `_old` retirement never containing a
-    * fresher tombstone append, single-writer). `simCol` names the
-    * layout's score column ("jaccard" for the text pairs, "cos_sim"
-    * for the embedding/media pairs).
+    * fresher tombstone append, single-writer). The layout's score
+    * column ("jaccard" for the text pairs, "cos_sim" for the
+    * embedding/media pairs) is read FROM THE STORED FOOTERS, not a
+    * parameter: a caller passing the wrong name for a destructive
+    * rewrite would otherwise null the scores of every surviving pair
+    * silently (the explicit schema reads an absent column as null) —
+    * self-describing beats a footgun default.
     */
-  def compactPairsDir(s: SparkSession, pairsDir: String,
-      simCol: String = "jaccard"): Unit = {
+  def compactPairsDir(s: SparkSession, pairsDir: String): Unit = {
     import s.implicits._
+    val storedCols = s.read.parquet(pairsDir).schema.fieldNames.toSet
+    val simCol = Seq("jaccard", "cos_sim").filter(storedCols.contains) match {
+      case Seq(one) => one
+      case other => sys.error(
+        s"$pairsDir is not a pair layout (score columns: $other; " +
+          s"stored: ${storedCols.mkString(",")})")
+    }
     val survivors = minusPairTombstones(s, pairsDir,
       s.read.schema(pairSchema(simCol)).parquet(pairsDir))
       .repartition($"shard")

@@ -129,10 +129,17 @@ object Lexical {
     // "a crash may have left this index inconsistent" signal, and its
     // mtime lower-bounds every file the crashed batch wrote — which
     // is what lets [[repairLexIndex]] scan the crashed BATCH's
-    // postings files instead of the corpus
+    // postings files instead of the corpus. A marker ALREADY present
+    // here is a previous append's crash evidence: overwriting it
+    // would reset the mtime past the crashed files (repair would
+    // miss them) and this append's success would then delete it —
+    // burying the inconsistency forever. Heal first, then enter the
+    // window fresh (repair is idempotent and batch-bounded, so the
+    // self-heal costs the crashed batch, not the corpus).
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(appendPendingPath(indexDir))
+    if (fs.exists(marker)) repairLexIndex(s, indexDir)
     fs.create(marker, true).close()
     postingsOf(docs)
       .withColumn("pbucket", bucketCol($"term"))

@@ -111,6 +111,44 @@ class CdcLifecycleSpec extends AnyFunSuite {
       "compaction must leave one row per hash")
   }
 
+  test("legacy h-only index: probes keep answering; subtractive ops refuse loudly") {
+    import spark.implicits._
+    val tmp = fixture()
+    val dir = s"$tmp/idx"
+    // build a counted index, then rewrite its chunk files WITHOUT the
+    // cnt column — exactly what a pre-carrier-count deployment left
+    // on disk
+    Dedup.writeCdcIndex(spark, tmp, dir, col("doc_id") % 10 =!= 0)
+    val legacy = spark.read.parquet(s"$dir/chunks")
+      .select($"h", $"bkt").collect()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/chunks"), true)
+    spark.createDataFrame(java.util.Arrays.asList(legacy: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bkt",
+            org.apache.spark.sql.types.IntegerType))))
+      .write.partitionBy("bkt").parquet(s"$dir/chunks")
+    // probe: legacy rows count as one carrier — existence semantics,
+    // so the answers equal the counted index's
+    val fresh = s"$tmp/idx_fresh"
+    Dedup.writeCdcIndex(spark, tmp, fresh, col("doc_id") % 10 =!= 0)
+    assert(probe(tmp, dir) == probe(tmp, fresh),
+      "legacy index must keep answering with existence semantics")
+    // subtractive ops: the arithmetic legacy rows would corrupt must
+    // refuse, not silently zero shared chunks
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromCdcIndex(spark, tmp, dir, col("doc_id") === 3L)
+    }
+    assert(e1.getMessage.contains("legacy"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.compactCdcIndex(spark, dir)
+    }
+    assert(e2.getMessage.contains("legacy"), e2.getMessage)
+  }
+
   test("append after compaction keeps the algebra: re-ingest makes a chunk historical again") {
     val tmp = fixture()
     val dir = s"$tmp/idx"

@@ -235,6 +235,66 @@ class LexIndexSpec extends AnyFunSuite {
       topk(Lexical.topkBm25Stored(spark, full)))
   }
 
+  test("an append onto a crashed index self-heals before entering its own window") {
+    import spark.implicits._
+    // a leftover pending marker is a PREVIOUS append's crash evidence;
+    // blindly overwriting it would reset the mtime past the crashed
+    // files and bury the inconsistency when this append succeeds. The
+    // append must repair first — afterwards the index equals a fresh
+    // full build over ALL batches, crashed one included.
+    val dir = java.nio.file.Files.createTempDirectory("lexheal").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val g0 = java.nio.file.Files.createTempDirectory("lexhealg0").toString
+    docs.filter($"doc_id" % 3 === 0).write.mode("overwrite")
+      .parquet(s"$g0/documents.parquet")
+    Lexical.writeLexIndex(spark, g0, dir)
+    val fs0 = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def newestPosting(): Long = {
+      val it = fs0.listFiles(
+        new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
+      var t = 0L
+      while (it.hasNext) { val f = it.next(); if (f.isFile)
+        t = math.max(t, f.getModificationTime) }
+      t
+    }
+    val buildTime = newestPosting()
+    val preStats = spark.read.parquet(s"$dir/stats").as[(Long, Double)].head()
+    val preDoclen = spark.read.parquet(s"$dir/doclen").collect()
+    // batch 1 appends, then "crashes": doclen/stats rewound, marker left
+    Lexical.appendToLexIndex(spark, dir, docs.filter($"doc_id" % 3 === 1))
+    val dlTmp = new org.apache.hadoop.fs.Path(s"$dir/doclen_rewind")
+    spark.createDataFrame(java.util.Arrays.asList(preDoclen: _*),
+        spark.read.parquet(s"$dir/doclen").schema)
+      .write.parquet(dlTmp.toString)
+    Similarity.swapDirInto(spark, dlTmp,
+      new org.apache.hadoop.fs.Path(s"$dir/doclen"))
+    val stTmp = new org.apache.hadoop.fs.Path(s"$dir/stats_rewind")
+    Seq(preStats).toDF("n_docs", "avgdl").write.parquet(stTmp.toString)
+    Similarity.swapDirInto(spark, stTmp,
+      new org.apache.hadoop.fs.Path(s"$dir/stats"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_append_pending")
+    fs.create(marker, true).close()
+    // as in the real crash, the marker predates the crashed batch's
+    // postings: date it just after the pre-crash build, so repair's
+    // cutoff covers every batch-1 file regardless of their spread
+    fs.setTimes(marker, buildTime + 1000, -1)
+    // batch 2 appends onto the crashed index — must heal, then append
+    Lexical.appendToLexIndex(spark, dir, docs.filter($"doc_id" % 3 === 2))
+    assert(!fs.exists(marker), "a completed append leaves no marker")
+    val full = java.nio.file.Files.createTempDirectory("lexhealfull").toString
+    Lexical.writeLexIndex(spark, sf, full)
+    val stR = spark.read.parquet(s"$dir/stats").as[(Long, Double)].head()
+    val stF = spark.read.parquet(s"$full/stats").as[(Long, Double)].head()
+    assert(stR._1 == stF._1 && math.abs(stR._2 - stF._2) < 1e-9,
+      s"healed+appended stats diverged: $stR vs $stF")
+    assert(topk(Lexical.topkBm25Stored(spark, dir)) ==
+      topk(Lexical.topkBm25Stored(spark, full)),
+      "healed+appended probes diverged from the full rebuild")
+  }
+
   test("streamed serving: two micro-batches equal the one-batch answers") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

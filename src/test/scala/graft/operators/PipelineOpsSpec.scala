@@ -1561,6 +1561,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/_graft_doc_tombstones").exists())
   }
 
+  test("compactPairsDir infers the score column from the footers (cos_sim layouts survive)") {
+    import spark.implicits._
+    // the destructive rewrite must read the layout's OWN score column:
+    // a wrong name under an explicit schema reads as null and the swap
+    // would erase every score permanently
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("embcompact").toString
+    Dedup.writeEmbPairs(spark, sfDir, dir)
+    val before = Dedup.readEmbPairs(spark, dir)
+      .select($"id_a", $"id_b", $"cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(before.nonEmpty, "embedding pair fixture empty — vacuous")
+    val anyId = before.head._1
+    Dedup.deleteFromPairsDir(spark, dir, Seq(anyId).toDF("doc_id"))
+    Dedup.compactPairsDir(spark, dir)
+    val after = Dedup.readEmbPairs(spark, dir)
+      .select($"id_a", $"id_b", $"cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(after == before.filter(p => p._1 != anyId && p._2 != anyId),
+      "compaction must preserve cos_sim values while purging the endpoint")
+    assert(after.forall(p => !p._3.isNaN), "scores must survive the rewrite")
+    // a non-pair directory fails loudly instead of rewriting garbage
+    val bogus = java.nio.file.Files.createTempDirectory("notpairs").toString
+    Seq((1L, "x")).toDF("doc_id", "text").write.parquet(s"$bogus/p")
+    val e = intercept[RuntimeException] {
+      Dedup.compactPairsDir(spark, s"$bogus/p")
+    }
+    assert(e.getMessage.contains("not a pair layout"), e.getMessage)
+  }
+
   test("rolling ingest: appended batches become historical for the next probe") {
     import spark.implicits._
     // --- minhash side ---
