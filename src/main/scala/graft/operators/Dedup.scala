@@ -401,13 +401,27 @@ object Dedup {
     * carry. Probes stay back-compatible (legacy rows count as one
     * carrier — see the probe's coalesce); deletes and compaction
     * demand the counted layout and say how to get it.
+    *
+    * The check is PER-LAYOUT, not per-sampled-footer: a MIXED dir
+    * (legacy build + counted appends — a state the probe's coalesce
+    * explicitly serves) would pass a schema-of-one-footer gate
+    * nondeterministically, and subtraction against its legacy rows is
+    * exactly the corruption this gate exists to stop. Reading under
+    * the explicit counted schema surfaces every legacy row as a NULL
+    * cnt (counted writers always set cnt, so NULL ⇔ legacy), and the
+    * gate requires zero of them — one column-pruned scan of the slim
+    * hash relation, the right price for a destructive maintenance op.
     */
-  private def requireCountedCdcLayout(s: SparkSession, indexDir: String): Unit =
-    require(
-      s.read.parquet(s"$indexDir/chunks").schema.fieldNames.contains("cnt"),
-      s"$indexDir/chunks is a legacy h-only CDC index (no carrier counts): " +
-        "takedown/compaction need per-hash carrier counts to subtract " +
-        "correctly - rebuild it with writeCdcIndex before deleting")
+  private def requireCountedCdcLayout(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val legacyRows = s.read.schema(cdcChunksSchema)
+      .parquet(s"$indexDir/chunks")
+      .filter(col("cnt").isNull).limit(1).count()
+    require(legacyRows == 0L,
+      s"$indexDir/chunks contains legacy h-only CDC rows (no carrier " +
+        "counts): takedown/compaction need per-hash carrier counts to " +
+        "subtract correctly - rebuild it with writeCdcIndex before deleting")
+  }
 
   /** [[deleteFromCdcIndex]] for an ARBITRARY (doc_id, text) batch —
     * the takedown-stream entry point, mirroring
@@ -2031,10 +2045,10 @@ object Dedup {
     * rewrite the shards minus pairs touching a deleted endpoint
     * (staging + dir swap — a crash before the swap leaves the old
     * layout AND its tombstones intact, so the anti-join stays
-    * correct; the swap replaces the whole dir, retiring the purged
-    * rows and their tombstones in one promote — the trailing delete
-    * only covers the swap's `_old` retirement never containing a
-    * fresher tombstone append, single-writer). The layout's score
+    * correct; the swap replaces the whole dir, so the promote itself
+    * retires the purged rows and their tombstones in one rename —
+    * no separate tombstone delete is needed or performed,
+    * single-writer). The layout's score
     * column ("jaccard" for the text pairs, "cos_sim" for the
     * embedding/media pairs) is read FROM THE STORED FOOTERS, not a
     * parameter: a caller passing the wrong name for a destructive
@@ -2061,8 +2075,6 @@ object Dedup {
     survivors.write.partitionBy("shard").parquet(staging.toString)
     graft.operators.Similarity.swapDirInto(s, staging,
       new org.apache.hadoop.fs.Path(pairsDir))
-    fs.delete(new org.apache.hadoop.fs.Path(
-      s"$pairsDir/_graft_doc_tombstones"), true)
   }
 
   /** One shard of a stored pair relation — the incremental/resumable

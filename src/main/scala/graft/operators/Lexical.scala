@@ -127,20 +127,26 @@ object Lexical {
     // append-pending marker, written BEFORE the postings land and
     // removed only after the stats swap: its presence is the exact
     // "a crash may have left this index inconsistent" signal, and its
-    // mtime lower-bounds every file the crashed batch wrote — which
-    // is what lets [[repairLexIndex]] scan the crashed BATCH's
-    // postings files instead of the corpus. A marker ALREADY present
-    // here is a previous append's crash evidence: overwriting it
-    // would reset the mtime past the crashed files (repair would
-    // miss them) and this append's success would then delete it —
-    // burying the inconsistency forever. Heal first, then enter the
-    // window fresh (repair is idempotent and batch-bounded, so the
-    // self-heal costs the crashed batch, not the corpus).
+    // CONTENT is a manifest of the postings files that existed BEFORE
+    // this batch — so [[repairLexIndex]] identifies the crashed
+    // batch's files as exactly (files on disk) − (manifest), with no
+    // dependence on filesystem mtime semantics (object stores with
+    // skewed clocks or coarse rounding bound nothing; a file listing
+    // does). A marker ALREADY present here is a previous append's
+    // crash evidence: overwriting it would re-baseline the manifest
+    // past the crashed files (repair would miss them) and this
+    // append's success would then delete it — burying the
+    // inconsistency forever. Heal first, then enter the window fresh
+    // (repair is idempotent and batch-bounded, so the self-heal costs
+    // the crashed batch, not the corpus).
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(appendPendingPath(indexDir))
     if (fs.exists(marker)) repairLexIndex(s, indexDir)
-    fs.create(marker, true).close()
+    val manifest = visiblePostingsFiles(fs, indexDir).mkString("\n")
+    val out = fs.create(marker, true)
+    out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
     postingsOf(docs)
       .withColumn("pbucket", bucketCol($"term"))
       .repartitionByRange(col("pbucket"), col("term"))
@@ -166,6 +172,44 @@ object Lexical {
   private def appendPendingPath(indexDir: String): String =
     s"$indexDir/_graft_append_pending"
 
+  /** The postings files a directory-based probe read can actually
+    * see, as paths RELATIVE to the postings root: a recursive listing
+    * that excludes any file below a hidden segment (a directory or
+    * file name starting with '_' or '.') — Spark's InMemoryFileIndex
+    * hidden-path rule, applied per SEGMENT, not just to the leaf
+    * name. Leaf-only filtering would admit
+    * `postings/_temporary/.../part-*.parquet` task files from a
+    * crashed write job: in-flight footerless ones would make any
+    * whole-listing read throw, and committed-but-unpromoted ones
+    * would resurrect rows no directory read serves. The append
+    * manifest and the repair scan must both see exactly the probe's
+    * file set, so they share this listing.
+    */
+  private def visiblePostingsFiles(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Seq[String] = {
+    val root = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$indexDir/postings"))
+    val rootStr = root.toString
+    def hiddenBelowRoot(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur.toString != rootStr) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val q = fs.makeQualified(f.getPath)
+      if (f.isFile && !hiddenBelowRoot(q))
+        buf += q.toString.stripPrefix(rootStr).stripPrefix("/")
+    }
+    buf.sorted.toSeq
+  }
+
   /** Recover consistency after an interrupted [[appendToLexIndex]] —
     * the lexical twin of ClusteredLayout.repairLayout, restoring the
     * invariant that stats/doclen are DERIVABLE from the postings on
@@ -173,11 +217,13 @@ object Lexical {
     * corpus (the r15 verdict item): the append-pending marker tells
     * repair whether a crash window is even possible — no marker means
     * the last append completed its stats swap, the index is
-    * consistent, and repair is a no-op — and when one exists, only
-    * postings FILES at or after the marker's timestamp can belong to
-    * the crashed batch (the marker is created before the batch's
-    * first postings byte, single-writer), so the doclen recovery
-    * reads those files alone:
+    * consistent, and repair is a no-op — and when one exists, its
+    * content manifests the postings files that existed BEFORE the
+    * crashed batch (written there by the append, single-writer), so
+    * the crashed batch's files are exactly the visible files NOT in
+    * the manifest and the doclen recovery reads those alone. An
+    * empty or legacy content-free marker degrades to the full
+    * recovery scan — slower, never wrong:
     *
     *  1. doclen ← recent postings: any doc_id present in the crashed
     *     batch's postings but absent from doclen gets its dl row back
@@ -207,21 +253,29 @@ object Lexical {
     val marker = new org.apache.hadoop.fs.Path(appendPendingPath(indexDir))
     val pending = fs.exists(marker)
     if (!pending && !force) return 0L
-    // files the crashed batch could have written: everything at or
-    // after the marker's creation (1 s grace for coarse-mtime
-    // filesystems); force scans all
-    val cutoff =
-      if (force || !pending) Long.MinValue
-      else fs.getFileStatus(marker).getModificationTime - 1000L
-    val it = fs.listFiles(
-      new org.apache.hadoop.fs.Path(s"$indexDir/postings"), true)
-    val recent = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && !f.getPath.getName.startsWith("_") &&
-          f.getModificationTime >= cutoff)
-        recent += f.getPath.toString
-    }
+    // a crashed Spark write job can leave `postings/_temporary`
+    // behind; the visible listing never reads below it, and clearing
+    // it here keeps stale attempt dirs from confusing a later append
+    // job (single-writer: nothing can be writing it during repair)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/postings/_temporary"),
+      true)
+    // files the crashed batch could have written: every visible file
+    // NOT in the marker's pre-batch manifest; force scans all
+    val manifest: Set[String] =
+      if (force || !pending) Set.empty
+      else {
+        val in = fs.open(marker)
+        val bos = new java.io.ByteArrayOutputStream()
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+        finally in.close()
+        new String(bos.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty).toSet
+      }
+    val postingsRoot = s"$indexDir/postings"
+    val recent = visiblePostingsFiles(fs, indexDir)
+      .filter(rel => force || !manifest.contains(rel))
+      .map(rel => s"$postingsRoot/$rel")
     if (recent.nonEmpty) {
       val fromPost = s.read.parquet(recent.toSeq: _*)
         .groupBy($"doc_id").agg(first($"dl").as("dl"))

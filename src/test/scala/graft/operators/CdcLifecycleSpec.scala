@@ -149,6 +149,48 @@ class CdcLifecycleSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("legacy"), e2.getMessage)
   }
 
+  test("MIXED legacy+counted index: probes answer, subtractive ops refuse deterministically") {
+    import spark.implicits._
+    val tmp = fixture()
+    val dir = s"$tmp/idx"
+    // legacy build (h-only rewrite, as above) + a counted append on
+    // top — the exact state the probe's coalesce serves and a
+    // one-sampled-footer gate would pass or fail depending on which
+    // footer the reader happened to sample
+    Dedup.writeCdcIndex(spark, tmp, dir, col("doc_id") % 10 === 1)
+    val legacy = spark.read.parquet(s"$dir/chunks")
+      .select($"h", $"bkt").collect()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/chunks"), true)
+    spark.createDataFrame(java.util.Arrays.asList(legacy: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bkt",
+            org.apache.spark.sql.types.IntegerType))))
+      .write.partitionBy("bkt").parquet(s"$dir/chunks")
+    Dedup.appendToCdcIndex(spark, tmp, dir, col("doc_id") % 10 === 2)
+    // the mixed index keeps probing (coalesce semantics = the fresh
+    // index over both slices)
+    val fresh = s"$tmp/idx_fresh"
+    Dedup.writeCdcIndex(spark, tmp, fresh,
+      col("doc_id") % 10 === 1 || col("doc_id") % 10 === 2)
+    assert(probe(tmp, dir) == probe(tmp, fresh),
+      "mixed index must keep answering with coalesce semantics")
+    // ...but subtraction/compaction against its legacy rows must
+    // refuse EVERY time: legacy-only hashes would fold to NULL and
+    // vanish, mixed hashes would undercount
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromCdcIndex(spark, tmp, dir, col("doc_id") === 11L)
+    }
+    assert(e1.getMessage.contains("legacy"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.compactCdcIndex(spark, dir)
+    }
+    assert(e2.getMessage.contains("legacy"), e2.getMessage)
+  }
+
   test("append after compaction keeps the algebra: re-ingest makes a chunk historical again") {
     val tmp = fixture()
     val dir = s"$tmp/idx"

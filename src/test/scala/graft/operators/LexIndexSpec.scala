@@ -26,6 +26,38 @@ class LexIndexSpec extends AnyFunSuite {
     df.as[(Long, Double)].collect().toSeq
   }
 
+  /** The visible postings files relative to the postings root — the
+    * crash simulations use this to forge the append-pending marker's
+    * pre-batch manifest exactly as appendToLexIndex writes it.
+    */
+  private def relPostings(dir: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$dir/postings"))
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = fs.makeQualified(f.getPath).toString
+        .stripPrefix(root.toString).stripPrefix("/")
+      if (f.isFile && !rel.split("/").exists(seg =>
+          seg.startsWith("_") || seg.startsWith(".")))
+        buf += rel
+    }
+    buf.sorted.toSeq
+  }
+
+  private def writeMarker(dir: String, manifest: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_append_pending"), true)
+    out.write(manifest.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
   test("stored probe parity: fresh session equals the raw-text scan") {
     val dir = java.nio.file.Files.createTempDirectory("lexstore").toString
     Lexical.writeLexIndex(spark, sf, dir)
@@ -181,6 +213,7 @@ class LexIndexSpec extends AnyFunSuite {
     val preStats = spark.read.parquet(s"$dir/stats")
       .as[(Long, Double)].head()
     val preDoclen = spark.read.parquet(s"$dir/doclen").collect()
+    val preList = relPostings(dir)
     Lexical.appendToLexIndex(spark, dir, docs.filter($"doc_id" % 2 === 1))
     // simulate the crash window: postings landed, doclen/stats did not
     // (rewrite both back to their pre-append contents)
@@ -195,31 +228,20 @@ class LexIndexSpec extends AnyFunSuite {
     Similarity.swapDirInto(spark, stTmp,
       new org.apache.hadoop.fs.Path(s"$dir/stats"))
     // a crashed append leaves its pending marker (the successful
-    // append above deleted it): re-create it dated just before the
-    // batch's postings files, exactly as the real crash leaves it —
-    // and age the PRE-append postings far into the past so the
-    // bounded-scan assertion below is meaningful
+    // append above deleted it): re-create it carrying the PRE-batch
+    // file manifest, exactly as the real append writes it before its
+    // first postings byte lands
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val postFiles = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
-      val buf = scala.collection.mutable.ArrayBuffer
-        .empty[org.apache.hadoop.fs.LocatedFileStatus]
-      while (it.hasNext) { val f = it.next(); if (f.isFile) buf += f }
-      buf.toSeq
-    }
-    val batchTime = postFiles.map(_.getModificationTime).max
-    val batchFiles = postFiles.count(_.getModificationTime >= batchTime - 1500)
-    postFiles.filter(_.getModificationTime < batchTime - 1500)
-      .foreach(f => fs.setTimes(f.getPath, 1000000L, -1))
+    val postList = relPostings(dir)
+    val batchFiles = postList.size - preList.size
+    writeMarker(dir, preList)
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_append_pending")
-    fs.create(marker, true).close()
-    fs.setTimes(marker, batchTime - 500, -1)
     // the named failure mode: new postings visible, stale stats →
     // scores in this state are NOT the full-corpus scores
     val scanned = Lexical.repairLexIndex(spark, dir)
     assert(scanned > 0 && scanned <= batchFiles,
-      s"recovery must scan the crashed batch's files only: $scanned of ${postFiles.size} total, batch $batchFiles")
+      s"recovery must scan the crashed batch's files only: $scanned of ${postList.size} total, batch $batchFiles")
     assert(!fs.exists(marker), "repair clears the pending marker last")
     Lexical.writeLexIndex(spark, sf, full)
     val stR = spark.read.parquet(s"$dir/stats").as[(Long, Double)].head()
@@ -238,29 +260,19 @@ class LexIndexSpec extends AnyFunSuite {
   test("an append onto a crashed index self-heals before entering its own window") {
     import spark.implicits._
     // a leftover pending marker is a PREVIOUS append's crash evidence;
-    // blindly overwriting it would reset the mtime past the crashed
-    // files and bury the inconsistency when this append succeeds. The
-    // append must repair first — afterwards the index equals a fresh
-    // full build over ALL batches, crashed one included.
+    // blindly overwriting it would re-baseline the manifest past the
+    // crashed files and bury the inconsistency when this append
+    // succeeds. The append must repair first — afterwards the index
+    // equals a fresh full build over ALL batches, crashed one included.
     val dir = java.nio.file.Files.createTempDirectory("lexheal").toString
     val docs = graft.Tables.documents(spark, sf)
     val g0 = java.nio.file.Files.createTempDirectory("lexhealg0").toString
     docs.filter($"doc_id" % 3 === 0).write.mode("overwrite")
       .parquet(s"$g0/documents.parquet")
     Lexical.writeLexIndex(spark, g0, dir)
-    val fs0 = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def newestPosting(): Long = {
-      val it = fs0.listFiles(
-        new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
-      var t = 0L
-      while (it.hasNext) { val f = it.next(); if (f.isFile)
-        t = math.max(t, f.getModificationTime) }
-      t
-    }
-    val buildTime = newestPosting()
     val preStats = spark.read.parquet(s"$dir/stats").as[(Long, Double)].head()
     val preDoclen = spark.read.parquet(s"$dir/doclen").collect()
+    val preList = relPostings(dir)
     // batch 1 appends, then "crashes": doclen/stats rewound, marker left
     Lexical.appendToLexIndex(spark, dir, docs.filter($"doc_id" % 3 === 1))
     val dlTmp = new org.apache.hadoop.fs.Path(s"$dir/doclen_rewind")
@@ -276,11 +288,10 @@ class LexIndexSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_append_pending")
-    fs.create(marker, true).close()
-    // as in the real crash, the marker predates the crashed batch's
-    // postings: date it just after the pre-crash build, so repair's
-    // cutoff covers every batch-1 file regardless of their spread
-    fs.setTimes(marker, buildTime + 1000, -1)
+    // as in the real crash, the marker carries the manifest written
+    // BEFORE batch 1's postings landed — every batch-1 file is
+    // outside it, so the heal's recovery scan covers all of them
+    writeMarker(dir, preList)
     // batch 2 appends onto the crashed index — must heal, then append
     Lexical.appendToLexIndex(spark, dir, docs.filter($"doc_id" % 3 === 2))
     assert(!fs.exists(marker), "a completed append leaves no marker")
@@ -293,6 +304,78 @@ class LexIndexSpec extends AnyFunSuite {
     assert(topk(Lexical.topkBm25Stored(spark, dir)) ==
       topk(Lexical.topkBm25Stored(spark, full)),
       "healed+appended probes diverged from the full rebuild")
+  }
+
+  test("repair ignores and clears _temporary leftovers from a crashed postings write") {
+    import spark.implicits._
+    // the exact scenario the pending marker signals — a crash MID
+    // write job — leaves task files under postings/_temporary. A
+    // footerless in-flight one must not make repair throw (a wedged
+    // marker would re-fail every later append), and a committed-task
+    // one (which directory probe reads never see) must not resurrect
+    // doclen rows for docs with no visible postings.
+    val dir = java.nio.file.Files.createTempDirectory("lextemp").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val half = java.nio.file.Files.createTempDirectory("lextemphalf").toString
+    docs.filter($"doc_id" % 2 === 0).write.mode("overwrite")
+      .parquet(s"$half/documents.parquet")
+    Lexical.writeLexIndex(spark, half, dir)
+    val preStats = spark.read.parquet(s"$dir/stats").as[(Long, Double)].head()
+    val preDoclen = spark.read.parquet(s"$dir/doclen").collect()
+    val preList = relPostings(dir)
+    Lexical.appendToLexIndex(spark, dir, docs.filter($"doc_id" % 2 === 1))
+    val postList = relPostings(dir)
+    // rewind doclen/stats to the pre-append state (the crash window)
+    val dlTmp = new org.apache.hadoop.fs.Path(s"$dir/doclen_rewind")
+    spark.createDataFrame(java.util.Arrays.asList(preDoclen: _*),
+        spark.read.parquet(s"$dir/doclen").schema)
+      .write.parquet(dlTmp.toString)
+    Similarity.swapDirInto(spark, dlTmp,
+      new org.apache.hadoop.fs.Path(s"$dir/doclen"))
+    val stTmp = new org.apache.hadoop.fs.Path(s"$dir/stats_rewind")
+    Seq(preStats).toDF("n_docs", "avgdl").write.parquet(stTmp.toString)
+    Similarity.swapDirInto(spark, stTmp,
+      new org.apache.hadoop.fs.Path(s"$dir/stats"))
+    writeMarker(dir, preList)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // in-flight task file: garbage bytes, no parquet footer
+    val junk = fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/postings/_temporary/0/_temporary/attempt_1/part-00000.parquet"))
+    junk.write("not a parquet file".getBytes)
+    junk.close()
+    // committed-task file: REAL parquet rows for a doc no directory
+    // read can serve
+    val ghostStage = java.nio.file.Files
+      .createTempDirectory("lextempghost").toString
+    spark.read.parquet((postList.toSet -- preList.toSet)
+        .map(f => s"$dir/postings/$f").toSeq: _*)
+      .limit(1)
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(999999L))
+      .coalesce(1).write.mode("overwrite").parquet(ghostStage)
+    val ghostPart = fs.listStatus(new org.apache.hadoop.fs.Path(ghostStage))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .head.getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$dir/postings/_temporary/0/task_2"))
+    require(fs.rename(ghostPart, new org.apache.hadoop.fs.Path(
+      s"$dir/postings/_temporary/0/task_2/part-ghost.parquet")))
+    val scanned = Lexical.repairLexIndex(spark, dir)
+    assert(scanned > 0 && scanned <= postList.size - preList.size,
+      s"recovery must scan the crashed batch's VISIBLE files only: $scanned")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/postings/_temporary")), "repair clears _temporary leftovers")
+    assert(spark.read.parquet(s"$dir/doclen")
+      .filter($"doc_id" === 999999L).count() == 0,
+      "committed-task files under _temporary must not resurrect doclen rows")
+    val full = java.nio.file.Files.createTempDirectory("lextempfull").toString
+    Lexical.writeLexIndex(spark, sf, full)
+    val stR = spark.read.parquet(s"$dir/stats").as[(Long, Double)].head()
+    val stF = spark.read.parquet(s"$full/stats").as[(Long, Double)].head()
+    assert(stR._1 == stF._1 && math.abs(stR._2 - stF._2) < 1e-9,
+      s"repaired stats diverged: $stR vs $stF")
+    assert(topk(Lexical.topkBm25Stored(spark, dir)) ==
+      topk(Lexical.topkBm25Stored(spark, full)))
   }
 
   test("streamed serving: two micro-batches equal the one-batch answers") {
