@@ -196,9 +196,18 @@ object ClusteredLayout {
       new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest"))
   }
 
-  /** Re-cluster the whole layout (reads the current root, rewrites it
-    * z-sorted through the staging+swap path) — the periodic defrag
-    * that restores build-quality skip ratios after appends.
+  /** Re-cluster the whole layout (reads the current root minus any
+    * tombstoned keys, rewrites it z-sorted through the staging+swap
+    * path) — the periodic defrag that restores build-quality skip
+    * ratios after appends, and the PHYSICAL purge half of the
+    * takedown lifecycle: tombstoned rows are dropped from the
+    * rewrite, the manifest and bloom sidecar are rebuilt over the
+    * survivors (so the bloom stops even SUGGESTING files for deleted
+    * keys), and the swap itself retires the tombstone sidecar (the
+    * staging dir never contains one — the compactPairsDir
+    * discipline). A crash before the swap leaves the old layout AND
+    * its tombstones intact, so the scan-time anti-join stays correct
+    * throughout.
     */
   def compactLayout(s: SparkSession, dir: String, c1: String, c2: String,
       files: Int = LayoutFiles): Unit = {
@@ -212,8 +221,68 @@ object ClusteredLayout {
       if (!bloomSidecarExists(s, dir)) None
       else s.read.parquet(s"$dir/_graft_blooms")
         .select($"key_col").as[String].limit(1).collect().headOption
-    writeClustered(s.read.parquet(dir), dir, c1, c2, files)
+    writeClustered(minusLayoutTombstones(s, dir, s.read.parquet(dir)),
+      dir, c1, c2, files)
     bloomKey.foreach(k => buildBloomSidecar(s, dir, k))
+  }
+
+  // ------------------------------------------------------------------
+  // Takedown — the tombstone lifecycle on the clustered layout (the
+  // stored-ANN deleteFromIndex convention, keyed by an ARBITRARY long
+  // column): a GDPR user-erasure against a (user_id, ts)-clustered
+  // events layout, or an event-id takedown through the bloom access
+  // path, must stop ANSWERING from the next read while the multi-TB
+  // z-sorted files stay untouched. Tombstones are (key_col, key)
+  // rows in an underscore-hidden sidecar; every read path
+  // ([[scanBox]], [[lookupByKey]], [[compactLayout]]'s rewrite)
+  // anti-joins them, so the bloom sidecar answering membership for a
+  // deleted key only ever costs I/O, never a wrong row. Contract:
+  // a tombstone masks EVERY row carrying the key — including rows
+  // appended after the delete — until [[compactLayout]] physically
+  // purges and retires it; a key re-ingested AFTER compaction is
+  // visible again (the CDC re-append convention). Single-writer
+  // maintenance ops, like everything here.
+  // ------------------------------------------------------------------
+
+  private def tombstonesPath(dir: String): String =
+    s"$dir/_graft_tombstones"
+
+  /** Tombstone every row whose `keyCol` value is in `keys`: an
+    * id-sized append, visible to the next read. `keyCol` may differ
+    * per call (erase a user today, an event id tomorrow) — each
+    * tombstone row carries its key column, and reads apply one
+    * anti-join per distinct tombstoned column.
+    */
+  def deleteFromLayout(s: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Long]): Unit = {
+    import s.implicits._
+    keys.map(k => (keyCol, k)).toDF("key_col", "key")
+      .coalesce(1)
+      .write.mode("append").parquet(tombstonesPath(dir))
+  }
+
+  /** The scan-time tombstone cut: one broadcast anti-join per
+    * distinct tombstoned key column (the sidecar is takedown-sized,
+    * so both the driver listing of its distinct columns and the
+    * broadcast are bounded by deletes issued, never by the layout).
+    * Absent tombstones cost one existence check and zero plan nodes.
+    */
+  private def minusLayoutTombstones(s: SparkSession, dir: String,
+      rows: DataFrame): DataFrame = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath(dir))
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) rows
+    else {
+      val ts = s.read.schema("key_col STRING, key BIGINT")
+        .parquet(p.toString)
+      val cols = ts.select($"key_col").distinct().as[String].collect().sorted
+      cols.foldLeft(rows) { (acc, kc) =>
+        acc.join(
+          broadcast(ts.filter($"key_col" === kc)
+            .select($"key".as(s"__ts_$kc"))),
+          acc(kc).cast("long") === col(s"__ts_$kc"), "left_anti")
+      }
+    }
   }
 
   /** Continuous clustered ingestion: each micro-batch goes through the
@@ -319,15 +388,19 @@ object ClusteredLayout {
   }
 
   /** Point lookup on the bloom-indexed key: open only the bloom-kept
-    * (plus uncovered) files, re-apply the key set as the residual —
-    * exact regardless of bloom quality.
+    * (plus uncovered) files, re-apply the key set as the residual,
+    * minus tombstoned keys — exact regardless of bloom quality (a
+    * bloom still claiming a deleted key only opens files; the
+    * anti-join keeps the deleted rows out of the answer).
     */
   def lookupByKey(s: SparkSession, dir: String, keyCol: String,
       keys: Seq[Long]): DataFrame = {
     val (kept, _) = selectFilesByKey(s, dir, keys)
-    if (kept.isEmpty)
-      s.read.parquet(dir).filter(col(keyCol).isin(keys: _*)).limit(0)
-    else s.read.parquet(kept: _*).filter(col(keyCol).isin(keys: _*))
+    val rows =
+      if (kept.isEmpty)
+        s.read.parquet(dir).filter(col(keyCol).isin(keys: _*)).limit(0)
+      else s.read.parquet(kept: _*).filter(col(keyCol).isin(keys: _*))
+    minusLayoutTombstones(s, dir, rows)
   }
 
   /** The manifest cut: file names whose stats rectangle overlaps the
@@ -358,10 +431,12 @@ object ClusteredLayout {
     val (kept, _) = selectFiles(s, dir, r1, r2)
     val residual = (df: DataFrame) => df.filter(
       col(c1).between(r1._1, r1._2) && col(c2).between(r2._1, r2._2))
-    if (kept.isEmpty)
-      // empty cut: keep the schema without opening any data file
-      residual(s.read.parquet(dir)).limit(0)
-    else residual(s.read.parquet(kept: _*))
+    val rows =
+      if (kept.isEmpty)
+        // empty cut: keep the schema without opening any data file
+        residual(s.read.parquet(dir)).limit(0)
+      else residual(s.read.parquet(kept: _*))
+    minusLayoutTombstones(s, dir, rows)
   }
 
   /** The declared events slice served from the layout: user 3-6 over
@@ -405,6 +480,27 @@ object ClusteredLayout {
       val dir = Similarity.storedQueryDir("zorder", d)
       writeClustered(eventsNarrow(s, d), dir, "user_id", "ts_ms")
       scanBox(s, dir, "user_id", "ts_ms", BoxUsers, BoxTsMs)
+    },
+
+    // The layout takedown round trip (the dedup_cdc_purged
+    // convention): build the layout + bloom, tombstone one event id
+    // (the takedown access path the bloom exists for) AND one whole
+    // user (the GDPR erasure shape — the user who owns lookup id 901,
+    // resolved through the same bloom path, so BOTH legs change this
+    // query's answer at every fixture SF), then serve the standard
+    // lookup. Deleted rows stop answering from the next read while
+    // the z-sorted files stay untouched; the bloom may still OPEN a
+    // file for the deleted id — that costs I/O, never a wrong row.
+    "evt_id_lookup_purged" -> { (s, d) =>
+      import s.implicits._
+      val dir = Similarity.storedQueryDir("bloomlay_p", d)
+      writeClustered(eventsNarrow(s, d), dir, "user_id", "ts_ms")
+      buildBloomSidecar(s, dir, "event_id")
+      deleteFromLayout(s, dir, "event_id", Seq(257L))
+      val owner = lookupByKey(s, dir, "event_id", Seq(901L))
+        .select($"user_id").as[Long].collect().toSeq
+      deleteFromLayout(s, dir, "user_id", owner)
+      lookupByKey(s, dir, "event_id", LookupIds)
     }
   )
 
@@ -419,6 +515,16 @@ object ClusteredLayout {
           FROM events
           WHERE user_id BETWEEN ${BoxUsers._1} AND ${BoxUsers._2}
             AND epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP))
-              BETWEEN ${BoxTsMs._1} AND ${BoxTsMs._2}"""
+              BETWEEN ${BoxTsMs._1} AND ${BoxTsMs._2}""",
+    // the takedown restated as the set difference the tombstone
+    // anti-joins guarantee: the lookup minus the deleted event id
+    // minus every event of the erased user (the owner of id 901)
+    "evt_id_lookup_purged" ->
+      s"""SELECT event_id, user_id, event_type, value,
+            epoch_ms(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS ts_ms
+          FROM events WHERE event_id IN (${LookupIds.mkString(", ")})
+            AND event_id <> 257
+            AND user_id NOT IN
+              (SELECT user_id FROM events WHERE event_id = 901)"""
   )
 }

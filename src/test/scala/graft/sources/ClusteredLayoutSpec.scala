@@ -250,4 +250,88 @@ class ClusteredLayoutSpec extends AnyFunSuite {
     assert(m.select($"file").as[String].collect().toSet == dataFiles)
     assert(m.agg(sum($"rows")).as[Long].head() == events.count())
   }
+
+  test("takedown: deleted keys stop answering on both access paths; others unchanged") {
+    import spark.implicits._
+    val dir = buildZ()
+    ClusteredLayout.buildBloomSidecar(spark, dir, "event_id")
+    val fullBox = ids(ClusteredLayout.scanBox(spark, dir, "user_id", "ts_ms",
+      (env._1, env._2), (env._3, env._4)))
+    val victimUser = events.filter($"event_id" === 11L)
+      .select($"user_id").as[Long].head()
+    val victimRows = ids(events.filter($"user_id" === victimUser))
+    ClusteredLayout.deleteFromLayout(spark, dir, "event_id", Seq(257L))
+    ClusteredLayout.deleteFromLayout(spark, dir, "user_id", Seq(victimUser))
+    // bloom lookup: the deleted event id and the erased user's events
+    // vanish; the surviving lookup id still answers
+    val got = ids(ClusteredLayout.lookupByKey(spark, dir, "event_id",
+      Seq(11L, 257L, 901L)))
+    assert(!got.contains(257L), "tombstoned event id must stop answering")
+    assert(!got.contains(11L), "the erased user's events must stop answering")
+    assert(got.contains(901L), "surviving keys must keep answering")
+    // box scan: same masking, everything else unchanged
+    val box = ids(ClusteredLayout.scanBox(spark, dir, "user_id", "ts_ms",
+      (env._1, env._2), (env._3, env._4)))
+    assert(box == fullBox -- victimRows - 257L,
+      "box scan must equal the full scan minus exactly the tombstoned rows")
+  }
+
+  test("takedown: append after delete stays masked; compaction purges physically") {
+    import spark.implicits._
+    val dir = buildZ()
+    ClusteredLayout.buildBloomSidecar(spark, dir, "event_id")
+    val victimUser = events.filter($"event_id" === 11L)
+      .select($"user_id").as[Long].head()
+    ClusteredLayout.deleteFromLayout(spark, dir, "user_id", Seq(victimUser))
+    // a post-delete append carrying the erased user: the batch's OTHER
+    // rows are visible (bloom-uncovered → always scanned), the erased
+    // user's stay masked until compaction retires the tombstone
+    val batch = Seq(
+        (9000001L, victimUser, "late", 1.0, 1704844800000L),
+        (9000002L, victimUser + 1, "late", 1.0, 1704844800000L))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_ms")
+      .select(events.columns.map(c =>
+        col(c).cast(events.schema(c).dataType)).toIndexedSeq: _*)
+    ClusteredLayout.appendToLayout(batch, dir, "user_id", "ts_ms")
+    val got = ids(ClusteredLayout.lookupByKey(spark, dir, "event_id",
+      Seq(9000001L, 9000002L)))
+    assert(got == Set(9000002L),
+      s"appended rows of an erased user must stay masked: $got")
+    val preCompact = ids(ClusteredLayout.scanBox(spark, dir,
+      "user_id", "ts_ms", (env._1, env._2 + 10), (env._3, env._4)))
+    ClusteredLayout.compactLayout(spark, dir, "user_id", "ts_ms")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_tombstones")), "compaction retires the tombstones")
+    // physically purged: the RAW directory read no longer carries the
+    // erased rows, and answers are unchanged
+    assert(spark.read.parquet(dir)
+      .filter($"user_id" === victimUser).count() == 0,
+      "compaction must purge tombstoned rows from the files")
+    assert(ids(ClusteredLayout.scanBox(spark, dir, "user_id", "ts_ms",
+      (env._1, env._2 + 10), (env._3, env._4))) == preCompact,
+      "compaction must not change any probe answer")
+    // the rebuilt bloom serves the survivors; re-ingest after
+    // compaction is visible again (the re-append contract)
+    assert(ClusteredLayout.lookupByKey(spark, dir, "event_id",
+      Seq(9000001L)).count() == 0)
+    ClusteredLayout.appendToLayout(batch.filter($"event_id" === 9000001L),
+      dir, "user_id", "ts_ms")
+    assert(ids(ClusteredLayout.lookupByKey(spark, dir, "event_id",
+      Seq(9000001L))) == Set(9000001L),
+      "a key re-ingested after compaction answers again")
+    // crash idempotence: tombstones re-applied over already-purged
+    // rows are a no-op for every surviving row
+    ClusteredLayout.deleteFromLayout(spark, dir, "event_id", Seq(9000001L))
+    ClusteredLayout.deleteFromLayout(spark, dir, "event_id", Seq(9000001L))
+    assert(ClusteredLayout.lookupByKey(spark, dir, "event_id",
+      Seq(9000001L)).count() == 0)
+    ClusteredLayout.compactLayout(spark, dir, "user_id", "ts_ms")
+    assert(ClusteredLayout.lookupByKey(spark, dir, "event_id",
+      Seq(9000001L)).count() == 0)
+    assert(ids(ClusteredLayout.scanBox(spark, dir, "user_id", "ts_ms",
+      (env._1, env._2 + 10), (env._3, env._4))) == preCompact,
+      "double-delete + compact must leave every surviving row intact")
+  }
 }
