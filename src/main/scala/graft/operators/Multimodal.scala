@@ -1251,7 +1251,11 @@ object Multimodal {
     // sim_ann_*_purged convention): build the historical band index,
     // tombstone a slice of ingested media (id-sized delete, the
     // multi-TB layout untouched), probe the new batch — deleted media
-    // stop appearing as historical neighbors immediately.
+    // stop appearing as historical neighbors immediately. This is the
+    // EXACT per-media form, duplication²-bound BY ITS DECLARED OUTPUT
+    // like dedup_phash_incremental; the deployment default for
+    // duplication-dense corpora is dedup_phash_purged_collapsed
+    // below, whose post-erasure probe stays distinct-hash-sized.
     "dedup_phash_purged" -> { (s, d) =>
       import s.implicits._
       val dir = Similarity.storedQueryDir("ph_purge", d)
@@ -1263,6 +1267,25 @@ object Multimodal {
             $"media_id" % Similarity.PurgeMod === Similarity.PurgeRes)
           .select($"media_id"))
       incrementalPhashPairs(s, d, dir)
+    },
+
+    // ...and the takedown at the COLLAPSED shape — the deployment
+    // default: erasure re-elects each affected hash's representative
+    // and decrements its multiplicity through the members sidecar
+    // (rep = min surviving id, exactly what a rebuild over survivors
+    // elects), so the post-erasure probe keeps the distinct-hash
+    // bound the collapse exists for instead of the per-media form's
+    // duplication² blow-up.
+    "dedup_phash_purged_collapsed" -> { (s, d) =>
+      import s.implicits._
+      val dir = Similarity.storedQueryDir("ph_purge_c", d)
+      writePhashGroupsIndex(s, d, dir,
+        col("media_id") % Dedup.IncrementalMod =!= 0)
+      deleteFromPhashGroupsIndex(s, dir,
+        mediaRelation(s, d).select($"media_id")
+          .filter($"media_id" % Dedup.IncrementalMod =!= 0 &&
+            $"media_id" % Similarity.PurgeMod === Similarity.PurgeRes))
+      incrementalPhashCollapsed(s, d, dir)
     },
 
     // ...and its collapse-first scale form: distinct hashes with
@@ -1466,54 +1489,199 @@ object Multimodal {
     * files, and the probe folds rows per hash (rep = min, n = sum —
     * both associative), so append ≡ rebuild exactly
     * (PhashLifecycleSpec pins it). [[compactPhashGroupsIndex]] folds
-    * physically. TAKEDOWN is deliberately NOT offered on this layout:
-    * the collapse discards per-media ids, so the index cannot name a
-    * surviving representative once the stored rep is deleted — a
-    * takedown routes through the per-media index
-    * ([[deleteFromPhashIndex]]) or a rebuild over survivors (the
-    * collapse trades id resolution for the duplication²→distinct²
-    * probe bound; this is the price, stated).
+    * physically. Takedown is [[deleteFromPhashGroupsIndex]]: the
+    * probe never pays id resolution (groups stay rep-level), because
+    * membership lives in the maintenance-only `members/` sidecar
+    * this writer also maintains.
     */
   def appendToPhashGroupsIndex(s: SparkSession, d: String, outDir: String,
       pred: Column): Unit =
     writePhashGroups(s, d, outDir, pred, "append")
 
+  /** Bucket fanout for the members sidecar — phash-keyed so a
+    * takedown's survivor recomputation can prune to the affected
+    * hashes' buckets; bounded like [[graft.operators.Dedup
+    * .CdcIndexBuckets]].
+    */
+  val PhashMembersBuckets = 32
+
   private def writePhashGroups(s: SparkSession, d: String, outDir: String,
       pred: Column, saveMode: String): Unit = {
     import s.implicits._
-    val groups = phashRelation(s, d).filter(pred)
+    // one decode pass feeds BOTH the collapsed groups and the members
+    // sidecar (the media decode dominates this build; persist beats
+    // running it twice)
+    val rel = phashRelation(s, d).filter(pred)
       .filter($"phash" =!= 0L)
+      .select($"media_id", $"phash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val groups = rel
+        .groupBy($"phash")
+        .agg(min($"media_id").as("rep"), count(lit(1)).as("n"))
+      phashBandRows(groups.select($"rep".as("media_id"), $"phash"))
+        .join(groups.select($"phash", $"rep", $"n"), Seq("phash"))
+        .select($"band", $"bval", $"phash", $"rep", $"n")
+        .repartition($"band")
+        .sortWithinPartitions($"band", $"bval")
+        .write.mode(saveMode).partitionBy("band")
+        .parquet(s"$outDir/groups")
+      // the membership the collapse discards, kept OUT of the probe
+      // path: (phash → media_id) rows read only by takedown/compaction
+      // to re-elect representatives and decrement multiplicities
+      rel.select($"phash", $"media_id",
+          pmod(xxhash64($"phash"), lit(PhashMembersBuckets.toLong))
+            .cast("int").as("mbkt"))
+        .repartition($"mbkt")
+        .sortWithinPartitions($"mbkt", $"phash")
+        .write.mode(saveMode).partitionBy("mbkt")
+        .parquet(s"$outDir/members")
+    } finally rel.unpersist(blocking = false)
+  }
+
+  private val phashMembersSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("phash",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("media_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("mbkt",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Takedown ON the collapsed layout — the erasure path that keeps
+    * the post-delete probe at the collapsed (distinct-hash) shape
+    * instead of routing through the per-media index whose exact pair
+    * report is duplication²-bound. The collapse discards member ids
+    * from the PROBED relation only; the `members/` sidecar retains
+    * them for maintenance, so a delete can re-elect a surviving
+    * representative (rep = min surviving member id, exactly what a
+    * rebuild over survivors elects) and decrement multiplicities
+    * exactly. Mechanics:
+    *
+    *  1. the deleted ids land in `_graft_member_tombstones` FIRST
+    *     (the evt_concurrency discipline): maintenance reads subtract
+    *     them from membership immediately;
+    *  2. affected hashes = the raw members rows carrying a deleted id
+    *     (one column-pruned scan of the 16-byte-row sidecar — ≪ the
+    *     media corpus — joined to the id batch);
+    *  3. the groups relation is rewritten folded, with every affected
+    *     hash's row REPLACED by the survivors' (min id, count) — or
+    *     dropped when no member survives — staging + dir swap.
+    *
+    * Delete ≡ rebuild-over-survivors exactly (PhashLifecycleSpec pins
+    * it, rep re-election included). Cost: one groups rewrite
+    * (distinct-hash-sized — the compaction cost, paid at delete time
+    * so probes never pay anything) + one members scan; the members
+    * files themselves are untouched until [[compactPhashGroupsIndex]]
+    * physically purges tombstoned rows. Crash window: a crash after
+    * the tombstone append but before the swap leaves probes serving
+    * the PRE-delete groups (stale, never corrupt — maintenance reads
+    * already honor the tombstones); re-running the same delete is
+    * idempotent (the raw-members resolve finds the same affected
+    * hashes and recomputes the same survivor state), and compaction
+    * is the rebuild fallback. Single-writer, like all maintenance
+    * ops. Refuses a pre-sidecar layout loudly (the legacy-CDC
+    * convention) rather than guessing membership.
+    */
+  def deleteFromPhashGroupsIndex(s: SparkSession, indexDir: String,
+      mediaIds: DataFrame): Unit = {
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/members")),
+      s"$indexDir has no members sidecar: this collapsed group index " +
+        "predates the takedown lifecycle - rebuild it with " +
+        "writePhashGroupsIndex, or route the takedown through the " +
+        "per-media index (deleteFromPhashIndex)")
+    val ids = mediaIds
+      .select(col(mediaIds.columns.head).cast("long").as("media_id"))
+    ids.coalesce(1).write.mode("append")
+      .parquet(s"$indexDir/_graft_member_tombstones")
+    val members = s.read.schema(phashMembersSchema)
+      .parquet(s"$indexDir/members")
+    val affected = members.join(ids, Seq("media_id"))
+      .select($"phash").distinct()
+    val tomb = s.read.schema("media_id BIGINT")
+      .parquet(s"$indexDir/_graft_member_tombstones")
+    val surv = members.join(affected, Seq("phash"), "left_semi")
+      .join(tomb, Seq("media_id"), "left_anti")
       .groupBy($"phash")
       .agg(min($"media_id").as("rep"), count(lit(1)).as("n"))
-    phashBandRows(groups.select($"rep".as("media_id"), $"phash"))
-      .join(groups.select($"phash", $"rep", $"n"), Seq("phash"))
+    val recomputed = phashBandRows(surv.select($"rep".as("media_id"), $"phash"))
+      .join(surv.select($"phash", $"rep", $"n"), Seq("phash"))
       .select($"band", $"bval", $"phash", $"rep", $"n")
+    val unaffected = s.read.schema(phashGroupsSchema)
+      .parquet(s"$indexDir/groups")
+      .groupBy($"band", $"bval", $"phash")
+      .agg(min($"rep").as("rep"), sum($"n").as("n"))
+      .join(affected, Seq("phash"), "left_anti")
+      .select($"band", $"bval", $"phash", $"rep", $"n")
+    val staging = new org.apache.hadoop.fs.Path(s"$indexDir/groups_deleting")
+    fs.delete(staging, true)
+    unaffected.union(recomputed)
       .repartition($"band")
       .sortWithinPartitions($"band", $"bval")
-      .write.mode(saveMode).partitionBy("band")
-      .parquet(s"$outDir/groups")
+      .write.partitionBy("band").parquet(staging.toString)
+    graft.operators.Similarity.swapDirInto(s, staging,
+      new org.apache.hadoop.fs.Path(s"$indexDir/groups"))
   }
 
   /** Fold a stored group index physically — one row per hash (rep =
     * min, n = sum across append deltas), staging + dir swap. No
-    * probe's answer changes (the probe already folds); this is the
-    * append-fragmentation defrag.
+    * probe's answer changes when every delete was applied (the probe
+    * already folds; PhashLifecycleSpec pins compacted ≡ uncompacted);
+    * with PENDING member tombstones (a delete crashed before its
+    * groups swap) compaction is the rebuild fallback that applies
+    * them. On a sidecar-carrying layout the groups are rebuilt FROM
+    * the surviving membership (the authoritative relation), the
+    * members files are rewritten minus tombstoned rows, and the
+    * tombstones are cleared LAST (a crash leaves them over
+    * already-purged rows — re-applied idempotently). A pre-sidecar
+    * layout gets the plain fold (defrag only, nothing to purge).
     */
   def compactPhashGroupsIndex(s: SparkSession, indexDir: String): Unit = {
     import s.implicits._
-    val folded = s.read.schema(phashGroupsSchema).parquet(s"$indexDir/groups")
-      .groupBy($"band", $"bval", $"phash")
-      .agg(min($"rep").as("rep"), sum($"n").as("n"))
-      .select($"band", $"bval", $"phash", $"rep", $"n")
-      .repartition($"band")
-      .sortWithinPartitions($"band", $"bval")
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val membersPath = new org.apache.hadoop.fs.Path(s"$indexDir/members")
+    val tombPath = new org.apache.hadoop.fs.Path(
+      s"$indexDir/_graft_member_tombstones")
+    val folded =
+      if (!fs.exists(membersPath))
+        s.read.schema(phashGroupsSchema).parquet(s"$indexDir/groups")
+          .groupBy($"band", $"bval", $"phash")
+          .agg(min($"rep").as("rep"), sum($"n").as("n"))
+          .select($"band", $"bval", $"phash", $"rep", $"n")
+      else {
+        val raw = s.read.schema(phashMembersSchema)
+          .parquet(s"$indexDir/members")
+        val members =
+          if (!fs.exists(tombPath)) raw
+          else raw.join(s.read.schema("media_id BIGINT")
+            .parquet(tombPath.toString), Seq("media_id"), "left_anti")
+        val mStaging = new org.apache.hadoop.fs.Path(
+          s"$indexDir/members_compacting")
+        fs.delete(mStaging, true)
+        members.repartition($"mbkt")
+          .sortWithinPartitions($"mbkt", $"phash")
+          .write.partitionBy("mbkt").parquet(mStaging.toString)
+        graft.operators.Similarity.swapDirInto(s, mStaging, membersPath)
+        val surv = s.read.schema(phashMembersSchema)
+          .parquet(s"$indexDir/members")
+          .groupBy($"phash")
+          .agg(min($"media_id").as("rep"), count(lit(1)).as("n"))
+        phashBandRows(surv.select($"rep".as("media_id"), $"phash"))
+          .join(surv.select($"phash", $"rep", $"n"), Seq("phash"))
+          .select($"band", $"bval", $"phash", $"rep", $"n")
+      }
     val staging = new org.apache.hadoop.fs.Path(s"$indexDir/groups_staging")
     fs.delete(staging, true)
-    folded.write.partitionBy("band").parquet(staging.toString)
+    folded
+      .repartition($"band")
+      .sortWithinPartitions($"band", $"bval")
+      .write.partitionBy("band").parquet(staging.toString)
     graft.operators.Similarity.swapDirInto(s, staging,
       new org.apache.hadoop.fs.Path(s"$indexDir/groups"))
+    fs.delete(tombPath, true)
   }
 
   private val phashGroupsSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -1797,6 +1965,26 @@ object Multimodal {
             AND NOT (o.doc_id % ${Similarity.PurgeMod} = ${Similarity.PurgeRes})
           WHERE n.phash <> 0 AND o.phash <> 0
             AND bit_count(xor(n.phash, o.phash)) <= $PhashThreshold""",
+    // the collapsed takedown restated as rebuild-over-survivors: the
+    // historical group relation recomputed over media MINUS the purge
+    // slice (min surviving id, survivor count — rep re-election and
+    // the n decrement fall out of the GROUP BY), then the distinct-
+    // hash probe verbatim
+    "dedup_phash_purged_collapsed" ->
+      s"""WITH ${phashCte},
+          ng AS (SELECT phash, MIN(doc_id) AS rep, COUNT(*) AS n
+            FROM pph WHERE phash <> 0
+              AND doc_id % ${Dedup.IncrementalMod} = 0 GROUP BY phash),
+          og AS (SELECT phash, MIN(doc_id) AS rep, COUNT(*) AS n
+            FROM pph WHERE phash <> 0
+              AND doc_id % ${Dedup.IncrementalMod} <> 0
+              AND NOT (doc_id % ${Similarity.PurgeMod} = ${Similarity.PurgeRes})
+            GROUP BY phash)
+          SELECT n.rep AS rep_new, o.rep AS rep_old,
+            CAST(bit_count(xor(n.phash, o.phash)) AS INT) AS hamming,
+            n.n AS n_new, o.n AS n_old
+          FROM ng n JOIN og o
+            ON bit_count(xor(n.phash, o.phash)) <= $PhashThreshold""",
     // the collapsed probe restated semantically over distinct hashes
     "dedup_phash_incremental_collapsed" ->
       s"""WITH ${phashCte},

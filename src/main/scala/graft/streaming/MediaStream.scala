@@ -132,4 +132,17 @@ object MediaStream {
         Multimodal.deleteFromPhashIndex(batch.sparkSession, indexDir,
           batch.toDF())
       }.start()
+
+  /** The takedown stream for the COLLAPSED group index — each
+    * micro-batch of media ids runs the batch re-election kernel
+    * ([[Multimodal.deleteFromPhashGroupsIndex]]), so the post-erasure
+    * probe keeps the distinct-hash shape at every trigger.
+    */
+  def phashGroupsDeleteStream(ids: DataFrame,
+      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Multimodal.deleteFromPhashGroupsIndex(batch.sparkSession, indexDir,
+          batch.toDF())
+      }.start()
 }

@@ -123,4 +123,78 @@ class PhashLifecycleSpec extends AnyFunSuite {
       .filter(col("count") > 1).count()
     assert(dupRows == 0, "compaction must leave one row per (band, hash)")
   }
+
+  test("collapsed takedown: rep re-election, count decrement, delete ≡ rebuild over survivors") {
+    import spark.implicits._
+    // local fixture: 1, 2, 4 share hash A; 3 is hash B; the probe
+    // batch has 10 ≡ A and 20 ≡ B — so every re-election step is
+    // predictable
+    val a = (0 until 60).map(i => s"alpha$i beta${i * 3} gm$i").mkString(" ")
+    val b = (0 until 60).map(i => s"delta$i zeta${i * 5} qq$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("phtake").toString
+    Seq((1L, a), (2L, a), (3L, b), (4L, a), (5L, a), (10L, a), (20L, b))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def rebuildOver(pred: org.apache.spark.sql.Column): Set[(Long, Long, Int, Long, Long)] = {
+      val fresh = s"$tmp/fresh_${java.util.UUID.randomUUID().toString.take(6)}"
+      Multimodal.writePhashGroupsIndex(spark, tmp, fresh, pred)
+      collapsed(tmp, fresh)
+    }
+    val dir = s"$tmp/gdel"
+    Multimodal.writePhashGroupsIndex(spark, tmp, dir,
+      col("media_id").isin(1L, 2L, 3L, 4L))
+    val base = collapsed(tmp, dir)
+    assert(base.exists(r => r._2 == 1L && r._5 == 3L),
+      s"fixture: hash A must fold to (rep 1, n 3): $base")
+    // delete the stored REP of hash A: the index must name a
+    // SURVIVING representative (2) and decrement n — exactly the
+    // rebuild over survivors
+    Multimodal.deleteFromPhashGroupsIndex(spark, dir, Seq(1L).toDF("media_id"))
+    val afterRep = collapsed(tmp, dir)
+    assert(afterRep.exists(r => r._2 == 2L && r._5 == 2L),
+      s"rep re-election must name the min SURVIVING member: $afterRep")
+    assert(!afterRep.exists(r => r._2 == 1L),
+      "a deleted media must never be named as a representative")
+    assert(afterRep == rebuildOver(col("media_id").isin(2L, 3L, 4L)),
+      "delete must equal the rebuild over survivors")
+    // delete the remaining carriers: the hash-A group vanishes
+    Multimodal.deleteFromPhashGroupsIndex(spark, dir,
+      Seq(2L, 4L).toDF("media_id"))
+    val afterAll = collapsed(tmp, dir)
+    assert(afterAll == rebuildOver(col("media_id") === 3L),
+      "a group whose every member is deleted must stop answering")
+    // idempotent re-delete (the crash-retry path)
+    Multimodal.deleteFromPhashGroupsIndex(spark, dir, Seq(2L).toDF("media_id"))
+    assert(collapsed(tmp, dir) == afterAll, "re-delete must be a no-op")
+    // append AFTER the deletes: the new carrier answers with itself
+    // as rep — the post-delete fold still equals the rebuild
+    Multimodal.appendToPhashGroupsIndex(spark, tmp, dir,
+      col("media_id") === 5L)
+    val afterApp = collapsed(tmp, dir)
+    assert(afterApp == rebuildOver(col("media_id").isin(3L, 5L)),
+      "append onto a deleted-from index must equal the rebuild")
+    // compaction: answers unchanged, tombstones retired, members purged
+    Multimodal.compactPhashGroupsIndex(spark, dir)
+    assert(collapsed(tmp, dir) == afterApp,
+      "compaction must not change answers")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_member_tombstones")), "compaction retires tombstones")
+    assert(spark.read.parquet(s"$dir/members")
+      .filter(col("media_id").isin(1L, 2L, 4L)).count() == 0,
+      "compaction must purge tombstoned members physically")
+    // a pre-sidecar (legacy) layout refuses the takedown loudly
+    val legacy = s"$tmp/glegacy"
+    Multimodal.writePhashGroupsIndex(spark, tmp, legacy,
+      col("media_id") === 3L)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$legacy/members"), true)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.deleteFromPhashGroupsIndex(spark, legacy,
+        Seq(3L).toDF("media_id"))
+    }
+    assert(e.getMessage.contains("members sidecar"), e.getMessage)
+  }
 }

@@ -189,4 +189,40 @@ class MediaStreamSpec extends AnyFunSuite {
     assert(after.contains((10L, 2L)),
       "the surviving carrier must still answer")
   }
+
+  test("phashGroupsDeleteStream: streamed takedowns re-elect reps on the collapsed index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val a = (0 until 60).map(i => s"alpha$i beta${i * 3} gm$i").mkString(" ")
+    val b = (0 until 60).map(i => s"delta$i zeta${i * 5} qq$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("phgdelstream").toString
+    Seq((1L, a), (2L, a), (3L, b), (10L, a), (20L, b))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val dir = s"$tmp/gidx"
+    Multimodal.writePhashGroupsIndex(spark, tmp, dir,
+      col("media_id") % 10 =!= 0)
+    def rows(): Set[(Long, Long, Int, Long, Long)] =
+      Multimodal.incrementalPhashCollapsed(spark, tmp, dir)
+        .as[(Long, Long, Int, Long, Long)].collect().toSet
+    assert(rows().exists(r => r._2 == 1L && r._5 == 2L),
+      "fixture: the shared hash answers as (rep 1, n 2)")
+    val mem = MemoryStream[Long]
+    val q = MediaStream.phashGroupsDeleteStream(mem.toDF(), dir)
+    try {
+      mem.addData(1L) // the stored rep: forces re-election
+      q.processAllAvailable()
+      mem.addData(3L) // sole carrier of hash B: its group vanishes
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = rows()
+    assert(after.exists(r => r._2 == 2L && r._5 == 1L),
+      s"streamed delete must re-elect the surviving rep: $after")
+    assert(!after.exists(r => r._2 == 1L || r._2 == 3L),
+      s"deleted media must not be named as representatives: $after")
+  }
 }
