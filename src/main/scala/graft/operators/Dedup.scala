@@ -1464,6 +1464,32 @@ object Dedup {
     // (id, cos) after projection.
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d, SemanticThreshold)),
 
+    // ...and its stored/incremental lifecycle (the production shape):
+    // freeze the historical-trained cells as a stored index, assign
+    // the nightly batch to the FROZEN cells, keep batch vectors with
+    // no surviving stored cell-mate within the threshold. Oracled via
+    // the slice-trained centroid literals (dynamicOracles below).
+    "dedup_semantic_incremental" -> { (s, d) =>
+      val dir = Similarity.storedQueryDir("sem_incr", d)
+      writeSemanticIndex(s, d, dir)
+      incrementalSemanticKept(s, d, dir, SemanticThreshold)
+    },
+
+    // the takedown round trip: tombstone a slice of the stored
+    // historical vectors, re-probe — an erased vector stops
+    // SUPPRESSING new content immediately (the batch vec it alone
+    // suppressed joins the kept set)
+    "dedup_semantic_purged" -> { (s, d) =>
+      import s.implicits._
+      val dir = Similarity.storedQueryDir("sem_purge", d)
+      writeSemanticIndex(s, d, dir)
+      Similarity.deleteFromIndex(s, dir,
+        Tables.embeddings(s, d).select($"vec_id")
+          .filter($"vec_id" % IncrementalMod =!= 0 &&
+            $"vec_id" % Similarity.PurgeMod === Similarity.PurgeRes))
+      incrementalSemanticKept(s, d, dir, SemanticThreshold)
+    },
+
     // Near-dup CLUSTERING: pair detection alone doesn't dedup a corpus
     // — chains (a~b, b~c, a≁c) must collapse to one representative per
     // connected component. Min-label propagation over the exact-Jaccard
@@ -1864,6 +1890,71 @@ object Dedup {
       .filter(round($"cos", 4) >= threshold)
       .select($"vec_id").distinct()
     Tables.embeddings(s, d).select($"vec_id")
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .select($"vec_id")
+  }
+
+  // ------------------------------------------------------------------
+  // SemDeDup's stored/incremental lifecycle (r16 verdict item 3) —
+  // the production shape: the coarse quantizer is trained ONCE on the
+  // historical corpus and FROZEN as a stored IVF index; each nightly
+  // batch is assigned to those frozen cells and deduped against the
+  // STORED cell members (new×old only — within-batch duplication is
+  // the ordinary dedup_semantic over the batch, the incremental
+  // convention), and takedown is the shared ANN tombstone mechanism:
+  // a deleted historical vector stops suppressing new content from
+  // the next probe. Re-clustering the corpus per run (what the
+  // session-cached dedup_semantic models) is the BUILD, not the
+  // steady state.
+  // ------------------------------------------------------------------
+
+  /** The declared historical slice the frozen quantizer trains on. */
+  val SemanticHistoricalPred: Column = col("vec_id") % IncrementalMod =!= 0
+
+  /** Freeze the historical-trained IVF cells as a stored index — the
+    * [[Similarity.writeIvfIndex]] layout (cell-partitioned
+    * assignments + bounded trained state), trained over the slice
+    * only: at deployment the quantizer cannot see future batches.
+    */
+  def writeSemanticIndex(s: SparkSession, d: String, outDir: String): Unit =
+    Similarity.writeIvfIndexOf(s,
+      Similarity.ivfIndexFor(s, d, SemanticHistoricalPred, "semhist"), outDir)
+
+  /** The nightly batch's kept set against a STORED semantic index:
+    * batch vectors are assigned to the FROZEN cells (the stored
+    * centroids, the same kernel the build used), probed against the
+    * stored cell members under a pushed cell partition filter
+    * (cap-guarded — over the cap the join stays keyed on cell, just
+    * unpruned), and a batch vector is dropped iff some surviving
+    * stored member of its cell is within the semantic threshold.
+    * Tombstoned ids drop at the scan ([[Similarity.readIvfIndex]]),
+    * so takedown visibility is immediate.
+    */
+  def incrementalSemanticKept(s: SparkSession, d: String, indexDir: String,
+      threshold: Double, pushdownCap: Int = MinhashPushdownCap,
+      batchPred: Column = col("vec_id") % IncrementalMod === 0): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val idx = Similarity.readIvfIndex(s, indexDir)
+    val cells = Similarity.nearestCellsCol(idx.cents, 1) _
+    val batch = Similarity.corpus(s, d).filter(batchPred)
+      .select($"vec_id".as("b_id"), $"embedding".as("b_emb"),
+        $"nrm".as("b_nrm"), explode(cells($"embedding")).as("cell"))
+    val probed = batch.select($"cell").distinct()
+      .limit(pushdownCap + 1).collect().map(_.getLong(0))
+    val stored =
+      if (probed.length > pushdownCap) idx.assigned
+      else if (probed.isEmpty) idx.assigned.filter(lit(false))
+      else idx.assigned.filter($"cell".isin(
+        probed.map(java.lang.Long.valueOf).toIndexedSeq: _*))
+    val dropped = batch.join(stored, Seq("cell"))
+      .select($"b_id",
+        round(VectorFunctions.cosineFrom(
+          VectorFunctions.dot($"b_emb", $"embedding"), $"b_nrm", $"nrm"),
+          4).as("cos"))
+      .filter($"cos" >= threshold)
+      .select($"b_id".as("vec_id")).distinct()
+    Tables.embeddings(s, d).filter(batchPred).select($"vec_id")
       .join(dropped, Seq("vec_id"), "left_anti")
       .select($"vec_id")
   }
@@ -2768,6 +2859,28 @@ object Dedup {
     */
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = {
     val (ctes, _) = Similarity.ivfOracleCtes(s, d)
+    // the incremental/purged forms assign through the SLICE-trained
+    // frozen quantizer, so their CTEs carry ITS centroid literals —
+    // shared with the declared queries' session cache by cacheKey, so
+    // one training run feeds both sides (the centroidLiterals
+    // contract)
+    val (semCtes, _) = Similarity.ivfOracleCtesOf(Similarity.centroidLiteralsOf(
+      Similarity.ivfIndexFor(s, d, SemanticHistoricalPred, "semhist").cents))
+    def semIncrSql(histExtra: String): String =
+      s"""WITH $semCtes,
+          dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM asg a JOIN asg b ON a.cell = b.cell
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE a.vec_id % $IncrementalMod <> 0
+              AND b.vec_id % $IncrementalMod = 0
+              $histExtra
+              AND ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4)
+                >= $SemanticThreshold)
+          SELECT e.vec_id FROM embeddings e
+          WHERE e.vec_id % $IncrementalMod = 0
+            AND e.vec_id NOT IN (SELECT vec_id FROM dropped)"""
     Map(
       "dedup_semantic" ->
         s"""WITH $ctes,
@@ -2779,6 +2892,9 @@ object Dedup {
               WHERE ROUND(${Similarity.sqlCos("ea.embedding", "eb.embedding")}, 4)
                 >= $SemanticThreshold)
             SELECT e.vec_id FROM embeddings e
-            WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)""")
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)""",
+      "dedup_semantic_incremental" -> semIncrSql(""),
+      "dedup_semantic_purged" -> semIncrSql(
+        s"AND NOT (a.vec_id % ${Similarity.PurgeMod} = ${Similarity.PurgeRes})"))
   }
 }

@@ -1067,9 +1067,20 @@ object Similarity {
 
   def trainCentroids(s: SparkSession, d: String,
       maxDriverFlops: Double = DriverTrainFlopsCap): Array[(Long, Array[Float], Double)] = {
-    import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val n = rowCount(s, emb)
+    trainCentroidsOn(s, emb, rowCount(s, emb), maxDriverFlops)
+  }
+
+  /** [[trainCentroids]] over an EXPLICIT embeddings relation with a
+    * caller-supplied exact row count — the filtered-corpus entry the
+    * semantic-dedup lifecycle trains its FROZEN historical quantizer
+    * through. (The count must be passed: the footer fast-path of
+    * [[rowCount]] sees a filtered scan's full files.) Arithmetic,
+    * sampling, and determinism are the shared body's, unchanged.
+    */
+  private[operators] def trainCentroidsOn(s: SparkSession, emb: DataFrame,
+      n: Long, maxDriverFlops: Double = DriverTrainFlopsCap): Array[(Long, Array[Float], Double)] = {
+    import s.implicits._
     val k = ivfK(n)
     val sampleSize = math.min(math.max(64L * k, 1024L), IvfSampleCap.toLong).toInt
     // When the whole corpus fits in the sample cap, the sample IS the
@@ -1088,7 +1099,7 @@ object Similarity {
     val cents: Array[Array[Float]] =
       if (trainFlops(sampleSize, k) <= maxDriverFlops) {
         val sample = sampleDs.collect().map(t => unit(t._2))
-        require(sample.nonEmpty, s"cannot train IVF centroids on an empty corpus: $d")
+        require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
         val dim = sample.head.length
         var cs: Array[Array[Float]] =
           (0 until k).map(i => sample(i % sample.length).clone()).toArray
@@ -1103,7 +1114,7 @@ object Similarity {
         cs
       } else {
         val init = sampleDs.take(k).map(t => unit(t._2))
-        require(init.nonEmpty, s"cannot train IVF centroids on an empty corpus: $d")
+        require(init.nonEmpty, "cannot train IVF centroids on an empty corpus")
         val dim = init.head.length
         val rdd = deterministicSampleRdd(sampleDs,
           s.sparkContext.defaultParallelism).map(unit)
@@ -1245,11 +1256,20 @@ object Similarity {
 
   def ivfAssignments(s: SparkSession, d: String,
       cents: Array[(Long, Array[Float], Double)],
+      assign: Int = IvfAssign): DataFrame =
+    ivfAssignmentsOn(s, corpus(s, d),
+      rowCount(s, Tables.embeddings(s, d)), cents, assign)
+
+  /** [[ivfAssignments]] over an EXPLICIT (vec_id, embedding, nrm)
+    * relation with a caller-supplied exact row count (see the
+    * [[trainCentroidsOn]] note) — same kernel, same widen policy.
+    */
+  private[operators] def ivfAssignmentsOn(s: SparkSession, src0: DataFrame,
+      n: Long, cents: Array[(Long, Array[Float], Double)],
       assign: Int = IvfAssign): DataFrame = {
     import s.implicits._
     val cells = nearestCellsCol(cents, assign) _
-    val n = rowCount(s, Tables.embeddings(s, d))
-    val src = widenIfStarved(s, corpus(s, d),
+    val src = widenIfStarved(s, src0,
       n.toDouble * cents.length * Dim, $"vec_id")
     src.select($"vec_id", $"embedding", $"nrm",
       explode(cells($"embedding")).as("cell"))
@@ -1286,6 +1306,33 @@ object Similarity {
       // matrix): it prices the build's one warm-up pass and feeds the
       // occupancy-aware probe policy
       import s.implicits._
+      val occ = assigned.groupBy($"cell").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val counts = Array.tabulate(cents.length)(c => occ.getOrElse(c.toLong, 0L))
+      IvfIndex(cents, assigned, counts)
+    }
+
+  /** An IVF index trained AND assigned over a FILTERED corpus slice —
+    * the historical-only quantizer the semantic-dedup lifecycle
+    * freezes: at deployment the quantizer is trained on whatever
+    * corpus existed at build time, and later batches are assigned to
+    * those FROZEN cells, never retrained per run. `cacheKey` names
+    * the slice for the session cache (same key + corpus ⇒ one
+    * training run shared by Verify's query dump and the generated
+    * oracle literals, the [[centroidLiterals]] contract).
+    */
+  def ivfIndexFor(s: SparkSession, d: String, pred: org.apache.spark.sql.Column,
+      cacheKey: String, assign: Int = IvfAssign): IvfIndex =
+    indexCache.getOrBuild(s, s"for:$cacheKey#$assign#$d") {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).filter(pred)
+      // exact count of the SLICE (rowCount's footer fast-path would
+      // see the filtered scan's full files)
+      val n = emb.count()
+      val cents = trainCentroidsOn(s, emb, n)
+      val assigned = ivfAssignmentsOn(s, corpus(s, d).filter(pred), n,
+          cents, assign)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val occ = assigned.groupBy($"cell").agg(count(lit(1)).as("n"))
         .as[(Long, Long)].collect().toMap
       val counts = Array.tabulate(cents.length)(c => occ.getOrElse(c.toLong, 0L))
@@ -1351,9 +1398,15 @@ object Similarity {
     * [[IvfKCap]] rows) as a small side table.
     */
   def writeIvfIndex(s: SparkSession, d: String, outDir: String,
-      assign: Int = IvfAssign): Unit = {
+      assign: Int = IvfAssign): Unit =
+    writeIvfIndexOf(s, ivfIndex(s, d, assign), outDir)
+
+  /** Write a GIVEN built index (the [[ivfIndexFor]] slice-trained
+    * form included) in the standard stored layout.
+    */
+  private[operators] def writeIvfIndexOf(s: SparkSession, idx: IvfIndex,
+      outDir: String): Unit = {
     import s.implicits._
-    val idx = ivfIndex(s, d, assign)
     // cluster rows into their cell before the partitioned write: every
     // upstream task writing into every cell directory otherwise emits
     // tasks × cells tiny files (measured 512 files for 16 dirs on the
@@ -2401,8 +2454,11 @@ object Similarity {
     * session's cached [[ivfIndex]], so Verify's parquet dump and the
     * generated oracle SQL share one training run by construction.
     */
-  def centroidLiterals(s: SparkSession, d: String): (String, String, Int) = {
-    val cents = ivfIndex(s, d).cents
+  def centroidLiterals(s: SparkSession, d: String): (String, String, Int) =
+    centroidLiteralsOf(ivfIndex(s, d).cents)
+
+  private[operators] def centroidLiteralsOf(
+      cents: Array[(Long, Array[Float], Double)]): (String, String, Int) = {
     val cv = cents.map(_._2.map(_.toDouble.toString).mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
     val cn = cents.map(_._3.toString).mkString("[", ", ", "]")
@@ -2416,8 +2472,16 @@ object Similarity {
     * cell, lowest-cell tiebreak — single assignment, the declared
     * default). Returns (cteSql, k).
     */
-  private[operators] def ivfOracleCtes(s: SparkSession, d: String): (String, Int) = {
-    val (cv, cn, k) = centroidLiterals(s, d)
+  private[operators] def ivfOracleCtes(s: SparkSession, d: String): (String, Int) =
+    ivfOracleCtesOf(centroidLiterals(s, d))
+
+  /** The shared CTE text for ANY trained quantizer's literals — the
+    * slice-trained ([[ivfIndexFor]]) indexes render their oracles
+    * through this with their own centroids.
+    */
+  private[operators] def ivfOracleCtesOf(
+      lits: (String, String, Int)): (String, Int) = {
+    val (cv, cn, k) = lits
     val ctes =
       s"""m AS (SELECT $cv AS cv, $cn AS cn),
           sims AS (
