@@ -992,12 +992,8 @@ object TextAnalysis {
     // so the gate is engine-exact at the boundary.
     "txt_quality_gate" -> { (s, d) =>
       import s.implicits._
-      val scored = Tables.documents(s, d)
-        .select($"doc_id", $"source",
-          round(length(regexp_replace($"text", "[^A-Za-z]", "")) /
-            greatest(length($"text"), lit(1)).cast("double"), 6).as("alpha_r"))
-      val thresholds = scored.groupBy($"source")
-        .agg(round(expr("percentile(alpha_r, 0.25)"), 6).as("thresh"))
+      val scored = gateScored(s, d)
+      val thresholds = gateThresholds(scored)
       scored.join(broadcast(thresholds), Seq("source"))
         .filter($"alpha_r" >= $"thresh")
         .select($"doc_id", $"source", $"alpha_r", $"thresh")
@@ -1038,6 +1034,29 @@ object TextAnalysis {
       writeNbModel(s, d, dir)
       val (w, prior) = readNbModel(s, dir)
       scoreWithNbModel(s, d, w, prior)
+    },
+
+    // The classifier's right-to-erasure round trip: train + persist,
+    // unlearn the purge slice by count subtraction (one tokenize of
+    // the DELETED docs — never a retrain), score the SURVIVING corpus
+    // with the folded model. The model state is linear in training
+    // docs, so subtract ≡ retrain-over-survivors-with-frozen-labels
+    // EXACTLY (the oracle restates that retrain from the base tables;
+    // NbLifecycleSpec pins the equivalence in weight space too).
+    // Labels are FROZEN at training time (the stored thresholds):
+    // erasure removes a training example, it does not re-run the
+    // labeler over the survivors — the production semantics when the
+    // labeler is an expensive LLM/human pass.
+    "txt_quality_classifier_purged" -> { (s, d) =>
+      import s.implicits._
+      val dir = Similarity.storedQueryDir("nbmodel_p", d)
+      writeNbModel(s, d, dir)
+      deleteFromNbModel(s, dir,
+        Tables.documents(s, d)
+          .filter($"doc_id" % Similarity.PurgeMod === Similarity.PurgeRes))
+      val (w, prior) = readNbModel(s, dir)
+      scoreWithNbModel(s, d, w, prior,
+        $"doc_id" % Similarity.PurgeMod =!= Similarity.PurgeRes)
     },
 
     // TF-IDF keyword extraction: top-3 terms per document by
@@ -1927,6 +1946,26 @@ object TextAnalysis {
         FROM tr JOIN ev USING (gram)
         GROUP BY doc_id, source"""
 
+  /** The gate's per-document alpha ratio — factored so the gate
+    * query, the NB labeler, and the model takedown all compute the
+    * SAME rounded expression (a fork here would fork labels).
+    */
+  private def gateScored(s: SparkSession, d: String): DataFrame =
+    alphaR(Tables.documents(s, d))
+
+  private def alphaR(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"source",
+      round(length(regexp_replace($"text", "[^A-Za-z]", "")) /
+        greatest(length($"text"), lit(1)).cast("double"), 6).as("alpha_r"))
+  }
+
+  private def gateThresholds(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored.groupBy($"source")
+      .agg(round(expr("percentile(alpha_r, 0.25)"), 6).as("thresh"))
+  }
+
   /** Train the NB quality model: the gate's weak labels → per-token
     * log-odds weights (vocabulary-sized, stays distributed) + the
     * smoothed document-prior log-odds (one double). Shared by the
@@ -1934,6 +1973,17 @@ object TextAnalysis {
     * arithmetic cannot fork.
     */
   def nbModel(s: SparkSession, d: String): (DataFrame, Double) = {
+    val (classCnt, pd, nd) = nbCounts(s, d)
+    (nbWeightsOf(classCnt), math.log((pd + 1).toDouble / (nd + 1)))
+  }
+
+  /** The model's SUFFICIENT STATISTICS — per-token class counts and
+    * the labeled-document tallies. These are LINEAR in documents
+    * (sums of per-doc contributions), which is what makes the stored
+    * model erasable by subtraction ([[deleteFromNbModel]]); the
+    * weights/prior are the nonlinear readout derived at use time.
+    */
+  private def nbCounts(s: SparkSession, d: String): (DataFrame, Long, Long) = {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val labeled = nbLabels(s, d)
@@ -1943,17 +1993,25 @@ object TextAnalysis {
       .groupBy($"tok")
       .agg(sum(when($"label" === 1, $"tf").otherwise(0L)).as("c_pos"),
         sum(when($"label" === 0, $"tf").otherwise(0L)).as("c_neg"))
-    val scal = classCnt.agg(sum($"c_pos").as("np"), sum($"c_neg").as("nn"),
-      count(lit(1)).as("v"))
-    val w = classCnt.crossJoin(broadcast(scal))
-      .select($"tok",
-        (log(($"c_pos" + 1).cast("double") / ($"np" + $"v")) -
-          log(($"c_neg" + 1).cast("double") / ($"nn" + $"v"))).as("w"))
     val (pd, nd) = labeled.agg(
         sum(when($"label" === 1, 1L).otherwise(0L)),
         sum(when($"label" === 0, 1L).otherwise(0L)))
       .as[(Long, Long)].first()
-    (w, math.log((pd + 1).toDouble / (nd + 1)))
+    (classCnt, pd, nd)
+  }
+
+  /** The add-one-smoothed log-odds readout over a (tok, c_pos, c_neg)
+    * relation — shared by the in-session trainer and the stored-model
+    * reader so the derived doubles are bit-identical on both paths.
+    */
+  private[operators] def nbWeightsOf(classCnt: DataFrame): DataFrame = {
+    import classCnt.sparkSession.implicits._
+    val scal = classCnt.agg(sum($"c_pos").as("np"), sum($"c_neg").as("nn"),
+      count(lit(1)).as("v"))
+    classCnt.crossJoin(broadcast(scal))
+      .select($"tok",
+        (log(($"c_pos" + 1).cast("double") / ($"np" + $"v")) -
+          log(($"c_neg" + 1).cast("double") / ($"nn" + $"v"))).as("w"))
   }
 
   /** The gate's weak labels as a (doc_id, label) relation. */
@@ -1974,11 +2032,11 @@ object TextAnalysis {
     * states).
     */
   def scoreWithNbModel(s: SparkSession, d: String, w: DataFrame,
-      prior: Double): DataFrame = {
+      prior: Double, rowPred: Column = lit(true)): DataFrame = {
     import s.implicits._
     nbLabels(s, d)
-      .join(scoreDocsWithNbModel(Tables.documents(s, d), w, prior),
-        Seq("doc_id"))
+      .join(scoreDocsWithNbModel(
+        Tables.documents(s, d).filter(rowPred), w, prior), Seq("doc_id"))
       .select($"doc_id", $"label", $"nb_score")
   }
 
@@ -2003,27 +2061,121 @@ object TextAnalysis {
         round(lit(prior) + coalesce($"sw", lit(0.0)), 5).as("nb_score"))
   }
 
-  /** Persist the trained model: the weight relation plus a 1-row
-    * prior table (the writeSqIndex params convention).
+  /** Persist the trained model AS ITS SUFFICIENT STATISTICS — the
+    * (tok, c_pos, c_neg) count relation, the (pd, nd) labeled-doc
+    * tallies, and the gate thresholds the labels came from. Counts
+    * (not weights) are stored because counts are LINEAR in training
+    * documents: a training-doc takedown appends the deleted docs'
+    * contributions NEGATED ([[deleteFromNbModel]], the CDC counts-add
+    * algebra) and every reader folds — whereas log-odds weights are
+    * nonlinear and unsubtractable. The weights/prior a consumer
+    * scores with are derived at read time by the same shared
+    * arithmetic the in-session trainer uses ([[nbWeightsOf]]), so the
+    * stored round trip stays bit-identical to the session model.
+    * The thresholds sidecar freezes the weak supervision: erasure
+    * removes a training example's counts, it never re-labels the
+    * surviving corpus (the expensive labeler — here the percentile
+    * gate, in production an LLM or human pass — ran once at training
+    * time; its outputs are part of the model's provenance).
     */
   def writeNbModel(s: SparkSession, d: String, outDir: String): Unit = {
     import s.implicits._
-    val (w, prior) = nbModel(s, d)
-    w.write.mode("overwrite").parquet(s"$outDir/weights")
-    Seq(prior).toDF("prior").write.mode("overwrite")
-      .parquet(s"$outDir/prior")
+    val (classCnt, pd, nd) = nbCounts(s, d)
+    classCnt.write.mode("overwrite").parquet(s"$outDir/counts")
+    Seq((pd, nd)).toDF("pd", "nd").write.mode("overwrite")
+      .parquet(s"$outDir/scalars")
+    gateThresholds(gateScored(s, d)).write.mode("overwrite")
+      .parquet(s"$outDir/thresholds")
   }
 
+  /** Read a stored model back as (weights, prior): fold the count
+    * algebra (sums per token; tokens whose every carrier was deleted
+    * fold to 0+0 and drop, exactly as a retrain over survivors would
+    * never see them), then derive the readout through the shared
+    * arithmetic.
+    */
   def readNbModel(s: SparkSession, indexDir: String): (DataFrame, Double) = {
     import s.implicits._
-    val priors = s.read.parquet(s"$indexDir/prior")
-      .select($"prior").as[Double].collect()
-    require(priors.length == 1,
-      s"nb model under $indexDir has ${priors.length} prior rows, need 1")
-    (s.read.parquet(s"$indexDir/weights").select($"tok", $"w"), priors.head)
+    val counts = s.read.parquet(s"$indexDir/counts")
+      .groupBy($"tok")
+      .agg(sum($"c_pos").as("c_pos"), sum($"c_neg").as("c_neg"))
+      .filter($"c_pos" + $"c_neg" > 0)
+    val (pd, nd) = s.read.parquet(s"$indexDir/scalars")
+      .agg(sum($"pd"), sum($"nd")).as[(Long, Long)].first()
+    (nbWeightsOf(counts), math.log((pd + 1).toDouble / (nd + 1)))
   }
 
-  private lazy val nbClassifierOracle: String =
+  /** Unlearn a batch of TRAINING documents from a stored model — the
+    * right-to-erasure path that costs one tokenize of the DELETED
+    * docs (batch-sized, the deleteFromCdcIndex convention), never a
+    * retrain: their labels are recomputed against the STORED
+    * thresholds (bit-identical to the labels training used, since
+    * both run the same rounded expression against the same frozen
+    * cuts), their per-token class contributions and document tallies
+    * are appended NEGATED, and every reader's fold makes the model
+    * equal a retrain over the survivors WITH THE FROZEN LABELS —
+    * spec-pinned by linearity (NbLifecycleSpec). Contract: delete
+    * only docs the model was trained on, once (the counts-add
+    * algebra cannot know a negative row arrived before its positive
+    * twin). Physical purge of cancelled rows is [[compactNbModel]].
+    */
+  def deleteFromNbModel(s: SparkSession, indexDir: String,
+      docs: DataFrame): Unit = {
+    import s.implicits._
+    val thr = s.read.parquet(s"$indexDir/thresholds")
+    val labeled = alphaR(docs).join(broadcast(thr), Seq("source"))
+      .select($"doc_id",
+        when($"alpha_r" >= $"thresh", 1L).otherwise(0L).as("label"))
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    tf.join(labeled, Seq("doc_id"))
+      .groupBy($"tok")
+      .agg((-sum(when($"label" === 1, $"tf").otherwise(0L))).as("c_pos"),
+        (-sum(when($"label" === 0, $"tf").otherwise(0L))).as("c_neg"))
+      .write.mode("append").parquet(s"$indexDir/counts")
+    val (pd, nd) = labeled.agg(
+        sum(when($"label" === 1, 1L).otherwise(0L)),
+        sum(when($"label" === 0, 1L).otherwise(0L)))
+      .as[(Long, Long)].first()
+    Seq((-pd, -nd)).toDF("pd", "nd").write.mode("append")
+      .parquet(s"$indexDir/scalars")
+  }
+
+  /** Fold the stored count algebra physically: one row per token,
+    * all-zero rows dropped, one scalar row — no reader's answer
+    * changes (readers already fold; NbLifecycleSpec pins it), this is
+    * the takedown/append defrag. Staging + dir swap, crash-safe.
+    */
+  def compactNbModel(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cTmp = new org.apache.hadoop.fs.Path(s"$indexDir/counts_compacting")
+    fs.delete(cTmp, true)
+    s.read.parquet(s"$indexDir/counts")
+      .groupBy($"tok")
+      .agg(sum($"c_pos").as("c_pos"), sum($"c_neg").as("c_neg"))
+      .filter($"c_pos" + $"c_neg" > 0)
+      .write.parquet(cTmp.toString)
+    Similarity.swapDirInto(s, cTmp,
+      new org.apache.hadoop.fs.Path(s"$indexDir/counts"))
+    val sTmp = new org.apache.hadoop.fs.Path(s"$indexDir/scalars_compacting")
+    fs.delete(sTmp, true)
+    s.read.parquet(s"$indexDir/scalars")
+      .agg(sum($"pd").as("pd"), sum($"nd").as("nd"))
+      .write.parquet(sTmp.toString)
+    Similarity.swapDirInto(s, sTmp,
+      new org.apache.hadoop.fs.Path(s"$indexDir/scalars"))
+  }
+
+  /** The NB classifier restated over a TRAINING-ROW predicate:
+    * thresholds and labels always come from the FULL corpus (the
+    * frozen weak supervision), while counts, priors, and the output
+    * row set restrict to `rowsWhere` — so the same builder states the
+    * base classifier (`TRUE`) and the purged form (survivors), whose
+    * contract is retrain-over-survivors-with-frozen-labels.
+    */
+  private def nbClassifierSql(rowsWhere: String): String =
     s"""WITH q AS (SELECT doc_id, source,
             ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
               GREATEST(LENGTH(text), 1), 6) AS alpha_r
@@ -2035,7 +2187,8 @@ object TextAnalysis {
           lab AS (SELECT doc_id,
             CAST(CASE WHEN alpha_r >= thresh THEN 1 ELSE 0 END AS BIGINT)
               AS label FROM t),
-          toks AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+          toks AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents
+            WHERE $rowsWhere),
           tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
             GROUP BY doc_id, tok),
           cc AS (SELECT tok,
@@ -2047,7 +2200,8 @@ object TextAnalysis {
           pri AS (SELECT
               SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pd,
               SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nd
-            FROM lab),
+            FROM lab WHERE doc_id IN (SELECT doc_id FROM documents
+              WHERE $rowsWhere)),
           w AS (SELECT tok,
               LN((c_pos + 1)::DOUBLE / (np + v))
                 - LN((c_neg + 1)::DOUBLE / (nn + v)) AS w
@@ -2057,7 +2211,11 @@ object TextAnalysis {
           SELECT l.doc_id, l.label,
             ROUND(LN((pri.pd + 1)::DOUBLE / (pri.nd + 1))
               + COALESCE(per.sw, 0.0), 5) + 0.0 AS nb_score
-          FROM lab l CROSS JOIN pri LEFT JOIN per ON per.doc_id = l.doc_id"""
+          FROM lab l CROSS JOIN pri LEFT JOIN per ON per.doc_id = l.doc_id
+          WHERE l.doc_id IN (SELECT doc_id FROM documents
+            WHERE $rowsWhere)"""
+
+  private lazy val nbClassifierOracle: String = nbClassifierSql("TRUE")
 
   private lazy val oraclesBase: Map[String, String] = Map(
     // The sketch restated exactly: distinct shingle strings per
@@ -2342,6 +2500,11 @@ object TextAnalysis {
     // round-trips the double weights/prior exactly)
     "txt_quality_classifier" -> nbClassifierOracle,
     "txt_quality_classifier_stored" -> nbClassifierOracle,
+    // erasure ≡ retrain over survivors with frozen labels, restated
+    // from the base tables (thresholds/labels over ALL docs — the
+    // training-time supervision — counts/priors/rows over survivors)
+    "txt_quality_classifier_purged" -> nbClassifierSql(
+      s"NOT (doc_id % ${Similarity.PurgeMod} = ${Similarity.PurgeRes})"),
     // stored-sketch round trip: long arrays round-trip parquet
     // exactly, so the stored query shares the session oracle STRING
     // (the sim_ann_pq_stored convention) — appended post-Map below
