@@ -1985,10 +1985,8 @@ object TextAnalysis {
     */
   private def nbCounts(s: SparkSession, d: String): (DataFrame, Long, Long) = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
     val labeled = nbLabels(s, d)
-    val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
-    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val tf = nbTf(s, d)
     val classCnt = tf.join(labeled, Seq("doc_id"))
       .groupBy($"tok")
       .agg(sum(when($"label" === 1, $"tf").otherwise(0L)).as("c_pos"),
@@ -2014,15 +2012,45 @@ object TextAnalysis {
           log(($"c_neg" + 1).cast("double") / ($"nn" + $"v"))).as("w"))
   }
 
-  /** The gate's weak labels as a (doc_id, label) relation. */
-  private def nbLabels(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val pass = queries("txt_quality_gate")(s, d)
-      .select($"doc_id", lit(1L).as("pass"))
-    Tables.documents(s, d).select($"doc_id")
-      .join(pass, Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"pass", lit(0L)).as("label"))
-  }
+  /** The gate's weak labels as a (doc_id, label) relation —
+    * session-cached (the bigramScoreCache contract): the classifier
+    * family's trainer, scorer, and stored round trip all reference
+    * the labels, and the gate's percentile pass should run once per
+    * (session, corpus), not once per reference.
+    */
+  private def nbLabels(s: SparkSession, d: String): DataFrame =
+    nbLabelsCache.getOrBuild(s, d) {
+      import s.implicits._
+      val pass = queries("txt_quality_gate")(s, d)
+        .select($"doc_id", lit(1L).as("pass"))
+      Tables.documents(s, d).select($"doc_id")
+        .join(pass, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"pass", lit(0L)).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val nbLabelsCache = new SessionCache[DataFrame](df =>
+    scala.util.Try(df.unpersist(blocking = false)))
+
+  /** The full-corpus (doc_id, tok, tf) relation — THE classifier
+    * family's expensive intermediate (one tokenize + one keyed
+    * shuffle), session-cached so training and scoring share one pass
+    * instead of re-tokenizing the corpus per consumer (the r16
+    * verdict's margin item on the stored line). Streaming batches
+    * keep their own kernel ([[scoreDocsWithNbModel]]) — this cache is
+    * the full-corpus path only.
+    */
+  private def nbTf(s: SparkSession, d: String): DataFrame =
+    nbTfCache.getOrBuild(s, d) {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val nbTfCache = new SessionCache[DataFrame](df =>
+    scala.util.Try(df.unpersist(blocking = false)))
 
   /** Score a corpus with a GIVEN NB model — row set is every document,
     * score = prior + Σ tf·w over the model's vocabulary (tokens absent
@@ -2034,9 +2062,19 @@ object TextAnalysis {
   def scoreWithNbModel(s: SparkSession, d: String, w: DataFrame,
       prior: Double, rowPred: Column = lit(true)): DataFrame = {
     import s.implicits._
+    // full-corpus path: score from the session-cached tf relation
+    // (rowPred is a doc_id predicate, so filtering the cached rows ≡
+    // tokenizing the filtered docs) — training and scoring share one
+    // tokenize pass
+    val tf = nbTf(s, d).filter(rowPred)
+    val per = tf.join(w, Seq("tok"))
+      .groupBy($"doc_id").agg(sum($"tf" * $"w").as("sw"))
+    val scored = Tables.documents(s, d).filter(rowPred).select($"doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        round(lit(prior) + coalesce($"sw", lit(0.0)), 5).as("nb_score"))
     nbLabels(s, d)
-      .join(scoreDocsWithNbModel(
-        Tables.documents(s, d).filter(rowPred), w, prior), Seq("doc_id"))
+      .join(scored, Seq("doc_id"))
       .select($"doc_id", $"label", $"nb_score")
   }
 
