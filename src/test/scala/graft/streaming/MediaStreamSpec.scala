@@ -190,6 +190,62 @@ class MediaStreamSpec extends AnyFunSuite {
       "the surviving carrier must still answer")
   }
 
+  test("streamed curation on REAL JDK decoders: the golden corpus through curateStream") {
+    // the r16 verdict's stretch follow-up: MediaGoldenSpec pins the
+    // BATCH composed pipeline on real decoders; this runs the same
+    // golden corpus through the STREAMED path, so its parity claims
+    // also rest on real decoders, not only FakeDecoder. Expected:
+    // PNG≡BMP collapse to one survivor (cross-container signature
+    // key), the near-dup stays (the stated gap), the undecodable
+    // survives under its unique key, the tiny payload dies at the
+    // size gate.
+    assume(Multimodal.JdkImageDecoder.available)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def img(w: Int, h: Int, fmt: String)(lum: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val g = lum(x, y) & 0xff
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, out)
+      out.toByteArray
+    }
+    def p1(x: Int, y: Int): Int = (x * 3 + y * 7) % 251
+    val rows = Seq(
+      IngestMedia(1L, img(64, 64, "png")(p1), "image/png", ts(0)),
+      IngestMedia(2L, img(64, 64, "bmp")(p1), "image/bmp", ts(1)),
+      IngestMedia(3L, img(64, 64, "png")((x, y) =>
+        if (y >= 60) (x * 11) % 241 else p1(x, y)), "image/png", ts(2)),
+      IngestMedia(4L, img(64, 64, "png")((x, y) =>
+        (x * x + 5 * y) % 239), "image/png", ts(3)),
+      IngestMedia(5L, ("not an image at all " * 5).getBytes("UTF-8"),
+        "text/plain", ts(4)),
+      IngestMedia(7L, Array.fill[Byte](8)(1), "image/png", ts(5)))
+    val mem = MemoryStream[IngestMedia]
+    val q = MediaStream.curateStream(mem.toDF(), Multimodal.JdkImageDecoder)
+      .writeStream.format("memory").queryName("media_golden_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("media_golden_stream")
+      .select($"media_id").as[Long].collect().toSet
+    assert((got & Set(1L, 2L)).size == 1,
+      s"exactly one of the PNG≡BMP exact-dup pair must survive: $got")
+    assert(got.contains(3L),
+      s"the cross-signature near-dup stays (the stated gap): $got")
+    assert(got.contains(4L) && got.contains(5L),
+      s"unrelated content and ≥64-byte undecodables survive: $got")
+    assert(!got.contains(7L),
+      s"the under-size payload must die at the gate: $got")
+  }
+
   test("phashGroupsDeleteStream: streamed takedowns re-elect reps on the collapsed index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
