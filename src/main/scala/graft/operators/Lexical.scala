@@ -93,6 +93,13 @@ object Lexical {
     post.repartitionByRange(col("pbucket"), col("term"))
       .sortWithinPartitions($"term", $"doc_id")
       .write.partitionBy("pbucket").parquet(s"$staging/postings")
+    // doclen is a SECOND tokenize pass on purpose: deriving it from
+    // the written postings instead (2-column scan + doc_id fold +
+    // zero-doc anti-join) was measured SLOWER at sf0.1 (4.8-5.1 s vs
+    // 4.3-4.7 s for the build) — the fold's shuffle of the
+    // postings-sized relation costs more than the shuffle-free map
+    // pass, and postings rows scale with token count, so the trade
+    // does not invert at corpus scale
     Tables.documents(s, d)
       .select($"doc_id", size(TextAnalysis.tokens($"text")).as("dl"))
       .write.parquet(s"$staging/doclen")

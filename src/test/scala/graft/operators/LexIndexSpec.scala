@@ -306,6 +306,31 @@ class LexIndexSpec extends AnyFunSuite {
       "healed+appended probes diverged from the full rebuild")
   }
 
+  test("zero-token docs keep their doclen/stats rows") {
+    import spark.implicits._
+    // docs with no tokens have no postings, but they are corpus
+    // members: doclen must carry their dl=0 rows and stats must count
+    // them — else n_docs/avgdl silently shrink and every IDF shifts
+    // (pinned against any future doclen derivation change)
+    val tmp = java.nio.file.Files.createTempDirectory("lexzero").toString
+    import org.apache.spark.sql.functions.{length, lit}
+    Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha delta"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val dir = s"$tmp/idx"
+    Lexical.writeLexIndex(spark, tmp, dir)
+    val dl = spark.read.parquet(s"$dir/doclen")
+      .as[(Long, Int)].collect().toMap
+    assert(dl == Map(1L -> 3, 2L -> 0, 3L -> 2),
+      s"doclen must cover zero-token docs with dl=0: $dl")
+    val (n, avg) = spark.read.parquet(s"$dir/stats")
+      .as[(Long, Double)].head()
+    assert(n == 3L && math.abs(avg - 5.0 / 3.0) < 1e-12,
+      s"stats must count the zero-token doc: ($n, $avg)")
+  }
+
   test("repair ignores and clears _temporary leftovers from a crashed postings write") {
     import spark.implicits._
     // the exact scenario the pending marker signals — a crash MID

@@ -118,7 +118,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val ded = Dedup.dynamicOracles(spark, sf)
     assert(sim.keySet == Set("ivf_build", "sim_ann_ivf", "sim_ann_ivf_stored",
       "sim_ann_ivf_purged", "sim_recall_eval", "sim_hard_negatives_ann"))
-    assert(ded.keySet == Set("dedup_semantic"))
+    assert(ded.keySet == Set("dedup_semantic",
+      "dedup_semantic_incremental", "dedup_semantic_purged"))
     val static = graft.SparkEntry.oracleSql.keySet
     assert((sim.keySet ++ ded.keySet).forall(!static.contains(_)))
     val cents = Similarity.ivfIndex(spark, sf).cents
