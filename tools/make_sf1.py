@@ -37,7 +37,7 @@ import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-COPIES = 10
+COPIES = 10  # overridable via argv[3] (e.g. 3 for a 30x point)
 
 
 def upsample_documents(base, out):
@@ -129,7 +129,10 @@ def upsample_events(base, out):
 
 
 def main():
+    global COPIES
     base, out = sys.argv[1], sys.argv[2]
+    if len(sys.argv) > 3:
+        COPIES = int(sys.argv[3])
     os.makedirs(out, exist_ok=True)
     upsample_documents(base, out)
     upsample_embeddings(base, out)
