@@ -2865,7 +2865,7 @@ object Dedup {
     // one training run feeds both sides (the centroidLiterals
     // contract)
     val (semCtes, _) = Similarity.ivfOracleCtesOf(Similarity.centroidLiteralsOf(
-      Similarity.ivfIndexFor(s, d, SemanticHistoricalPred, "semhist").cents))
+      Similarity.ivfCentroidsFor(s, d, SemanticHistoricalPred, "semhist")))
     def semIncrSql(histExtra: String): String =
       s"""WITH $semCtes,
           dropped AS (

@@ -154,16 +154,29 @@ object Lexical {
     val out = fs.create(marker, true)
     out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
+    // the batch's dl rows are STAGED before the postings land, then
+    // promoted after them: postings cannot restore dl=0 rows for a
+    // crashed batch's zero-token docs (they have no postings to
+    // recover from, yet they count in n_docs/avgdl — losing them
+    // shifts every OTHER doc's score after a repair), so the staged
+    // relation is the exact recovery source. Repair's decision is the
+    // marker's manifest: new postings files visible ⇒ the batch
+    // landed ⇒ promote the staged dl; none ⇒ the batch never landed ⇒
+    // roll the staging back (pre-batch state restored exactly).
+    val pendingDl = new org.apache.hadoop.fs.Path(doclenPendingPath(indexDir))
+    fs.delete(pendingDl, true)
+    docs.select($"doc_id", size(TextAnalysis.tokens($"text")).as("dl"))
+      .write.parquet(pendingDl.toString)
     postingsOf(docs)
       .withColumn("pbucket", bucketCol($"term"))
       .repartitionByRange(col("pbucket"), col("term"))
       .sortWithinPartitions($"term", $"doc_id")
       .write.mode("append").partitionBy("pbucket")
       .parquet(s"$indexDir/postings")
-    val dl = docs.select($"doc_id", size(TextAnalysis.tokens($"text")).as("dl"))
-    dl.write.mode("append").parquet(s"$indexDir/doclen")
-    val (bn, bsum) = dl.agg(count(lit(1)), sum($"dl"))
+    val (bn, bsum) = s.read.parquet(pendingDl.toString)
+      .agg(count(lit(1)), sum($"dl"))
       .as[(Long, Option[Long])].head()
+    promoteDoclenPending(fs, indexDir)
     val (n0, avg0) = s.read.parquet(s"$indexDir/stats")
       .as[(Long, Double)].head()
     val n1 = n0 + bn
@@ -178,6 +191,30 @@ object Lexical {
 
   private def appendPendingPath(indexDir: String): String =
     s"$indexDir/_graft_append_pending"
+
+  private def doclenPendingPath(indexDir: String): String =
+    s"$indexDir/_graft_doclen_pending"
+
+  /** Promote the staged batch doclen into `doclen/` by per-file
+    * rename (unique names — a previous partial promote cannot
+    * collide), then drop the staging dir. Idempotent: a crash
+    * mid-promote leaves the unmoved remainder in staging, and the
+    * next promote (append's or repair's) moves exactly that.
+    */
+  private def promoteDoclenPending(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Unit = {
+    val pending = new org.apache.hadoop.fs.Path(doclenPendingPath(indexDir))
+    if (!fs.exists(pending)) return
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    fs.listStatus(pending)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .foreach { st =>
+        require(fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+          s"$indexDir/doclen/pend$tag-${st.getPath.getName}")),
+          s"could not promote ${st.getPath}")
+      }
+    fs.delete(pending, true)
+  }
 
   /** The postings files a directory-based probe read can actually
     * see, as paths RELATIVE to the postings root: a recursive listing
@@ -232,13 +269,18 @@ object Lexical {
     * empty or legacy content-free marker degrades to the full
     * recovery scan — slower, never wrong:
     *
-    *  1. doclen ← recent postings: any doc_id present in the crashed
-    *     batch's postings but absent from doclen gets its dl row back
-    *     from the denormalized postings copy. Zero-token docs from
-    *     the crashed batch have no postings to recover from; they
-    *     also contribute no scores, so stats derived from the
-    *     recovered doclen are exact for every row the index can
-    *     return.
+    *  1. doclen ← the staged batch relation when one exists (the
+    *     append writes `_graft_doclen_pending` before its postings —
+    *     promoting it is EXACT recovery, zero-token docs included;
+    *     with no new postings file visible the staging is rolled
+    *     back instead, restoring the pre-batch state exactly), then
+    *     ← recent postings as the belt for layouts crashed by a
+    *     pre-staging writer: any doc_id present in the crashed
+    *     batch's postings but absent from doclen gets its dl row
+    *     back from the denormalized postings copy (on that legacy
+    *     path alone, a crashed batch's zero-token docs are not
+    *     recoverable — they have no postings and no staging — and
+    *     n_docs/avgdl settle on the recoverable corpus).
     *  2. stats ← doclen: recomputed the fresh-build way over the
     *     doc-count-sized doclen relation and swapped crash-safe,
     *     closing the stale-n_docs/avgdl window the append scaladoc
@@ -260,11 +302,14 @@ object Lexical {
     val marker = new org.apache.hadoop.fs.Path(appendPendingPath(indexDir))
     val pending = fs.exists(marker)
     if (!pending && !force) return 0L
-    // a crashed Spark write job can leave `postings/_temporary`
-    // behind; the visible listing never reads below it, and clearing
-    // it here keeps stale attempt dirs from confusing a later append
-    // job (single-writer: nothing can be writing it during repair)
+    // a crashed Spark write job can leave `_temporary` behind under
+    // either relation; the visible listing never reads below them,
+    // and clearing them here keeps stale committed-task dirs from
+    // being PROMOTED by the next append's write job into duplicate
+    // rows (single-writer: nothing can be writing them during repair)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/postings/_temporary"),
+      true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/doclen/_temporary"),
       true)
     // files the crashed batch could have written: every visible file
     // NOT in the marker's pre-batch manifest; force scans all
@@ -283,6 +328,17 @@ object Lexical {
     val recent = visiblePostingsFiles(fs, indexDir)
       .filter(rel => force || !manifest.contains(rel))
       .map(rel => s"$postingsRoot/$rel")
+    // the staged batch doclen (written BEFORE the postings): if the
+    // batch's postings landed, promote it — the EXACT dl relation,
+    // zero-token docs included, which the postings-derived recovery
+    // below structurally cannot restore; if no new postings file is
+    // visible, the batch never landed — roll the staging back and the
+    // index is the pre-batch state exactly
+    val pendingDl = new org.apache.hadoop.fs.Path(doclenPendingPath(indexDir))
+    if (fs.exists(pendingDl)) {
+      if (recent.nonEmpty) promoteDoclenPending(fs, indexDir)
+      else fs.delete(pendingDl, true)
+    }
     if (recent.nonEmpty) {
       val fromPost = s.read.parquet(recent.toSeq: _*)
         .groupBy($"doc_id").agg(first($"dl").as("dl"))

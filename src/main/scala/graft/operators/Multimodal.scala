@@ -1516,6 +1516,23 @@ object Multimodal {
       .select($"media_id", $"phash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // members land FIRST (the membership the collapse discards,
+      // kept OUT of the probe path — read only by takedown and
+      // compaction to re-elect representatives). Order is the crash
+      // discipline: maintenance treats members as AUTHORITATIVE
+      // (compaction rebuilds groups from it), so a crash between the
+      // two writes must leave members AHEAD of groups — probes are
+      // then stale (the batch invisible) and compaction HEALS forward
+      // to the full state. The reverse order would leave a batch
+      // visible in groups but absent from members, and the next
+      // compaction would silently drop it — data loss, not staleness.
+      rel.select($"phash", $"media_id",
+          pmod(xxhash64($"phash"), lit(PhashMembersBuckets.toLong))
+            .cast("int").as("mbkt"))
+        .repartition($"mbkt")
+        .sortWithinPartitions($"mbkt", $"phash")
+        .write.mode(saveMode).partitionBy("mbkt")
+        .parquet(s"$outDir/members")
       val groups = rel
         .groupBy($"phash")
         .agg(min($"media_id").as("rep"), count(lit(1)).as("n"))
@@ -1526,16 +1543,6 @@ object Multimodal {
         .sortWithinPartitions($"band", $"bval")
         .write.mode(saveMode).partitionBy("band")
         .parquet(s"$outDir/groups")
-      // the membership the collapse discards, kept OUT of the probe
-      // path: (phash → media_id) rows read only by takedown/compaction
-      // to re-elect representatives and decrement multiplicities
-      rel.select($"phash", $"media_id",
-          pmod(xxhash64($"phash"), lit(PhashMembersBuckets.toLong))
-            .cast("int").as("mbkt"))
-        .repartition($"mbkt")
-        .sortWithinPartitions($"mbkt", $"phash")
-        .write.mode(saveMode).partitionBy("mbkt")
-        .parquet(s"$outDir/members")
     } finally rel.unpersist(blocking = false)
   }
 

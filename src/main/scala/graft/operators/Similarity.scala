@@ -1325,11 +1325,7 @@ object Similarity {
       cacheKey: String, assign: Int = IvfAssign): IvfIndex =
     indexCache.getOrBuild(s, s"for:$cacheKey#$assign#$d") {
       import s.implicits._
-      val emb = Tables.embeddings(s, d).filter(pred)
-      // exact count of the SLICE (rowCount's footer fast-path would
-      // see the filtered scan's full files)
-      val n = emb.count()
-      val cents = trainCentroidsOn(s, emb, n)
+      val (cents, n) = sliceCentsFor(s, d, pred, cacheKey)
       val assigned = ivfAssignmentsOn(s, corpus(s, d).filter(pred), n,
           cents, assign)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1338,6 +1334,32 @@ object Similarity {
       val counts = Array.tabulate(cents.length)(c => occ.getOrElse(c.toLong, 0L))
       IvfIndex(cents, assigned, counts)
     }
+
+  /** The slice-trained quantizer ALONE — what the dynamic oracles
+    * need: rendering oracle SQL must cost the (sampled) training, not
+    * a full slice assignment + persist + occupancy job the literals
+    * never read. Shared with [[ivfIndexFor]] through this cache, so a
+    * session that runs both the declared query and the oracle dump
+    * still trains exactly once.
+    */
+  def ivfCentroidsFor(s: SparkSession, d: String,
+      pred: org.apache.spark.sql.Column,
+      cacheKey: String): Array[(Long, Array[Float], Double)] =
+    sliceCentsFor(s, d, pred, cacheKey)._1
+
+  private def sliceCentsFor(s: SparkSession, d: String,
+      pred: org.apache.spark.sql.Column,
+      cacheKey: String): (Array[(Long, Array[Float], Double)], Long) =
+    sliceCentsCache.getOrBuild(s, s"$cacheKey#$d") {
+      val emb = Tables.embeddings(s, d).filter(pred)
+      // exact count of the SLICE (rowCount's footer fast-path would
+      // see the filtered scan's full files)
+      val n = emb.count()
+      (trainCentroidsOn(s, emb, n), n)
+    }
+
+  private val sliceCentsCache =
+    new SessionCache[(Array[(Long, Array[Float], Double)], Long)]()
 
   def topkIvf(s: SparkSession, d: String, k: Int = TopK,
       nprobe: Int = -1, assign: Int = IvfAssign): DataFrame =

@@ -2171,12 +2171,15 @@ object TextAnalysis {
       .agg((-sum(when($"label" === 1, $"tf").otherwise(0L))).as("c_pos"),
         (-sum(when($"label" === 0, $"tf").otherwise(0L))).as("c_neg"))
       .write.mode("append").parquet(s"$indexDir/counts")
+    // Option-decode: an EMPTY takedown batch (a feed trigger with no
+    // matching docs) aggregates to one all-NULL row — a legitimate
+    // no-op, not a crash (the appendToLexIndex batch-agg convention)
     val (pd, nd) = labeled.agg(
         sum(when($"label" === 1, 1L).otherwise(0L)),
         sum(when($"label" === 0, 1L).otherwise(0L)))
-      .as[(Long, Long)].first()
-    Seq((-pd, -nd)).toDF("pd", "nd").write.mode("append")
-      .parquet(s"$indexDir/scalars")
+      .as[(Option[Long], Option[Long])].first()
+    Seq((-pd.getOrElse(0L), -nd.getOrElse(0L))).toDF("pd", "nd")
+      .write.mode("append").parquet(s"$indexDir/scalars")
   }
 
   /** Fold the stored count algebra physically: one row per token,

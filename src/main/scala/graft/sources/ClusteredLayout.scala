@@ -256,6 +256,13 @@ object ClusteredLayout {
   def deleteFromLayout(s: SparkSession, dir: String, keyCol: String,
       keys: Seq[Long]): Unit = {
     import s.implicits._
+    // validate the column BEFORE the tombstone lands: a typo'd name
+    // would otherwise brick every read path — including the
+    // compaction that could remove it — with an AnalysisException at
+    // anti-join time (one footer read now beats a wedged layout)
+    require(s.read.parquet(dir).schema.fieldNames.contains(keyCol),
+      s"$dir has no column '$keyCol' to tombstone on " +
+        s"(columns: ${s.read.parquet(dir).schema.fieldNames.mkString(", ")})")
     keys.map(k => (keyCol, k)).toDF("key_col", "key")
       .coalesce(1)
       .write.mode("append").parquet(tombstonesPath(dir))

@@ -137,6 +137,14 @@ object MediaStream {
     * micro-batch of media ids runs the batch re-election kernel
     * ([[Multimodal.deleteFromPhashGroupsIndex]]), so the post-erasure
     * probe keeps the distinct-hash shape at every trigger.
+    *
+    * COST NOTE: unlike [[phashDeleteStream]] (id-sized tombstone
+    * append per trigger), re-election rewrites the distinct-hash-
+    * sized groups relation PER TRIGGER — the price of keeping probes
+    * free of member resolution. Right for the low-rate legal-takedown
+    * feeds erasure requests actually arrive on; a high-rate feed
+    * should coalesce (a long trigger interval) or route through the
+    * per-media index's tombstone stream and collapse on schedule.
     */
   def phashGroupsDeleteStream(ids: DataFrame,
       indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =

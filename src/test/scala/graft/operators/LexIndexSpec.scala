@@ -331,6 +331,76 @@ class LexIndexSpec extends AnyFunSuite {
       s"stats must count the zero-token doc: ($n, $avg)")
   }
 
+  test("crash recovery: staged doclen restores zero-token docs; an unlanded batch rolls back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("lexstage").toString
+    Seq((1L, "alpha beta"), (2L, ""), (3L, "alpha delta"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("lexstagebase").toString
+    graft.Tables.documents(spark, tmp).filter($"doc_id" === 1L)
+      .write.parquet(s"$base/documents.parquet")
+    val dir = s"$tmp/idx"
+    Lexical.writeLexIndex(spark, base, dir)
+    val preStats = spark.read.parquet(s"$dir/stats").as[(Long, Double)].head()
+    val preDoclen = spark.read.parquet(s"$dir/doclen").collect()
+    val preList = relPostings(dir)
+    // the batch carries a ZERO-TOKEN doc (2) — the case the
+    // postings-derived recovery structurally cannot restore
+    Lexical.appendToLexIndex(spark, dir,
+      graft.Tables.documents(spark, tmp).filter($"doc_id" =!= 1L))
+    // crash simulation: doclen/stats rewound, marker re-forged with
+    // the pre-batch manifest, the staged dl re-created (as the real
+    // crash between the postings append and the promote leaves it)
+    val dlTmp = new org.apache.hadoop.fs.Path(s"$dir/doclen_rewind")
+    spark.createDataFrame(java.util.Arrays.asList(preDoclen: _*),
+        spark.read.parquet(s"$dir/doclen").schema)
+      .write.parquet(dlTmp.toString)
+    Similarity.swapDirInto(spark, dlTmp,
+      new org.apache.hadoop.fs.Path(s"$dir/doclen"))
+    val stTmp = new org.apache.hadoop.fs.Path(s"$dir/stats_rewind")
+    Seq(preStats).toDF("n_docs", "avgdl").write.parquet(stTmp.toString)
+    Similarity.swapDirInto(spark, stTmp,
+      new org.apache.hadoop.fs.Path(s"$dir/stats"))
+    writeMarker(dir, preList)
+    graft.Tables.documents(spark, tmp).filter($"doc_id" =!= 1L)
+      .select($"doc_id", org.apache.spark.sql.functions
+        .size(TextAnalysis.tokens($"text")).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/_graft_doclen_pending")
+    Lexical.repairLexIndex(spark, dir)
+    val dl = spark.read.parquet(s"$dir/doclen").as[(Long, Int)].collect().toMap
+    assert(dl == Map(1L -> 2, 2L -> 0, 3L -> 2),
+      s"the staged recovery must restore the zero-token doc's dl=0 row: $dl")
+    val full = java.nio.file.Files.createTempDirectory("lexstagefull").toString
+    Lexical.writeLexIndex(spark, tmp, full)
+    val stR = spark.read.parquet(s"$dir/stats").as[(Long, Double)].head()
+    val stF = spark.read.parquet(s"$full/stats").as[(Long, Double)].head()
+    assert(stR._1 == stF._1 && math.abs(stR._2 - stF._2) < 1e-12,
+      s"repaired stats must equal the full rebuild (zero-token doc counted): $stR vs $stF")
+    // rollback: a staged dl whose batch never landed (no new postings
+    // file) must be rolled back, restoring the pre-batch state
+    val dir2 = s"$tmp/idx2"
+    Lexical.writeLexIndex(spark, base, dir2)
+    val pre2 = spark.read.parquet(s"$dir2/stats").as[(Long, Double)].head()
+    writeMarker(dir2, relPostings(dir2))
+    graft.Tables.documents(spark, tmp).filter($"doc_id" =!= 1L)
+      .select($"doc_id", org.apache.spark.sql.functions
+        .size(TextAnalysis.tokens($"text")).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir2/_graft_doclen_pending")
+    Lexical.repairLexIndex(spark, dir2)
+    val fs = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir2/_graft_doclen_pending")), "an unlanded staging must be rolled back")
+    assert(spark.read.parquet(s"$dir2/stats").as[(Long, Double)].head() == pre2,
+      "rollback must restore the pre-batch stats exactly")
+    assert(spark.read.parquet(s"$dir2/doclen").count() == 1,
+      "rollback must not leak the unlanded batch's dl rows")
+  }
+
   test("repair ignores and clears _temporary leftovers from a crashed postings write") {
     import spark.implicits._
     // the exact scenario the pending marker signals — a crash MID

@@ -101,6 +101,21 @@ class NbLifecycleSpec extends AnyFunSuite {
       "tokens with surviving carriers keep their rows")
   }
 
+  test("an empty takedown batch is a no-op, not a crash") {
+    import spark.implicits._
+    val tmp = fixture()
+    val dir = s"$tmp/model"
+    TextAnalysis.writeNbModel(spark, tmp, dir)
+    val (wPre, pPre) = TextAnalysis.readNbModel(spark, dir)
+    val pre = weightsOf(wPre)
+    // a legitimate takedown-feed trigger with no matching docs
+    TextAnalysis.deleteFromNbModel(spark, dir,
+      graft.Tables.documents(spark, tmp).filter($"doc_id" === -1L))
+    val (wPost, pPost) = TextAnalysis.readNbModel(spark, dir)
+    assert(weightsOf(wPost) == pre && pPost == pPre,
+      "deleting nothing must change nothing")
+  }
+
   test("compaction folds physically without changing the readout") {
     import spark.implicits._
     val tmp = fixture()

@@ -186,6 +186,33 @@ class PhashLifecycleSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/members")
       .filter(col("media_id").isin(1L, 2L, 4L)).count() == 0,
       "compaction must purge tombstoned members physically")
+    // crash-window heal: the writer lands members BEFORE groups, so a
+    // crash between the two leaves members AHEAD — the batch is
+    // invisible to probes (stale, never corrupt) and compaction heals
+    // FORWARD to the full state (it rebuilds groups from the
+    // authoritative membership). Simulate the window by appending a
+    // batch's members rows without its groups rows.
+    val healDir = s"$tmp/gheal"
+    Multimodal.writePhashGroupsIndex(spark, tmp, healDir,
+      col("media_id").isin(1L, 3L))
+    val preHeal = collapsed(tmp, healDir)
+    val ph2 = Multimodal.queries("mm_phash")(spark, tmp)
+      .filter(col("media_id") === 2L)
+      .select(col("phash")).collect().head.getLong(0)
+    Seq((ph2, 2L))
+      .toDF("phash", "media_id")
+      .select(col("phash"), col("media_id"),
+        pmod(xxhash64(col("phash")),
+          lit(Multimodal.PhashMembersBuckets.toLong)).cast("int").as("mbkt"))
+      .write.mode("append").partitionBy("mbkt")
+      .parquet(s"$healDir/members")
+    assert(collapsed(tmp, healDir) == preHeal,
+      "the crash window leaves probes STALE (batch invisible), never corrupt")
+    Multimodal.compactPhashGroupsIndex(spark, healDir)
+    assert(collapsed(tmp, healDir) ==
+      rebuildOver(col("media_id").isin(1L, 2L, 3L)),
+      "compaction must heal the members-ahead crash window forward")
+
     // a pre-sidecar (legacy) layout refuses the takedown loudly
     val legacy = s"$tmp/glegacy"
     Multimodal.writePhashGroupsIndex(spark, tmp, legacy,
