@@ -559,6 +559,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"concurrency purged: bucket set not pushed: ${cpScan.get}")
   }
 
+  test("semantic takedown probe: cell pruning pushes through the tombstone anti-join") {
+    // the r17 family: the stored-assignments scan must carry the
+    // batch's probed-cell partition filter even with tombstones
+    // anti-joined on its left side, and the collapsed pHash takedown
+    // probe keeps the (band, bval) pushdown of its incremental twin
+    val sp = plan("dedup_semantic_purged")
+    assert(sp.split('\n').exists(_.contains("LeftAnti")),
+      s"semantic purged probe lost its tombstone anti-join:\n$sp")
+    val spScan = sp.split('\n').find { l =>
+      val i = l.indexOf("PartitionFilters: [")
+      l.contains("FileScan parquet") && i >= 0 && l.substring(i).contains("cell#")
+    }
+    assert(spScan.isDefined,
+      s"semantic purged: no stored scan with a cell partition filter:\n$sp")
+
+    val gp = plan("dedup_phash_purged_collapsed")
+    val gpScan = gp.split('\n').find { l =>
+      val i = l.indexOf("PartitionFilters: [")
+      l.contains("FileScan parquet") && i >= 0 && l.substring(i).contains("band#")
+    }
+    assert(gpScan.isDefined,
+      s"collapsed phash purged: no stored scan with a band partition filter:\n$gp")
+    assert(gpScan.get.contains("bval#") || gpScan.get.contains("In(bval"),
+      s"collapsed phash purged: bucket set not pushed: ${gpScan.get}")
+  }
+
   test("evt_concurrency_stored: the edge scan is day-pruned and bucket-pushed") {
     val p = plan("evt_concurrency_stored")
     val edgeScan = p.split('\n').find { l =>
