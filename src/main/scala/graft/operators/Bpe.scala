@@ -585,6 +585,18 @@ object Bpe {
     * tokenizer ships). The vocab is stored — not re-derived — because
     * a loader's ids are frozen at TRAIN time: encoding a different or
     * grown corpus later must keep the original embedding-matrix ids.
+    *
+    * ERASURE CONTRACT (the KMV no-unmerge convention, stated rather
+    * than silently absent): merge RANKS are an argmax sequence over
+    * pair frequencies — removing one training document can reorder
+    * every later merge, so the model is NOT subtractable (unlike the
+    * NB classifier's linear counts). A training-doc takedown means a
+    * RETRAIN, which is a new tokenizer VERSION: the frozen ids above
+    * are exactly why the old artifact cannot be edited in place.
+    * Deployments keep the versioned artifact and retrain on their
+    * erasure cadence; documents erased from the corpus stop
+    * CONTRIBUTING at the next train, while already-encoded outputs
+    * are governed by the corpus-side takedown, not the tokenizer.
     */
   def writeBpeModel(s: SparkSession, d: String, outDir: String): Unit = {
     import s.implicits._
