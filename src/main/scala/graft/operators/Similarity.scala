@@ -1600,6 +1600,18 @@ object Similarity {
     * appends. Occupancy/sidecar metadata is NOT touched: probe pricing
     * reads the pre-delete counts until compaction refreshes them — a
     * stale-performance, never-correctness trade, stated.
+    *
+    * TRAINED-STATE contract (the BPE/KMV stated-gap convention): this
+    * op erases the vector's ROW — it stops being stored, returned, or
+    * matched, which is what a data-subject takedown targets. The
+    * trained quantizer state (IVF centroids, PQ/SQ/OPQ codebooks,
+    * LSH planes) is aggregate statistics over the training sample and
+    * is NOT re-derived per delete: centroids are means over thousands
+    * of vectors, so one vector's residual influence is de-minimis and
+    * affects only WHERE survivors are binned, never what is stored or
+    * returned. A deployment required to unlearn training influence
+    * itself retrains — a new index VERSION, the append scaladoc's
+    * convention.
     */
   def deleteFromIndex(s: SparkSession, indexDir: String,
       ids: DataFrame): Unit =
