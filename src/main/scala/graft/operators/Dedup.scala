@@ -1099,6 +1099,19 @@ object Dedup {
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
     },
 
+    // The bounded-peak-disk sliced build round trip: K keyspace
+    // passes write partial pair counts, one fold lands the stored
+    // relation, a read-back serves it — byte-identical to pairs_build
+    // (shared oracle), with peak transient disk ~1/K of the
+    // monolithic build's (the sf100 single-box diagnosis).
+    "pairs_build_sliced" -> { (s, d) =>
+      import s.implicits._
+      val dir = graft.operators.Similarity.storedQueryDir("pairsliced", d)
+      writeJaccardPairsSliced(s, d, dir, passes = 4)
+      readJaccardPairs(s, dir)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    },
+
     // Near-dup by exact word-3-gram Jaccard ≥ 0.6 via inverted index.
     "dedup_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
@@ -2087,6 +2100,90 @@ object Dedup {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
+  /** Bounded-peak-disk pair build for disk-thin executors — the
+    * sliced form of [[writeJaccardPairs]] (r17 verdict item 1): the
+    * shingle keyspace is partitioned into `passes` slices by the
+    * 64-bit shingle hash, each pass builds the DF-culled partial
+    * co-occurrence counts for ITS shingles alone and lands them as
+    * parquet, and one fold sums the partials into the exact pair
+    * relation. Output-identical to the monolithic build
+    * (SlicedPairsSpec pins it): a shingle lives in exactly one slice,
+    * so its per-pass document frequency IS its global DF (the 2 ≤ df
+    * ≤ maxDf cull decides identically), and per-pair n_common is the
+    * sum of its per-slice shares; n_a/n_b come from the whole shingle
+    * arrays, and the final division is one double op — bit-identical.
+    *
+    * Why this exists: the monolithic build's plan is measured-LINEAR
+    * (NOTES r17 decade table) but its transient footprint holds the
+    * ~5B-row occurrence exchange, two pair-relation exchanges, and
+    * the output simultaneously — ≈85 GB at the sf100 fixture vs 71 GB
+    * free on one box (44 `No space left on device` task failures).
+    * Each pass here exchanges ~1/passes of the occurrence relation
+    * and retires its shuffle files before the next pass starts, so
+    * peak transient disk is ~one pass's footprint plus the compact
+    * stored partials (pre-aggregated counts, ≤ the monolithic second
+    * exchange). The tokenize runs ONCE: the hashed shingle relation
+    * lands as compact parquet and every pass re-reads it — a narrow
+    * columnar scan, not a re-run of the family's dominant kernel.
+    * At cluster scale the same slicing bounds per-node shuffle disk
+    * on every executor; `passes` trades wall-clock (one extra scan of
+    * the shingle parquet per pass) for a 1/passes disk ceiling.
+    */
+  def writeJaccardPairsSliced(s: SparkSession, d: String, outDir: String,
+      passes: Int = 8, maxDf: Int = MaxShingleDf): Unit = {
+    import s.implicits._
+    require(passes >= 1, s"passes must be >= 1: $passes")
+    val work = s"${outDir}_slices"
+    val workPath = new org.apache.hadoop.fs.Path(work)
+    val fs = workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(workPath, true)
+    // tokenize + hash once; passes read the compact columnar form
+    Tables.documents(s, d)
+      .select($"doc_id", shingleHashes($"text").as("sh"))
+      .write.parquet(s"$work/shingles")
+    val rel = s.read.parquet(s"$work/shingles")
+    for (k <- 0 until passes) {
+      val rows = rel.select($"doc_id", explode($"sh").as("shingle"))
+        .filter(pmod($"shingle", lit(passes.toLong)) === k)
+      // per-slice DF cull ≡ global DF cull: slice membership is a
+      // function of the shingle value, so this slice sees EVERY
+      // occurrence of its shingles and no other's
+      val keep = rows.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        .filter($"df" > 1 && $"df" <= maxDf)
+        .select($"shingle")
+      rows.join(keep, Seq("shingle"), "left_semi")
+        .groupBy($"shingle").agg(collect_list($"doc_id").as("ids"))
+        .select(explode(bucketPairs($"ids")).as("p"))
+        .groupBy($"p").agg(count(lit(1)).as("n_common"))
+        .write.parquet(s"$work/partial/pass=$k")
+      // the pass's shuffle files are dead state once its partial
+      // lands; nudge the ContextCleaner so the next pass starts from
+      // ~zero retained shuffle footprint instead of accumulating all
+      // passes' files (the exact monolithic failure mode)
+      System.gc()
+    }
+    val sizes = rel.select($"doc_id", size($"sh").as("n_shingles"))
+    val folded = s.read.parquet(s"$work/partial")
+      .groupBy($"p").agg(sum($"n_common").as("n_common"))
+      .select(shiftrightunsigned($"p", 32).as("id_a"),
+        $"p".bitwiseAND(lit(0xffffffffL)).as("id_b"), $"n_common")
+      .join(sizes.select($"doc_id".as("id_a"), $"n_shingles".as("n_a")),
+        "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n_shingles".as("n_b")),
+        "id_b")
+      .select($"id_a", $"id_b",
+        ($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common"))
+          .as("jaccard"))
+    val staging = new org.apache.hadoop.fs.Path(s"${outDir}_staging")
+    fs.delete(staging, true)
+    withShard(folded)
+      .repartition($"shard")
+      .write.partitionBy("shard").parquet(staging.toString)
+    graft.operators.Similarity.swapDirInto(s, staging,
+      new org.apache.hadoop.fs.Path(outDir))
+    fs.delete(workPath, true)
+  }
+
   /** Read a stored Jaccard pair relation (all shards), minus any doc
     * tombstones ([[deleteFromPairsDir]]) — applied centrally so every
     * stored-pair consumer (the cluster collapse, the containment
@@ -2446,6 +2543,11 @@ object Dedup {
            PARTITION BY MD5(text) ORDER BY doc_id ASC) AS rn
          FROM documents) WHERE rn = 1""",
     "pairs_build" ->
+      s"""$jaccardCte
+          SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs""",
+    // the sliced build is output-identical by construction (per-slice
+    // DF ≡ global DF; n_common sums across slices) — same oracle
+    "pairs_build_sliced" ->
       s"""$jaccardCte
           SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs""",
     // the dashboard restated leg by leg over the SHARED CTE chains

@@ -311,10 +311,13 @@ object Lexical {
       true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/doclen/_temporary"),
       true)
-    // files the crashed batch could have written: every visible file
-    // NOT in the marker's pre-batch manifest; force scans all
+    // the marker's pre-batch manifest is read whenever the marker
+    // exists — even under force: the recovery SCAN may widen to the
+    // whole corpus, but the staged-doclen promote/rollback decision
+    // below is always marker-driven (force widens what repair reads,
+    // never what it trusts)
     val manifest: Set[String] =
-      if (force || !pending) Set.empty
+      if (!pending) Set.empty
       else {
         val in = fs.open(marker)
         val bos = new java.io.ByteArrayOutputStream()
@@ -325,18 +328,28 @@ object Lexical {
           .split("\n").filter(_.nonEmpty).toSet
       }
     val postingsRoot = s"$indexDir/postings"
-    val recent = visiblePostingsFiles(fs, indexDir)
+    val visible = visiblePostingsFiles(fs, indexDir)
+    // files the crashed batch could have written: every visible file
+    // NOT in the marker's pre-batch manifest; force scans all
+    val recent = visible
       .filter(rel => force || !manifest.contains(rel))
       .map(rel => s"$postingsRoot/$rel")
     // the staged batch doclen (written BEFORE the postings): if the
-    // batch's postings landed, promote it — the EXACT dl relation,
+    // batch's postings landed — a visible file outside the marker's
+    // pre-batch manifest — promote it: the EXACT dl relation,
     // zero-token docs included, which the postings-derived recovery
     // below structurally cannot restore; if no new postings file is
     // visible, the batch never landed — roll the staging back and the
-    // index is the pre-batch state exactly
+    // index is the pre-batch state exactly. The decision uses
+    // (visible − manifest), NOT the force-widened `recent`: under
+    // force, `recent` is every visible file, which would promote a
+    // staging whose batch never landed — counting docs the index has
+    // no postings for. With no marker there is no crashed batch to
+    // promote (stray staging is rolled back).
     val pendingDl = new org.apache.hadoop.fs.Path(doclenPendingPath(indexDir))
     if (fs.exists(pendingDl)) {
-      if (recent.nonEmpty) promoteDoclenPending(fs, indexDir)
+      val batchLanded = pending && visible.exists(rel => !manifest.contains(rel))
+      if (batchLanded) promoteDoclenPending(fs, indexDir)
       else fs.delete(pendingDl, true)
     }
     if (recent.nonEmpty) {

@@ -1441,17 +1441,30 @@ object Multimodal {
     import s.implicits._
     val newRel = phashRelation(s, d).filter(batchPred)
       .filter($"phash" =!= 0L).select($"media_id", $"phash")
-    val nb = phashBandRows(newRel)
-      .select($"media_id".as("new_id"), $"phash".as("new_ph"),
-        $"band", $"bval")
-    // tombstoned ids drop at the scan (takedown visibility is
-    // immediate); the pushed (band, bval) filter below still prunes —
-    // it pushes through the anti-join's left side
-    val stored = phashMinusTombstones(s, indexDir,
-        s.read.schema(phashBandsSchema).parquet(s"$indexDir/bands"))
-      .select($"media_id".as("old_id"), $"phash".as("old_ph"),
-        $"band", $"bval")
-    val probePairs = nb.select($"band", $"bval").distinct()
+    // COLLAPSE-FIRST candidate stream (r17 verdict item 2): the band
+    // join, the XOR, and the popcount run over DISTINCT hashes on
+    // both sides — duplication-dense corpora (exactly where media
+    // dedup matters) previously paid members_a × members_b rows PER
+    // SHARED (band, bval) through the hamming kernel (measured 14.1 s
+    // → 710 s across the sf1→sf10 fixture decade); the qualified
+    // (new_ph, old_ph) hash-pair relation is distinct-pair-sized, and
+    // the per-media expansion below is sized by the DECLARED OUTPUT
+    // itself, which no exact pair report can undercut. Each media
+    // carries ONE phash, so expanding a unique hash-pair relation
+    // yields each (new_id, old_id) exactly once — no terminal
+    // distinct over the duplication²-sized result.
+    val nbm = phashBandRows(newRel.select($"phash").distinct()
+        .select(lit(0L).as("media_id"), $"phash"))
+      .select($"phash".as("new_ph"), $"band", $"bval")
+    // tombstoned ids drop at the member expansion (takedown
+    // visibility is immediate); hash-level QUALIFICATION ignores
+    // tombstones deliberately — a hash whose every carrier is deleted
+    // qualifies and then expands to zero rows, so the answer matches
+    // the per-media form exactly while the pushed (band, bval) filter
+    // prunes the stored scan with no anti-join above it
+    val stored = s.read.schema(phashBandsSchema)
+      .parquet(s"$indexDir/bands")
+    val probePairs = nbm.select($"band", $"bval").distinct()
       .limit(pushdownCap + 1).collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     val ob =
@@ -1462,13 +1475,28 @@ object Multimodal {
           col("band") === b &&
             col("bval").isin(ps.map(p => java.lang.Long.valueOf(p._2)).toIndexedSeq: _*)
         }.reduce(_ || _))
-    nb.join(ob, Seq("band", "bval"))
-      .select($"new_id", $"old_id",
+    val obDistinct = ob
+      .select($"phash".as("old_ph"), $"band", $"bval").distinct()
+    val hashPairs = nbm.join(obDistinct, Seq("band", "bval"))
+      .select($"new_ph", $"old_ph",
         $"new_ph".bitwiseXOR($"old_ph").as("x"))
-      .select($"new_id", $"old_id",
+      .select($"new_ph", $"old_ph",
         expr("bit_count(x)").cast("int").as("hamming"))
       .filter($"hamming" <= PhashThreshold)
       .distinct()
+    // member expansion: every batch media of a qualified new hash ×
+    // every SURVIVING stored media of its qualified old hash — the
+    // stored side re-reads one band directory (each media has a row
+    // in every band, so band 0 is the full membership) under the
+    // qualified-hash join, with the tombstone anti-join applied here
+    val oldMembers = phashMinusTombstones(s, indexDir,
+        stored.filter($"band" === 0))
+      .select($"media_id".as("old_id"), $"phash".as("old_ph"))
+    hashPairs
+      .join(newRel.select($"media_id".as("new_id"), $"phash".as("new_ph")),
+        Seq("new_ph"))
+      .join(oldMembers, Seq("old_ph"))
+      .select($"new_id", $"old_id", $"hamming")
   }
 
   /** Write the COLLAPSED historical pHash index: one row per DISTINCT
@@ -1508,6 +1536,25 @@ object Multimodal {
   private def writePhashGroups(s: SparkSession, d: String, outDir: String,
       pred: Column, saveMode: String): Unit = {
     import s.implicits._
+    // appending to a PRE-SIDECAR (legacy) groups layout is refused as
+    // loudly as deleteFromPhashGroupsIndex refuses it: the append
+    // would create a members sidecar holding ONLY this batch, and the
+    // next compaction — which treats members as authoritative —
+    // would rebuild groups from it and silently drop every
+    // pre-sidecar group (data loss, not staleness). Rebuild the
+    // index with writePhashGroupsIndex to enter the sidecar layout.
+    if (saveMode == "append") {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/groups")) ||
+          fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/members")),
+        s"$outDir has groups but no members sidecar: this collapsed " +
+          "group index predates the takedown lifecycle - appending " +
+          "would seed a batch-only sidecar that the next compaction " +
+          "treats as authoritative (dropping every pre-sidecar " +
+          "group); rebuild with writePhashGroupsIndex first")
+    }
     // one decode pass feeds BOTH the collapsed groups and the members
     // sidecar (the media decode dominates this build; persist beats
     // running it twice)
@@ -1601,6 +1648,12 @@ object Multimodal {
         "per-media index (deleteFromPhashIndex)")
     val ids = mediaIds
       .select(col(mediaIds.columns.head).cast("long").as("media_id"))
+    // empty takedown batch (a feed trigger with no matching media) is
+    // a NO-OP, not a tombstone append + full groups rewrite — the
+    // deleteFromNbModel convention; without this, a streamed takedown
+    // feed (phashGroupsDeleteStream) pays a distinct-hash-sized
+    // rewrite per empty trigger
+    if (ids.isEmpty) return
     ids.coalesce(1).write.mode("append")
       .parquet(s"$indexDir/_graft_member_tombstones")
     val members = s.read.schema(phashMembersSchema)

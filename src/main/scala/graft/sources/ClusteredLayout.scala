@@ -260,9 +260,10 @@ object ClusteredLayout {
     // would otherwise brick every read path — including the
     // compaction that could remove it — with an AnalysisException at
     // anti-join time (one footer read now beats a wedged layout)
-    require(s.read.parquet(dir).schema.fieldNames.contains(keyCol),
+    val layoutCols = s.read.parquet(dir).schema.fieldNames
+    require(layoutCols.contains(keyCol),
       s"$dir has no column '$keyCol' to tombstone on " +
-        s"(columns: ${s.read.parquet(dir).schema.fieldNames.mkString(", ")})")
+        s"(columns: ${layoutCols.mkString(", ")})")
     keys.map(k => (keyCol, k)).toDF("key_col", "key")
       .coalesce(1)
       .write.mode("append").parquet(tombstonesPath(dir))

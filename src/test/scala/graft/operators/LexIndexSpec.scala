@@ -399,6 +399,43 @@ class LexIndexSpec extends AnyFunSuite {
       "rollback must restore the pre-batch stats exactly")
     assert(spark.read.parquet(s"$dir2/doclen").count() == 1,
       "rollback must not leak the unlanded batch's dl rows")
+
+    // FORCE repair must make the same marker-driven decision: force
+    // widens the recovery SCAN to every visible file, but an unlanded
+    // batch's staging (marker manifest == visible files) still rolls
+    // back — the r17 advice item: the old force path treated all
+    // visible files as "recent" and promoted the staging
+    // unconditionally, counting docs the index has no postings for
+    val dir3 = s"$tmp/idx3"
+    Lexical.writeLexIndex(spark, base, dir3)
+    val pre3 = spark.read.parquet(s"$dir3/stats").as[(Long, Double)].head()
+    writeMarker(dir3, relPostings(dir3))
+    graft.Tables.documents(spark, tmp).filter($"doc_id" =!= 1L)
+      .select($"doc_id", org.apache.spark.sql.functions
+        .size(TextAnalysis.tokens($"text")).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir3/_graft_doclen_pending")
+    Lexical.repairLexIndex(spark, dir3, force = true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir3/_graft_doclen_pending")),
+      "force repair must roll back an unlanded staging")
+    assert(spark.read.parquet(s"$dir3/stats").as[(Long, Double)].head() == pre3,
+      "force repair must not promote an unlanded batch's dl rows")
+    assert(spark.read.parquet(s"$dir3/doclen").count() == 1)
+    // ...and with no marker at all, a stray staging is garbage from a
+    // COMPLETED append (the marker is cleared after the stats swap):
+    // force rolls it back rather than double-counting the batch
+    val dir4 = s"$tmp/idx4"
+    Lexical.writeLexIndex(spark, base, dir4)
+    val pre4 = spark.read.parquet(s"$dir4/stats").as[(Long, Double)].head()
+    graft.Tables.documents(spark, tmp).filter($"doc_id" =!= 1L)
+      .select($"doc_id", org.apache.spark.sql.functions
+        .size(TextAnalysis.tokens($"text")).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir4/_graft_doclen_pending")
+    Lexical.repairLexIndex(spark, dir4, force = true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir4/_graft_doclen_pending")),
+      "force repair with no marker must roll a stray staging back")
+    assert(spark.read.parquet(s"$dir4/stats").as[(Long, Double)].head() == pre4)
   }
 
   test("repair ignores and clears _temporary leftovers from a crashed postings write") {

@@ -223,5 +223,49 @@ class PhashLifecycleSpec extends AnyFunSuite {
         Seq(3L).toDF("media_id"))
     }
     assert(e.getMessage.contains("members sidecar"), e.getMessage)
+
+    // ...and refuses an APPEND just as loudly: appending would seed a
+    // batch-only members sidecar, and the next compaction — which
+    // treats members as authoritative — would rebuild groups from it
+    // and silently drop every pre-sidecar group (data loss, not
+    // staleness; the r17 advice item)
+    val ea = intercept[IllegalArgumentException] {
+      Multimodal.appendToPhashGroupsIndex(spark, tmp, legacy,
+        col("media_id") === 5L)
+    }
+    assert(ea.getMessage.contains("members sidecar"), ea.getMessage)
+    assert(collapsed(tmp, legacy) == rebuildOver(col("media_id") === 3L),
+      "the refused append must leave the legacy layout untouched")
+  }
+
+  test("empty takedown batch is a no-op (no tombstone append, no groups rewrite)") {
+    import spark.implicits._
+    val tmp = fixture()
+    val dir = s"$tmp/gempty"
+    Multimodal.writePhashGroupsIndex(spark, tmp, dir,
+      col("media_id") % 10 =!= 0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def groupFiles(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/groups"), true)
+      val buf = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile) buf += s"${f.getPath}@${f.getModificationTime}"
+      }
+      buf.toSet
+    }
+    val before = groupFiles()
+    val baseline = collapsed(tmp, dir)
+    // a streamed takedown feed fires triggers with no matching media;
+    // each must cost nothing — not a distinct-hash-sized rewrite
+    Multimodal.deleteFromPhashGroupsIndex(spark, dir,
+      Seq.empty[Long].toDF("media_id"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_member_tombstones")),
+      "an empty batch must not append a tombstone file")
+    assert(groupFiles() == before,
+      "an empty batch must not rewrite the groups relation")
+    assert(collapsed(tmp, dir) == baseline)
   }
 }

@@ -479,19 +479,23 @@ class PlanQualitySpec extends AnyFunSuite {
         ("dedup_embedding_incremental", "table", "bucket"),
         ("dedup_phash_incremental", "band", "bval"))) {
       val p = plan(name)
-      // identify the stored-band scan by its non-empty partition
+      // identify the stored-band scans by their non-empty partition
       // filter on the directory column (paths truncate in the plan
-      // string, so match structure, not the location)
-      val bandScan = p.split('\n').find { l =>
+      // string, so match structure, not the location); the collapse-
+      // first phash probe legitimately has TWO — the (band, bval)-
+      // pruned hash-qualification scan and the single-band-directory
+      // member expansion — so the pin asserts at least one scan
+      // carries the pushed bucket set
+      val bandScans = p.split('\n').filter { l =>
         val i = l.indexOf("PartitionFilters: [")
         l.contains("FileScan parquet") && i >= 0 &&
           l.substring(i).contains(s"$part#")
       }
-      assert(bandScan.isDefined,
+      assert(bandScans.nonEmpty,
         s"$name: no stored scan with a $part partition filter:\n$p")
-      val l = bandScan.get
-      assert(l.contains(s"In($bucketCol") || l.contains(s"$bucketCol#"),
-        s"$name: bucket set not pushed: $l")
+      assert(bandScans.exists(l =>
+        l.contains(s"In($bucketCol") || l.contains(s"$bucketCol#")),
+        s"$name: bucket set not pushed: ${bandScans.mkString("\n")}")
     }
   }
 
@@ -537,14 +541,17 @@ class PlanQualitySpec extends AnyFunSuite {
     val pp = plan("dedup_phash_purged")
     assert(pp.split('\n').exists(_.contains("LeftAnti")),
       s"phash purged probe lost its tombstone anti-join:\n$pp")
-    val ppScan = pp.split('\n').find { l =>
+    // collapse-first probe: the hash-qualification scan keeps the
+    // pushed (band, bval) set; the member-expansion scan (where the
+    // tombstone anti-join lives) prunes to one band directory
+    val ppScans = pp.split('\n').filter { l =>
       val i = l.indexOf("PartitionFilters: [")
       l.contains("FileScan parquet") && i >= 0 && l.substring(i).contains("band#")
     }
-    assert(ppScan.isDefined,
+    assert(ppScans.nonEmpty,
       s"phash purged: no stored scan with a band partition filter:\n$pp")
-    assert(ppScan.get.contains("bval#") || ppScan.get.contains("In(bval"),
-      s"phash purged: bucket set not pushed: ${ppScan.get}")
+    assert(ppScans.exists(l => l.contains("bval#") || l.contains("In(bval")),
+      s"phash purged: bucket set not pushed: ${ppScans.mkString("\n")}")
 
     val cp = plan("evt_concurrency_purged")
     assert(cp.split('\n').exists(_.contains("LeftAnti")),

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bounded-peak-disk sliced pair build (r17 verdict item 1) is
+  * OUTPUT-IDENTICAL to the monolithic build: a shingle lives in
+  * exactly one keyspace slice, so the per-slice DF cull decides
+  * exactly as the global one does — including shingles whose corpus
+  * DF crosses the cutoff — and per-pair n_common sums across slices
+  * to the global count; the final jaccard division is one double op
+  * off integer inputs, so the stored doubles are bit-identical.
+  */
+class SlicedPairsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Corpus with (a) heavily-overlapping near-dup pairs, (b) partial
+    * overlaps, and (c) a boilerplate trigram carried by EVERY doc —
+    * whose DF crosses the small maxDf used below, so the test pins
+    * that the sliced cull drops it exactly as the global cull does.
+    */
+  private def fixture(): String = {
+    import spark.implicits._
+    val boiler = "terms of service apply"
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "alpha beta gamma delta epsilon zeta eta iota"
+    val c = "kappa lambda mu nu xi omicron pi rho"
+    val d = "kappa lambda mu nu xi omicron pi sigma"
+    val e = "alpha beta gamma tau upsilon phi chi psi"
+    val tmp = java.nio.file.Files.createTempDirectory("slicedpairs").toString
+    Seq(
+      (1L, s"$a $boiler"), (2L, s"$b $boiler"), (3L, s"$c $boiler"),
+      (4L, s"$d $boiler"), (5L, s"$e $boiler"),
+      (6L, s"$a extra trailing words here $boiler"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("spec").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private def readPairs(dir: String): Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    Dedup.readJaccardPairs(spark, dir)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("sliced build ≡ monolithic build, bit-identical, DF cull included") {
+    val tmp = fixture()
+    val maxDf = 4 // the boilerplate trigrams have DF 6 > 4 → culled
+    val mono = s"$tmp/mono"
+    Dedup.writeJaccardPairs(spark, tmp, mono, maxDf)
+    val monoPairs = readPairs(mono)
+    assert(monoPairs.nonEmpty, "fixture must produce overlap pairs")
+    // the boilerplate-only pair set must NOT appear: docs 3/5 share
+    // only the culled boilerplate shingles with docs 1/2/6
+    assert(!monoPairs.exists(p => Set(p._1, p._2) == Set(3L, 5L)),
+      s"DF cull fixture broken — boilerplate-only pair survived: $monoPairs")
+    for (passes <- Seq(1, 3, 8)) {
+      val sliced = s"$tmp/sliced$passes"
+      Dedup.writeJaccardPairsSliced(spark, tmp, sliced, passes, maxDf)
+      assert(readPairs(sliced) == monoPairs,
+        s"sliced($passes) diverged from the monolithic build")
+      val fs = new org.apache.hadoop.fs.Path(sliced)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${sliced}_slices")),
+        "the slice workspace must be cleaned up")
+      // the stored layout is the writeJaccardPairs shard layout, so
+      // every stored-pair consumer (cluster collapse, containment,
+      // takedown tombstones) reads it unchanged
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(sliced))
+        .exists(_.getPath.getName.startsWith("shard=")),
+        "stored layout must be shard-partitioned like writeJaccardPairs")
+    }
+  }
+}
