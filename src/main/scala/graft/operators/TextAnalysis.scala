@@ -1059,6 +1059,30 @@ object TextAnalysis {
         $"doc_id" % Similarity.PurgeMod =!= Similarity.PurgeRes)
     },
 
+    // The classifier's nightly-ingest round trip (the
+    // dedup_minhash_incremental convention): train the base model on
+    // the historical slice — thresholds frozen FROM that slice — then
+    // ingest the new batch by counts-add against the frozen
+    // supervision (one tokenize of the BATCH, never a corpus
+    // retrain), and score the full corpus with the folded model.
+    // Base + append ≡ one train over the union with the base slice's
+    // labels, by the same linearity the purged form subtracts with
+    // (NbLifecycleSpec pins it; the oracle restates the union train
+    // with slice-derived thresholds). The output's `label` column
+    // stays the full-corpus gate label — the classifier family's
+    // shared output contract — while the SCORES come from the
+    // frozen-supervision incremental model.
+    "txt_quality_classifier_incremental" -> { (s, d) =>
+      import s.implicits._
+      val dir = Similarity.storedQueryDir("nbmodel_i", d)
+      writeNbModel(s, d, dir,
+        $"doc_id" % Dedup.IncrementalMod =!= 0)
+      appendToNbModel(s, dir,
+        Tables.documents(s, d).filter($"doc_id" % Dedup.IncrementalMod === 0))
+      val (w, prior) = readNbModel(s, dir)
+      scoreWithNbModel(s, d, w, prior)
+    },
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df), deterministic tiebreak on the term. The inverted
     // shapes are all map-side-combinable aggregations (term counts,
@@ -2158,7 +2182,40 @@ object TextAnalysis {
     * twin). Physical purge of cancelled rows is [[compactNbModel]].
     */
   def deleteFromNbModel(s: SparkSession, indexDir: String,
-      docs: DataFrame): Unit = {
+      docs: DataFrame): Unit =
+    appendNbContrib(s, indexDir, docs, sign = -1L, mode = "append")
+
+  /** Ingest a batch of NEW training documents into a stored model —
+    * the sign-flipped twin of [[deleteFromNbModel]] and the missing
+    * half of the counts-add lifecycle (r17 verdict item 3): the batch
+    * is labeled against the STORED thresholds (the frozen weak
+    * supervision — the expensive labeler ran once at base-training
+    * time) and its per-token class contributions and document tallies
+    * are appended POSITIVE, so every reader's fold equals one train
+    * over base ∪ batch with the frozen labels — nightly training-doc
+    * ingest costs one tokenize of the BATCH, never a corpus retrain
+    * (NbLifecycleSpec pins the linearity, and append-then-delete of
+    * the same batch is an exact involution). Contract: append a doc
+    * at most once, and never one the model already counts (the
+    * counts-add algebra cannot detect a double add); batch docs whose
+    * `source` has no stored threshold carry no supervision and
+    * contribute nothing — stated, and restated by the oracle's inner
+    * threshold join. Physical fold of the appended delta files is
+    * [[compactNbModel]]; single-writer like all maintenance ops.
+    */
+  def appendToNbModel(s: SparkSession, indexDir: String,
+      docs: DataFrame): Unit =
+    appendNbContrib(s, indexDir, docs, sign = 1L, mode = "append")
+
+  /** The shared signed-contribution kernel of the NB lifecycle:
+    * label `docs` against the STORED frozen thresholds (the same
+    * rounded expression training used, so lifecycle labeling can
+    * never fork from training labeling), tokenize the batch alone,
+    * and land `sign` × (per-token class counts, document tallies) on
+    * the count algebra. Cost is batch-sized on every path.
+    */
+  private def appendNbContrib(s: SparkSession, indexDir: String,
+      docs: DataFrame, sign: Long, mode: String): Unit = {
     import s.implicits._
     val thr = s.read.parquet(s"$indexDir/thresholds")
     val labeled = alphaR(docs).join(broadcast(thr), Seq("source"))
@@ -2168,18 +2225,38 @@ object TextAnalysis {
     val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
     tf.join(labeled, Seq("doc_id"))
       .groupBy($"tok")
-      .agg((-sum(when($"label" === 1, $"tf").otherwise(0L))).as("c_pos"),
-        (-sum(when($"label" === 0, $"tf").otherwise(0L))).as("c_neg"))
-      .write.mode("append").parquet(s"$indexDir/counts")
-    // Option-decode: an EMPTY takedown batch (a feed trigger with no
-    // matching docs) aggregates to one all-NULL row — a legitimate
-    // no-op, not a crash (the appendToLexIndex batch-agg convention)
+      .agg((lit(sign) * sum(when($"label" === 1, $"tf").otherwise(0L)))
+          .as("c_pos"),
+        (lit(sign) * sum(when($"label" === 0, $"tf").otherwise(0L)))
+          .as("c_neg"))
+      .write.mode(mode).parquet(s"$indexDir/counts")
+    // Option-decode: an EMPTY batch (a feed trigger with no matching
+    // docs) aggregates to one all-NULL row — a legitimate no-op, not
+    // a crash (the appendToLexIndex batch-agg convention)
     val (pd, nd) = labeled.agg(
         sum(when($"label" === 1, 1L).otherwise(0L)),
         sum(when($"label" === 0, 1L).otherwise(0L)))
       .as[(Option[Long], Option[Long])].first()
-    Seq((-pd.getOrElse(0L), -nd.getOrElse(0L))).toDF("pd", "nd")
-      .write.mode("append").parquet(s"$indexDir/scalars")
+    Seq((sign * pd.getOrElse(0L), sign * nd.getOrElse(0L))).toDF("pd", "nd")
+      .write.mode(mode).parquet(s"$indexDir/scalars")
+  }
+
+  /** Train and persist an NB model on a SLICE of the corpus
+    * (`trainPred`), with the weak-supervision thresholds computed
+    * over that slice and stored FROZEN — the base build of the
+    * incremental lifecycle: later batches enter via
+    * [[appendToNbModel]] labeled against the same frozen cuts, so
+    * base + appends ≡ one train over the union with the base slice's
+    * supervision. The slice's own counts enter through the SAME
+    * signed kernel the appends use, so base-training labeling and
+    * lifecycle labeling are one code path.
+    */
+  def writeNbModel(s: SparkSession, d: String, outDir: String,
+      trainPred: Column): Unit = {
+    val docs = Tables.documents(s, d).filter(trainPred)
+    gateThresholds(alphaR(docs)).write.mode("overwrite")
+      .parquet(s"$outDir/thresholds")
+    appendNbContrib(s, outDir, docs, sign = 1L, mode = "overwrite")
   }
 
   /** Fold the stored count algebra physically: one row per token,
@@ -2257,6 +2334,57 @@ object TextAnalysis {
             WHERE $rowsWhere)"""
 
   private lazy val nbClassifierOracle: String = nbClassifierSql("TRUE")
+
+  /** The incremental classifier restated as ONE train over the union
+    * with SLICE-derived thresholds: counts/prior label every doc
+    * against the base slice's frozen percentile cuts (an inner
+    * threshold join — a batch source absent from the slice carries no
+    * supervision, the appendToNbModel contract), while the output's
+    * `label` column is the full-corpus gate label (the family's
+    * shared output contract).
+    */
+  private lazy val nbIncrClassifierOracle: String = {
+    val slice = s"NOT (doc_id % ${Dedup.IncrementalMod} = 0)"
+    s"""WITH q AS (SELECT doc_id, source,
+            ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+              GREATEST(LENGTH(text), 1), 6) AS alpha_r
+            FROM documents),
+          tsl AS (SELECT source,
+              ROUND(quantile_cont(alpha_r, 0.25), 6) AS thresh
+            FROM q WHERE $slice GROUP BY source),
+          flab AS (SELECT doc_id,
+              CAST(CASE WHEN alpha_r >= thresh THEN 1 ELSE 0 END AS BIGINT)
+                AS label
+            FROM q JOIN tsl USING (source)),
+          toks AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+          tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+            GROUP BY doc_id, tok),
+          cc AS (SELECT tok,
+              SUM(CASE WHEN label = 1 THEN tf ELSE 0 END) AS c_pos,
+              SUM(CASE WHEN label = 0 THEN tf ELSE 0 END) AS c_neg
+            FROM tf JOIN flab USING (doc_id) GROUP BY tok),
+          scal AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn,
+            COUNT(*) AS v FROM cc),
+          pri AS (SELECT
+              SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pd,
+              SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nd
+            FROM flab),
+          w AS (SELECT tok,
+              LN((c_pos + 1)::DOUBLE / (np + v))
+                - LN((c_neg + 1)::DOUBLE / (nn + v)) AS w
+            FROM cc, scal),
+          per AS (SELECT doc_id, SUM(tf * w) AS sw
+            FROM tf JOIN w USING (tok) GROUP BY doc_id),
+          glab AS (SELECT doc_id,
+              CAST(CASE WHEN alpha_r >= ROUND(quantile_cont(alpha_r, 0.25)
+                OVER (PARTITION BY source), 6) THEN 1 ELSE 0 END AS BIGINT)
+                AS label
+            FROM q)
+          SELECT g.doc_id, g.label,
+            ROUND(LN((pri.pd + 1)::DOUBLE / (pri.nd + 1))
+              + COALESCE(per.sw, 0.0), 5) + 0.0 AS nb_score
+          FROM glab g CROSS JOIN pri LEFT JOIN per ON per.doc_id = g.doc_id"""
+  }
 
   private lazy val oraclesBase: Map[String, String] = Map(
     // The sketch restated exactly: distinct shingle strings per
@@ -2546,6 +2674,7 @@ object TextAnalysis {
     // training-time supervision — counts/priors/rows over survivors)
     "txt_quality_classifier_purged" -> nbClassifierSql(
       s"NOT (doc_id % ${Similarity.PurgeMod} = ${Similarity.PurgeRes})"),
+    "txt_quality_classifier_incremental" -> nbIncrClassifierOracle,
     // stored-sketch round trip: long arrays round-trip parquet
     // exactly, so the stored query shares the session oracle STRING
     // (the sim_ann_pq_stored convention) — appended post-Map below

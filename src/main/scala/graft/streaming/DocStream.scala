@@ -225,4 +225,38 @@ object DocStream {
         graft.operators.Lexical.deleteFromLexIndex(batch.sparkSession,
           indexDir, batch.toDF())
       }.start()
+
+  /** Apply a stream of training-document TAKEDOWNS to a stored NB
+    * quality model: each micro-batch of deleted docs lands its
+    * negated count contributions
+    * ([[graft.operators.TextAnalysis.deleteFromNbModel]] — labeled
+    * against the frozen stored thresholds), so scoring from the next
+    * trigger on uses the unlearned model — the takedown half the
+    * model's streamed surface was missing next to [[scoreStream]]
+    * (r17 verdict item 6). Batch and stream erasure share one kernel
+    * and cannot drift; physical fold stays the periodic
+    * [[graft.operators.TextAnalysis.compactNbModel]].
+    */
+  def nbDeleteStream(docs: DataFrame,
+      modelDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextAnalysis.deleteFromNbModel(batch.sparkSession, modelDir,
+          batch.toDF())
+      }.start()
+
+  /** Ingest a stream of NEW training documents into a stored NB
+    * model: each micro-batch appends its positive count
+    * contributions labeled against the frozen thresholds
+    * ([[graft.operators.TextAnalysis.appendToNbModel]]) — the
+    * streamed form of the nightly counts-add ingest, with the same
+    * at-most-once-per-doc contract.
+    */
+  def nbIngestStream(docs: DataFrame,
+      modelDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextAnalysis.appendToNbModel(batch.sparkSession, modelDir,
+          batch.toDF())
+      }.start()
 }

@@ -200,6 +200,62 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed NB ingest/takedown equal their batch kernels across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = "/root/testdata/sf0.001"
+    val modelDir = java.nio.file.Files.createTempDirectory("nblifestream")
+      .toString + "/nbmodel"
+    // base model on the historical slice; the streamed feeds carry
+    // the batch slice in two triggers each
+    TextAnalysis.writeNbModel(spark, dir, modelDir,
+      col("doc_id") % 10 =!= 0)
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % 10 === 0).orderBy($"doc_id")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .withColumn("ingest_ts", lit(ts(0)))
+      .as[IngestDoc].collect().toSeq
+    def model(): (Map[String, Double], Double) = {
+      val (w, p) = TextAnalysis.readNbModel(spark, modelDir)
+      (w.as[(String, Double)].collect().toMap, p)
+    }
+    val base = model()
+
+    val mem = MemoryStream[IngestDoc]
+    val q = DocStream.nbIngestStream(mem.toDF(), modelDir)
+    try {
+      val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch truth: one appendToNbModel of the whole batch slice
+    val truthDir = java.nio.file.Files.createTempDirectory("nblifetruth")
+      .toString + "/nbmodel"
+    TextAnalysis.writeNbModel(spark, dir, truthDir,
+      col("doc_id") % 10 =!= 0)
+    TextAnalysis.appendToNbModel(spark, truthDir,
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter($"doc_id" % 10 === 0))
+    val truth = {
+      val (w, p) = TextAnalysis.readNbModel(spark, truthDir)
+      (w.as[(String, Double)].collect().toMap, p)
+    }
+    assert(model() == truth,
+      "two streamed ingest triggers must equal the one-batch append")
+
+    // streamed takedown of the same docs restores the base model
+    val mem2 = MemoryStream[IngestDoc]
+    val q2 = DocStream.nbDeleteStream(mem2.toDF(), modelDir)
+    try {
+      val (b1, b2) = batchDocs.splitAt(batchDocs.length / 3)
+      mem2.addData(b1: _*); q2.processAllAvailable()
+      mem2.addData(b2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(model() == base,
+      "streamed ingest + streamed takedown must be an exact involution")
+  }
+
   test("cdcMassStream: probe-before-append — batch 2 sees batch 1 as historical") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
