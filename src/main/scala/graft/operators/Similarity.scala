@@ -1813,6 +1813,136 @@ object Similarity {
     swapDirInto(s, tmp, src)
   }
 
+  // ------------------------------------------------------------------
+  // Versioned index root — manifest-pointer atomic cutover (r17
+  // verdict item 5), templated on the LSH family. The in-place
+  // [[swapDirInto]] maintenance ops carry a stated single-writer
+  // contract, but a CONCURRENT READER mid-swap can transiently see a
+  // missing directory — and deployments run probes 24/7. Under a
+  // versioned root, the layout lives in immutable version dirs and
+  // `<root>/_graft_current` names the live one: a probe resolves the
+  // pointer ONCE and reads that version for its whole lifetime
+  // (snapshot isolation), while compaction builds a NEW version and
+  // repoints the manifest with one atomic rename. The pointer file is
+  // tiny, so the cutover is atomic on any store with atomic rename;
+  // object stores without one version the POINTER via their
+  // conditional-put instead — the layout itself never needs renames.
+  // Outgoing versions are retired two cutovers later (the two most
+  // recent RETIRED generations stay on disk), so a reader that
+  // resolved just before a cutover finishes its scan against intact
+  // files; the gap this leaves — a reader slower than THREE
+  // consecutive compactions — is the stated residual, same as every
+  // MVCC store's vacuum horizon, and the retention depth is the
+  // cutover call's parameter.
+  // ------------------------------------------------------------------
+
+  private def currentPointer(root: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(root, "_graft_current")
+
+  /** Resolve a versioned root's live version directory — called once
+    * per probe/maintenance entry, never per file.
+    */
+  def resolveCurrentVersion(s: SparkSession, root: String): String = {
+    val p = currentPointer(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val name =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8").trim
+      finally in.close()
+    s"$root/$name"
+  }
+
+  /** Atomically repoint `<root>/_graft_current` at `version`, then
+    * retire every version directory beyond the live one and the
+    * `keepRetired` most recent retired generations. The pointer lands
+    * via write-temp + atomic rename-overwrite, so a concurrent
+    * resolve sees either the old or the new name, never a torn file.
+    */
+  private def cutVersion(s: SparkSession, root: String,
+      version: String, keepRetired: Int = 2): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val ptr = currentPointer(root)
+    val fs = ptr.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_graft_current_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, conf)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // retired versions are immutable, so recency by modification time
+    // orders generations; the live version is kept unconditionally
+    val vers = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v_"))
+    val keep = vers.sortBy(-_.getModificationTime)
+      .take(keepRetired + 1).map(_.getPath.getName).toSet + version
+    vers.filter(st => !keep.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  private def freshVersionName(): String =
+    s"v_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+
+  /** Build an LSH index under a VERSIONED root: the layout lands in a
+    * fresh version dir, then the pointer cuts over — an existing
+    * serving root is rebuilt in place with zero reader disruption.
+    */
+  def writeLshIndexVersioned(s: SparkSession, d: String,
+      root: String): Unit = {
+    val name = freshVersionName()
+    writeLshIndex(s, d, s"$root/$name")
+    cutVersion(s, root, name)
+  }
+
+  /** Probe a versioned LSH root — [[topkLshStored]] against the
+    * version resolved ONCE at entry.
+    */
+  def topkLshVersioned(s: SparkSession, d: String, root: String,
+      k: Int = TopK, multiprobe: Boolean = true,
+      pushdownCap: Int = LshProbePushdownCap): DataFrame =
+    topkLshStored(s, d, resolveCurrentVersion(s, root), k, multiprobe,
+      pushdownCap)
+
+  /** Append into the LIVE version (parquet files are immutable and
+    * the append is additive, so concurrent readers are at worst
+    * snapshot-stale — they miss the new files they never listed).
+    */
+  def appendToLshIndexVersioned(s: SparkSession, root: String,
+      batch: DataFrame): Unit =
+    appendToLshIndex(s, resolveCurrentVersion(s, root), batch)
+
+  /** Tombstone ids in the LIVE version (id-sized append — the
+    * [[deleteFromIndex]] contract; a reader that listed the tombstone
+    * relation before the append is snapshot-stale for its lifetime).
+    */
+  def deleteFromIndexVersioned(s: SparkSession, root: String,
+      ids: DataFrame): Unit =
+    deleteFromIndex(s, resolveCurrentVersion(s, root), ids)
+
+  /** Compact a versioned LSH root with zero reader disruption: the
+    * folded, tombstone-purged layout is built as a NEW version dir
+    * (planes sidecar first, the compactLshIndex discipline), then the
+    * pointer cuts over atomically and generations past the retention
+    * horizon retire. In-flight probes keep reading the version they
+    * resolved; the next probe resolves the fresh one.
+    * LshVersionedSpec drives probes CONCURRENTLY with this and pins
+    * zero failures and stable answers.
+    */
+  def compactLshIndexVersioned(s: SparkSession, root: String): Unit = {
+    import s.implicits._
+    val cur = resolveCurrentVersion(s, root)
+    val name = freshVersionName()
+    val fresh = s"$root/$name"
+    val planes = readLshPlanes(s, cur)
+    readLshIndex(s, cur)
+      .select($"vec_id", $"embedding", $"nrm", $"bucket", $"table")
+      .repartition($"table").sortWithinPartitions($"table", $"bucket")
+      .write.mode("overwrite").partitionBy("table").parquet(fresh)
+    writePlanesSidecar(s, fresh, planes)
+    cutVersion(s, root, name)
+  }
+
   /** The plane count a stored LSH index was built with (sidecar
     * written by [[writeLshIndex]]).
     */
@@ -2039,6 +2169,19 @@ object Similarity {
       writeLshIndex(s, d, dir)
       deleteFromIndex(s, dir, purgeIds(s, d))
       topkLshStored(s, d, dir)
+    },
+    // The 24/7-serving lifecycle on a VERSIONED root (manifest-pointer
+    // atomic cutover): build a version, cut the pointer, compact into
+    // a SECOND version + cut again, probe through the resolved live
+    // version — reader-visible state flips atomically, never through
+    // the in-place swap's missing-directory window (LshVersionedSpec
+    // drives probes concurrently with the compaction). Answers equal
+    // sim_ann_lsh by construction — shared oracle.
+    "sim_ann_lsh_versioned" -> { (s, d) =>
+      val root = storedQueryDir("lshver", d)
+      writeLshIndexVersioned(s, d, root)
+      compactLshIndexVersioned(s, root)
+      topkLshVersioned(s, d, root)
     },
     "lsh_build" -> { (s, d) =>
       import s.implicits._
@@ -2460,6 +2603,10 @@ object Similarity {
             FROM (${baseOracles("sim_hybrid_stored")})
             WHERE q_id % $HybridServeMod = 0""") +
       ("sim_ann_lsh_stored" -> baseOracles("sim_ann_lsh")) +
+      // versioned root: same layout per version, same probe — the
+      // manifest pointer changes WHICH directory serves, never what
+      // it answers, so the stored oracle carries verbatim
+      ("sim_ann_lsh_versioned" -> baseOracles("sim_ann_lsh")) +
       // the purge slice excluded on the INDEX side only — queries
       // still ask, deleted ids never answer
       ("sim_ann_lsh_purged" ->
