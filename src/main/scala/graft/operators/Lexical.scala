@@ -548,6 +548,46 @@ object Lexical {
   private def storedLexDir(d: String): String =
     Similarity.storedQueryDir("bm25", d)
 
+  /** Write a stored index at most once per (session, corpus, dir) —
+    * the build-once attribution the bench convention requires (r17
+    * verdict item 7): four declared queries serve from the same
+    * stored layout, and each re-running the deterministic write
+    * re-billed the corpus build to every probe line, leaving the
+    * serve/purged margins a few percent wide when the probes
+    * themselves are sub-second. bm25_build runs first in bench order
+    * and carries the build; the stored/serve probes are steady-state.
+    * First-caller-builds is answer-identical regardless of order —
+    * the write is a pure function of (corpus, dir).
+    */
+  private val lexWriteOnce = new SessionCache[String]()
+
+  def writeLexIndexOnce(s: SparkSession, d: String, outDir: String): Unit =
+    lexWriteOnce.getOrBuild(s, s"$d#$outDir") {
+      writeLexIndex(s, d, outDir); outDir
+    }
+
+  /** File-level clone of a QUIESCENT stored index (postings + doclen
+    * + stats copied byte-identical; refuses a source carrying
+    * tombstones or maintenance markers, which would silently change
+    * the clone's answers): the takedown query's input snapshot,
+    * built without re-tokenizing the corpus — delete+probe cost then
+    * sits on the takedown line, not a second corpus build.
+    */
+  def cloneLexIndex(s: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val dst = new org.apache.hadoop.fs.Path(dstDir)
+    val fs = src.getFileSystem(conf)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
+        docTombstonesPath(srcDir))) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(appendPendingPath(srcDir))) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(doclenPendingPath(srcDir))),
+      s"$srcDir carries maintenance state - clone only a quiescent index")
+    fs.delete(dst, true)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf),
+      s"could not clone $srcDir to $dstDir")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The index build as its own bench line (the lsh_build
     // convention); the declared output is the TERM SUMMARY of the
@@ -560,7 +600,7 @@ object Lexical {
     "bm25_build" -> { (s, d) =>
       import s.implicits._
       val dir = storedLexDir(d)
-      writeLexIndex(s, d, dir)
+      writeLexIndexOnce(s, d, dir)
       s.read.parquet(s"$dir/postings")
         .groupBy($"term")
         .agg(count(lit(1)).as("df"),
@@ -570,7 +610,7 @@ object Lexical {
     // the stored layout. Shares txt_bm25_topk's oracle verbatim.
     "txt_bm25_topk_stored" -> { (s, d) =>
       val dir = storedLexDir(d)
-      writeLexIndex(s, d, dir)
+      writeLexIndexOnce(s, d, dir)
       topkBm25Stored(s, dir)
     },
     // Takedown-under-serving: delete a doc slice (doc_id ≡ 3 mod 7 —
@@ -580,8 +620,13 @@ object Lexical {
     // RESULTS before the top-k cut.
     "txt_bm25_topk_purged" -> { (s, d) =>
       import s.implicits._
-      val dir = storedLexDir(d) + "_purged"
-      writeLexIndex(s, d, dir)
+      // snapshot the session's stored layout instead of paying a
+      // second corpus build: the takedown line measures clone +
+      // delete + probe (bm25_build carries the build)
+      val shared = storedLexDir(d)
+      writeLexIndexOnce(s, d, shared)
+      val dir = shared + "_purged"
+      cloneLexIndex(s, shared, dir)
       deleteFromLexIndex(s, dir,
         Tables.documents(s, d).select($"doc_id").filter($"doc_id" % 7 === 3))
       topkBm25Stored(s, dir)
@@ -591,7 +636,7 @@ object Lexical {
     "txt_bm25_serve" -> { (s, d) =>
       import s.implicits._
       val dir = storedLexDir(d)
-      writeLexIndex(s, d, dir)
+      writeLexIndexOnce(s, d, dir)
       bm25For(s, dir, ServeQueries.toDF("query_id", "term"))
     }
   )

@@ -1252,10 +1252,13 @@ object Multimodal {
     // tombstone a slice of ingested media (id-sized delete, the
     // multi-TB layout untouched), probe the new batch — deleted media
     // stop appearing as historical neighbors immediately. This is the
-    // EXACT per-media form, duplication²-bound BY ITS DECLARED OUTPUT
-    // like dedup_phash_incremental; the deployment default for
-    // duplication-dense corpora is dedup_phash_purged_collapsed
-    // below, whose post-erasure probe stays distinct-hash-sized.
+    // EXACT per-media form: its OUTPUT is duplication²-bound by
+    // declaration, but since the collapse-first probe rewrite the
+    // candidate stream is distinct-hash-sized (measured 12.3→500 s
+    // r16 → 9.7→73.4 s r18 across the fixture decade); the collapsed
+    // sibling below stays the deployment default when rep-level
+    // answers suffice, because the exact output itself is
+    // duplication-sized.
     "dedup_phash_purged" -> { (s, d) =>
       import s.implicits._
       val dir = Similarity.storedQueryDir("ph_purge", d)
