@@ -2125,21 +2125,32 @@ object Dedup {
     * ~5B-row occurrence exchange, two pair-relation exchanges, and
     * the output simultaneously — ≈85 GB at the sf100 fixture vs 71 GB
     * free on one box (44 `No space left on device` task failures).
-    * Each pass here exchanges ~1/passes of the occurrence relation
-    * and retires its shuffle files before the next pass starts, so
-    * peak transient disk is ~one pass's footprint plus the compact
-    * stored partials (pre-aggregated counts, ≤ the monolithic second
-    * exchange). The tokenize runs ONCE: the hashed shingle relation
+    * Each BUILD pass exchanges ~1/passes of the occurrence relation
+    * and retires its shuffle files before the next pass starts; the
+    * FOLD is sliced too (the first sf100 attempt died here: summing
+    * the partials and attaching sizes holds three pair-relation-sized
+    * exchanges at once, ~50 GB of simultaneous shuffle footprint at
+    * the sf100 fixture) — partials land partitioned by the OUTPUT
+    * shard (a row-local function of the packed pair key), and each of
+    * `foldSlices` fold passes partition-prunes to its shard group,
+    * sums, attaches sizes, and writes those shards directly, so no
+    * stage ever exchanges more than ~1/foldSlices of the pair
+    * relation. The tokenize runs ONCE: the hashed shingle relation
     * lands as compact parquet and every pass re-reads it — a narrow
     * columnar scan, not a re-run of the family's dominant kernel.
     * At cluster scale the same slicing bounds per-node shuffle disk
-    * on every executor; `passes` trades wall-clock (one extra scan of
-    * the shingle parquet per pass) for a 1/passes disk ceiling.
+    * on every executor; `passes`/`foldSlices` trade wall-clock (one
+    * extra columnar scan per pass) for the disk ceiling.
+    * Measured at the sf100 fixture (5M docs, local[16], 24 g heap):
+    * completes in ~13.5 min where the monolithic build exhausts the
+    * box's 67 GB free disk — peak usage ~24 GB transient + partials.
     */
   def writeJaccardPairsSliced(s: SparkSession, d: String, outDir: String,
-      passes: Int = 8, maxDf: Int = MaxShingleDf): Unit = {
+      passes: Int = 8, maxDf: Int = MaxShingleDf,
+      foldSlices: Int = 0): Unit = {
     import s.implicits._
     require(passes >= 1, s"passes must be >= 1: $passes")
+    val nFold = if (foldSlices < 1) passes else foldSlices
     val work = s"${outDir}_slices"
     val workPath = new org.apache.hadoop.fs.Path(work)
     val fs = workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2149,6 +2160,10 @@ object Dedup {
       .select($"doc_id", shingleHashes($"text").as("sh"))
       .write.parquet(s"$work/shingles")
     val rel = s.read.parquet(s"$work/shingles")
+    // the per-doc size relation once, as its own tiny parquet — each
+    // fold pass re-reads 16 bytes/doc instead of the shingle arrays
+    rel.select($"doc_id", size($"sh").as("n_shingles"))
+      .write.parquet(s"$work/sizes")
     for (k <- 0 until passes) {
       val rows = rel.select($"doc_id", explode($"sh").as("shingle"))
         .filter(pmod($"shingle", lit(passes.toLong)) === k)
@@ -2162,30 +2177,65 @@ object Dedup {
         .groupBy($"shingle").agg(collect_list($"doc_id").as("ids"))
         .select(explode(bucketPairs($"ids")).as("p"))
         .groupBy($"p").agg(count(lit(1)).as("n_common"))
-        .write.parquet(s"$work/partial/pass=$k")
+        // the output shard is a row-local function of the packed key,
+        // so partials can land pre-bucketed and the fold prunes to
+        // its shard group at the SCAN (directory pruning, no decode
+        // of other groups' rows)
+        .withColumn("shard",
+          pmod(shiftrightunsigned($"p", 32), lit(PairShards.toLong))
+            .cast("int"))
+        .repartition($"shard")
+        .write.partitionBy("shard").parquet(s"$work/partial/pass=$k")
       // the pass's shuffle files are dead state once its partial
       // lands; nudge the ContextCleaner so the next pass starts from
       // ~zero retained shuffle footprint instead of accumulating all
       // passes' files (the exact monolithic failure mode)
       System.gc()
     }
-    val sizes = rel.select($"doc_id", size($"sh").as("n_shingles"))
-    val folded = s.read.parquet(s"$work/partial")
-      .groupBy($"p").agg(sum($"n_common").as("n_common"))
-      .select(shiftrightunsigned($"p", 32).as("id_a"),
-        $"p".bitwiseAND(lit(0xffffffffL)).as("id_b"), $"n_common")
-      .join(sizes.select($"doc_id".as("id_a"), $"n_shingles".as("n_a")),
-        "id_a")
-      .join(sizes.select($"doc_id".as("id_b"), $"n_shingles".as("n_b")),
-        "id_b")
-      .select($"id_a", $"id_b",
-        ($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common"))
-          .as("jaccard"))
+    val partialSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_common",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pass",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.IntegerType)))
+    val sizesRel = s.read.parquet(s"$work/sizes")
     val staging = new org.apache.hadoop.fs.Path(s"${outDir}_staging")
     fs.delete(staging, true)
-    withShard(folded)
-      .repartition($"shard")
-      .write.partitionBy("shard").parquet(staging.toString)
+    for (f <- 0 until nFold) {
+      val folded = s.read.schema(partialSchema)
+        .parquet(s"$work/partial")
+        .filter(pmod($"shard", lit(nFold)) === f)
+        .groupBy($"p", $"shard").agg(sum($"n_common").as("n_common"))
+        .select(shiftrightunsigned($"p", 32).as("id_a"),
+          $"p".bitwiseAND(lit(0xffffffffL)).as("id_b"),
+          $"n_common", $"shard")
+        .join(sizesRel
+          // id_a determines the shard, so this join side prunes to
+          // the fold group's docs (row-local predicate)
+          .filter(pmod($"doc_id", lit(PairShards.toLong)) % nFold === f)
+          .select($"doc_id".as("id_a"), $"n_shingles".as("n_a")), "id_a")
+        .join(sizesRel
+          .select($"doc_id".as("id_b"), $"n_shingles".as("n_b")), "id_b")
+        .select($"id_a", $"id_b",
+          ($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common"))
+            .as("jaccard"), $"shard")
+      folded
+        // RANGE-partition on (shard, id_a), never hash on shard alone:
+        // hash-on-shard makes each shard ONE task, and at the sf100
+        // fixture that task's dynamic-partition sort asks for a ~2 GB
+        // contiguous page (measured: UNABLE_TO_ACQUIRE_MEMORY aborts
+        // the fold write) — ranged tasks stay sampler-balanced while
+        // still clustering rows into their shard directory, the
+        // writeLexIndex lesson; files-per-shard ≈ tasks holding it
+        .repartitionByRange($"shard", $"id_a")
+        .sortWithinPartitions($"shard", $"id_a")
+        .write.mode("append").partitionBy("shard")
+        .parquet(staging.toString)
+      System.gc()
+    }
     graft.operators.Similarity.swapDirInto(s, staging,
       new org.apache.hadoop.fs.Path(outDir))
     fs.delete(workPath, true)
