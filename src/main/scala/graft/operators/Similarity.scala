@@ -1943,6 +1943,68 @@ object Similarity {
     cutVersion(s, root, name)
   }
 
+  /** The versioned-root template applied to the IVF family — the
+    * same pointer/retention machinery ([[cutVersion]] /
+    * [[resolveCurrentVersion]] are family-agnostic), and the family
+    * where the atomic cutover matters MOST: in-place
+    * [[compactIvfIndex]] performs TWO sequential swaps (assignments,
+    * then centroids), so a concurrent reader can catch occupancy out
+    * of step with the folded rows even when each swap alone is clean
+    * — the versioned cutover replaces both with one pointer flip.
+    */
+  def writeIvfIndexVersioned(s: SparkSession, d: String, root: String,
+      assign: Int = IvfAssign): Unit = {
+    val name = freshVersionName()
+    writeIvfIndex(s, d, s"$root/$name", assign)
+    cutVersion(s, root, name)
+  }
+
+  /** Probe a versioned IVF root — [[topkIvfStored]] against the
+    * version resolved once at entry.
+    */
+  def topkIvfVersioned(s: SparkSession, d: String, root: String,
+      k: Int = TopK, nprobe: Int = -1, assign: Int = IvfAssign): DataFrame =
+    topkIvfStored(s, d, resolveCurrentVersion(s, root), k, nprobe, assign)
+
+  /** Append into the live IVF version (frozen-quantizer assignment,
+    * the [[appendToIvfIndex]] contract; readers are at worst
+    * snapshot-stale).
+    */
+  def appendToIvfIndexVersioned(s: SparkSession, root: String,
+      batch: DataFrame, assign: Int = IvfAssign): Unit =
+    appendToIvfIndex(s, resolveCurrentVersion(s, root), batch, assign)
+
+  /** Compact a versioned IVF root with zero reader disruption: the
+    * tombstone-folded assignments land in a NEW version dir, its
+    * occupancy is computed from the folded rows, the centroid vectors
+    * carry over unchanged, and the pointer flips once — assignments
+    * and occupancy become visible ATOMICALLY, where the in-place
+    * compactor's two swaps expose an inconsistent pair to a racing
+    * reader. [[deleteFromIndexVersioned]] is shared with the LSH root
+    * (the tombstone relation is the family-agnostic one).
+    */
+  def compactIvfIndexVersioned(s: SparkSession, root: String): Unit = {
+    import s.implicits._
+    val cur = resolveCurrentVersion(s, root)
+    val name = freshVersionName()
+    val fresh = s"$root/$name"
+    readIvfIndex(s, cur).assigned
+      .select($"vec_id", $"embedding", $"nrm", $"cell")
+      .repartition($"cell")
+      .write.partitionBy("cell").parquet(s"$fresh/assignments")
+    val counts = s.read.schema(ivfAssignmentsSchema)
+      .parquet(s"$fresh/assignments")
+      .groupBy($"cell").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    s.read.parquet(s"$cur/centroids")
+      .select($"cell", $"centroid", $"cnrm")
+      .as[(Long, Seq[Float], Double)].collect().sortBy(_._1).toSeq
+      .map { case (cid, cv, cn) => (cid, cv, cn, counts.getOrElse(cid, 0L)) }
+      .toDF("cell", "centroid", "cnrm", "occupancy")
+      .write.parquet(s"$fresh/centroids")
+    cutVersion(s, root, name)
+  }
+
   /** The plane count a stored LSH index was built with (sidecar
     * written by [[writeLshIndex]]).
     */
@@ -2210,6 +2272,19 @@ object Similarity {
       val dir = storedIvfDir(d)
       writeIvfIndex(s, d, dir)
       topkIvfStored(s, d, dir)
+    },
+    // The versioned-root lifecycle on the IVF family (the
+    // sim_ann_lsh_versioned template ported — r18): build a version,
+    // compact into a second one (assignments + occupancy become
+    // visible atomically via the pointer flip, where the in-place
+    // compactor's two swaps can expose an inconsistent pair to a
+    // racing reader), probe the live version. Same answers as
+    // sim_ann_ivf by construction — shared dynamic oracle.
+    "sim_ann_ivf_versioned" -> { (s, d) =>
+      val root = storedQueryDir("ivfver", d)
+      writeIvfIndexVersioned(s, d, root)
+      compactIvfIndexVersioned(s, root)
+      topkIvfVersioned(s, d, root)
     },
     // IVF twin of sim_ann_lsh_purged: same tombstone relation, same
     // reader-side anti-join, cell pruning preserved. Occupancy (and
@@ -2724,6 +2799,9 @@ object Similarity {
       // exactly what the in-session probe returns, so it shares the
       // oracle STRING, not a restatement
       "sim_ann_ivf_stored" -> ivfSql,
+      // versioned root: the pointer changes WHICH directory serves,
+      // never what it answers — the stored oracle carries verbatim
+      "sim_ann_ivf_versioned" -> ivfSql,
       // purge slice excluded on the INDEX side only (the lsh_purged
       // convention); nprobe pricing is the PRE-delete occupancy on
       // both sides — the stored index's counts are untouched until

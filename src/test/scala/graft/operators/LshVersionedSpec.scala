@@ -3,12 +3,15 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The versioned LSH root's manifest-pointer cutover (r17 verdict
+/** The versioned index root's manifest-pointer cutover (r17 verdict
   * item 5): probes resolve `_graft_current` once and read an
   * immutable version directory, compaction builds a new version and
   * repoints atomically — so a reader concurrent with compaction never
   * sees the in-place swap's missing-directory window. Pinned here by
-  * actually racing a probe loop against repeated compactions.
+  * actually racing a probe loop against repeated compactions, on
+  * BOTH template instantiations (LSH, and IVF — whose in-place
+  * compactor performs two sequential swaps that can expose
+  * assignments and occupancy out of step to a racing reader).
   */
 class LshVersionedSpec extends AnyFunSuite {
 
@@ -103,5 +106,79 @@ class LshVersionedSpec extends AnyFunSuite {
       s"concurrent reader failed: ${failure.map(_.toString).getOrElse("")}")
     assert(reads >= 1, "the race must have exercised at least one read")
     assert(probe(root) == expected)
+  }
+
+  private def probeIvf(root: String): Set[(Long, Long)] = {
+    import spark.implicits._
+    Similarity.topkIvfVersioned(spark, sf, root)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+  }
+
+  test("IVF instantiation: versioned build/compact/delete equal the plain stored index") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ivfver").toString
+    val root = s"$tmp/root"
+    Similarity.writeIvfIndexVersioned(spark, sf, root)
+    val plain = s"$tmp/plain"
+    Similarity.writeIvfIndex(spark, sf, plain)
+    val expected = Similarity.topkIvfStored(spark, sf, plain)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(probeIvf(root) == expected)
+    Similarity.compactIvfIndexVersioned(spark, root)
+    assert(probeIvf(root) == expected, "cutover compaction must not change answers")
+    // the shared tombstone mechanism routes to the live version, and
+    // the next cutover folds it physically WITH occupancy refreshed
+    // in the same atomic flip
+    val someVec = expected.head._2
+    Similarity.deleteFromIndexVersioned(spark, root, Seq(someVec).toDF("vec_id"))
+    val afterDel = probeIvf(root)
+    assert(!afterDel.exists(_._2 == someVec))
+    Similarity.compactIvfIndexVersioned(spark, root)
+    assert(probeIvf(root) == afterDel)
+    val live = Similarity.resolveCurrentVersion(spark, root)
+    assert(spark.read.parquet(s"$live/assignments")
+      .filter($"vec_id" === someVec).count() == 0,
+      "the cutover compaction must purge tombstoned rows physically")
+    // occupancy equals the folded row counts — the pair the in-place
+    // compactor exposes out of step mid-maintenance
+    val occ = spark.read.parquet(s"$live/centroids")
+      .select($"cell", $"occupancy").as[(Long, Long)].collect().toMap
+    val rows = spark.read.parquet(s"$live/assignments")
+      .groupBy($"cell").count().as[(Long, Long)].collect().toMap
+    assert(rows.forall { case (c, n) => occ.getOrElse(c, 0L) == n },
+      s"occupancy out of step with folded assignments: $occ vs $rows")
+  }
+
+  test("IVF probes race concurrent cutover compactions") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfverrace").toString
+    val root = s"$tmp/root"
+    Similarity.writeIvfIndexVersioned(spark, sf, root)
+    val expected = probeIvf(root)
+    assert(expected.nonEmpty)
+    @volatile var failure: Option[Throwable] = None
+    @volatile var reads = 0
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val got = probeIvf(root)
+          if (got != expected)
+            throw new AssertionError(
+              s"concurrent IVF probe diverged: ${(got diff expected).take(3)}")
+          reads += 1
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    }, "ivf-versioned-reader")
+    reader.start()
+    try {
+      for (_ <- 0 until 3) Similarity.compactIvfIndexVersioned(spark, root)
+    } finally {
+      stop.set(true)
+      reader.join(120000)
+    }
+    assert(failure.isEmpty,
+      s"concurrent reader failed: ${failure.map(_.toString).getOrElse("")}")
+    assert(reads >= 1)
+    assert(probeIvf(root) == expected)
   }
 }
