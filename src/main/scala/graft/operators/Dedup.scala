@@ -276,16 +276,35 @@ object Dedup {
     */
   private[graft] val MaxCdcDf = 1024
 
-  /** dedup_cdc_cluster's edge relation: doc pairs joined by ≥
-    * [[CdcClusterMinChars]] code points of shared duplicated chunk
-    * mass. Pair generation is the inverted-index shape with the
-    * two-pass DF cull (the [[jaccardPairs]] discipline): count
-    * first — map-side combinable, no per-chunk doc-list buffer —
-    * then semi-join the chunk rows against the 2 ≤ df ≤ [[MaxCdcDf]]
-    * keeplist so collect_list is bounded at MaxCdcDf BY CONSTRUCTION;
-    * a boilerplate chunk carried by every doc can never materialize a
-    * corpus-sized array in one aggregation buffer. Same (h, l) key on
-    * all three exchanges; pairs ride packed 8-byte keys.
+  /** dedup_cdc_cluster's edge relation — COMPONENT-exact, not
+    * pair-exact, which is what lets the heavy case go linear (r18;
+    * the sf100 decade measured this stage 9.0×/decade, linear in pair
+    * mass): the declared output is connected components of E = {pairs
+    * with ≥ [[CdcClusterMinChars]] code points of shared duplicated
+    * chunk mass}, and components survive replacing any clique by a
+    * star. A chunk of length ≥ the threshold is SELF-SUFFICIENT —
+    * every pair of its carriers is in E outright — so its df-sized
+    * carrier group contributes df−1 star edges to its min-id anchor
+    * instead of C(df,2) clique edges (map-side-combinable min, no
+    * collect_list, no pair emission at all). Pairs with NO
+    * self-sufficient shared chunk qualify iff their SHORT-chunk
+    * shared mass reaches the threshold (no long chunk ⇒ short mass =
+    * total mass), so the pair-sum path runs over sub-threshold chunks
+    * only — the inverted-index shape with the two-pass DF cull (the
+    * [[jaccardPairs]] discipline), its collect_list bounded at
+    * [[MaxCdcDf]] BY CONSTRUCTION. Components(stars ∪ shortPairs) =
+    * components(E) exactly: each star/short edge is itself in E (a
+    * shared self-sufficient chunk / a qualifying short sum), and each
+    * E-edge either shares a long chunk (both ends reach its anchor)
+    * or qualifies on short mass alone (emitted verbatim). The DuckDB
+    * oracle states the FULL E closure, so the equivalence is
+    * re-proved against an independent engine at every fixture;
+    * CdcStarSpec pins the directed cases (long-chunk clique,
+    * short-sum-only pair, mixed transitive chain, sub-threshold
+    * non-edge) against a naive driver-side recomputation. The
+    * long-duplicated-passage blowup — exactly the duplication-dense
+    * corpus shape — rides the linear path; duplicate edges across the
+    * two branches are fine (the CC kernel symmetrizes).
     */
   private[graft] def cdcClusterEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -296,15 +315,24 @@ object Dedup {
     val keep = dch.groupBy($"h", $"l").agg(count(lit(1)).as("df"))
       .filter($"df" > 1 && $"df" <= MaxCdcDf)
       .select($"h", $"l")
-    val pairRows = dch.join(keep, Seq("h", "l"), "left_semi")
+    val culled = dch.join(keep, Seq("h", "l"), "left_semi")
+    val long = culled.filter($"l" >= CdcClusterMinChars)
+    val anchors = long.groupBy($"h", $"l")
+      .agg(min($"doc_id").as("anchor"))
+    val stars = long.join(anchors, Seq("h", "l"))
+      .filter($"doc_id" =!= $"anchor")
+      .select($"anchor".as("id_a"), $"doc_id".as("id_b"))
+      .distinct()
+    val shortPairs = culled.filter($"l" < CdcClusterMinChars)
       .groupBy($"h", $"l")
       .agg(collect_list($"doc_id").as("ids"))
       .select($"l", explode(bucketPairs($"ids")).as("p"))
-    pairRows.groupBy($"p")
+      .groupBy($"p")
       .agg(sum($"l".cast("long")).as("shared_chars"))
       .filter($"shared_chars" >= CdcClusterMinChars)
       .select(shiftrightunsigned($"p", 32).as("id_a"),
         $"p".bitwiseAND(lit(0xffffffffL)).as("id_b"))
+    stars.union(shortPairs)
   }
 
   /** Partition-bucket count for the stored CDC chunk-hash index
@@ -2240,6 +2268,48 @@ object Dedup {
       new org.apache.hadoop.fs.Path(outDir))
     fs.delete(workPath, true)
   }
+
+  /** Documents-input bytes above which [[writeJaccardPairsAuto]]
+    * dispatches to the sliced build. Calibrated from the measured
+    * fixture decade: the monolithic build completed the ~60 MB-input
+    * sf10 fixture comfortably (~110 s, transient footprint well under
+    * disk) and exhausted a 71 GB-free box at the ~570 MB-input sf100
+    * fixture (transient ≈ 85 GB ≈ 150× input — the occurrence
+    * exchange, two pair exchanges, and the output held at once), so
+    * the cutover sits between the two decades: above it the
+    * monolithic form's transient footprint enters the
+    * tens-of-gigabytes-per-node regime where disk-thin executors die,
+    * while the sliced form's ~2.5 s/pass fixed overhead is noise.
+    */
+  private[graft] val SlicedPairsBytesThreshold: Long = 256L << 20
+
+  /** Bytes under the corpus's documents table — a NAMENODE listing
+    * (content summary), no data scan; the dispatch probe must cost
+    * nothing next to either build.
+    */
+  private[graft] def documentsBytes(s: SparkSession, d: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
+
+  /** Size-adaptive pair-relation write: the monolithic single-plan
+    * build below [[SlicedPairsBytesThreshold]] of documents input,
+    * the bounded-peak-disk [[writeJaccardPairsSliced]] above it. The
+    * two are bit-identical in output (SlicedPairsSpec), so the choice
+    * is purely an execution-footprint one — exactly the decision a
+    * deployment makes per corpus, made here from the input listing so
+    * callers building stored pair artifacts ([[Similarity]]'s hybrid
+    * family) inherit the sf100-measured survival path without a knob.
+    * `passes = 4` matches the completed sf100 measurement (~24 GB
+    * peak vs the monolithic ~85 GB); raise for thinner disks.
+    */
+  def writeJaccardPairsAuto(s: SparkSession, d: String, outDir: String,
+      maxDf: Int = MaxShingleDf,
+      thresholdBytes: Long = SlicedPairsBytesThreshold): Unit =
+    if (documentsBytes(s, d) > thresholdBytes)
+      writeJaccardPairsSliced(s, d, outDir, passes = 4, maxDf = maxDf)
+    else writeJaccardPairs(s, d, outDir, maxDf)
 
   /** Read a stored Jaccard pair relation (all shards), minus any doc
     * tombstones ([[deleteFromPairsDir]]) — applied centrally so every

@@ -2341,7 +2341,9 @@ object Similarity {
       val lshDir = storedQueryDir("hyblsh", d)
       writeLshIndex(s, d, lshDir)
       val pairsDir = storedQueryDir("hybpairs", d)
-      Dedup.writeJaccardPairs(s, d, pairsDir)
+      // size-adaptive: the sliced build above the measured disk-wall
+      // threshold (bit-identical output), the single-plan build below
+      Dedup.writeJaccardPairsAuto(s, d, pairsDir)
       (lshDir, pairsDir)
     }
 

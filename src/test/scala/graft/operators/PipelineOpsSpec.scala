@@ -117,7 +117,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val sim = Similarity.dynamicOracles(spark, sf)
     val ded = Dedup.dynamicOracles(spark, sf)
     assert(sim.keySet == Set("ivf_build", "sim_ann_ivf", "sim_ann_ivf_stored",
-      "sim_ann_ivf_purged", "sim_recall_eval", "sim_hard_negatives_ann"))
+      "sim_ann_ivf_purged", "sim_ann_ivf_versioned", "sim_recall_eval",
+      "sim_hard_negatives_ann"))
     assert(ded.keySet == Set("dedup_semantic",
       "dedup_semantic_incremental", "dedup_semantic_purged"))
     val static = graft.SparkEntry.oracleSql.keySet
@@ -941,13 +942,23 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("dedup_cdc_cluster plan carries the same pre-collect DF cull") {
     // the edge relation, not the declared query: connectedComponents
     // materializes the (tiny) component map, so the query's own plan
-    // is a LocalTableScan that hides the upstream shape
+    // is a LocalTableScan that hides the upstream shape. r18 star
+    // reduction: TWO branches union'd, BOTH downstream of the DF-cull
+    // semi-join — the long-chunk star branch carries a min() anchor
+    // aggregate and NO collect_list (that is the reduction: df-sized
+    // groups never buffer a doc list, never emit clique pairs), the
+    // short-chunk branch keeps the bounded collect_list shape.
     val df = Dedup.cdcClusterEdges(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"),
-      s"expected the chunk-DF cull semi-join in the plan:\n$plan")
-    assert(plan.indexOf("collect_list") < plan.indexOf("LeftSemi"),
-      s"collect_list must consume the culled relation:\n$plan")
+    assert("LeftSemi".r.findAllIn(plan).length >= 2,
+      s"expected the chunk-DF cull semi-join under both branches:\n$plan")
+    // one logical collect_list aggregate = at most two prints
+    // (partial + final); a star branch buffering doc lists would
+    // double the count
+    assert("collect_list".r.findAllIn(plan).length <= 2,
+      s"exactly the short-chunk branch may buffer doc lists:\n$plan")
+    assert(plan.contains("min(doc_id"),
+      s"expected the star branch's map-side-combinable anchor min:\n$plan")
   }
 
   test("empty-shingle docs are excluded from LSH banding (no sentinel pair blowup)") {
