@@ -1479,6 +1479,19 @@ object Dedup {
     "emb_pairs_build" -> ((s, d) =>
       embeddingLshPairsIndexed(s, d, CosineThreshold)),
 
+    // The bounded-peak-disk sliced build round trip on the embedding
+    // family (the pairs_build_sliced convention): K LSH-table passes
+    // land verified pairs, one fold cross-pass-dedupes into the
+    // stored relation, a read-back serves it — same answer as
+    // emb_pairs_build (shared oracle), peak transient disk ~1/K of
+    // the monolithic build that died at the sf100 fixture.
+    "emb_pairs_build_sliced" -> { (s, d) =>
+      import s.implicits._
+      val dir = graft.operators.Similarity.storedQueryDir("embsliced", d)
+      writeEmbPairsSliced(s, d, dir, passes = 4)
+      readEmbPairs(s, dir).select($"id_a", $"id_b", $"cos_sim")
+    },
+
     // The embedding family's cluster collapse — pairs alone don't
     // dedup a corpus (chains must merge): connected components over
     // the LSH near-dup pair graph, one representative (min vec_id)
@@ -1581,7 +1594,9 @@ object Dedup {
     // oracle verbatim.
     "dedup_embedding_cluster_stored" -> { (s, d) =>
       val dir = storedPairsDir(d) + "_emb"
-      writeEmbPairs(s, d, dir)
+      // size-adaptive (bit-identical branches): the sliced survival
+      // path above the measured sf100 disk wall, monolithic below
+      writeEmbPairsAuto(s, d, dir)
       embeddingClusterStored(s, dir)
     })
 
@@ -2283,15 +2298,19 @@ object Dedup {
     */
   private[graft] val SlicedPairsBytesThreshold: Long = 256L << 20
 
-  /** Bytes under the corpus's documents table — a NAMENODE listing
+  /** Bytes under one of the corpus's tables — a NAMENODE listing
     * (content summary), no data scan; the dispatch probe must cost
     * nothing next to either build.
     */
-  private[graft] def documentsBytes(s: SparkSession, d: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+  private[graft] def tableBytes(s: SparkSession, d: String,
+      table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table")
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getContentSummary(p).getLength
   }
+
+  private[graft] def documentsBytes(s: SparkSession, d: String): Long =
+    tableBytes(s, d, "documents.parquet")
 
   /** Size-adaptive pair-relation write: the monolithic single-plan
     * build below [[SlicedPairsBytesThreshold]] of documents input,
@@ -2427,6 +2446,107 @@ object Dedup {
     withShard(embeddingLshPairsIndexed(s, d, threshold))
       .repartition(col("shard")) // see writeJaccardPairs: one file per shard
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Bounded-peak-disk embedding pair build — the
+    * [[writeJaccardPairsSliced]] discipline transferred to the LSH
+    * TABLE keyspace (the r18 seed, now measured necessary: the
+    * monolithic build died at the sf100 fixture with 18 disk-full
+    * task failures at ~473 s — the bucket self-join, the global
+    * candidate dedup, and TWO pair-sized embedding joins held
+    * simultaneously). A candidate pair arises only within one table's
+    * bucket, so pass k verifies the tables ≡ k (mod passes) alone —
+    * per-pass transient ≈ 1/passes of the bucket join and of the
+    * verify joins — and lands its verified pairs PRE-BUCKETED by
+    * output shard. Unlike the shingle slicing, one pair can surface
+    * in several passes (near-dups collide in many tables — that is
+    * what makes LSH recall work), so the fold's job is cross-pass
+    * DEDUP, not summation: rounded cos_sim is a deterministic
+    * function of the pair, every duplicate row is value-identical,
+    * and dropDuplicates on the key is exact. The duplicated verify
+    * work for cross-pass collisions is the price of the 1/K
+    * footprint; it is bounded by the table count. The bucket kernel
+    * runs ONCE (packed (table, bucket) relation + narrow norms
+    * relation landed as work parquet; every pass re-reads the
+    * columnar form — the tokenize-once convention), with
+    * [[Similarity.lshPlanes]] sizing so bucketing is identical to
+    * [[writeEmbPairs]]'s session-indexed path. Output bit-identical
+    * (SlicedPairsSpec).
+    */
+  def writeEmbPairsSliced(s: SparkSession, d: String, outDir: String,
+      passes: Int = 4, threshold: Double = CosineThreshold): Unit = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    require(passes >= 1, s"passes must be >= 1: $passes")
+    val work = s"${outDir}_slices"
+    val workPath = new org.apache.hadoop.fs.Path(work)
+    val fs = workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(workPath, true)
+    val np = Similarity.lshPlanes(s, d)
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        VectorFunctions.norm($"embedding").as("nrm"))
+      .write.parquet(s"$work/vecs")
+    val vecs = s.read.parquet(s"$work/vecs")
+    vecs.select($"vec_id",
+        explode(Similarity.lshBucketsPacked($"embedding", np)).as("tp"))
+      .select($"vec_id", Similarity.unpackTable($"tp").as("table"),
+        Similarity.unpackBucket($"tp").as("bucket"))
+      .write.parquet(s"$work/buckets")
+    val bucketed = s.read.parquet(s"$work/buckets")
+    for (k <- 0 until passes) {
+      withShard(lshPairsVerify(
+          bucketed.filter(pmod($"table", lit(passes)) === k), vecs, threshold))
+        .repartition($"shard")
+        .write.partitionBy("shard").parquet(s"$work/partial/pass=$k")
+      // retire this pass's shuffle files before the next pass starts
+      // (the monolithic failure mode is accumulation)
+      System.gc()
+    }
+    val partialSchema = org.apache.spark.sql.types.StructType(
+      pairSchema("cos_sim").fields :+
+        org.apache.spark.sql.types.StructField("pass",
+          org.apache.spark.sql.types.IntegerType))
+    val staging = new org.apache.hadoop.fs.Path(s"${outDir}_staging")
+    fs.delete(staging, true)
+    val nFold = passes
+    for (f <- 0 until nFold) {
+      s.read.schema(partialSchema).parquet(s"$work/partial")
+        .filter(pmod($"shard", lit(nFold)) === f)
+        .dropDuplicates("id_a", "id_b")
+        .select($"id_a", $"id_b", $"cos_sim", $"shard")
+        // range, not hash-on-shard: the writeJaccardPairsSliced fold
+        // lesson (one-task-per-shard dynamic-partition sorts ask for
+        // multi-GB contiguous pages at the sf100 fixture)
+        .repartitionByRange($"shard", $"id_a")
+        .sortWithinPartitions($"shard", $"id_a")
+        .write.mode("append").partitionBy("shard").parquet(staging.toString)
+      System.gc()
+    }
+    graft.operators.Similarity.swapDirInto(s, staging,
+      new org.apache.hadoop.fs.Path(outDir))
+    fs.delete(workPath, true)
+  }
+
+  /** Embeddings-input bytes above which [[writeEmbPairsAuto]] goes
+    * sliced. Calibrated like [[SlicedPairsBytesThreshold]]: the
+    * monolithic build completed the 28 MB sf10 fixture in 26 s and
+    * exhausted 73 GB of free disk at the 270 MB sf100 fixture
+    * (transient ≈ 250× input — embedding pair exchanges carry the
+    * vectors themselves, so the multiplier beats the text family's).
+    */
+  private[graft] val SlicedEmbPairsBytesThreshold: Long = 128L << 20
+
+  /** Size-adaptive embedding pair build — [[writeJaccardPairsAuto]]'s
+    * contract on the embedding family: listing-priced probe,
+    * bit-identical branches, the sliced survival path above the
+    * measured disk wall.
+    */
+  def writeEmbPairsAuto(s: SparkSession, d: String, outDir: String,
+      threshold: Double = CosineThreshold,
+      thresholdBytes: Long = SlicedEmbPairsBytesThreshold): Unit =
+    if (tableBytes(s, d, "embeddings.parquet") > thresholdBytes)
+      writeEmbPairsSliced(s, d, outDir, passes = 4, threshold = threshold)
+    else writeEmbPairs(s, d, outDir, threshold)
 
   /** Read a stored embedding pair relation (all shards), minus any
     * doc tombstones — the [[readJaccardPairs]] takedown contract on
@@ -3003,6 +3123,12 @@ object Dedup {
             >= $CosineThreshold""",
     // the build line dumps the same relation it builds
     "emb_pairs_build" ->
+      s"""WITH $embLshCte
+          SELECT id_a, id_b, cos_sim FROM epairs""",
+    // the sliced build is output-identical by construction (a pair
+    // arises within one table's bucket; cross-pass duplicates are
+    // value-identical and fold-deduped) — same oracle
+    "emb_pairs_build_sliced" ->
       s"""WITH $embLshCte
           SELECT id_a, id_b, cos_sim FROM epairs""",
     // the same plane-literal LSH pair semantics, collapsed to

@@ -110,4 +110,63 @@ class SlicedPairsSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${autoSliced}_slices")),
       "sliced-branch workspace must be cleaned up")
   }
+
+  /** Embedding corpus: planted near-dup pairs (unit vector + tiny
+    * perturbation, cos ≥ ~0.999) among near-orthogonal random
+    * vectors — every true pair collides in MANY LSH tables, so the
+    * sliced build's cross-pass dedup is actually exercised (a pair
+    * surfacing in tables of different passes must fold to one row).
+    */
+  private def embFixture(): String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(20)(Array.fill(Similarity.Dim)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val nrm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      val unit = v.map(x => (x / nrm).toFloat)
+      val pert = unit.zipWithIndex.map { case (x, j) =>
+        (x + (if (j == 0) 0.01f else 0f)) }
+      Seq((2L * i, unit.toSeq), (2L * i + 1, pert.toSeq))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("slicedemb").toString
+    rows.toSeq.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  private def readEmb(dir: String): Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    Dedup.readEmbPairs(spark, dir)
+      .select($"id_a", $"id_b", $"cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("sliced embedding build ≡ monolithic, cross-pass dedup exact") {
+    val tmp = embFixture()
+    val mono = s"$tmp/emono"
+    Dedup.writeEmbPairs(spark, tmp, mono)
+    val monoPairs = readEmb(mono)
+    assert(monoPairs.size >= 20,
+      s"fixture must produce the planted near-dup pairs: ${monoPairs.size}")
+    for (passes <- Seq(1, 3)) {
+      val sliced = s"$tmp/esliced$passes"
+      Dedup.writeEmbPairsSliced(spark, tmp, sliced, passes)
+      assert(readEmb(sliced) == monoPairs,
+        s"sliced($passes) diverged from the monolithic embedding build")
+      val fs = new org.apache.hadoop.fs.Path(sliced)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${sliced}_slices")),
+        "the slice workspace must be cleaned up")
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(sliced))
+        .exists(_.getPath.getName.startsWith("shard=")),
+        "stored layout must be shard-partitioned like writeEmbPairs")
+    }
+    // auto dispatch on the embedding listing
+    val bytes = Dedup.tableBytes(spark, tmp, "embeddings.parquet")
+    assert(bytes > 0 && bytes < Dedup.SlicedEmbPairsBytesThreshold)
+    val autoSliced = s"$tmp/eauto"
+    Dedup.writeEmbPairsAuto(spark, tmp, autoSliced, thresholdBytes = 0L)
+    assert(readEmb(autoSliced) == monoPairs)
+  }
 }
