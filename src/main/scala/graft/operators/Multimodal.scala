@@ -1241,10 +1241,7 @@ object Multimodal {
     // the semantic new×old hamming ≤ threshold set (which is what the
     // oracle states, quadratically).
     "dedup_phash_incremental" -> { (s, d) =>
-      val dir = Similarity.storedQueryDir("ph_incr", d)
-      writePhashIndex(s, d, dir,
-        col("media_id") % Dedup.IncrementalMod =!= 0)
-      incrementalPhashPairs(s, d, dir)
+      incrementalPhashPairs(s, d, historicalPhashIndexDir(s, d))
     },
 
     // The perceptual takedown round trip (the dedup_cdc_purged /
@@ -1261,9 +1258,11 @@ object Multimodal {
     // duplication-sized.
     "dedup_phash_purged" -> { (s, d) =>
       import s.implicits._
+      // snapshot-clone of the shared historical index (build-once
+      // attribution): clone + takedown + probe, not a second build
       val dir = Similarity.storedQueryDir("ph_purge", d)
-      writePhashIndex(s, d, dir,
-        col("media_id") % Dedup.IncrementalMod =!= 0)
+      Similarity.cloneIndexDir(s, historicalPhashIndexDir(s, d), dir,
+        Seq("_graft_tombstones"))
       deleteFromPhashIndex(s, dir,
         phashRelation(s, d)
           .filter($"media_id" % Dedup.IncrementalMod =!= 0 &&
@@ -1281,9 +1280,12 @@ object Multimodal {
     // duplication² blow-up.
     "dedup_phash_purged_collapsed" -> { (s, d) =>
       import s.implicits._
+      // snapshot-clone of the shared collapsed index (groups +
+      // members sidecar copied byte-identical) — clone + takedown +
+      // probe, the build-once attribution
       val dir = Similarity.storedQueryDir("ph_purge_c", d)
-      writePhashGroupsIndex(s, d, dir,
-        col("media_id") % Dedup.IncrementalMod =!= 0)
+      Similarity.cloneIndexDir(s, historicalPhashGroupsDir(s, d), dir,
+        Seq("_graft_tombstones"))
       deleteFromPhashGroupsIndex(s, dir,
         mediaRelation(s, d).select($"media_id")
           .filter($"media_id" % Dedup.IncrementalMod =!= 0 &&
@@ -1297,10 +1299,7 @@ object Multimodal {
     // duplication²-bound (measured: 14.1 s → 710 s across the sf1→sf10
     // decade for the exact form on the duplication-dense fixture).
     "dedup_phash_incremental_collapsed" -> { (s, d) =>
-      val dir = Similarity.storedQueryDir("ph_incr_c", d)
-      writePhashGroupsIndex(s, d, dir,
-        col("media_id") % Dedup.IncrementalMod =!= 0)
-      incrementalPhashCollapsed(s, d, dir)
+      incrementalPhashCollapsed(s, d, historicalPhashGroupsDir(s, d))
     })
 
   /** (media_id, phash, band, bval) rows of a nonzero-phash relation —
@@ -1326,6 +1325,31 @@ object Multimodal {
     * partitioned by band, value-sorted within files for row-group
     * pruning under the probe's pushed filter.
     */
+  /** The session's shared HISTORICAL pHash indexes (per-media band
+    * index and collapsed groups index over the same slice), each
+    * built at most once per (session, corpus) — build-once
+    * attribution (the writeLexIndexOnce convention, r18): the
+    * incremental probes serve the base directly; the takedown queries
+    * snapshot it by file clone (tombstones never land on the base).
+    */
+  private val phashIdxOnce = new graft.operators.SessionCache[String]()
+  private def historicalPhashIndexDir(s: SparkSession, d: String): String =
+    phashIdxOnce.getOrBuild(s, d) {
+      val dir = Similarity.storedQueryDir("ph_incr", d)
+      writePhashIndex(s, d, dir,
+        col("media_id") % Dedup.IncrementalMod =!= 0)
+      dir
+    }
+
+  private val phashGroupsOnce = new graft.operators.SessionCache[String]()
+  private def historicalPhashGroupsDir(s: SparkSession, d: String): String =
+    phashGroupsOnce.getOrBuild(s, d) {
+      val dir = Similarity.storedQueryDir("ph_incr_c", d)
+      writePhashGroupsIndex(s, d, dir,
+        col("media_id") % Dedup.IncrementalMod =!= 0)
+      dir
+    }
+
   def writePhashIndex(s: SparkSession, d: String, outDir: String,
       pred: Column): Unit = {
     import s.implicits._

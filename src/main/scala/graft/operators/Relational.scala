@@ -328,11 +328,7 @@ object Relational {
     // states exactly that); EventStream.concurrencyLayoutStream
     // maintains the layout under live ingest.
     "evt_concurrency_stored" -> { (s, d) =>
-      val dir = graft.operators.Similarity.storedQueryDir("conc", d)
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      writeConcurrencyLayout(s, d, dir)
-      concurrencyFromStored(s, d, dir)
+      concurrencyFromStored(s, d, concurrencyLayoutDir(s, d))
     },
 
     // The events family's takedown round trip (the *_purged
@@ -344,10 +340,12 @@ object Relational {
     // with both exclusions stated.
     "evt_concurrency_purged" -> { (s, d) =>
       import s.implicits._
+      // snapshot-clone of the shared stored layout (build-once
+      // attribution): clone + user-erasure + serve — the deployment
+      // cost of a takedown against an EXISTING layout
       val dir = graft.operators.Similarity.storedQueryDir("conc_purge", d)
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      writeConcurrencyLayout(s, d, dir)
+      graft.operators.Similarity.cloneIndexDir(s,
+        concurrencyLayoutDir(s, d), dir, Seq("_graft_user_tombstones"))
       val purge = Similarity.PurgeMod
       deleteFromConcurrencyLayout(s, dir,
         eventsMs(s, d).select($"user_id")
@@ -1043,6 +1041,20 @@ object Relational {
     appendToConcurrencyLayout(s,
       eventsMs(s, d).select(col("user_id"), col("ts_ms")), dir)
   }
+
+  /** The session's shared stored concurrency layout, written at most
+    * once per (session, corpus) — build-once attribution (the
+    * writeLexIndexOnce convention, r18): the stored serve reads it
+    * directly, the takedown query snapshots it by file clone
+    * (tombstones never land on the shared base).
+    */
+  private val concLayoutOnce = new SessionCache[String]()
+  private def concurrencyLayoutDir(s: SparkSession, d: String): String =
+    concLayoutOnce.getOrBuild(s, d) {
+      val dir = graft.operators.Similarity.storedQueryDir("conc", d)
+      writeConcurrencyLayout(s, d, dir)
+      dir
+    }
 
   /** Append a batch of (user_id, ts_ms) events to a stored
     * concurrency layout — the live-ingest half

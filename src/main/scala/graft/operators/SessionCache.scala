@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   * without stopping their shared context keep their entries — bounded
   * by one entry per (session, corpus) a caller actually built.)
   */
-private[operators] final class SessionCache[V](onEvict: V => Unit = (_: V) => ()) {
+private[graft] final class SessionCache[V](onEvict: V => Unit = (_: V) => ()) {
 
   private final class Entry(val session: WeakReference[SparkSession], val value: V)
 

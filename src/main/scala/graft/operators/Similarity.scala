@@ -1568,6 +1568,36 @@ object Similarity {
     fs.delete(old, true)
   }
 
+  /** Byte-identical recursive snapshot of a stored layout —
+    * [[graft.operators.Lexical.cloneLexIndex]]'s mechanism made
+    * family-agnostic (r18 build-once attribution): a takedown /
+    * maintenance declared query snapshots the session's shared base
+    * artifact instead of paying a second corpus build, so its bench
+    * line measures clone + maintenance + probe — the deployment cost
+    * of the operation (a production index exists before the takedown
+    * request arrives; rebuilding it per request was attribution
+    * noise, not measured work). Callers clone a same-session fresh
+    * build (quiescent by construction); `quiescenceMarkers` lets a
+    * family refuse a source that has sprouted maintenance state
+    * anyway (tombstones, pending markers), which would silently
+    * change the clone's answers.
+    */
+  private[graft] def cloneIndexDir(s: SparkSession, srcDir: String,
+      dstDir: String, quiescenceMarkers: Seq[String] = Nil): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val dst = new org.apache.hadoop.fs.Path(dstDir)
+    val fs = src.getFileSystem(conf)
+    quiescenceMarkers.foreach { m =>
+      require(!fs.exists(new org.apache.hadoop.fs.Path(src, m)),
+        s"$srcDir carries maintenance state ($m) - clone only a " +
+          "quiescent layout")
+    }
+    fs.delete(dst, true)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf),
+      s"could not clone $srcDir to $dstDir")
+  }
+
   /** Tombstone relation of a stored index — an underscore-prefixed
     * CHILD of the index dir (Spark's parquet listing ignores hidden
     * paths, the `_graft_lsh_planes` sidecar mechanism), so it can live
@@ -2215,9 +2245,7 @@ object Similarity {
     // stats prune the scan. Same answer as sim_ann_lsh by
     // construction, so it shares that oracle verbatim.
     "sim_ann_lsh_stored" -> { (s, d) =>
-      val dir = storedQueryDir("lsh", d)
-      writeLshIndex(s, d, dir)
-      topkLshStored(s, d, dir)
+      topkLshStored(s, d, writeLshIndexOnce(s, d))
     },
     // The DELETE half of the stored lifecycle as a declared query
     // (takedown/right-to-erasure): build the index, tombstone the
@@ -2227,8 +2255,12 @@ object Similarity {
     // (the anti-join sits above the pruned scan). Physical purge =
     // compactLshIndex; IndexDeleteSpec pins tombstoned ≡ compacted.
     "sim_ann_lsh_purged" -> { (s, d) =>
+      // snapshot-clone of the shared stored index (build-once
+      // attribution): this line measures clone + delete + probe —
+      // the takedown cost against an EXISTING index
       val dir = storedQueryDir("lshpurge", d)
-      writeLshIndex(s, d, dir)
+      cloneIndexDir(s, writeLshIndexOnce(s, d), dir,
+        Seq("_graft_tombstones"))
       deleteFromIndex(s, dir, purgeIds(s, d))
       topkLshStored(s, d, dir)
     },
@@ -2240,13 +2272,25 @@ object Similarity {
     // drives probes concurrently with the compaction). Answers equal
     // sim_ann_lsh by construction — shared oracle.
     "sim_ann_lsh_versioned" -> { (s, d) =>
+      // first version = snapshot-clone of the shared base layout
+      // (byte-identical to writeLshIndexVersioned's fresh build —
+      // the write is deterministic), so this line measures the
+      // lifecycle it declares: cutover + compaction + probe
       val root = storedQueryDir("lshver", d)
-      writeLshIndexVersioned(s, d, root)
+      val name = freshVersionName()
+      cloneIndexDir(s, writeLshIndexOnce(s, d), s"$root/$name",
+        Seq("_graft_tombstones"))
+      cutVersion(s, root, name)
       compactLshIndexVersioned(s, root)
       topkLshVersioned(s, d, root)
     },
     "lsh_build" -> { (s, d) =>
       import s.implicits._
+      // the shared STORED base layout is written here too
+      // (writeLshIndexOnce — the bm25_build convention): the *_build
+      // line carries the corpus build, so the stored/purged/versioned
+      // consumers measure steady-state probe + maintenance cost
+      writeLshIndexOnce(s, d)
       lshIndex(s, d).select($"vec_id", $"table", $"bucket")
     },
     // The index build as a first-class, separately-benchmarked step
@@ -2255,6 +2299,8 @@ object Similarity {
     // correct without it — it builds on cache miss).
     "ivf_build" -> { (s, d) =>
       import s.implicits._
+      // stored base written here too (the lsh_build note above)
+      writeIvfIndexOnce(s, d)
       ivfIndex(s, d).assigned.select($"vec_id", $"cell")
     },
     "sim_ann_ivf" -> ((s, d) => topkIvf(s, d)),
@@ -2269,9 +2315,7 @@ object Similarity {
     // IndexStoreSpec pins fresh-session parity), so it shares that
     // oracle verbatim.
     "sim_ann_ivf_stored" -> { (s, d) =>
-      val dir = storedIvfDir(d)
-      writeIvfIndex(s, d, dir)
-      topkIvfStored(s, d, dir)
+      topkIvfStored(s, d, writeIvfIndexOnce(s, d))
     },
     // The versioned-root lifecycle on the IVF family (the
     // sim_ann_lsh_versioned template ported — r18): build a version,
@@ -2281,8 +2325,14 @@ object Similarity {
     // racing reader), probe the live version. Same answers as
     // sim_ann_ivf by construction — shared dynamic oracle.
     "sim_ann_ivf_versioned" -> { (s, d) =>
+      // first version = snapshot-clone of the shared base (the
+      // sim_ann_lsh_versioned convention): the line measures
+      // cutover + compaction + probe, not a repeat corpus build
       val root = storedQueryDir("ivfver", d)
-      writeIvfIndexVersioned(s, d, root)
+      val name = freshVersionName()
+      cloneIndexDir(s, writeIvfIndexOnce(s, d), s"$root/$name",
+        Seq("_graft_tombstones"))
+      cutVersion(s, root, name)
       compactIvfIndexVersioned(s, root)
       topkIvfVersioned(s, d, root)
     },
@@ -2292,8 +2342,11 @@ object Similarity {
     // compaction refreshes them — stated, and exactly what keeps this
     // oracle-exact against the session-trained nprobe.
     "sim_ann_ivf_purged" -> { (s, d) =>
+      // snapshot-clone of the shared stored index — clone + delete +
+      // probe (the sim_ann_lsh_purged attribution)
       val dir = storedQueryDir("ivfpurge", d)
-      writeIvfIndex(s, d, dir)
+      cloneIndexDir(s, writeIvfIndexOnce(s, d), dir,
+        Seq("_graft_tombstones"))
       deleteFromIndex(s, dir, purgeIds(s, d))
       topkIvfStored(s, d, dir)
     },
@@ -2338,8 +2391,10 @@ object Similarity {
     */
   private def hybridArtifacts(s: SparkSession, d: String): (String, String) =
     hybridArtifactsCache.getOrBuild(s, d) {
-      val lshDir = storedQueryDir("hyblsh", d)
-      writeLshIndex(s, d, lshDir)
+      // the dense leg IS the shared stored LSH base (same write, same
+      // bytes — build-once attribution, r18); consumers only read it,
+      // and every mutating lifecycle clones before touching a layout
+      val lshDir = writeLshIndexOnce(s, d)
       val pairsDir = storedQueryDir("hybpairs", d)
       // size-adaptive: the sliced build above the measured disk-wall
       // threshold (bit-identical output), the single-plan build below
@@ -2356,6 +2411,30 @@ object Similarity {
       ProcessHandle.current().pid()
 
   private def storedIvfDir(d: String): String = storedQueryDir("ivf", d)
+
+  /** Shared stored base layouts, written at most once per (session,
+    * corpus) — build-once attribution (the writeLexIndexOnce
+    * convention, r18): the stored probes serve the base directly;
+    * the purged/versioned lifecycle queries snapshot it by file clone
+    * ([[cloneIndexDir]]), so no declared line re-bills the corpus
+    * build. First-caller-builds is answer-identical regardless of
+    * bench order — the write is a pure function of (corpus, dir).
+    */
+  private val lshWriteOnce = new SessionCache[String]()
+  def writeLshIndexOnce(s: SparkSession, d: String): String =
+    lshWriteOnce.getOrBuild(s, d) {
+      val dir = storedQueryDir("lsh", d)
+      writeLshIndex(s, d, dir)
+      dir
+    }
+
+  private val ivfWriteOnce = new SessionCache[String]()
+  def writeIvfIndexOnce(s: SparkSession, d: String): String =
+    ivfWriteOnce.getOrBuild(s, d) {
+      val dir = storedIvfDir(d)
+      writeIvfIndex(s, d, dir)
+      dir
+    }
 
   /** Candidate pool per query for [[topkProjected]]: the re-rank
     * budget must COVER the query's local neighborhood (its topic

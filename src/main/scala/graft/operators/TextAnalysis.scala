@@ -1030,9 +1030,7 @@ object TextAnalysis {
     // round-trips the double weights exactly, so this shares
     // txt_quality_classifier's oracle verbatim.
     "txt_quality_classifier_stored" -> { (s, d) =>
-      val dir = Similarity.storedQueryDir("nbmodel", d)
-      writeNbModel(s, d, dir)
-      val (w, prior) = readNbModel(s, dir)
+      val (w, prior) = readNbModel(s, storedNbModelDir(s, d))
       scoreWithNbModel(s, d, w, prior)
     },
 
@@ -1049,8 +1047,11 @@ object TextAnalysis {
     // labeler is an expensive LLM/human pass.
     "txt_quality_classifier_purged" -> { (s, d) =>
       import s.implicits._
+      // snapshot-clone of the shared stored model (build-once
+      // attribution): clone + count-subtraction unlearning + scoring,
+      // never a second train
       val dir = Similarity.storedQueryDir("nbmodel_p", d)
-      writeNbModel(s, d, dir)
+      Similarity.cloneIndexDir(s, storedNbModelDir(s, d), dir)
       deleteFromNbModel(s, dir,
         Tables.documents(s, d)
           .filter($"doc_id" % Similarity.PurgeMod === Similarity.PurgeRes))
@@ -2149,6 +2150,22 @@ object TextAnalysis {
     gateThresholds(gateScored(s, d)).write.mode("overwrite")
       .parquet(s"$outDir/thresholds")
   }
+
+  /** The session's shared stored NB model, written at most once per
+    * (session, corpus) — build-once attribution (the writeLexIndexOnce
+    * convention, r18): the stored scorer reads it directly, the
+    * takedown query snapshots it by file clone (negative-count
+    * unlearning rows never land on the shared base). The incremental
+    * form trains a DIFFERENT artifact (slice-frozen thresholds) and
+    * keeps its own build.
+    */
+  private val nbModelOnce = new SessionCache[String]()
+  private def storedNbModelDir(s: SparkSession, d: String): String =
+    nbModelOnce.getOrBuild(s, d) {
+      val dir = Similarity.storedQueryDir("nbmodel", d)
+      writeNbModel(s, d, dir)
+      dir
+    }
 
   /** Read a stored model back as (weights, prior): fold the count
     * algebra (sums per token; tokens whose every carrier was deleted

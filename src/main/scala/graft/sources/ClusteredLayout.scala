@@ -466,6 +466,23 @@ object ClusteredLayout {
     */
   val LookupIds: Seq[Long] = Seq(11L, 257L, 901L, 10000019L)
 
+  /** The session's shared z-clustered events layout — (user_id,
+    * ts_ms) z-order + manifest + event_id bloom sidecar — built at
+    * most once per (session, corpus): build-once attribution (the
+    * writeLexIndexOnce convention, r18). Three declared queries were
+    * each paying an identical full layout build; now the first caller
+    * builds, readers serve the base directly, and the takedown query
+    * snapshots it by clone (tombstones never land on the shared base).
+    */
+  private val layoutWriteOnce = new graft.operators.SessionCache[String]()
+  private def clusteredEventsDir(s: SparkSession, d: String): String =
+    layoutWriteOnce.getOrBuild(s, d) {
+      val dir = Similarity.storedQueryDir("bloomlay", d)
+      writeClustered(eventsNarrow(s, d), dir, "user_id", "ts_ms")
+      buildBloomSidecar(s, dir, "event_id")
+      dir
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // point lookup on a NON-clustered key through the bloom sidecar:
     // the layout is clustered on (user_id, ts) — useless for an
@@ -474,20 +491,16 @@ object ClusteredLayout {
     // regardless of bloom quality). The takedown / "fetch this id"
     // access path.
     "evt_id_lookup" -> { (s, d) =>
-      val dir = Similarity.storedQueryDir("bloomlay", d)
-      writeClustered(eventsNarrow(s, d), dir, "user_id", "ts_ms")
-      buildBloomSidecar(s, dir, "event_id")
-      lookupByKey(s, dir, "event_id", LookupIds)
+      lookupByKey(s, clusteredEventsDir(s, d), "event_id", LookupIds)
     },
-    // build the z-layout, then serve the 2-D box from it: manifest cut
-    // + residual. One line carries build+probe (the stored-query
-    // convention); LayoutSpec pins that the cut actually skips files
+    // serve the 2-D box from the shared z-layout: manifest cut +
+    // residual (the bloom sidecar is hidden metadata the box scan
+    // never reads). LayoutSpec pins that the cut actually skips files
     // on user-only, ts-only, and combined boxes, and that a linear
     // user-sorted layout does NOT skip on the ts-only box.
     "evt_zorder_scan" -> { (s, d) =>
-      val dir = Similarity.storedQueryDir("zorder", d)
-      writeClustered(eventsNarrow(s, d), dir, "user_id", "ts_ms")
-      scanBox(s, dir, "user_id", "ts_ms", BoxUsers, BoxTsMs)
+      scanBox(s, clusteredEventsDir(s, d), "user_id", "ts_ms",
+        BoxUsers, BoxTsMs)
     },
 
     // The layout takedown round trip (the dedup_cdc_purged
@@ -501,9 +514,12 @@ object ClusteredLayout {
     // file for the deleted id — that costs I/O, never a wrong row.
     "evt_id_lookup_purged" -> { (s, d) =>
       import s.implicits._
+      // snapshot-clone of the shared layout (build-once attribution):
+      // the line measures clone + two takedown legs + probe — the
+      // deployment cost against an EXISTING layout
       val dir = Similarity.storedQueryDir("bloomlay_p", d)
-      writeClustered(eventsNarrow(s, d), dir, "user_id", "ts_ms")
-      buildBloomSidecar(s, dir, "event_id")
+      Similarity.cloneIndexDir(s, clusteredEventsDir(s, d), dir,
+        Seq("_graft_tombstones"))
       deleteFromLayout(s, dir, "event_id", Seq(257L))
       val owner = lookupByKey(s, dir, "event_id", Seq(901L))
         .select($"user_id").as[Long].collect().toSeq

@@ -83,6 +83,20 @@ class SlicedPairsSpec extends AnyFunSuite {
     }
   }
 
+  test("derived pass count: floor 2 at bench scale, measured 4 at sf100, capped") {
+    // bench-scale inputs (sub-MB) derive the floor — the declared
+    // sliced queries still exercise the cross-pass fold, without
+    // paying 4× pass overhead to bound a footprint of a few MB
+    assert(Dedup.slicedPasses(600L << 10, 150L) == 2)
+    assert(Dedup.slicedPasses(800L << 10, 350L) == 2)
+    // the sf100 fixture reproduces the measured-complete configurations
+    assert(Dedup.slicedPasses(570L << 20, 150L) == 4)
+    assert(Dedup.slicedPasses(270L << 20, 350L) == 4)
+    // a decade past sf100 derives more passes, up to the clamp
+    assert(Dedup.slicedPasses(1200L << 20, 150L) == 8)
+    assert(Dedup.slicedPasses(1L << 40, 150L) == 16)
+  }
+
   test("auto dispatch: listing-priced probe, identical output on both branches") {
     val tmp = fixture()
     val maxDf = 4
