@@ -584,8 +584,9 @@ object Lexical {
       !fs.exists(new org.apache.hadoop.fs.Path(doclenPendingPath(srcDir))),
       s"$srcDir carries maintenance state - clone only a quiescent index")
     fs.delete(dst, true)
-    require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf),
-      s"could not clone $srcDir to $dstDir")
+    // shared local-fast copy (java.nio on the local scheme, Hadoop
+    // elsewhere — see Similarity.copyIndexTree's measurement)
+    Similarity.copyIndexTree(fs, conf, src, dst)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
