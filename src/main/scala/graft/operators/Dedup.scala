@@ -2156,7 +2156,7 @@ object Dedup {
     * (directory-value inference would type `shard` by parsing, and a
     * cast on the filter side defeats partition pruning).
     */
-  private def pairSchema(simCol: String) = org.apache.spark.sql.types.StructType(Seq(
+  private[operators] def pairSchema(simCol: String) = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("id_a",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("id_b",

@@ -1227,7 +1227,12 @@ object Multimodal {
     "dedup_media_stored" -> { (s, d) =>
       import s.implicits._
       val dir = Similarity.storedQueryDir("mediapairs", d)
-      writeMediaPairs(s, d, dir)
+      // size-adaptive: the monolithic single-plan build below the
+      // listing threshold, the bounded-peak-disk sliced build above it
+      // (bit-identical branches — MediaSlicedPairsSpec), so the stored
+      // pair artifact inherits the big-fixture survival path without a
+      // knob, the writeJaccardPairsAuto convention
+      writeMediaPairsAuto(s, d, dir)
       Dedup.readEmbPairs(s, dir).select($"id_a", $"id_b", $"cos_sim")
     },
 
@@ -1849,6 +1854,149 @@ object Multimodal {
       .repartition($"shard")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
+
+  /** Bounded-peak-disk media pair build — [[Dedup.writeEmbPairsSliced]]
+    * transferred to the media family's verify-at-join shape (r18
+    * verdict item 1): the monolithic [[writeMediaPairs]] holds the
+    * fat bucket self-join's shuffle, the survivor dedup exchange, and
+    * the shard exchange at once, the same all-stages-at-once
+    * transient-disk footprint that killed the jaccard/embedding
+    * monolithic builds at their sf100 fixtures. A candidate pair
+    * arises only within one LSH table's bucket, so pass k self-joins
+    * the tables ≡ k (mod passes) alone — per-pass transient ≈
+    * 1/passes of the bucket join — and the decode seam (the family's
+    * expensive leg) runs ONCE into a work-parquet signature relation
+    * every pass re-reads columnar. The verify-at-join order is KEPT
+    * per pass (signature and norm ride the bucket relation, cosine
+    * evaluated at the self-join, non-dup candidates die in the join
+    * task): media corpora are duplicates-dense, so materializing
+    * candidate ids before the verify would re-create the 74.8 s shape
+    * the monolithic build rejected. Exact duplicates collide in ALL
+    * tables, so per-pass survivor sets overlap heavily on this
+    * family; per-pass dropDuplicates keeps each partial at one row
+    * per pair and the fold's cross-pass dedup is exact (rounded
+    * cos_sim is a deterministic pair function — every duplicate row
+    * is value-identical). Output bit-identical to [[writeMediaPairs]]
+    * (MediaSlicedPairsSpec): same layout, same rows, same doubles.
+    */
+  def writeMediaPairsSliced(s: SparkSession, d: String, outDir: String,
+      passes: Int = 0): Unit = {
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val inputBytes = Dedup.documentsBytes(s, d)
+    // passes <= 0 derives from the input listing (Dedup.slicedPasses;
+    // the media multiplier is measured like the jaccard/embedding
+    // ones — see SlicedMediaPairsBytesThreshold). Explicit values pin
+    // it (specs).
+    val nPasses =
+      if (passes >= 1) passes
+      else Dedup.slicedPasses(inputBytes, MediaSlicedMultiplier)
+    // inter-pass GC: disk-bounded regime only (writeJaccardPairsSliced)
+    val retire: () => Unit =
+      if (inputBytes > SlicedMediaPairsBytesThreshold) () => System.gc()
+      else () => ()
+    val work = s"${outDir}_slices"
+    val workPath = new org.apache.hadoop.fs.Path(work)
+    val fs = workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(workPath, true)
+    // same plane count as the monolithic/session build: identical
+    // buckets ⇒ identical candidate set ⇒ identical survivors
+    val np = Similarity.adaptivePlanes(
+      Similarity.rowCount(s, Tables.documents(s, d)))
+    // decode ONCE (the expensive leg): land the signature relation,
+    // then the fat bucket relation pre-partitioned by PASS so each
+    // pass's scan is a pruned directory read carrying exactly its
+    // tables' signature copies (the verify-at-join shape needs the
+    // vectors at the join, so they ride the bucket relation — linear:
+    // NumTables × corpus signatures, the same bytes the monolithic
+    // build's one bucket exchange shuffles)
+    signaturesWith(s, mediaRelation(s, d), FakeDecoder)
+      .write.parquet(s"$work/sigs")
+    s.read.parquet(s"$work/sigs")
+      .select($"vec_id", $"embedding", $"nrm",
+        explode(Similarity.lshBucketsPacked($"embedding", np)).as("tp"))
+      .withColumn("pass",
+        pmod(Similarity.unpackTable($"tp"), lit(nPasses)))
+      .write.partitionBy("pass").parquet(s"$work/buckets")
+    val bucketSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("nrm",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("tp",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pass",
+        org.apache.spark.sql.types.IntegerType)))
+    val bucketed = s.read.schema(bucketSchema).parquet(s"$work/buckets")
+    for (k <- 0 until nPasses) {
+      val b = bucketed.filter($"pass" === k)
+        .select($"vec_id", $"embedding", $"nrm", $"tp")
+      val verified = b.as("a").join(b.as("b"),
+          $"a.tp" === $"b.tp" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+          round(VectorFunctions.cosineFrom(
+            VectorFunctions.dot($"a.embedding", $"b.embedding"),
+            $"a.nrm", $"b.nrm"), 4).as("cos_sim"))
+        .filter($"cos_sim" >= MediaCosineThreshold)
+        .dropDuplicates("id_a", "id_b")
+      Dedup.withShard(verified)
+        .repartition($"shard")
+        .write.partitionBy("shard").parquet(s"$work/partial/pass=$k")
+      // retire this pass's shuffle files before the next pass starts
+      retire()
+    }
+    val partialSchema = org.apache.spark.sql.types.StructType(
+      Dedup.pairSchema("cos_sim").fields :+
+        org.apache.spark.sql.types.StructField("pass",
+          org.apache.spark.sql.types.IntegerType))
+    val staging = new org.apache.hadoop.fs.Path(s"${outDir}_staging")
+    fs.delete(staging, true)
+    for (f <- 0 until nPasses) {
+      s.read.schema(partialSchema).parquet(s"$work/partial")
+        .filter(pmod($"shard", lit(nPasses)) === f)
+        .dropDuplicates("id_a", "id_b")
+        .select($"id_a", $"id_b", $"cos_sim", $"shard")
+        // range, not hash-on-shard: the writeJaccardPairsSliced fold
+        // lesson (one-task-per-shard dynamic-partition sorts ask for
+        // multi-GB contiguous pages at the big fixtures)
+        .repartitionByRange($"shard", $"id_a")
+        .sortWithinPartitions($"shard", $"id_a")
+        .write.mode("append").partitionBy("shard").parquet(staging.toString)
+      retire()
+    }
+    graft.operators.Similarity.swapDirInto(s, staging,
+      new org.apache.hadoop.fs.Path(outDir))
+    fs.delete(workPath, true)
+  }
+
+  /** Documents-input bytes above which [[writeMediaPairsAuto]] goes
+    * sliced, plus the media family's transient multiplier for the
+    * derived pass count. Calibrated on the media-dense fixture chain
+    * (tools/make_media_dense.py — the family's duplication shape;
+    * numbers in OPTIMIZATION_r19.md): the threshold follows the
+    * jaccard family's (the media relation IS the documents table
+    * behind the decode seam, so the listing proxy is the same one),
+    * and the multiplier the embedding family's order (pair exchanges
+    * carry the SigDim-float signatures). Byte-exact duplication
+    * compresses the parquet listing below its logical size, so both
+    * are conservative on duplicates-dense corpora — more, smaller
+    * passes, which is the safe direction for the disk budget.
+    */
+  private[graft] val SlicedMediaPairsBytesThreshold: Long = 256L << 20
+  private[graft] val MediaSlicedMultiplier: Long = 350L
+
+  /** Size-adaptive media pair build — [[Dedup.writeJaccardPairsAuto]]'s
+    * contract on the media family: listing-priced probe, bit-identical
+    * branches, the sliced survival path above the measured disk wall.
+    */
+  def writeMediaPairsAuto(s: SparkSession, d: String, outDir: String,
+      thresholdBytes: Long = SlicedMediaPairsBytesThreshold): Unit =
+    if (Dedup.documentsBytes(s, d) > thresholdBytes)
+      writeMediaPairsSliced(s, d, outDir)
+    else writeMediaPairs(s, d, outDir)
 
   /** Shared CTE text for the dedup_media oracles — the embLshCte
     * pattern: signature restated from bytes up (hex-digit byte
