@@ -545,6 +545,91 @@ object Lexical {
     3L -> "join", 3L -> "filter",
     4L -> "spark", 4L -> "zz_absent_term_zz")
 
+  // ------------------------------------------------------------------
+  // Versioned lexical root — the manifest-pointer atomic cutover
+  // (Similarity's LSH/IVF template, r18 verdict item 6) applied to the
+  // family that needed it MOST: bm25 has live 24/7 serve lines
+  // (txt_bm25_serve / bm25For batches), and the in-place
+  // [[compactLexIndex]] performs THREE sequential swaps (postings,
+  // doclen, stats) — a concurrent reader can catch stats out of step
+  // with the folded postings, or transiently see a missing directory
+  // mid-swap. Under the versioned root the whole layout lives in
+  // immutable version dirs, a probe resolves `_graft_current` once
+  // (snapshot isolation for its lifetime), and compaction flips the
+  // pointer after the complete (postings, doclen, stats) triple is on
+  // disk — all three become visible ATOMICALLY. Pointer/retention
+  // machinery is [[Similarity.cutVersion]] / resolveCurrentVersion,
+  // family-agnostic; LexVersionedSpec races probes against cutover
+  // compactions and pins zero failures and stable answers.
+  // ------------------------------------------------------------------
+
+  /** Build the stored lexical index under a VERSIONED root: the
+    * layout lands in a fresh version dir, then the pointer cuts over
+    * — an existing serving root rebuilds in place with zero reader
+    * disruption.
+    */
+  def writeLexIndexVersioned(s: SparkSession, d: String,
+      root: String): Unit = {
+    val name = Similarity.freshVersionName()
+    writeLexIndex(s, d, s"$root/$name")
+    Similarity.cutVersion(s, root, name)
+  }
+
+  /** [[topkBm25Stored]] against the version resolved once at entry. */
+  def topkBm25Versioned(s: SparkSession, root: String,
+      terms: Seq[String] = TextAnalysis.Bm25QueryTerms): DataFrame =
+    topkBm25Stored(s, Similarity.resolveCurrentVersion(s, root), terms)
+
+  /** [[bm25For]] (the serve batch) against the version resolved once
+    * at entry — the 24/7 line the cutover protects.
+    */
+  def bm25ForVersioned(s: SparkSession, root: String, queries: DataFrame,
+      k: Int = TextAnalysis.Bm25K,
+      termCap: Int = ServeTermCap): DataFrame =
+    bm25For(s, Similarity.resolveCurrentVersion(s, root), queries, k,
+      termCap)
+
+  /** Append into the LIVE version (additive files + the stats swap;
+    * concurrent readers are at worst snapshot-stale — the
+    * appendToLshIndexVersioned contract; the lexical append's own
+    * crash-window/repair discipline applies within the version dir).
+    */
+  def appendToLexIndexVersioned(s: SparkSession, root: String,
+      docs: DataFrame): Unit =
+    appendToLexIndex(s, Similarity.resolveCurrentVersion(s, root), docs)
+
+  /** Tombstone doc ids in the live version (id-sized append). */
+  def deleteFromLexIndexVersioned(s: SparkSession, root: String,
+      docIds: DataFrame): Unit =
+    deleteFromLexIndex(s, Similarity.resolveCurrentVersion(s, root), docIds)
+
+  /** Compact a versioned lexical root with zero reader disruption:
+    * the tombstone-folded postings land in a NEW version dir with the
+    * same range-partition/sort discipline as the builder, doclen
+    * minus the tombstones beside them, stats refreshed from the
+    * surviving doclen — and the pointer flips ONCE, where the
+    * in-place compactor's three sequential swaps expose partially-
+    * compacted state to a racing reader. After the cutover the live
+    * version is byte-equivalent to a fresh build on the surviving
+    * corpus (the Lucene merge semantics, as [[compactLexIndex]]).
+    */
+  def compactLexIndexVersioned(s: SparkSession, root: String): Unit = {
+    import s.implicits._
+    val cur = Similarity.resolveCurrentVersion(s, root)
+    val name = Similarity.freshVersionName()
+    val fresh = s"$root/$name"
+    minusDocTombstones(s, cur, s.read.parquet(s"$cur/postings"))
+      .repartitionByRange(col("pbucket"), col("term"))
+      .sortWithinPartitions($"term", $"doc_id")
+      .write.partitionBy("pbucket").parquet(s"$fresh/postings")
+    minusDocTombstones(s, cur, s.read.parquet(s"$cur/doclen"))
+      .write.parquet(s"$fresh/doclen")
+    s.read.parquet(s"$fresh/doclen")
+      .agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      .write.parquet(s"$fresh/stats")
+    Similarity.cutVersion(s, root, name)
+  }
+
   private def storedLexDir(d: String): String =
     Similarity.storedQueryDir("bm25", d)
 

@@ -1888,9 +1888,12 @@ object Multimodal {
     // the media multiplier is measured like the jaccard/embedding
     // ones — see SlicedMediaPairsBytesThreshold). Explicit values pin
     // it (specs).
-    val nPasses =
+    // a pass slices the LSH TABLE keyspace, so more passes than tables
+    // would run empty passes (pure fold/job overhead) — clamp at the
+    // table count; derived counts below it come from the input listing
+    val nPasses = math.min(Similarity.NumTables,
       if (passes >= 1) passes
-      else Dedup.slicedPasses(inputBytes, MediaSlicedMultiplier)
+      else Dedup.slicedPasses(inputBytes, MediaSlicedMultiplier))
     // inter-pass GC: disk-bounded regime only (writeJaccardPairsSliced)
     val retire: () => Unit =
       if (inputBytes > SlicedMediaPairsBytesThreshold) () => System.gc()
@@ -1974,19 +1977,29 @@ object Multimodal {
 
   /** Documents-input bytes above which [[writeMediaPairsAuto]] goes
     * sliced, plus the media family's transient multiplier for the
-    * derived pass count. Calibrated on the media-dense fixture chain
-    * (tools/make_media_dense.py — the family's duplication shape;
-    * numbers in OPTIMIZATION_r19.md): the threshold follows the
-    * jaccard family's (the media relation IS the documents table
-    * behind the decode seam, so the listing proxy is the same one),
-    * and the multiplier the embedding family's order (pair exchanges
-    * carry the SigDim-float signatures). Byte-exact duplication
-    * compresses the parquet listing below its logical size, so both
-    * are conservative on duplicates-dense corpora — more, smaller
-    * passes, which is the safe direction for the disk budget.
+    * derived pass count. MEASURED on the media-dense fixture chain
+    * (tools/make_media_dense.py, the family's duplication shape;
+    * same-process A/B via graft.tools.MediaSlicedTiming, r19): at
+    * md100 (500k rows / ~59 MB documents listing, 100× exact
+    * duplication) the monolithic build peaked at 3.8 GB transient
+    * (≈64× the listing) vs 2.4 GB sliced — far below the jaccard
+    * family's 150× because the verify-at-join shape never
+    * materializes the candidate multiset, so the transient is pair-
+    * mass-, not candidate-, sized. The threshold follows the jaccard
+    * family's 256 MB (the media relation IS the documents table
+    * behind the decode seam, so the listing proxy is the same one):
+    * below it the monolithic transient stays single-digit GB; a
+    * decade past md100 the extrapolated ~38 GB crosses the 24 GiB
+    * per-node budget and the dispatcher goes sliced (measured at
+    * md100x10 — OPTIMIZATION_r19.md). The multiplier is that measured
+    * 64×; transient is linear in PAIR MASS (quadratic in duplication),
+    * which a listing-linear proxy understates on corpora even denser
+    * than the 100× fixture — the pass clamp at the table count bounds
+    * how far slicing can stretch, and such corpora are the
+    * collapse-first path's territory by the deployment guidance.
     */
   private[graft] val SlicedMediaPairsBytesThreshold: Long = 256L << 20
-  private[graft] val MediaSlicedMultiplier: Long = 350L
+  private[graft] val MediaSlicedMultiplier: Long = 64L
 
   /** Size-adaptive media pair build — [[Dedup.writeJaccardPairsAuto]]'s
     * contract on the media family: listing-priced probe, bit-identical

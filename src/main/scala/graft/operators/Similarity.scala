@@ -1605,6 +1605,18 @@ object Similarity {
     * walk+copy of the same tree (CRC sidecars copied verbatim instead
     * of recomputed) takes 0.01 s. Local scheme takes the nio path; any
     * other filesystem keeps the Hadoop copy unchanged.
+    *
+    * CONTRACT (r18 advice): the source must be QUIESCENT and
+    * immutable for the duration of the copy — true at every call
+    * site (clones happen right after a fresh build, or behind
+    * [[cloneIndexDir]]'s quiescence markers). CRC sidecars are copied
+    * verbatim, so a layout mutated through the RAW path after its
+    * checksummed write would clone a stale sidecar and poison
+    * checksummed readers — never clone such a layout. Symlinked
+    * directories are followed (`FOLLOW_LINKS`, matching
+    * `FileUtil.copy`'s behavior — without it a dir symlink would
+    * clone as a silently EMPTY directory), and a missing source fails
+    * with the same descriptive error the Hadoop branch raises.
     */
   private[graft] def copyIndexTree(fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration,
@@ -1614,7 +1626,10 @@ object Similarity {
         fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
       val srcDir = java.nio.file.Paths.get(src.toUri.getPath)
       val dstDir = java.nio.file.Paths.get(dst.toUri.getPath)
-      val st = java.nio.file.Files.walk(srcDir)
+      require(java.nio.file.Files.exists(srcDir),
+        s"could not clone $src to $dst: source does not exist")
+      val st = java.nio.file.Files.walk(srcDir,
+        java.nio.file.FileVisitOption.FOLLOW_LINKS)
       try st.forEach { p =>
         val d = dstDir.resolve(srcDir.relativize(p).toString)
         if (java.nio.file.Files.isDirectory(p))
@@ -1925,7 +1940,7 @@ object Similarity {
     * via write-temp + atomic rename-overwrite, so a concurrent
     * resolve sees either the old or the new name, never a torn file.
     */
-  private def cutVersion(s: SparkSession, root: String,
+  private[operators] def cutVersion(s: SparkSession, root: String,
       version: String, keepRetired: Int = 2): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val ptr = currentPointer(root)
@@ -1939,7 +1954,12 @@ object Similarity {
       // version name: write it RAW (no sidecar — absent crc files are
       // not verified on read) and flip with one ATOMIC_MOVE; retire
       // any sidecar a pre-fix checksummed writer left so readers never
-      // verify the new pointer against a stale crc.
+      // verify the new pointer against a stale crc. One-time
+      // transitional race, accepted (r18 advice): a reader that opened
+      // a stale PRE-FIX .crc before the deleteIfExists below and reads
+      // the pointer after the move can still hit one ChecksumException
+      // at the upgrade boundary — benign afterward, since no new crc
+      // is ever written for the pointer.
       val rootP = java.nio.file.Paths.get(
         new org.apache.hadoop.fs.Path(root).toUri.getPath)
       java.nio.file.Files.createDirectories(rootP)
@@ -1970,7 +1990,7 @@ object Similarity {
       .foreach(st => fs.delete(st.getPath, true))
   }
 
-  private def freshVersionName(): String =
+  private[operators] def freshVersionName(): String =
     s"v_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
 
   /** Build an LSH index under a VERSIONED root: the layout lands in a

@@ -33,29 +33,36 @@ object CloneTiming {
     while (n.hasNext) { n.next(); cnt += 1 }
     println(s"[clone] files in src: $cnt")
 
-    for (round <- 1 to 3) {
-      time(s"serial FileUtil.copy (round $round)") {
-        val dst = new org.apache.hadoop.fs.Path(s"/tmp/clone_serial_$round")
-        fs.delete(dst, true)
-        require(org.apache.hadoop.fs.FileUtil.copy(
-          fs, srcP, fs, dst, false, conf))
+    // unique workspace per run, dropped at the end (r18 advice: fixed
+    // /tmp/clone_* paths raced concurrent runs and leaked leftovers)
+    val work = java.nio.file.Files.createTempDirectory("clone_ab")
+    try {
+      for (round <- 1 to 3) {
+        time(s"serial FileUtil.copy (round $round)") {
+          val dst = new org.apache.hadoop.fs.Path(s"$work/serial_$round")
+          fs.delete(dst, true)
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            fs, srcP, fs, dst, false, conf))
+        }
+        time(s"parallel cloneIndexDir (round $round)") {
+          Similarity.cloneIndexDir(spark, base, s"$work/par_$round")
+        }
+        time(s"java.nio walk+copy (round $round)") {
+          val srcDir = java.nio.file.Paths.get(base)
+          val dstDir = work.resolve(s"nio_$round")
+          val st = java.nio.file.Files.walk(srcDir)
+          try st.forEach { p =>
+            val d = dstDir.resolve(srcDir.relativize(p))
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.createDirectories(d)
+            else java.nio.file.Files.copy(p, d,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } finally st.close()
+        }
       }
-      time(s"parallel cloneIndexDir (round $round)") {
-        Similarity.cloneIndexDir(spark, base, s"/tmp/clone_par_$round")
-      }
-      time(s"java.nio walk+copy (round $round)") {
-        val srcDir = java.nio.file.Paths.get(base)
-        val dstDir = java.nio.file.Paths.get(s"/tmp/clone_nio_$round")
-        val st = java.nio.file.Files.walk(srcDir)
-        try st.forEach { p =>
-          val d = dstDir.resolve(srcDir.relativize(p))
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.createDirectories(d)
-          else java.nio.file.Files.copy(p, d,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        } finally st.close()
-      }
+    } finally {
+      spark.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
     }
-    spark.stop()
   }
 }
