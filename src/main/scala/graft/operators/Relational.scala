@@ -1072,12 +1072,21 @@ object Relational {
       dir: String, mergeCounts: Boolean = true): Unit = {
     import s.implicits._
     val B = ConcurrencyBucketMs
+    // the projected batch feeds THREE actions (the clustered events
+    // write, then the cb and cbu sidecar aggregates): unpersisted,
+    // each re-scanned the source events and re-derived bkt/day
+    // (measured in the r19 LifecycleTiming breakdown — the layout
+    // write was 2.3 s of the purged line). Narrow (4 columns);
+    // persist across the actions of this one maintenance op.
     val batch = batch0.select(col("user_id"), col("ts_ms"))
       .withColumn("bkt", expr(floorDivSql("ts_ms", B)))
       .withColumn("day", expr(floorDivSql("bkt", 24L)).cast("int"))
-    batch.repartition($"day").sortWithinPartitions($"day", $"bkt")
-      .write.mode("append").partitionBy("day").parquet(s"$dir/events")
-    if (mergeCounts) mergeConcurrencyCounts(s, batch, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      batch.repartition($"day").sortWithinPartitions($"day", $"bkt")
+        .write.mode("append").partitionBy("day").parquet(s"$dir/events")
+      if (mergeCounts) mergeConcurrencyCounts(s, batch, dir)
+    } finally batch.unpersist(blocking = false)
   }
 
   private def mergeConcurrencyCounts(s: SparkSession, batch: DataFrame,
@@ -1176,27 +1185,36 @@ object Relational {
   def deleteFromConcurrencyLayout(s: SparkSession, dir: String,
       userIds: DataFrame): Unit = {
     import s.implicits._
+    // the id relation feeds THREE actions (tombstone write, the cb
+    // subtraction's semi-join, the cbu anti-join): unpersisted, each
+    // re-evaluated the caller's derivation — for the declared purged
+    // query that was a full events scan + distinct PER USE (measured,
+    // r19 LifecycleTiming). Ids are takedown-request-sized; persist
+    // across the actions of this one maintenance op.
     val ids = userIds
       .select(col(userIds.columns.head).cast("long").as("user_id"))
       .distinct()
-    ids.coalesce(1).write.mode("append")
-      .parquet(concUserTombstonesPath(dir))
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val cbu = s.read.parquet(s"$dir/counts/cbu")
-    val deleted = cbu.join(ids, Seq("user_id"), "left_semi")
-    val newCb = s.read.parquet(s"$dir/counts/cb")
-      .join(deleted.groupBy($"bkt").agg(sum($"cbu").as("dcnt")),
-        Seq("bkt"), "left")
-      .select($"bkt", ($"cb" - coalesce($"dcnt", lit(0L))).as("cb"))
-      .filter($"cb" > 0)
-    val newCbu = cbu.join(ids, Seq("user_id"), "left_anti")
-    val staging = new org.apache.hadoop.fs.Path(s"$dir/counts_staging")
-    fs.delete(staging, true)
-    newCb.write.parquet(s"$staging/cb")
-    newCbu.write.parquet(s"$staging/cbu")
-    graft.operators.Similarity.swapDirInto(s, staging,
-      new org.apache.hadoop.fs.Path(s"$dir/counts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ids.coalesce(1).write.mode("append")
+        .parquet(concUserTombstonesPath(dir))
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val cbu = s.read.parquet(s"$dir/counts/cbu")
+      val deleted = cbu.join(ids, Seq("user_id"), "left_semi")
+      val newCb = s.read.parquet(s"$dir/counts/cb")
+        .join(deleted.groupBy($"bkt").agg(sum($"cbu").as("dcnt")),
+          Seq("bkt"), "left")
+        .select($"bkt", ($"cb" - coalesce($"dcnt", lit(0L))).as("cb"))
+        .filter($"cb" > 0)
+      val newCbu = cbu.join(ids, Seq("user_id"), "left_anti")
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/counts_staging")
+      fs.delete(staging, true)
+      newCb.write.parquet(s"$staging/cb")
+      newCbu.write.parquet(s"$staging/cbu")
+      graft.operators.Similarity.swapDirInto(s, staging,
+        new org.apache.hadoop.fs.Path(s"$dir/counts"))
+    } finally ids.unpersist(blocking = false)
   }
 
   /** Physically purge tombstoned users' event rows from a stored
@@ -1238,8 +1256,19 @@ object Relational {
       ownerPred: Column = lit(true)): DataFrame = {
     import s.implicits._
     val B = ConcurrencyBucketMs
+    // the session relation feeds FOUR subtrees (the interior legs,
+    // the edge fragments, the probed-bucket collect below, and the
+    // final owner join), and Spark does not dedupe common subplans —
+    // unpersisted, each consumer re-ran the events scan + sessionize
+    // window (measured: the serve was 1.7 s of the purged line, r19
+    // LifecycleTiming). The probe collect materializes the plan at
+    // build time regardless (this serve is never a fully-lazy
+    // declared plan), so pin the slice-sized session relation once
+    // (localCheckpoint: serve-slice sessions, orders below the event
+    // count) and let every leg read the pinned rows.
     val sess = sessionSpans(s, d,
       col("user_id") % serveMod === 0 && ownerPred)
+      .localCheckpoint(true)
     val bounds = sess
       .withColumn("b0", expr(floorDivSql("s_ms", B)))
       .withColumn("b1", expr(floorDivSql("e_ms", B)))

@@ -1052,9 +1052,11 @@ object TextAnalysis {
       // never a second train
       val dir = Similarity.storedQueryDir("nbmodel_p", d)
       Similarity.cloneIndexDir(s, storedNbModelDir(s, d), dir)
-      deleteFromNbModel(s, dir,
-        Tables.documents(s, d)
-          .filter($"doc_id" % Similarity.PurgeMod === Similarity.PurgeRes))
+      // corpus-slice takedown: tf from the session cache (the scorer
+      // below reads it anyway) — the unlearning pass stops paying its
+      // own tokenize of the deleted docs
+      deleteFromNbModelSlice(s, d, dir,
+        $"doc_id" % Similarity.PurgeMod === Similarity.PurgeRes)
       val (w, prior) = readNbModel(s, dir)
       scoreWithNbModel(s, d, w, prior,
         $"doc_id" % Similarity.PurgeMod =!= Similarity.PurgeRes)
@@ -1078,8 +1080,10 @@ object TextAnalysis {
       val dir = Similarity.storedQueryDir("nbmodel_i", d)
       writeNbModel(s, d, dir,
         $"doc_id" % Dedup.IncrementalMod =!= 0)
-      appendToNbModel(s, dir,
-        Tables.documents(s, d).filter($"doc_id" % Dedup.IncrementalMod === 0))
+      // corpus-slice ingest: tf from the session cache the scorer
+      // below reads anyway — one corpus tokenize for the whole line
+      appendToNbModelSlice(s, d, dir,
+        $"doc_id" % Dedup.IncrementalMod === 0)
       val (w, prior) = readNbModel(s, dir)
       scoreWithNbModel(s, d, w, prior)
     },
@@ -2232,30 +2236,46 @@ object TextAnalysis {
     * the count algebra. Cost is batch-sized on every path.
     */
   private def appendNbContrib(s: SparkSession, indexDir: String,
-      docs: DataFrame, sign: Long, mode: String): Unit = {
+      docs: DataFrame, sign: Long, mode: String,
+      tfOverride: Option[DataFrame] = None,
+      alphaOverride: Option[DataFrame] = None): Unit = {
     import s.implicits._
     val thr = s.read.parquet(s"$indexDir/thresholds")
-    val labeled = alphaR(docs).join(broadcast(thr), Seq("source"))
+    // the label relation feeds TWO actions (the counts write and the
+    // scalars aggregate): unpersisted, each re-ran the alpha_r regex
+    // pass over the batch (measured — the slice train paid alpha_r
+    // 3x, r19 LifecycleTiming). It is (doc_id, label), docs-sized and
+    // narrow; persist across the two actions and drop before return.
+    val labeled = alphaOverride.getOrElse(alphaR(docs))
+      .join(broadcast(thr), Seq("source"))
       .select($"doc_id",
         when($"alpha_r" >= $"thresh", 1L).otherwise(0L).as("label"))
-    val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
-    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-    tf.join(labeled, Seq("doc_id"))
-      .groupBy($"tok")
-      .agg((lit(sign) * sum(when($"label" === 1, $"tf").otherwise(0L)))
-          .as("c_pos"),
-        (lit(sign) * sum(when($"label" === 0, $"tf").otherwise(0L)))
-          .as("c_neg"))
-      .write.mode(mode).parquet(s"$indexDir/counts")
-    // Option-decode: an EMPTY batch (a feed trigger with no matching
-    // docs) aggregates to one all-NULL row — a legitimate no-op, not
-    // a crash (the appendToLexIndex batch-agg convention)
-    val (pd, nd) = labeled.agg(
-        sum(when($"label" === 1, 1L).otherwise(0L)),
-        sum(when($"label" === 0, 1L).otherwise(0L)))
-      .as[(Option[Long], Option[Long])].first()
-    Seq((sign * pd.getOrElse(0L), sign * nd.getOrElse(0L))).toDF("pd", "nd")
-      .write.mode(mode).parquet(s"$indexDir/scalars")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // corpus-slice callers pass the session-cached tf relation
+      // filtered to the slice (≡ tokenizing the slice, deterministic
+      // kernel); arbitrary-batch callers (streams) tokenize the batch
+      val tf = tfOverride.getOrElse {
+        docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      }
+      tf.join(labeled, Seq("doc_id"))
+        .groupBy($"tok")
+        .agg((lit(sign) * sum(when($"label" === 1, $"tf").otherwise(0L)))
+            .as("c_pos"),
+          (lit(sign) * sum(when($"label" === 0, $"tf").otherwise(0L)))
+            .as("c_neg"))
+        .write.mode(mode).parquet(s"$indexDir/counts")
+      // Option-decode: an EMPTY batch (a feed trigger with no matching
+      // docs) aggregates to one all-NULL row — a legitimate no-op, not
+      // a crash (the appendToLexIndex batch-agg convention)
+      val (pd, nd) = labeled.agg(
+          sum(when($"label" === 1, 1L).otherwise(0L)),
+          sum(when($"label" === 0, 1L).otherwise(0L)))
+        .as[(Option[Long], Option[Long])].first()
+      Seq((sign * pd.getOrElse(0L), sign * nd.getOrElse(0L))).toDF("pd", "nd")
+        .write.mode(mode).parquet(s"$indexDir/scalars")
+    } finally labeled.unpersist(blocking = false)
   }
 
   /** Train and persist an NB model on a SLICE of the corpus
@@ -2271,10 +2291,48 @@ object TextAnalysis {
   def writeNbModel(s: SparkSession, d: String, outDir: String,
       trainPred: Column): Unit = {
     val docs = Tables.documents(s, d).filter(trainPred)
-    gateThresholds(alphaR(docs)).write.mode("overwrite")
-      .parquet(s"$outDir/thresholds")
-    appendNbContrib(s, outDir, docs, sign = 1L, mode = "overwrite")
+    // ONE alpha_r regex pass over the slice, shared by the thresholds
+    // write and the contrib labeling (it ran twice — measured in the
+    // r19 LifecycleTiming breakdown, where the slice train was 3.9 s
+    // of the ~5 s incremental line); tf comes from the session-cached
+    // full-corpus relation filtered to the slice (trainPred is a
+    // doc_id predicate — every caller's split convention — and the
+    // tokenize kernel is deterministic, so the filtered cache rows ≡
+    // tokenizing the slice), sparing the train its own tokenize pass
+    // next to the scorer's.
+    val ar = alphaR(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      gateThresholds(ar).write.mode("overwrite")
+        .parquet(s"$outDir/thresholds")
+      appendNbContrib(s, outDir, docs, sign = 1L, mode = "overwrite",
+        tfOverride = Some(nbTf(s, d).filter(trainPred)),
+        alphaOverride = Some(ar))
+    } finally ar.unpersist(blocking = false)
   }
+
+  /** [[appendToNbModel]] for a CORPUS-SLICE batch (`pred` over
+    * doc_id): identical answer through the same signed kernel, with
+    * tf served from the session-cached full-corpus relation instead
+    * of a fresh tokenize of the slice — the declared incremental
+    * query's path (its scorer reads the same cache, so the whole
+    * lifecycle tokenizes the corpus once). Arbitrary-relation batches
+    * (streams) keep [[appendToNbModel]].
+    */
+  def appendToNbModelSlice(s: SparkSession, d: String, indexDir: String,
+      pred: Column): Unit =
+    appendNbContrib(s, indexDir, Tables.documents(s, d).filter(pred),
+      sign = 1L, mode = "append",
+      tfOverride = Some(nbTf(s, d).filter(pred)))
+
+  /** [[deleteFromNbModel]] for a corpus-slice takedown (`pred` over
+    * doc_id) — the purged query's path, same cache discipline.
+    */
+  def deleteFromNbModelSlice(s: SparkSession, d: String, indexDir: String,
+      pred: Column): Unit =
+    appendNbContrib(s, indexDir, Tables.documents(s, d).filter(pred),
+      sign = -1L, mode = "append",
+      tfOverride = Some(nbTf(s, d).filter(pred)))
 
   /** Fold the stored count algebra physically: one row per token,
     * all-zero rows dropped, one scalar row — no reader's answer
