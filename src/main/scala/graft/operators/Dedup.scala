@@ -229,6 +229,17 @@ object Dedup {
       h
     }
     val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // Boundary scan: O(n·W) by the declared semantics (FNV is not
+    // rollable — xor and multiply do not commute). The obvious-looking
+    // restructure (window offset outer, position inner, so inner
+    // iterations carry no dependency chain) was measured WITHIN NOISE
+    // of this form across alternating warm rounds (0.6–1.15×,
+    // graft.tools.CdcKernelTiming, same-process A/B, r19): successive
+    // positions' 16-step chains are already independent of each
+    // other, so the out-of-order core overlaps them from the reorder
+    // buffer, and the restructure's 8n-byte hash-array round trip per
+    // offset eats what the dependency break buys. A measured
+    // keep-as-is, not an oversight.
     var p = CdcWindow
     while (p <= n) {
       if ((fnvRange(p - CdcWindow, p) & (CdcDivisor - 1)) == 0L) cuts += p
