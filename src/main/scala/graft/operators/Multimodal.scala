@@ -984,20 +984,32 @@ object Multimodal {
 
   /** The (media_id, width, height, phash) relation through the
     * hermetic decoder — row-local (one grid pass per payload), shared
-    * by mm_phash and dedup_phash.
+    * by mm_phash and dedup_phash. Decoded ONCE per (session, corpus)
+    * and persisted (the [[mediaSignatures]] convention, r19): the
+    * family has eight declared consumers, and the incremental probe
+    * alone referenced the relation from three subtrees (the pushdown
+    * collect, the banded hash side, the member expansion) — Spark
+    * does not dedupe common subplans, so every reference re-ran the
+    * decode. The cached relation is 28 bytes/row; the decode is the
+    * family's expensive leg.
     */
-  private def phashRelation(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    mediaRelation(s, d).select($"media_id", $"payload")
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val ph = phashOf(FakeDecoder) _
-        it.map { case (id, b) =>
-          val (w, h, sig) = ph(b).get // the hermetic decoder is total
-          (id, w, h, sig)
-        }
-      }.toDF("media_id", "width", "height", "phash")
-  }
+  private val phashRelCache = new SessionCache[DataFrame](df =>
+    scala.util.Try(df.unpersist(blocking = false)))
+
+  private def phashRelation(s: SparkSession, d: String): DataFrame =
+    phashRelCache.getOrBuild(s, d) {
+      import s.implicits._
+      mediaRelation(s, d).select($"media_id", $"payload")
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val ph = phashOf(FakeDecoder) _
+          it.map { case (id, b) =>
+            val (w, h, sig) = ph(b).get // the hermetic decoder is total
+            (id, w, h, sig)
+          }
+        }.toDF("media_id", "width", "height", "phash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** One group per distinct nonzero hash: its min-id representative
     * and multiplicity — one exchange, the collapse-first head shared
