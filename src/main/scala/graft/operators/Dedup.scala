@@ -995,8 +995,13 @@ object Dedup {
     val newSh = shingleRelation(s, d).filter(batchPred)
     val newSig = newSh.filter(size($"sh") >= 1)
       .select($"doc_id", minhashSig($"sh").as("sig"))
+    // pin the batch's band relation once: it feeds the pushdown
+    // collect AND the candidate join, and each unpinned reference
+    // re-ran the minhash signature kernel over the batch (the
+    // concurrencyFromStored discipline, r19)
     val newBands = bandBucketsOf(newSig)
       .select($"doc_id".as("new_id"), $"band", $"bucket")
+      .localCheckpoint(true)
     // partition-column type pinned LONG→INT-free via explicit schema
     // (the readIvfIndex note: inferred dir values defeat pruning)
     val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -2050,9 +2055,14 @@ object Dedup {
     import graft.functions.VectorFunctions
     val idx = Similarity.readIvfIndex(s, indexDir)
     val cells = Similarity.nearestCellsCol(idx.cents, 1) _
+    // pin the batch's cell assignment once: it feeds the pushdown
+    // collect AND the stored join, and the nearest-cell kernel (k
+    // centroid dot products per vector) is the probe's expensive leg
+    // (the concurrencyFromStored discipline, r19)
     val batch = Similarity.corpus(s, d).filter(batchPred)
       .select($"vec_id".as("b_id"), $"embedding".as("b_emb"),
         $"nrm".as("b_nrm"), explode(cells($"embedding")).as("cell"))
+      .localCheckpoint(true)
     val probed = batch.select($"cell").distinct()
       .limit(pushdownCap + 1).collect().map(_.getLong(0))
     val stored =
@@ -2747,6 +2757,11 @@ object Dedup {
     import s.implicits._
     import graft.functions.VectorFunctions
     val np = Similarity.readLshPlanes(s, indexDir)
+    // the batch's bucketed relation feeds the pushdown collect AND the
+    // candidate join — Spark does not dedupe common subplans, so the
+    // batch's bucket kernel ran twice; the probe collect materializes
+    // the plan at build time regardless, so pin the batch-sized rows
+    // once (the concurrencyFromStored discipline, r19)
     val newB = Similarity.corpus(s, d)
       .filter(batchPred)
       .select($"vec_id", $"embedding", $"nrm",
@@ -2755,6 +2770,7 @@ object Dedup {
         $"nrm".as("nrm_a"),
         Similarity.unpackTable($"tp").as("table"),
         Similarity.unpackBucket($"tp").as("bucket"))
+      .localCheckpoint(true)
     val stored = Similarity.readLshIndex(s, indexDir)
       .select($"vec_id".as("old_id"), $"embedding".as("emb_b"),
         $"nrm".as("nrm_b"), $"table", $"bucket")

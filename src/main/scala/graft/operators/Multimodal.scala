@@ -1818,10 +1818,15 @@ object Multimodal {
       .filter($"phash" =!= 0L)
       .groupBy($"phash")
       .agg(min($"media_id").as("rep"), count(lit(1)).as("n"))
+    // pin the batch's banded group relation once: ng appears twice
+    // inside it and nb itself feeds the pushdown collect AND the
+    // stored join — unpinned, the collapse exchange ran four times
+    // (the concurrencyFromStored discipline, r19)
     val nb = phashBandRows(ng.select($"rep".as("media_id"), $"phash"))
       .join(ng.select($"phash", $"rep", $"n"), Seq("phash"))
       .select($"band", $"bval", $"phash".as("new_ph"),
         $"rep".as("rep_new"), $"n".as("n_new"))
+      .localCheckpoint(true)
     // fold append deltas per hash (rep = min, n = sum — associative),
     // AFTER the pushed (band, bval) pruning below narrows the scan:
     // the fold is over probed row groups only, and append ≡ rebuild
