@@ -577,16 +577,20 @@ object Dedup {
       .select($"doc_id", cdcChunksUdf($"text").as("ch"))
       .select($"doc_id", explode($"ch").as("c"))
       .select($"doc_id", $"c._1".as("h"), $"c._2".as("l"))
-    // eager: cache the chunk positions across their two consumers
-    // (the touched-bucket collect below materializes the cache, the
-    // probe join reads it) so the chunker — the dominant per-batch
-    // cost — runs once; dropped after the checkpoint. The lazy form
-    // trades one extra chunker pass at action time for a fully
-    // inspectable plan with no cache residue.
+    // both forms pin the chunk positions across their two consumers
+    // (the touched-bucket collect below materializes them, the probe
+    // join reads them) so the chunker — the dominant per-batch cost —
+    // runs ONCE (r19: the declared form previously stayed fully lazy
+    // and paid the batch chunker twice, once at the collect and again
+    // at action time; the probed-bucket collect makes this plan
+    // partially eager regardless, and the stored-side scan with its
+    // pushed bkt filter — the part the plan pins assert on — stays
+    // inspectable). eager additionally persists so the checkpointed
+    // RESULT below can drop the intermediate.
     val pos =
       if (eager)
         pos0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else pos0
+      else pos0.localCheckpoint(true)
     val stored = s.read.schema(cdcChunksSchema).parquet(s"$indexDir/chunks")
     val bkts = pos
       .select(pmod($"h", lit(CdcIndexBuckets.toLong)).cast("int").as("bkt"))
